@@ -3,36 +3,55 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Query/oracle pairs live next to their operators in
+``postgres_s3_etl_spark/operators/*.py`` (each module exports
+``QUERIES`` and ``ORACLES``); this file just aggregates them.
 """
 
 from __future__ import annotations
 
+import importlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Operator modules contributing QUERIES / ORACLES dicts.
+_OPERATOR_MODULES = (
+    "postgres_s3_etl_spark.operators.etl",
+    "postgres_s3_etl_spark.operators.analytics",
+    "postgres_s3_etl_spark.operators.events",
+    "postgres_s3_etl_spark.operators.dedup",
+    "postgres_s3_etl_spark.operators.similarity",
+    "postgres_s3_etl_spark.operators.text_analysis",
+)
+
+
+def _collect(attr: str) -> dict:
+    out: dict = {}
+    for mod_name in _OPERATOR_MODULES:
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        out.update(getattr(mod, attr, {}))
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from postgres_s3_etl_spark.operators.etl import best_performing_product
+
+    return best_performing_product(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return _collect("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twin for each query (same column
+    names/aliases; omitted for non-SQL-expressible ops)."""
+    return _collect("ORACLES")

@@ -1,0 +1,65 @@
+"""Table catalog over a testdata scale-factor directory.
+
+The reference keeps staging tables in Postgres schemas
+(``yazejibi2622_staging.*``, reference scripts/create_tables.py:19-53)
+and shared dims in ``if_common.*``. Here the catalog is a thin layer
+over parquet directories: ``load_tables`` reads every known table
+lazily (no action is triggered) and optionally registers temp views
+so operators can be written in SQL as well as the DataFrame API.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver materializes per scale factor.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables — always broadcast-join these. At TPC-H
+#: ratios they stay tiny relative to the facts at any scale factor.
+DIM_TABLES: frozenset[str] = frozenset(
+    {"region", "nation", "supplier", "part", "customer"}
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily read one table; Catalyst prunes columns / pushes filters."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TABLES,
+    register_views: bool = False,
+) -> dict[str, DataFrame]:
+    """Read all tables under ``sf_dir``; optionally register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
