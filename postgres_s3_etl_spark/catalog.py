@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Tables the driver materializes per scale factor.
 TABLES: tuple[str, ...] = (
@@ -42,8 +43,17 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazily read one table; Catalyst prunes columns / pushes filters."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Lazily read one table; Catalyst prunes columns / pushes filters.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as long and is
+    converted here to a microsecond timestamp (truncation — the same
+    thing DuckDB's reader does), so every consumer sees TimestampType.
+    """
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(
@@ -58,7 +68,7 @@ def load_tables(
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         if register_views:
             df.createOrReplaceTempView(name)
         out[name] = df

@@ -1,0 +1,74 @@
+"""File sinks: partitioned parquet (the scale default) and the
+reference-parity single-file CSV export.
+
+The reference's load step is ``COPY table TO`` a CSV uploaded to
+``s3://bucket/analytics_export/...`` (reference
+airflow/dags/orders_ETL.py:136-148). Analytics outputs there are
+single small aggregate tables, so a one-file CSV with header is
+faithful; for big results the partitioned parquet writer is the
+right sink (columnar, splittable, prunable).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    compression: str = "zstd",
+) -> None:
+    """Partitioned columnar sink. ``partition_by`` date/tenant columns
+    gives downstream readers partition pruning for free."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def export_csv(df: DataFrame, dest_file: str, header: bool = True) -> str:
+    """Single-file CSV export (reference-parity ``load()`` step).
+
+    Coalesces to one partition — only for small aggregate outputs,
+    exactly the reference's use. Spark writes a directory; we move
+    the part file to ``dest_file``. Works for local paths; for object
+    stores, write the directory form instead.
+    """
+    tmp = tempfile.mkdtemp(prefix="csv_export_")
+    try:
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", str(header).lower())
+            .csv(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        os.makedirs(os.path.dirname(dest_file) or ".", exist_ok=True)
+        shutil.move(part, dest_file)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest_file
+
+
+def write_csv_dir(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """Distributed CSV sink (directory of part files) — the scale
+    path when CSV output is required for a large result."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

@@ -1,0 +1,63 @@
+"""File-based sources (CSV / JSON / Parquet / ORC).
+
+The reference's extract step streams CSV from S3 through pandas into
+Postgres (reference airflow/dags/orders_ETL.py:44-68). Spark-first,
+extraction is just a declarative scan: ``spark.read`` against the
+object store path (``s3a://bucket/key``) — distributed, pushdown-
+capable, no driver-side buffering of the whole file.
+
+All readers take an explicit schema by default: schema inference is
+an extra full pass over 100 TB and non-deterministic under dirty
+data. ``infer_schema=True`` remains available for exploration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    infer_schema: bool = False,
+    **options: str,
+) -> DataFrame:
+    """CSV scan (local, ``s3a://``, ``hdfs://`` — any Hadoop FS path).
+
+    Parity with the reference's ``COPY ... FROM ... WITH CSV HEADER
+    DELIMITER ','`` ingest, minus the single-node bottleneck.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .options(**options)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    return spark.read.options(**options).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    return spark.read.options(**options).orc(path)

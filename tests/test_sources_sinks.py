@@ -1,0 +1,122 @@
+"""Sources/sinks round-trips + JDBC option plumbing (SURVEY.md §2.5)."""
+
+import os
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _orders(spark):
+    from postgres_s3_etl_spark.sources.files import read_parquet
+
+    return read_parquet(spark, os.path.join(SF_DIR, "orders.parquet"))
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from postgres_s3_etl_spark.sinks.files import write_csv_dir
+    from postgres_s3_etl_spark.sources.files import read_csv
+
+    df = _orders(spark).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = str(tmp_path / "orders_csv")
+    write_csv_dir(df, out)
+    back = read_csv(
+        spark,
+        out,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    assert back.count() == df.count()
+    assert back.schema == df.schema
+
+
+def test_single_file_csv_export(spark, tmp_path):
+    from postgres_s3_etl_spark.operators.etl import agg_shipments
+    from postgres_s3_etl_spark.sinks.files import export_csv
+
+    dest = str(tmp_path / "exports" / "agg_shipments.csv")
+    export_csv(agg_shipments(spark, SF_DIR), dest)
+    with open(dest) as f:
+        lines = f.read().strip().splitlines()
+    assert lines[0] == "ingestion_date,tt_late_shipments,tt_undelivered_items"
+    assert len(lines) == 2
+
+
+def test_parquet_partitioned_write_and_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.sinks.files import write_parquet
+    from postgres_s3_etl_spark.sources.files import read_parquet
+
+    df = _orders(spark).withColumn("order_year", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(df, out, partition_by=("order_year",))
+    assert any(p.startswith("order_year=") for p in os.listdir(out))
+
+    back = read_parquet(spark, out).where(F.col("order_year") == 1995)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan or "order_year" in plan
+    years = [r.order_year for r in back.select("order_year").distinct().collect()]
+    assert years == [1995]
+
+
+def test_json_orc_roundtrip(spark, tmp_path):
+    from postgres_s3_etl_spark.sinks.files import write_json, write_orc
+    from postgres_s3_etl_spark.sources.files import read_json, read_orc
+
+    df = _orders(spark).select("o_orderkey", "o_orderpriority")
+    write_json(df, str(tmp_path / "j"))
+    write_orc(df, str(tmp_path / "o"))
+    back_j = read_json(spark, str(tmp_path / "j"), schema="o_orderkey bigint, o_orderpriority string")
+    back_o = read_orc(spark, str(tmp_path / "o"))
+    assert back_j.count() == df.count()
+    assert back_o.count() == df.count()
+
+
+def test_jdbc_reader_options():
+    """No live DB in the container — verify the option plumbing that
+    Spark's JDBC source consumes (partitioned read + pushdown)."""
+    from postgres_s3_etl_spark.sources.jdbc import JdbcConfig, read_table
+
+    cfg = JdbcConfig(
+        url="jdbc:postgresql://localhost:5432/db", user="u", password="p"
+    )
+    assert cfg.options()["driver"] == "org.postgresql.Driver"
+
+    class FakeReader:
+        def __init__(self):
+            self.opts = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def options(self, **kw):
+            self.opts.update(kw)
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            return self.opts
+
+    class FakeSpark:
+        def __init__(self):
+            self.read = FakeReader()
+
+    opts = read_table(
+        FakeSpark(),
+        cfg,
+        "staging.orders",
+        partition_column="order_id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=32,
+        predicate="order_date >= DATE '2022-01-01'",
+    )
+    assert opts["numPartitions"] == "32"
+    assert "WHERE order_date" in opts["dbtable"]
+
+    with pytest.raises(ValueError):
+        read_table(FakeSpark(), cfg, "t", partition_column="id")
