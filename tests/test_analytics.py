@@ -1,0 +1,56 @@
+"""Analytics operator surface vs DuckDB oracle (SURVEY.md §2.2)."""
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+
+NAMES = [
+    "q_pricing_summary",
+    "q_revenue_forecast",
+    "q_top_revenue_orders",
+    "q_regional_volume",
+    "q_customer_nation_semijoin",
+    "q_customer_order_stats",
+    "q_market_share_pivot",
+    "q_order_priority_rollup",
+    "q_orders_cube",
+    "q_part_supplier_union",
+    "q_top_parts_per_brand",
+    "q_lineitem_window_running",
+    "q_decile_stats",
+    "q_percentiles",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_analytics_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_dim_joins_are_broadcast(spark):
+    """q_regional_volume's five dim joins must all compile to
+    broadcast-hash joins — no shuffle of the fact side for dims."""
+    from postgres_s3_etl_spark.operators.analytics import q_regional_volume
+
+    plan = (
+        q_regional_volume(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q_revenue_forecast's predicates must appear as PushedFilters in
+    the parquet scan node."""
+    from postgres_s3_etl_spark.operators.analytics import q_revenue_forecast
+
+    plan = (
+        q_revenue_forecast(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
