@@ -1,0 +1,431 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2.4): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — over ``documents`` / ``embeddings``.
+
+Cross-engine determinism: every hash is md5 (identical in Spark and
+DuckDB); every float emitted is truncated via floor(x*1e6)/1e6 (pure
+double ops — no decimal-rounding ambiguity).
+
+Scale design — the whole point of these operators:
+- Exact dedup is one hash shuffle on the 16-byte digest, never on
+  the raw text.
+- Jaccard/MinHash/SimHash candidate generation NEVER does an O(n²)
+  cross join: pairs come from equi-joins on shingle / band-bucket /
+  simhash-prefix keys, so the shuffle key bounds the blow-up. At
+  100 TB the band-bucket join is the standard LSH trick: ~n·bands
+  rows shuffled, near-dup pairs only.
+- Embedding near-dup blocks by ``label`` (stand-in for an IVF/
+  cluster assignment) so each block's pair count is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+
+NUM_MINHASHES = 16
+LSH_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+TOP_PAIRS = 20
+
+
+def _trunc6(col: Column) -> Column:
+    return F.floor(col * 1e6) / 1e6
+
+
+def _shingles_expr() -> Column:
+    """Distinct word 3-gram shingles of ``text`` (array column)."""
+    return F.array_distinct(
+        F.expr(
+            r"""
+            transform(
+                sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
+                i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))
+            )
+            """
+        )
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5(lower(trim(text))): corpus-level stats.
+
+    One shuffle on the digest; representative = min doc_id per group
+    (the row a keep-first policy would retain).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.md5(F.lower(F.trim("text"))).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_id"))
+    )
+    return groups.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_docs"),
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar doc pairs by word-3-gram Jaccard within
+    (lang, source) blocks. Pairs come from an equi-join on the
+    shingle itself — only docs sharing ≥1 shingle ever meet."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", _shingles_expr().alias("shingles")
+    )
+    sizes = docs.select(
+        "doc_id", F.size("shingles").alias("n_sh")
+    )
+    exploded = docs.select(
+        "doc_id", "lang", "source", F.explode("shingles").alias("sh")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, common.doc_a == F.col("sa.doc_id"))
+        .join(sb, common.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            _trunc6(
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(TOP_PAIRS)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: 16 md5-minhashes → 4 bands × 4 rows →
+    band-bucket equi-join → candidate pairs ranked by #shared bands.
+
+    The minhash for seed j is ``min(md5(j || ':' || shingle))`` — a
+    deterministic permutation stand-in that both engines compute
+    identically. Candidate generation shuffles n·bands small rows,
+    never pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _shingles_expr().alias("shingles")
+    )
+    seeds = F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1))
+    # minhash_j per doc: array of NUM_MINHASHES minima (all row-local)
+    minhashes = docs.select(
+        "doc_id",
+        F.expr(
+            f"""
+            transform(
+                sequence(0, {NUM_MINHASHES - 1}),
+                j -> array_min(transform(shingles, s -> md5(concat(j, ':', s))))
+            )
+            """
+        ).alias("mh"),
+    )
+    rows_per_band = NUM_MINHASHES // LSH_BANDS
+    bands = minhashes.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""
+                transform(
+                    sequence(0, {LSH_BANDS - 1}),
+                    b -> struct(
+                        b AS band,
+                        md5(concat_ws('|', slice(mh, b * {rows_per_band} + 1, {rows_per_band}))) AS bucket
+                    )
+                )
+                """
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy(F.desc("n_shared_bands"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(50)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs, bucketed by the high 16 bits.
+
+    Per doc: for each bit j, sum ±1 over distinct tokens according to
+    bit j of the token's md5-derived 32-bit hash; simhash sets bit j
+    where the sum is positive. Pairs meet only within the same
+    high-16-bit bucket; hamming ≤ 6 via bit_count(xor).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Row-local simhash: tokens → md5 hex → per-bit ±1 votes → bits.
+    # Bit j lives in hex char (7 - j div 4), bit (j mod 4) of that
+    # nibble; nibble value via instr('0123456789abcdef', char) - 1.
+    simhash = F.expr(
+        f"""
+        aggregate(
+            sequence(0, {SIMHASH_BITS - 1}),
+            cast(0 as bigint),
+            (acc, j) -> acc + CASE WHEN
+                aggregate(
+                    array_distinct(split(trim(lower(text)), '\\\\s+')),
+                    cast(0 as bigint),
+                    (votes, t) -> votes + 2 * (
+                        ((instr('0123456789abcdef',
+                                substring(md5(t), 8 - (j div 4), 1)) - 1)
+                         div cast(pow(2, j % 4) as int)) % 2
+                    ) - 1
+                ) > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END
+        )
+        """
+    )
+    sh = docs.select("doc_id", simhash.alias("simhash"))
+    # Pigeonhole chunking: split the 32 bits into 8 chunks of 4; any
+    # pair with hamming ≤ 7 shares at least one intact chunk, so an
+    # equi-join on (chunk_id, chunk_value) finds every such pair with
+    # no cross join. (At 100 TB: 64-bit simhash, 8 chunks of 8 bits —
+    # same plan shape, bigger bucket keyspace.)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 7), c -> "
+                "struct(c AS chunk, (simhash div cast(pow(2, c * 4) as bigint)) % 16 AS val))"
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        candidates.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 near-duplicate embedding pairs by cosine, blocked by
+    ``label`` (IVF-cluster stand-in) so pair counts stay bounded."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    emb = emb.withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            _trunc6(dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(TOP_PAIRS)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+_SHINGLES_SQL = r"""
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(w) - 2, 1))])
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        WITH groups AS (
+            SELECT md5(lower(trim(text))) AS digest,
+                   COUNT(*) AS n, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY digest
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               COUNT(*) AS n_unique,
+               CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+               CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        FROM groups
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, lang, source,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        exploded AS (
+            SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM exploded a
+            JOIN exploded b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               floor(CAST(c.n_common AS DOUBLE)
+                     / (len(sa.shingles) + len(sb.shingles) - c.n_common) * 1e6) / 1e6 AS jaccard
+        FROM common c
+        JOIN sh sa ON c.doc_a = sa.doc_id
+        JOIN sh sb ON c.doc_b = sb.doc_id
+        ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+        LIMIT {TOP_PAIRS}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        mh AS (
+            SELECT doc_id,
+                   [list_min([md5(concat(j, ':', s)) for s in shingles])
+                    for j in generate_series(0, {NUM_MINHASHES - 1})] AS mh
+            FROM sh
+        ),
+        bands AS (
+            SELECT doc_id, b.band,
+                   md5(array_to_string(mh[b.band * {NUM_MINHASHES // LSH_BANDS} + 1 :
+                                          b.band * {NUM_MINHASHES // LSH_BANDS} + {NUM_MINHASHES // LSH_BANDS}], '|')) AS bucket
+            FROM mh, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) b
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        ORDER BY n_shared_bands DESC, doc_a ASC, doc_b ASC
+        LIMIT 50
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+        FROM e a
+        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+        LIMIT {TOP_PAIRS}
+    """,
+    # dedup_simhash: oracle below is generated — see _simhash_oracle().
+}
+
+
+def _simhash_oracle() -> str:
+    """SimHash SQL twin: same bit algebra, spelled with DuckDB list
+    comprehensions. Bit j of token-hash = bit (j%4) of the nibble at
+    hex char (8 - j div 4) of md5(token)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ts
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_sum([
+                       CASE WHEN list_sum([
+                           2 * (((strpos('0123456789abcdef',
+                                         substr(md5(t), 8 - (j // 4), 1)) - 1)
+                                 // CAST(pow(2, j % 4) AS INT)) % 2) - 1
+                           for t in ts]) > 0
+                       THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
+                       for j in generate_series(0, {SIMHASH_BITS - 1})]) AS simhash
+            FROM toks
+        ),
+        chunks AS (
+            SELECT doc_id, simhash, c.c AS chunk,
+                   (simhash // CAST(pow(2, c.c * 4) AS BIGINT)) % 16 AS val
+            FROM sh, (SELECT unnest(generate_series(0, 7)) AS c) c
+        ),
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sh_a, b.simhash AS sh_b
+            FROM chunks a
+            JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM candidates
+        WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+        ORDER BY hamming, doc_a, doc_b
+        LIMIT 50
+    """
+
+
+ORACLES["dedup_simhash"] = _simhash_oracle()

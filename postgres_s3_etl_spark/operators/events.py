@@ -1,0 +1,223 @@
+"""Event-stream analytics over the ``events`` table (SURVEY.md §2.3).
+
+Batch implementations of the time-series workloads; streaming twins
+live in ``postgres_s3_etl_spark/streaming/``. The patterns: funnel
+conversion (conditional per-user flags), gap-based sessionization
+(lag + cumulative sum — the standard batch formulation), tumbling
+windows (align-to-epoch truncation), JSON prop extraction, and
+grouped top-k.
+
+Scale notes: every query shuffles once on a bounded key (user_id,
+event_type, hour). Sessionization state is per-user and the window
+partitions by user — no global sort. Millisecond epoch ints (not
+float seconds) keep duration math exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.functions.numeric import money_sum
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup → click → purchase funnel: per-user stage flags, then
+    one global reduce. Single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("did_signup"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("did_click"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("did_purchase"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("did_signup").cast("bigint").alias("n_signup"),
+        F.sum(F.col("did_signup") * F.col("did_click"))
+        .cast("bigint")
+        .alias("n_signup_click"),
+        F.sum(F.col("did_signup") * F.col("did_click") * F.col("did_purchase"))
+        .cast("bigint")
+        .alias("n_signup_click_purchase"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag(ts) per user
+    → new-session flag → running sum = session index. Global session
+    stats out. The per-user window keeps state bounded at scale."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_sess = (
+        F.when(
+            ms - F.lag(ms, 1).over(w) > SESSION_GAP_MIN * 60_000, 1
+        )
+        .otherwise(0)
+    )
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ms) - F.min(ms)).alias("duration_ms"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias(
+            "avg_events_per_session"
+        ),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.sum("duration_ms") / F.count(F.lit(1)), 6).alias(
+            "avg_session_duration_ms"
+        ),
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type. Spark's ``window()``
+    aligns to the epoch, so ``window.start == date_trunc('hour')`` —
+    the oracle uses the truncation form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON
+    ``props`` string and aggregate it per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.when(k.isNull(), 1)).alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 purchasers by exact-decimal purchase value."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            money_sum("value", "total_purchase_value"),
+        )
+        .orderBy(F.desc("total_purchase_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "q_events_funnel": q_events_funnel,
+    "q_events_sessionize": q_events_sessionize,
+    "q_events_tumbling": q_events_tumbling,
+    "q_events_json_props": q_events_json_props,
+    "q_events_topk_users": q_events_topk_users,
+}
+
+ORACLES = {
+    "q_events_funnel": """
+        WITH flags AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS did_signup,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_click,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS did_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               CAST(SUM(did_signup) AS BIGINT) AS n_signup,
+               CAST(SUM(did_signup * did_click) AS BIGINT) AS n_signup_click,
+               CAST(SUM(did_signup * did_click * did_purchase) AS BIGINT) AS n_signup_click_purchase
+        FROM flags
+    """,
+    "q_events_sessionize": f"""
+        WITH laged AS (
+            SELECT user_id, event_id,
+                   epoch_ms(ts) AS ms,
+                   LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN ms - prev_ms > {SESSION_GAP_MIN * 60_000} THEN 1 ELSE 0 END AS new_sess
+            FROM laged
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx,
+                   ms
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MAX(ms) - MIN(ms) AS duration_ms
+            FROM sess GROUP BY user_id, session_idx
+        )
+        SELECT COUNT(*) AS n_sessions,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events_per_session,
+               MAX(n_events) AS max_session_events,
+               ROUND(CAST(SUM(duration_ms) AS DOUBLE) / COUNT(*), 6) AS avg_session_duration_ms
+        FROM per_session
+    """,
+    "q_events_tumbling": """
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour_start, event_type
+    """,
+    "q_events_json_props": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_events_topk_users": """
+        SELECT user_id,
+               COUNT(*) AS n_purchases,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_purchase_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY total_purchase_value DESC, user_id ASC
+        LIMIT 20
+    """,
+}

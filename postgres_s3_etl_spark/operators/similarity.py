@@ -1,0 +1,231 @@
+"""Similarity search over embeddings (SURVEY.md §2.4).
+
+``sim_search_bruteforce`` — exact cosine top-k for a small probe set:
+the probes broadcast against the partitioned corpus, so the big side
+never shuffles; per-probe top-k via a window over the probe key.
+This is the exact baseline any ANN variant is measured against.
+
+``sim_search_lsh`` — random-hyperplane LSH: 16 deterministic ±1
+hyperplanes (signs derived from md5, so Spark and the oracle agree),
+a 16-bit signature per vector, candidates restricted to
+signature-prefix buckets. The scale path: buckets bound the pair
+count, trading recall for a ~bucket-fraction of the comparisons.
+Recall vs the brute-force baseline is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+
+N_PROBES = 10  # probe set: vec_id < 10
+TOP_K = 5
+N_PLANES = 16
+EMB_DIM = 64
+LSH_TABLES = 4  # 4 tables × 4-bit signatures (multi-table banding)
+BITS_PER_TABLE = N_PLANES // LSH_TABLES
+
+
+def _trunc6(col: Column) -> Column:
+    return F.floor(col * 1e6) / 1e6
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    return emb.withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    )
+
+
+_DOT = "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+
+
+def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each probe (vec_id < 10)."""
+    vecs = _vecs(spark, sf_dir)
+    probes = vecs.where(F.col("vec_id") < N_PROBES)
+    a = probes.alias("a")
+    b = vecs.alias("b")
+    cosine = _trunc6(
+        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+    ).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cosine,
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("probe_id", "rank")
+    )
+
+
+def plane_signs() -> list[list[int]]:
+    """Deterministic ±1 hyperplane components: sign(p, d) = +1 iff the
+    first hex nibble of md5(f"{p}_{d}") is even. Pure public md5 —
+    the SQL oracle regenerates the identical matrix."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for d in range(EMB_DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _signature(vec_col: str = "v") -> Column:
+    """16-bit LSH signature: bit p set iff plane_p · v > 0."""
+    planes = plane_signs()
+    planes_sql = ",".join(
+        "array(" + ",".join(str(x) for x in row) + ")" for row in planes
+    )
+    return F.expr(
+        f"""
+        aggregate(
+            sequence(0, {N_PLANES - 1}),
+            cast(0 as bigint),
+            (acc, p) -> acc + CASE WHEN
+                aggregate(
+                    zip_with(array({planes_sql})[p], {vec_col},
+                             (c, x) -> c * x),
+                    0.0d, (s, x) -> s + x
+                ) > 0 THEN cast(pow(2, p) as bigint) ELSE 0 END
+        )
+        """
+    )
+
+
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 per probe via multi-table hyperplane LSH: the 16-bit
+    signature splits into 4 tables of 4 bits; a pair is a candidate if
+    ANY table bucket matches (equi-join on (table, bucket) — never a
+    cross join). Approximate — recall vs brute force asserted in
+    tests. At scale, more planes/tables trade shuffle volume for
+    recall; the plan shape is unchanged."""
+    vecs = _vecs(spark, sf_dir).withColumn("sig", _signature("v"))
+    buckets = vecs.select(
+        "vec_id",
+        "v",
+        "norm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
+                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    probes = buckets.where(F.col("vec_id") < N_PROBES)
+    a = probes.alias("a")
+    b = buckets.alias("b")
+    cosine = _trunc6(
+        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+    ).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cosine,
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("probe_id", "rank")
+    )
+
+
+QUERIES = {
+    "sim_search_bruteforce": sim_search_bruteforce,
+    "sim_search_lsh": sim_search_lsh,
+}
+
+
+ORACLES = {
+    "sim_search_bruteforce": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM pairs
+        )
+        SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY probe_id, rank
+    """,
+    "sim_search_lsh": f"""
+        WITH planes AS (
+            SELECT p.p,
+                   [CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(concat(p.p, '_', d)), 1, 1)) - 1) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END
+                    for d in generate_series(0, {EMB_DIM - 1})] AS coefs
+            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
+        ),
+        vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        sigs AS (
+            SELECT v.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(pl.coefs, v.v) > 0
+                            THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+            FROM vecs v CROSS JOIN planes pl
+            GROUP BY v.vec_id
+        ),
+        bucketed AS (
+            SELECT v.vec_id, v.v, v.nrm, t.t AS tbl,
+                   (s.sig // CAST(pow(2, t.t * {BITS_PER_TABLE}) AS BIGINT)) % {2 ** BITS_PER_TABLE} AS bucket
+            FROM vecs v
+            JOIN sigs s ON v.vec_id = s.vec_id,
+                 (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS t) t
+        ),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < {N_PROBES}
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM pairs
+        )
+        SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY probe_id, rank
+    """,
+}

@@ -1,0 +1,247 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2.4): language ID, quality scoring, token counting,
+document fingerprinting — all over ``documents(doc_id, text, lang,
+source, n_chars)``.
+
+Everything is expressed with built-in JVM-side string/regex/array
+functions (no Python UDFs in the hot path) and has an exact DuckDB
+twin: regex counts use patterns valid in both Java regex and RE2,
+hashing is md5 (identical across engines), ratios divide exact ints.
+
+Scale: each operator is a single narrow projection over the corpus —
+no shuffle at all except final ORDER BY for stable output (which the
+driver needs only for small results; the per-doc operators are
+embarrassingly parallel map work on 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+
+#: Distinctive stopwords per language for the n-gram/stopword
+#: evidence heuristic. Tie-break order = tuple order.
+LANG_MARKERS: tuple[tuple[str, str], ...] = (
+    ("en", r"\b(the|and|of|to|is)\b"),
+    ("es", r"\b(el|la|de|que|los)\b"),
+    ("de", r"\b(der|die|und|das|ist)\b"),
+    ("fr", r"\b(le|la|les|et|est)\b"),
+    ("zh", r"的|是|了"),
+)
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_PATTERN = r"[.,!?;:]"
+STOPWORD_PATTERN = r"\b(the|a|of|and|to)\b"
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _trunc6(col: Column) -> Column:
+    """Truncate to 6 decimals via pure double ops (floor(x*1e6)/1e6).
+
+    Unlike ROUND-to-decimal — which Spark implements via BigDecimal
+    and DuckDB via scaled-double rounding, disagreeing on exact .5
+    boundaries (common when inputs are decimal-clean ratios) — floor
+    on doubles is bit-identical across engines.
+    """
+    return F.floor(col * 1e6) / 1e6
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-evidence language ID; confusion counts vs the labeled
+    ``lang`` column. Pure regex counting — codegen'd, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    hits = {code: F.regexp_count(low, F.lit(pat)) for code, pat in LANG_MARKERS}
+    # argmax with fixed tie-break order (first marker wins ties):
+    # nested when/otherwise — en wins ties, then es, ...
+    pred_col = F.lit(None)
+    for code, _ in reversed(LANG_MARKERS):
+        cond = None
+        for other, _ in LANG_MARKERS:
+            if other == code:
+                continue
+            ge = hits[code] >= hits[other]
+            cond = ge if cond is None else (cond & ge)
+        pred_col = F.when(cond, F.lit(code)).otherwise(pred_col)
+    return (
+        docs.select("lang", pred_col.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per doc: length, punctuation ratio,
+    stopword ratio, mean word length → weighted score + band."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    tokens = _ws_tokens(text)
+    n_tokens = F.size(tokens)
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
+    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN))
+    punct_ratio = _trunc6(n_punct / n_chars)
+    stop_ratio = _trunc6(n_stop / n_tokens)
+    mean_word_len = _trunc6(
+        F.length(F.regexp_replace(text, r"\s+", "")) / n_tokens
+    )
+    score = _trunc6(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + (n_stop / n_tokens) * 0.3
+        + (F.lit(1.0) - n_punct / n_chars) * 0.3
+    )
+    band = (
+        F.when(score >= 0.7, "high")
+        .when(score >= 0.4, "medium")
+        .otherwise("low")
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+        band.alias("quality_band"),
+    ).orderBy("doc_id")
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts: whitespace tokens + BPE-ish regex tokens +
+    chars-per-token compression proxy."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(_ws_tokens(F.col("text")))
+    n_bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(F.col("n_chars") / n_bpe, 6).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: word 3-shingles → md5 → min hash
+    per doc (the 1-seed minhash). Array expressions only — the
+    shingle set never leaves the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            r"""
+            aggregate(
+                transform(
+                    sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
+                    i -> md5(concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3)))
+                ),
+                cast(null as string),
+                (acc, h) -> CASE WHEN acc IS NULL OR h < acc THEN h ELSE acc END
+            )
+            """
+        ).alias("fingerprint"),
+        (F.greatest(F.size(_ws_tokens(F.col("text"))) - 2, F.lit(1))).alias(
+            "n_shingles"
+        ),
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_tokens": text_tokens,
+    "text_fingerprint": text_fingerprint,
+}
+
+_MARKER_SQL = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "es": r"\b(el|la|de|que|los)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "zh": r"的|是|了",
+}
+
+
+def _langid_oracle() -> str:
+    hit = {
+        c: f"len(regexp_extract_all(lower(text), '{p}'))"
+        for c, p in _MARKER_SQL.items()
+    }
+    order = list(_MARKER_SQL)
+    cases = []
+    for code in order:
+        conds = " AND ".join(
+            f"{hit[code]} >= {hit[o]}" for o in order if o != code
+        )
+        cases.append(f"WHEN {conds} THEN '{code}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE NULL END"
+    return f"""
+        SELECT lang, {case_sql} AS pred_lang, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY lang, pred_lang
+        ORDER BY lang, pred_lang
+    """
+
+
+ORACLES = {
+    "text_langid": _langid_oracle(),
+    "text_quality": r"""
+        WITH m AS (
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS n_stop,
+                   length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars
+            FROM documents
+        ),
+        s AS (
+            SELECT *,
+                   least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+                   + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                   + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3 AS raw_score
+            FROM m
+        )
+        SELECT doc_id,
+               n_chars_m AS n_chars_measured,
+               n_tokens,
+               floor(CAST(n_punct AS DOUBLE) / n_chars_m * 1e6) / 1e6 AS punct_ratio,
+               floor(CAST(n_stop AS DOUBLE) / n_tokens * 1e6) / 1e6 AS stopword_ratio,
+               floor(CAST(n_word_chars AS DOUBLE) / n_tokens * 1e6) / 1e6 AS mean_word_len,
+               floor(raw_score * 1e6) / 1e6 AS quality_score,
+               CASE WHEN floor(raw_score * 1e6) / 1e6 >= 0.7 THEN 'high'
+                    WHEN floor(raw_score * 1e6) / 1e6 >= 0.4 THEN 'medium'
+                    ELSE 'low' END AS quality_band
+        FROM s
+        ORDER BY doc_id
+    """,
+    "text_tokens": r"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 6) AS chars_per_token
+        FROM documents
+        ORDER BY doc_id
+    """,
+    "text_fingerprint": r"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               list_min([md5(array_to_string(w[i:i+2], ' '))
+                         for i in generate_series(1, greatest(len(w) - 2, 1))]) AS fingerprint,
+               CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
+        FROM words
+        ORDER BY doc_id
+    """,
+}

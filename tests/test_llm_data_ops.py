@@ -1,0 +1,140 @@
+"""LLM-data-pipeline operators: oracle parity + behavioral checks
+with planted duplicates (SURVEY.md §2.4) and events (§2.3)."""
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+
+ORACLE_NAMES = [
+    "q_events_funnel",
+    "q_events_sessionize",
+    "q_events_tumbling",
+    "q_events_json_props",
+    "q_events_topk_users",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_search_bruteforce",
+    "sim_search_lsh",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+@pytest.fixture()
+def planted_docs(spark, tmp_path):
+    """A corpus with exact and near duplicates planted, written as a
+    documents.parquet so the operators run unmodified against it."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find some food for the winter"
+    )
+    near = base.replace("winter", "summer")  # one word differs
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, base, "en", "src0", len(base)),           # exact dup of 0
+        (2, near, "en", "src0", len(near)),           # near dup of 0
+        (3, "completely different text about spark engines and "
+            "distributed query processing at massive scale", "en", "src0", 99),
+        (4, base, "en", "src1", 1),                   # dup in other block
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dedup_exact_finds_planted(spark, planted_docs):
+    from postgres_s3_etl_spark.operators.dedup import dedup_exact
+
+    row = dedup_exact(spark, planted_docs).collect()[0]
+    assert row.n_docs == 5
+    assert row.n_unique == 3  # base, near, different
+    assert row.n_dup_groups == 1  # base text appears 3x
+    assert row.n_dup_docs == 2
+
+
+def test_ngram_jaccard_ranks_near_dup_highest(spark, planted_docs):
+    from postgres_s3_etl_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, planted_docs).collect()
+    top = pairs[0]
+    # exact dup pair (0,1) has jaccard 1.0 within the same block
+    assert (top.doc_a, top.doc_b) == (0, 1)
+    assert top.jaccard == 1.0
+    # near-dup pair present with high-but-lower jaccard
+    near = {(p.doc_a, p.doc_b): p.jaccard for p in pairs}
+    assert near[(0, 2)] > 0.7
+    assert near[(0, 2)] < 1.0
+    # cross-block dup (0,4) must NOT appear — blocking respected
+    assert (0, 4) not in near
+
+
+def test_minhash_lsh_catches_near_dup(spark, planted_docs):
+    from postgres_s3_etl_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = {
+        (p.doc_a, p.doc_b): p.n_shared_bands
+        for p in dedup_minhash_lsh(spark, planted_docs).collect()
+    }
+    assert pairs[(0, 1)] == 4  # exact dup: all bands collide
+    assert (0, 2) in pairs  # near dup caught by ≥1 band
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated not paired
+
+
+def test_simhash_exact_dup_zero_hamming(spark, planted_docs):
+    from postgres_s3_etl_spark.operators.dedup import dedup_simhash
+
+    pairs = {
+        (p.doc_a, p.doc_b): p.hamming
+        for p in dedup_simhash(spark, planted_docs).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    assert pairs.get((0, 4)) == 0  # simhash ignores blocking
+    near = pairs.get((0, 2))
+    assert near is not None and near <= 6
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """ANN recall: LSH top-5 must recover a solid fraction of the
+    exact top-5 at sf0.001 (random vectors — LSH buckets shrink the
+    candidate set; recall must remain useful)."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        sim_search_bruteforce,
+        sim_search_lsh,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in sim_search_bruteforce(spark, sf).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id) for r in sim_search_lsh(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall:.2f}"
+
+
+def test_streaming_free_dedup_plan_has_no_cartesian(spark):
+    """The LSH candidate join must be an equi-join (hash-partitioned),
+    never a cartesian product."""
+    from postgres_s3_etl_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = (
+        dedup_minhash_lsh(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
