@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": "..."}
+
+Each timed run executes the full plan (collect of the small final
+result — every headline query ends in an aggregate/top-k, so the
+collect is bounded; nothing large crosses the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Representative headline set: reference-parity ETL, scan/join/agg
+#: analytics, window + sessionization, and the LLM-data operators
+#: whose scale behavior matters most (hash dedup, LSH, ANN).
+HEADLINE = (
+    "etl_agg_public_holiday",
+    "etl_agg_shipments",
+    "etl_best_performing_product",
+    "q_pricing_summary",
+    "q_top_revenue_orders",
+    "q_regional_volume",
+    "q_revenue_forecast",
+    "q_top_parts_per_brand",
+    "q_lineitem_window_running",
+    "q_events_sessionize",
+    "q_events_tumbling",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_bruteforce",
+    "text_quality",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from postgres_s3_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    # Warm the JVM/codegen paths outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert rows is not None
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or SF_DIR
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

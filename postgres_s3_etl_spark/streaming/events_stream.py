@@ -1,0 +1,236 @@
+"""Structured Streaming twins of the batch event analytics
+(SURVEY.md §2.6).
+
+The reference is batch-only (Airflow `@once` DAGs), but a
+Spark-native engine gets incremental execution from the same logical
+plans: ``readStream`` over the events directory, watermarked
+event-time windows, and stateful sessionization via
+``applyInPandasWithState``. Tests drive these with the file source
+and ``availableNow`` / ``processAllAvailable`` so a batch of parquet
+rows runs the streaming query to completion deterministically, and
+assert the streaming results equal the batch operators'.
+
+Scale: the tumbling aggregation is the canonical shuffle-once
+watermarked window; sessionization state is per-user (bounded by the
+watermark-driven timeout at 100 TB/day event rates).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from postgres_s3_etl_spark.catalog import table_path
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+#: Explicit schema — a streaming file source cannot infer. ``ts`` is
+#: read as long (nanos) and converted, matching catalog.load_table.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (stand-in for a
+    Kafka/queue source in production; identical downstream plan)."""
+    # The streaming file source wants a directory; testdata stores
+    # one file per table, so scan the sf_dir with a glob filter.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.q_events_tumbling: 1-hour
+    tumbling windows per event type with a 2-hour watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming plan over all currently-available input and
+    return the materialized result (memory sink — test/dev path)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_user(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user stateful sessionizer: closes a session (emits a row)
+    whenever a gap > 30 min appears, or when the event-time watermark
+    passes ``last_event + gap`` (state timeout).
+
+    Event-time (not processing-time) timeouts matter twice over: a
+    replayed/backfilled stream closes sessions by data time rather
+    than wall clock, and a drained input (availableNow) terminates —
+    wall-clock timeouts keep the trigger alive indefinitely waiting
+    for future expirations.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_ms, last_ms, n_events = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id], dtype="int64"),
+                "session_start": pd.to_datetime([start_ms], unit="ms"),
+                "session_end": pd.to_datetime([last_ms], unit="ms"),
+                "n_events": pd.Series([n_events], dtype="int64"),
+            }
+        )
+        return
+    events = pd.concat(list(pdfs))
+    ms = (events["ts"].astype("int64") // 1_000_000).sort_values().tolist()
+    if state.exists:
+        start_ms, last_ms, n_events = state.get
+    else:
+        start_ms = last_ms = None
+        n_events = 0
+    out_rows = []
+    for t in ms:
+        if last_ms is None:
+            start_ms, last_ms, n_events = t, t, 1
+        elif t - last_ms > SESSION_GAP_MS:
+            out_rows.append((user_id, start_ms, last_ms, n_events))
+            start_ms, last_ms, n_events = t, t, 1
+        else:
+            last_ms = t
+            n_events += 1
+    state.update((start_ms, last_ms, n_events))
+    # Close this session when the watermark passes its gap horizon
+    # (must stay strictly ahead of the current watermark).
+    state.setTimeoutTimestamp(
+        max(last_ms + SESSION_GAP_MS, state.getCurrentWatermarkMs() + 1)
+    )
+    if out_rows:
+        df = pd.DataFrame(
+            out_rows, columns=["user_id", "start_ms", "last_ms", "n_events"]
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "session_start": pd.to_datetime(df["start_ms"], unit="ms"),
+                "session_end": pd.to_datetime(df["last_ms"], unit="ms"),
+                "n_events": df["n_events"],
+            }
+        )
+
+
+def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming
+    operator (``applyInPandasWithState`` with event-time timeouts) —
+    the pattern for operators Spark's built-in windows can't express.
+    Emits closed sessions."""
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_user,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---- driver-facing entries (rows-only: streaming results depend on
+# watermark/timeout semantics that have no batch-SQL twin; the tests
+# assert equality against the batch operators instead) ----
+
+_RUN_SEQ = [0]
+
+
+def _next_query_name(base: str) -> str:
+    _RUN_SEQ[0] += 1
+    return f"{base}_{_RUN_SEQ[0]}"
+
+
+def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_events_tumbling(spark, sf_dir),
+        _next_query_name("stream_tumbling"),
+    ).orderBy("hour_start", "event_type")
+
+
+def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_sessionize_stateful(spark, sf_dir),
+        _next_query_name("stream_sessions"),
+    ).orderBy("user_id", "session_start")
+
+
+QUERIES = {
+    "stream_events_tumbling": q_stream_events_tumbling,
+    "stream_sessionize_stateful": q_stream_sessionize_stateful,
+}
+ORACLES: dict[str, str] = {}

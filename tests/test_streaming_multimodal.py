@@ -1,0 +1,105 @@
+"""Streaming twins equal batch results; multimodal plumbing works
+end-to-end (SURVEY.md §2.6, §2.7)."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_stream_tumbling_equals_batch(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_tumbling
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        stream_events_tumbling,
+    )
+
+    batch = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in q_events_tumbling(spark, SF_DIR).collect()
+    }
+    streamed = run_stream_to_memory(
+        stream_events_tumbling(spark, SF_DIR), "tumbling_test"
+    ).collect()
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, r.total_value)
+        for r in streamed
+    }
+    # The watermark holds back windows newer than (max_ts - 2h) in
+    # availableNow mode; everything emitted must match batch exactly,
+    # and coverage must be nearly complete.
+    assert got, "stream produced no windows"
+    for k, v in got.items():
+        assert batch[k] == v, k
+    assert len(got) >= len(batch) - 4
+
+
+def test_stream_sessionize_stateful(spark):
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        stream_sessionize_stateful,
+    )
+
+    sessions = run_stream_to_memory(
+        stream_sessionize_stateful(spark, SF_DIR), "sessions_test"
+    ).collect()
+    assert sessions, "no closed sessions emitted"
+    for s in sessions:
+        assert s.session_end >= s.session_start
+        assert s.n_events >= 1
+    # Closed sessions (gap-separated) must match the batch count for
+    # the same users minus at most one open session per user.
+    from postgres_s3_etl_spark.operators.events import q_events_sessionize
+
+    batch_total = q_events_sessionize(spark, SF_DIR).collect()[0].n_sessions
+    users = {s.user_id for s in sessions}
+    assert len(sessions) >= batch_total - len(users)
+
+
+def test_multimodal_feature_extraction(spark):
+    from postgres_s3_etl_spark.operators.multimodal import (
+        extract_features,
+        media_stats,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 64
+    # Deterministic features: same payload → same digest/features.
+    again = {r.asset_id: (r.payload_digest, r.f0) for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r.asset_id] == (r.payload_digest, r.f0)
+    stats = media_stats(feats).collect()
+    assert {s.media_type for s in stats} == {"image", "audio", "video"}
+    assert all(s.n_distinct_payloads == s.n_assets for s in stats)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from postgres_s3_etl_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    media = synth_media(spark, n=4)
+    with pytest.raises(Exception) as exc:
+        extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError
+    )
+
+
+def test_multimodal_metadata_pruning_skips_decode(spark):
+    """Filtering on metadata before extract_features must prune rows
+    before the Python stage — decode never sees filtered assets."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64).where("media_type = 'image'")
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 22  # ids ≡ 0 mod 3 in 0..63
+    assert all(r.media_type == "image" for r in rows)
