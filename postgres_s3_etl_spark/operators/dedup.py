@@ -36,14 +36,22 @@ def _trunc6(col: Column) -> Column:
     return F.floor(col * 1e6) / 1e6
 
 
-def _shingles_expr() -> Column:
-    """Distinct word 3-gram shingles of ``text`` (array column)."""
+def _words_col() -> Column:
+    """Whitespace word array of ``text``. Materialized as its own
+    projection before shingling: Catalyst does NOT common-subexpression
+    the split inside higher-order-function lambdas, so inlining it
+    re-splits every document once per lambda reference (~6× slower)."""
+    return F.split(F.trim("text"), r"\s+")
+
+
+def _shingles_expr(words: str = "w") -> Column:
+    """Distinct word 3-gram shingles over a pre-split word array."""
     return F.array_distinct(
         F.expr(
-            r"""
+            f"""
             transform(
-                sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
-                i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))
+                sequence(1, greatest(size({words}) - 2, 1)),
+                i -> concat_ws(' ', slice({words}, i, 3))
             )
             """
         )
@@ -78,9 +86,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar doc pairs by word-3-gram Jaccard within
     (lang, source) blocks. Pairs come from an equi-join on the
     shingle itself — only docs sharing ≥1 shingle ever meet."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", _shingles_expr().alias("shingles")
-    )
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id", "lang", "source", _words_col().alias("w")
+    ).select("doc_id", "lang", "source", _shingles_expr().alias("shingles"))
     sizes = docs.select(
         "doc_id", F.size("shingles").alias("n_sh")
     )
@@ -120,48 +130,79 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: 16 md5-minhashes → 4 bands × 4 rows →
-    band-bucket equi-join → candidate pairs ranked by #shared bands.
+# Universal-hash minhash family h_j(x) = (A[j]·x + B[j]) mod P over a
+# 28-bit shingle digest x. One md5 per shingle; the 16 permutations
+# are integer multiply-adds that stay inside whole-stage codegen in
+# Spark and vectorize in DuckDB — the classic (a·x+b) mod p MinHash
+# construction, identical in both engines so oracles hash-match.
+MINHASH_P = 4_294_967_311  # prime > 2^32
+MINHASH_A = tuple((2_654_435_761 * (j + 1)) % 2_147_483_647 for j in range(NUM_MINHASHES))
+MINHASH_B = tuple((97_531 * (j + 1)) % MINHASH_P for j in range(NUM_MINHASHES))
 
-    The minhash for seed j is ``min(md5(j || ':' || shingle))`` — a
-    deterministic permutation stand-in that both engines compute
-    identically. Candidate generation shuffles n·bands small rows,
-    never pairs.
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows, entirely row-local until the
+    band join: shingles → 28-bit md5 digests (ONE md5 per shingle) →
+    16 universal-hash ``array_min`` passes → md5 band buckets.
+
+    No explode and no aggregation shuffle — a minhash signature is a
+    per-document map step, so at any scale the only shuffle in the
+    whole operator is the band-bucket equi-join. The repartition
+    spreads documents across cores first: parquet splits are sized by
+    bytes, and a compute-heavy column packed into few splits (or
+    AQE-coalesced to one) would otherwise serialize the hashing.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = docs.select("doc_id", _words_col().alias("w")).select(
         "doc_id", _shingles_expr().alias("shingles")
     )
-    seeds = F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1))
-    # minhash_j per doc: array of NUM_MINHASHES minima (all row-local)
-    minhashes = docs.select(
+    # 28-bit digest: 7 hex chars keep A[j]·h + B[j] far inside int64.
+    hs = sh.select(
         "doc_id",
         F.expr(
-            f"""
-            transform(
-                sequence(0, {NUM_MINHASHES - 1}),
-                j -> array_min(transform(shingles, s -> md5(concat(j, ':', s))))
-            )
-            """
-        ).alias("mh"),
+            "transform(shingles, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hs, h -> ({MINHASH_A[j]}L * h + {MINHASH_B[j]}L) % {MINHASH_P}L))"
+            ).alias(f"mh{j}")
+            for j in range(NUM_MINHASHES)
+        ],
     )
     rows_per_band = NUM_MINHASHES // LSH_BANDS
-    bands = minhashes.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"""
-                transform(
-                    sequence(0, {LSH_BANDS - 1}),
-                    b -> struct(
-                        b AS band,
-                        md5(concat_ws('|', slice(mh, b * {rows_per_band} + 1, {rows_per_band}))) AS bucket
-                    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
-                """
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+            ).alias("bucket"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: 16 universal-hash minhashes → 4 bands ×
+    4 rows → band-bucket equi-join → candidate pairs ranked by #shared
+    bands. Candidate generation shuffles n·bands small rows, never
+    pairs; the signature is persisted so the self-join reads it once
+    instead of recomputing the shingle scan per side.
+    """
+    bands = _minhash_bands(spark, sf_dir).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -181,36 +222,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dup pairs, bucketed by the high 16 bits.
+    """32-bit SimHash near-dup pairs via pigeonhole chunk buckets.
 
-    Per doc: for each bit j, sum ±1 over distinct tokens according to
-    bit j of the token's md5-derived 32-bit hash; simhash sets bit j
-    where the sum is positive. Pairs meet only within the same
-    high-16-bit bucket; hamming ≤ 6 via bit_count(xor).
+    Per doc: tokens → one md5 each → 32-bit integer h (first 8 hex
+    chars); for each bit j, sum ±1 votes over distinct tokens
+    according to bit j of h; simhash sets bit j where the sum is
+    positive. The per-bit votes are 32 conditional SUMs in a single
+    partially-aggregated groupBy — one md5 per token and pure integer
+    bit math in codegen, instead of 32 interpreted passes re-hashing
+    every token. Pairs meet only inside a shared 4-bit chunk bucket;
+    hamming ≤ 6 via bit_count(xor).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # Row-local simhash: tokens → md5 hex → per-bit ±1 votes → bits.
-    # Bit j lives in hex char (7 - j div 4), bit (j mod 4) of that
-    # nibble; nibble value via instr('0123456789abcdef', char) - 1.
-    simhash = F.expr(
-        f"""
-        aggregate(
-            sequence(0, {SIMHASH_BITS - 1}),
-            cast(0 as bigint),
-            (acc, j) -> acc + CASE WHEN
-                aggregate(
-                    array_distinct(split(trim(lower(text)), '\\\\s+')),
-                    cast(0 as bigint),
-                    (votes, t) -> votes + 2 * (
-                        ((instr('0123456789abcdef',
-                                substring(md5(t), 8 - (j div 4), 1)) - 1)
-                         div cast(pow(2, j % 4) as int)) % 2
-                    ) - 1
-                ) > 0 THEN cast(pow(2, j) as bigint) ELSE 0 END
-        )
-        """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
-    sh = docs.select("doc_id", simhash.alias("simhash"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("t"),
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * (F.shiftright("h", j) % 2) - 1).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    sh = votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
     # Pigeonhole chunking: split the 32 bits into 8 chunks of 4; any
     # pair with hamming ≤ 7 shares at least one intact chunk, so an
     # equi-join on (chunk_id, chunk_value) finds every such pair with
@@ -347,17 +393,26 @@ ORACLES = {
             FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
                   FROM documents)
         ),
-        mh AS (
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        hv AS (
             SELECT doc_id,
-                   [list_min([md5(concat(j, ':', s)) for s in shingles])
-                    for j in generate_series(0, {NUM_MINHASHES - 1})] AS mh
-            FROM sh
+                   list_sum([(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)
+                             * CAST(pow(16, 7 - i) AS BIGINT)
+                             for i in generate_series(1, 7)]) AS h
+            FROM ex
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {", ".join(f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}" for j in range(NUM_MINHASHES))}
+            FROM hv GROUP BY doc_id
         ),
         bands AS (
-            SELECT doc_id, b.band,
-                   md5(array_to_string(mh[b.band * {NUM_MINHASHES // LSH_BANDS} + 1 :
-                                          b.band * {NUM_MINHASHES // LSH_BANDS} + {NUM_MINHASHES // LSH_BANDS}], '|')) AS bucket
-            FROM mh, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) b
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+                + ", ".join(f"CAST(mh{b * (NUM_MINHASHES // LSH_BANDS) + r} AS VARCHAR)" for r in range(NUM_MINHASHES // LSH_BANDS))
+                + ")) AS bucket FROM sig"
+                for b in range(LSH_BANDS)
+            )}
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                COUNT(*) AS n_shared_bands
@@ -386,26 +441,38 @@ ORACLES = {
 
 
 def _simhash_oracle() -> str:
-    """SimHash SQL twin: same bit algebra, spelled with DuckDB list
-    comprehensions. Bit j of token-hash = bit (j%4) of the nibble at
-    hex char (8 - j div 4) of md5(token)."""
+    """SimHash SQL twin: same bit algebra as the Spark plan — one md5
+    per distinct token, h = first-8-hex-chars integer, per-bit ±1
+    vote sums, bit j set where the vote sum is positive."""
+    vote_cols = ", ".join(
+        f"SUM(2 * ((h // {1 << j}) % 2) - 1) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
     return f"""
         WITH toks AS (
-            SELECT doc_id,
-                   list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ts
+            SELECT doc_id, unnest(
+                list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+            ) AS t
             FROM documents
         ),
-        sh AS (
+        hv AS (
             SELECT doc_id,
-                   list_sum([
-                       CASE WHEN list_sum([
-                           2 * (((strpos('0123456789abcdef',
-                                         substr(md5(t), 8 - (j // 4), 1)) - 1)
-                                 // CAST(pow(2, j % 4) AS INT)) % 2) - 1
-                           for t in ts]) > 0
-                       THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END
-                       for j in generate_series(0, {SIMHASH_BITS - 1})]) AS simhash
+                   list_sum([(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+                             * CAST(pow(16, 8 - i) AS BIGINT)
+                             for i in generate_series(1, 8)]) AS h
             FROM toks
+        ),
+        votes AS (
+            SELECT doc_id, {vote_cols}
+            FROM hv GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id, CAST({bit_sum} AS BIGINT) AS simhash
+            FROM votes
         ),
         chunks AS (
             SELECT doc_id, simhash, c.c AS chunk,
