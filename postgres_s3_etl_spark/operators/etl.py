@@ -109,9 +109,13 @@ def best_performing_product(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one fact-fact join (lineitem ⋈ orders), broadcast dim
     join (part), ONE groupBy for all per-product stats, a 1-row
-    sort-limit for the winner, then a broadcast-filtered per-day
-    count for the winner's most-ordered day. No window over the full
-    fact table; the only full shuffle is the product groupBy.
+    sort-limit for the winner (persisted — one row — so every
+    consumer reuses the aggregation instead of re-running the fact
+    join), then the winner's per-day order counts from a SECOND pass
+    that broadcast-joins the winner key into lineitem BEFORE touching
+    orders — at scale that pass reads one product's lines, not the
+    whole fact table. No window over the full fact table; the only
+    full shuffle is the product groupBy.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
@@ -156,15 +160,25 @@ def best_performing_product(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ship_lag") >= 6, 1).otherwise(0)) * 100.0 / n, 4
         ).alias("pct_late_shipment"),
     )
-    top = prod_stats.orderBy(
-        F.desc("avg_rating"), F.asc("p_partkey")
-    ).limit(1)
+    top = (
+        prod_stats.orderBy(F.desc("avg_rating"), F.asc("p_partkey"))
+        .limit(1)
+        .persist()
+    )
 
-    # Winner's most-ordered day: per-day distinct order counts for the
-    # single winning product (broadcast the 1-row winner key).
+    # Winner's most-ordered day: broadcast the 1-row winner key into
+    # lineitem FIRST, so this pass joins/aggregates only the winning
+    # product's lines instead of re-running the full fact join.
+    winner_lines = (
+        lineitem.join(
+            F.broadcast(top.select("p_partkey")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.to_date("o_orderdate").alias("order_day"), "l_orderkey")
+    )
     day_counts = (
-        base.join(F.broadcast(top.select("p_partkey")), "p_partkey")
-        .groupBy("order_day")
+        winner_lines.groupBy("order_day")
         .agg(F.countDistinct("l_orderkey").alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("order_day"))
         .limit(1)
