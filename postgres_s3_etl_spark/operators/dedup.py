@@ -58,13 +58,8 @@ def _shingles_expr(words: str = "w") -> Column:
     )
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on md5(lower(trim(text))): corpus-level stats.
-
-    One shuffle on the digest; representative = min doc_id per group
-    (the row a keep-first policy would retain).
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def exact_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-level exact-dedup stats for any (doc_id, text) frame."""
     groups = (
         docs.select(F.md5(F.lower(F.trim("text"))).alias("digest"), "doc_id")
         .groupBy("digest")
@@ -80,6 +75,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dup_docs"),
     )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5(lower(trim(text))): corpus-level stats.
+
+    One shuffle on the digest; representative = min doc_id per group
+    (the row a keep-first policy would retain).
+    """
+    return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,21 +144,16 @@ MINHASH_A = tuple((2_654_435_761 * (j + 1)) % 2_147_483_647 for j in range(NUM_M
 MINHASH_B = tuple((97_531 * (j + 1)) % MINHASH_P for j in range(NUM_MINHASHES))
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, bucket) LSH rows, entirely row-local until the
-    band join: shingles → 28-bit md5 digests (ONE md5 per shingle) →
-    16 universal-hash ``array_min`` passes → md5 band buckets.
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows for any (doc_id, text) frame,
+    entirely row-local until the band join: shingles → 28-bit md5
+    digests (ONE md5 per shingle) → 16 universal-hash ``array_min``
+    passes → md5 band buckets.
 
     No explode and no aggregation shuffle — a minhash signature is a
     per-document map step, so at any scale the only shuffle in the
-    whole operator is the band-bucket equi-join. The repartition
-    spreads documents across cores first: parquet splits are sized by
-    bytes, and a compute-heavy column packed into few splits (or
-    AQE-coalesced to one) would otherwise serialize the hashing.
+    whole operator is the band-bucket equi-join.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
     sh = docs.select("doc_id", _words_col().alias("w")).select(
         "doc_id", _shingles_expr().alias("shingles")
     )
@@ -200,9 +199,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rows → band-bucket equi-join → candidate pairs ranked by #shared
     bands. Candidate generation shuffles n·bands small rows, never
     pairs; the signature is persisted so the self-join reads it once
-    instead of recomputing the shingle scan per side.
+    instead of recomputing the shingle scan per side. The repartition
+    spreads documents across cores before hashing: parquet splits are
+    sized by bytes, and a compute-heavy text column packed into few
+    splits (or AQE-coalesced to one) would serialize the signatures.
     """
-    bands = _minhash_bands(spark, sf_dir).persist()
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bands = minhash_bands_for(docs).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
