@@ -226,6 +226,79 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 25
+
+
+def dedup_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup keep-set: LSH candidate pairs → union
+    into connected components (iterative min-label propagation) →
+    corpus keep/drop accounting.
+
+    This is the full shape of a production training-data dedup: LSH
+    finds the near-dup graph, components group transitive duplicates,
+    one representative (the min doc_id label) survives per group.
+    Label propagation is the standard distributed CC algorithm — each
+    round is one join + one min-aggregate over the EDGE nodes only
+    (a vanishing fraction of the corpus), ``localCheckpoint`` truncates
+    the growing lineage, and the loop stops when the monotonically
+    decreasing label sum reaches a fixed point (≤ graph diameter
+    rounds). The driver sees only a per-round scalar; all real work
+    stays distributed.
+    """
+    dp = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(dp, "doc_id")
+    bands = minhash_bands_for(docs.select("doc_id", "text")).persist()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("dst"), F.col("src"))).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("label"))
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(CC_MAX_ITERS):
+        nb = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nb, labels.doc == nb.doc2, "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        total = labels.agg(F.sum("label")).collect()[0][0]
+        if total == prev:
+            break
+        prev = total
+    comp_sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    n_docs = docs.count()
+    return comp_sizes.agg(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.sum("sz").cast("bigint").alias("n_docs_in_dup_groups"),
+        (F.lit(n_docs) - (F.sum("sz") - F.count(F.lit(1))))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.max("sz").cast("bigint").alias("max_component_size"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs via pigeonhole chunk buckets.
 
@@ -343,9 +416,43 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cc_keepset": dedup_cc_keepset,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
+
+
+def _bands_cte_sql() -> str:
+    """Shared DuckDB CTE chain ending in ``bands(doc_id, band,
+    bucket)`` — the SQL twin of :func:`minhash_bands_for`."""
+    rpb = NUM_MINHASHES // LSH_BANDS
+    mh_cols = ", ".join(
+        f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
+        for j in range(NUM_MINHASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ")) AS bucket FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+        sh AS (
+            SELECT doc_id, {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        hv AS (
+            SELECT doc_id,
+                   list_sum([(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)
+                             * CAST(pow(16, 7 - i) AS BIGINT)
+                             for i in generate_series(1, 7)]) AS h
+            FROM ex
+        ),
+        sig AS (SELECT doc_id, {mh_cols} FROM hv GROUP BY doc_id),
+        bands AS ({band_selects})
+    """
 
 _SHINGLES_SQL = r"""
     list_distinct([array_to_string(w[i:i+2], ' ')
@@ -392,42 +499,8 @@ ORACLES = {
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
         LIMIT {TOP_PAIRS}
     """,
-    "dedup_minhash_lsh": f"""
-        WITH sh AS (
-            SELECT doc_id, {_SHINGLES_SQL} AS shingles
-            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                  FROM documents)
-        ),
-        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        hv AS (
-            SELECT doc_id,
-                   list_sum([(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)
-                             * CAST(pow(16, 7 - i) AS BIGINT)
-                             for i in generate_series(1, 7)]) AS h
-            FROM ex
-        ),
-        sig AS (
-            SELECT doc_id,
-                   {", ".join(f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}" for j in range(NUM_MINHASHES))}
-            FROM hv GROUP BY doc_id
-        ),
-        bands AS (
-            {" UNION ALL ".join(
-                f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
-                + ", ".join(f"CAST(mh{b * (NUM_MINHASHES // LSH_BANDS) + r} AS VARCHAR)" for r in range(NUM_MINHASHES // LSH_BANDS))
-                + ")) AS bucket FROM sig"
-                for b in range(LSH_BANDS)
-            )}
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               COUNT(*) AS n_shared_bands
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                    AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-        ORDER BY n_shared_bands DESC, doc_a ASC, doc_b ASC
-        LIMIT 50
-    """,
+    # dedup_minhash_lsh / dedup_cc_keepset are generated below from
+    # the shared bands CTE (_bands_cte_sql).
     "dedup_embedding_cosine": f"""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -501,3 +574,48 @@ def _simhash_oracle() -> str:
 
 
 ORACLES["dedup_simhash"] = _simhash_oracle()
+
+ORACLES["dedup_minhash_lsh"] = f"""
+    WITH {_bands_cte_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY n_shared_bands DESC, doc_a ASC, doc_b ASC
+    LIMIT 50
+"""
+
+# Connected components as a recursive CTE: label(doc) = min doc_id
+# reachable over the undirected candidate-pair graph — the SQL twin of
+# the iterative label propagation in dedup_cc_keepset.
+ORACLES["dedup_cc_keepset"] = f"""
+    WITH RECURSIVE {_bands_cte_sql()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst, src FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach(doc, label) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    comp AS (SELECT doc, MIN(label) AS label FROM reach GROUP BY doc),
+    sizes AS (SELECT label, COUNT(*) AS sz FROM comp GROUP BY label)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_dup_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_docs_in_dup_groups,
+           CAST((SELECT COUNT(*) FROM documents) - (SUM(sz) - COUNT(*)) AS BIGINT) AS n_kept,
+           CAST(MAX(sz) AS BIGINT) AS max_component_size
+    FROM sizes
+"""

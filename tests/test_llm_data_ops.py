@@ -138,3 +138,20 @@ def test_streaming_free_dedup_plan_has_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_cc_keepset_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "dedup_cc_keepset")
+
+
+def test_cc_keepset_accounting(spark):
+    from postgres_s3_etl_spark.operators.dedup import dedup_cc_keepset
+    from tests.conftest import SF_DIR
+
+    r = dedup_cc_keepset(spark, SF_DIR).collect()[0]
+    # Every dup group has >= 2 members and keeps exactly one doc.
+    assert r.n_docs_in_dup_groups >= 2 * r.n_dup_groups
+    assert r.n_kept == r.n_docs - (r.n_docs_in_dup_groups - r.n_dup_groups)
+    assert r.max_component_size >= 2
