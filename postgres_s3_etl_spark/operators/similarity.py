@@ -156,9 +156,76 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS = 16
+N_PROBE_CELLS = 4
+
+
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 per probe via IVF: ``IVF_CELLS`` coarse-quantizer
+    vectors (the first 16 corpus vectors, normalized — deterministic
+    stand-ins for trained k-means centroids), every vector assigned
+    row-locally to its max-dot-product cell, and each probe searching
+    only its ``N_PROBE_CELLS`` best cells.
+
+    Scale shape: the quantizer is tiny and rides into every task as a
+    literal (the same collect-then-broadcast step distributed k-means
+    does each iteration — 16 rows, bounded, not a data collect); cell
+    assignment is a pure map; the only shuffle is the cell equi-join,
+    which touches nprobe/cells of the corpus per probe. Rows-only (no
+    SQL oracle): recall vs the exact baseline is asserted in tests,
+    matching how ANN is validated in practice.
+    """
+    vecs = _vecs(spark, sf_dir)
+    seeds = vecs.where(F.col("vec_id") < IVF_CELLS).orderBy("vec_id").collect()
+    scaled = [[x / r.norm for x in r.v] for r in seeds]
+    seeds_sql = ",".join(
+        "array(" + ",".join(repr(x) for x in row) + ")" for row in scaled
+    )
+    scores = (
+        f"transform(sequence(0, {IVF_CELLS - 1}), p -> "
+        f"aggregate(zip_with(array({seeds_sql})[p], v, (c, x) -> c * x), "
+        "0.0d, (s, x) -> s + x))"
+    )
+    # Cell ids ordered by score desc (ties: lower id) — all row-local.
+    ranked = (
+        f"transform(array_sort(transform({scores}, "
+        "(s, p) -> struct(-s AS negs, p AS p))), s -> s.p)"
+    )
+    assigned = vecs.withColumn("ranked", F.expr(ranked))
+    corpus = assigned.select(
+        "vec_id", "v", "norm", F.element_at("ranked", 1).alias("cell")
+    )
+    probes = assigned.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("norm").alias("pnorm"),
+        F.explode(F.slice("ranked", 1, N_PROBE_CELLS)).alias("cell"),
+    )
+    cand_cos = _trunc6(
+        F.expr("aggregate(zip_with(pv, v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)")
+        / (F.col("pnorm") * F.col("norm"))
+    ).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            corpus,
+            (probes.cell == corpus.cell)
+            & (F.col("probe_id") != F.col("vec_id")),
+        )
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), cand_cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("probe_id", "rank")
+    )
+
+
 QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
     "sim_search_lsh": sim_search_lsh,
+    "sim_search_ivf": sim_search_ivf,
 }
 
 

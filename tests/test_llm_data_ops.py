@@ -155,3 +155,26 @@ def test_cc_keepset_accounting(spark):
     assert r.n_docs_in_dup_groups >= 2 * r.n_dup_groups
     assert r.n_kept == r.n_docs - (r.n_docs_in_dup_groups - r.n_dup_groups)
     assert r.max_component_size >= 2
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with 4 of 16 cells probed must recover most of the exact
+    top-5 (data-adaptive cells beat the 4/16 random-partition floor
+    by a wide margin)."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        TOP_K,
+        sim_search_bruteforce,
+        sim_search_ivf,
+    )
+    from tests.conftest import SF_DIR
+
+    bf_sets, iv_sets = {}, {}
+    for r in sim_search_bruteforce(spark, SF_DIR).collect():
+        bf_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    for r in sim_search_ivf(spark, SF_DIR).collect():
+        iv_sets.setdefault(r.probe_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[p] & iv_sets.get(p, set())) / TOP_K for p in bf_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, f"IVF recall too low: {mean_recall:.2f}"
