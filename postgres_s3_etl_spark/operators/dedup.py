@@ -305,10 +305,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per doc: tokens → one md5 each → 32-bit integer h (first 8 hex
     chars); for each bit j, sum ±1 votes over distinct tokens
     according to bit j of h; simhash sets bit j where the sum is
-    positive. The per-bit votes are 32 conditional SUMs in a single
-    partially-aggregated groupBy — one md5 per token and pure integer
-    bit math in codegen, instead of 32 interpreted passes re-hashing
-    every token. Pairs meet only inside a shared 4-bit chunk bucket;
+    positive. Entirely row-local: the token-hash array is built once
+    per doc (ONE md5 per token), the 32 vote sums are integer
+    ``aggregate`` passes over that in-row array — no explode and no
+    aggregation shuffle, same map-only shape as the minhash
+    signature. Pairs meet only inside a shared 4-bit chunk bucket;
     hamming ≤ 6 via bit_count(xor).
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -316,25 +317,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
-        ).alias("t"),
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("ts"),
     )
-    hashed = toks.select(
+    hs = toks.select(
         "doc_id",
-        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint").alias("h"),
+        F.expr(
+            "transform(ts, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
     )
-    votes = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(2 * (F.shiftright("h", j) % 2) - 1).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
+    bits = " + ".join(
+        f"(CASE WHEN aggregate(hs, 0L, (acc, h) -> acc + 2 * ((h div {1 << j}) % 2) - 1) > 0 "
+        f"THEN {1 << j}L ELSE 0L END)"
+        for j in range(SIMHASH_BITS)
     )
-    simhash = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    sh = votes.select("doc_id", simhash.cast("bigint").alias("simhash"))
+    sh = hs.select(
+        "doc_id", F.expr(f"cast(({bits}) as bigint)").alias("simhash")
+    )
     # Pigeonhole chunking: split the 32 bits into 8 chunks of 4; any
     # pair with hamming ≤ 7 shares at least one intact chunk, so an
     # equi-join on (chunk_id, chunk_value) finds every such pair with
