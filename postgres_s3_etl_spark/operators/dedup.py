@@ -347,7 +347,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "struct(c AS chunk, (simhash div cast(pow(2, c * 4) as bigint)) % 16 AS val))"
             )
         ).alias("cv"),
-    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val").persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
     candidates = (
