@@ -36,10 +36,15 @@ HEADLINE = (
     "q_lineitem_window_running",
     "q_events_sessionize",
     "q_events_tumbling",
+    "q_events_asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cc_keepset",
     "sim_search_bruteforce",
+    "sim_search_ivf",
     "text_quality",
+    "text_fingerprint",
 )
 
 
