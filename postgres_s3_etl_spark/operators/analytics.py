@@ -372,8 +372,38 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders that are their customer's single priciest order, rolled
+    up per priority — the correlated-scalar-subquery shape (TPC-H
+    Q2/Q17 family). Expressed as the distributed rewrite Catalyst
+    would produce anyway: derive per-customer maxima in one
+    aggregation, join back on (custkey, price) — two shuffles on the
+    same key, no per-row subquery execution.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.groupBy(F.col("o_custkey").alias("mc")).agg(
+        F.max("o_totalprice").alias("max_price")
+    )
+    top = orders.join(
+        mx,
+        (orders.o_custkey == mx.mc) & (orders.o_totalprice == mx.max_price),
+    )
+    return (
+        top.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_top_value"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
+    "q_customer_max_order": q_customer_max_order,
     "q_revenue_forecast": q_revenue_forecast,
     "q_top_revenue_orders": q_top_revenue_orders,
     "q_regional_volume": q_regional_volume,
@@ -392,6 +422,16 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_customer_max_order": """
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_top_orders,
+               ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_top_value
+        FROM orders o
+        WHERE o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
     "q_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,

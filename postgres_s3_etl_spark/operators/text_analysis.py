@@ -16,7 +16,7 @@ embarrassingly parallel map work on 100 TB).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
@@ -160,11 +160,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_QUALITY = 0.4
+MIN_TOKENS = 10
+
+
+def text_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus filter — the composed pipeline a training-data
+    run executes: quality gate (score + token floor) → exact dedup
+    among survivors (keep min doc_id per md5 digest) → corpus
+    accounting. One scan plus one shuffle (the digest window); at
+    100 TB the same plan writes the kept corpus instead of counting it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text)
+    n_tokens = F.size(_ws_tokens(text))
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN))
+    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN))
+    score = _trunc6(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * 0.4
+        + (n_stop / n_tokens) * 0.3
+        + (F.lit(1.0) - n_punct / n_chars) * 0.3
+    )
+    scored = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(text))).alias("digest"),
+        n_tokens.alias("n_tokens"),
+        ((score >= MIN_QUALITY) & (n_tokens >= MIN_TOKENS)).alias("ok"),
+    )
+    w = Window.partitionBy("digest")
+    flagged = scored.withColumn(
+        "keep",
+        F.col("ok")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("ok"), F.col("doc_id"))).over(w)
+        ),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quality_fail"),
+        F.sum(F.when(F.col("ok") & ~F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_removed"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_corpus_filter": text_corpus_filter,
 }
 
 _MARKER_SQL = {
@@ -249,5 +304,39 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_corpus_filter": rf"""
+        WITH m AS (
+            SELECT doc_id,
+                   md5(lower(trim(text))) AS digest,
+                   length(text) AS n_chars_m,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                   len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS n_stop
+            FROM documents
+        ),
+        s AS (
+            SELECT *,
+                   floor((least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.4
+                          + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                          + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_m) * 0.3) * 1e6) / 1e6 AS score
+            FROM m
+        ),
+        q AS (
+            SELECT *, (score >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}) AS ok
+            FROM s
+        ),
+        k AS (
+            SELECT *,
+                   ok AND doc_id = MIN(CASE WHEN ok THEN doc_id END)
+                              OVER (PARTITION BY digest) AS keep
+            FROM q
+        )
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+               CAST(SUM(CASE WHEN ok AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM k
     """,
 }

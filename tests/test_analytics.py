@@ -54,3 +54,9 @@ def test_filter_pushdown_reaches_scan(spark):
     )
     assert "PushedFilters: [" in plan
     assert "l_shipdate" in plan.split("PushedFilters:")[1][:400]
+
+
+def test_customer_max_order(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "q_customer_max_order")

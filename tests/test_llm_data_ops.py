@@ -178,3 +178,18 @@ def test_ivf_recall_vs_bruteforce(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, f"IVF recall too low: {mean_recall:.2f}"
+
+
+def test_corpus_filter_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "text_corpus_filter")
+
+
+def test_corpus_filter_accounting(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import text_corpus_filter
+    from tests.conftest import SF_DIR
+
+    r = text_corpus_filter(spark, SF_DIR).collect()[0]
+    assert r.n_docs == r.n_quality_fail + r.n_dup_removed + r.n_kept
+    assert r.n_kept > 0 and r.tokens_kept > 0
