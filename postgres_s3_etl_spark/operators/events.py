@@ -137,8 +137,28 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type, next to the
+    exact count — the cardinality-sketch path for 100 TB streams where
+    exact distinct is a full shuffle but the sketch is a mergeable
+    fixed-size accumulator (rsd 2%). Rows-only: sketch estimates are
+    engine-specific; the relative-error bound is asserted in tests.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
+    "q_events_approx_distinct": q_events_approx_distinct,
     "q_events_sessionize": q_events_sessionize,
     "q_events_tumbling": q_events_tumbling,
     "q_events_json_props": q_events_json_props,

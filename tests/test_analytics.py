@@ -60,3 +60,15 @@ def test_customer_max_order(spark, duck):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "q_customer_max_order")
+
+
+def test_approx_distinct_sketch_error(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_approx_distinct
+    from tests.conftest import SF_DIR
+
+    rows = q_events_approx_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        # HLL++ at rsd=0.02 must stay within 10% on these cardinalities.
+        assert abs(r.approx_users - r.exact_users) <= max(0.1 * r.exact_users, 2)
