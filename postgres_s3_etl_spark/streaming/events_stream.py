@@ -203,6 +203,44 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOIN_WINDOW = "1 hour"
+
+
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding hour. Both sides carry watermarks
+    and the time-range predicate bounds the join state — the pattern
+    that keeps a 100 TB/day stream-stream join's state finite (clicks
+    older than purchase-watermark − window are evicted).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {JOIN_WINDOW}")),
+    ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts", "value")
+
+
 # ---- driver-facing entries (rows-only: streaming results depend on
 # watermark/timeout semantics that have no batch-SQL twin; the tests
 # assert equality against the batch operators instead) ----
@@ -229,8 +267,16 @@ def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "session_start")
 
 
+def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_click_purchase_join(spark, sf_dir),
+        _next_query_name("stream_ss_join"),
+    ).orderBy("purchase_id", "click_id")
+
+
 QUERIES = {
     "stream_events_tumbling": q_stream_events_tumbling,
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
+    "stream_click_purchase_join": q_stream_click_purchase_join,
 }
 ORACLES: dict[str, str] = {}

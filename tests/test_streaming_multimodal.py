@@ -103,3 +103,46 @@ def test_multimodal_metadata_pruning_skips_decode(spark):
     rows = feats.collect()
     assert len(rows) == 22  # ids ≡ 0 mod 3 in 0..63
     assert all(r.media_type == "image" for r in rows)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        stream_click_purchase_join,
+    )
+
+    streamed = run_stream_to_memory(
+        stream_click_purchase_join(spark, SF_DIR), "ss_join_test"
+    ).collect()
+    assert streamed, "stream-stream join produced no matches"
+
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = (
+        purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    )
+    # Single-file source → one micro-batch → nothing dropped as late:
+    # streamed pairs must equal the batch join exactly.
+    assert {(r.purchase_id, r.click_id) for r in streamed} == {
+        (r.purchase_id, r.click_id) for r in batch
+    }
+    assert len(streamed) == len(batch)
