@@ -156,8 +156,36 @@ def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats through a salted two-phase aggregation —
+    the explicit skew pattern: `event_type` has ~5 values over the
+    whole stream, so an unsalted exact-distinct or merge-heavy agg
+    funnels each type through one reducer; salting spreads each type
+    across 16 shards first. Result is identical to the plain groupBy
+    (same oracle shape as any SUM/COUNT query).
+    """
+    from postgres_s3_etl_spark.functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        shard_aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.max("value").alias("mx"),
+        ],
+        merge_aggs=[
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(F.sum("sv").cast("double"), 2).alias("total_value"),
+            F.round(F.max("mx"), 2).alias("max_value"),
+        ],
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
+    "q_events_salted_agg": q_events_salted_agg,
     "q_events_approx_distinct": q_events_approx_distinct,
     "q_events_sessionize": q_events_sessionize,
     "q_events_tumbling": q_events_tumbling,
@@ -226,6 +254,15 @@ ORACLES = {
                CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
                CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
                CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_events_salted_agg": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+               ROUND(MAX(value), 2) AS max_value
         FROM events
         GROUP BY event_type
         ORDER BY event_type

@@ -72,3 +72,24 @@ def test_approx_distinct_sketch_error(spark):
         assert r.exact_users > 0
         # HLL++ at rsd=0.02 must stay within 10% on these cardinalities.
         assert abs(r.approx_users - r.exact_users) <= max(0.1 * r.exact_users, 2)
+
+
+def test_salted_agg_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "q_events_salted_agg")
+
+
+def test_salted_agg_two_phase_plan(spark):
+    """The salted plan must aggregate on (key, _salt) before the final
+    per-key merge — two exchanges, hot keys sharded."""
+    from postgres_s3_etl_spark.operators.events import q_events_salted_agg
+    from tests.conftest import SF_DIR
+
+    plan = (
+        q_events_salted_agg(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_salt" in plan
