@@ -267,21 +267,24 @@ def dedup_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", F.col("doc").alias("label"))
         .localCheckpoint()
     )
-    prev = None
-    for _ in range(CC_MAX_ITERS):
+    def _propagate(lbls: DataFrame) -> DataFrame:
         nb = (
-            edges.join(labels, edges.src == labels.doc)
+            edges.join(lbls, edges.src == lbls.doc)
             .groupBy(F.col("dst").alias("doc2"))
             .agg(F.min("label").alias("nl"))
         )
-        labels = (
-            labels.join(nb, labels.doc == nb.doc2, "left")
-            .select(
-                "doc",
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-            )
-            .localCheckpoint()
+        return lbls.join(nb, lbls.doc == nb.doc2, "left").select(
+            "doc",
+            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
         )
+
+    prev = None
+    for _ in range(CC_MAX_ITERS):
+        # Two propagation hops per materialization round: labels move
+        # 2 edges per checkpoint+convergence-check, halving the number
+        # of driver round-trips and checkpoint jobs for the same
+        # diameter coverage.
+        labels = _propagate(_propagate(labels)).localCheckpoint()
         total = labels.agg(F.sum("label")).collect()[0][0]
         if total == prev:
             break

@@ -137,6 +137,74 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(extract_features(synth_media(spark, n=64)))
 
 
+FRAME_INTERVAL_MS = 250
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame_digest", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, interval_ms: int = FRAME_INTERVAL_MS, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling as a 1→N ``mapInPandas`` expansion: each video
+    asset yields one row per ``interval_ms`` of duration. The real
+    decoder (ffmpeg/torchcodec seek-and-decode) is stubbed with a
+    deterministic digest of (payload, frame index); the Spark-side
+    shape — batch iteration, row expansion inside the Arrow batch,
+    metadata-only pruning before Python — is the production plumbing.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg — not in this "
+                    "container; run with decode_stub=True"
+                )
+            out_rows = []
+            for asset_id, dur, payload in zip(
+                pdf["asset_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                n_frames = max(int(dur) // interval_ms, 1)
+                for i in range(n_frames):
+                    digest = hashlib.md5(bytes(payload) + i.to_bytes(4, "big"))
+                    out_rows.append(
+                        (int(asset_id), i, i * interval_ms, digest.hexdigest())
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["asset_id", "frame_idx", "frame_ts_ms", "frame_digest"],
+            )
+
+    # Metadata predicate prunes BEFORE the Python stage: only video
+    # rows (and only the needed columns) cross the Arrow boundary.
+    videos = media.where(F.col("media_type") == "video").select(
+        "asset_id", "duration_ms", "payload"
+    )
+    return videos.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing entry (rows-only): frame-sample the synthetic
+    video assets, then per-asset frame stats JVM-side."""
+    frames = sample_frames(synth_media(spark, n=64))
+    return (
+        frames.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").alias("last_frame_ts_ms"),
+            F.countDistinct("frame_digest").alias("n_distinct_frames"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 #: rows-only — deterministic-fake decode has no DuckDB twin.
-QUERIES = {"mm_decode_stub": mm_decode_stub}
+QUERIES = {"mm_decode_stub": mm_decode_stub, "mm_frame_sample": mm_frame_sample}
 ORACLES: dict[str, str] = {}

@@ -146,3 +146,31 @@ def test_stream_stream_join_equals_batch(spark):
         (r.purchase_id, r.click_id) for r in batch
     }
     assert len(streamed) == len(batch)
+
+
+def test_frame_sampling_expansion(spark):
+    from postgres_s3_etl_spark.operators.multimodal import (
+        FRAME_INTERVAL_MS,
+        mm_frame_sample,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64)
+    frames = sample_frames(media).collect()
+    videos = {
+        r.asset_id: r.duration_ms
+        for r in media.where("media_type = 'video'").collect()
+    }
+    assert {f.asset_id for f in frames} == set(videos)
+    by_asset = {}
+    for f in frames:
+        by_asset.setdefault(f.asset_id, []).append(f)
+    for aid, fs in by_asset.items():
+        expected = max(videos[aid] // FRAME_INTERVAL_MS, 1)
+        assert len(fs) == expected
+        assert sorted(f.frame_idx for f in fs) == list(range(expected))
+        # Deterministic digests, distinct per frame.
+        assert len({f.frame_digest for f in fs}) == expected
+    stats = mm_frame_sample(spark, "unused").collect()
+    assert all(s.n_frames == s.n_distinct_frames for s in stats)
