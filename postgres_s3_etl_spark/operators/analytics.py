@@ -401,9 +401,44 @@ def q_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order revenue with a 30-day trailing RANGE-frame sum —
+    the time-window shape (distinct from the ROWS-frame running query).
+
+    Scale design: a global time-ordered window over a fact table would
+    collapse to one partition; here the facts are rolled up to daily
+    grain FIRST (one ordinary shuffle), and the unpartitioned window
+    runs over ≈ #days rows — constant-size work at any data scale.
+    """
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    day_num = F.datediff("order_day", F.lit("1990-01-01").cast("date"))
+    w = W.orderBy(day_num.cast("long")).rangeBetween(-29, 0)
+    return (
+        daily.select(
+            "order_day",
+            "n_orders",
+            F.round(F.col("rev").cast("double"), 2).alias("day_revenue"),
+            F.round(F.sum("rev").over(w).cast("double"), 2).alias(
+                "trailing_30d_revenue"
+            ),
+        )
+        .orderBy("order_day")
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_customer_max_order": q_customer_max_order,
+    "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
     "q_top_revenue_orders": q_top_revenue_orders,
     "q_regional_volume": q_regional_volume,
@@ -422,6 +457,24 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_moving_revenue": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   COUNT(*) AS n_orders
+            FROM orders
+            GROUP BY CAST(o_orderdate AS DATE)
+        )
+        SELECT order_day,
+               n_orders,
+               ROUND(CAST(rev AS DOUBLE), 2) AS day_revenue,
+               ROUND(CAST(SUM(rev) OVER (
+                   ORDER BY order_day
+                   RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 2) AS trailing_30d_revenue
+        FROM daily
+        ORDER BY order_day
+    """,
     "q_customer_max_order": """
         SELECT o.o_orderpriority,
                COUNT(*) AS n_top_orders,

@@ -93,3 +93,9 @@ def test_salted_agg_two_phase_plan(spark):
         .toString()
     )
     assert "_salt" in plan
+
+
+def test_moving_revenue_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "q_orders_moving_revenue")
