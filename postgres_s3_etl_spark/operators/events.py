@@ -183,8 +183,47 @@ def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+RETENTION_WEEKS = 4
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-seen
+    week; wk0..wk3 count distinct users active k weeks later — the
+    cohort-pivot shape (conditional distinct counts per offset).
+
+    Scale: both inputs reduce to per-user/per-week grain before the
+    join (first-seen is one groupBy; activity is a distinct at week
+    grain), so the join and pivot run over |users|·|weeks-active|
+    rows, not raw events.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id").withColumn(
+        "wk_offset",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("int"),
+    )
+    return (
+        joined.groupBy("cohort_week")
+        .agg(
+            *[
+                F.countDistinct(
+                    F.when(F.col("wk_offset") == k, F.col("user_id"))
+                ).alias(f"wk{k}")
+                for k in range(RETENTION_WEEKS)
+            ]
+        )
+        .orderBy("cohort_week")
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
+    "q_events_retention": q_events_retention,
     "q_events_salted_agg": q_events_salted_agg,
     "q_events_approx_distinct": q_events_approx_distinct,
     "q_events_sessionize": q_events_sessionize,
@@ -257,6 +296,26 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_retention": f"""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ),
+        j AS (
+            SELECT f.cohort_week, a.user_id,
+                   CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT) AS wk_offset
+            FROM activity a JOIN firsts f USING (user_id)
+        )
+        SELECT cohort_week,
+               {", ".join(f"COUNT(DISTINCT CASE WHEN wk_offset = {k} THEN user_id END) AS wk{k}" for k in range(RETENTION_WEEKS))}
+        FROM j
+        GROUP BY cohort_week
+        ORDER BY cohort_week
     """,
     "q_events_salted_agg": """
         SELECT event_type,

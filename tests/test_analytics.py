@@ -99,3 +99,9 @@ def test_moving_revenue_matches_oracle(spark, duck):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "q_orders_moving_revenue")
+
+
+def test_events_retention_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "q_events_retention")
