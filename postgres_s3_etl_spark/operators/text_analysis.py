@@ -214,12 +214,42 @@ def text_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 50
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by document frequency (ties:
+    collection frequency desc, token asc) — the vocab-building /
+    wordcount workload. One explode + one groupBy with map-side
+    partial aggregation; doc frequency via per-doc distinct tokens so
+    no count-distinct expansion is needed.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    all_tokens = docs.select("doc_id", tok)
+    per_doc = all_tokens.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").cast("bigint").alias("coll_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("coll_freq"), F.asc("token"))
+        .limit(VOCAB_TOP_K)
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_corpus_filter": text_corpus_filter,
+    "text_vocab_topk": text_vocab_topk,
 }
 
 _MARKER_SQL = {
@@ -304,6 +334,24 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_vocab_topk": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, token
+        )
+        SELECT token,
+               COUNT(*) AS doc_freq,
+               CAST(SUM(tf) AS BIGINT) AS coll_freq
+        FROM per_doc
+        GROUP BY token
+        ORDER BY doc_freq DESC, coll_freq DESC, token ASC
+        LIMIT {VOCAB_TOP_K}
     """,
     "text_corpus_filter": rf"""
         WITH m AS (

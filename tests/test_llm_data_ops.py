@@ -193,3 +193,9 @@ def test_corpus_filter_accounting(spark):
     r = text_corpus_filter(spark, SF_DIR).collect()[0]
     assert r.n_docs == r.n_quality_fail + r.n_dup_removed + r.n_kept
     assert r.n_kept > 0 and r.tokens_kept > 0
+
+
+def test_vocab_topk_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "text_vocab_topk")
