@@ -199,3 +199,17 @@ def test_vocab_topk_matches_oracle(spark, duck):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "text_vocab_topk")
+
+
+def test_similarity_plans_have_no_cartesian(spark):
+    """LSH and IVF candidate joins must stay equi-joins; only the
+    exact brute-force baseline is allowed its (broadcast) cross join."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        sim_search_ivf,
+        sim_search_lsh,
+    )
+    from tests.conftest import SF_DIR
+
+    for fn in (sim_search_lsh, sim_search_ivf):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
