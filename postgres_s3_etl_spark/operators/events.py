@@ -183,6 +183,41 @@ def q_events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+TREND_EPOCH_OFFSET = 1_700_000_000
+
+
+def q_events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS slope of value over time — the statistical
+    aggregate (regr_slope) family, computed cross-engine-deterministic:
+    the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate as
+    EXACT bigint/decimal sums (order-independent), and the floating
+    slope is one double expression over those exact inputs — identical
+    in any engine, so it hash-matches, unlike native regr_slope whose
+    double accumulation is summation-order-dependent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(TREND_EPOCH_OFFSET)).cast("decimal(18,0)")
+    y = F.col("value").cast("decimal(18,2)")
+    agg = ev.select("event_type", x.alias("x"), y.alias("y")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        (F.floor(slope * 1e9) / 1e9).alias("slope_per_sec"),
+    ).orderBy("event_type")
+
+
 RETENTION_WEEKS = 4
 
 
@@ -223,6 +258,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_events_funnel": q_events_funnel,
+    "q_events_value_trend": q_events_value_trend,
     "q_events_retention": q_events_retention,
     "q_events_salted_agg": q_events_salted_agg,
     "q_events_approx_distinct": q_events_approx_distinct,
@@ -295,6 +331,29 @@ ORACLES = {
                CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
         FROM events
         GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "q_events_value_trend": f"""
+        WITH base AS (
+            SELECT event_type,
+                   CAST(date_diff('second', TIMESTAMP '1970-01-01', ts)
+                        - {TREND_EPOCH_OFFSET} AS DECIMAL(18,0)) AS x,
+                   CAST(value AS DECIMAL(18,2)) AS y
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM base GROUP BY event_type
+        )
+        SELECT event_type, n,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e9) / 1e9
+                   AS slope_per_sec
+        FROM agg
         ORDER BY event_type
     """,
     "q_events_retention": f"""

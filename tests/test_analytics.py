@@ -105,3 +105,9 @@ def test_events_retention_matches_oracle(spark, duck):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "q_events_retention")
+
+
+def test_value_trend_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "q_events_value_trend")
