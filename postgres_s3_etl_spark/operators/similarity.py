@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -167,31 +169,34 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-locally to its max-dot-product cell, and each probe searching
     only its ``N_PROBE_CELLS`` best cells.
 
-    Scale shape: the quantizer is tiny and rides into every task as a
-    literal (the same collect-then-broadcast step distributed k-means
-    does each iteration — 16 rows, bounded, not a data collect); cell
-    assignment is a pure map; the only shuffle is the cell equi-join,
-    which touches nprobe/cells of the corpus per probe. Rows-only (no
-    SQL oracle): recall vs the exact baseline is asserted in tests,
-    matching how ANN is validated in practice.
+    Scale shape: the quantizer is tiny and rides to every task in the
+    UDF closure (the same collect-then-broadcast step distributed
+    k-means does each iteration — 16 rows, bounded, not a data
+    collect); cell ranking is a vectorized Arrow-batched Pandas UDF
+    (one numpy matmul per batch — a numeric kernel where a codegen'd
+    per-element SQL expression is both slower to compile and slower to
+    run); the only shuffle is the cell equi-join, which touches
+    nprobe/cells of the corpus per probe. Rows-only (no SQL oracle):
+    recall vs the exact baseline is asserted in tests, matching how
+    ANN is validated in practice.
     """
+    from pyspark.sql.pandas.functions import pandas_udf
+
     vecs = _vecs(spark, sf_dir)
     seeds = vecs.where(F.col("vec_id") < IVF_CELLS).orderBy("vec_id").collect()
-    scaled = [[x / r.norm for x in r.v] for r in seeds]
-    seeds_sql = ",".join(
-        "array(" + ",".join(repr(x) for x in row) + ")" for row in scaled
+    seed_mat = np.array(
+        [[x / r.norm for x in r.v] for r in seeds], dtype=np.float64
     )
-    scores = (
-        f"transform(sequence(0, {IVF_CELLS - 1}), p -> "
-        f"aggregate(zip_with(array({seeds_sql})[p], v, (c, x) -> c * x), "
-        "0.0d, (s, x) -> s + x))"
-    )
-    # Cell ids ordered by score desc (ties: lower id) — all row-local.
-    ranked = (
-        f"transform(array_sort(transform({scores}, "
-        "(s, p) -> struct(-s AS negs, p AS p))), s -> s.p)"
-    )
-    assigned = vecs.withColumn("ranked", F.expr(ranked))
+
+    @pandas_udf("array<int>")
+    def rank_cells(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        scores = m @ seed_mat.T
+        # score desc, cell id asc on ties — matches argsort stability.
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return pd.Series(order.tolist())
+
+    assigned = vecs.withColumn("ranked", rank_cells("v"))
     corpus = assigned.select(
         "vec_id", "v", "norm", F.element_at("ranked", 1).alias("cell")
     )
