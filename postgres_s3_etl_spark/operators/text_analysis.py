@@ -243,6 +243,66 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_TOP_K = 30
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-30 bigrams by frequency with their
+    pointwise mutual information ln(p(xy) / (p(x)p(y))) — the classic
+    phrase-mining signal for tokenizer/vocab construction.
+
+    Bigrams come from a single JVM-side ``transform`` over the word
+    array (no Python, no self-join): element k of the slice pairs
+    with ``element_at(w, k+2)``. Two aggregation shuffles total
+    (bigram counts + unigram counts); the unigram marginals and the
+    two scalar totals are broadcast — natural-language vocabularies
+    are ~1e6 rows regardless of corpus size, so the broadcast holds
+    at 100 TB while the bigram count keeps its map-side combine.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = docs.select(F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
+    uni = (
+        words.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    bigrams = words.select(
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_bi = bi.agg(F.sum("c12").cast("double").alias("n_bi"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -250,6 +310,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_corpus_filter": text_corpus_filter,
     "text_vocab_topk": text_vocab_topk,
+    "text_bigram_pmi": text_bigram_pmi,
 }
 
 _MARKER_SQL = {
@@ -352,6 +413,36 @@ ORACLES = {
         GROUP BY token
         ORDER BY doc_freq DESC, coll_freq DESC, token ASC
         LIMIT {VOCAB_TOP_K}
+    """,
+    "text_bigram_pmi": rf"""
+        WITH w AS (
+            SELECT string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        uni AS (
+            SELECT u.word AS word, COUNT(*) AS c
+            FROM w, unnest(w.w) AS u(word)
+            GROUP BY 1
+        ),
+        nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+        bi AS (
+            SELECT w.w[CAST(t.i AS BIGINT)] AS w1,
+                   w.w[CAST(t.i AS BIGINT) + 1] AS w2,
+                   COUNT(*) AS c12
+            FROM w, unnest(range(1, len(w.w))) AS t(i)
+            GROUP BY 1, 2
+        ),
+        nb AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM bi)
+        SELECT bi.w1, bi.w2, bi.c12,
+               round(ln((bi.c12 / nb.n)
+                        / ((u1.c / nu.n) * (u2.c / nu.n))), 6) AS pmi
+        FROM bi
+        CROSS JOIN nb
+        CROSS JOIN nu
+        JOIN uni u1 ON u1.word = bi.w1
+        JOIN uni u2 ON u2.word = bi.w2
+        ORDER BY bi.c12 DESC, bi.w1, bi.w2
+        LIMIT {BIGRAM_TOP_K}
     """,
     "text_corpus_filter": rf"""
         WITH m AS (

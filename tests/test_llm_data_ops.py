@@ -201,6 +201,28 @@ def test_vocab_topk_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "text_vocab_topk")
 
 
+def test_bigram_pmi_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "text_bigram_pmi")
+
+
+def test_bigram_pmi_marginals_broadcast(spark):
+    """Unigram marginals must join as broadcasts — the bigram count
+    table is corpus-sized and must not shuffle again for the PMI join."""
+    from postgres_s3_etl_spark.operators.text_analysis import text_bigram_pmi
+    from tests.conftest import SF_DIR
+
+    plan = (
+        text_bigram_pmi(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
 def test_similarity_plans_have_no_cartesian(spark):
     """LSH and IVF candidate joins must stay equi-joins; only the
     exact brute-force baseline is allowed its (broadcast) cross join."""
