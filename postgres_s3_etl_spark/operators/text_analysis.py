@@ -303,6 +303,61 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PII patterns valid in both Java regex (Spark) and RE2 (DuckDB):
+#: no backreferences, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails → phones → IPs (order matters: the email rule
+    must fire before the IP rule can touch dotted hosts). Pure
+    JVM-side ``regexp_replace`` chain — row-local map work, no
+    shuffle, safe to fuse into any corpus scan."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction accounting per source: match counts per
+    pattern, documents containing any PII, and the corpus byte size
+    before/after scrubbing. The driver testdata contains no PII, so
+    at sf* this verifies the full regex path returns zeros and
+    scrubbing is the identity; tests inject synthetic PII rows and
+    assert detection + redaction (tests/test_llm_data_ops.py).
+    Single narrow aggregation — one shuffle of per-source partials.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).alias(f"c_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    per_doc = docs.select("source", "text", *counts).withColumn(
+        "scrubbed", scrub_pii(F.col("text"))
+    )
+    any_pii = sum(F.col(f"c_{name}") for name, _, _ in PII_PATTERNS)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("c_email").cast("bigint").alias("n_email"),
+            F.sum("c_phone").cast("bigint").alias("n_phone"),
+            F.sum("c_ip").cast("bigint").alias("n_ip"),
+            F.sum(F.when(any_pii > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_with_pii"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_in"),
+            F.sum(F.length("scrubbed")).cast("bigint").alias("chars_out"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -311,7 +366,41 @@ QUERIES = {
     "text_corpus_filter": text_corpus_filter,
     "text_vocab_topk": text_vocab_topk,
     "text_bigram_pmi": text_bigram_pmi,
+    "text_pii_scrub": text_pii_scrub,
 }
+
+
+def _pii_oracle() -> str:
+    cnt = {
+        name: f"len(regexp_extract_all(text, '{pat}'))"
+        for name, pat, _ in PII_PATTERNS
+    }
+    scrub = "text"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    any_pii = " + ".join(f"c_{n}" for n in cnt)
+    return f"""
+        WITH m AS (
+            SELECT source, text,
+                   {cnt['email']} AS c_email,
+                   {cnt['phone']} AS c_phone,
+                   {cnt['ip']} AS c_ip,
+                   {scrub} AS scrubbed
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(c_email) AS BIGINT) AS n_email,
+               CAST(SUM(c_phone) AS BIGINT) AS n_phone,
+               CAST(SUM(c_ip) AS BIGINT) AS n_ip,
+               CAST(SUM(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_with_pii,
+               CAST(SUM(length(text)) AS BIGINT) AS chars_in,
+               CAST(SUM(length(scrubbed)) AS BIGINT) AS chars_out
+        FROM m
+        GROUP BY source
+        ORDER BY source
+    """
 
 _MARKER_SQL = {
     "en": r"\b(the|and|of|to|is)\b",
@@ -444,6 +533,7 @@ ORACLES = {
         ORDER BY bi.c12 DESC, bi.w1, bi.w2
         LIMIT {BIGRAM_TOP_K}
     """,
+    "text_pii_scrub": _pii_oracle(),
     "text_corpus_filter": rf"""
         WITH m AS (
             SELECT doc_id,

@@ -201,6 +201,44 @@ def test_vocab_topk_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "text_vocab_topk")
 
 
+def test_pii_scrub_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "text_pii_scrub")
+
+
+def test_pii_scrub_redacts_injected_pii(spark):
+    """The corpus has no PII, so inject some: detection counts and
+    redaction must both fire, and clean text must pass unchanged."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        PII_PATTERNS,
+        scrub_pii,
+    )
+
+    rows = [
+        ("contact alice@example.com or bob.smith+x@sub.domain.org now",),
+        ("call 555-867-5309 from host 10.0.254.3 today",),
+        ("perfectly clean text with no identifiers",),
+    ]
+    df = spark.createDataFrame(rows, "text string").select(
+        "text", scrub_pii(F.col("text")).alias("scrubbed")
+    )
+    out = {r.text: r.scrubbed for r in df.collect()}
+    assert out[rows[0][0]] == "contact [EMAIL] or [EMAIL] now"
+    assert out[rows[1][0]] == "call [PHONE] from host [IP] today"
+    assert out[rows[2][0]] == rows[2][0]
+    # Nothing matchable survives a scrub.
+    remaining = df.select(
+        *[
+            F.sum(F.regexp_count("scrubbed", F.lit(pat))).alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    ).collect()[0]
+    assert all(v in (0, None) for v in remaining)
+
+
 def test_bigram_pmi_matches_oracle(spark, duck):
     from tests.conftest import assert_matches_oracle
 
