@@ -66,13 +66,21 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, warm_sf).collect()
 
+    # SPARK_GRAFT_BENCH_REPEAT=N reports best-of-N per query (default
+    # 1 — the driver's single-pass protocol). Best-of-N suppresses
+    # GC/compaction noise when comparing plan changes at larger SFs.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert rows is not None
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            best = min(best, time.perf_counter() - t0)
+            assert rows is not None
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or SF_DIR
     print(
