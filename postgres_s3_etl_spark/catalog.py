@@ -49,7 +49,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it scans as long and is
     converted here to a microsecond timestamp (truncation — the same
     thing DuckDB's reader does), so every consumer sees TimestampType.
+
+    The nanos conf is runtime-settable SQL conf, so it is applied here
+    rather than at session build: any caller-supplied SparkSession
+    (including one built without our ``session.py`` defaults) can read
+    ``events.parquet`` without pre-configuration.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
