@@ -353,21 +353,70 @@ def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Percentiles emitted by q_percentiles as (decimal literal, alias).
+_PCTS: tuple[tuple[str, str], ...] = (
+    ("0.25", "p25"),
+    ("0.50", "median"),
+    ("0.75", "p75"),
+    ("0.95", "p95"),
+)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (percentile_cont semantics) of
-    order totals per market segment, plus count."""
+    order totals per market segment, plus count.
+
+    The interpolation ``v_lo + frac * (v_hi - v_lo)`` is computed in
+    DECIMAL end to end — Spark's builtin ``percentile()`` interpolates
+    in double, which disagrees with a decimal engine at round-half
+    boundaries (e.g. a true median of 251483.295 → .29 vs .30 at 2dp).
+    The DuckDB oracle mirrors the identical expression, so both sides
+    round the same exact decimal.
+
+    Scale: one window sort partitioned by segment (low cardinality —
+    the same skew profile as any percentile_cont; at 100 TB swap in
+    approx_percentile or pre-aggregate to (segment, price, count)).
+    """
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median"),
-            F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
-            F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy("price")
+    w_all = Window.partitionBy("c_mktsegment")
+    ranked = joined.select(
+        "c_mktsegment",
+        "price",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_orders")]
+    finals = []
+    for p_lit, name in _PCTS:
+        h = f"CAST(n - 1 AS DECIMAL(18,2)) * CAST({p_lit} AS DECIMAL(4,2))"
+        lo_rn = f"CAST(FLOOR({h}) AS BIGINT) + 1"
+        aggs.append(
+            F.max(F.when(F.expr(f"rn = {lo_rn}"), F.col("price"))).alias(f"_{name}_lo")
         )
+        aggs.append(
+            F.max(F.when(F.expr(f"rn = {lo_rn} + 1"), F.col("price"))).alias(f"_{name}_hi")
+        )
+        aggs.append(
+            F.max(F.expr(f"CAST({h} - FLOOR({h}) AS DECIMAL(8,2))")).alias(f"_{name}_fr")
+        )
+        finals.append(
+            F.expr(
+                f"CAST(ROUND(CAST(_{name}_lo + _{name}_fr *"
+                f" (COALESCE(_{name}_hi, _{name}_lo) - _{name}_lo)"
+                f" AS DECIMAL(24,4)), 2) AS DOUBLE)"
+            ).alias(name)
+        )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(*aggs)
+        .select("c_mktsegment", "n_orders", *finals)
         .orderBy("c_mktsegment")
     )
 
@@ -650,16 +699,44 @@ ORACLES = {
         GROUP BY decile
         ORDER BY decile
     """,
+    # Mirrors q_percentiles' explicit decimal interpolation verbatim —
+    # quantile_cont would interpolate in its own arithmetic and diverge
+    # at round-half-at-2dp boundaries.
     "q_percentiles": """
-        SELECT c.c_mktsegment,
-               COUNT(*) AS n_orders,
-               ROUND(quantile_cont(o.o_totalprice, 0.25), 2) AS p25,
-               ROUND(quantile_cont(o.o_totalprice, 0.5), 2) AS median,
-               ROUND(quantile_cont(o.o_totalprice, 0.75), 2) AS p75,
-               ROUND(quantile_cont(o.o_totalprice, 0.95), 2) AS p95
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_mktsegment
-        ORDER BY c.c_mktsegment
+        WITH joined AS (
+            SELECT c.c_mktsegment,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+        ), ranked AS (
+            SELECT c_mktsegment, price,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY price) AS rn,
+                   COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM joined
+        ), agged AS (
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.25 AS DECIMAL(4,2))) AS BIGINT) + 1 THEN price END) AS p25_lo,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.25 AS DECIMAL(4,2))) AS BIGINT) + 2 THEN price END) AS p25_hi,
+                   MAX(CAST(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.25 AS DECIMAL(4,2)) - FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.25 AS DECIMAL(4,2))) AS DECIMAL(8,2))) AS p25_fr,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.50 AS DECIMAL(4,2))) AS BIGINT) + 1 THEN price END) AS median_lo,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.50 AS DECIMAL(4,2))) AS BIGINT) + 2 THEN price END) AS median_hi,
+                   MAX(CAST(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.50 AS DECIMAL(4,2)) - FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.50 AS DECIMAL(4,2))) AS DECIMAL(8,2))) AS median_fr,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.75 AS DECIMAL(4,2))) AS BIGINT) + 1 THEN price END) AS p75_lo,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.75 AS DECIMAL(4,2))) AS BIGINT) + 2 THEN price END) AS p75_hi,
+                   MAX(CAST(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.75 AS DECIMAL(4,2)) - FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.75 AS DECIMAL(4,2))) AS DECIMAL(8,2))) AS p75_fr,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.95 AS DECIMAL(4,2))) AS BIGINT) + 1 THEN price END) AS p95_lo,
+                   MAX(CASE WHEN rn = CAST(FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.95 AS DECIMAL(4,2))) AS BIGINT) + 2 THEN price END) AS p95_hi,
+                   MAX(CAST(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.95 AS DECIMAL(4,2)) - FLOOR(CAST(n - 1 AS DECIMAL(18,2)) * CAST(0.95 AS DECIMAL(4,2))) AS DECIMAL(8,2))) AS p95_fr
+            FROM ranked
+            GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n_orders,
+               CAST(ROUND(CAST(p25_lo + p25_fr * (COALESCE(p25_hi, p25_lo) - p25_lo) AS DECIMAL(24,4)), 2) AS DOUBLE) AS p25,
+               CAST(ROUND(CAST(median_lo + median_fr * (COALESCE(median_hi, median_lo) - median_lo) AS DECIMAL(24,4)), 2) AS DOUBLE) AS median,
+               CAST(ROUND(CAST(p75_lo + p75_fr * (COALESCE(p75_hi, p75_lo) - p75_lo) AS DECIMAL(24,4)), 2) AS DOUBLE) AS p75,
+               CAST(ROUND(CAST(p95_lo + p95_fr * (COALESCE(p95_hi, p95_lo) - p95_lo) AS DECIMAL(24,4)), 2) AS DOUBLE) AS p95
+        FROM agged
+        ORDER BY c_mktsegment
     """,
 }
