@@ -70,11 +70,19 @@ def synth_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def _payload_digest(payload: bytes) -> str:
+    """md5 of the payload's lowercase hex encoding. Hashing the hex
+    form (not the raw bytes) keeps the digest recomputable by SQL
+    engines whose md5() only accepts VARCHAR — the oracle builds the
+    identical hex string and hashes it."""
+    return hashlib.md5(payload.hex().encode()).hexdigest()
+
+
 def _fake_features(payload: bytes) -> list[int]:
     """Deterministic stand-in for a real feature extractor: 8 ints
-    from the md5 of the payload."""
-    h = hashlib.md5(payload).digest()
-    return [int.from_bytes(h[2 * i : 2 * i + 2], "big") for i in range(FEATURE_DIM)]
+    from consecutive 16-bit slices of the payload digest."""
+    h = _payload_digest(payload)
+    return [int(h[4 * i : 4 * i + 4], 16) for i in range(FEATURE_DIM)]
 
 
 def extract_features(
@@ -102,7 +110,7 @@ def extract_features(
                     "media_type": pdf["media_type"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "payload_digest": payloads.map(
-                        lambda p: hashlib.md5(bytes(p)).hexdigest()
+                        lambda p: _payload_digest(bytes(p))
                     ),
                 }
             )
@@ -124,7 +132,11 @@ def media_stats(features: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_assets"),
             F.sum("n_bytes").alias("total_bytes"),
             F.countDistinct("payload_digest").alias("n_distinct_payloads"),
-            F.avg("f0").alias("avg_f0"),
+            # sum/count spelled out (not avg()) so the division is the
+            # single IEEE op the SQL oracle also performs.
+            F.round(
+                F.sum("f0").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_f0"),
         )
         .orderBy("media_type")
     )
@@ -173,7 +185,11 @@ def sample_frames(
             ):
                 n_frames = max(int(dur) // interval_ms, 1)
                 for i in range(n_frames):
-                    digest = hashlib.md5(bytes(payload) + i.to_bytes(4, "big"))
+                    # md5 over the hex of (payload ++ frame-index-be32)
+                    # — same VARCHAR-hashable form as _payload_digest.
+                    digest = hashlib.md5(
+                        (bytes(payload) + i.to_bytes(4, "big")).hex().encode()
+                    )
                     out_rows.append(
                         (int(asset_id), i, i * interval_ms, digest.hexdigest())
                     )
@@ -205,6 +221,74 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: rows-only — deterministic-fake decode has no DuckDB twin.
 QUERIES = {"mm_decode_stub": mm_decode_stub, "mm_frame_sample": mm_frame_sample}
-ORACLES: dict[str, str] = {}
+
+#: The synthetic media and the stub decoders are pure functions of
+#: public hashes (sha256 asset payloads, md5-of-hex digests), so the
+#: oracle regenerates identical rows in SQL: payload hex is
+#: repeat(sha256_hex, 4 + i%5) and every digest/feature derives from
+#: md5 over that VARCHAR.
+_HEX_NIBBLE = "strpos('0123456789abcdef', substr(payload_digest, {pos}, 1)) - 1"
+
+_F0_SQL = (
+    "CAST(4096 * ({n1}) + 256 * ({n2}) + 16 * ({n3}) + ({n4}) AS BIGINT)".format(
+        n1=_HEX_NIBBLE.format(pos=1),
+        n2=_HEX_NIBBLE.format(pos=2),
+        n3=_HEX_NIBBLE.format(pos=3),
+        n4=_HEX_NIBBLE.format(pos=4),
+    )
+)
+
+ORACLES: dict[str, str] = {
+    "mm_decode_stub": f"""
+        WITH assets AS (
+            SELECT i,
+                   ['image', 'audio', 'video'][(i % 3) + 1] AS media_type,
+                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hex_payload
+            FROM (SELECT unnest(generate_series(0, 63)) AS i)
+        ),
+        feats AS (
+            SELECT i, media_type,
+                   CAST(length(hex_payload) // 2 AS BIGINT) AS n_bytes,
+                   md5(hex_payload) AS payload_digest
+            FROM assets
+        ),
+        f0s AS (
+            SELECT media_type, n_bytes, payload_digest, {_F0_SQL} AS f0
+            FROM feats
+        )
+        SELECT media_type,
+               COUNT(*) AS n_assets,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               COUNT(DISTINCT payload_digest) AS n_distinct_payloads,
+               ROUND(CAST(SUM(f0) AS DOUBLE) / COUNT(*), 6) AS avg_f0
+        FROM f0s
+        GROUP BY media_type
+        ORDER BY media_type
+    """,
+    "mm_frame_sample": f"""
+        WITH videos AS (
+            SELECT i,
+                   1000 + 10 * i AS duration_ms,
+                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hex_payload
+            FROM (SELECT unnest(generate_series(0, 63)) AS i)
+            WHERE i % 3 = 2
+        ),
+        frames AS (
+            SELECT v.i AS asset_id,
+                   f.f AS frame_idx,
+                   CAST(f.f * {FRAME_INTERVAL_MS} AS INTEGER) AS frame_ts_ms,
+                   md5(v.hex_payload || lower(lpad(to_hex(f.f), 8, '0'))) AS frame_digest
+            FROM videos v,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, greatest(v.duration_ms // {FRAME_INTERVAL_MS}, 1) - 1)) AS f) f
+        )
+        SELECT asset_id,
+               COUNT(*) AS n_frames,
+               MAX(frame_ts_ms) AS last_frame_ts_ms,
+               COUNT(DISTINCT frame_digest) AS n_distinct_frames
+        FROM frames
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+}

@@ -172,13 +172,12 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the quantizer is tiny and rides to every task in the
     UDF closure (the same collect-then-broadcast step distributed
     k-means does each iteration — 16 rows, bounded, not a data
-    collect); cell ranking is a vectorized Arrow-batched Pandas UDF
-    (one numpy matmul per batch — a numeric kernel where a codegen'd
-    per-element SQL expression is both slower to compile and slower to
-    run); the only shuffle is the cell equi-join, which touches
-    nprobe/cells of the corpus per probe. Rows-only (no SQL oracle):
-    recall vs the exact baseline is asserted in tests, matching how
-    ANN is validated in practice.
+    collect); cell ranking is a vectorized Arrow-batched Pandas UDF —
+    a numeric kernel where a codegen'd per-element SQL expression is
+    both slower to compile and slower to run; the only shuffle is the
+    cell equi-join, which touches nprobe/cells of the corpus per
+    probe. The quantizer is deterministic, so the cell assignment —
+    and with it the full top-k output — has an exact SQL oracle.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -191,7 +190,14 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("array<int>")
     def rank_cells(v: pd.Series) -> pd.Series:
         m = np.array(v.tolist(), dtype=np.float64)
-        scores = m @ seed_mat.T
+        # Accumulate the dot products dimension-by-dimension (still
+        # vectorized across the batch) instead of a BLAS matmul: the
+        # left-to-right fold gives bit-identical doubles to the SQL
+        # engines' sequential list_dot_product / aggregate() folds, so
+        # cell assignment can't diverge from the oracle on near-ties.
+        scores = np.zeros((m.shape[0], seed_mat.shape[0]), dtype=np.float64)
+        for d in range(seed_mat.shape[1]):
+            scores += m[:, d : d + 1] * seed_mat[:, d]
         # score desc, cell id asc on ties — matches argsort stability.
         order = np.argsort(-scores, axis=1, kind="stable")
         return pd.Series(order.tolist())
@@ -295,6 +301,55 @@ ORACLES = {
             SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM pairs
+        )
+        SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY probe_id, rank
+    """,
+    # Exact SQL twin of the IVF path: the quantizer is the first
+    # IVF_CELLS corpus vectors normalized, cell assignment is argmax
+    # dot-product (score desc, cell asc on ties — mirroring the stable
+    # argsort), probes search their N_PROBE_CELLS best cells.
+    "sim_search_ivf": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS cell, list_transform(v, x -> x / nrm) AS sv
+            FROM vecs WHERE vec_id < {IVF_CELLS}
+        ),
+        scores AS (
+            SELECT v.vec_id, s.cell, list_dot_product(v.v, s.sv) AS score
+            FROM vecs v CROSS JOIN seeds s
+        ),
+        ranked_cells AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cell ASC) AS crank
+            FROM scores
+        ),
+        corpus AS (
+            SELECT v.vec_id, v.v, v.nrm, rc.cell
+            FROM vecs v JOIN ranked_cells rc
+              ON v.vec_id = rc.vec_id AND rc.crank = 1
+        ),
+        probes AS (
+            SELECT v.vec_id AS probe_id, v.v AS pv, v.nrm AS pnorm, rc.cell
+            FROM vecs v JOIN ranked_cells rc ON v.vec_id = rc.vec_id
+            WHERE v.vec_id < {N_PROBES} AND rc.crank <= {N_PROBE_CELLS}
+        ),
+        cands AS (
+            SELECT p.probe_id, c.vec_id AS neighbor_id,
+                   floor(list_dot_product(p.pv, c.v) / (p.pnorm * c.nrm) * 1e6) / 1e6 AS cosine
+            FROM probes p JOIN corpus c
+              ON p.cell = c.cell AND p.probe_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM cands
         )
         SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TOP_K}

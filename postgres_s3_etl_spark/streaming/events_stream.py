@@ -55,6 +55,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kafka/queue source in production; identical downstream plan)."""
     # The streaming file source wants a directory; testdata stores
     # one file per table, so scan the sf_dir with a glob filter.
+    # Runtime-set like catalog.load_table — keeps the read working
+    # under a caller-supplied session without our build defaults.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
@@ -241,9 +244,14 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts", "value")
 
 
-# ---- driver-facing entries (rows-only: streaming results depend on
-# watermark/timeout semantics that have no batch-SQL twin; the tests
-# assert equality against the batch operators instead) ----
+# ---- driver-facing entries. The watermark/timeout semantics under
+# availableNow are deterministic for a static input, so each has an
+# exact batch-SQL twin (see ORACLES): append mode emits a window when
+# window_end <= final_watermark (= max event ms - delay; boundary
+# equality emits — verified against Spark 4.1), an event-time timeout
+# fires only when timeout_ts < final_watermark (strict — boundary
+# equality does NOT fire), and a single-batch stream-stream inner
+# join emits every match. ----
 
 _RUN_SEQ = [0]
 
@@ -279,4 +287,87 @@ QUERIES = {
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
     "stream_click_purchase_join": q_stream_click_purchase_join,
 }
-ORACLES: dict[str, str] = {}
+
+_GAP_MS = SESSION_GAP_MS
+_WM_SESS_MS = 10 * 60 * 1000  # sessionize watermark delay
+_WM_TUMBLE_MS = 2 * 60 * 60 * 1000  # tumbling watermark delay
+
+ORACLES: dict[str, str] = {
+    # Batch twin + the append-mode emission rule: a window is emitted
+    # iff window_end <= final watermark (max event ms - 2h).
+    "stream_events_tumbling": f"""
+        SELECT date_trunc('hour', ts) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM events
+        GROUP BY hour_start, event_type
+        HAVING epoch_ms(hour_start) + 3600000 <=
+               (SELECT MAX(epoch_ms(ts)) - {_WM_TUMBLE_MS} FROM events)
+        ORDER BY hour_start, event_type
+    """,
+    # Gap-sessionization in SQL, then the stateful-emission rule: every
+    # non-final session per user is gap-closed in-batch and emitted;
+    # the user's final (open) session is emitted only if its event-time
+    # timeout (last_ms + gap) fired, i.e. lies strictly below the final
+    # watermark (max event ms - 10 min). Timestamps are ms-floored,
+    # matching the state encoding.
+    "stream_sessionize_stateful": f"""
+        WITH pts AS (
+            SELECT user_id, epoch_ms(ts) AS ms FROM events
+        ),
+        laged AS (
+            SELECT user_id, ms,
+                   LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
+            FROM pts
+        ),
+        flagged AS (
+            SELECT user_id, ms,
+                   CASE WHEN prev_ms IS NULL OR ms - prev_ms > {_GAP_MS}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM laged
+        ),
+        sess AS (
+            SELECT user_id, ms,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+            FROM flagged
+        ),
+        per AS (
+            SELECT user_id, sidx,
+                   MIN(ms) AS start_ms, MAX(ms) AS last_ms,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, sidx
+        ),
+        marked AS (
+            SELECT *, MAX(sidx) OVER (PARTITION BY user_id) AS max_sidx
+            FROM per
+        )
+        SELECT user_id,
+               make_timestamp(start_ms * 1000) AS session_start,
+               make_timestamp(last_ms * 1000) AS session_end,
+               n_events
+        FROM marked
+        WHERE sidx < max_sidx
+           OR last_ms + {_GAP_MS} <
+              (SELECT MAX(epoch_ms(ts)) - {_WM_SESS_MS} FROM events)
+        ORDER BY user_id, session_start
+    """,
+    # A single-batch stream-stream inner join emits every match; the
+    # time-range predicate compares at the microsecond precision the
+    # Spark side sees after the nanos->micros conversion.
+    "stream_click_purchase_join": """
+        SELECT p.event_id AS purchase_id,
+               p.user_id AS p_user,
+               make_timestamp(epoch_us(p.ts)) AS purchase_ts,
+               c.event_id AS click_id,
+               make_timestamp(epoch_us(c.ts)) AS click_ts,
+               p.value
+        FROM events p
+        JOIN events c ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND epoch_us(c.ts) <= epoch_us(p.ts)
+          AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        ORDER BY purchase_id, click_id
+    """,
+}
