@@ -22,10 +22,11 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.operators.similarity import lsh_bucket_cte
 
 NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 rows per band
@@ -88,23 +89,47 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar doc pairs by word-3-gram Jaccard within
-    (lang, source) blocks. Pairs come from an equi-join on the
-    shingle itself — only docs sharing ≥1 shingle ever meet."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).select(
+#: Drop shingles appearing in more than this many docs of a block
+#: before the candidate self-join — the standard frequent-shingle
+#: filter. A shingle with document frequency f produces O(f²) pairs,
+#: so one boilerplate 3-gram ("all rights reserved") would otherwise
+#: blow the join up quadratically at corpus scale.
+MAX_SHINGLE_DF = 50
+
+
+def ngram_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """All candidate doc pairs with their word-3-gram Jaccard over the
+    DF-capped shingle universe, within (lang, source) blocks.
+
+    Pairs come from an equi-join on the shingle itself — only docs
+    sharing ≥1 kept shingle ever meet — and the DF cap bounds each
+    shingle's contribution to max_df² pairs. Jaccard is computed over
+    the kept-shingle sets (rare-shingle Jaccard): self-consistent and
+    near-identical to full Jaccard for true near-dups, which share
+    mostly rare shingles.
+
+    Plan shape: the kept-shingle table is persisted — the self-join
+    reads it twice and the per-doc sizes twice more, and without the
+    cache each branch would re-split, re-shingle and re-window the
+    whole corpus (the same recompute trap the minhash band table
+    avoids the same way).
+    """
+    shingled = docs.select(
         "doc_id", "lang", "source", _words_col().alias("w")
     ).select("doc_id", "lang", "source", _shingles_expr().alias("shingles"))
-    sizes = docs.select(
-        "doc_id", F.size("shingles").alias("n_sh")
-    )
-    exploded = docs.select(
+    exploded = shingled.select(
         "doc_id", "lang", "source", F.explode("shingles").alias("sh")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    w_df = Window.partitionBy("lang", "source", "sh")
+    kept = (
+        exploded.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+        .persist()
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.alias("a")
+    b = kept.alias("b")
     common = (
         a.join(
             b,
@@ -131,6 +156,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
             ).alias("jaccard"),
         )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar doc pairs by DF-capped word-3-gram Jaccard
+    within (lang, source) blocks (see ngram_jaccard_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return (
+        ngram_jaccard_pairs(docs)
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(TOP_PAIRS)
     )
@@ -391,7 +427,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 near-duplicate embedding pairs by cosine, blocked by
-    ``label`` (IVF-cluster stand-in) so pair counts stay bounded."""
+    ``(label, LSH table, LSH bucket)``.
+
+    Label alone (IVF-cluster stand-in) bounds nothing when label
+    cardinality is small — O(n²/L) pairs at corpus scale. Sub-blocking
+    each label by the hyperplane-LSH multi-table buckets (the same
+    deterministic signature sim_search_lsh uses) caps a block at
+    ~n/(L·2^bits) vectors per table, while near-dup pairs — nearly
+    identical vectors — still collide in ≥1 table with high
+    probability. Candidates come from a (label, tbl, bucket)
+    equi-join, never a per-label cross join.
+    """
+    from postgres_s3_etl_spark.operators.similarity import (
+        BITS_PER_TABLE,
+        LSH_TABLES,
+        _signature,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -399,9 +451,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = emb.withColumn(
         "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    ).withColumn("sig", _signature("v"))
+    buckets = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        "norm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
+                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", "label", "v", "norm",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
     )
@@ -409,6 +476,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -417,6 +486,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.label").alias("label"),
             _trunc6(dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
         )
+        .distinct()
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(TOP_PAIRS)
     )
@@ -482,6 +552,9 @@ ORACLES = {
                CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         FROM groups
     """,
+    # Mirrors ngram_jaccard_pairs: shingles with per-block document
+    # frequency > MAX_SHINGLE_DF are dropped before the self-join, and
+    # Jaccard is over the kept-shingle sets.
     "dedup_ngram_jaccard": f"""
         WITH sh AS (
             SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles
@@ -492,35 +565,49 @@ ORACLES = {
         exploded AS (
             SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
         ),
+        kept AS (
+            SELECT doc_id, lang, source, s FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY lang, source, s) AS df
+                FROM exploded
+            ) WHERE df <= {MAX_SHINGLE_DF}
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+        ),
         common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM exploded a
-            JOIN exploded b
+            FROM kept a
+            JOIN kept b
               ON a.lang = b.lang AND a.source = b.source
              AND a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
         SELECT c.doc_a, c.doc_b,
                floor(CAST(c.n_common AS DOUBLE)
-                     / (len(sa.shingles) + len(sb.shingles) - c.n_common) * 1e6) / 1e6 AS jaccard
+                     / (sa.n_sh + sb.n_sh - c.n_common) * 1e6) / 1e6 AS jaccard
         FROM common c
-        JOIN sh sa ON c.doc_a = sa.doc_id
-        JOIN sh sb ON c.doc_b = sb.doc_id
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
         LIMIT {TOP_PAIRS}
     """,
     # dedup_minhash_lsh / dedup_cc_keepset are generated below from
     # the shared bands CTE (_bands_cte_sql).
+    # Mirrors the (label, tbl, bucket) LSH sub-blocking of
+    # dedup_embedding_cosine via the shared signature CTE.
     "dedup_embedding_cosine": f"""
-        WITH e AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-            FROM embeddings
+        WITH {lsh_bucket_cte("label,")},
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.label AS label,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM bucketed a
+            JOIN bucketed b
+              ON a.label = b.label AND a.tbl = b.tbl
+             AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-               floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
-        FROM e a
-        JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        SELECT vec_a, vec_b, label, cosine
+        FROM pairs
         ORDER BY cosine DESC, vec_a ASC, vec_b ASC
         LIMIT {TOP_PAIRS}
     """,

@@ -240,6 +240,42 @@ QUERIES = {
 }
 
 
+def lsh_bucket_cte(extra_cols: str = "") -> str:
+    """Shared DuckDB CTE chain ending in ``bucketed(vec_id[, extras],
+    v, nrm, tbl, bucket)`` — the SQL twin of the hyperplane-LSH
+    signature + multi-table banding. ``extra_cols`` (e.g. ``label,``)
+    are carried from ``embeddings`` through to ``bucketed``."""
+    return f"""
+        planes AS (
+            SELECT p.p,
+                   [CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(concat(p.p, '_', d)), 1, 1)) - 1) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END
+                    for d in generate_series(0, {EMB_DIM - 1})] AS coefs
+            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
+        ),
+        vecs AS (
+            SELECT vec_id, {extra_cols} embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        sigs AS (
+            SELECT v.vec_id,
+                   CAST(SUM(CASE WHEN list_dot_product(pl.coefs, v.v) > 0
+                            THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+            FROM vecs v CROSS JOIN planes pl
+            GROUP BY v.vec_id
+        ),
+        bucketed AS (
+            SELECT v.vec_id, {extra_cols.replace("label,", "v.label,")} v.v, v.nrm, t.t AS tbl,
+                   (s.sig // CAST(pow(2, t.t * {BITS_PER_TABLE}) AS BIGINT)) % {2 ** BITS_PER_TABLE} AS bucket
+            FROM vecs v
+            JOIN sigs s ON v.vec_id = s.vec_id,
+                 (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS t) t
+        )
+    """
+
+
 ORACLES = {
     "sim_search_bruteforce": f"""
         WITH vecs AS (
@@ -263,33 +299,7 @@ ORACLES = {
         ORDER BY probe_id, rank
     """,
     "sim_search_lsh": f"""
-        WITH planes AS (
-            SELECT p.p,
-                   [CASE WHEN (strpos('0123456789abcdef',
-                               substr(md5(concat(p.p, '_', d)), 1, 1)) - 1) % 2 = 0
-                         THEN 1.0 ELSE -1.0 END
-                    for d in generate_series(0, {EMB_DIM - 1})] AS coefs
-            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
-        ),
-        vecs AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-            FROM embeddings
-        ),
-        sigs AS (
-            SELECT v.vec_id,
-                   CAST(SUM(CASE WHEN list_dot_product(pl.coefs, v.v) > 0
-                            THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
-            FROM vecs v CROSS JOIN planes pl
-            GROUP BY v.vec_id
-        ),
-        bucketed AS (
-            SELECT v.vec_id, v.v, v.nrm, t.t AS tbl,
-                   (s.sig // CAST(pow(2, t.t * {BITS_PER_TABLE}) AS BIGINT)) % {2 ** BITS_PER_TABLE} AS bucket
-            FROM vecs v
-            JOIN sigs s ON v.vec_id = s.vec_id,
-                 (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS t) t
-        ),
+        WITH {lsh_bucket_cte()},
         pairs AS (
             SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
                    floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine

@@ -80,6 +80,27 @@ def test_ngram_jaccard_ranks_near_dup_highest(spark, planted_docs):
     assert (0, 4) not in near
 
 
+def test_ngram_df_cap_bounds_pairs(spark):
+    """A boilerplate shingle shared by every doc must NOT explode the
+    candidate join quadratically: with the DF cap it contributes zero
+    pairs; uncapped it alone creates C(n,2) pairs."""
+    from postgres_s3_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 60
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, f"{boiler} unique{i} token{i} body{i} tail{i}", "en", "s0", 1)
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    capped = ngram_jaccard_pairs(docs, max_df=10).count()
+    uncapped = ngram_jaccard_pairs(docs, max_df=10_000).count()
+    assert uncapped >= n * (n - 1) // 2  # hot shingle went quadratic
+    assert capped == 0  # cap removed the blow-up entirely
+
+
 def test_minhash_lsh_catches_near_dup(spark, planted_docs):
     from postgres_s3_etl_spark.operators.dedup import dedup_minhash_lsh
 
