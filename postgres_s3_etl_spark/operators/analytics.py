@@ -81,7 +81,13 @@ def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: broadcast dim filter (customer segment) into a
-    fact-fact join, grouped revenue, deterministic top-10."""
+    fact-fact join, grouped revenue, deterministic top-10.
+
+    Only the customer dim carries a broadcast hint; the filtered
+    orders side is still a fact table, so lineitem ⋈ orders is left
+    to AQE — at 100× it shuffles on the join key, at toy scale AQE
+    converts it to a broadcast join on its own.
+    """
     cust = _t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -93,7 +99,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(revenue.cast("double"), 2).alias("revenue"))

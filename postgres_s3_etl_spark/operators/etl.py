@@ -32,9 +32,11 @@ from pyspark.sql import functions as F
 from postgres_s3_etl_spark.catalog import load_table
 from postgres_s3_etl_spark.functions.dates import is_public_holiday, ship_lag_days
 
-#: Fixed stand-in for the reference's ``CURRENT_TIMESTAMP as
+#: Default stand-in for the reference's ``CURRENT_TIMESTAMP as
 #: ingestion_date`` (orders_ETL.py:107) — a constant so results are
-#: reproducible and oracle-comparable.
+#: reproducible and oracle-comparable. Each transform (and the DAG
+#: builders in plans/etl_dags.py) accepts ``run_date`` to parameterize
+#: a scheduled/backfill run, mirroring Airflow's logical date.
 INGESTION_DATE = "2024-01-01"
 
 _MONTHS = (
@@ -43,7 +45,9 @@ _MONTHS = (
 )
 
 
-def agg_public_holiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_public_holiday(
+    spark: SparkSession, sf_dir: str, run_date: str = INGESTION_DATE
+) -> DataFrame:
     """Month-pivoted count of orders placed on public holidays.
 
     Mirrors reference airflow/dags/orders_ETL.py:93-125 (CTE_1 join
@@ -62,11 +66,13 @@ def agg_public_holiday(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m, name in enumerate(_MONTHS, start=1)
     ]
     return hol.agg(
-        F.lit(INGESTION_DATE).cast("date").alias("ingestion_date"), *aggs
+        F.lit(run_date).cast("date").alias("ingestion_date"), *aggs
     )
 
 
-def agg_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_shipments(
+    spark: SparkSession, sf_dir: str, run_date: str = INGESTION_DATE
+) -> DataFrame:
     """Late / undelivered shipment counts.
 
     Mirrors reference airflow/dags/shipments_ETL.py:86-103:
@@ -87,7 +93,7 @@ def agg_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, lineitem.l_orderkey == orders.o_orderkey, "inner"
     )
     return joined.agg(
-        F.lit(INGESTION_DATE).cast("date").alias("ingestion_date"),
+        F.lit(run_date).cast("date").alias("ingestion_date"),
         F.sum(F.when(lag >= 6, 1).otherwise(0))
         .cast("bigint")
         .alias("tt_late_shipments"),
@@ -97,7 +103,9 @@ def agg_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def best_performing_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+def best_performing_product(
+    spark: SparkSession, sf_dir: str, run_date: str = INGESTION_DATE
+) -> DataFrame:
     """Top product by average rating, with its rating distribution,
     shipment punctuality and most-ordered day.
 
@@ -189,7 +197,7 @@ def best_performing_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return top.crossJoin(F.broadcast(day_counts)).select(
-        F.lit(INGESTION_DATE).cast("date").alias("ingestion_date"),
+        F.lit(run_date).cast("date").alias("ingestion_date"),
         F.col("p_name").alias("product_name"),
         "most_ordered_day",
         "is_public_holiday",

@@ -28,8 +28,16 @@ _DAGS = {
 
 
 def build_etl_dag(
-    spark: SparkSession, dag_id: str, sf_dir: str, export_dir: str
+    spark: SparkSession,
+    dag_id: str,
+    sf_dir: str,
+    export_dir: str,
+    run_date: str | None = None,
 ) -> Pipeline:
+    """Build one reference DAG. ``run_date`` parameterizes the run's
+    logical date (Airflow ``{{ ds }}`` parity — the reference stamps
+    CURRENT_TIMESTAMP, orders_ETL.py:107); None keeps the
+    reproducible default used by the oracle-checked queries."""
     out_name, transform_fn = _DAGS[dag_id]
     pipe = Pipeline(dag_id)
 
@@ -39,7 +47,9 @@ def build_etl_dag(
         return load_tables(spark, sf_dir)
 
     def transform(ctx: dict[str, Any]):
-        return transform_fn(spark, sf_dir)
+        if run_date is None:
+            return transform_fn(spark, sf_dir)
+        return transform_fn(spark, sf_dir, run_date=run_date)
 
     def load(ctx: dict[str, Any]):
         dest = os.path.join(export_dir, f"{out_name}.csv")
@@ -53,9 +63,15 @@ def build_etl_dag(
     return pipe
 
 
-def run_all(spark: SparkSession, sf_dir: str, export_dir: str) -> dict[str, list]:
-    """Run all three reference DAGs; returns per-DAG task reports."""
+def run_all(
+    spark: SparkSession,
+    sf_dir: str,
+    export_dir: str,
+    run_date: str | None = None,
+) -> dict[str, list]:
+    """Run all three reference DAGs (optionally for a given logical
+    ``run_date``); returns per-DAG task reports."""
     return {
-        dag_id: build_etl_dag(spark, dag_id, sf_dir, export_dir).run()
+        dag_id: build_etl_dag(spark, dag_id, sf_dir, export_dir, run_date).run()
         for dag_id in _DAGS
     }

@@ -58,3 +58,22 @@ def test_reference_dags_end_to_end(spark, tmp_path):
         assert [r.state for r in report] == ["success"] * 3, dag_id
     for f in ("agg_public_holiday", "agg_shipments", "best_performing_product"):
         assert os.path.exists(os.path.join(tmp_path, f + ".csv"))
+
+
+def test_dag_run_date_parameterizes_ingestion(spark, tmp_path):
+    """run_date (Airflow logical-date parity) flows through the DAG
+    into the transform's ingestion_date stamp."""
+    from postgres_s3_etl_spark.operators.etl import agg_shipments
+    from postgres_s3_etl_spark.plans.etl_dags import build_etl_dag
+
+    pipe = build_etl_dag(
+        spark, "shipments_ETL", SF_DIR, str(tmp_path), run_date="2025-06-30"
+    )
+    ctx: dict = {}
+    report = pipe.run(ctx)
+    assert [r.state for r in report] == ["success"] * 3
+    row = ctx["transform"].collect()[0]
+    assert str(row.ingestion_date) == "2025-06-30"
+    # default stays the reproducible constant the oracles expect
+    default_row = agg_shipments(spark, SF_DIR).collect()[0]
+    assert str(default_row.ingestion_date) == "2024-01-01"
