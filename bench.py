@@ -65,6 +65,7 @@ def main() -> None:
     if os.path.isdir(warm_sf):
         for name in HEADLINE:
             qs[name](spark, warm_sf).collect()
+    spark.catalog.clearCache()
 
     # SPARK_GRAFT_BENCH_REPEAT=N reports best-of-N per query (default
     # 1 — the driver's single-pass protocol). Best-of-N suppresses
@@ -80,6 +81,12 @@ def main() -> None:
             rows = fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)
             assert rows is not None
+            # Operators persist() bounded intermediates (LSH bands,
+            # kept shingles, CC frontiers) that are only released with
+            # the plan; dropping them between runs keeps every timed
+            # run cold-cache-equivalent and stops repeat N from paying
+            # for the leftovers of runs 1..N-1.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or SF_DIR
