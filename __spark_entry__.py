@@ -27,6 +27,8 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.text_analysis",
     "postgres_s3_etl_spark.operators.temporal",
     "postgres_s3_etl_spark.operators.multimodal",
+    "postgres_s3_etl_spark.operators.profiling",
+    "postgres_s3_etl_spark.operators.scd",
     "postgres_s3_etl_spark.streaming.events_stream",
 )
 

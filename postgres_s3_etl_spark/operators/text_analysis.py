@@ -358,6 +358,59 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_DOCS = 50  # probe docs whose top terms are emitted
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per probe doc (doc_id < 50) — the keyword /
+    salient-term extraction workload.
+
+    Scale shape: document frequencies aggregate over the WHOLE corpus
+    (vocabulary-sized result — broadcastable at any corpus scale, like
+    the PMI marginals), the total-doc count rides along as a 1-row
+    broadcast, but term frequencies are computed only for the probe
+    docs — the filter prunes the corpus scan before the explode, so
+    the per-doc branch touches probe data only. idf = ln(N/df) in
+    double (single IEEE ops, engine-identical), tfidf truncated to 6
+    decimals.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    all_tokens = docs.select("doc_id", tok)
+    df_counts = (
+        all_tokens.groupBy("doc_id", "token")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    probe_tf = (
+        docs.where(F.col("doc_id") < TFIDF_DOCS)
+        .select("doc_id", tok)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        probe_tf.join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("token").alias("term"),
+            "tf",
+            _trunc6(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -367,6 +420,7 @@ QUERIES = {
     "text_vocab_topk": text_vocab_topk,
     "text_bigram_pmi": text_bigram_pmi,
     "text_pii_scrub": text_pii_scrub,
+    "text_tfidf_topk": text_tfidf_topk,
 }
 
 
@@ -567,5 +621,35 @@ ORACLES = {
                CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
         FROM k
+    """,
+    "text_tfidf_topk": rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT token, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, token FROM toks)
+            GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks WHERE doc_id < {TFIDF_DOCS}
+            GROUP BY doc_id, token
+        ),
+        scored AS (
+            SELECT t.doc_id, t.token AS term, t.tf,
+                   floor(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) * 1e6) / 1e6 AS tfidf
+            FROM tf t JOIN dfreq d ON t.token = d.token, n
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TFIDF_TOP_K}
+        ORDER BY doc_id, rank
     """,
 }

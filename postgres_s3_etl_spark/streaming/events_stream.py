@@ -282,10 +282,32 @@ def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id", "click_id")
 
 
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: first occurrence per (user_id,
+    event_type) via stateful ``dropDuplicates`` — the
+    dedup-at-ingest operator every training-data stream needs.
+
+    Only the key columns are emitted, so the result is the exact
+    DISTINCT set regardless of arrival order (which physical row won
+    the race is not observable). State is one entry per distinct key
+    — bounded by users × event types, not by stream length.
+    """
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    return ev.dropDuplicates(["user_id", "event_type"])
+
+
+def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_exact_dedup(spark, sf_dir),
+        _next_query_name("stream_dedup"),
+    ).orderBy("user_id", "event_type")
+
+
 QUERIES = {
     "stream_events_tumbling": q_stream_events_tumbling,
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
     "stream_click_purchase_join": q_stream_click_purchase_join,
+    "stream_exact_dedup": q_stream_exact_dedup,
 }
 
 _GAP_MS = SESSION_GAP_MS
@@ -352,6 +374,13 @@ ORACLES: dict[str, str] = {
            OR last_ms + {_GAP_MS} <
               (SELECT MAX(epoch_ms(ts)) - {_WM_SESS_MS} FROM events)
         ORDER BY user_id, session_start
+    """,
+    # The emitted columns are exactly the dedup key, so the stream's
+    # first-occurrence semantics reduce to DISTINCT.
+    "stream_exact_dedup": """
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
     """,
     # A single-batch stream-stream inner join emits every match; the
     # time-range predicate compares at the microsecond precision the

@@ -22,6 +22,10 @@ ORACLE_NAMES = [
     "dedup_embedding_cosine",
     "sim_search_bruteforce",
     "sim_search_lsh",
+    "sim_search_ivf",
+    "text_tfidf_topk",
+    "q_profile_orders",
+    "q_scd2_customer_priority",
 ]
 
 

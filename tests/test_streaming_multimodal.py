@@ -55,6 +55,60 @@ def test_stream_sessionize_stateful(spark):
     assert len(sessions) >= batch_total - len(users)
 
 
+def test_stream_exact_dedup_equals_distinct(spark):
+    """Streaming dropDuplicates over the key columns emits exactly
+    the batch DISTINCT set (arrival order unobservable)."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        run_stream_to_memory,
+        stream_exact_dedup,
+    )
+
+    streamed = {
+        (r.user_id, r.event_type)
+        for r in run_stream_to_memory(
+            stream_exact_dedup(spark, SF_DIR), "dedup_test"
+        ).collect()
+    }
+    batch = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_scd2_intervals_are_contiguous(spark):
+    """SCD2 invariants: per customer, version k's valid_to equals
+    version k+1's valid_from, exactly one current row, adjacent
+    versions change priority, and n_orders sums to the order count."""
+    from postgres_s3_etl_spark.operators.scd import q_scd2_customer_priority
+    from postgres_s3_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    rows = q_scd2_customer_priority(spark, SF_DIR).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert by_cust
+    for cust, hist in by_cust.items():
+        hist.sort(key=lambda r: r.version)
+        assert [r.version for r in hist] == list(range(1, len(hist) + 1))
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current and hist[-1].valid_to is None
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from, cust
+            assert a.priority != b.priority, cust
+    n_orders = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_custkey") < 100)
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_orders
+
+
 def test_multimodal_feature_extraction(spark):
     from postgres_s3_etl_spark.operators.multimodal import (
         extract_features,
