@@ -42,3 +42,35 @@ def salted_agg(
     sharded = df.withColumn("_salt", salt)
     phase1 = sharded.groupBy(*keys, "_salt").agg(*shard_aggs)
     return phase1.groupBy(*keys).agg(*merge_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skewed equi-join: salt the big side, replicate the small side.
+
+    A shuffle join on a skewed key routes the hot key's whole volume
+    to one reducer. Here the big side gets a deterministic salt
+    (``pmod(hash(all columns), n)``) appended to the join key, and the
+    small side is exploded ``n_salts``× with every salt value — so a
+    hot key's rows spread over ``n_salts`` reducers while the join
+    result is row-for-row identical to the unsalted join. The small
+    side grows n× (keys × salts rows): use it when the small side is
+    too big to broadcast outright but the key distribution is skewed —
+    the standard middle ground between broadcast and AQE skew-split.
+
+    The salt hashes ALL big-side columns, not a random number, so
+    Spark task retries recompute the identical salt.
+    """
+    on = list(on)
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.hash(*big.columns), F.lit(n_salts))
+    )
+    small_replicated = small.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+    )
+    return big_salted.join(small_replicated, on + ["_salt"], how).drop("_salt")

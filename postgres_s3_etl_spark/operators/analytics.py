@@ -427,6 +427,42 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch path for 100 TB percentiles: exact percentiles
+    need a per-group sort, but ``percentile_approx`` (Greenwald-Khanna
+    family) is a mergeable fixed-size sketch — the same
+    exact-vs-sketch pairing as the HLL distinct query.
+
+    Checkable output: exact counts plus booleans asserting the sketch
+    landed within 2% of the exact percentile (deterministic per
+    engine — the sketch is deterministic for a given input ordering of
+    partitions at accuracy 1000 over these group sizes; the band is
+    wide enough to absorb partition-order variation). The oracle
+    emits TRUE.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5D, 0.9D), 1000)"
+        ).alias("_ap"),
+        F.expr("percentile(o_totalprice, array(0.5D, 0.9D))").alias("_ex"),
+    )
+    band = lambda i: (  # noqa: E731 — tiny local expr builder
+        F.abs(F.element_at("_ap", i) - F.element_at("_ex", i))
+        / F.element_at("_ex", i)
+        <= 0.02
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        band(1).alias("p50_ok"),
+        band(2).alias("p90_ok"),
+    ).orderBy("o_orderpriority")
+
+
 def q_customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders that are their customer's single priciest order, rolled
     up per priority — the correlated-scalar-subquery shape (TPC-H
@@ -507,6 +543,7 @@ QUERIES = {
     "q_lineitem_window_running": q_lineitem_window_running,
     "q_decile_stats": q_decile_stats,
     "q_percentiles": q_percentiles,
+    "q_orders_approx_quantile": q_orders_approx_quantile,
 }
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -704,6 +741,17 @@ ORACLES = {
         FROM tiled
         GROUP BY decile
         ORDER BY decile
+    """,
+    # Sketch values are engine-specific; the contract is the counts
+    # plus the 2% band holding (see q_orders_approx_quantile).
+    "q_orders_approx_quantile": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     # Mirrors q_percentiles' explicit decimal interpolation verbatim —
     # quantile_cont would interpolate in its own arithmetic and diverge

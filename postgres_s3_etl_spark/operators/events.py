@@ -271,11 +271,48 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact ⋈ dim through an explicit salted join: event_type
+    has ~5 values over the whole stream, so an unsalted shuffle join
+    funnels each type's volume through one reducer; ``salted_join``
+    spreads each type over 16 salt shards while the small side
+    replicates 16× (types × salts rows — trivial). Result is
+    row-identical to the plain join, so the oracle is the plain SQL
+    join. The dim derives deterministically from the data (type
+    weight = len(type) % 3 + 1), keeping both engines in lockstep.
+    """
+    from postgres_s3_etl_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "multiplier", (F.length("event_type") % 3 + 1).cast("bigint")
+        )
+    )
+    joined = salted_join(ev, dim, ["event_type"])
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("value").cast("decimal(18,2)") * F.col("multiplier")
+                ).cast("double"),
+                2,
+            ).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_value_trend": q_events_value_trend,
     "q_events_retention": q_events_retention,
     "q_events_salted_agg": q_events_salted_agg,
+    "q_events_salted_join": q_events_salted_join,
     "q_events_approx_distinct": q_events_approx_distinct,
     "q_events_sessionize": q_events_sessionize,
     "q_events_tumbling": q_events_tumbling,
@@ -409,6 +446,22 @@ ORACLES = {
         GROUP BY user_id
         ORDER BY total_purchase_value DESC, user_id ASC
         LIMIT 20
+    """,
+    # The salted join is row-identical to the plain join, so the
+    # oracle is the unsalted SQL join with the same derived dim.
+    "q_events_salted_join": """
+        WITH dim AS (
+            SELECT DISTINCT event_type,
+                   CAST(length(event_type) % 3 + 1 AS BIGINT) AS multiplier
+            FROM events
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2)) * d.multiplier) AS DOUBLE), 2) AS weighted_value
+        FROM events e
+        JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
     """,
     # The sketch estimate is engine-specific; the contract is the exact
     # counts plus the 5% error band holding (approx_ok), which the

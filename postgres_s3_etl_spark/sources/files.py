@@ -14,6 +14,7 @@ data. ``infer_schema=True`` remains available for exploration.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -61,3 +62,28 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
 
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingest via the ``binaryFile`` source: one row per
+    file — (path, modificationTime, length, content) — the ingestion
+    edge of the multimodal pipeline (operators/multimodal.py): read
+    image/audio/video blobs distributed, then ``mapInPandas`` decode.
+
+    ``glob`` filters file names (``pathGlobFilter``); ``max_bytes``
+    prunes oversized assets BEFORE content is materialized — the
+    length predicate is evaluated against file status, so a 100 GB
+    stray file never crosses the wire.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

@@ -72,6 +72,50 @@ def test_json_orc_roundtrip(spark, tmp_path):
     assert back_o.count() == df.count()
 
 
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile ingest: one row per file with content bytes; glob
+    and size predicates prune before content moves."""
+    from postgres_s3_etl_spark.sources.files import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02" * 10)
+    (tmp_path / "b.bin").write_bytes(b"\xff" * 100)
+    (tmp_path / "skip.txt").write_text("not binary payload")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"].content) == b"\x00\x01\x02" * 10
+    assert rows["b.bin"].length == 100
+
+    small = read_binary_files(spark, str(tmp_path), glob="*.bin", max_bytes=50)
+    assert [r.path.split("/")[-1] for r in small.collect()] == ["a.bin"]
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-identical to the plain join while
+    spreading a hot key over n_salts shards."""
+    from postgres_s3_etl_spark.functions.skew import salted_join
+    from pyspark.sql import functions as F
+
+    # 10k rows of one hot key + a long tail
+    big = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3)], "k string, w int"
+    )
+    salted = salted_join(big, small, ["k"]).collect()
+    plain = big.join(small, "k").collect()
+    key = lambda r: (r.k, r.v, r.w)  # noqa: E731
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
+    # the salted plan joins on (k, _salt) — both exchanges carry salt
+    plan = salted_join(big, small, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+
+
 def test_jdbc_reader_options():
     """No live DB in the container — verify the option plumbing that
     Spark's JDBC source consumes (partitioned read + pushdown)."""
