@@ -29,6 +29,7 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.multimodal",
     "postgres_s3_etl_spark.operators.profiling",
     "postgres_s3_etl_spark.operators.scd",
+    "postgres_s3_etl_spark.operators.clustering",
     "postgres_s3_etl_spark.streaming.events_stream",
 )
 

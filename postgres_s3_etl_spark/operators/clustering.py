@@ -1,0 +1,181 @@
+"""Distributed k-means (Lloyd's algorithm) over the embeddings table
+— the iterative-ML pattern on Spark: broadcast centroids out,
+aggregate assignments back, repeat.
+
+Cross-engine determinism (the hard part, solved the same way as
+sim_search_ivf):
+
+- Assignment score is the expanded form ``-2·(v·c) + ‖c‖²`` — argmin
+  of squared L2 distance — where both dot products are sequential
+  left-to-right folds (the Pandas UDF accumulates dimension-by-
+  dimension; DuckDB's list_dot_product folds the same way), so the
+  scores are bit-identical doubles. Ties break by cluster id.
+- Centroid update sums each dimension in DECIMAL(38,18) — exact and
+  ORDER-INDEPENDENT, so Spark's nondeterministic partition order
+  cannot perturb the result — then one decimal→double cast + one
+  IEEE division for the mean. The SQL twin mirrors both steps.
+
+Scale shape: centroids are K×dim values — collected (K·dim bounded
+rows, the same collect-then-broadcast every distributed k-means
+implementation performs per iteration) and shipped in the UDF
+closure; assignments never leave the executors; the update is one
+groupBy(cluster, dim) aggregation of n·dim rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+
+K_CLUSTERS = 8
+EMB_DIM = 64
+#: 2 assignment passes with 1 centroid update between them.
+KMEANS_ITERS = 2
+
+
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right fold — the same order as the vectorized UDF's
+    per-dimension accumulation and the SQL list_dot_product."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _assign(vecs: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cluster): nearest centroid by expanded-form score."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent_mat = np.array(cents, dtype=np.float64)
+    c2 = np.array([_seq_dot(c, c) for c in cents], dtype=np.float64)
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        dots = np.zeros((m.shape[0], cent_mat.shape[0]), dtype=np.float64)
+        for d in range(cent_mat.shape[1]):
+            dots += m[:, d : d + 1] * cent_mat[:, d]
+        scores = -2.0 * dots + c2
+        # argmin takes the first minimum — ties break by cluster asc,
+        # matching the oracle's (score ASC, cell ASC) row_number.
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return vecs.withColumn("cluster", nearest("v"))
+
+
+def _update(assigned: DataFrame) -> list[list[float]]:
+    """New centroids: exact decimal per-dimension sums (order-
+    independent) → double means. K·dim bounded rows cross the driver."""
+    sums = (
+        assigned.select(
+            "cluster", F.posexplode("v").alias("pos", "val")
+        )
+        .groupBy("cluster", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    cents: dict[int, list[float]] = {}
+    for r in sums:
+        cents.setdefault(r.cluster, [0.0] * EMB_DIM)[r.pos] = float(r.s) / r.n
+    return [cents[j] for j in sorted(cents)]
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration Lloyd k-means, K=8, seeded by the first 8 corpus
+    vectors. Output: cluster sizes + centroid-norm fingerprints."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    seeds = vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    cents = [list(r.v) for r in seeds]
+    assigned = _assign(vecs, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    counts = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    norms = spark.createDataFrame(
+        [
+            (j, math.floor(math.sqrt(_seq_dot(c, c)) * 1e6) / 1e6)
+            for j, c in enumerate(cents)
+        ],
+        "cluster int, centroid_norm double",
+    )
+    return (
+        counts.join(F.broadcast(norms), "cluster")
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_members",
+            "centroid_norm",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+
+_SCORE = "-2.0 * list_dot_product(v.v, c.c) + c.c2"
+
+ORACLES = {
+    "kmeans_embeddings": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS c2
+            FROM vecs WHERE vec_id < {K_CLUSTERS}
+        ),
+        a1 AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_SCORE} ASC, c.cell ASC) AS rn
+                FROM vecs v CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        upd AS (
+            SELECT a1.cell, i.i,
+                   CAST(SUM(CAST(v.v[i.i] AS DECIMAL(38,18))) AS DOUBLE)
+                       / COUNT(*) AS cv
+            FROM a1 JOIN vecs v USING (vec_id),
+                 (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) i
+            GROUP BY a1.cell, i.i
+        ),
+        c1 AS (
+            SELECT cell, list(cv ORDER BY i) AS c
+            FROM upd GROUP BY cell
+        ),
+        c1x AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS cell, c,
+                   list_dot_product(c, c) AS c2
+            FROM c1
+        ),
+        a2 AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                           ORDER BY {_SCORE} ASC, c.cell ASC) AS rn
+                FROM vecs v CROSS JOIN c1x c
+            ) WHERE rn = 1
+        ),
+        counts AS (
+            SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell
+        )
+        SELECT CAST(c.cell AS INT) AS cluster_id,
+               n.n_members,
+               floor(sqrt(c.c2) * 1e6) / 1e6 AS centroid_norm
+        FROM c1x c JOIN counts n ON c.cell = n.cell
+        ORDER BY cluster_id
+    """,
+}

@@ -26,6 +26,7 @@ ORACLE_NAMES = [
     "text_tfidf_topk",
     "q_profile_orders",
     "q_scd2_customer_priority",
+    "kmeans_embeddings",
 ]
 
 
@@ -82,6 +83,37 @@ def test_ngram_jaccard_ranks_near_dup_highest(spark, planted_docs):
     assert near[(0, 2)] < 1.0
     # cross-block dup (0,4) must NOT appear — blocking respected
     assert (0, 4) not in near
+
+
+def test_kmeans_partitions_corpus(spark):
+    """Lloyd iterations must partition the corpus: member counts sum
+    to the corpus size, every cluster survives, and the refined
+    centroids differ from the raw seeds (the update actually ran)."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.clustering import (
+        K_CLUSTERS,
+        kmeans_embeddings,
+        _seq_dot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = kmeans_embeddings(spark, sf).collect()
+    n_vecs = load_table(spark, sf, "embeddings").count()
+    assert len(rows) == K_CLUSTERS
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert all(r.n_members > 0 for r in rows)
+    seeds = (
+        load_table(spark, sf, "embeddings")
+        .where("vec_id < 8")
+        .orderBy("vec_id")
+        .collect()
+    )
+    seed_norms = {
+        round((_seq_dot(list(r.embedding), list(r.embedding))) ** 0.5, 4)
+        for r in seeds
+    }
+    got_norms = {round(r.centroid_norm, 4) for r in rows}
+    assert got_norms != seed_norms  # centroids moved off the seeds
 
 
 def test_ngram_df_cap_bounds_pairs(spark):
