@@ -72,3 +72,32 @@ def write_csv_dir(
     """Distributed CSV sink (directory of part files) — the scale
     path when CSV output is required for a large result."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_parquet_sized(
+    df: DataFrame,
+    path: str,
+    max_rows_per_file: int,
+    n_partitions: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """File-size-controlled parquet sink. Small files are the top
+    read-amplification bug in data-lake pipelines (a 1000-executor
+    job naively writes one file per task), and giant files defeat
+    split parallelism.
+
+    ``maxRecordsPerFile`` caps file size with NO extra pass or
+    shuffle — the task writer rolls to a new file at the limit.
+    ``n_partitions`` optionally coalesces first (no shuffle) to merge
+    tiny task outputs; together they bracket file sizes from both
+    ends. For even sizing after a skewed shuffle, repartition on a
+    well-distributed key upstream instead.
+    """
+    out = df.coalesce(n_partitions) if n_partitions else df
+    (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_rows_per_file))
+        .parquet(path)
+    )

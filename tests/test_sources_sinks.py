@@ -72,6 +72,94 @@ def test_json_orc_roundtrip(spark, tmp_path):
     assert back_o.count() == df.count()
 
 
+def test_stream_parquet_sink_exactly_once(spark, tmp_path):
+    """Checkpointed file sink: restarting the same availableNow
+    stream over the same checkpoint must not duplicate rows."""
+    from postgres_s3_etl_spark.sinks.streaming import write_stream_parquet
+    from tests.conftest import SF_DIR
+
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = read_events_stream(spark, SF_DIR).select(
+        "event_id", "user_id", "event_type"
+    )
+    q1 = write_stream_parquet(src, out, ckpt)
+    q1.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # "restart": same checkpoint, same input — nothing new to process
+    q2 = write_stream_parquet(
+        read_events_stream(spark, SF_DIR).select(
+            "event_id", "user_id", "event_type"
+        ),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+    # exactly-once vs the batch source truth
+    from postgres_s3_etl_spark.catalog import load_table
+
+    assert n1 == load_table(spark, SF_DIR, "events").count()
+
+
+def test_foreach_batch_idempotent_replay(spark, tmp_path):
+    """foreachBatch upsert contract: delivering the same batch twice
+    (crash replay) commits once via the batch-marker pattern."""
+    import os
+
+    from postgres_s3_etl_spark.sinks.streaming import (
+        batch_marker_dir,
+        foreach_batch_upsert,
+    )
+    from tests.conftest import SF_DIR
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    base = str(tmp_path / "base")
+    applied: list[int] = []
+
+    def apply(df, batch_id):
+        dest = batch_marker_dir(base, batch_id)
+        if os.path.exists(dest):
+            return  # replay of a committed batch — no-op
+        df.write.parquet(dest)
+        applied.append(batch_id)
+        # simulate a crash-replay: call again with the same batch
+        apply(df, batch_id)
+
+    src = read_events_stream(spark, SF_DIR).select("event_id")
+    q = foreach_batch_upsert(src, str(tmp_path / "ck"), apply)
+    q.awaitTermination()
+    assert applied  # ran at least one batch
+    assert len(applied) == len(set(applied))  # each committed once
+    total = spark.read.parquet(base + "/batch_id=*").count()
+    from postgres_s3_etl_spark.catalog import load_table
+
+    assert total == load_table(spark, SF_DIR, "events").count()
+
+
+def test_write_parquet_sized(spark, tmp_path):
+    """maxRecordsPerFile brackets output file sizes without a shuffle."""
+    import glob as _glob
+
+    from postgres_s3_etl_spark.sinks.files import write_parquet_sized
+
+    df = spark.range(10_000).repartition(2)
+    out = str(tmp_path / "sized")
+    write_parquet_sized(df, out, max_rows_per_file=1_000)
+    files = _glob.glob(out + "/part-*.parquet")
+    assert len(files) >= 10  # 10k rows / 1k cap
+    for f in files:
+        assert spark.read.parquet(f).count() <= 1_000
+    assert spark.read.parquet(out).count() == 10_000
+
+
 def test_binary_file_source(spark, tmp_path):
     """binaryFile ingest: one row per file with content bytes; glob
     and size predicates prune before content moves."""
