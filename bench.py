@@ -45,6 +45,13 @@ HEADLINE = (
     "sim_search_ivf",
     "text_quality",
     "text_fingerprint",
+    # round-2 additions
+    "dedup_ngram_jaccard",
+    "text_tfidf_topk",
+    "q_profile_orders",
+    "q_scd2_customer_priority",
+    "q_events_salted_join",
+    "kmeans_embeddings",
 )
 
 
