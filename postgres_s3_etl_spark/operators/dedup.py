@@ -117,8 +117,19 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFr
     shingled = docs.select(
         "doc_id", "lang", "source", _words_col().alias("w")
     ).select("doc_id", "lang", "source", _shingles_expr().alias("shingles"))
+    # Shuffle a 60-bit md5-prefix of each shingle, not the string:
+    # the window and self-join keys shrink from ~30-byte text to one
+    # long (collisions merge shingles at ~2^-60 — negligible, and the
+    # oracle hashes identically so both engines see the same universe).
     exploded = shingled.select(
-        "doc_id", "lang", "source", F.explode("shingles").alias("sh")
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(shingles, s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint))"
+            )
+        ).alias("sh"),
     )
     w_df = Window.partitionBy("lang", "source", "sh")
     kept = (
@@ -562,8 +573,15 @@ ORACLES = {
                          string_split_regex(trim(text), '\\s+') AS w
                   FROM documents)
         ),
+        raw AS (
+            SELECT doc_id, lang, source, unnest(shingles) AS s0 FROM sh
+        ),
         exploded AS (
-            SELECT doc_id, lang, source, unnest(shingles) AS s FROM sh
+            SELECT doc_id, lang, source,
+                   list_sum([(strpos('0123456789abcdef', substr(md5(s0), i, 1)) - 1)
+                             * CAST(pow(16, 15 - i) AS BIGINT)
+                             for i in generate_series(1, 15)]) AS s
+            FROM raw
         ),
         kept AS (
             SELECT doc_id, lang, source, s FROM (

@@ -271,6 +271,45 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily counts per event type — the time-bucket
+    gapfill feature of time-series engines: every (day, type) cell
+    appears even when no events landed, so downstream
+    moving-averages/charts see a dense series.
+
+    Scale shape: the raw stream first rolls up to (day, type) grain
+    (one shuffle over the fact), THEN joins the dense calendar spine —
+    `sequence(min_day, max_day)` × distinct types, a few thousand rows
+    built from a 1-row aggregate — so the spine join touches rollup
+    rows, never raw events. Missing cells coalesce to 0.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+        )
+        .crossJoin(daily.select("event_type").distinct())
+    )
+    return (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n_events").isNull().alias("filled"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skewed fact ⋈ dim through an explicit salted join: event_type
     has ~5 values over the whole stream, so an unsalted shuffle join
@@ -313,6 +352,7 @@ QUERIES = {
     "q_events_retention": q_events_retention,
     "q_events_salted_agg": q_events_salted_agg,
     "q_events_salted_join": q_events_salted_join,
+    "q_events_gapfill": q_events_gapfill,
     "q_events_approx_distinct": q_events_approx_distinct,
     "q_events_sessionize": q_events_sessionize,
     "q_events_tumbling": q_events_tumbling,
@@ -446,6 +486,27 @@ ORACLES = {
         GROUP BY user_id
         ORDER BY total_purchase_value DESC, user_id ASC
         LIMIT 20
+    """,
+    "q_events_gapfill": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+            FROM events GROUP BY day, event_type
+        ),
+        bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+            SELECT d.day, t.event_type
+            FROM (SELECT unnest(generate_series(
+                      (SELECT d0 FROM bounds),
+                      (SELECT d1 FROM bounds),
+                      INTERVAL 1 DAY))::DATE AS day) d
+            CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        )
+        SELECT s.day, s.event_type,
+               COALESCE(dl.n_events, 0) AS n_events,
+               dl.n_events IS NULL AS filled
+        FROM spine s
+        LEFT JOIN daily dl ON s.day = dl.day AND s.event_type = dl.event_type
+        ORDER BY s.day, s.event_type
     """,
     # The salted join is row-identical to the plain join, so the
     # oracle is the unsalted SQL join with the same derived dim.
