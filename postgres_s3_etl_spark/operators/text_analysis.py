@@ -411,6 +411,50 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling — the training-data
+    mixing primitive: each source gets a keep rate, membership is a
+    pure hash of doc_id (md5 → basis points), so the sample is
+    reproducible across runs, engines, and partitionings (no RNG, no
+    ``sample()`` nondeterminism).
+
+    Per-source rates here derive from the source name
+    (1000·(len%5+1) bp) to stay self-contained; a real mixing run
+    passes a rates dict. Output: per-source kept/total accounting +
+    the observed rate, which converges to the target by the hash's
+    uniformity. One scan, one aggregation shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bp = F.expr(
+        "pmod(cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint), 10000)"
+    )
+    rate_bp = (F.length("source") % 5 + 1) * 1000
+    flagged = docs.select(
+        "source",
+        F.expr(
+            r"size(split(trim(text), '\\s+'))"
+        ).alias("n_tokens"),
+        (bp < rate_bp).alias("kept"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            _trunc6(
+                F.sum(F.when(F.col("kept"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("observed_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -421,6 +465,7 @@ QUERIES = {
     "text_bigram_pmi": text_bigram_pmi,
     "text_pii_scrub": text_pii_scrub,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_stratified_sample": text_stratified_sample,
 }
 
 
@@ -651,5 +696,26 @@ ORACLES = {
         SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TFIDF_TOP_K}
         ORDER BY doc_id, rank
+    """,
+    "text_stratified_sample": r"""
+        WITH flagged AS (
+            SELECT source,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   (list_sum([(strpos('0123456789abcdef',
+                                      substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                              * CAST(pow(16, 15 - i) AS BIGINT)
+                              for i in generate_series(1, 15)]) % 10000)
+                       < (length(source) % 5 + 1) * 1000 AS kept
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+               floor(CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS observed_rate
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
     """,
 }

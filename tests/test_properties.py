@@ -72,3 +72,27 @@ def test_shingle_count_bounds(spark, text):
     )
     r = df.collect()[0]
     assert 1 <= r.n <= max(r.nw - 2, 1)
+
+
+@given(
+    keys=st.lists(st.sampled_from(["a", "b", "hot"]), min_size=1, max_size=30),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=8, deadline=None)
+def test_salted_join_equivalence(spark, keys, n_salts):
+    """salted_join(big, small) == big ⋈ small for ANY key multiset
+    and salt count — salting must never change join semantics."""
+    from postgres_s3_etl_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k string, v long"
+    )
+    small = spark.createDataFrame(
+        [("a", 10), ("hot", 20), ("zzz", 30)], "k string, w long"
+    )
+    got = sorted(
+        (r.k, r.v, r.w)
+        for r in salted_join(big, small, ["k"], n_salts=n_salts).collect()
+    )
+    want = sorted((r.k, r.v, r.w) for r in big.join(small, "k").collect())
+    assert got == want
