@@ -427,6 +427,44 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two tables on a shared key — the
+    data-integrity audit every warehouse load runs: which customers
+    have no orders (expected: TPC-H leaves ~1/3 orderless), which
+    orders reference no customer (expected: none), and the matched
+    totals. Completes the join-type matrix (inner/left/semi/anti/full
+    outer) with a FULL OUTER whose both-sides-preserved semantics
+    can't be rewritten away.
+
+    Scale: orders first roll up to per-customer grain (one shuffle),
+    so the full outer joins |customers| vs |customers-with-orders|
+    rows — never raw facts.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("cust_value"),
+        )
+    )
+    j = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    matched = F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull()
+    return j.agg(
+        F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias("n_matched"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_customer_only"),
+        F.sum(
+            F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_orders_only"),
+        F.round(
+            F.sum(F.when(matched, F.col("cust_value")).otherwise(0)).cast("double"), 2
+        ).alias("matched_value"),
+    )
+
+
 def q_orders_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile-sketch path for 100 TB percentiles: exact percentiles
     need a per-group sort, but ``percentile_approx`` (Greenwald-Khanna
@@ -544,6 +582,7 @@ QUERIES = {
     "q_decile_stats": q_decile_stats,
     "q_percentiles": q_percentiles,
     "q_orders_approx_quantile": q_orders_approx_quantile,
+    "q_customer_order_reconcile": q_customer_order_reconcile,
 }
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -741,6 +780,21 @@ ORACLES = {
         FROM tiled
         GROUP BY decile
         ORDER BY decile
+    """,
+    "q_customer_order_reconcile": """
+        WITH ords AS (
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_value
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_only,
+               CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orders_only,
+               ROUND(CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                                   THEN cust_value ELSE 0 END) AS DOUBLE), 2) AS matched_value
+        FROM customer c
+        FULL OUTER JOIN ords o ON c.c_custkey = o.o_custkey
     """,
     # Sketch values are engine-specific; the contract is the counts
     # plus the 2% band holding (see q_orders_approx_quantile).

@@ -74,6 +74,32 @@ def write_csv_dir(
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_parquet_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Data-skipping layout: range-partition then sort-within on
+    ``sort_col`` before writing, so each output file covers a
+    disjoint value range. Parquet stores per-row-group min/max, and a
+    reader filtering on ``sort_col`` then skips whole files/row
+    groups — the poor-engine's zone map / Z-order, and the single
+    highest-leverage layout decision for a 100 TB table queried by
+    time or key range. One range exchange (sampled bounds) + local
+    sorts; no global sort.
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def write_parquet_sized(
     df: DataFrame,
     path: str,

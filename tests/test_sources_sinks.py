@@ -144,6 +144,34 @@ def test_foreach_batch_idempotent_replay(spark, tmp_path):
     assert total == load_table(spark, SF_DIR, "events").count()
 
 
+def test_write_parquet_range_sorted_gives_disjoint_files(spark, tmp_path):
+    """Range-sorted layout: every output file covers a disjoint key
+    range (what lets parquet min/max stats skip files on range
+    predicates)."""
+    import glob as _glob
+
+    from postgres_s3_etl_spark.sinks.files import write_parquet_range_sorted
+    from pyspark.sql import functions as F
+
+    df = spark.range(10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "ranged")
+    write_parquet_range_sorted(df, out, "k", n_files=8)
+    spans = []
+    for f in _glob.glob(out + "/part-*.parquet"):
+        r = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        if r.n:
+            spans.append((r.lo, r.hi))
+    spans.sort()
+    assert len(spans) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint — a range predicate skips files
+    assert spark.read.parquet(out).count() == 10_000
+
+
 def test_write_parquet_sized(spark, tmp_path):
     """maxRecordsPerFile brackets output file sizes without a shuffle."""
     import glob as _glob
