@@ -70,3 +70,45 @@ def batch_marker_dir(base: str, batch_id: int) -> str:
     implementations: a per-batch output directory whose existence
     means 'this batch already committed'."""
     return os.path.join(base, f"batch_id={batch_id}")
+
+
+def materialize_rollup(
+    agg_stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str,
+) -> StreamingQuery:
+    """Incremental materialized view: a streaming aggregation in
+    UPDATE mode, landed as a partitioned parquet table where each
+    micro-batch overwrites exactly the partitions it changed
+    (dynamic partition overwrite inside foreachBatch).
+
+    This is the continuous-aggregate pattern: the view stays
+    queryable as a plain parquet table, refresh cost is proportional
+    to the CHANGED keys (update mode emits only touched rows), and a
+    replayed batch rewrites the same partitions with the same content
+    — idempotent by construction, no batch markers needed.
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return (
+        agg_stream.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -64,6 +64,41 @@ def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Dirty-data-safe CSV ingest: PERMISSIVE mode with a
+    ``_corrupt_record`` column, so malformed rows land as auditable
+    rows instead of failing the job (FAILFAST) or vanishing
+    (DROPMALFORMED). The reference's pandas ingest would raise on the
+    first bad row of a 100 TB feed; here
+    ``df.where("_corrupt_record IS NOT NULL")`` is the quarantine
+    stream and the rest proceeds.
+    """
+    schema_struct = (
+        schema
+        if isinstance(schema, StructType)
+        else StructType.fromDDL(schema)
+    )
+    from pyspark.sql.types import StringType, StructField
+
+    with_corrupt = StructType(
+        [*schema_struct.fields, StructField("_corrupt_record", StringType())]
+    )
+    return (
+        spark.read.schema(with_corrupt)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
 def read_binary_files(
     spark: SparkSession,
     path: str,

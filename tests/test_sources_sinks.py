@@ -144,6 +144,50 @@ def test_foreach_batch_idempotent_replay(spark, tmp_path):
     assert total == load_table(spark, SF_DIR, "events").count()
 
 
+def test_materialized_rollup_equals_batch(spark, tmp_path):
+    """Incremental materialized view: the streamed, partition-
+    overwritten rollup table equals the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.sinks.streaming import materialize_rollup
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    agg = (
+        read_events_stream(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+    out = str(tmp_path / "view")
+    q = materialize_rollup(agg, out, str(tmp_path / "ck"), "event_type")
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.event_type: (r.n_events, r.total_value)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_write_parquet_range_sorted_gives_disjoint_files(spark, tmp_path):
     """Range-sorted layout: every output file covers a disjoint key
     range (what lets parquet min/max stats skip files on range
@@ -186,6 +230,33 @@ def test_write_parquet_sized(spark, tmp_path):
     for f in files:
         assert spark.read.parquet(f).count() <= 1_000
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_csv_audited_quarantines_bad_rows(spark, tmp_path):
+    """PERMISSIVE ingest: malformed rows are captured in
+    _corrupt_record, clean rows parse — nothing fails, nothing is
+    silently dropped."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.sources.files import read_csv_audited
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,9.99\n"
+        "2,notanumber,1.50\n"  # malformed qty
+        "3,7,2.25\n"
+    )
+    df = read_csv_audited(
+        spark, str(p), "id bigint, qty bigint, price double"
+    ).cache()
+    good = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "notanumber" in bad_rows[0]._corrupt_record
+    df.unpersist()
 
 
 def test_binary_file_source(spark, tmp_path):
