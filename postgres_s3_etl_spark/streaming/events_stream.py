@@ -282,6 +282,127 @@ def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("purchase_id", "click_id")
 
 
+def tws_available() -> bool:
+    """TransformWithStateInPandas needs the protobuf python package
+    for its driver-side state server; absent/broken in this
+    container (same class of gap as the Kafka connector jar)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_sessionize_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same gap-sessionization on the TransformWithState API
+    (Spark 4 state-v2: typed value state + explicit event-time
+    timers, RocksDB-backed) — the successor to
+    ``applyInPandasWithState`` for custom stateful operators. Output
+    and emission semantics are identical to
+    :func:`stream_sessionize_stateful`, so the two share one oracle.
+
+    Environment-gated: requires the protobuf package
+    (``tws_available()``); on a full cluster install this runs as-is.
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs the google.protobuf "
+            "package, which this environment lacks; use "
+            "stream_sessionize_stateful (applyInPandasWithState) — "
+            "identical semantics."
+        )
+    import pandas as pd  # noqa: F811 — local for the processor closure
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "sess", "start_ms long, last_ms long, n_events long"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            events = pd.concat(list(rows))
+            ms = (events["ts"].astype("int64") // 1_000_000).sort_values().tolist()
+            if self._state.exists():
+                start_ms, last_ms, n_events = self._state.get()
+            else:
+                start_ms = last_ms = None
+                n_events = 0
+            out_rows = []
+            for t in ms:
+                if last_ms is None:
+                    start_ms, last_ms, n_events = t, t, 1
+                elif t - last_ms > SESSION_GAP_MS:
+                    out_rows.append((user_id, start_ms, last_ms, n_events))
+                    start_ms, last_ms, n_events = t, t, 1
+                else:
+                    last_ms = t
+                    n_events += 1
+            self._state.update((start_ms, last_ms, n_events))
+            # One live timer per key: re-arm at the session's gap
+            # horizon, strictly above the current watermark.
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer(
+                max(
+                    last_ms + SESSION_GAP_MS,
+                    timer_values.getCurrentWatermarkInMs() + 1,
+                )
+            )
+            if out_rows:
+                df = pd.DataFrame(
+                    out_rows, columns=["user_id", "start_ms", "last_ms", "n_events"]
+                )
+                yield pd.DataFrame(
+                    {
+                        "user_id": df["user_id"],
+                        "session_start": pd.to_datetime(df["start_ms"], unit="ms"),
+                        "session_end": pd.to_datetime(df["last_ms"], unit="ms"),
+                        "n_events": df["n_events"],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            if not self._state.exists():
+                return
+            (user_id,) = key
+            start_ms, last_ms, n_events = self._state.get()
+            self._state.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([user_id], dtype="int64"),
+                    "session_start": pd.to_datetime([start_ms], unit="ms"),
+                    "session_end": pd.to_datetime([last_ms], unit="ms"),
+                    "n_events": pd.Series([n_events], dtype="int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=_SESSION_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
 def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: first occurrence per (user_id,
     event_type) via stateful ``dropDuplicates`` — the

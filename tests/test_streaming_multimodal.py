@@ -55,6 +55,31 @@ def test_stream_sessionize_stateful(spark):
     assert len(sessions) >= batch_total - len(users)
 
 
+def test_tws_sessionize_gated_or_identical(spark):
+    """TransformWithState twin: where the environment supports it,
+    output must equal the applyInPandasWithState sessionizer; where
+    it doesn't (no protobuf), the gate must raise the documented
+    error rather than crash mid-stream."""
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        QUERIES,
+        run_stream_to_memory,
+        stream_sessionize_tws,
+        tws_available,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    if not tws_available():
+        with pytest.raises(RuntimeError, match="protobuf"):
+            stream_sessionize_tws(spark, sf)
+        return
+    tws = run_stream_to_memory(
+        stream_sessionize_tws(spark, sf), "tws_sessions"
+    ).collect()
+    old = QUERIES["stream_sessionize_stateful"](spark, sf).collect()
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)  # noqa: E731
+    assert sorted(map(key, tws)) == sorted(map(key, old))
+
+
 def test_stream_exact_dedup_equals_distinct(spark):
     """Streaming dropDuplicates over the key columns emits exactly
     the batch DISTINCT set (arrival order unobservable)."""
