@@ -427,6 +427,47 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_window_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window function surface in one query: rank /
+    dense_rank / percent_rank / cume_dist / nth_value / first & last
+    value over per-priority price ordering, emitted for probe orders
+    (orderkey < 200) so output stays bounded while the windows
+    compute over full partitions.
+
+    Scale: partitions by the 5-value priority key — the same profile
+    as any per-group ranking; the probe filter applies AFTER the
+    windows (semantics require full partitions) but the final
+    projection keeps only probe rows.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("price"), F.asc("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            _trunc6_local(F.percent_rank().over(w)).alias("pct_rank"),
+            _trunc6_local(F.cume_dist().over(w)).alias("cume"),
+            F.first("price").over(w_full).cast("double").alias("min_price"),
+            F.last("price").over(w_full).cast("double").alias("max_price"),
+            F.nth_value("price", 2).over(w_full).cast("double").alias("second_price"),
+        )
+        .where(F.col("o_orderkey") < 200)
+        .orderBy("o_orderkey")
+    )
+
+
+def _trunc6_local(col):
+    return F.floor(col * 1e6) / 1e6
+
+
 def q_customer_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer reconciliation of two tables on a shared key — the
     data-integrity audit every warehouse load runs: which customers
@@ -583,6 +624,7 @@ QUERIES = {
     "q_percentiles": q_percentiles,
     "q_orders_approx_quantile": q_orders_approx_quantile,
     "q_customer_order_reconcile": q_customer_order_reconcile,
+    "q_orders_window_catalog": q_orders_window_catalog,
 }
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -780,6 +822,27 @@ ORACLES = {
         FROM tiled
         GROUP BY decile
         ORDER BY decile
+    """,
+    "q_orders_window_catalog": """
+        WITH win AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+        )
+        SELECT o_orderkey, o_orderpriority,
+               CAST(RANK() OVER w AS INT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+               floor(PERCENT_RANK() OVER w * 1e6) / 1e6 AS pct_rank,
+               floor(CUME_DIST() OVER w * 1e6) / 1e6 AS cume,
+               CAST(FIRST_VALUE(price) OVER wf AS DOUBLE) AS min_price,
+               CAST(LAST_VALUE(price) OVER wf AS DOUBLE) AS max_price,
+               CAST(NTH_VALUE(price, 2) OVER wf AS DOUBLE) AS second_price
+        FROM win
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price ASC, o_orderkey ASC),
+               wf AS (PARTITION BY o_orderpriority ORDER BY price ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        QUALIFY o_orderkey < 200
+        ORDER BY o_orderkey
     """,
     "q_customer_order_reconcile": """
         WITH ords AS (
