@@ -28,6 +28,9 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.temporal",
     "postgres_s3_etl_spark.operators.multimodal",
     "postgres_s3_etl_spark.operators.profiling",
+    "postgres_s3_etl_spark.operators.cdc",
+    "postgres_s3_etl_spark.operators.quality",
+    "postgres_s3_etl_spark.operators.sharding",
     "postgres_s3_etl_spark.operators.scd",
     "postgres_s3_etl_spark.operators.clustering",
     "postgres_s3_etl_spark.streaming.events_stream",

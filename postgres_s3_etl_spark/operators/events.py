@@ -104,6 +104,40 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows sliding every 15
+    minutes — each event lands in exactly 4 overlapping windows.
+    ``window(ts, '1 hour', '15 minutes')`` expands rows engine-side
+    before the aggregation (no self-join, no UDF); the oracle
+    expands the same 4 memberships with a bounded ``range(4)`` cross
+    join off the 15-minute bucket.
+
+    Bounded to the first week so the driver's collect stays small;
+    the plan itself is SF-independent: expansion is a constant 4×,
+    the aggregation one shuffle on (window, type).
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value", "total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``$.k`` out of the JSON
     ``props`` string and aggregate it per event type."""
@@ -356,6 +390,7 @@ QUERIES = {
     "q_events_approx_distinct": q_events_approx_distinct,
     "q_events_sessionize": q_events_sessionize,
     "q_events_tumbling": q_events_tumbling,
+    "q_events_hopping": q_events_hopping,
     "q_events_json_props": q_events_json_props,
     "q_events_topk_users": q_events_topk_users,
 }
@@ -413,6 +448,25 @@ ORACLES = {
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY hour_start, event_type
+    """,
+    "q_events_hopping": """
+        WITH e AS (
+            SELECT event_type, value,
+                   (epoch_us(ts) // 900000000) * 900 AS b15_sec
+            FROM events
+            WHERE ts < TIMESTAMP '2024-01-08'
+        ),
+        expanded AS (
+            SELECT event_type, value,
+                   CAST(to_timestamp(b15_sec - k * 900) AS TIMESTAMP) AS window_start
+            FROM e CROSS JOIN (SELECT unnest(range(4)) AS k)
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM expanded
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
     """,
     "q_events_json_props": """
         SELECT event_type,

@@ -1,0 +1,154 @@
+"""Data-quality constraint suite (Deequ-style declarative checks).
+
+A 100 TB ingest pipeline gates loads on data-quality assertions the
+way the reference gates on Airflow task success (reference
+airflow/dags/*_ETL.py retries): completeness, uniqueness,
+referential integrity, accepted values, ranges, freshness — each a
+metric plus a pass/fail verdict, computed in as few passes as the
+semantics allow.
+
+Plan shape (three jobs total, each a single aggregation):
+1. One full-scan aggregate over ``orders`` computes every row-local
+   metric at once (completeness / accepted-values / range /
+   freshness) — conditional sums, map-side combined.
+2. Uniqueness needs distinct-ness: one ``groupBy(key)`` pre-shuffle
+   counts rows AND distinct keys from the same shuffle (no
+   count-distinct Expand, no second scan).
+3. Referential integrity is a LEFT ANTI join ``lineitem → orders``
+   on the key — at scale AQE plans it as a shuffled join whose
+   build side is just the key column (column-pruned scan).
+
+The three 1-row results cross-join (broadcast of scalars) and
+unpivot via ``stack`` into the canonical (constraint, metric,
+passed) report — row-local, no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+
+#: Constraint thresholds (plain data, mirrored verbatim in the oracle).
+PRICE_MIN = 0.0
+FRESH_DATE = "1998-01-01"
+ACCEPTED_STATUS = ("O", "F", "P")
+
+
+def _trunc6(col):
+    return F.floor(col * 1e6) / 1e6
+
+
+def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per constraint: name, metric in [0,1], passed flag."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    status_ok = F.col("o_orderstatus").isin(*ACCEPTED_STATUS)
+    price_ok = F.col("o_totalprice") > PRICE_MIN
+    scan = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.sum(F.when(status_ok, 1).otherwise(0)).alias("n_status_ok"),
+        F.sum(F.when(price_ok, 1).otherwise(0)).alias("n_price_ok"),
+        F.max(F.to_date("o_orderdate")).alias("max_date"),
+    )
+
+    uniq = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_key_rows"),
+        )
+    )
+
+    li_keys = lineitem.select("l_orderkey")
+    fk = (
+        li_keys.join(
+            orders.select("o_orderkey"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+            how="left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .crossJoin(li_keys.agg(F.count(F.lit(1)).alias("n_li")))
+    )
+
+    wide = scan.crossJoin(uniq).crossJoin(fk).select(
+        _trunc6(F.col("n_custkey") / F.col("n_rows")).alias("m_complete"),
+        _trunc6(F.col("n_keys") / F.col("n_key_rows")).alias("m_unique"),
+        _trunc6(F.col("n_status_ok") / F.col("n_rows")).alias("m_status"),
+        _trunc6(F.col("n_price_ok") / F.col("n_rows")).alias("m_price"),
+        _trunc6(
+            1 - F.col("n_orphans") / F.col("n_li")
+        ).alias("m_fk"),
+        F.when(
+            F.col("max_date") >= F.to_date(F.lit(FRESH_DATE)), 1.0
+        )
+        .otherwise(0.0)
+        .alias("m_fresh"),
+    )
+
+    report = wide.select(
+        F.expr(
+            """stack(6,
+               'orders_custkey_complete',  m_complete,
+               'orders_orderkey_unique',   m_unique,
+               'orders_status_accepted',   m_status,
+               'orders_price_positive',    m_price,
+               'lineitem_fk_integrity',    m_fk,
+               'orders_freshness',         m_fresh
+            ) AS (check_name, metric)"""
+        )
+    )
+    return report.select(
+        "check_name",
+        "metric",
+        (F.col("metric") >= 1.0).alias("passed"),
+    ).orderBy("check_name")
+
+
+QUERIES = {"q_quality_constraints": q_quality_constraints}
+
+ORACLES = {
+    "q_quality_constraints": f"""
+        WITH scan AS (
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(o_custkey) AS n_custkey,
+                   SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS n_status_ok,
+                   SUM(CASE WHEN o_totalprice > {PRICE_MIN} THEN 1 ELSE 0 END) AS n_price_ok,
+                   MAX(CAST(o_orderdate AS DATE)) AS max_date
+            FROM orders
+        ),
+        uniq AS (
+            SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_key_rows
+            FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders GROUP BY o_orderkey)
+        ),
+        fk AS (
+            SELECT (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+                   (SELECT COUNT(*) FROM lineitem) AS n_li
+        ),
+        wide AS (
+            SELECT floor(CAST(n_custkey AS DOUBLE) / n_rows * 1e6) / 1e6 AS m_complete,
+                   floor(CAST(n_keys AS DOUBLE) / n_key_rows * 1e6) / 1e6 AS m_unique,
+                   floor(CAST(n_status_ok AS DOUBLE) / n_rows * 1e6) / 1e6 AS m_status,
+                   floor(CAST(n_price_ok AS DOUBLE) / n_rows * 1e6) / 1e6 AS m_price,
+                   floor((1 - CAST(n_orphans AS DOUBLE) / n_li) * 1e6) / 1e6 AS m_fk,
+                   CASE WHEN max_date >= DATE '{FRESH_DATE}' THEN 1.0 ELSE 0.0 END AS m_fresh
+            FROM scan, uniq, fk
+        )
+        SELECT check_name, metric, metric >= 1.0 AS passed
+        FROM (
+            SELECT 'orders_custkey_complete' AS check_name, m_complete AS metric FROM wide
+            UNION ALL SELECT 'orders_orderkey_unique', m_unique FROM wide
+            UNION ALL SELECT 'orders_status_accepted', m_status FROM wide
+            UNION ALL SELECT 'orders_price_positive', m_price FROM wide
+            UNION ALL SELECT 'lineitem_fk_integrity', m_fk FROM wide
+            UNION ALL SELECT 'orders_freshness', m_fresh FROM wide
+        )
+        ORDER BY check_name
+    """,
+}
