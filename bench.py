@@ -52,6 +52,10 @@ HEADLINE = (
     "q_scd2_customer_priority",
     "q_events_salted_join",
     "kmeans_embeddings",
+    "q_orders_merge_upsert",
+    "q_quality_constraints",
+    "text_shard_pack",
+    "q_events_hopping",
 )
 
 

@@ -468,6 +468,50 @@ def _trunc6_local(col):
     return F.floor(col * 1e6) / 1e6
 
 
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary):
+    the standard warehouse scoring — one aggregation to customer
+    grain, then three ntile(5) windows (deterministic tie-break on
+    custkey) composed into a 3-digit segment code.
+
+    Scale: the ntile windows sort the CUSTOMER-grain rollup, not the
+    fact table — same class as the decile query. At 100 TB the exact
+    ntile would become approx-quantile boundary assignment
+    (`q_orders_approx_quantile` shows that path); the rollup itself
+    is one map-side-combined shuffle.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.lit("2002-01-01")), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec("o_totalprice")).alias("monetary_dec"),
+    )
+    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        F.round(F.col("monetary_dec").cast("double"), 2).alias("monetary"),
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.withColumn(
+            "segment",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+                "int"
+            ),
+        )
+        .where(F.col("o_custkey") < 500)
+        .orderBy("o_custkey")
+    )
+
+
 def q_customer_order_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer reconciliation of two tables on a shared key — the
     data-integrity audit every warehouse load runs: which customers
@@ -625,6 +669,7 @@ QUERIES = {
     "q_orders_approx_quantile": q_orders_approx_quantile,
     "q_customer_order_reconcile": q_customer_order_reconcile,
     "q_orders_window_catalog": q_orders_window_catalog,
+    "q_customer_rfm": q_customer_rfm,
 }
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -843,6 +888,31 @@ ORACLES = {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         QUALIFY o_orderkey < 200
         ORDER BY o_orderkey
+    """,
+    "q_customer_rfm": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2002-01-01') AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+            FROM orders
+            GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey,
+                   CAST(recency_days AS INT) AS recency_days,
+                   frequency,
+                   ROUND(CAST(monetary_dec AS DOUBLE), 2) AS monetary,
+                   CAST(NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INT) AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT) AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY monetary_dec DESC, o_custkey ASC) AS INT) AS m_score
+            FROM per_cust
+        )
+        SELECT *,
+               CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+        FROM scored
+        WHERE o_custkey < 500
+        ORDER BY o_custkey
     """,
     "q_customer_order_reconcile": """
         WITH ords AS (

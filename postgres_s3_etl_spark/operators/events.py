@@ -45,6 +45,84 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (the MATCH_RECOGNIZE use case, Spark-first):
+    a user converts a stage only if the event happens AFTER the
+    previous stage's first completion — signup, then a click after
+    that signup, then a purchase after that click.
+
+    One shuffle total: all three "first event after X" timestamps are
+    window MINs over the same user partition (unbounded frame, no
+    ordering), chained row-locally; the per-user collapse reuses the
+    window's partitioning (AQE plans no second exchange) and the
+    final reduce is a scalar aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t_s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_signup", t_s)
+    t_c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_c)
+    t_p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_p)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_signup").alias("t_signup"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_ordered_click"),
+        F.count("t_purchase").alias("n_ordered_purchase"),
+    )
+
+
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: per (event_type, day) counts scored as
+    z-scores against that type's daily distribution; |z| > 2 flags.
+
+    Cross-engine exactness: the sufficient statistics (n, Σ, Σ²) are
+    bigint — order-independent — and the float z is one mirrored
+    IEEE expression over them (sqrt is correctly-rounded in both
+    engines), so the hash matches bit-for-bit.
+
+    Scale: the z window runs over the DAY-grain rollup (≈ #days ×
+    #types rows), never raw events — constant-size state at any SF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cnt").over(w)
+    sq = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s.cast("double") / n
+    var = (sq.cast("double") - n * mean * mean) / (n - 1)
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            "cnt",
+            (F.floor(z * 1e6) / 1e6).alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag(ts) per user
     → new-session flag → running sum = session index. Global session
@@ -382,6 +460,8 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_events_funnel": q_events_funnel,
+    "q_events_funnel_ordered": q_events_funnel_ordered,
+    "q_events_anomaly_days": q_events_anomaly_days,
     "q_events_value_trend": q_events_value_trend,
     "q_events_retention": q_events_retention,
     "q_events_salted_agg": q_events_salted_agg,
@@ -448,6 +528,63 @@ ORACLES = {
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
         ORDER BY hour_start, event_type
+    """,
+    "q_events_funnel_ordered": """
+        WITH s1 AS (
+            SELECT user_id, event_type, ts,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_signup
+            FROM events
+        ),
+        s2 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'click' AND ts > t_signup THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_click
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *,
+                   MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                       OVER (PARTITION BY user_id) AS t_purchase
+            FROM s2
+        ),
+        per_user AS (
+            SELECT user_id,
+                   MAX(t_signup) AS t_signup,
+                   MAX(t_click) AS t_click,
+                   MAX(t_purchase) AS t_purchase
+            FROM s3 GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(t_signup) AS n_signup,
+               COUNT(t_click) AS n_ordered_click,
+               COUNT(t_purchase) AS n_ordered_purchase
+        FROM per_user
+    """,
+    "q_events_anomaly_days": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        stats AS (
+            SELECT *,
+                   COUNT(*) OVER w AS n,
+                   SUM(cnt) OVER w AS s,
+                   SUM(cnt * cnt) OVER w AS sq
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type)
+        ),
+        scored AS (
+            SELECT event_type, day, cnt,
+                   (cnt - CAST(s AS DOUBLE) / n)
+                     / sqrt((CAST(sq AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) / (n - 1)) AS z_raw
+            FROM stats
+        )
+        SELECT event_type, day, cnt,
+               floor(z_raw * 1e6) / 1e6 AS z,
+               abs(z_raw) > 2 AS is_anomaly
+        FROM scored
+        ORDER BY event_type, day
     """,
     "q_events_hopping": """
         WITH e AS (

@@ -1,0 +1,57 @@
+"""Ordered funnel, daily anomaly z-scores, RFM segmentation."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_funnel_ordered_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_funnel_ordered")
+
+
+def test_anomaly_days_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_anomaly_days")
+
+
+def test_rfm_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_customer_rfm")
+
+
+def test_ordered_funnel_is_monotone_and_stricter(spark):
+    """Stage counts shrink down the funnel, and the strict-order
+    counts can never exceed the any-order funnel's counts."""
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_funnel,
+        q_events_funnel_ordered,
+    )
+
+    o = q_events_funnel_ordered(spark, SF_DIR).collect()[0]
+    assert o.n_signup >= o.n_ordered_click >= o.n_ordered_purchase
+    u = q_events_funnel(spark, SF_DIR).collect()[0]
+    assert o.n_ordered_click <= u.n_signup_click
+    assert o.n_ordered_purchase <= u.n_signup_click_purchase
+
+
+def test_anomaly_zscores_center_on_zero(spark):
+    """Per event type, z-scores must sum to ~0 (definition of z) and
+    every (type, day) appears exactly once."""
+    from postgres_s3_etl_spark.operators.events import q_events_anomaly_days
+
+    rows = q_events_anomaly_days(spark, SF_DIR).collect()
+    per_type: dict[str, list[float]] = {}
+    for r in rows:
+        per_type.setdefault(r.event_type, []).append(r.z)
+    for t, zs in per_type.items():
+        assert abs(sum(zs)) / len(zs) < 1e-3, t
+    assert len({(r.event_type, r.day) for r in rows}) == len(rows)
+
+
+def test_rfm_scores_and_segment_encoding(spark):
+    from postgres_s3_etl_spark.operators.analytics import q_customer_rfm
+
+    rows = q_customer_rfm(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+        assert r.frequency >= 1 and r.monetary > 0
