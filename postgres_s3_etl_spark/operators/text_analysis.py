@@ -160,6 +160,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Span width (tokens) for cross-document repeated-substring scan.
+SPAN_TOKENS = 8
+
+
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span detector — the exact-substring
+    dedup family (train-set decontamination / boilerplate removal):
+    every rolling 8-token span is fingerprinted; a span is
+    "duplicated" when its fingerprint occurs in ≥ 2 distinct docs;
+    each doc reports its duplicated-span fraction.
+
+    Plan (all linear, no pair generation — this is the aggregate
+    formulation, unlike candidate-pair dedup):
+    1. one scan → row-local span fingerprint arrays → explode;
+    2. distinct (doc, fp) → fp doc-frequency (two keyed shuffles,
+       no count-distinct Expand);
+    3. spans LEFT JOIN dup-fp set on fp (equi-join; result rows ==
+       span rows, never pairs) → per-doc aggregate.
+
+    At 100 TB the fp doc-frequency table is the only large
+    intermediate; it is key-partitioned and never collected.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # project the split once — Catalyst does not CSE a split
+    # referenced from lambda bodies (same lesson as text_fingerprint)
+    spans = docs.select("doc_id", _ws_tokens(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                rf"""
+                transform(
+                    sequence(1, greatest(size(w) - {SPAN_TOKENS - 1}, 1)),
+                    i -> md5(concat_ws(' ', slice(w, i, {SPAN_TOKENS})))
+                )
+                """
+            )
+        ).alias("fp"),
+    )
+    doc_freq = (
+        spans.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup_fps = doc_freq.where(F.col("df") >= 2).select("fp", F.lit(1).alias("is_dup"))
+    flagged = spans.join(dup_fps, on="fp", how="left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup_spans"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        (F.floor(F.col("n_dup_spans").cast("double") / F.col("n_spans") * 1e6) / 1e6).alias(
+            "dup_frac"
+        ),
+    ).orderBy("doc_id")
+
+
 MIN_QUALITY = 0.4
 MIN_TOKENS = 10
 
@@ -466,6 +526,7 @@ QUERIES = {
     "text_pii_scrub": text_pii_scrub,
     "text_tfidf_topk": text_tfidf_topk,
     "text_stratified_sample": text_stratified_sample,
+    "text_span_dedup": text_span_dedup,
 }
 
 
@@ -532,6 +593,37 @@ def _langid_oracle() -> str:
 
 
 ORACLES = {
+    "text_span_dedup": rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest([md5(array_to_string(w[i:i+{SPAN_TOKENS - 1}], ' '))
+                           for i in generate_series(1, greatest(len(w) - {SPAN_TOKENS - 1}, 1))]) AS fp
+            FROM words
+        ),
+        doc_freq AS (
+            SELECT fp, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, fp FROM spans)
+            GROUP BY fp
+        ),
+        flagged AS (
+            SELECT s.doc_id,
+                   CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS is_dup
+            FROM spans s LEFT JOIN doc_freq d ON s.fp = d.fp
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_spans,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_dup_spans
+            FROM flagged GROUP BY doc_id
+        )
+        SELECT doc_id, n_spans, n_dup_spans,
+               floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e6) / 1e6 AS dup_frac
+        FROM per_doc
+        ORDER BY doc_id
+    """,
     "text_langid": _langid_oracle(),
     "text_quality": r"""
         WITH m AS (

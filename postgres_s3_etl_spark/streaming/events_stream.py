@@ -89,6 +89,30 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.events.q_events_hopping: 1-hour
+    windows sliding every 15 minutes, 2-hour watermark. The same
+    engine-side 4× membership Expand as batch, with append-mode
+    emission (a window closes when the watermark passes its end)."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
@@ -268,6 +292,13 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hour_start", "event_type")
 
 
+def q_stream_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_events_hopping(spark, sf_dir),
+        _next_query_name("stream_hopping"),
+    ).orderBy("window_start", "event_type")
+
+
 def q_stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         stream_sessionize_stateful(spark, sf_dir),
@@ -426,6 +457,7 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_events_tumbling": q_stream_events_tumbling,
+    "stream_events_hopping": q_stream_events_hopping,
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
     "stream_click_purchase_join": q_stream_click_purchase_join,
     "stream_exact_dedup": q_stream_exact_dedup,
@@ -448,6 +480,29 @@ ORACLES: dict[str, str] = {
         HAVING epoch_ms(hour_start) + 3600000 <=
                (SELECT MAX(epoch_ms(ts)) - {_WM_TUMBLE_MS} FROM events)
         ORDER BY hour_start, event_type
+    """,
+    # Hopping twin: 4× membership expansion off the 15-min bucket +
+    # the same append emission rule (window end <= final watermark).
+    "stream_events_hopping": f"""
+        WITH e AS (
+            SELECT event_type, value,
+                   (epoch_us(ts) // 900000000) * 900 AS b15_sec
+            FROM events
+        ),
+        expanded AS (
+            SELECT event_type, value,
+                   b15_sec - k * 900 AS start_sec
+            FROM e CROSS JOIN (SELECT unnest(range(4)) AS k)
+        )
+        SELECT CAST(to_timestamp(start_sec) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+        FROM expanded
+        GROUP BY start_sec, event_type
+        HAVING (start_sec + 3600) * 1000 <=
+               (SELECT MAX(epoch_ms(ts)) - {_WM_TUMBLE_MS} FROM events)
+        ORDER BY window_start, event_type
     """,
     # Gap-sessionization in SQL, then the stateful-emission rule: every
     # non-final session per user is gap-closed in-batch and emitted;
