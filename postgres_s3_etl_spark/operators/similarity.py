@@ -233,10 +233,48 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus (the standard
+    4× storage/bandwidth shrink before ANN serving): per-dimension
+    corpus min/max → ``code = floor((v - mn) * 255 / (mx - mn))``
+    clamped to [0, 255], re-packed per vector in dimension order.
+
+    Cross-engine exactness: float32 → double widening is exact in
+    both engines, and the quantization is one mirrored IEEE
+    expression over it, so the integer codes hash-match bit-for-bit.
+
+    Scale: the stats table is DIM rows (constant) — computed with one
+    map-side-combined shuffle on ``pos`` and broadcast back; the
+    per-vector repack is row-local. Nothing about this plan changes
+    at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "pos", F.col("vf").cast("double").alias("v"))
+    stats = ex.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    code = F.least(
+        F.lit(255),
+        F.floor((F.col("v") - F.col("mn")) * 255 / (F.col("mx") - F.col("mn"))),
+    ).cast("int")
+    q = ex.join(F.broadcast(stats), "pos").select("vec_id", "pos", code.alias("code"))
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, code))), x -> x.code)")
+            .alias("codes")
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
     "sim_search_lsh": sim_search_lsh,
     "sim_search_ivf": sim_search_ivf,
+    "embedding_quantize": embedding_quantize,
 }
 
 
@@ -277,6 +315,24 @@ def lsh_bucket_cte(extra_cols: str = "") -> str:
 
 
 ORACLES = {
+    "embedding_quantize": """
+        WITH ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY pos
+        ),
+        q AS (
+            SELECT vec_id, pos,
+                   CAST(least(255, floor((v - mn) * 255 / (mx - mn))) AS INT) AS code
+            FROM ex JOIN stats USING (pos)
+        )
+        SELECT vec_id, list(code ORDER BY pos) AS codes
+        FROM q GROUP BY vec_id ORDER BY vec_id
+    """,
     "sim_search_bruteforce": f"""
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

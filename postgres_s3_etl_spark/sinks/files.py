@@ -42,6 +42,13 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (built-in as of Spark 4)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
 def export_csv(df: DataFrame, dest_file: str, header: bool = True) -> str:
     """Single-file CSV export (reference-parity ``load()`` step).
 

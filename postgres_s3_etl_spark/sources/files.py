@@ -64,6 +64,22 @@ def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """XML source (built-in as of Spark 4): one row per ``row_tag``
+    element. Pass an explicit schema in pipelines — inference scans
+    the data twice, which at 100 TB is a full extra pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_csv_audited(
     spark: SparkSession,
     path: str,
