@@ -220,6 +220,48 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: RAG chunking: window of CHUNK_TOKENS tokens, stride CHUNK_STRIDE
+#: (CHUNK_TOKENS - CHUNK_STRIDE tokens of overlap between chunks).
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 40
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (the retrieval/context
+    prep step): fixed 50-token windows every 40 tokens. Row-local
+    array expressions build all chunks in one pass; the emitted
+    fingerprint keeps the output compact while pinning the exact
+    chunk text cross-engine.
+
+    Scale: chunking is embarrassingly parallel (no shuffle before
+    the final ORDER BY, which a real pipeline wouldn't have); output
+    size is input tokens × (1 + overlap fraction).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", _ws_tokens(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(
+                    sequence(0, greatest(cast(ceil((size(w) - {CHUNK_TOKENS})
+                                               / {CHUNK_STRIDE}) as int), 0)),
+                    i -> slice(w, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS})
+                )
+                """
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 MIN_QUALITY = 0.4
 MIN_TOKENS = 10
 
@@ -527,6 +569,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_stratified_sample": text_stratified_sample,
     "text_span_dedup": text_span_dedup,
+    "text_chunk": text_chunk,
 }
 
 
@@ -593,6 +636,26 @@ def _langid_oracle() -> str:
 
 
 ORACLES = {
+    "text_chunk": rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        bounds AS (
+            SELECT doc_id, w,
+                   greatest(CAST(ceil((len(w) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}) AS INT), 0)
+                       AS last_chunk
+            FROM words
+        )
+        SELECT doc_id,
+               unnest([CAST(i AS INT) for i in generate_series(0, last_chunk)]) AS chunk_id,
+               unnest([CAST(len(w[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT)
+                       for i in generate_series(0, last_chunk)]) AS n_tokens,
+               unnest([md5(array_to_string(w[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' '))
+                       for i in generate_series(0, last_chunk)]) AS chunk_md5
+        FROM bounds
+        ORDER BY doc_id, chunk_id
+    """,
     "text_span_dedup": rf"""
         WITH words AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
