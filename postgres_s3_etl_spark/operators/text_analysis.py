@@ -220,6 +220,94 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Decontamination n-gram width (the standard 13-gram overlap test)
+#: scaled to this corpus's short docs.
+DECON_NGRAM = 8
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing
+    any 8-token n-gram with the held-out eval set (docs with
+    ``doc_id % 50 == 0`` stand in for a benchmark suite — the
+    deterministic split the oracle rebuilds).
+
+    The n-gram-overlap test every pretraining pipeline runs before
+    training. Plan: eval n-grams are a DISTINCT fingerprint set
+    (tiny relative to the corpus — benchmark-sized), the train side
+    LEFT SEMI joins against it (fingerprint equi-join, linear), and
+    one aggregate reports contaminated docs per source. At 100 TB
+    the eval fp set still fits in a broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 50 == 0).alias("is_eval"),
+        _ws_tokens(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_eval",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(1, greatest(size(w) - {DECON_NGRAM - 1}, 1)),
+                     i -> md5(concat_ws(' ', slice(w, i, {DECON_NGRAM}))))"""
+            )
+        ).alias("fp"),
+    )
+    eval_fps = spans.where(F.col("is_eval")).select("fp").distinct()
+    contaminated = (
+        spans.where(~F.col("is_eval"))
+        .join(eval_fps, "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train_docs = docs.where(F.col("doc_id") % 50 != 0).select("doc_id", "source")
+    return (
+        train_docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality
+    signals): duplicate 3-gram fraction and duplicate token fraction
+    per document — entirely row-local array math, no shuffle before
+    the final sort. Scale: free to fuse into any corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _ws_tokens(F.lower(F.col("text"))).alias("w"))
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"
+    )
+    return toks.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        (
+            F.floor(
+                (1 - F.size(F.array_distinct("w")).cast("double") / F.size("w")) * 1e6
+            )
+            / 1e6
+        ).alias("dup_token_frac"),
+        (
+            F.floor(
+                (
+                    1
+                    - F.size(F.array_distinct(grams)).cast("double")
+                    / F.size(grams)
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("dup_trigram_frac"),
+    ).orderBy("doc_id")
+
+
 #: RAG chunking: window of CHUNK_TOKENS tokens, stride CHUNK_STRIDE
 #: (CHUNK_TOKENS - CHUNK_STRIDE tokens of overlap between chunks).
 CHUNK_TOKENS = 50
@@ -570,6 +658,8 @@ QUERIES = {
     "text_stratified_sample": text_stratified_sample,
     "text_span_dedup": text_span_dedup,
     "text_chunk": text_chunk,
+    "text_decontaminate": text_decontaminate,
+    "text_repetition_score": text_repetition_score,
 }
 
 
@@ -636,6 +726,52 @@ def _langid_oracle() -> str:
 
 
 ORACLES = {
+    "text_decontaminate": rf"""
+        WITH words AS (
+            SELECT doc_id, source, doc_id % 50 = 0 AS is_eval,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, source, is_eval,
+                   unnest([md5(array_to_string(w[i:i+{DECON_NGRAM - 1}], ' '))
+                           for i in generate_series(1, greatest(len(w) - {DECON_NGRAM - 1}, 1))]) AS fp
+            FROM words
+        ),
+        eval_fps AS (SELECT DISTINCT fp FROM spans WHERE is_eval),
+        contaminated AS (
+            SELECT DISTINCT doc_id FROM spans
+            WHERE NOT is_eval AND fp IN (SELECT fp FROM eval_fps)
+        )
+        SELECT d.source,
+               COUNT(*) AS n_train_docs,
+               CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated
+        FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+        WHERE d.doc_id % 50 <> 0
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    "text_repetition_score": r"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, w,
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in generate_series(1, greatest(len(w) - 2, 1))] AS g
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(w) AS INT) AS n_tokens,
+               floor((1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 1e6) / 1e6
+                   AS dup_token_frac,
+               floor((1 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)) * 1e6) / 1e6
+                   AS dup_trigram_frac
+        FROM grams
+        ORDER BY doc_id
+    """,
     "text_chunk": rf"""
         WITH words AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
