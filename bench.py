@@ -56,6 +56,12 @@ HEADLINE = (
     "q_quality_constraints",
     "text_shard_pack",
     "q_events_hopping",
+    "text_span_dedup",
+    "text_decontaminate",
+    "text_chunk",
+    "q_customer_fuzzy_match",
+    "embedding_quantize",
+    "q_customer_hierarchy",
 )
 
 

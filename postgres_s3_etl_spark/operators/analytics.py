@@ -468,6 +468,107 @@ def _trunc6_local(col):
     return F.floor(col * 1e6) / 1e6
 
 
+def q_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (percentile_disc semantics — the smallest
+    actual value with cume_dist ≥ p) of order totals per market
+    segment. No interpolation, so the emitted values are exact table
+    values: deterministic across engines by construction. Expressed
+    via the explicit row_number formulation (rn == ceil(p·n)) and
+    mirrored verbatim in the oracle — engine builtin quantile_disc
+    conventions differ, the explicit form doesn't.
+
+    Scale: same one window sort per segment as q_percentiles.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy("price")
+    w_all = Window.partitionBy("c_mktsegment")
+    ranked = joined.select(
+        "c_mktsegment",
+        "price",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_orders")]
+    for p_lit, name in (("0.25", "p25"), ("0.50", "p50"), ("0.75", "p75"), ("0.90", "p90")):
+        tgt = f"GREATEST(CAST(CEIL(CAST(n AS DECIMAL(18,2)) * CAST({p_lit} AS DECIMAL(4,2))) AS BIGINT), 1)"
+        aggs.append(
+            F.round(
+                F.max(F.when(F.expr(f"rn = {tgt}"), F.col("price"))).cast("double"), 2
+            ).alias(name)
+        )
+    return ranked.groupBy("c_mktsegment").agg(*aggs).orderBy("c_mktsegment")
+
+
+def q_lineitem_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of (quantity, extendedprice)
+    per return flag, computed from EXACT decimal sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) so the float result is
+    order-independent and hash-matches the oracle — the builtin
+    ``corr()`` streams doubles and is partition-order-dependent.
+
+    Scale: one map-side-combined aggregation; the six stats are the
+    classic mergeable corr sketch (what every engine's corr()
+    maintains internally, here in exact arithmetic).
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        dec("l_quantity").alias("x"),
+        dec("l_extendedprice").alias("y"),
+    )
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxx, dsyy, dsxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = nd * dsxy - dsx * dsy
+    den = F.sqrt(nd * dsxx - dsx * dsx) * F.sqrt(nd * dsyy - dsy * dsy)
+    covar = (nd * dsxy - dsx * dsy) / (nd * nd)
+    return stats.select(
+        "l_returnflag",
+        "n",
+        _trunc6_local(num / den).alias("corr_qty_price"),
+        _trunc6_local(covar).alias("covar_pop"),
+    ).orderBy("l_returnflag")
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (`unpivot`/melt — the inverse of the pivot
+    query): per-returnflag metric columns melted into (flag, metric,
+    val) rows. Unpivot is row-local (an Expand node over the tiny
+    aggregate), so the cost is the one rollup shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        money_sum("l_quantity", "sum_qty"),
+        money_sum("l_extendedprice", "sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["sum_qty", "sum_price", "n_lines"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary):
     the standard warehouse scoring — one aggregation to customer
@@ -670,6 +771,9 @@ QUERIES = {
     "q_customer_order_reconcile": q_customer_order_reconcile,
     "q_orders_window_catalog": q_orders_window_catalog,
     "q_customer_rfm": q_customer_rfm,
+    "q_lineitem_unpivot": q_lineitem_unpivot,
+    "q_percentiles_disc": q_percentiles_disc,
+    "q_lineitem_corr": q_lineitem_corr,
 }
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -888,6 +992,64 @@ ORACLES = {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         QUALIFY o_orderkey < 200
         ORDER BY o_orderkey
+    """,
+    "q_percentiles_disc": """
+        WITH joined AS (
+            SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        ranked AS (
+            SELECT c_mktsegment, price,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY price) AS rn,
+                   COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM joined
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(n AS DECIMAL(18,2)) * CAST(0.25 AS DECIMAL(4,2))) AS BIGINT), 1) THEN price END) AS DOUBLE), 2) AS p25,
+               ROUND(CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(n AS DECIMAL(18,2)) * CAST(0.50 AS DECIMAL(4,2))) AS BIGINT), 1) THEN price END) AS DOUBLE), 2) AS p50,
+               ROUND(CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(n AS DECIMAL(18,2)) * CAST(0.75 AS DECIMAL(4,2))) AS BIGINT), 1) THEN price END) AS DOUBLE), 2) AS p75,
+               ROUND(CAST(MAX(CASE WHEN rn = GREATEST(CAST(CEIL(CAST(n AS DECIMAL(18,2)) * CAST(0.90 AS DECIMAL(4,2))) AS BIGINT), 1) THEN price END) AS DOUBLE), 2) AS p90
+        FROM ranked
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    "q_lineitem_corr": """
+        WITH base AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+            FROM lineitem
+        ),
+        stats AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+            FROM base GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1e6) / 1e6 AS corr_qty_price,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6) / 1e6 AS covar_pop
+        FROM stats
+        ORDER BY l_returnflag
+    """,
+    "q_lineitem_unpivot": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+                   CAST(COUNT(*) AS DOUBLE) AS n_lines
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, metric, val
+        FROM (UNPIVOT wide ON sum_qty, sum_price, n_lines
+              INTO NAME metric VALUE val)
+        ORDER BY l_returnflag, metric
     """,
     "q_customer_rfm": """
         WITH per_cust AS (

@@ -75,13 +75,16 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(li_keys.agg(F.count(F.lit(1)).alias("n_li")))
     )
 
+    # try_divide == "/" whenever the denominator is nonzero (the
+    # oracle's case); on 0-row inputs it yields NULL metrics instead
+    # of an ANSI divide-by-zero error.
     wide = scan.crossJoin(uniq).crossJoin(fk).select(
-        _trunc6(F.col("n_custkey") / F.col("n_rows")).alias("m_complete"),
-        _trunc6(F.col("n_keys") / F.col("n_key_rows")).alias("m_unique"),
-        _trunc6(F.col("n_status_ok") / F.col("n_rows")).alias("m_status"),
-        _trunc6(F.col("n_price_ok") / F.col("n_rows")).alias("m_price"),
+        _trunc6(F.try_divide(F.col("n_custkey"), F.col("n_rows"))).alias("m_complete"),
+        _trunc6(F.try_divide(F.col("n_keys"), F.col("n_key_rows"))).alias("m_unique"),
+        _trunc6(F.try_divide(F.col("n_status_ok"), F.col("n_rows"))).alias("m_status"),
+        _trunc6(F.try_divide(F.col("n_price_ok"), F.col("n_rows"))).alias("m_price"),
         _trunc6(
-            1 - F.col("n_orphans") / F.col("n_li")
+            1 - F.try_divide(F.col("n_orphans"), F.col("n_li"))
         ).alias("m_fk"),
         F.when(
             F.col("max_date") >= F.to_date(F.lit(FRESH_DATE)), 1.0

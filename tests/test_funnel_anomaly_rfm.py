@@ -55,3 +55,35 @@ def test_rfm_scores_and_segment_encoding(spark):
         assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
         assert r.segment == r.r_score * 100 + r.f_score * 10 + r.m_score
         assert r.frequency >= 1 and r.monetary > 0
+
+
+def test_percentiles_disc_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_percentiles_disc")
+
+
+def test_lineitem_corr_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_lineitem_corr")
+
+
+def test_unpivot_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_lineitem_unpivot")
+
+
+def test_corr_within_bounds_and_disc_values_are_table_values(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_lineitem_corr,
+        q_percentiles_disc,
+    )
+    from postgres_s3_etl_spark.catalog import load_table
+
+    for r in q_lineitem_corr(spark, SF_DIR).collect():
+        assert -1.0 <= r.corr_qty_price <= 1.0
+    prices = {
+        round(p, 2)
+        for (p,) in load_table(spark, SF_DIR, "orders")
+        .select(F.round(F.col("o_totalprice").cast("decimal(18,2)").cast("double"), 2))
+        .collect()
+    }
+    for r in q_percentiles_disc(spark, SF_DIR).collect():
+        # discrete percentiles are actual data values, never interpolated
+        assert {r.p25, r.p50, r.p75, r.p90} <= prices
