@@ -55,6 +55,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (including one built without our ``session.py`` defaults) can read
     ``events.parquet`` without pre-configuration.
     """
+    # Runtime-settable SQL confs, applied here so ANY caller-supplied
+    # session (the driver builds its own) gets deterministic reads:
+    # UTC pins timestamp-literal parsing and date_trunc to the same
+    # instants the (timezone-naive) DuckDB oracles compute.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))

@@ -58,6 +58,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Runtime-set like catalog.load_table — keeps the read working
     # under a caller-supplied session without our build defaults.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")

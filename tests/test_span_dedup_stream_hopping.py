@@ -78,3 +78,26 @@ def test_stream_hopping_equals_batch_below_watermark(spark):
         (r.window_start, r.event_type): (r.n_events, r.total_value) for r in batch
     }
     assert got == want and len(got) > 0
+
+
+def test_events_queries_survive_non_utc_caller_session(spark):
+    """The driver builds its own SparkSession; if it carries a
+    non-UTC timezone, timestamp literals and truncations would shift
+    against the timezone-naive DuckDB oracles. load_table pins the
+    session to UTC at runtime — results must be identical no matter
+    what the caller set."""
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_hopping,
+        q_events_tumbling,
+    )
+
+    baseline_t = q_events_tumbling(spark, SF_DIR).collect()
+    baseline_h = q_events_hopping(spark, SF_DIR).collect()
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got_t = q_events_tumbling(spark, SF_DIR).collect()
+        got_h = q_events_hopping(spark, SF_DIR).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got_t == baseline_t
+    assert got_h == baseline_h
