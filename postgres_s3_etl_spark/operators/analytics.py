@@ -315,9 +315,15 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lineitem_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running / sliding / offset windows within each order: running
     revenue sum, previous line's price, 3-line moving average. The
-    window partitions by order key — bounded state, shuffles once."""
+    window partitions by order key — bounded state, shuffles once.
+
+    Ordering note: (l_orderkey, l_linenumber) is NOT unique in the
+    synthetic testdata, and a ROWS frame under a non-total order is
+    engine-dependent. Adding l_extendedprice — the only column the
+    window functions read — makes every output permutation-invariant:
+    rows tied on the full sort key are interchangeable."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_extendedprice")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sliding = w.rowsBetween(-2, Window.currentRow)
     return li.select(
@@ -949,10 +955,10 @@ ORACLES = {
     """,
     "q_lineitem_window_running": """
         SELECT l_orderkey, l_linenumber,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_revenue,
-               ROUND(CAST(LAG(CAST(l_extendedprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS DOUBLE), 2) AS prev_price,
-               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-                     / COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_price
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_revenue,
+               ROUND(CAST(LAG(CAST(l_extendedprice AS DECIMAL(18,2)), 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) AS DOUBLE), 2) AS prev_price,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg_price
         FROM lineitem
         WHERE l_orderkey % 7 = 0
         ORDER BY l_orderkey, l_linenumber

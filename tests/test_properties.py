@@ -96,3 +96,77 @@ def test_salted_join_equivalence(spark, keys, n_salts):
     )
     want = sorted((r.k, r.v, r.w) for r in big.join(small, "k").collect())
     assert got == want
+
+
+MERGE_KEYS = st.lists(st.integers(min_value=0, max_value=30), min_size=0, max_size=12, unique=True)
+MERGE_OPS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.sampled_from(["U", "D"])),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(base_keys=MERGE_KEYS, feed=MERGE_OPS)
+@settings(**SETTINGS)
+def test_merge_upsert_matches_python_model(spark, base_keys, feed):
+    """MERGE semantics against a direct Python model: kept/updated/
+    inserted/deleted actions and final payloads must agree for ANY
+    base set and change feed."""
+    from decimal import Decimal
+
+    from postgres_s3_etl_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(
+        [(k, Decimal(k) * 10) for k in base_keys] or [],
+        "o_orderkey long, price decimal(18,2)",
+    )
+    changes = spark.createDataFrame(
+        [(k, op, Decimal(k) * 10 + 1) for k, op in feed] or [],
+        "o_orderkey long, op string, price decimal(18,2)",
+    )
+    got = {
+        r.o_orderkey: (r.action, r.price)
+        for r in merge_upsert(base, changes, "o_orderkey").collect()
+    }
+    feed_d = dict(feed)
+    want = {}
+    for k in set(base_keys) | set(feed_d):
+        in_base, op = k in base_keys, feed_d.get(k)
+        if in_base and op is None:
+            want[k] = ("kept", Decimal(k) * 10)
+        elif in_base and op == "U":
+            want[k] = ("updated", Decimal(k) * 10 + 1)
+        elif in_base and op == "D":
+            want[k] = ("deleted", None)
+        elif not in_base and op == "U":
+            want[k] = ("inserted", Decimal(k) * 10 + 1)
+        # not in base + D → no row
+    assert got == want
+
+
+TOKEN_DOCS = st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20)
+
+
+@given(sizes=TOKEN_DOCS)
+@settings(**SETTINGS)
+def test_shard_pack_conserves_and_orders(spark, sizes):
+    """Packing conserves tokens, shard ids are dense from 0, and the
+    shard of each doc equals prev_cum // budget under the md5 order —
+    for ANY token-size distribution."""
+    from postgres_s3_etl_spark.operators.sharding import shard_pack
+
+    budget = 60
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "s", n) for i, n in enumerate(sizes)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    packed = shard_pack(docs, budget=budget).collect()
+    assert sum(r.n_tokens for r in packed) == sum(sizes)
+    rows = sorted(packed, key=lambda r: r.ord_key)
+    cum = 0
+    for r in rows:
+        assert r.shard_id == cum // budget
+        cum += r.n_tokens
+    ids = {r.shard_id for r in rows}
+    assert ids == set(range(max(ids) + 1))
