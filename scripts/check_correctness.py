@@ -11,6 +11,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -56,7 +57,21 @@ def main() -> int:
     import __spark_entry__ as e
 
     qs, oracles = e.queries(), e.oracle_sql()
-    spark = get_spark("check-correctness")
+    if os.environ.get("SPARK_GRAFT_PLAIN_SESSION"):
+        # Mimic the driver: a bare SparkSession with NONE of our
+        # session.py defaults — catches any query that silently
+        # depends on get_spark's config (the round-1 nanos bug).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("plain")
+            .master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", "8g")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-correctness")
 
     con = duckdb.connect()
     for t in TABLES:
