@@ -45,26 +45,36 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one table; Catalyst prunes columns / pushes filters.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it scans as long and is
-    converted here to a microsecond timestamp (truncation — the same
-    thing DuckDB's reader does), so every consumer sees TimestampType.
+    ``events.ts`` is canonicalized to TIMESTAMP_NTZ — wall-clock
+    instants identical to what DuckDB's (timezone-naive) reader sees,
+    whatever physical form the generator wrote:
 
-    The nanos conf is runtime-settable SQL conf, so it is applied here
-    rather than at session build: any caller-supplied SparkSession
-    (including one built without our ``session.py`` defaults) can read
-    ``events.parquet`` without pre-configuration.
+    - TIMESTAMP(MICROS, adjusted=false) → read natively as NTZ;
+    - TIMESTAMP(NANOS) → with ``spark.sql.legacy.parquet.nanosAsLong``
+      it scans as long and is truncated to micros here (what DuckDB's
+      reader does too);
+    - tz-adjusted TIMESTAMP → cast to NTZ under the UTC session pin.
+
+    The confs are runtime-settable SQL confs, applied here rather
+    than at session build, so any caller-supplied SparkSession
+    (the driver builds its own) reads identically without
+    pre-configuration.
     """
-    # Runtime-settable SQL confs, applied here so ANY caller-supplied
-    # session (the driver builds its own) gets deterministic reads:
-    # UTC pins timestamp-literal parsing and date_trunc to the same
-    # instants the (timezone-naive) DuckDB oracles compute.
+    # UTC pins timestamp-literal parsing, NTZ↔LTZ casts, and
+    # date_trunc to the same instants the naive oracles compute.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        elif dt == "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -129,7 +129,9 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats out. The per-user window keeps state bounded at scale."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
+    # ts is TIMESTAMP_NTZ; unix_millis wants LTZ — the cast is pinned
+    # to UTC by load_table, so the epoch values are deterministic.
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     new_sess = (
         F.when(
             ms - F.lag(ms, 1).over(w) > SESSION_GAP_MIN * 60_000, 1

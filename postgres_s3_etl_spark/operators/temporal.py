@@ -52,7 +52,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("ev_ts"),
         F.lit(1).alias("side"),
         "event_id",
-        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(None).cast("timestamp_ntz").alias("click_ts"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -69,7 +69,8 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ev_ts").alias("purchase_ts"),
             "last_click_ts",
             (
-                F.col("ev_ts").cast("long") - F.col("last_click_ts").cast("long")
+                F.col("ev_ts").cast("timestamp").cast("long")
+                - F.col("last_click_ts").cast("timestamp").cast("long")
             ).alias("secs_since_click"),
         )
     )

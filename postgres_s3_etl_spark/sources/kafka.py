@@ -31,6 +31,15 @@ KAFKA_RAW_SCHEMA = (
     "offset bigint, timestamp timestamp, timestampType int"
 )
 
+#: Wire format of the events feed's JSON payload. Producers put the
+#: event time on the wire as epoch NANOS (a long — JSON has no
+#: timestamp type); `read_events_kafka` truncates to a micros
+#: timestamp, converging on the same canonical `ts` as the file path.
+EVENTS_WIRE_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
 
 def kafka_available(spark: SparkSession) -> bool:
     """True if the spark-sql-kafka connector is on the classpath."""
@@ -107,8 +116,8 @@ def read_events_kafka(
     """Events feed over Kafka: same downstream plan as the file-source
     stream in streaming/events_stream.py — swap the source, keep the
     watermarked aggregations."""
-    from postgres_s3_etl_spark.streaming.events_stream import EVENTS_SCHEMA
-
     raw = read_kafka_stream(spark, bootstrap_servers, topic, **kwargs)
-    ev = parse_kafka_value(raw, EVENTS_SCHEMA)
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = parse_kafka_value(raw, EVENTS_WIRE_SCHEMA)
+    return ev.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )

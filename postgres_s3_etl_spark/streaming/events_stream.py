@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -37,11 +38,11 @@ from postgres_s3_etl_spark.catalog import table_path
 SESSION_GAP_MS = 30 * 60 * 1000
 
 #: Explicit schema — a streaming file source cannot infer. ``ts`` is
-#: read as long (nanos) and converted, matching catalog.load_table.
+#: TIMESTAMP_NTZ, matching catalog.load_table's canonical form.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -57,7 +58,6 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one file per table, so scan the sf_dir with a glob filter.
     # Runtime-set like catalog.load_table — keeps the read working
     # under a caller-supplied session without our build defaults.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -65,7 +65,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Watermarks demand an LTZ event-time column; the UTC pin above
+    # makes the NTZ→LTZ cast a wall-clock no-op, so streaming windows
+    # land on the same instants as the batch twins.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

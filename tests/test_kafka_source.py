@@ -11,12 +11,12 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.sources.kafka import (
+    EVENTS_WIRE_SCHEMA,
     KAFKA_RAW_SCHEMA,
     kafka_available,
     parse_kafka_value,
     read_kafka_stream,
 )
-from postgres_s3_etl_spark.streaming.events_stream import EVENTS_SCHEMA
 
 
 def _kafka_row(offset: int, payload: dict) -> Row:
@@ -46,7 +46,7 @@ def test_parse_kafka_value_decodes_events(spark):
     raw = spark.createDataFrame(
         [_kafka_row(i, p) for i, p in enumerate(payloads)], KAFKA_RAW_SCHEMA
     )
-    out = parse_kafka_value(raw, EVENTS_SCHEMA)
+    out = parse_kafka_value(raw, EVENTS_WIRE_SCHEMA)
     rows = out.orderBy("offset").collect()
     assert [r.event_id for r in rows] == [0, 1, 2]
     assert all(r.event_type == "click" for r in rows)
@@ -63,7 +63,7 @@ def test_parse_kafka_value_malformed_rows_null_not_crash(spark):
         )],
         KAFKA_RAW_SCHEMA,
     )
-    rows = parse_kafka_value(raw, EVENTS_SCHEMA).orderBy("offset").collect()
+    rows = parse_kafka_value(raw, EVENTS_WIRE_SCHEMA).orderBy("offset").collect()
     assert rows[0].event_id == 7
     assert rows[1].event_id is None  # from_json yields nulls, no task failure
 

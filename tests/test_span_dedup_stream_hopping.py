@@ -60,7 +60,9 @@ def test_stream_hopping_equals_batch_below_watermark(spark):
         for r in q_stream_events_hopping(spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
-    max_ms = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    max_ms = ev.agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
     wm_ms = max_ms - 2 * 60 * 60 * 1000
     batch = (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
@@ -70,7 +72,7 @@ def test_stream_hopping_equals_batch_below_watermark(spark):
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
             ).alias("total_value"),
         )
-        .where(F.unix_millis(F.col("w.end")) <= wm_ms)
+        .where(F.unix_millis(F.col("w.end").cast("timestamp")) <= wm_ms)
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
         .collect()
     )
