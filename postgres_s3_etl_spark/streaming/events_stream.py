@@ -121,16 +121,33 @@ def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Drive a streaming plan over all currently-available input and
-    return the materialized result (memory sink — test/dev path)."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    return the materialized result (memory sink — test/dev path).
+
+    State-store partitioning is fixed per checkpoint at first start
+    from ``spark.sql.shuffle.partitions`` — and streaming disables
+    AQE, so nothing re-coalesces it. A bare session's default of 200
+    means 200 state-store instances (and 200 Python workers for
+    ``applyInPandasWithState``) per stateful stage on this one-node
+    input; pin a CPU-sized count for the run and restore the
+    caller's setting after. On a real cluster the checkpoint is
+    long-lived and this is sized once to the executor fleet instead.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.sql(f"SELECT * FROM {query_name}")
 
 
 _SESSION_OUT_SCHEMA = StructType(
