@@ -62,6 +62,8 @@ HEADLINE = (
     "q_customer_fuzzy_match",
     "embedding_quantize",
     "q_customer_hierarchy",
+    "q_events_user_features",
+    "embedding_hard_negatives",
 )
 
 

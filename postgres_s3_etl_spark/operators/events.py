@@ -488,6 +488,67 @@ def q_events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ML feature extraction (the feature-store build step a
+    training pipeline runs over behavioral logs): activity counts,
+    purchase rate, active-day span, inter-event cadence, recency
+    payload — one row per user.
+
+    Plan shape: ONE shuffle by ``user_id``. Every feature is computed
+    as a window aggregate over the full user partition riding the
+    same sort that ranks recency (``row_number`` desc), then the
+    rn=1 row is kept — no user-grain self-join, no second exchange.
+    State per task is bounded by the largest single user's events —
+    the same bound any per-user window has at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    wp = Window.partitionBy("user_id")
+    w_full = wp.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rn = wp.orderBy(F.desc("ts"), F.desc("event_id"))
+    feat = (
+        ev.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("n_events", F.count(F.lit(1)).over(w_full))
+        .withColumn(
+            "n_purchases",
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_full),
+        )
+        .withColumn(
+            "active_days", F.size(F.collect_set(F.to_date("ts")).over(w_full))
+        )
+        .withColumn("first_ts", F.min("ts").over(w_full))
+        .withColumn("last_ts", F.max("ts").over(w_full))
+        .withColumn("span_s", F.max(epoch).over(w_full) - F.min(epoch).over(w_full))
+        .withColumn(
+            "total_v", F.sum(F.col("value").cast("decimal(18,2)")).over(w_full)
+        )
+        .where(F.col("rn") == 1)
+    )
+    return feat.select(
+        "user_id",
+        "n_events",
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        (F.floor(F.col("n_purchases") * 1e6 / F.col("n_events")) / 1e6).alias(
+            "purchase_rate"
+        ),
+        F.col("active_days").cast("bigint").alias("active_days"),
+        "first_ts",
+        "last_ts",
+        F.when(
+            F.col("n_events") > 1,
+            F.floor(F.col("span_s") * 1e6 / (F.col("n_events") - 1)) / 1e6,
+        ).alias("mean_gap_s"),
+        F.col("value").alias("last_value"),
+        F.round(F.col("total_v").cast("double"), 2).alias("total_value"),
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_funnel_ordered": q_events_funnel_ordered,
@@ -504,6 +565,7 @@ QUERIES = {
     "q_events_json_props": q_events_json_props,
     "q_events_variant_props": q_events_variant_props,
     "q_events_topk_users": q_events_topk_users,
+    "q_events_user_features": q_events_user_features,
 }
 
 ORACLES = {
@@ -768,5 +830,40 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_user_features": """
+        WITH ranked AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+                   COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+                   MIN(ts) AS first_ts,
+                   MAX(ts) AS last_ts,
+                   date_diff('second', MIN(ts), MAX(ts)) AS span_s,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS total_v
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT a.user_id,
+               a.n_events,
+               CAST(a.n_purchases AS BIGINT) AS n_purchases,
+               floor(a.n_purchases * 1e6 / a.n_events) / 1e6 AS purchase_rate,
+               CAST(a.active_days AS BIGINT) AS active_days,
+               a.first_ts,
+               a.last_ts,
+               CASE WHEN a.n_events > 1
+                    THEN floor(a.span_s * 1e6 / (a.n_events - 1)) / 1e6
+               END AS mean_gap_s,
+               r.value AS last_value,
+               ROUND(CAST(a.total_v AS DOUBLE), 2) AS total_value
+        FROM agg a
+        JOIN ranked r ON r.user_id = a.user_id AND r.rn = 1
+        ORDER BY a.user_id
     """,
 }

@@ -270,11 +270,61 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the TOP_K most-similar vectors carrying a DIFFERENT label
+    — the "close but wrong" examples a metric-learning objective
+    needs. Same plan as the brute-force ANN (probes broadcast against
+    the partitioned corpus, big side never shuffles, per-probe top-k
+    window on the probe key), plus a label-inequality residual on the
+    joined pairs.
+
+    Scale: this is the exact-mining baseline for a bounded probe set
+    (e.g. the per-batch anchors of a training step). Corpus-wide
+    all-pairs mining composes the LSH bucketing (``sim_search_lsh``)
+    with the same label-inequality residual — candidate pairs stay
+    bucket-bounded, never O(n²).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    emb = emb.withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    )
+    probes = emb.where(F.col("vec_id") < N_PROBES)
+    a = probes.alias("a")
+    b = emb.alias("b")
+    cosine = _trunc6(
+        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+    ).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.label") != F.col("b.label"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("a.label").alias("probe_label"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.label").alias("neighbor_label"),
+            cosine,
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("probe_id", "rank")
+    )
+
+
 QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
     "sim_search_lsh": sim_search_lsh,
     "sim_search_ivf": sim_search_ivf,
     "embedding_quantize": embedding_quantize,
+    "embedding_hard_negatives": embedding_hard_negatives,
 }
 
 
@@ -418,6 +468,29 @@ ORACLES = {
             FROM cands
         )
         SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY probe_id, rank
+    """,
+    "embedding_hard_negatives": f"""
+        WITH vecs AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS probe_id, a.label AS probe_label,
+                   b.vec_id AS neighbor_id, b.label AS neighbor_label,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.label <> b.label
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM pairs
+        )
+        SELECT probe_id, probe_label, neighbor_id, neighbor_label,
+               cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY probe_id, rank
     """,

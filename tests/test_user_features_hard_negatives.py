@@ -1,0 +1,80 @@
+"""q_events_user_features + embedding_hard_negatives (round-2 late
+additions): feature-store extraction over behavioral logs and
+contrastive hard-negative mining over embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+def test_user_features_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_user_features")
+
+
+def test_user_features_shape_and_invariants(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.events import q_events_user_features
+
+    feat = q_events_user_features(spark, SF_DIR)
+    rows = feat.collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_events_total = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert len(rows) == n_users  # exactly one feature row per user
+    assert sum(r.n_events for r in rows) == n_events_total
+    for r in rows:
+        assert 0.0 <= r.purchase_rate <= 1.0
+        assert r.first_ts <= r.last_ts
+        assert r.active_days >= 1
+        if r.n_events == 1:
+            assert r.mean_gap_s is None
+        else:
+            assert r.mean_gap_s >= 0.0
+
+
+def test_user_features_single_shuffle(spark):
+    """The windowed formulation must plan ONE exchange (by user_id) —
+    no user-grain self-join adding a second."""
+    from postgres_s3_etl_spark.operators.events import q_events_user_features
+
+    plan = q_events_user_features(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}:\n{plan[:2000]}"
+
+
+def test_hard_negatives_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "embedding_hard_negatives")
+
+
+def test_hard_negatives_labels_differ_and_are_hard(spark):
+    from postgres_s3_etl_spark.operators.similarity import (
+        TOP_K,
+        embedding_hard_negatives,
+        sim_search_bruteforce,
+    )
+
+    rows = embedding_hard_negatives(spark, SF_DIR).collect()
+    assert rows, "no hard negatives mined"
+    by_probe: dict[int, list] = {}
+    for r in rows:
+        assert r.probe_label != r.neighbor_label
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe_rows in by_probe.values():
+        assert [r.rank for r in sorted(probe_rows, key=lambda r: r.rank)] == list(
+            range(1, len(probe_rows) + 1)
+        )
+        assert len(probe_rows) <= TOP_K
+    # "Hard" means near the decision boundary: each probe's top hard
+    # negative must be at least as similar as its WORST unrestricted
+    # top-k neighbor (the restricted argmax can't beat the global one
+    # but must land inside the global top-k band or below it).
+    bf = {
+        (r.probe_id, r.rank): r.cosine
+        for r in sim_search_bruteforce(spark, SF_DIR).collect()
+    }
+    for probe_id, probe_rows in by_probe.items():
+        top = min(r.rank for r in probe_rows)
+        best_hn = next(r for r in probe_rows if r.rank == top)
+        assert best_hn.cosine <= bf[(probe_id, 1)] + 1e-9
