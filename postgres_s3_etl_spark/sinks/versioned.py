@@ -1,0 +1,164 @@
+"""Snapshot-versioned parquet tables: manifest-committed writes with
+time travel (SURVEY.md §2.5).
+
+The reference's load step truncate-overwrites its Postgres analytics
+tables (reference airflow/dags/orders_ETL.py:128-148) — a reader
+mid-refresh sees a half-written table and yesterday's numbers are
+gone. The lakehouse fix (the idea behind Iceberg/Delta, re-expressed
+minimally over plain parquet + JSON manifests) is to make the
+*manifest* the unit of commit:
+
+- Every write lands data files in a fresh ``data/snap-<uuid>/``
+  directory nobody reads directly.
+- A JSON manifest ``_manifests/v{N}.json`` lists the data directories
+  a snapshot comprises (previous + new for ``append``, new only for
+  ``overwrite``) plus the schema.
+- The manifest is committed with ``open(..., "x")`` — an atomic
+  exclusive create. Two racing writers cannot both create ``v7``;
+  the loser re-reads the head and retries against ``v8`` (optimistic
+  concurrency, single-filesystem semantics; object stores would use
+  a conditional PUT the same way).
+
+Readers resolve a version (default: latest) to its directory list and
+read exactly those files — a half-finished write is invisible because
+its manifest doesn't exist yet, and time travel is just reading an
+older manifest. ``vacuum`` deletes data directories unreachable from
+the kept manifests.
+
+Scale: the manifest holds directory paths, not per-row state — O(1)
+per commit. Reads fan the directory list into one multi-path parquet
+scan (normal partition/filter pushdown applies). Commit cost does not
+grow with table size, which is the property that makes incremental
+100 TB refreshes cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(table_path, _MANIFEST_DIR, f"v{version}.json")
+
+
+def _versions(table_path: str) -> list[int]:
+    mdir = os.path.join(table_path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in os.listdir(mdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(table_path: str, version: int) -> dict:
+    with open(_manifest_path(table_path, version)) as f:
+        return json.load(f)
+
+
+def write_snapshot(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    max_commit_retries: int = 20,
+) -> int:
+    """Write ``df`` as a new committed snapshot; returns its version.
+
+    ``mode="append"`` adds to the previous snapshot's data;
+    ``mode="overwrite"`` replaces it logically (old data directories
+    stay on disk for time travel until ``vacuum``).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    snap_dir = os.path.join(table_path, _DATA_DIR, f"snap-{uuid.uuid4().hex}")
+    df.write.mode("error").parquet(snap_dir)
+    os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
+    rel_dir = os.path.relpath(snap_dir, table_path)
+    for _ in range(max_commit_retries):
+        versions = _versions(table_path)
+        head = versions[-1] if versions else 0
+        dirs = [rel_dir]
+        if mode == "append" and head:
+            dirs = _read_manifest(table_path, head)["data_dirs"] + dirs
+        manifest = {
+            "version": head + 1,
+            "mode": mode,
+            "data_dirs": dirs,
+            "schema": df.schema.jsonValue(),
+        }
+        try:
+            # Atomic exclusive create IS the commit: a concurrent
+            # writer that won this version makes open() raise, and we
+            # retry against the new head (its data is untouched).
+            with open(_manifest_path(table_path, head + 1), "x") as f:
+                json.dump(manifest, f)
+            return head + 1
+        except FileExistsError:
+            continue
+    raise RuntimeError(
+        f"lost the manifest commit race {max_commit_retries} times at {table_path}"
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed snapshot (default: latest). Time travel =
+    passing an older version."""
+    versions = _versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots at {table_path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    manifest = _read_manifest(table_path, version)
+    paths = [os.path.join(table_path, d) for d in manifest["data_dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def list_snapshots(table_path: str) -> list[dict]:
+    """Version history: one dict per committed snapshot."""
+    return [
+        {
+            "version": v,
+            "mode": m["mode"],
+            "n_data_dirs": len(m["data_dirs"]),
+        }
+        for v in _versions(table_path)
+        for m in [_read_manifest(table_path, v)]
+    ]
+
+
+def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
+    """Drop manifests older than the last ``keep_last`` and delete
+    data directories no kept snapshot references. Returns removed
+    directory paths. Time travel reaches only kept versions after."""
+    versions = _versions(table_path)
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    reachable: set[str] = set()
+    for v in keep:
+        reachable.update(_read_manifest(table_path, v)["data_dirs"])
+    removed = []
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(table_path, v))
+    data_root = os.path.join(table_path, _DATA_DIR)
+    for name in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        rel = os.path.join(_DATA_DIR, name)
+        if rel not in reachable:
+            shutil.rmtree(os.path.join(table_path, rel))
+            removed.append(rel)
+    return removed

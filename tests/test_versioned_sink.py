@@ -1,0 +1,90 @@
+"""Snapshot-versioned parquet sink: manifest commits, time travel,
+append/overwrite semantics, vacuum, and the optimistic-commit race."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.sinks.versioned import (
+    list_snapshots,
+    read_snapshot,
+    vacuum,
+    write_snapshot,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    assert write_snapshot(_df(spark, 0, 10), t, mode="overwrite") == 1
+    assert write_snapshot(_df(spark, 10, 15), t, mode="append") == 2
+    assert write_snapshot(_df(spark, 100, 103), t, mode="overwrite") == 3
+
+    assert read_snapshot(spark, t).count() == 3  # latest = the overwrite
+    assert read_snapshot(spark, t, version=2).count() == 15  # 10 + 5
+    assert read_snapshot(spark, t, version=1).count() == 10
+    got = sorted(r.id for r in read_snapshot(spark, t, version=2).collect())
+    assert got == list(range(15))
+
+    hist = list_snapshots(t)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert [h["mode"] for h in hist] == ["overwrite", "append", "overwrite"]
+    assert hist[1]["n_data_dirs"] == 2  # append = prior dirs + new
+
+
+def test_half_written_data_is_invisible(spark, tmp_path):
+    """Data directories without a committed manifest must not be
+    readable — the manifest is the unit of commit."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5), t, mode="overwrite")
+    # Simulate a crashed writer: data landed, manifest never created.
+    orphan = os.path.join(t, "data", "snap-orphan")
+    _df(spark, 1000, 2000).write.parquet(orphan)
+    assert read_snapshot(spark, t).count() == 5
+
+
+def test_commit_race_retries_against_new_head(spark, tmp_path):
+    """If another writer claims the next version first, the commit
+    retries and lands one higher (both snapshots survive)."""
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5), t, mode="overwrite")
+    # A racing writer already created v2 by hand.
+    with open(os.path.join(t, "_manifests", "v2.json"), "x") as f:
+        json.dump(
+            {"version": 2, "mode": "overwrite", "data_dirs": [], "schema": {}},
+            f,
+        )
+    v = write_snapshot(_df(spark, 5, 8), t, mode="overwrite")
+    assert v == 3
+    assert read_snapshot(spark, t, version=3).count() == 3
+
+
+def test_vacuum_unreferences_old_snapshots(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t, mode="overwrite")
+    write_snapshot(_df(spark, 10, 20), t, mode="overwrite")
+    write_snapshot(_df(spark, 20, 25), t, mode="overwrite")
+    removed = vacuum(t, keep_last=1)
+    assert len(removed) == 2  # the two unreferenced snapshot dirs
+    assert [h["version"] for h in list_snapshots(t)] == [3]
+    assert read_snapshot(spark, t).count() == 5
+    with pytest.raises(ValueError):
+        read_snapshot(spark, t, version=1)
+
+
+def test_schema_recorded_in_manifest(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 3), t, mode="overwrite")
+    with open(os.path.join(t, "_manifests", "v1.json")) as f:
+        m = json.load(f)
+    fields = {f_["name"] for f_ in m["schema"]["fields"]}
+    assert fields == {"id", "doubled"}
