@@ -645,6 +645,55 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKETCH_TOP_K = 20
+
+
+def text_topterms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch beside the exact heavy hitters: corpus
+    top-20 tokens by collection frequency, computed exactly (groupBy
+    with map-side combine) AND by Spark's ``approx_top_k`` sketch in
+    the same scan; each row carries ``sketch_ok`` = the sketch found
+    the token with the exact count. Completes the sketch-family
+    coverage (HLL distincts, GK quantiles, now frequent items).
+
+    The sketch estimate is engine-internal, so — as with the HLL and
+    approx-quantile queries — the oracle-checked contract is the
+    exact counts plus the agreement booleans being TRUE (they are
+    deterministically: a top-k sketch sized ≥ the true heavy-hitter
+    count is exact; at 100 TB you'd size k over the expected head and
+    the mergeable sketch replaces the second aggregation pass).
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    tokens = tokens.persist()
+    exact = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(SKETCH_TOP_K)
+    )
+    sketch = (
+        tokens.agg(F.expr(f"approx_top_k(token, {SKETCH_TOP_K})").alias("tops"))
+        .select(F.explode("tops").alias("s"))
+        .select(
+            F.col("s.item").alias("token"), F.col("s.count").alias("approx_n")
+        )
+    )
+    return (
+        exact.join(sketch, "token", "left")
+        .select(
+            "token",
+            "n",
+            (F.col("approx_n") == F.col("n")).alias("sketch_ok"),
+        )
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -660,6 +709,7 @@ QUERIES = {
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
     "text_repetition_score": text_repetition_score,
+    "text_topterms_sketch": text_topterms_sketch,
 }
 
 
@@ -874,6 +924,24 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    # Sketch estimates are engine-internal (like the HLL and
+    # approx-quantile rows); the checked contract is the exact
+    # heavy-hitter counts + the sketch-agreement booleans being TRUE.
+    "text_topterms_sketch": rf"""
+        WITH tok AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ),
+        exact AS (
+            SELECT token, COUNT(*) AS n
+            FROM tok WHERE token <> ''
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT {SKETCH_TOP_K}
+        )
+        SELECT token, n, TRUE AS sketch_ok
+        FROM exact ORDER BY n DESC, token ASC
     """,
     "text_vocab_topk": rf"""
         WITH toks AS (
