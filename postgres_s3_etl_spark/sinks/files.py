@@ -107,6 +107,66 @@ def write_parquet_range_sorted(
     )
 
 
+def write_parquet_zorder(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+    compression: str = "zstd",
+) -> None:
+    """Two-dimensional data-skipping layout: cluster files along a
+    Z-order (Morton) curve over ``cols`` so per-file min/max stay
+    tight on BOTH columns — a point/range filter on EITHER column
+    skips most files, where a single-column range sort only helps its
+    own column.
+
+    Mechanics: each column is scaled linearly to a ``bits``-bit
+    integer against its corpus min/max (two scalar aggregates,
+    broadcast), the bit patterns are interleaved into the Z-value,
+    and the write range-partitions + locally sorts on it — the same
+    one-exchange cost as the linear layout. Linear scaling is the
+    simple corpus-stats mapping; a skewed production key would use
+    quantile bounds instead (same plan, different scale map).
+    """
+    from pyspark.sql import functions as F
+
+    c1, c2 = cols
+    lo1, hi1, lo2, hi2 = df.select(
+        F.min(c1).cast("double"),
+        F.max(c1).cast("double"),
+        F.min(c2).cast("double"),
+        F.max(c2).cast("double"),
+    ).first()
+    top = (1 << bits) - 1
+
+    def scaled(c: str, lo: float, hi: float):
+        span = (hi - lo) or 1.0
+        return F.least(
+            F.lit(top),
+            F.floor((F.col(c).cast("double") - lo) * (top + 1) / span),
+        ).cast("long")
+
+    b1, b2 = scaled(c1, lo1, hi1), scaled(c2, lo2, hi2)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def write_parquet_sized(
     df: DataFrame,
     path: str,
