@@ -319,12 +319,48 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class operator: per-probe
+    recall@k of the LSH path against the exact brute-force top-k,
+    plus the corpus mean — the measure-don't-guess loop a production
+    ANN deployment runs on every index build (recall here, latency in
+    bench.py).
+
+    Plan: both candidate pipelines already exist; the eval is a
+    probe-grain left join of exact top-k onto the LSH hit set (both
+    N_PROBES × TOP_K rows — trivially small at any corpus scale,
+    because the probe set bounds them, not the corpus).
+    """
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = sim_search_lsh(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    per_probe = (
+        exact.join(approx, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("found"),
+        )
+        .select(
+            "probe_id",
+            "k",
+            "found",
+            (F.floor(F.col("found") * 1e6 / F.col("k")) / 1e6).alias("recall"),
+        )
+    )
+    return per_probe.orderBy("probe_id")
+
+
 QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
     "sim_search_lsh": sim_search_lsh,
     "sim_search_ivf": sim_search_ivf,
     "embedding_quantize": embedding_quantize,
     "embedding_hard_negatives": embedding_hard_negatives,
+    "sim_search_recall": sim_search_recall,
 }
 
 
@@ -493,5 +529,46 @@ ORACLES = {
                cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY probe_id, rank
+    """,
+    # Recall@k of the LSH path vs exact top-k: the same two candidate
+    # pipelines composed — `vecs` from the LSH CTE chain serves both.
+    "sim_search_recall": f"""
+        WITH {lsh_bucket_cte()},
+        exact_pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        exact_topk AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM exact_pairs
+            ) WHERE rank <= {TOP_K}
+        ),
+        lsh_pairs AS (
+            SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < {N_PROBES}
+        ),
+        lsh_topk AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM lsh_pairs
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT e.probe_id,
+               COUNT(*) AS k,
+               CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found,
+               floor(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1e6 / COUNT(*)) / 1e6 AS recall
+        FROM exact_topk e
+        LEFT JOIN lsh_topk l
+          ON e.probe_id = l.probe_id AND e.neighbor_id = l.neighbor_id
+        GROUP BY e.probe_id
+        ORDER BY e.probe_id
     """,
 }
