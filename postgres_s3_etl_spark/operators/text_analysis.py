@@ -645,6 +645,54 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.5  # temperature: 1 = proportional, 0 = uniform
+
+
+def text_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture weights per source: token share →
+    temperature-scaled sampling weight ``share^α / Σ share^α``
+    (α = 0.5 — the standard up-weighting of small high-quality
+    sources when composing a training mix), plus the effective
+    epochs-over-source each weight implies at a fixed token budget.
+
+    Plan: one map-side-combined aggregation to source grain (a
+    handful of rows at any corpus size), then row-local IEEE math
+    against two broadcast scalar totals. The float expressions are
+    mirrored verbatim in the oracle, truncated to 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.lower("text")), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA)).alias(
+            "tot_pow"
+        ),
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    weight = F.pow(F.col("n_tokens").cast("double"), MIX_ALPHA) / F.col(
+        "tot_pow"
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.floor(share * 1e6) / 1e6).alias("token_share"),
+            (F.floor(weight * 1e6) / 1e6).alias("mix_weight"),
+            # epochs = weight / share: how often the mix revisits the
+            # source relative to proportional sampling.
+            (F.floor(weight / share * 1e6) / 1e6).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
 SKETCH_TOP_K = 20
 
 
@@ -710,6 +758,7 @@ QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_repetition_score": text_repetition_score,
     "text_topterms_sketch": text_topterms_sketch,
+    "text_mixture_weights": text_mixture_weights,
 }
 
 
@@ -924,6 +973,27 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_mixture_weights": rf"""
+        WITH per_source AS (
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+                   SUM(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA})) AS tot_pow
+            FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               floor(n_tokens / tot_tokens * 1e6) / 1e6 AS token_share,
+               floor(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / tot_pow * 1e6) / 1e6 AS mix_weight,
+               floor(pow(CAST(n_tokens AS DOUBLE), {MIX_ALPHA}) / tot_pow
+                     / (n_tokens / tot_tokens) * 1e6) / 1e6 AS epochs
+        FROM per_source, tot
+        ORDER BY source
     """,
     # Sketch estimates are engine-internal (like the HLL and
     # approx-quantile rows); the checked contract is the exact

@@ -1,0 +1,30 @@
+"""text_mixture_weights: temperature-scaled training-mix composition
+per source."""
+
+from __future__ import annotations
+
+from tests.conftest import assert_matches_oracle
+
+
+def test_mixture_weights_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_mixture_weights")
+
+
+def test_mixture_temperature_flattens_the_distribution(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_mixture_weights,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_mixture_weights(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    # α < 1 up-weights small sources and down-weights big ones:
+    # epochs > 1 exactly where the source is under-represented.
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    biggest = max(rows, key=lambda r: r.n_tokens)
+    if smallest.n_tokens < biggest.n_tokens:
+        assert smallest.epochs > biggest.epochs
+        assert smallest.mix_weight > smallest.token_share
+        assert biggest.mix_weight < biggest.token_share
