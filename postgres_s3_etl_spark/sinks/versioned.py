@@ -113,10 +113,16 @@ def write_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a committed snapshot (default: latest). Time travel =
-    passing an older version."""
+    passing an older version. ``merge_schema`` widens across data
+    directories written with evolved schemas (columns added by later
+    appends read as NULL on older files) — additive schema evolution
+    without rewriting committed data."""
     versions = _versions(table_path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshots at {table_path}")
@@ -126,7 +132,10 @@ def read_snapshot(
         raise ValueError(f"version {version} not in {versions}")
     manifest = _read_manifest(table_path, version)
     paths = [os.path.join(table_path, d) for d in manifest["data_dirs"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def list_snapshots(table_path: str) -> list[dict]:

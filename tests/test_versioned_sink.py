@@ -88,3 +88,23 @@ def test_schema_recorded_in_manifest(spark, tmp_path):
         m = json.load(f)
     fields = {f_["name"] for f_ in m["schema"]["fields"]}
     assert fields == {"id", "doubled"}
+
+
+def test_additive_schema_evolution_via_merge_schema(spark, tmp_path):
+    """A later append may add columns; merge_schema reads the union
+    schema with NULLs on pre-evolution files — no data rewrite."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5), t, mode="overwrite")
+    evolved = _df(spark, 5, 8).withColumn("tag", F.lit("new"))
+    write_snapshot(evolved, t, mode="append")
+
+    merged = read_snapshot(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"id", "doubled", "tag"}
+    assert merged.count() == 8
+    tags = {r.id: r.tag for r in merged.collect()}
+    assert all(tags[i] is None for i in range(5))
+    assert all(tags[i] == "new" for i in range(5, 8))
+    # Time travel to v1 still sees the original narrow schema.
+    assert set(read_snapshot(spark, t, version=1).columns) == {"id", "doubled"}
