@@ -275,6 +275,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VERIFY_JACCARD_T = 0.8
+
+
+def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage of two-stage fuzzy dedup, as one operator:
+    MinHash-LSH candidate pairs (stage 1, band-bucket equi-join)
+    re-checked with their EXACT shingle Jaccard (stage 2) — the
+    standard candidate→verify pipeline that keeps LSH's recall while
+    discarding its false positives before any merge decision.
+
+    Scale shape: the candidate set is the verify input, so stage-2
+    cost is per-candidate, not per-corpus. The candidate frame is
+    tiny (top-50 here; band-bounded in general) and broadcasts into
+    both shingle-set joins — the corpus-sized shingle table is read
+    without shuffling, and the exact intersection/union runs
+    row-locally on the joined pair.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bands = minhash_bands_for(docs).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy(F.desc("n_shared_bands"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(TOP_PAIRS)
+    )
+    sh = docs.select("doc_id", _words_col().alias("w")).select(
+        "doc_id", _shingles_expr().alias("shingles")
+    )
+    j = F.floor(
+        F.size(F.array_intersect("sa", "sb"))
+        * 1e6
+        / F.size(F.array_union("sa", "sb"))
+    ) / 1e6
+    return (
+        F.broadcast(cands)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            j.alias("jaccard"),
+            (j >= VERIFY_JACCARD_T).alias("is_dup"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 CC_MAX_ITERS = 25
 
 
@@ -507,6 +566,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_verify": dedup_minhash_verify,
     "dedup_cc_keepset": dedup_cc_keepset,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -700,6 +760,28 @@ ORACLES["dedup_minhash_lsh"] = f"""
     GROUP BY a.doc_id, b.doc_id
     ORDER BY n_shared_bands DESC, doc_a ASC, doc_b ASC
     LIMIT 50
+"""
+
+ORACLES["dedup_minhash_verify"] = f"""
+    WITH {_bands_cte_sql()},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        ORDER BY n_shared_bands DESC, doc_a ASC, doc_b ASC
+        LIMIT {TOP_PAIRS}
+    )
+    SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+           floor(len(list_intersect(sa.shingles, sb.shingles)) * 1e6
+                 / len(list_distinct(sa.shingles || sb.shingles))) / 1e6 AS jaccard,
+           jaccard >= {VERIFY_JACCARD_T} AS is_dup
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    ORDER BY doc_a, doc_b
 """
 
 # Connected components as a recursive CTE: label(doc) = min doc_id

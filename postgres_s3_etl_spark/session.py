@@ -25,8 +25,9 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Columnar parquet scans with pushdown are the hot path at 100 TB.
     "spark.sql.parquet.filterPushdown": "true",
-    # Testdata events.ts is parquet TIMESTAMP(NANOS) which Spark's
-    # reader rejects; read as long and convert in the catalog.
+    # Legacy-robustness: TIMESTAMP(NANOS) parquet (which Spark's
+    # reader otherwise rejects) scans as long; the catalog converts.
+    # Current testdata is plain micros, where this conf is inert.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     # 128 MB input splits — the right granularity for large scans.
