@@ -138,3 +138,41 @@ def read_binary_files(
     if max_bytes is not None:
         df = df.where(F.col("length") <= max_bytes)
     return df
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro module is on the classpath. Avro is a
+    built-in-but-external Spark module (shipped separately since
+    2.4); the pip pyspark distribution does not bundle it."""
+    try:
+        # The v2 source class ships only in the external spark-avro
+        # artifact (a few avro shim classes DO ride in the main
+        # assembly, so probing those false-positives).
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.v2.avro.AvroDataSourceV2"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Avro scan (package-gated like the Kafka source: the reader
+    builds a normal declarative scan when the module is present, and
+    fails fast with submit guidance when it is not)."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro module not on classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        )
+    return spark.read.format("avro").options(**options).load(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (package-gated; see read_avro)."""
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro module not on classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        )
+    df.write.mode(mode).format("avro").save(path)

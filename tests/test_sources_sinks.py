@@ -394,3 +394,25 @@ def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
     # writer creates quoted lowercase columns — quote in the predicate.
     pushed = read_table(spark, cfg, "T_ROUNDTRIP", predicate='"id" < 10')
     assert pushed.count() == 10
+
+
+def test_avro_gates_without_module(spark, tmp_path):
+    """No spark-avro jar in this container: both directions must fail
+    fast with submit guidance (and round-trip if it ever appears)."""
+    import pytest as _pytest
+
+    from postgres_s3_etl_spark.sources.files import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(3)
+    if avro_available(spark):
+        write_avro(df, str(tmp_path / "a"))
+        assert read_avro(spark, str(tmp_path / "a")).count() == 3
+        _pytest.skip("module present; gate not exercised")
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        write_avro(df, str(tmp_path / "a"))
+    with _pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "a"))
