@@ -756,8 +756,45 @@ def q_orders_moving_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's runs of consecutive order
+    DAYS (the classic streak/sequence-detection SQL pattern — retention
+    streaks, sensor uptime windows, contiguous session spans). The
+    island key is ``day_number − dense_rank`` over the per-customer
+    distinct-day sequence: constant within a consecutive run, so one
+    groupBy turns runs into rows.
+
+    Plan: distinct days first (customer-grain rollup), ONE shuffle by
+    customer for the rank window, and the island aggregation reuses
+    that partitioning — no self-join, no second exchange of fact rows.
+    Emits every streak of length ≥ 2 plus its span.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    days = orders.distinct()
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    islands = days.withColumn(
+        "island",
+        F.datediff(F.col("day"), F.lit("1992-01-01"))
+        - F.dense_rank().over(w),
+    )
+    return (
+        islands.groupBy("o_custkey", "island")
+        .agg(
+            F.count(F.lit(1)).alias("streak_days"),
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+        )
+        .where(F.col("streak_days") >= 2)
+        .drop("island")
+        .orderBy("o_custkey", "streak_start")
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
+    "q_customer_order_streaks": q_customer_order_streaks,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -785,6 +822,26 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_customer_order_streaks": """
+        WITH days AS (
+            SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+            FROM orders
+        ),
+        islands AS (
+            SELECT o_custkey, day,
+                   date_diff('day', DATE '1992-01-01', day)
+                   - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY day) AS island
+            FROM days
+        )
+        SELECT o_custkey,
+               COUNT(*) AS streak_days,
+               MIN(day) AS streak_start,
+               MAX(day) AS streak_end
+        FROM islands
+        GROUP BY o_custkey, island
+        HAVING COUNT(*) >= 2
+        ORDER BY o_custkey, streak_start
+    """,
     "q_orders_moving_revenue": """
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS order_day,

@@ -549,8 +549,42 @@ def q_events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov statistics over per-user event sequences:
+    the (event_type → next event_type) count and conditional
+    probability matrix — the sequence-model summary behind
+    next-action prediction features and behavioral-drift monitors.
+
+    Plan: ``lead`` over the per-user time order (one shuffle by
+    user), then aggregation to the TYPE-PAIR grain — ~|types|² rows,
+    constant in corpus size — where the row-conditional probabilities
+    are window math over that tiny rollup.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = F.sum("n").over(Window.partitionBy("event_type"))
+    return (
+        counts.select(
+            "event_type",
+            "next_type",
+            "n",
+            (F.floor(F.col("n") * 1e6 / row_tot) / 1e6).alias("p"),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
+    "q_events_transition_matrix": q_events_transition_matrix,
     "q_events_funnel_ordered": q_events_funnel_ordered,
     "q_events_anomaly_days": q_events_anomaly_days,
     "q_events_value_trend": q_events_value_trend,
@@ -830,6 +864,23 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_transition_matrix": """
+        WITH seq AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type, next_type, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        )
+        SELECT event_type, next_type, n,
+               floor(n * 1e6 / SUM(n) OVER (PARTITION BY event_type)) / 1e6 AS p
+        FROM counts
+        ORDER BY event_type, next_type
     """,
     "q_events_user_features": """
         WITH ranked AS (

@@ -1,0 +1,44 @@
+"""q_customer_order_streaks (gaps-and-islands) +
+q_events_transition_matrix (first-order Markov statistics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name", ["q_customer_order_streaks", "q_events_transition_matrix"]
+)
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_streaks_are_contiguous_runs(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_order_streaks,
+    )
+
+    rows = q_customer_order_streaks(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        span = (r.streak_end - r.streak_start).days + 1
+        assert span == r.streak_days >= 2  # dense run, no gaps inside
+
+
+def test_transition_rows_are_conditional_distributions(spark):
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_transition_matrix,
+    )
+
+    rows = q_events_transition_matrix(spark, SF_DIR).collect()
+    assert rows
+    by_src: dict[str, float] = {}
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0
+        by_src[r.event_type] = by_src.get(r.event_type, 0.0) + r.p
+    # Each row of the matrix is a probability distribution (floored
+    # at 1e-6 per cell, so allow that much slack per outgoing edge).
+    for src, total in by_src.items():
+        assert 1.0 - 1e-4 <= total <= 1.0 + 1e-9, (src, total)
