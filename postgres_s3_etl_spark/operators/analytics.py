@@ -792,9 +792,70 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HIST_BINS = 20
+
+
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals with per-bin share and
+    cumulative distribution — the profiling/binning shape behind data
+    drift monitors and UI distributions.
+
+    Plan: min/max are two broadcast scalars, binning is row-local,
+    and the aggregation is ONE map-side-combined shuffle to the
+    N_HIST_BINS-row grain; the running-total window then runs over
+    those ≤20 rows (constant at any corpus size, so the unpartitioned
+    window is safe — same argument as the moving-revenue rollup).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(N_HIST_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                * N_HIST_BINS
+                / (F.col("hi") - F.col("lo"))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    w_all = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = F.sum("n").over(w_all)
+    running = F.sum("n").over(w_run)
+    width = (F.col("hi") - F.col("lo")) / N_HIST_BINS
+    return hist.select(
+        "bin",
+        (F.floor((F.col("lo") + F.col("bin") * width) * 100) / 100).alias(
+            "bin_lo"
+        ),
+        (
+            F.floor((F.col("lo") + (F.col("bin") + 1) * width) * 100) / 100
+        ).alias("bin_hi"),
+        "n",
+        (F.floor(F.col("n") * 1e6 * 100 / total) / 1e6).alias("pct"),
+        (F.floor(running * 1e6 * 100 / total) / 1e6).alias("cum_pct"),
+    ).orderBy("bin")
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_customer_order_streaks": q_customer_order_streaks,
+    "q_orders_price_histogram": q_orders_price_histogram,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -822,6 +883,31 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_price_histogram": f"""
+        WITH bounds AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders
+        ),
+        binned AS (
+            SELECT CAST(least({N_HIST_BINS - 1},
+                        floor((o_totalprice - lo) * {N_HIST_BINS} / (hi - lo))) AS INT) AS bin,
+                   lo, hi
+            FROM orders CROSS JOIN bounds
+        ),
+        hist AS (
+            SELECT bin, COUNT(*) AS n, MIN(lo) AS lo, MIN(hi) AS hi
+            FROM binned GROUP BY bin
+        )
+        SELECT bin,
+               floor((lo + bin * ((hi - lo) / {N_HIST_BINS})) * 100) / 100 AS bin_lo,
+               floor((lo + (bin + 1) * ((hi - lo) / {N_HIST_BINS})) * 100) / 100 AS bin_hi,
+               n,
+               floor(n * 1e6 * 100 / SUM(n) OVER ()) / 1e6 AS pct,
+               floor(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                     * 1e6 * 100 / SUM(n) OVER ()) / 1e6 AS cum_pct
+        FROM hist
+        ORDER BY bin
+    """,
     "q_customer_order_streaks": """
         WITH days AS (
             SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day

@@ -42,3 +42,24 @@ def test_transition_rows_are_conditional_distributions(spark):
     # at 1e-6 per cell, so allow that much slack per outgoing edge).
     for src, total in by_src.items():
         assert 1.0 - 1e-4 <= total <= 1.0 + 1e-9, (src, total)
+
+
+def test_histogram_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_price_histogram")
+
+
+def test_histogram_partitions_the_corpus(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        N_HIST_BINS,
+        q_orders_price_histogram,
+    )
+
+    rows = q_orders_price_histogram(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= N_HIST_BINS
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert sum(r.n for r in rows) == n_orders  # every row lands in a bin
+    assert abs(rows[-1].cum_pct - 100.0) < 1e-3
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_pct >= prev.cum_pct
+        assert cur.bin_lo >= prev.bin_lo
