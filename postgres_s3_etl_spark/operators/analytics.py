@@ -792,6 +792,73 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_TOP_K = 25
+
+
+def q_brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part BRANDS: for brand pairs
+    co-occurring in the same order, support and lift vs independence
+    — the co-occurrence/recommendation primitive.
+
+    Scale: the pair join is an equi-join on ``l_orderkey`` over the
+    per-order DISTINCT-brand rollup, so each order contributes at
+    most |brands-in-order|² pairs — bounded by basket width (≤7
+    lines in TPC-H), never corpus-quadratic. Brand marginals are a
+    ~25-row broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = ob.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_orders_brand"))
+    ma = marg.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_orders_brand").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_orders_brand").alias("n_b")
+    )
+    lift = (
+        F.col("n_both").cast("double")
+        * F.col("n_orders")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pair_n.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            (F.floor(F.col("n_both") * 1e6 / F.col("n_orders")) / 1e6).alias(
+                "support"
+            ),
+            (F.floor(lift * 1e6) / 1e6).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "brand_a", "brand_b")
+        .limit(BASKET_TOP_K)
+    )
+
+
 N_HIST_BINS = 20
 
 
@@ -856,6 +923,7 @@ QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_customer_order_streaks": q_customer_order_streaks,
     "q_orders_price_histogram": q_orders_price_histogram,
+    "q_brand_basket_affinity": q_brand_basket_affinity,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -883,6 +951,36 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_brand_basket_affinity": f"""
+        WITH ob AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        tot AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+            FROM ob
+        ),
+        pair_n AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   COUNT(*) AS n_both
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY a.p_brand, b.p_brand
+        ),
+        marg AS (
+            SELECT p_brand, COUNT(*) AS n_orders_brand FROM ob GROUP BY p_brand
+        )
+        SELECT pn.brand_a, pn.brand_b, pn.n_both,
+               floor(pn.n_both * 1e6 / t.n_orders) / 1e6 AS support,
+               floor(CAST(pn.n_both AS DOUBLE) * t.n_orders
+                     / (ma.n_orders_brand * mb.n_orders_brand) * 1e6) / 1e6 AS lift
+        FROM pair_n pn
+        JOIN marg ma ON ma.p_brand = pn.brand_a
+        JOIN marg mb ON mb.p_brand = pn.brand_b
+        CROSS JOIN tot t
+        ORDER BY n_both DESC, brand_a, brand_b
+        LIMIT {BASKET_TOP_K}
+    """,
     "q_orders_price_histogram": f"""
         WITH bounds AS (
             SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi

@@ -582,9 +582,43 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day — the canonical engagement
+    metrics, built without a distinct-over-window (which Spark, like
+    every SQL engine, can't stream).
+
+    The scale trick: reduce to the user-day rollup first (DISTINCT),
+    then let each user-day contribute to the 7 calendar days it keeps
+    the user "weekly-active" for — a bounded 7× Expand of the ROLLUP
+    (not raw events) — and count distinct users at day grain. Every
+    shuffle operates on rollup-sized data; raw events are touched
+    once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("day"),
+    )
+    wau = expanded.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")  # inner join drops spill-over future days
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_transition_matrix": q_events_transition_matrix,
+    "q_events_active_users": q_events_active_users,
     "q_events_funnel_ordered": q_events_funnel_ordered,
     "q_events_anomaly_days": q_events_anomaly_days,
     "q_events_value_trend": q_events_value_trend,
@@ -864,6 +898,25 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_active_users": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        dau AS (
+            SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+        ),
+        expanded AS (
+            SELECT user_id, day + CAST(t.i AS INT) AS day
+            FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) t
+        ),
+        wau AS (
+            SELECT day, COUNT(DISTINCT user_id) AS wau
+            FROM expanded GROUP BY day
+        )
+        SELECT d.day, d.dau, w.wau
+        FROM dau d JOIN wau w ON d.day = w.day
+        ORDER BY d.day
     """,
     "q_events_transition_matrix": """
         WITH seq AS (

@@ -63,3 +63,20 @@ def test_histogram_partitions_the_corpus(spark):
     for prev, cur in zip(rows, rows[1:]):
         assert cur.cum_pct >= prev.cum_pct
         assert cur.bin_lo >= prev.bin_lo
+
+
+def test_basket_affinity_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_brand_basket_affinity")
+
+
+def test_active_users_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_active_users")
+
+
+def test_wau_bounds_dau(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_active_users
+
+    rows = q_events_active_users(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau >= 1  # a day's actives are weekly-active
