@@ -221,7 +221,86 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"mm_decode_stub": mm_decode_stub, "mm_frame_sample": mm_frame_sample}
+AUDIO_WINDOW_MS = 500
+
+WINDOWS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("window_ts_ms", IntegerType()),
+        StructField("level", LongType()),
+    ]
+)
+
+
+def window_audio(
+    media: DataFrame,
+    window_ms: int = AUDIO_WINDOW_MS,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Audio windowing as a 1→N ``mapInPandas`` expansion: each audio
+    asset yields one row per ``window_ms`` of duration with a
+    per-window level feature (the RMS/loudness slot). The real PCM
+    decode is stubbed with a deterministic digest-derived level; the
+    Spark-side shape — metadata pruning before Python, in-batch row
+    expansion, JVM-side aggregation after — is the production
+    plumbing, identical to a real librosa/ffmpeg windower.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real audio decode requires ffmpeg/librosa — not in "
+                    "this container; run with decode_stub=True"
+                )
+            out_rows = []
+            for asset_id, dur, payload in zip(
+                pdf["asset_id"], pdf["duration_ms"], pdf["payload"]
+            ):
+                n_win = max(int(dur) // window_ms, 1)
+                for i in range(n_win):
+                    digest = hashlib.md5(
+                        (bytes(payload) + i.to_bytes(4, "big")).hex().encode()
+                    ).hexdigest()
+                    out_rows.append(
+                        (int(asset_id), i, i * window_ms, int(digest[:4], 16))
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["asset_id", "window_idx", "window_ts_ms", "level"],
+            )
+
+    audio = media.where(F.col("media_type") == "audio").select(
+        "asset_id", "duration_ms", "payload"
+    )
+    return audio.mapInPandas(batches, WINDOWS_SCHEMA)
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing entry: window the synthetic audio assets, then
+    per-asset level stats JVM-side (sum/count spelled out so the
+    division is the single IEEE op the oracle also performs)."""
+    w = window_audio(synth_media(spark, n=64))
+    return (
+        w.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("window_ts_ms").alias("last_window_ts_ms"),
+            F.round(
+                F.sum("level").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_level"),
+            F.max("level").alias("peak_level"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+QUERIES = {
+    "mm_decode_stub": mm_decode_stub,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_audio_windows": mm_audio_windows,
+}
 
 #: The synthetic media and the stub decoders are pure functions of
 #: public hashes (sha256 asset payloads, md5-of-hex digests), so the
@@ -265,6 +344,40 @@ ORACLES: dict[str, str] = {
         FROM f0s
         GROUP BY media_type
         ORDER BY media_type
+    """,
+    "mm_audio_windows": f"""
+        WITH audio AS (
+            SELECT i,
+                   1000 + 10 * i AS duration_ms,
+                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hex_payload
+            FROM (SELECT unnest(generate_series(0, 63)) AS i)
+            WHERE i % 3 = 1
+        ),
+        wins AS (
+            SELECT a.i AS asset_id,
+                   w.w AS window_idx,
+                   CAST(w.w * {AUDIO_WINDOW_MS} AS INTEGER) AS window_ts_ms,
+                   md5(a.hex_payload || lower(lpad(to_hex(w.w), 8, '0'))) AS d
+            FROM audio a,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, greatest(a.duration_ms // {AUDIO_WINDOW_MS}, 1) - 1)) AS w) w
+        ),
+        levels AS (
+            SELECT asset_id, window_ts_ms,
+                   CAST(4096 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
+                        + 256 * (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)
+                        + 16 * (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) AS BIGINT) AS level
+            FROM wins
+        )
+        SELECT asset_id,
+               COUNT(*) AS n_windows,
+               MAX(window_ts_ms) AS last_window_ts_ms,
+               ROUND(CAST(SUM(level) AS DOUBLE) / COUNT(*), 6) AS avg_level,
+               MAX(level) AS peak_level
+        FROM levels
+        GROUP BY asset_id
+        ORDER BY asset_id
     """,
     "mm_frame_sample": f"""
         WITH videos AS (

@@ -253,3 +253,33 @@ def test_frame_sampling_expansion(spark):
         assert len({f.frame_digest for f in fs}) == expected
     stats = mm_frame_sample(spark, "unused").collect()
     assert all(s.n_frames == s.n_distinct_frames for s in stats)
+
+
+def test_audio_windowing_expansion(spark, duck):
+    """mm_audio_windows: 1→N window expansion over audio assets only,
+    digest-derived levels, oracle hash match."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        AUDIO_WINDOW_MS,
+        mm_audio_windows,
+        synth_media,
+        window_audio,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    media = synth_media(spark, n=64)
+    wins = window_audio(media).collect()
+    n_audio = media.where("media_type = 'audio'").count()
+    assert {w.asset_id for w in wins} == {
+        r.asset_id for r in media.where("media_type = 'audio'").collect()
+    }
+    per = {}
+    for w in wins:
+        per.setdefault(w.asset_id, []).append(w)
+        assert 0 <= w.level <= 0xFFFF
+        assert w.window_ts_ms == w.window_idx * AUDIO_WINDOW_MS
+    stats = mm_audio_windows(spark, "unused").collect()
+    assert len(stats) == n_audio
+    for r in stats:
+        assert r.n_windows == len(per[r.asset_id])
+        assert r.peak_level == max(w.level for w in per[r.asset_id])
+    assert_matches_oracle(spark, duck, "mm_audio_windows")
