@@ -792,6 +792,64 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: customers ranked by revenue,
+    cumulative revenue share, and the A (≤80%), B (≤95%), C classes —
+    the inventory/CRM segmentation classic. Emits the per-class
+    rollup (class, customers, revenue, revenue share).
+
+    Plan: revenue reduces to customer grain first (one shuffle);
+    the ranking/cumulative windows then run over that rollup. The
+    windows are unpartitioned but rollup-sized — the same bounded-
+    window argument as the decile and moving-revenue queries; at
+    extreme customer counts the ntile-style two-pass range split
+    applies unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("rev")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("rev").alias("rev"))
+    w_rank = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_share = (
+        F.sum("rev").over(w_run).cast("double")
+        / F.sum("rev").over(w_all).cast("double")
+    )
+    classed = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    w_tot = Window.partitionBy()
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev").alias("class_rev"),
+        )
+        .select(
+            "abc_class",
+            "n_customers",
+            F.round(F.col("class_rev").cast("double"), 2).alias("revenue"),
+            (
+                F.floor(
+                    F.col("class_rev").cast("double")
+                    * 1e6
+                    / F.sum("class_rev").over(w_tot).cast("double")
+                )
+                / 1e6
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 BASKET_TOP_K = 25
 
 
@@ -924,6 +982,7 @@ QUERIES = {
     "q_customer_order_streaks": q_customer_order_streaks,
     "q_orders_price_histogram": q_orders_price_histogram,
     "q_brand_basket_affinity": q_brand_basket_affinity,
+    "q_customer_abc_classes": q_customer_abc_classes,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -951,6 +1010,38 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_customer_abc_classes": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        shares AS (
+            SELECT o_custkey, rev,
+                   CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
+            FROM per_cust
+        ),
+        classed AS (
+            SELECT o_custkey, rev,
+                   CASE WHEN cum_share <= 0.80 THEN 'A'
+                        WHEN cum_share <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM shares
+        ),
+        rolled AS (
+            SELECT abc_class, COUNT(*) AS n_customers,
+                   SUM(rev) AS class_rev
+            FROM classed GROUP BY abc_class
+        )
+        SELECT abc_class, n_customers,
+               ROUND(CAST(class_rev AS DOUBLE), 2) AS revenue,
+               floor(CAST(class_rev AS DOUBLE) * 1e6
+                     / CAST(SUM(class_rev) OVER () AS DOUBLE)) / 1e6 AS rev_share
+        FROM rolled
+        ORDER BY abc_class
+    """,
     "q_brand_basket_affinity": f"""
         WITH ob AS (
             SELECT DISTINCT l.l_orderkey, p.p_brand

@@ -615,10 +615,70 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-to-stage conversion latency: per converting user the
+    seconds from first signup to first subsequent purchase, reduced
+    to the exact latency distribution (n, min, discrete median/p90,
+    max) — the time-to-convert metric behind funnel monitoring.
+
+    Exactness: discrete percentiles by row_number (rn == ceil(p·n))
+    like q_percentiles_disc — actual data values, no interpolation,
+    immune to engine quantile conventions. Scale: per-user firsts are
+    one shuffle; the percentile window runs over converting users
+    only (a rollup).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    firsts = (
+        ev.where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "s_ts"
+            ),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("p_ts"),
+        )
+        .where(
+            F.col("s_ts").isNotNull()
+            & F.col("p_ts").isNotNull()
+            & (F.col("p_ts") >= F.col("s_ts"))
+        )
+    )
+    lat = firsts.select(
+        (
+            F.col("p_ts").cast("timestamp").cast("long")
+            - F.col("s_ts").cast("timestamp").cast("long")
+        ).alias("secs")
+    )
+    w = Window.orderBy("secs")
+    ranked = lat.select(
+        "secs",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.min("secs").alias("min_s"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("secs"))
+        ).alias("median_s"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("secs"))
+        ).alias("p90_s"),
+        F.max("secs").alias("max_s"),
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_transition_matrix": q_events_transition_matrix,
     "q_events_active_users": q_events_active_users,
+    "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_funnel_ordered": q_events_funnel_ordered,
     "q_events_anomaly_days": q_events_anomaly_days,
     "q_events_value_trend": q_events_value_trend,
@@ -898,6 +958,33 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_funnel_latency": """
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+            FROM events
+            WHERE event_type IN ('signup', 'purchase')
+            GROUP BY user_id
+        ),
+        lat AS (
+            SELECT date_diff('second', s_ts, p_ts) AS secs
+            FROM firsts
+            WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts
+        ),
+        ranked AS (
+            SELECT secs,
+                   ROW_NUMBER() OVER (ORDER BY secs) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM lat
+        )
+        SELECT MAX(n) AS n_converted,
+               MIN(secs) AS min_s,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN secs END) AS median_s,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN secs END) AS p90_s,
+               MAX(secs) AS max_s
+        FROM ranked
     """,
     "q_events_active_users": """
         WITH ud AS (

@@ -645,6 +645,46 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_TERMS = ("spark", "window")  # conjunctive query: both must hit
+
+
+def text_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index keyword search: docs containing ALL query terms,
+    ranked by combined term frequency — the posting-list AND-query
+    every search/retrieval layer runs.
+
+    Plan: one explode to (doc, token, tf) postings, the term filter
+    applied BEFORE any shuffle (predicate on the posting stream cuts
+    it to query-term rows only), then a doc-grain aggregation keeps
+    docs whose distinct-term count equals the query arity. At scale
+    the posting build is the write-side index job; the query side
+    touches only the query terms' postings — exactly an inverted
+    index lookup, expressed relationally.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .where(F.col("token").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        postings.groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("token").alias("n_terms"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+        )
+        .where(F.col("n_terms") == len(SEARCH_TERMS))
+        .select("doc_id", "source", "total_tf")
+        .orderBy(F.desc("total_tf"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
 MIX_ALPHA = 0.5  # temperature: 1 = proportional, 0 = uniform
 
 
@@ -759,6 +799,7 @@ QUERIES = {
     "text_repetition_score": text_repetition_score,
     "text_topterms_sketch": text_topterms_sketch,
     "text_mixture_weights": text_mixture_weights,
+    "text_keyword_search": text_keyword_search,
 }
 
 
@@ -973,6 +1014,24 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_keyword_search": rf"""
+        WITH postings AS (
+            SELECT doc_id, source, token, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id, source,
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                FROM documents
+            )
+            WHERE token IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}')
+            GROUP BY doc_id, source, token
+        )
+        SELECT doc_id, source, CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM postings
+        GROUP BY doc_id, source
+        HAVING COUNT(DISTINCT token) = {len(SEARCH_TERMS)}
+        ORDER BY total_tf DESC, doc_id ASC
+        LIMIT 25
     """,
     "text_mixture_weights": rf"""
         WITH per_source AS (

@@ -80,3 +80,55 @@ def test_wau_bounds_dau(spark):
     assert rows
     for r in rows:
         assert r.wau >= r.dau >= 1  # a day's actives are weekly-active
+
+
+def test_keyword_search_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_keyword_search")
+
+
+def test_keyword_search_is_conjunctive(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        SEARCH_TERMS,
+        text_keyword_search,
+    )
+    from pyspark.sql import functions as F
+
+    hits = text_keyword_search(spark, SF_DIR).collect()
+    assert hits
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    for h in hits:
+        toks = docs[h.doc_id].lower().split()
+        assert all(t in toks for t in SEARCH_TERMS)
+
+
+def test_abc_classes_match_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_customer_abc_classes")
+
+
+def test_abc_pareto_shape(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_abc_classes,
+    )
+
+    rows = {r.abc_class: r for r in q_customer_abc_classes(spark, SF_DIR).collect()}
+    assert set(rows) <= {"A", "B", "C"} and "A" in rows
+    assert abs(sum(r.rev_share for r in rows.values()) - 1.0) < 1e-3
+    if "C" in rows:  # the Pareto asymmetry: A's revenue per customer dominates
+        a, c = rows["A"], rows["C"]
+        assert a.revenue / a.n_customers > c.revenue / c.n_customers
+
+
+def test_funnel_latency_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_funnel_latency")
+
+
+def test_funnel_latency_ordering(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_funnel_latency
+
+    r = q_events_funnel_latency(spark, SF_DIR).collect()[0]
+    assert r.n_converted > 0
+    assert r.min_s <= r.median_s <= r.p90_s <= r.max_s
