@@ -792,6 +792,28 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly rollup, lag window, and
+    the growth percentage — the reporting staple. One shuffle to the
+    ~7-row year grain; the lag window is rollup-sized.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    yearly = orders.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("rev").alias("rev")
+    )
+    prev = F.lag("rev").over(Window.orderBy("yr"))
+    growth = (F.col("rev") - prev).cast("double") * 100 / prev.cast("double")
+    return yearly.select(
+        "yr",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        (F.floor(growth * 1e4) / 1e4).alias("yoy_pct"),
+    ).orderBy("yr")
+
+
 def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification: customers ranked by revenue,
     cumulative revenue share, and the A (≤80%), B (≤95%), C classes —
@@ -983,6 +1005,7 @@ QUERIES = {
     "q_orders_price_histogram": q_orders_price_histogram,
     "q_brand_basket_affinity": q_brand_basket_affinity,
     "q_customer_abc_classes": q_customer_abc_classes,
+    "q_orders_yoy_growth": q_orders_yoy_growth,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1010,6 +1033,21 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_yoy_growth": """
+        WITH yearly AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY yr
+        )
+        SELECT CAST(yr AS INT) AS yr,
+               n_orders,
+               ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+               floor(CAST(rev - LAG(rev) OVER (ORDER BY yr) AS DOUBLE) * 100
+                     / CAST(LAG(rev) OVER (ORDER BY yr) AS DOUBLE) * 1e4) / 1e4 AS yoy_pct
+        FROM yearly
+        ORDER BY yr
+    """,
     "q_customer_abc_classes": """
         WITH per_cust AS (
             SELECT o_custkey,

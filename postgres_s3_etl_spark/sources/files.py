@@ -176,3 +176,24 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
             "--packages org.apache.spark:spark-avro_2.13:<spark version>"
         )
     df.write.mode(mode).format("avro").save(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Raw text corpus reader — the ingestion edge for unprocessed
+    crawl/dump files (one row per line, or per FILE with
+    ``whole_file`` for document-per-file corpora). Returns the single
+    ``value`` string column; pair with ``input_file_name()`` when the
+    provenance matters. Splittable per line at scale; whole-file mode
+    trades splittability for document integrity, which is why the
+    per-line form is the default.
+    """
+    reader = spark.read.options(**options)
+    # wholetext must ride the text() call itself — a plain reader
+    # option of the same name is silently ignored.
+    return reader.text(path, wholetext=whole_file, lineSep=line_sep)

@@ -416,3 +416,22 @@ def test_avro_gates_without_module(spark, tmp_path):
         write_avro(df, str(tmp_path / "a"))
     with _pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "a"))
+
+
+def test_read_text_lines_and_whole_file(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.sources.files import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    lines = read_text(spark, str(p))
+    assert lines.columns == ["value"]
+    assert sorted(r.value for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(p), whole_file=True).withColumn(
+        "f", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+    got = {r.f: r.value for r in whole.collect()}
+    assert got == {"a.txt": "alpha\nbeta\n", "b.txt": "gamma\n"}

@@ -132,3 +132,7 @@ def test_funnel_latency_ordering(spark):
     r = q_events_funnel_latency(spark, SF_DIR).collect()[0]
     assert r.n_converted > 0
     assert r.min_s <= r.median_s <= r.p90_s <= r.max_s
+
+
+def test_yoy_growth_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_yoy_growth")
