@@ -645,6 +645,79 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: a bigram language model with
+    add-one smoothing is fit on the corpus itself, and each document
+    is scored by its mean bigram negative log-probability — the
+    perplexity-filtering signal production pipelines use to drop
+    gibberish/boilerplate (a doc whose transitions the corpus finds
+    surprising scores high).
+
+    Model: p(w|u) = (B(u,w) + 1) / (U(u) + V) with B/U/V the bigram /
+    unigram / vocab counts. Scale: natural-language U and B tables
+    are vocabulary-bounded (≪ corpus), so both broadcast into the
+    per-doc bigram stream — the same marginal-broadcast shape as
+    text_bigram_pmi; everything else is row-local array math + one
+    doc-grain aggregation. ln() is one IEEE op mirrored in the
+    oracle; the score truncates at 1e-6.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    words = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
+    )
+    bigrams = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                """
+                transform(
+                    sequence(1, greatest(size(w) - 1, 0)),
+                    i -> struct(element_at(w, i) AS u, element_at(w, i + 1) AS v)
+                )
+                """
+            )
+        ).alias("i", "bg"),
+    ).select("doc_id", "i", "bg.u", "bg.v")
+    bigrams = bigrams.persist()
+    ucnt = bigrams.groupBy("u").agg(F.count(F.lit(1)).alias("n_u"))
+    bcnt = bigrams.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_uv"))
+    vocab = words.select(F.explode("w").alias("t")).agg(
+        F.countDistinct("t").alias("vsz")
+    )
+    neg_logp = -F.log(
+        (F.col("n_uv") + 1).cast("double")
+        / (F.col("n_u") + F.col("vsz")).cast("double")
+    )
+    # Doubles sum in position order via a sequential fold (not avg(),
+    # whose partial-merge order is partition-dependent) — the same
+    # bit-determinism trick the k-means dot products use, so the
+    # score hash-matches DuckDB's list_reduce over the same order.
+    return (
+        bigrams.join(F.broadcast(bcnt), ["u", "v"])
+        .join(F.broadcast(ucnt), "u")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("nl", neg_logp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(i, nl))),"
+                " x -> x.nl), 0.0d, (s, x) -> s + x)"
+            ).alias("sum_nl"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.floor(F.col("sum_nl") / F.col("n_bigrams") * 1e6) / 1e6).alias(
+                "avg_neg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 SEARCH_TERMS = ("spark", "window")  # conjunctive query: both must hit
 
 
@@ -800,6 +873,7 @@ QUERIES = {
     "text_topterms_sketch": text_topterms_sketch,
     "text_mixture_weights": text_mixture_weights,
     "text_keyword_search": text_keyword_search,
+    "text_lm_perplexity": text_lm_perplexity,
 }
 
 
@@ -1013,6 +1087,43 @@ ORACLES = {
                          for i in generate_series(1, greatest(len(w) - 2, 1))]) AS fingerprint,
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
+        ORDER BY doc_id
+    """,
+    "text_lm_perplexity": rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT doc_id, i, w[i] AS u, w[i + 1] AS v
+            FROM words, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+            )
+        ),
+        ucnt AS (SELECT u, COUNT(*) AS n_u FROM bigrams GROUP BY u),
+        bcnt AS (SELECT u, v, COUNT(*) AS n_uv FROM bigrams GROUP BY u, v),
+        vocab AS (
+            SELECT COUNT(DISTINCT t) AS vsz
+            FROM (SELECT unnest(w) AS t FROM words)
+        ),
+        scored AS (
+            SELECT b.doc_id, b.i,
+                   -ln(CAST(bc.n_uv + 1 AS DOUBLE)
+                       / CAST(uc.n_u + vo.vsz AS DOUBLE)) AS nl
+            FROM bigrams b
+            JOIN bcnt bc ON b.u = bc.u AND b.v = bc.v
+            JOIN ucnt uc ON b.u = uc.u
+            CROSS JOIN vocab vo
+        ),
+        folded AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_bigrams,
+                   list_reduce(list(nl ORDER BY i), (s, x) -> s + x) AS sum_nl
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               floor(sum_nl / n_bigrams * 1e6) / 1e6 AS avg_neg_logp
+        FROM folded
         ORDER BY doc_id
     """,
     "text_keyword_search": rf"""

@@ -28,3 +28,22 @@ def test_mixture_temperature_flattens_the_distribution(spark):
         assert smallest.epochs > biggest.epochs
         assert smallest.mix_weight > smallest.token_share
         assert biggest.mix_weight < biggest.token_share
+
+
+def test_lm_perplexity_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_lm_perplexity")
+
+
+def test_lm_perplexity_scores_every_doc_and_is_positive(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_lm_perplexity,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_lm_perplexity(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_neg_logp > 0.0  # smoothed probs are < 1
