@@ -674,11 +674,58 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-log hygiene: per-user inter-event cadence statistics
+    with bot flags — the cleaning pass a training pipeline runs
+    before learning from user behavior. Superhuman RATE (mean gap
+    below threshold) and machine-like REGULARITY (coefficient of
+    variation of gaps near zero) are the two classic signatures.
+
+    Exactness: gaps are integer seconds; mean and variance derive
+    from exact bigint/decimal sufficient statistics (Σg, Σg²) in one
+    mirrored IEEE expression — the same order-independent recipe as
+    the anomaly z-scores. One shuffle by user for the lag window; the
+    stats aggregation reuses that partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("gap", epoch - F.lag(epoch).over(w))
+        .where(F.col("gap").isNotNull())
+        .select("user_id", "gap")
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").cast("decimal(28,0)").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("decimal(38,0)").alias("s2"),
+    )
+    n = F.col("n_gaps")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - n * mean * mean) / (n - 1)
+    cv = F.sqrt(var) / mean
+    return (
+        stats.where(n >= 5)
+        .select(
+            "user_id",
+            "n_gaps",
+            (F.floor(mean * 1e4) / 1e4).alias("mean_gap_s"),
+            (F.floor(cv * 1e4) / 1e4).alias("gap_cv"),
+            (mean < 1800).alias("is_rate_bot"),
+            (cv < 0.3).alias("is_regular_bot"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_transition_matrix": q_events_transition_matrix,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
+    "q_events_bot_detection": q_events_bot_detection,
     "q_events_funnel_ordered": q_events_funnel_ordered,
     "q_events_anomaly_days": q_events_anomaly_days,
     "q_events_value_trend": q_events_value_trend,
@@ -958,6 +1005,40 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_bot_detection": """
+        WITH gaps AS (
+            SELECT user_id,
+                   date_diff('second',
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id),
+                             ts) AS gap
+            FROM events
+        ),
+        stats AS (
+            SELECT user_id,
+                   COUNT(*) AS n_gaps,
+                   CAST(SUM(gap) AS DECIMAL(28,0)) AS s1,
+                   CAST(SUM(gap * gap) AS DECIMAL(38,0)) AS s2
+            FROM gaps WHERE gap IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n_gaps,
+               floor(CAST(s1 AS DOUBLE) / n_gaps * 1e4) / 1e4 AS mean_gap_s,
+               floor(sqrt((CAST(s2 AS DOUBLE)
+                           - n_gaps * (CAST(s1 AS DOUBLE) / n_gaps)
+                                    * (CAST(s1 AS DOUBLE) / n_gaps))
+                          / (n_gaps - 1))
+                     / (CAST(s1 AS DOUBLE) / n_gaps) * 1e4) / 1e4 AS gap_cv,
+               CAST(s1 AS DOUBLE) / n_gaps < 1800 AS is_rate_bot,
+               sqrt((CAST(s2 AS DOUBLE)
+                     - n_gaps * (CAST(s1 AS DOUBLE) / n_gaps)
+                              * (CAST(s1 AS DOUBLE) / n_gaps))
+                    / (n_gaps - 1))
+               / (CAST(s1 AS DOUBLE) / n_gaps) < 0.3 AS is_regular_bot
+        FROM stats
+        WHERE n_gaps >= 5
+        ORDER BY user_id
     """,
     "q_events_funnel_latency": """
         WITH firsts AS (

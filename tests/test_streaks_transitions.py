@@ -136,3 +136,23 @@ def test_funnel_latency_ordering(spark):
 
 def test_yoy_growth_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "q_orders_yoy_growth")
+
+
+def test_bot_detection_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_bot_detection")
+
+
+def test_bot_flags_consistent_with_stats(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_bot_detection
+
+    rows = q_events_bot_detection(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 5
+        assert r.mean_gap_s > 0 and r.gap_cv >= 0
+        # flags derive from the un-truncated stats; the truncated
+        # columns must agree except within the 1e-4 truncation band
+        if r.mean_gap_s < 1800 - 1:
+            assert r.is_rate_bot
+        if r.mean_gap_s > 1800:
+            assert not r.is_rate_bot
