@@ -792,6 +792,42 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-front query: parts not dominated on
+    (min retail price, max size) — q dominates p when q is no worse
+    on both dimensions and strictly better on one. The
+    multi-criteria-shortlist operator (cheapest-and-biggest here;
+    price/latency, cost/quality in general).
+
+    The O(n²) NOT-EXISTS definition (the oracle) collapses to a
+    window scan in 2D: reduce to the price grain with its max size,
+    order by price, and a part survives iff its size equals its
+    price's max AND strictly exceeds the running max size of all
+    cheaper prices. One aggregation shuffle + one window over the
+    price-grain rollup — the rollup is bounded by distinct prices,
+    and the dominance test never materializes pairs.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    pg = parts.groupBy("price").agg(F.max("size").alias("mx"))
+    w_prev = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = pg.withColumn("prev_mx", F.max("mx").over(w_prev))
+    return (
+        parts.join(frontier, "price")
+        .where(
+            (F.col("size") == F.col("mx"))
+            & (F.col("prev_mx").isNull() | (F.col("size") > F.col("prev_mx")))
+        )
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "p_partkey")
+    )
+
+
 def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year revenue growth: yearly rollup, lag window, and
     the growth percentage — the reporting staple. One shuffle to the
@@ -1006,6 +1042,7 @@ QUERIES = {
     "q_brand_basket_affinity": q_brand_basket_affinity,
     "q_customer_abc_classes": q_customer_abc_classes,
     "q_orders_yoy_growth": q_orders_yoy_growth,
+    "q_part_skyline": q_part_skyline,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1033,6 +1070,22 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    # The quadratic NOT-EXISTS dominance definition — deliberately a
+    # DIFFERENT formulation than the window scan, so the oracle
+    # cross-checks the rollup derivation, not just the arithmetic.
+    "q_part_skyline": """
+        SELECT p.p_partkey,
+               p.p_retailprice AS price,
+               p.p_size AS size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+        )
+        ORDER BY price, p.p_partkey
+    """,
     "q_orders_yoy_growth": """
         WITH yearly AS (
             SELECT EXTRACT(year FROM o_orderdate) AS yr,

@@ -156,3 +156,32 @@ def test_bot_flags_consistent_with_stats(spark):
             assert r.is_rate_bot
         if r.mean_gap_s > 1800:
             assert not r.is_rate_bot
+
+
+def test_skyline_matches_quadratic_oracle(spark, duck):
+    # The oracle is the O(n²) NOT-EXISTS dominance definition — a
+    # structurally different derivation than the window scan.
+    assert_matches_oracle(spark, duck, "q_part_skyline")
+
+
+def test_skyline_is_mutually_nondominating(spark):
+    from postgres_s3_etl_spark.operators.analytics import q_part_skyline
+
+    rows = q_part_skyline(spark, SF_DIR).collect()
+    assert rows
+    for p in rows:
+        for q in rows:
+            if p.p_partkey == q.p_partkey:
+                continue
+            dominates = (
+                q.price <= p.price
+                and q.size >= p.size
+                and (q.price < p.price or q.size > p.size)
+            )
+            assert not dominates, (p, q)
+    # the frontier is monotone: sorted by price, sizes strictly rise
+    # (modulo exact ties on both dimensions, which co-survive)
+    by_price = sorted(rows, key=lambda r: (r.price, -r.size))
+    for a, b in zip(by_price, by_price[1:]):
+        if a.price != b.price:
+            assert b.size > a.size
