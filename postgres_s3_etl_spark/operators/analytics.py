@@ -792,6 +792,57 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting by sweep line: how many orders are
+    "open" (placed, not yet fully shipped) on each day — the
+    backlog/concurrency metric (active sessions, open tickets,
+    in-flight shipments all share this shape).
+
+    Instead of joining every day against every interval (quadratic),
+    each interval emits two delta events (+1 at open, −1 after close)
+    and a running sum over the day-grain rollup reconstructs the
+    concurrent count — the sweep-line trick that turns interval
+    overlap into one aggregation + one window over ~#days rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("open_day")
+    )
+    closes = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    )
+    # The synthetic ship dates are independent of order dates, so an
+    # order can "close" before it opens; clamp — an order is open at
+    # least on its own order day (degenerate intervals would emit
+    # their −1 before their +1 and corrupt the running count).
+    iv = orders.join(
+        closes, orders.o_orderkey == closes.l_orderkey, "inner"
+    ).select(
+        "open_day", F.greatest("close_day", "open_day").alias("close_day")
+    )
+    deltas = iv.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            F.date_add("close_day", 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w_run = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn("open_orders", F.sum("net").over(w_run))
+        .where(F.col("open_orders") > 0)
+        .select("day", "net", "open_orders")
+        .orderBy("day")
+    )
+
+
 def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto-front query: parts not dominated on
     (min retail price, max size) — q dominates p when q is no worse
@@ -1043,6 +1094,7 @@ QUERIES = {
     "q_customer_abc_classes": q_customer_abc_classes,
     "q_orders_yoy_growth": q_orders_yoy_growth,
     "q_part_skyline": q_part_skyline,
+    "q_orders_open_backlog": q_orders_open_backlog,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1070,6 +1122,36 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    # Sweep-line mirrored in SQL; the independent containment-count
+    # cross-check lives in the test (direct interval membership on
+    # sampled days).
+    "q_orders_open_backlog": """
+        WITH iv AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS open_day,
+                   greatest(MAX(CAST(l.l_shipdate AS DATE)),
+                            CAST(o.o_orderdate AS DATE)) AS close_day
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+        ),
+        deltas AS (
+            SELECT open_day AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT close_day + 1 AS day, -1 AS delta FROM iv
+        ),
+        daily AS (
+            SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+            FROM deltas GROUP BY day
+        ),
+        run AS (
+            SELECT day, net,
+                   SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_orders
+            FROM daily
+        )
+        SELECT day, net, open_orders
+        FROM run
+        WHERE open_orders > 0
+        ORDER BY day
+    """,
     # The quadratic NOT-EXISTS dominance definition — deliberately a
     # DIFFERENT formulation than the window scan, so the oracle
     # cross-checks the rollup derivation, not just the arithmetic.

@@ -185,3 +185,39 @@ def test_skyline_is_mutually_nondominating(spark):
     for a, b in zip(by_price, by_price[1:]):
         if a.price != b.price:
             assert b.size > a.size
+
+
+def test_backlog_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_open_backlog")
+
+
+def test_backlog_equals_direct_containment_count(spark):
+    """Independent derivation: on sampled days, the sweep-line count
+    must equal a direct 'interval contains day' count."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_open_backlog,
+    )
+
+    rows = q_orders_open_backlog(spark, SF_DIR).collect()
+    assert rows
+    orders = load_table(spark, SF_DIR, "orders")
+    closes = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    )
+    iv = orders.join(
+        closes, orders.o_orderkey == closes.l_orderkey
+    ).select(
+        F.to_date("o_orderdate").alias("open_day"),
+        F.greatest("close_day", F.to_date("o_orderdate")).alias("close_day"),
+    )
+    for r in rows[:: max(len(rows) // 7, 1)]:  # ~8 sampled days
+        direct = iv.where(
+            (F.col("open_day") <= F.lit(r.day))
+            & (F.col("close_day") >= F.lit(r.day))
+        ).count()
+        assert direct == r.open_orders, (r.day, direct, r.open_orders)
