@@ -792,6 +792,37 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division — the "FOR ALL" query: suppliers whose
+    shipped lineitems cover EVERY part brand, plus each one's brand
+    count and line volume. Division distributes as: distinct
+    (supplier, brand) rollup → per-supplier brand count → keep where
+    it equals the brand universe (a broadcast scalar). No double-anti
+    join, no per-brand scans; two rollup shuffles total.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sb = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_suppkey", "p_brand")
+    )
+    universe = part.agg(
+        F.countDistinct("p_brand").alias("n_brands_total")
+    )
+    per_supp = sb.groupBy("l_suppkey").agg(
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(universe))
+        .where(F.col("n_brands") == F.col("n_brands_total"))
+        .select("l_suppkey", "n_brands", "n_lines")
+        .orderBy("l_suppkey")
+    )
+
+
 def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap counting by sweep line: how many orders are
     "open" (placed, not yet fully shipped) on each day — the
@@ -1095,6 +1126,7 @@ QUERIES = {
     "q_orders_yoy_growth": q_orders_yoy_growth,
     "q_part_skyline": q_part_skyline,
     "q_orders_open_backlog": q_orders_open_backlog,
+    "q_supplier_brand_coverage": q_supplier_brand_coverage,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1122,6 +1154,31 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    # Relational division in its NOT EXISTS (double negation) form —
+    # a different derivation than the count-match rollup, so the gate
+    # cross-checks the rewrite.
+    "q_supplier_brand_coverage": """
+        WITH sb AS (
+            SELECT DISTINCT l.l_suppkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT s.l_suppkey,
+               COUNT(DISTINCT sb2.p_brand) AS n_brands,
+               (SELECT COUNT(*) FROM lineitem l2
+                JOIN part p2 ON l2.l_partkey = p2.p_partkey
+                WHERE l2.l_suppkey = s.l_suppkey) AS n_lines
+        FROM (SELECT DISTINCT l_suppkey FROM lineitem) s
+        JOIN sb sb2 ON sb2.l_suppkey = s.l_suppkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM (SELECT DISTINCT p_brand FROM part) b
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sb
+                WHERE sb.l_suppkey = s.l_suppkey AND sb.p_brand = b.p_brand
+            )
+        )
+        GROUP BY s.l_suppkey
+        ORDER BY s.l_suppkey
+    """,
     # Sweep-line mirrored in SQL; the independent containment-count
     # cross-check lives in the test (direct interval membership on
     # sampled days).

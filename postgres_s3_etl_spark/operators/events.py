@@ -720,9 +720,41 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_TOP_K = 20
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the most common 3-step event-type paths
+    (order-2 sequence context — the n-gram step up from the
+    transition matrix). Two ``lead`` columns over the same per-user
+    sort, then aggregation to the type-trigram grain (≤ |types|³
+    rows, constant in corpus size).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    )
+    return (
+        paths.groupBy(
+            F.col("event_type").alias("step1"),
+            F.col("t2").alias("step2"),
+            F.col("t3").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "step1", "step2", "step3")
+        .limit(PATH_TOP_K)
+    )
+
+
 QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_transition_matrix": q_events_transition_matrix,
+    "q_events_top_paths": q_events_top_paths,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_bot_detection": q_events_bot_detection,
@@ -1005,6 +1037,21 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_top_paths": f"""
+        WITH seq AS (
+            SELECT event_type AS step1,
+                   LEAD(event_type, 1) OVER w AS step2,
+                   LEAD(event_type, 2) OVER w AS step3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT step1, step2, step3, COUNT(*) AS n
+        FROM seq
+        WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY step1, step2, step3
+        ORDER BY n DESC, step1, step2, step3
+        LIMIT {PATH_TOP_K}
     """,
     "q_events_bot_detection": """
         WITH gaps AS (

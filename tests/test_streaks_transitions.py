@@ -221,3 +221,29 @@ def test_backlog_equals_direct_containment_count(spark):
             & (F.col("close_day") >= F.lit(r.day))
         ).count()
         assert direct == r.open_orders, (r.day, direct, r.open_orders)
+
+
+def test_top_paths_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_top_paths")
+
+
+def test_brand_coverage_matches_double_negation_oracle(spark, duck):
+    # Oracle is the classic double-NOT-EXISTS division; Spark is the
+    # count-match rollup — the gate cross-checks the rewrite.
+    assert_matches_oracle(spark, duck, "q_supplier_brand_coverage")
+
+
+def test_brand_coverage_is_genuinely_total(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_supplier_brand_coverage,
+    )
+
+    rows = q_supplier_brand_coverage(spark, SF_DIR).collect()
+    n_brands = (
+        load_table(spark, SF_DIR, "part").select("p_brand").distinct().count()
+    )
+    for r in rows:
+        assert r.n_brands == n_brands
