@@ -792,6 +792,43 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    year, revenue accumulated by years-since-acquisition — the LTV
+    curve marketing reads next to the retention matrix (which this
+    repo builds on events; this one runs on revenue).
+
+    Plan: first-order year is one customer-grain aggregation; the
+    join back to orders is customer-keyed; the matrix is (cohort ×
+    age) grain (a few dozen rows) and the cumulative window runs over
+    it. Revenue sums stay decimal until the final cast.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+    cohorts = orders.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    aged = orders.join(cohorts, "o_custkey").select(
+        "cohort", (F.col("yr") - F.col("cohort")).alias("age"), "rev"
+    )
+    cell = aged.groupBy("cohort", "age").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("rev").alias("rev")
+    )
+    w_run = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return cell.select(
+        "cohort",
+        "age",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(F.sum("rev").over(w_run).cast("double"), 2).alias(
+            "cum_revenue"
+        ),
+    ).orderBy("cohort", "age")
+
+
 def q_supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational division — the "FOR ALL" query: suppliers whose
     shipped lineitems cover EVERY part brand, plus each one's brand
@@ -1127,6 +1164,7 @@ QUERIES = {
     "q_part_skyline": q_part_skyline,
     "q_orders_open_backlog": q_orders_open_backlog,
     "q_supplier_brand_coverage": q_supplier_brand_coverage,
+    "q_customer_cohort_ltv": q_customer_cohort_ltv,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1154,6 +1192,31 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_customer_cohort_ltv": """
+        WITH o AS (
+            SELECT o_custkey,
+                   EXTRACT(year FROM o_orderdate) AS yr,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+            FROM orders
+        ),
+        cohorts AS (
+            SELECT o_custkey, MIN(yr) AS cohort FROM o GROUP BY o_custkey
+        ),
+        cell AS (
+            SELECT c.cohort, o.yr - c.cohort AS age,
+                   COUNT(*) AS n_orders, SUM(o.rev) AS rev
+            FROM o JOIN cohorts c ON o.o_custkey = c.o_custkey
+            GROUP BY c.cohort, o.yr - c.cohort
+        )
+        SELECT CAST(cohort AS INT) AS cohort,
+               CAST(age AS INT) AS age,
+               n_orders,
+               ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+               ROUND(CAST(SUM(rev) OVER (PARTITION BY cohort ORDER BY age
+                                         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_revenue
+        FROM cell
+        ORDER BY cohort, age
+    """,
     # Relational division in its NOT EXISTS (double negation) form —
     # a different derivation than the count-match rollup, so the gate
     # cross-checks the rewrite.

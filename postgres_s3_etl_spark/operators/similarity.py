@@ -354,8 +354,52 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus hygiene: flag vectors whose L2 norm falls
+    outside the exact discrete [p01, p99] band — degenerate/corrupt
+    embeddings (near-zero or exploded norms) poison cosine ANN and
+    contrastive training, so this scan runs before either.
+
+    Exactness: norms come from the same sequential fold as the ANN
+    dot products (bit-identical to the SQL engines' folds), and the
+    band bounds are actual data values picked by row_number
+    (percentile_disc semantics). The global norm sort is one double
+    column — cheap even at corpus scale, and the documented scale
+    swap is the GK sketch bounds (q_orders_approx_quantile pattern)
+    when even that sort is unwanted.
+    """
+    vecs = _vecs(spark, sf_dir)
+    w = Window.orderBy("norm", "vec_id")
+    ranked = vecs.select(
+        "vec_id",
+        "norm",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bounds = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.01), F.col("norm"))
+        ).alias("p01"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.99), F.col("norm"))
+        ).alias("p99"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(bounds))
+        .select(
+            "vec_id",
+            _trunc6(F.col("norm")).alias("norm"),
+            (F.col("norm") < F.col("p01")).alias("is_low"),
+            (F.col("norm") > F.col("p99")).alias("is_high"),
+        )
+        .where(F.col("is_low") | F.col("is_high"))
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
+    "embedding_norm_outliers": embedding_norm_outliers,
     "sim_search_lsh": sim_search_lsh,
     "sim_search_ivf": sim_search_ivf,
     "embedding_quantize": embedding_quantize,
@@ -401,6 +445,31 @@ def lsh_bucket_cte(extra_cols: str = "") -> str:
 
 
 ORACLES = {
+    "embedding_norm_outliers": """
+        WITH vecs AS (
+            SELECT vec_id,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT vec_id, norm,
+                   ROW_NUMBER() OVER (ORDER BY norm, vec_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM vecs
+        ),
+        bounds AS (
+            SELECT MAX(CASE WHEN rn = CAST(ceil(n * 0.01) AS BIGINT) THEN norm END) AS p01,
+                   MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN norm END) AS p99
+            FROM ranked
+        )
+        SELECT vec_id,
+               floor(norm * 1e6) / 1e6 AS norm,
+               norm < p01 AS is_low,
+               norm > p99 AS is_high
+        FROM ranked CROSS JOIN bounds
+        WHERE norm < p01 OR norm > p99
+        ORDER BY vec_id
+    """,
     "embedding_quantize": """
         WITH ex AS (
             SELECT vec_id,

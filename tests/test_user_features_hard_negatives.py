@@ -78,3 +78,46 @@ def test_hard_negatives_labels_differ_and_are_hard(spark):
         top = min(r.rank for r in probe_rows)
         best_hn = next(r for r in probe_rows if r.rank == top)
         assert best_hn.cosine <= bf[(probe_id, 1)] + 1e-9
+
+
+def test_cohort_ltv_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "q_customer_cohort_ltv")
+
+
+def test_cohort_ltv_cumulative_is_monotone(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_cohort_ltv,
+    )
+
+    rows = q_customer_cohort_ltv(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.age >= 0
+        by_cohort.setdefault(r.cohort, []).append(r)
+    for cells in by_cohort.values():
+        cells.sort(key=lambda r: r.age)
+        assert cells[0].age == 0  # a cohort exists because of an order
+        for a, b in zip(cells, cells[1:]):
+            assert b.cum_revenue >= a.cum_revenue
+
+
+def test_norm_outliers_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "embedding_norm_outliers")
+
+
+def test_norm_outliers_band_holds(spark):
+    from postgres_s3_etl_spark.operators.similarity import (
+        embedding_norm_outliers,
+        _vecs,
+    )
+
+    flagged = embedding_norm_outliers(spark, SF_DIR).collect()
+    n = _vecs(spark, SF_DIR).count()
+    # ≤ ~2% of the corpus sits outside an exact [p01, p99] band.
+    assert 0 < len(flagged) <= max(2, int(0.025 * n))
+    assert all(r.is_low != r.is_high for r in flagged)
