@@ -792,6 +792,38 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group with an explicit, engine-neutral
+    tie policy (smallest modal value wins): the most frequent
+    quantity and its share per return flag. Spark's ``mode()`` and
+    DuckDB's both leave ties implementation-defined, so the rewrite —
+    value-count rollup + row_number pick — is the portable form.
+    Two rollup-grain shuffles; no window ever touches fact rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("qty")
+    )
+    counts = li.groupBy("l_returnflag", "qty").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), F.asc("qty"))
+    tot = Window.partitionBy("l_returnflag")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp_n", F.sum("n").over(tot))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("mode_n"),
+            (F.floor(F.col("n") * 1e6 / F.col("grp_n")) / 1e6).alias(
+                "mode_share"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value matrix: customers grouped by first-order
     year, revenue accumulated by years-since-acquisition — the LTV
@@ -1165,6 +1197,7 @@ QUERIES = {
     "q_orders_open_backlog": q_orders_open_backlog,
     "q_supplier_brand_coverage": q_supplier_brand_coverage,
     "q_customer_cohort_ltv": q_customer_cohort_ltv,
+    "q_lineitem_mode_stats": q_lineitem_mode_stats,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1192,6 +1225,27 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_lineitem_mode_stats": """
+        WITH counts AS (
+            SELECT l_returnflag, CAST(l_quantity AS INT) AS qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag, qty
+        ),
+        ranked AS (
+            SELECT l_returnflag, qty, n,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY n DESC, qty ASC) AS rn,
+                   SUM(n) OVER (PARTITION BY l_returnflag) AS grp_n
+            FROM counts
+        )
+        SELECT l_returnflag,
+               qty AS mode_qty,
+               n AS mode_n,
+               floor(n * 1e6 / grp_n) / 1e6 AS mode_share
+        FROM ranked WHERE rn = 1
+        ORDER BY l_returnflag
+    """,
     "q_customer_cohort_ltv": """
         WITH o AS (
             SELECT o_custkey,

@@ -275,6 +275,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage audit: for every source pair, how many
+    exact-duplicate text digests they share — the governance matrix
+    that tells you which feeds copy from each other (and whether a
+    "held-out" source actually is).
+
+    Plan: distinct (digest, source) rollup, then a self-equi-join on
+    the digest — pair volume is bounded by per-digest source counts
+    (≤ |sources|² per digest), never corpus-quadratic; one digest
+    shuffle feeds both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ds = docs.select(
+        F.md5(F.lower(F.trim("text"))).alias("digest"), "source"
+    ).distinct()
+    a, b = ds.alias("a"), ds.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_digests"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 VERIFY_JACCARD_T = 0.8
 
 
@@ -567,6 +598,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verify": dedup_minhash_verify,
+    "dedup_source_overlap": dedup_source_overlap,
     "dedup_cc_keepset": dedup_cc_keepset,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -611,6 +643,18 @@ _SHINGLES_SQL = r"""
 """
 
 ORACLES = {
+    "dedup_source_overlap": """
+        WITH ds AS (
+            SELECT DISTINCT md5(lower(trim(text))) AS digest, source
+            FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared_digests
+        FROM ds a JOIN ds b
+          ON a.digest = b.digest AND a.source < b.source
+        GROUP BY a.source, b.source
+        ORDER BY source_a, source_b
+    """,
     "dedup_exact": """
         WITH groups AS (
             SELECT md5(lower(trim(text))) AS digest,
