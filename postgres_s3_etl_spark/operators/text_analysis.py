@@ -78,6 +78,57 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: per-language
+    precision / recall / F1 of the stopword-evidence language ID
+    against the labeled column — the metric table a data pipeline
+    tracks to know when its language router drifts (the langid twin
+    of ``sim_search_recall``).
+
+    Everything derives from the confusion rollup (|langs|² rows,
+    constant in corpus size); the metric divisions are the only
+    floats and they mirror verbatim.
+    """
+    conf = text_langid(spark, sf_dir)
+    by_lang = conf.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_true")
+    )
+    by_pred = (
+        conf.where(F.col("pred_lang").isNotNull())
+        .groupBy("pred_lang")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_pred"))
+    )
+    tp = conf.where(F.col("lang") == F.col("pred_lang")).select(
+        "lang", F.col("n_docs").alias("tp")
+    )
+    j = (
+        by_lang.join(tp, "lang", "left")
+        .join(by_pred, by_lang.lang == by_pred.pred_lang, "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        )
+    )
+    # try_divide: a never-predicted class has n_pred = 0 and its
+    # precision/F1 are NULL, not a job-killing ANSI error.
+    p = F.try_divide(F.col("tp"), F.col("n_pred"))
+    r = F.try_divide(F.col("tp"), F.col("n_true"))
+    return (
+        j.select(
+            "lang",
+            "n_true",
+            "tp",
+            "n_pred",
+            (F.floor(p * 1e6) / 1e6).alias("precision"),
+            (F.floor(r * 1e6) / 1e6).alias("recall"),
+            (F.floor(F.try_divide(2 * p * r, p + r) * 1e6) / 1e6).alias("f1"),
+        )
+        .orderBy("lang")
+    )
+
+
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score per doc: length, punctuation ratio,
     stopword ratio, mean word length → weighted score + band."""
@@ -857,6 +908,7 @@ def text_topterms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_langid": text_langid,
+    "text_langid_f1": text_langid_f1,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
@@ -939,7 +991,44 @@ def _langid_oracle() -> str:
     """
 
 
+def _langid_f1_oracle() -> str:
+    base = _langid_oracle().strip().rstrip()
+    # reuse the confusion projection (drop its ORDER BY) as a CTE
+    conf = base[: base.rindex("ORDER BY")]
+    return f"""
+        WITH conf AS ({conf}),
+        by_lang AS (
+            SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_true
+            FROM conf GROUP BY lang
+        ),
+        by_pred AS (
+            SELECT pred_lang, CAST(SUM(n_docs) AS BIGINT) AS n_pred
+            FROM conf WHERE pred_lang IS NOT NULL GROUP BY pred_lang
+        ),
+        tp AS (
+            SELECT lang, n_docs AS tp FROM conf WHERE lang = pred_lang
+        ),
+        j AS (
+            SELECT bl.lang, bl.n_true,
+                   COALESCE(tp.tp, 0) AS tp,
+                   COALESCE(bp.n_pred, 0) AS n_pred
+            FROM by_lang bl
+            LEFT JOIN tp ON tp.lang = bl.lang
+            LEFT JOIN by_pred bp ON bp.pred_lang = bl.lang
+        )
+        SELECT lang, n_true, tp, n_pred,
+               floor(tp / NULLIF(n_pred, 0) * 1e6) / 1e6 AS precision,
+               floor(tp / NULLIF(n_true, 0) * 1e6) / 1e6 AS recall,
+               floor(2 * (tp / NULLIF(n_pred, 0)) * (tp / NULLIF(n_true, 0))
+                     / NULLIF((tp / NULLIF(n_pred, 0)) + (tp / NULLIF(n_true, 0)), 0)
+                     * 1e6) / 1e6 AS f1
+        FROM j
+        ORDER BY lang
+    """
+
+
 ORACLES = {
+    "text_langid_f1": _langid_f1_oracle(),
     "text_decontaminate": rf"""
         WITH words AS (
             SELECT doc_id, source, doc_id % 50 = 0 AS is_eval,

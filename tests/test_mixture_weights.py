@@ -47,3 +47,23 @@ def test_lm_perplexity_scores_every_doc_and_is_positive(spark):
     for r in rows:
         assert r.n_bigrams >= 1
         assert r.avg_neg_logp > 0.0  # smoothed probs are < 1
+
+
+def test_langid_f1_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_langid_f1")
+
+
+def test_langid_f1_metric_identities(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import text_langid_f1
+    from tests.conftest import SF_DIR
+
+    rows = text_langid_f1(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.tp <= min(r.n_true, r.n_pred) or r.n_pred == 0
+        if r.precision is not None and r.recall is not None and r.f1 is not None:
+            assert 0.0 <= r.f1 <= 1.0
+            # F1 lies between min and max of precision/recall
+            assert min(r.precision, r.recall) - 1e-6 <= r.f1 <= max(
+                r.precision, r.recall
+            ) + 1e-6
