@@ -792,6 +792,60 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics by winsorizing: order totals clamped to the
+    exact discrete [p05, p95] band, mean/total before vs after — the
+    outlier-resistant reporting figure (and the robust-scaling step a
+    feature pipeline applies before training).
+
+    The band bounds are actual data values picked by row_number
+    (percentile_disc semantics, same recipe as the funnel-latency
+    quantiles); sums stay decimal until the final cast, so the
+    before/after figures are order-independent and hash-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+    w = Window.orderBy("v")
+    ranked = orders.select(
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    bounds = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.05), F.col("v"))
+        ).alias("p05"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("v"))
+        ).alias("p95"),
+    )
+    clamped = orders.crossJoin(F.broadcast(bounds)).select(
+        "v",
+        F.greatest(F.least(F.col("v"), F.col("p95")), F.col("p05")).alias(
+            "vw"
+        ),
+        "p05",
+        "p95",
+    )
+    return clamped.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max("p05").cast("double"), 2).alias("p05"),
+        F.round(F.max("p95").cast("double"), 2).alias("p95"),
+        # decimal-exact sums; the division is ONE double op in both
+        # engines (decimal÷int scale rules differ between them)
+        F.round(
+            F.sum("v").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_raw"),
+        F.round(
+            F.sum("vw").cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_winsorized"),
+        F.sum(F.when(F.col("v") != F.col("vw"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clamped"),
+    )
+
+
 def q_lineitem_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical MODE per group with an explicit, engine-neutral
     tie policy (smallest modal value wins): the most frequent
@@ -1198,6 +1252,7 @@ QUERIES = {
     "q_supplier_brand_coverage": q_supplier_brand_coverage,
     "q_customer_cohort_ltv": q_customer_cohort_ltv,
     "q_lineitem_mode_stats": q_lineitem_mode_stats,
+    "q_orders_winsorized_stats": q_orders_winsorized_stats,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1225,6 +1280,30 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_winsorized_stats": """
+        WITH ranked AS (
+            SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                   ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM orders
+        ),
+        bounds AS (
+            SELECT MAX(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN v END) AS p05,
+                   MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN v END) AS p95
+            FROM ranked
+        ),
+        clamped AS (
+            SELECT v, greatest(least(v, p95), p05) AS vw, p05, p95
+            FROM ranked CROSS JOIN bounds
+        )
+        SELECT COUNT(*) AS n_orders,
+               ROUND(CAST(MAX(p05) AS DOUBLE), 2) AS p05,
+               ROUND(CAST(MAX(p95) AS DOUBLE), 2) AS p95,
+               ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+               ROUND(CAST(SUM(vw) AS DOUBLE) / COUNT(*), 4) AS mean_winsorized,
+               CAST(SUM(CASE WHEN v <> vw THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        FROM clamped
+    """,
     "q_lineitem_mode_stats": """
         WITH counts AS (
             SELECT l_returnflag, CAST(l_quantity AS INT) AS qty,

@@ -247,3 +247,22 @@ def test_brand_coverage_is_genuinely_total(spark):
     )
     for r in rows:
         assert r.n_brands == n_brands
+
+
+def test_winsorized_stats_match_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_winsorized_stats")
+
+
+def test_winsorizing_pulls_the_mean_inward(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_winsorized_stats,
+    )
+
+    r = q_orders_winsorized_stats(spark, SF_DIR).collect()[0]
+    assert r.p05 < r.p95
+    assert r.n_clamped > 0  # a long-tailed price column clamps some rows
+    assert r.n_clamped < r.n_orders * 0.15
+    # clamping a right-skewed distribution moves the mean, and the
+    # winsorized mean stays inside the clamping band
+    assert r.mean_raw != r.mean_winsorized
+    assert r.p05 <= r.mean_winsorized <= r.p95
