@@ -792,6 +792,55 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_attr_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level Shannon entropy of the part attributes — the
+    information-content profile (near-zero entropy → constant/dead
+    column; log₂-of-cardinality → unique key) that rounds out the
+    per-column profiling query.
+
+    Each column unpivots to (column, value) rows, one aggregation
+    builds the value-frequency rollup, and −Σ p·ln p folds over the
+    frequencies IN VALUE ORDER (sequential aggregate ≡ DuckDB
+    list_reduce) so the double sum is bit-deterministic. Frequency
+    tables are per-column cardinality-bounded.
+    """
+    part = load_table(spark, sf_dir, "part")
+    long = part.select(
+        F.expr(
+            """
+            explode(array(
+                struct('p_brand' AS col, p_brand AS val),
+                struct('p_type' AS col, p_type AS val),
+                struct('p_size' AS col, cast(p_size AS string) AS val)
+            )) AS cv
+            """
+        )
+    ).select("cv.col", "cv.val")
+    freq = long.groupBy("col", "val").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("col")
+    scored = freq.select(
+        "col",
+        "val",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+    return (
+        scored.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(val, p))),"
+                " x -> -x.p * ln(x.p)), 0.0d, (s, x) -> s + x)"
+            ).alias("h"),
+        )
+        .select(
+            "col",
+            "n_values",
+            (F.floor(F.col("h") * 1e6) / 1e6).alias("entropy_nats"),
+        )
+        .orderBy("col")
+    )
+
+
 def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust statistics by winsorizing: order totals clamped to the
     exact discrete [p05, p95] band, mean/total before vs after — the
@@ -1253,6 +1302,7 @@ QUERIES = {
     "q_customer_cohort_ltv": q_customer_cohort_ltv,
     "q_lineitem_mode_stats": q_lineitem_mode_stats,
     "q_orders_winsorized_stats": q_orders_winsorized_stats,
+    "q_part_attr_entropy": q_part_attr_entropy,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1280,6 +1330,33 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_part_attr_entropy": """
+        WITH long AS (
+            SELECT 'p_brand' AS col, p_brand AS val FROM part
+            UNION ALL
+            SELECT 'p_type', p_type FROM part
+            UNION ALL
+            SELECT 'p_size', CAST(p_size AS VARCHAR) FROM part
+        ),
+        freq AS (
+            SELECT col, val, COUNT(*) AS n FROM long GROUP BY col, val
+        ),
+        scored AS (
+            SELECT col, val,
+                   CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY col) AS p
+            FROM freq
+        ),
+        folded AS (
+            SELECT col, COUNT(*) AS n_values,
+                   list_reduce(
+                       list_transform(list(p ORDER BY val), x -> -x * ln(x)),
+                       (s, x) -> s + x) AS h
+            FROM scored GROUP BY col
+        )
+        SELECT col, n_values, floor(h * 1e6) / 1e6 AS entropy_nats
+        FROM folded
+        ORDER BY col
+    """,
     "q_orders_winsorized_stats": """
         WITH ranked AS (
             SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,

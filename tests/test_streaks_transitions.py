@@ -266,3 +266,18 @@ def test_winsorizing_pulls_the_mean_inward(spark):
     # winsorized mean stays inside the clamping band
     assert r.mean_raw != r.mean_winsorized
     assert r.p05 <= r.mean_winsorized <= r.p95
+
+
+def test_attr_entropy_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_part_attr_entropy")
+
+
+def test_attr_entropy_bounds(spark):
+    import math
+
+    from postgres_s3_etl_spark.operators.analytics import q_part_attr_entropy
+
+    rows = {r.col: r for r in q_part_attr_entropy(spark, SF_DIR).collect()}
+    assert set(rows) == {"p_brand", "p_type", "p_size"}
+    for r in rows.values():
+        assert 0.0 <= r.entropy_nats <= math.log(r.n_values) + 1e-9
