@@ -720,6 +720,46 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-lookback velocity features: for each PURCHASE, how many
+    events (and how much value) the same user generated in the
+    preceding hour — the per-entity rate feature fraud/abuse models
+    key on, expressed as a time-RANGE window frame.
+
+    The frame is per-user (state bounded by one user's hour of
+    events at any scale); the epoch-seconds RANGE frame counts the
+    purchase itself plus everything ≤ 1 h before it. Only purchase
+    rows are emitted, but the window reads the full event stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, 0)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("v1h"),
+    )
+    return (
+        feat.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "n_events_1h",
+            F.round(F.col("v1h").cast("double"), 2).alias("value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
 PATH_TOP_K = 20
 
 
@@ -755,6 +795,7 @@ QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_transition_matrix": q_events_transition_matrix,
     "q_events_top_paths": q_events_top_paths,
+    "q_events_velocity": q_events_velocity,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_bot_detection": q_events_bot_detection,
@@ -1037,6 +1078,22 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_velocity": """
+        WITH feat AS (
+            SELECT event_id, user_id, event_type,
+                   COUNT(*) OVER w AS n_events_1h,
+                   SUM(CAST(value AS DECIMAL(18,2))) OVER w AS v1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(epoch(ts) AS BIGINT)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, n_events_1h,
+               ROUND(CAST(v1h AS DOUBLE), 2) AS value_1h
+        FROM feat
+        WHERE event_type = 'purchase'
+        ORDER BY event_id
     """,
     "q_events_top_paths": f"""
         WITH seq AS (

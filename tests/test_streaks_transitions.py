@@ -281,3 +281,32 @@ def test_attr_entropy_bounds(spark):
     assert set(rows) == {"p_brand", "p_type", "p_size"}
     for r in rows.values():
         assert 0.0 <= r.entropy_nats <= math.log(r.n_values) + 1e-9
+
+
+def test_velocity_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_velocity")
+
+
+def test_velocity_counts_include_self_and_only_lookback(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.events import q_events_velocity
+
+    rows = q_events_velocity(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.n_events_1h >= 1 for r in rows)  # the purchase itself
+    # Spot-check one purchase against a direct count.
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "secs", F.col("ts").cast("timestamp").cast("long")
+    )
+    sample = rows[len(rows) // 2]
+    p = ev.where(F.col("event_id") == sample.event_id).collect()[0]
+    # mirror the frame's second granularity (the RANGE runs over
+    # truncated epoch seconds, not full-precision timestamps)
+    direct = ev.where(
+        (F.col("user_id") == sample.user_id)
+        & (F.col("secs") <= p.secs)
+        & (F.col("secs") >= p.secs - 3600)
+    ).count()
+    assert direct == sample.n_events_1h
