@@ -696,6 +696,74 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the exact two-sample
+    Kolmogorov–Smirnov statistic between each source's document-length
+    distribution and the whole corpus — the per-feed drift alarm a
+    training pipeline keeps on every incoming distribution.
+
+    Exact, not sampled: lengths are discrete, so both CDFs evaluate
+    on the shared support grid (distinct lengths — bounded, and the
+    only windowed data). Per-source counts grid-fill with zeros via a
+    cross join of sources × support (rollup-sized), cumulative sums
+    run per source over the grid, and KS = max |F_source − F_corpus|.
+    The CDF ratios are single double divisions mirrored verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    grid = docs.select("n_chars").distinct()
+    sources = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    cell = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    filled = (
+        sources.crossJoin(grid)
+        .join(cell, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            "n_src",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    corpus = (
+        docs.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_all"))))
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    src_cdf = filled.select(
+        "source",
+        "n_chars",
+        (F.sum("n").over(w_src).cast("double") / F.col("n_src")).alias(
+            "f_src"
+        ),
+    )
+    corp_cdf = corpus.select(
+        "n_chars",
+        (F.sum("cn").over(w_all).cast("double") / F.col("n_all")).alias(
+            "f_all"
+        ),
+    )
+    return (
+        src_cdf.join(corp_cdf, "n_chars")
+        .groupBy("source")
+        .agg(
+            (
+                F.floor(F.max(F.abs(F.col("f_src") - F.col("f_all"))) * 1e6)
+                / 1e6
+            ).alias("ks_stat")
+        )
+        .orderBy("source")
+    )
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scoring: a bigram language model with
     add-one smoothing is fit on the corpus itself, and each document
@@ -926,6 +994,7 @@ QUERIES = {
     "text_mixture_weights": text_mixture_weights,
     "text_keyword_search": text_keyword_search,
     "text_lm_perplexity": text_lm_perplexity,
+    "text_length_ks_drift": text_length_ks_drift,
 }
 
 
@@ -1177,6 +1246,44 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_length_ks_drift": """
+        WITH grid AS (SELECT DISTINCT n_chars FROM documents),
+        sources AS (
+            SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+        ),
+        cell AS (
+            SELECT source, n_chars, COUNT(*) AS n
+            FROM documents GROUP BY source, n_chars
+        ),
+        filled AS (
+            SELECT s.source, g.n_chars, s.n_src, COALESCE(c.n, 0) AS n
+            FROM sources s CROSS JOIN grid g
+            LEFT JOIN cell c ON c.source = s.source AND c.n_chars = g.n_chars
+        ),
+        corpus AS (
+            SELECT n_chars, COUNT(*) AS cn FROM documents GROUP BY n_chars
+        ),
+        tot AS (SELECT COUNT(*) AS n_all FROM documents),
+        src_cdf AS (
+            SELECT source, n_chars,
+                   CAST(SUM(n) OVER (PARTITION BY source ORDER BY n_chars
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / n_src AS f_src
+            FROM filled
+        ),
+        corp_cdf AS (
+            SELECT n_chars,
+                   CAST(SUM(cn) OVER (ORDER BY n_chars
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / t.n_all AS f_all
+            FROM corpus CROSS JOIN tot t
+        )
+        SELECT s.source,
+               floor(MAX(abs(s.f_src - c.f_all)) * 1e6) / 1e6 AS ks_stat
+        FROM src_cdf s JOIN corp_cdf c ON s.n_chars = c.n_chars
+        GROUP BY s.source
+        ORDER BY s.source
     """,
     "text_lm_perplexity": rf"""
         WITH words AS (

@@ -67,3 +67,26 @@ def test_langid_f1_metric_identities(spark):
             assert min(r.precision, r.recall) - 1e-6 <= r.f1 <= max(
                 r.precision, r.recall
             ) + 1e-6
+
+
+def test_ks_drift_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_length_ks_drift")
+
+
+def test_ks_drift_bounds_and_sanity(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_length_ks_drift,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_length_ks_drift(spark, SF_DIR).collect()
+    n_sources = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0
