@@ -792,6 +792,49 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order status and
+    priority — the categorical-association check profiling runs
+    before treating two dimensions as independent (mix drift, biased
+    sampling). Observed and marginal counts are exact bigints from
+    ONE contingency rollup (|status|×|priority| rows); the
+    (O−E)²/E contributions fold in cell order (sequential aggregate
+    ≡ list_reduce) so the statistic is bit-deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    cell = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_r = Window.partitionBy("o_orderstatus")
+    w_c = Window.partitionBy("o_orderpriority")
+    w_t = Window.partitionBy()
+    scored = cell.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o",
+        (
+            F.sum("o").over(w_r).cast("double")
+            * F.sum("o").over(w_c)
+            / F.sum("o").over(w_t)
+        ).alias("e"),
+    )
+    contrib = scored.select(
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("k"),
+        ((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+            "c"
+        ),
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.expr(
+            "floor(aggregate(transform(array_sort(collect_list(struct(k, c))),"
+            " x -> x.c), 0.0d, (s, x) -> s + x) * 1e6) / 1e6"
+        ).alias("chi_sq"),
+    )
+
+
 def q_part_attr_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level Shannon entropy of the part attributes — the
     information-content profile (near-zero entropy → constant/dead
@@ -1303,6 +1346,7 @@ QUERIES = {
     "q_lineitem_mode_stats": q_lineitem_mode_stats,
     "q_orders_winsorized_stats": q_orders_winsorized_stats,
     "q_part_attr_entropy": q_part_attr_entropy,
+    "q_orders_chisq_independence": q_orders_chisq_independence,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1330,6 +1374,27 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_chisq_independence": """
+        WITH cell AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ),
+        scored AS (
+            SELECT o_orderstatus, o_orderpriority, o,
+                   CAST(SUM(o) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                   * SUM(o) OVER (PARTITION BY o_orderpriority)
+                   / SUM(o) OVER () AS e
+            FROM cell
+        ),
+        contrib AS (
+            SELECT concat_ws('|', o_orderstatus, o_orderpriority) AS k,
+                   (o - e) * (o - e) / e AS c
+            FROM scored
+        )
+        SELECT COUNT(*) AS n_cells,
+               floor(list_reduce(list(c ORDER BY k), (s, x) -> s + x) * 1e6) / 1e6 AS chi_sq
+        FROM contrib
+    """,
     "q_part_attr_entropy": """
         WITH long AS (
             SELECT 'p_brand' AS col, p_brand AS val FROM part

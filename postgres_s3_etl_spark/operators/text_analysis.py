@@ -696,6 +696,50 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COVERAGE_POINTS = (1, 2, 5, 10, 20, 30)
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of ALL corpus tokens
+    covered by the top-k most frequent types, at several k — the
+    curve that sizes a vocabulary/tokenizer (where it flattens, extra
+    entries stop paying for themselves).
+
+    One wordcount rollup (map-side combined), a frequency-ordered
+    cumulative window over the VOCABULARY (not the corpus), and the
+    curve reads off at the probe points. All counts exact; one
+    mirrored division per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(w).alias("k"),
+        F.sum("n").over(w_run).alias("cum"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    return (
+        ranked.where(F.col("k").isin(*COVERAGE_POINTS))
+        .select(
+            "k",
+            F.col("cum").cast("bigint").alias("tokens_covered"),
+            (F.floor(F.col("cum") * 1e6 / F.col("tot")) / 1e6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
 def text_length_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift monitor: the exact two-sample
     Kolmogorov–Smirnov statistic between each source's document-length
@@ -995,6 +1039,7 @@ QUERIES = {
     "text_keyword_search": text_keyword_search,
     "text_lm_perplexity": text_lm_perplexity,
     "text_length_ks_drift": text_length_ks_drift,
+    "text_vocab_coverage": text_vocab_coverage,
 }
 
 
@@ -1246,6 +1291,30 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_vocab_coverage": """
+        WITH counts AS (
+            SELECT token AS t, COUNT(*) AS n
+            FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS k,
+                   SUM(n) OVER (ORDER BY n DESC, t ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(n) OVER () AS tot
+            FROM counts
+        )
+        SELECT CAST(k AS INT) AS k,
+               CAST(cum AS BIGINT) AS tokens_covered,
+               floor(cum * 1e6 / tot) / 1e6 AS coverage
+        FROM ranked
+        WHERE k IN (1, 2, 5, 10, 20, 30)
+        ORDER BY k
     """,
     "text_length_ks_drift": """
         WITH grid AS (SELECT DISTINCT n_chars FROM documents),

@@ -90,3 +90,36 @@ def test_ks_drift_bounds_and_sanity(spark):
     assert len(rows) == n_sources
     for r in rows:
         assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_chisq_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_chisq_independence")
+
+
+def test_chisq_nonnegative_and_cells_complete(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_chisq_independence,
+    )
+    from tests.conftest import SF_DIR
+
+    r = q_orders_chisq_independence(spark, SF_DIR).collect()[0]
+    assert r.chi_sq >= 0.0
+    assert r.n_cells >= 4  # a real contingency table, not a degenerate one
+
+
+def test_vocab_coverage_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_vocab_coverage")
+
+
+def test_vocab_coverage_is_monotone_and_bounded(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_vocab_coverage,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_vocab_coverage(spark, SF_DIR).collect()
+    assert rows and rows[-1].coverage <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.k > a.k and b.coverage >= a.coverage
+    # the corpus vocabulary is tiny (~31 types), so top-30 ≈ everything
+    assert rows[-1].coverage > 0.9
