@@ -720,6 +720,55 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUTOCORR_LAGS = (1, 7)
+
+
+def q_events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality detection: autocorrelation of the daily event
+    volume at lags 1 and 7 — a strong lag-7 coefficient is the
+    weekly-cycle fingerprint a forecasting/capacity pipeline checks
+    before modeling.
+
+    Pearson r over (day, day+lag) pairs from a self-equi-join of the
+    DAY-grain rollup on the shifted date (rollup-sized, never raw
+    events); all sufficient statistics are exact bigints and r is
+    one mirrored IEEE expression — the q_events_value_trend recipe.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    out = None
+    for lag in AUTOCORR_LAGS:
+        a, b = daily.alias("a"), daily.alias("b")
+        pairs = a.join(
+            b, F.date_add(F.col("a.day"), lag) == F.col("b.day")
+        ).select(
+            F.col("a.cnt").alias("x"), F.col("b.cnt").alias("y")
+        )
+        stats = pairs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        n = F.col("n").cast("double")
+        num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+        den = F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+            * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+        )
+        row = stats.select(
+            F.lit(lag).alias("lag"),
+            F.col("n").alias("n_pairs"),
+            (F.floor(num / den * 1e6) / 1e6).alias("autocorr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")
+
+
 def q_events_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-lookback velocity features: for each PURCHASE, how many
     events (and how much value) the same user generated in the
@@ -796,6 +845,7 @@ QUERIES = {
     "q_events_transition_matrix": q_events_transition_matrix,
     "q_events_top_paths": q_events_top_paths,
     "q_events_velocity": q_events_velocity,
+    "q_events_autocorr": q_events_autocorr,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_bot_detection": q_events_bot_detection,
@@ -1078,6 +1128,32 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_autocorr": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+            FROM events GROUP BY day
+        ),
+        stats AS (
+            SELECT 1 AS lag, COUNT(*) AS n,
+                   SUM(a.cnt) AS sx, SUM(b.cnt) AS sy,
+                   SUM(a.cnt * a.cnt) AS sxx, SUM(b.cnt * b.cnt) AS syy,
+                   SUM(a.cnt * b.cnt) AS sxy
+            FROM daily a JOIN daily b ON a.day + 1 = b.day
+            UNION ALL
+
+            SELECT 7 AS lag, COUNT(*) AS n,
+                   SUM(a.cnt) AS sx, SUM(b.cnt) AS sy,
+                   SUM(a.cnt * a.cnt) AS sxx, SUM(b.cnt * b.cnt) AS syy,
+                   SUM(a.cnt * b.cnt) AS sxy
+            FROM daily a JOIN daily b ON a.day + 7 = b.day
+        )
+        SELECT lag, n AS n_pairs,
+               floor((sxy - sx * sy / CAST(n AS DOUBLE))
+                     / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                            * (syy - sy * sy / CAST(n AS DOUBLE))) * 1e6) / 1e6 AS autocorr
+        FROM stats
+        ORDER BY lag
     """,
     "q_events_velocity": """
         WITH feat AS (

@@ -310,3 +310,17 @@ def test_velocity_counts_include_self_and_only_lookback(spark):
         & (F.col("secs") >= p.secs - 3600)
     ).count()
     assert direct == sample.n_events_1h
+
+
+def test_autocorr_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_autocorr")
+
+
+def test_autocorr_values_in_range(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_autocorr
+
+    rows = {r.lag: r for r in q_events_autocorr(spark, SF_DIR).collect()}
+    assert set(rows) == {1, 7}
+    for r in rows.values():
+        assert -1.0 <= r.autocorr <= 1.0
+        assert r.n_pairs > 10
