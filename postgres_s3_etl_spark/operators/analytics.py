@@ -792,6 +792,47 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration profile: the Herfindahl–Hirschman index
+    of supplier account balances per nation (Σ share² — 1/n for
+    perfectly even, 1.0 for a monopoly) — the concentration metric
+    procurement/risk dashboards track.
+
+    Supplier-grain rollup per nation, decimal share denominators,
+    and the share² sum folds in supplier order (sequential aggregate
+    ≡ list_reduce) for bit-determinism. Negative balances are
+    clamped at zero first, keeping shares in [0, 1].
+    """
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        F.greatest(
+            F.col("s_acctbal").cast("decimal(18,2)"),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("bal"),
+    )
+    tot = Window.partitionBy("s_nationkey")
+    shares = sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.try_divide(
+            F.col("bal").cast("double"),
+            F.sum("bal").over(tot).cast("double"),
+        ).alias("share"),
+    )
+    return (
+        shares.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.expr(
+                "floor(aggregate(transform(array_sort(collect_list(struct(s_suppkey, share))),"
+                " x -> x.share * x.share), 0.0d, (s, x) -> s + x) * 1e6) / 1e6"
+            ).alias("hhi"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def q_orders_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence between order status and
     priority — the categorical-association check profiling runs
@@ -1347,6 +1388,7 @@ QUERIES = {
     "q_orders_winsorized_stats": q_orders_winsorized_stats,
     "q_part_attr_entropy": q_part_attr_entropy,
     "q_orders_chisq_independence": q_orders_chisq_independence,
+    "q_nation_supplier_hhi": q_nation_supplier_hhi,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1374,6 +1416,28 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_nation_supplier_hhi": """
+        WITH sup AS (
+            SELECT s_nationkey, s_suppkey,
+                   greatest(CAST(s_acctbal AS DECIMAL(18,2)),
+                            CAST(0 AS DECIMAL(18,2))) AS bal
+            FROM supplier
+        ),
+        shares AS (
+            SELECT s_nationkey, s_suppkey,
+                   CAST(bal AS DOUBLE)
+                   / NULLIF(CAST(SUM(bal) OVER (PARTITION BY s_nationkey) AS DOUBLE), 0) AS share
+            FROM sup
+        )
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               floor(list_reduce(
+                         list_transform(list(share ORDER BY s_suppkey), x -> x * x),
+                         (s, x) -> s + x) * 1e6) / 1e6 AS hhi
+        FROM shares
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey
+    """,
     "q_orders_chisq_independence": """
         WITH cell AS (
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o

@@ -324,3 +324,21 @@ def test_autocorr_values_in_range(spark):
     for r in rows.values():
         assert -1.0 <= r.autocorr <= 1.0
         assert r.n_pairs > 10
+
+
+def test_hhi_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_nation_supplier_hhi")
+
+
+def test_hhi_bounds(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_autocorr  # noqa: F401
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_nation_supplier_hhi,
+    )
+
+    rows = q_nation_supplier_hhi(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.hhi is not None:
+            # 1/n (even) <= HHI <= 1 (monopoly), modulo 1e-6 truncation
+            assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
