@@ -792,6 +792,48 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue across customers — the inequality
+    summary (0 = everyone equal, →1 = one whale) read next to the ABC
+    classes and HHI. Computed by the sorted-rank identity
+    ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`` over the customer-grain
+    rollup: ranks from one ordered window over the rollup, Σ i·xᵢ
+    exact decimal (bigint rank × decimal revenue), one mirrored
+    float expression at the end.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = per_cust.select(
+        "rev", F.row_number().over(w).cast("decimal(18,0)").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
+        (
+            F.floor(
+                (
+                    F.lit(2.0)
+                    * F.sum(F.col("i") * F.col("rev")).cast("double")
+                    / (
+                        F.count(F.lit(1))
+                        * F.sum("rev").cast("double")
+                    )
+                    - (F.count(F.lit(1)) + 1).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e6
+            )
+            / 1e6
+        ).alias("gini"),
+    )
+
+
 def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-concentration profile: the Herfindahl–Hirschman index
     of supplier account balances per nation (Σ share² — 1/n for
@@ -1389,6 +1431,7 @@ QUERIES = {
     "q_part_attr_entropy": q_part_attr_entropy,
     "q_orders_chisq_independence": q_orders_chisq_independence,
     "q_nation_supplier_hhi": q_nation_supplier_hhi,
+    "q_customer_revenue_gini": q_customer_revenue_gini,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1416,6 +1459,25 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_customer_revenue_gini": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT rev,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rev, o_custkey)
+                        AS DECIMAL(18,0)) AS i
+            FROM per_cust
+        )
+        SELECT COUNT(*) AS n_customers,
+               ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue,
+               floor((2.0 * CAST(SUM(i * rev) AS DOUBLE)
+                      / (COUNT(*) * CAST(SUM(rev) AS DOUBLE))
+                      - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*)) * 1e6) / 1e6 AS gini
+        FROM ranked
+    """,
     "q_nation_supplier_hhi": """
         WITH sup AS (
             SELECT s_nationkey, s_suppkey,

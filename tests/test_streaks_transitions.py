@@ -342,3 +342,17 @@ def test_hhi_bounds(spark):
         if r.hhi is not None:
             # 1/n (even) <= HHI <= 1 (monopoly), modulo 1e-6 truncation
             assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_gini_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_customer_revenue_gini")
+
+
+def test_gini_in_unit_interval_and_nontrivial(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_revenue_gini,
+    )
+
+    r = q_customer_revenue_gini(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.gini < 1.0
+    assert r.gini > 0.01  # real revenue is never perfectly equal
