@@ -720,6 +720,35 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclic usage profile: event volume by (ISO weekday × hour)
+    with share-of-total — the capacity/heatmap view behind load
+    planning and the anomaly-detection seasonal baseline. One
+    map-side-combined shuffle to the 7×24 grain; the share divides
+    against a broadcast-window total over those ≤168 rows.
+
+    Weekday convention pinned cross-engine: Spark ``weekday()+1`` ==
+    DuckDB ``isodow`` (1 = Monday … 7 = Sunday).
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    cell = ev.groupBy(
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    return (
+        cell.select(
+            "iso_dow",
+            "hour",
+            "n",
+            (F.floor(F.col("n") * 1e6 / F.sum("n").over(tot)) / 1e6).alias(
+                "share"
+            ),
+        )
+        .orderBy("iso_dow", "hour")
+    )
+
+
 AUTOCORR_LAGS = (1, 7)
 
 
@@ -846,6 +875,7 @@ QUERIES = {
     "q_events_top_paths": q_events_top_paths,
     "q_events_velocity": q_events_velocity,
     "q_events_autocorr": q_events_autocorr,
+    "q_events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_bot_detection": q_events_bot_detection,
@@ -1128,6 +1158,18 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_dow_hour_heatmap": """
+        WITH cell AS (
+            SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+                   CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+                   COUNT(*) AS n
+            FROM events GROUP BY iso_dow, hour
+        )
+        SELECT iso_dow, hour, n,
+               floor(n * 1e6 / SUM(n) OVER ()) / 1e6 AS share
+        FROM cell
+        ORDER BY iso_dow, hour
     """,
     "q_events_autocorr": """
         WITH daily AS (

@@ -356,3 +356,19 @@ def test_gini_in_unit_interval_and_nontrivial(spark):
     r = q_customer_revenue_gini(spark, SF_DIR).collect()[0]
     assert 0.0 <= r.gini < 1.0
     assert r.gini > 0.01  # real revenue is never perfectly equal
+
+
+def test_heatmap_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_dow_hour_heatmap")
+
+
+def test_heatmap_covers_the_full_grid(spark):
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_dow_hour_heatmap,
+    )
+
+    rows = q_events_dow_hour_heatmap(spark, SF_DIR).collect()
+    assert {(r.iso_dow, r.hour) for r in rows} <= {
+        (d, h) for d in range(1, 8) for h in range(24)
+    }
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
