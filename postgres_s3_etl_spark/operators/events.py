@@ -1204,7 +1204,10 @@ ORACLES = {
                    SUM(CAST(value AS DECIMAL(18,2))) OVER w AS v1h
             FROM events
             WINDOW w AS (PARTITION BY user_id
-                         ORDER BY CAST(epoch(ts) AS BIGINT)
+                         -- date_diff TRUNCATES the fractional second
+                         -- like Spark's cast-to-long; CAST(epoch(..))
+                         -- would ROUND and shift frame boundaries
+                         ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         )
         SELECT event_id, user_id, n_events_1h,
