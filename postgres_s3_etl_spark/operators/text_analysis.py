@@ -696,6 +696,45 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness signal per source: the hapax ratio
+    (fraction of a source's vocabulary appearing exactly once there)
+    and type-token ratio — low richness fingerprints templated or
+    machine-generated feeds, high richness flags noisy OCR. Two
+    rollup aggregations (token counts per source → vocabulary stats
+    per source); ratios are single mirrored divisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    per_type = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_type.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "vocab_size",
+            "n_tokens",
+            "n_hapax",
+            (F.floor(F.col("n_hapax") * 1e6 / F.col("vocab_size")) / 1e6).alias(
+                "hapax_ratio"
+            ),
+            (F.floor(F.col("vocab_size") * 1e6 / F.col("n_tokens")) / 1e6).alias(
+                "type_token_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 COVERAGE_POINTS = (1, 2, 5, 10, 20, 30)
 
 
@@ -1040,6 +1079,7 @@ QUERIES = {
     "text_lm_perplexity": text_lm_perplexity,
     "text_length_ks_drift": text_length_ks_drift,
     "text_vocab_coverage": text_vocab_coverage,
+    "text_hapax_ratio": text_hapax_ratio,
 }
 
 
@@ -1291,6 +1331,27 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_hapax_ratio": """
+        WITH per_type AS (
+            SELECT source, token AS t, COUNT(*) AS n
+            FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY source, token
+        )
+        SELECT source,
+               COUNT(*) AS vocab_size,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               floor(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1e6 / COUNT(*)) / 1e6 AS hapax_ratio,
+               floor(COUNT(*) * 1e6 / SUM(n)) / 1e6 AS type_token_ratio
+        FROM per_type
+        GROUP BY source
+        ORDER BY source
     """,
     "text_vocab_coverage": """
         WITH counts AS (

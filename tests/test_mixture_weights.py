@@ -123,3 +123,21 @@ def test_vocab_coverage_is_monotone_and_bounded(spark):
         assert b.k > a.k and b.coverage >= a.coverage
     # the corpus vocabulary is tiny (~31 types), so top-30 ≈ everything
     assert rows[-1].coverage > 0.9
+
+
+def test_hapax_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_hapax_ratio")
+
+
+def test_hapax_ratios_bounded(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_hapax_ratio,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_hapax_ratio(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.vocab_size <= r.n_tokens
+        assert 0.0 <= r.hapax_ratio <= 1.0
+        assert 0.0 < r.type_token_ratio <= 1.0
