@@ -270,6 +270,33 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_code_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-embedding detection at int8-quantization resolution:
+    vectors whose scalar-quantized codes are identical — the cheap
+    exact pass that catches repeated/copied embeddings (re-encoded
+    rows, collapsed encoder outputs) before ANN indexing, without
+    any pair join: one md5 digest of the code array per vector, one
+    digest shuffle (the dedup_exact recipe on the quantized view).
+    """
+    codes = embedding_quantize(spark, sf_dir).select(
+        "vec_id",
+        F.md5(F.concat_ws(",", F.col("codes").cast("array<string>"))).alias(
+            "digest"
+        ),
+    )
+    groups = codes.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("keep_id")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique_codes"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_vectors"),
+        F.max("n").alias("max_group"),
+    )
+
+
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each probe
     vector, the TOP_K most-similar vectors carrying a DIFFERENT label
@@ -400,6 +427,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
     "embedding_norm_outliers": embedding_norm_outliers,
+    "embedding_code_dups": embedding_code_dups,
     "sim_search_lsh": sim_search_lsh,
     "sim_search_ivf": sim_search_ivf,
     "embedding_quantize": embedding_quantize,
@@ -469,6 +497,36 @@ ORACLES = {
         FROM ranked CROSS JOIN bounds
         WHERE norm < p01 OR norm > p99
         ORDER BY vec_id
+    """,
+    "embedding_code_dups": """
+        WITH ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY pos
+        ),
+        q AS (
+            SELECT vec_id, pos,
+                   CAST(least(255, floor((v - mn) * 255 / (mx - mn))) AS INT) AS code
+            FROM ex JOIN stats USING (pos)
+        ),
+        digests AS (
+            SELECT vec_id,
+                   md5(array_to_string(list(CAST(code AS VARCHAR) ORDER BY pos), ',')) AS digest
+            FROM q GROUP BY vec_id
+        ),
+        groups AS (
+            SELECT digest, COUNT(*) AS n, MIN(vec_id) AS keep_id
+            FROM digests GROUP BY digest
+        )
+        SELECT COUNT(*) AS n_unique_codes,
+               CAST(SUM(n) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_dup_vectors,
+               MAX(n) AS max_group
+        FROM groups
     """,
     "embedding_quantize": """
         WITH ex AS (

@@ -121,3 +121,22 @@ def test_norm_outliers_band_holds(spark):
     # ≤ ~2% of the corpus sits outside an exact [p01, p99] band.
     assert 0 < len(flagged) <= max(2, int(0.025 * n))
     assert all(r.is_low != r.is_high for r in flagged)
+
+
+def test_code_dups_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "embedding_code_dups")
+
+
+def test_code_dups_accounting(spark):
+    from postgres_s3_etl_spark.operators.similarity import (
+        _vecs,
+        embedding_code_dups,
+    )
+
+    r = embedding_code_dups(spark, SF_DIR).collect()[0]
+    n = _vecs(spark, SF_DIR).count()
+    assert r.n_vectors == n
+    assert r.n_unique_codes + r.n_dup_vectors == n
+    assert r.max_group >= 1
