@@ -696,6 +696,62 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-drift monitor: Jensen–Shannon divergence between each
+    source's TOKEN distribution and the corpus (0 = same mix,
+    ln 2 = disjoint) — the KS query's content-side sibling (KS
+    watches a metadata feature; this watches what the text says).
+
+    Both distributions evaluate on the corpus-vocabulary grid
+    (natural-language-bounded) with per-source zero-fill; the
+    0.5·KL(p‖m) + 0.5·KL(q‖m) contributions fold in token order
+    (sequential aggregate ≡ list_reduce), keeping the ln-sum
+    bit-deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"),
+    ).where(F.col("t") != "")
+    corpus = tok.groupBy("t").agg(F.count(F.lit(1)).alias("qn"))
+    corpus = corpus.crossJoin(
+        F.broadcast(tok.agg(F.count(F.lit(1)).alias("tot_q")))
+    )
+    src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tot_p"))
+    cell = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("pn"))
+    grid = (
+        src_tot.crossJoin(corpus)
+        .join(cell, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (F.coalesce("pn", F.lit(0)).cast("double") / F.col("tot_p")).alias(
+                "p"
+            ),
+            (F.col("qn").cast("double") / F.col("tot_q")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(
+            F.lit(0.0)
+        )
+        * 0.5
+        + F.col("q") * F.log(F.col("q") / m) * 0.5
+    )
+    return (
+        grid.withColumn("c", contrib)
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "floor(aggregate(transform(array_sort(collect_list(struct(t, c))),"
+                " x -> x.c), 0.0d, (s, x) -> s + x) * 1e6) / 1e6"
+            ).alias("jsd")
+        )
+        .orderBy("source")
+    )
+
+
 def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness signal per source: the hapax ratio
     (fraction of a source's vocabulary appearing exactly once there)
@@ -1080,6 +1136,7 @@ QUERIES = {
     "text_length_ks_drift": text_length_ks_drift,
     "text_vocab_coverage": text_vocab_coverage,
     "text_hapax_ratio": text_hapax_ratio,
+    "text_js_divergence": text_js_divergence,
 }
 
 
@@ -1331,6 +1388,41 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_js_divergence": """
+        WITH tok AS (
+            SELECT source, token AS t
+            FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+        ),
+        corpus AS (SELECT t, COUNT(*) AS qn FROM tok GROUP BY t),
+        totq AS (SELECT COUNT(*) AS tot_q FROM tok),
+        src_tot AS (SELECT source, COUNT(*) AS tot_p FROM tok GROUP BY source),
+        cell AS (SELECT source, t, COUNT(*) AS pn FROM tok GROUP BY source, t),
+        grid AS (
+            SELECT s.source, c.t,
+                   CAST(COALESCE(ce.pn, 0) AS DOUBLE) / s.tot_p AS p,
+                   CAST(c.qn AS DOUBLE) / tq.tot_q AS q
+            FROM src_tot s
+            CROSS JOIN corpus c
+            CROSS JOIN totq tq
+            LEFT JOIN cell ce ON ce.source = s.source AND ce.t = c.t
+        ),
+        scored AS (
+            SELECT source, t,
+                   CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END * 0.5
+                   + q * ln(q / ((p + q) / 2)) * 0.5 AS c
+            FROM grid
+        )
+        SELECT source,
+               floor(list_reduce(list(c ORDER BY t), (s, x) -> s + x) * 1e6) / 1e6 AS jsd
+        FROM scored
+        GROUP BY source
+        ORDER BY source
     """,
     "text_hapax_ratio": """
         WITH per_type AS (

@@ -141,3 +141,21 @@ def test_hapax_ratios_bounded(spark):
         assert 0 <= r.n_hapax <= r.vocab_size <= r.n_tokens
         assert 0.0 <= r.hapax_ratio <= 1.0
         assert 0.0 < r.type_token_ratio <= 1.0
+
+
+def test_jsd_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_js_divergence")
+
+
+def test_jsd_bounds(spark):
+    import math
+
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_js_divergence,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_js_divergence(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
