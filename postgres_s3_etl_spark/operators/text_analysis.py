@@ -696,6 +696,61 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the vocabulary: OLS slope of log-frequency
+    on log-rank (natural text ≈ −1; strong deviation fingerprints
+    synthetic or templated corpora — exactly this corpus, which is
+    near-uniform word soup and should fit much flatter than −1).
+
+    Ranks come from one ordered window over the VOCABULARY rollup;
+    the four OLS sums over (ln rank, ln freq) pairs fold in rank
+    order (sequential aggregate ≡ list_reduce), then slope and
+    intercept are one mirrored expression each.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    pts = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.expr(
+            "aggregate(array_sort(collect_list(x)), 0.0d, (s, v) -> s + v)"
+        ).alias("sx"),
+        F.expr(
+            "aggregate(array_sort(collect_list(y)), 0.0d, (s, v) -> s + v)"
+        ).alias("sy"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(x, y))),"
+            " p -> p.x * p.y), 0.0d, (s, v) -> s + v)"
+        ).alias("sxy"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(x)), v -> v * v),"
+            " 0.0d, (s, v) -> s + v)"
+        ).alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / k) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / k
+    )
+    return sums.select(
+        F.col("k").alias("vocab_size"),
+        (F.floor(slope * 1e6) / 1e6).alias("zipf_slope"),
+        (
+            F.floor((F.col("sy") / k - slope * F.col("sx") / k) * 1e6) / 1e6
+        ).alias("intercept"),
+    )
+
+
 def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-drift monitor: Jensen–Shannon divergence between each
     source's TOKEN distribution and the corpus (0 = same mix,
@@ -1137,6 +1192,7 @@ QUERIES = {
     "text_vocab_coverage": text_vocab_coverage,
     "text_hapax_ratio": text_hapax_ratio,
     "text_js_divergence": text_js_divergence,
+    "text_zipf_fit": text_zipf_fit,
 }
 
 
@@ -1388,6 +1444,34 @@ ORACLES = {
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
         ORDER BY doc_id
+    """,
+    "text_zipf_fit": """
+        WITH counts AS (
+            SELECT token AS t, COUNT(*) AS n
+            FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                FROM documents
+            )
+            WHERE token <> ''
+            GROUP BY token
+        ),
+        pts AS (
+            SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS DOUBLE)) AS x,
+                   ln(CAST(n AS DOUBLE)) AS y
+            FROM counts
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                   list_reduce(list(x ORDER BY x), (s, v) -> s + v) AS sx,
+                   list_reduce(list(y ORDER BY y), (s, v) -> s + v) AS sy,
+                   list_reduce(list(x * y ORDER BY x, y), (s, v) -> s + v) AS sxy,
+                   list_reduce(list(x * x ORDER BY x), (s, v) -> s + v) AS sxx
+            FROM pts
+        )
+        SELECT CAST(k AS BIGINT) AS vocab_size,
+               floor((sxy - sx * sy / k) / (sxx - sx * sx / k) * 1e6) / 1e6 AS zipf_slope,
+               floor((sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx / k) * 1e6) / 1e6 AS intercept
+        FROM sums
     """,
     "text_js_divergence": """
         WITH tok AS (

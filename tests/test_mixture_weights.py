@@ -159,3 +159,18 @@ def test_jsd_bounds(spark):
     assert rows
     for r in rows:
         assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
+
+
+def test_zipf_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_zipf_fit")
+
+
+def test_zipf_slope_negative_but_flat_for_word_soup(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import text_zipf_fit
+    from tests.conftest import SF_DIR
+
+    r = text_zipf_fit(spark, SF_DIR).collect()[0]
+    assert r.vocab_size > 10
+    # frequency decreases with rank, but this synthetic near-uniform
+    # corpus is far flatter than natural text's ~-1
+    assert -1.0 < r.zipf_slope < 0.0
