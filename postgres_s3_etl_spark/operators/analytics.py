@@ -792,6 +792,51 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains (lift) curve by customer decile: rank
+    customers by revenue, split into ntile(10) deciles, report each
+    decile's revenue share, cumulative share, and lift over random
+    targeting — the standard campaign-targeting view beside the ABC
+    classes and Gini. All windows over the customer rollup; decimal
+    sums to the final mirrored divisions.
+    """
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    cell = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("rev")
+    )
+    w_run = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    share = F.col("rev").cast("double") / F.sum("rev").over(w_all).cast(
+        "double"
+    )
+    cum_share = F.sum("rev").over(w_run).cast("double") / F.sum("rev").over(
+        w_all
+    ).cast("double")
+    return (
+        cell.select(
+            "decile",
+            "n_customers",
+            (F.floor(share * 1e6) / 1e6).alias("rev_share"),
+            (F.floor(cum_share * 1e6) / 1e6).alias("cum_share"),
+            # lift over random targeting: cum share ÷ population frac
+            (F.floor(cum_share / (F.col("decile") / 10.0) * 1e6) / 1e6).alias(
+                "lift"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of revenue across customers — the inequality
     summary (0 = everyone equal, →1 = one whale) read next to the ABC
@@ -1432,6 +1477,7 @@ QUERIES = {
     "q_orders_chisq_independence": q_orders_chisq_independence,
     "q_nation_supplier_hhi": q_nation_supplier_hhi,
     "q_customer_revenue_gini": q_customer_revenue_gini,
+    "q_customer_gains_curve": q_customer_gains_curve,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1459,6 +1505,30 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_customer_gains_curve": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        deciled AS (
+            SELECT rev, NTILE(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS decile
+            FROM per_cust
+        ),
+        cell AS (
+            SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS rev
+            FROM deciled GROUP BY decile
+        )
+        SELECT decile, n_customers,
+               floor(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) * 1e6) / 1e6 AS rev_share,
+               floor(CAST(SUM(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(SUM(rev) OVER () AS DOUBLE) * 1e6) / 1e6 AS cum_share,
+               floor(CAST(SUM(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(SUM(rev) OVER () AS DOUBLE)
+                     / (decile / 10.0) * 1e6) / 1e6 AS lift
+        FROM cell
+        ORDER BY decile
+    """,
     "q_customer_revenue_gini": """
         WITH per_cust AS (
             SELECT o_custkey,

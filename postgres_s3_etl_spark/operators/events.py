@@ -720,6 +720,36 @@ def q_events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch revenue attribution: every purchase credits the
+    type of the user's FIRST-ever event (the acquisition touchpoint)
+    — the complement of the as-of join's last-touch credit; the pair
+    brackets any position-based attribution model.
+
+    One window min over the user partition finds the first touch
+    (ties broken by event_id); purchases aggregate to the touchpoint
+    grain. One shuffle by user; the credit rollup is |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    touched = ev.withColumn(
+        "first_touch", F.first("event_type").over(w)
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("attributed_value"),
+        )
+        .orderBy("first_touch")
+    )
+
+
 def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic usage profile: event volume by (ISO weekday × hour)
     with share-of-total — the capacity/heatmap view behind load
@@ -876,6 +906,7 @@ QUERIES = {
     "q_events_velocity": q_events_velocity,
     "q_events_autocorr": q_events_autocorr,
     "q_events_dow_hour_heatmap": q_events_dow_hour_heatmap,
+    "q_events_first_touch": q_events_first_touch,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_bot_detection": q_events_bot_detection,
@@ -1158,6 +1189,21 @@ ORACLES = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "q_events_first_touch": """
+        WITH touched AS (
+            SELECT event_type, value,
+                   FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS first_touch
+            FROM events
+        )
+        SELECT first_touch,
+               COUNT(*) AS n_purchases,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS attributed_value
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY first_touch
+        ORDER BY first_touch
     """,
     "q_events_dow_hour_heatmap": """
         WITH cell AS (

@@ -372,3 +372,41 @@ def test_heatmap_covers_the_full_grid(spark):
         (d, h) for d in range(1, 8) for h in range(24)
     }
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+
+def test_gains_curve_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_customer_gains_curve")
+
+
+def test_gains_curve_shape(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_gains_curve,
+    )
+
+    rows = q_customer_gains_curve(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert abs(rows[-1].cum_share - 1.0) < 1e-3
+    assert abs(rows[-1].lift - 1.0) < 1e-3  # full population = no lift
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share >= a.cum_share
+        assert b.rev_share <= a.rev_share + 1e-6  # deciles ranked by revenue
+    assert rows[0].lift > 1.0  # the top decile beats random targeting
+
+
+def test_first_touch_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_first_touch")
+
+
+def test_first_touch_conserves_purchases(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.events import q_events_first_touch
+
+    rows = q_events_first_touch(spark, SF_DIR).collect()
+    n_purchases = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r.n_purchases for r in rows) == n_purchases
