@@ -792,6 +792,49 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIGRATION_CUTOFF = "1996-01-01"
+
+
+def q_customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix: customers scored into revenue
+    terciles in the early period (orders before the cutoff) and
+    again in the late period, then counted by (before → after)
+    transition — tercile 0 meaning absent (new customers enter the
+    matrix's row 0; churned customers land in column 0). The CRM
+    movement view behind retention/upsell programs.
+
+    Both scorings are ntile windows over customer-grain rollups
+    (deterministic tie-breaks); the matrix is ≤ 4×4 cells from one
+    full-outer join at customer grain.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("rev"),
+    )
+
+    def terciles(sub: DataFrame, key_alias: str, seg_alias: str) -> DataFrame:
+        per = sub.groupBy("o_custkey").agg(F.sum("rev").alias("r"))
+        w = Window.orderBy(F.desc("r"), F.asc("o_custkey"))
+        return per.select(
+            F.col("o_custkey").alias(key_alias),
+            F.ntile(3).over(w).alias(seg_alias),
+        )
+
+    cutoff = F.lit(MIGRATION_CUTOFF).cast("date")
+    early = terciles(orders.where(F.col("day") < cutoff), "ck_a", "seg_before")
+    late = terciles(orders.where(F.col("day") >= cutoff), "ck_b", "seg_after")
+    joined = early.join(late, early.ck_a == late.ck_b, "full_outer").select(
+        F.coalesce("seg_before", F.lit(0)).alias("seg_before"),
+        F.coalesce("seg_after", F.lit(0)).alias("seg_after"),
+    )
+    return (
+        joined.groupBy("seg_before", "seg_after")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("seg_before", "seg_after")
+    )
+
+
 def q_customer_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative gains (lift) curve by customer decile: rank
     customers by revenue, split into ntile(10) deciles, report each
@@ -1478,6 +1521,7 @@ QUERIES = {
     "q_nation_supplier_hhi": q_nation_supplier_hhi,
     "q_customer_revenue_gini": q_customer_revenue_gini,
     "q_customer_gains_curve": q_customer_gains_curve,
+    "q_customer_value_migration": q_customer_value_migration,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1505,6 +1549,31 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_customer_value_migration": """
+        WITH o AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+            FROM orders
+        ),
+        early AS (
+            SELECT o_custkey AS ck_a,
+                   NTILE(3) OVER (ORDER BY SUM(rev) DESC, o_custkey ASC) AS seg_before
+            FROM o WHERE day < DATE '1996-01-01'
+            GROUP BY o_custkey
+        ),
+        late AS (
+            SELECT o_custkey AS ck_b,
+                   NTILE(3) OVER (ORDER BY SUM(rev) DESC, o_custkey ASC) AS seg_after
+            FROM o WHERE day >= DATE '1996-01-01'
+            GROUP BY o_custkey
+        )
+        SELECT COALESCE(seg_before, 0) AS seg_before,
+               COALESCE(seg_after, 0) AS seg_after,
+               COUNT(*) AS n_customers
+        FROM early FULL OUTER JOIN late ON early.ck_a = late.ck_b
+        GROUP BY 1, 2
+        ORDER BY seg_before, seg_after
+    """,
     "q_customer_gains_curve": """
         WITH per_cust AS (
             SELECT o_custkey,

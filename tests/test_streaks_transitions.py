@@ -410,3 +410,27 @@ def test_first_touch_conserves_purchases(spark):
         .count()
     )
     assert sum(r.n_purchases for r in rows) == n_purchases
+
+
+def test_value_migration_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_customer_value_migration")
+
+
+def test_value_migration_conserves_customers(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_value_migration,
+    )
+
+    rows = q_customer_value_migration(spark, SF_DIR).collect()
+    total = sum(r.n_customers for r in rows)
+    n_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert total == n_cust  # full outer loses nobody
+    assert not any(r.seg_before == 0 and r.seg_after == 0 for r in rows)
