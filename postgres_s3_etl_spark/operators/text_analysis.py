@@ -738,15 +738,26 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0.0d, (s, v) -> s + v)"
         ).alias("sxx"),
     )
+    # try_divide: an empty corpus (k = 0) yields NULL fit columns
+    # instead of an ANSI divide-by-zero; identical to plain division
+    # whenever k > 0, so the oracle mirror is unchanged.
     k = F.col("k").cast("double")
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / k) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / k
+    slope = F.try_divide(
+        F.col("sxy") - F.try_divide(F.col("sx") * F.col("sy"), k),
+        F.col("sxx") - F.try_divide(F.col("sx") * F.col("sx"), k),
     )
     return sums.select(
         F.col("k").alias("vocab_size"),
         (F.floor(slope * 1e6) / 1e6).alias("zipf_slope"),
         (
-            F.floor((F.col("sy") / k - slope * F.col("sx") / k) * 1e6) / 1e6
+            F.floor(
+                (
+                    F.try_divide(F.col("sy"), k)
+                    - slope * F.try_divide(F.col("sx"), k)
+                )
+                * 1e6
+            )
+            / 1e6
         ).alias("intercept"),
     )
 
