@@ -792,6 +792,52 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by median absolute deviation: the MAD
+    is the median of |x − median(x)| — unlike the stddev-based z
+    score, one whale can't inflate its own threshold. Flags order
+    totals beyond the standard 3·1.4826·MAD band.
+
+    Both medians are exact discrete (row_number = ceil(n/2)) over the
+    value column; two ordered passes over one column, then a
+    broadcast of the two scalars back over the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    )
+
+    def disc_median(df: DataFrame, col: str):
+        w = Window.orderBy(col)
+        r = df.select(
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        return r.agg(
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col(col))
+            ).alias("med")
+        )
+
+    med = disc_median(orders, "v")
+    dev = orders.crossJoin(F.broadcast(med)).select(
+        "v", F.abs(F.col("v") - F.col("med")).alias("d"), "med"
+    )
+    mad = disc_median(dev.select("d"), "d").withColumnRenamed("med", "mad")
+    scored = dev.crossJoin(F.broadcast(mad))
+    thr = F.col("mad").cast("double") * 3 * 1.4826
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.max(F.col("med").cast("double")), 2).alias("median"),
+        F.round(F.max(F.col("mad").cast("double")), 2).alias("mad"),
+        F.sum(
+            F.when(F.col("d").cast("double") > thr, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
 MIGRATION_CUTOFF = "1996-01-01"
 
 
@@ -1522,6 +1568,7 @@ QUERIES = {
     "q_customer_revenue_gini": q_customer_revenue_gini,
     "q_customer_gains_curve": q_customer_gains_curve,
     "q_customer_value_migration": q_customer_value_migration,
+    "q_orders_mad_outliers": q_orders_mad_outliers,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1549,6 +1596,30 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_mad_outliers": """
+        WITH vals AS (
+            SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders
+        ),
+        med AS (
+            SELECT MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS med
+            FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+                         COUNT(*) OVER () AS n FROM vals)
+        ),
+        dev AS (
+            SELECT v, abs(v - med) AS d, med FROM vals CROSS JOIN med
+        ),
+        mad AS (
+            SELECT MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN d END) AS mad
+            FROM (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+                         COUNT(*) OVER () AS n FROM dev)
+        )
+        SELECT COUNT(*) AS n_orders,
+               ROUND(CAST(MAX(dev.med) AS DOUBLE), 2) AS median,
+               ROUND(CAST(MAX(mad.mad) AS DOUBLE), 2) AS mad,
+               CAST(SUM(CASE WHEN CAST(d AS DOUBLE) > CAST(mad.mad AS DOUBLE) * 3 * 1.4826
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev CROSS JOIN mad
+    """,
     "q_customer_value_migration": """
         WITH o AS (
             SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,

@@ -434,3 +434,17 @@ def test_value_migration_conserves_customers(spark):
     )
     assert total == n_cust  # full outer loses nobody
     assert not any(r.seg_before == 0 and r.seg_after == 0 for r in rows)
+
+
+def test_mad_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_mad_outliers")
+
+
+def test_mad_robust_band_sane(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_mad_outliers,
+    )
+
+    r = q_orders_mad_outliers(spark, SF_DIR).collect()[0]
+    assert r.mad > 0
+    assert 0 <= r.n_outliers < r.n_orders * 0.1  # a band, not a sieve
