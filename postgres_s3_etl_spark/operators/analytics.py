@@ -792,6 +792,41 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: monthly order mix split into first-time vs
+    returning customers — the acquisition/retention decomposition
+    every growth dashboard leads with. An order is "new" when it
+    falls in its customer's first calendar month (window min over the
+    customer partition); one customer shuffle, then a month-grain
+    rollup with mirrored share divisions.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    )
+    w = Window.partitionBy("o_custkey")
+    tagged = orders.withColumn("first_month", F.min("month").over(w))
+    monthly = tagged.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.when(F.col("month") == F.col("first_month"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_new"),
+    )
+    return (
+        monthly.select(
+            F.to_date("month").alias("month"),
+            "n_orders",
+            "n_new",
+            (F.col("n_orders") - F.col("n_new")).alias("n_returning"),
+            (F.floor(F.col("n_new") * 1e6 / F.col("n_orders")) / 1e6).alias(
+                "new_share"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
 def q_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier detection by median absolute deviation: the MAD
     is the median of |x − median(x)| — unlike the stddev-based z
@@ -1569,6 +1604,7 @@ QUERIES = {
     "q_customer_gains_curve": q_customer_gains_curve,
     "q_customer_value_migration": q_customer_value_migration,
     "q_orders_mad_outliers": q_orders_mad_outliers,
+    "q_orders_new_vs_returning": q_orders_new_vs_returning,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1596,6 +1632,27 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_new_vs_returning": """
+        WITH tagged AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                   MIN(date_trunc('month', CAST(o_orderdate AS DATE)))
+                       OVER (PARTITION BY o_custkey) AS first_month
+            FROM orders
+        ),
+        monthly AS (
+            SELECT month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CASE WHEN month = first_month THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+            FROM tagged GROUP BY month
+        )
+        SELECT CAST(month AS DATE) AS month,
+               n_orders,
+               n_new,
+               n_orders - n_new AS n_returning,
+               floor(n_new * 1e6 / n_orders) / 1e6 AS new_share
+        FROM monthly
+        ORDER BY month
+    """,
     "q_orders_mad_outliers": """
         WITH vals AS (
             SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v FROM orders

@@ -448,3 +448,28 @@ def test_mad_robust_band_sane(spark):
     r = q_orders_mad_outliers(spark, SF_DIR).collect()[0]
     assert r.mad > 0
     assert 0 <= r.n_outliers < r.n_orders * 0.1  # a band, not a sieve
+
+
+def test_new_vs_returning_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_new_vs_returning")
+
+
+def test_new_vs_returning_accounting(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_new_vs_returning,
+    )
+
+    rows = q_orders_new_vs_returning(spark, SF_DIR).collect()
+    assert rows
+    orders = load_table(spark, SF_DIR, "orders")
+    assert sum(r.n_orders for r in rows) == orders.count()
+    # every customer is new exactly once... in their first month: the
+    # sum of new-order counts ≥ distinct customers (a customer may
+    # place several orders in their first month), and the first
+    # observed month is all-new.
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_new for r in rows) >= n_cust
+    assert rows[0].n_new == rows[0].n_orders
+    for r in rows:
+        assert r.n_new + r.n_returning == r.n_orders
