@@ -792,6 +792,57 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_priority_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA monitoring: ship-latency (days from order to line ship)
+    discrete p50/p95 and a 30-day breach rate PER PRIORITY — the
+    grouped-percentile service-level table an ops dashboard tracks.
+
+    Latencies are exact integer day diffs; the per-group percentiles
+    are row_number picks inside each priority partition (grouped
+    percentile_disc), so every figure is engine-exact. One join +
+    one priority-partitioned window over the latency column.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od")
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority", F.datediff("ship", "od").alias("days")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("days")
+    ranked = lat.select(
+        "o_orderpriority",
+        "days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias(
+            "n"
+        ),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_lines"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("days"))
+            ).alias("p50_days"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("days"))
+            ).alias("p95_days"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("days") > 30, 1).otherwise(0))
+                    * 1e6
+                    / F.max("n")
+                )
+                / 1e6
+            ).alias("breach_rate_30d"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Growth accounting: monthly order mix split into first-time vs
     returning customers — the acquisition/retention decomposition
@@ -1605,6 +1656,7 @@ QUERIES = {
     "q_customer_value_migration": q_customer_value_migration,
     "q_orders_mad_outliers": q_orders_mad_outliers,
     "q_orders_new_vs_returning": q_orders_new_vs_returning,
+    "q_priority_ship_sla": q_priority_ship_sla,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1632,6 +1684,29 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_priority_ship_sla": """
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS days
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        ranked AS (
+            SELECT o_orderpriority, days,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY days) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM lat
+        )
+        SELECT o_orderpriority,
+               MAX(n) AS n_lines,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN days END) AS p50_days,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN days END) AS p95_days,
+               floor(SUM(CASE WHEN days > 30 THEN 1 ELSE 0 END) * 1e6 / MAX(n)) / 1e6 AS breach_rate_30d
+        FROM ranked
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
     "q_orders_new_vs_returning": """
         WITH tagged AS (
             SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,

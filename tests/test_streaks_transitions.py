@@ -473,3 +473,17 @@ def test_new_vs_returning_accounting(spark):
     assert rows[0].n_new == rows[0].n_orders
     for r in rows:
         assert r.n_new + r.n_returning == r.n_orders
+
+
+def test_ship_sla_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_priority_ship_sla")
+
+
+def test_ship_sla_percentiles_ordered(spark):
+    from postgres_s3_etl_spark.operators.analytics import q_priority_ship_sla
+
+    rows = q_priority_ship_sla(spark, SF_DIR).collect()
+    assert len(rows) == 5  # the five priorities
+    for r in rows:
+        assert r.p50_days <= r.p95_days
+        assert 0.0 <= r.breach_rate_30d <= 1.0
