@@ -270,6 +270,39 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health profile of the embedding space over the
+    int8-quantized view: variance and distinct-level count per
+    dimension, with a dead-dimension flag — collapsed dimensions
+    waste index capacity and show up here as near-zero variance.
+
+    Integer codes make the sufficient statistics (Σc, Σc²) exact
+    bigints — order-independent with no fold needed; one posexplode
+    + one dimension-grain aggregation (DIM rows out).
+    """
+    codes = embedding_quantize(spark, sf_dir).select(
+        "vec_id", F.posexplode("codes").alias("pos", "c")
+    )
+    stats = codes.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.countDistinct("c").alias("n_levels"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = F.col("s2") / n - mean * mean
+    return (
+        stats.select(
+            "pos",
+            F.col("n_levels").cast("bigint").alias("n_levels"),
+            (F.floor(var * 1e4) / 1e4).alias("code_variance"),
+            (F.col("n_levels") <= 2).alias("is_dead"),
+        )
+        .orderBy("pos")
+    )
+
+
 def embedding_code_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-embedding detection at int8-quantization resolution:
     vectors whose scalar-quantized codes are identical — the cheap
@@ -428,6 +461,7 @@ QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
     "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_code_dups": embedding_code_dups,
+    "embedding_dim_stats": embedding_dim_stats,
     "sim_search_lsh": sim_search_lsh,
     "sim_search_ivf": sim_search_ivf,
     "embedding_quantize": embedding_quantize,
@@ -497,6 +531,35 @@ ORACLES = {
         FROM ranked CROSS JOIN bounds
         WHERE norm < p01 OR norm > p99
         ORDER BY vec_id
+    """,
+    "embedding_dim_stats": """
+        WITH ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        stats0 AS (
+            SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY pos
+        ),
+        q AS (
+            SELECT vec_id, pos,
+                   CAST(least(255, floor((v - mn) * 255 / (mx - mn))) AS INT) AS c
+            FROM ex JOIN stats0 USING (pos)
+        ),
+        stats AS (
+            SELECT pos, COUNT(*) AS n,
+                   SUM(c) AS s1, SUM(c * c) AS s2,
+                   COUNT(DISTINCT c) AS n_levels
+            FROM q GROUP BY pos
+        )
+        SELECT pos,
+               CAST(n_levels AS BIGINT) AS n_levels,
+               floor((s2 / CAST(n AS DOUBLE)
+                      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))) * 1e4) / 1e4 AS code_variance,
+               n_levels <= 2 AS is_dead
+        FROM stats
+        ORDER BY pos
     """,
     "embedding_code_dups": """
         WITH ex AS (

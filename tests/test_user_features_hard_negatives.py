@@ -140,3 +140,25 @@ def test_code_dups_accounting(spark):
     assert r.n_vectors == n
     assert r.n_unique_codes + r.n_dup_vectors == n
     assert r.max_group >= 1
+
+
+def test_dim_stats_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "embedding_dim_stats")
+
+
+def test_dim_stats_profile_sane(spark):
+    from postgres_s3_etl_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_dim_stats,
+    )
+
+    rows = embedding_dim_stats(spark, SF_DIR).collect()
+    assert len(rows) == EMB_DIM
+    for r in rows:
+        assert r.code_variance >= 0.0
+        assert 1 <= r.n_levels <= 256
+        assert r.is_dead == (r.n_levels <= 2)
+    # random embeddings have no dead dimensions
+    assert not any(r.is_dead for r in rows)
