@@ -818,6 +818,54 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class fingerprint per source: alpha / digit / space /
+    other byte shares — the cheapest corpus-quality signature (binary
+    junk, markup-heavy, or numeric-table feeds jump straight out).
+    Row-local regexp counts summed to exact bigints per source; the
+    shares are mirrored divisions over the rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("n"),
+        F.regexp_count("text", F.lit(r"[A-Za-z]")).alias("alpha"),
+        F.regexp_count("text", F.lit(r"[0-9]")).alias("digit"),
+        F.regexp_count("text", F.lit(r"\s")).alias("space"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_chars"),
+        F.sum("alpha").cast("bigint").alias("n_alpha"),
+        F.sum("digit").cast("bigint").alias("n_digit"),
+        F.sum("space").cast("bigint").alias("n_space"),
+    )
+    def share(c: str):
+        return F.floor(F.col(c) * 1e6 / F.col("n_chars")) / 1e6
+    return (
+        agg.select(
+            "source",
+            "n_chars",
+            share("n_alpha").alias("alpha_share"),
+            share("n_digit").alias("digit_share"),
+            share("n_space").alias("space_share"),
+            (
+                F.floor(
+                    (
+                        F.col("n_chars")
+                        - F.col("n_alpha")
+                        - F.col("n_digit")
+                        - F.col("n_space")
+                    )
+                    * 1e6
+                    / F.col("n_chars")
+                )
+                / 1e6
+            ).alias("other_share"),
+        )
+        .orderBy("source")
+    )
+
+
 def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness signal per source: the hapax ratio
     (fraction of a source's vocabulary appearing exactly once there)
@@ -1202,6 +1250,7 @@ QUERIES = {
     "text_length_ks_drift": text_length_ks_drift,
     "text_vocab_coverage": text_vocab_coverage,
     "text_hapax_ratio": text_hapax_ratio,
+    "text_charclass_profile": text_charclass_profile,
     "text_js_divergence": text_js_divergence,
     "text_zipf_fit": text_zipf_fit,
 }
@@ -1517,6 +1566,31 @@ ORACLES = {
                floor(list_reduce(list(c ORDER BY t), (s, x) -> s + x) * 1e6) / 1e6 AS jsd
         FROM scored
         GROUP BY source
+        ORDER BY source
+    """,
+    "text_charclass_profile": """
+        WITH per_doc AS (
+            SELECT source,
+                   length(text) AS n,
+                   len(regexp_extract_all(text, '[A-Za-z]')) AS alpha,
+                   len(regexp_extract_all(text, '[0-9]')) AS digit,
+                   len(regexp_extract_all(text, '\\s')) AS space
+            FROM documents
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(SUM(n) AS BIGINT) AS n_chars,
+                   CAST(SUM(alpha) AS BIGINT) AS n_alpha,
+                   CAST(SUM(digit) AS BIGINT) AS n_digit,
+                   CAST(SUM(space) AS BIGINT) AS n_space
+            FROM per_doc GROUP BY source
+        )
+        SELECT source, n_chars,
+               floor(n_alpha * 1e6 / n_chars) / 1e6 AS alpha_share,
+               floor(n_digit * 1e6 / n_chars) / 1e6 AS digit_share,
+               floor(n_space * 1e6 / n_chars) / 1e6 AS space_share,
+               floor((n_chars - n_alpha - n_digit - n_space) * 1e6 / n_chars) / 1e6 AS other_share
+        FROM agg
         ORDER BY source
     """,
     "text_hapax_ratio": """

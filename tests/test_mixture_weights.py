@@ -174,3 +174,20 @@ def test_zipf_slope_negative_but_flat_for_word_soup(spark):
     # frequency decreases with rank, but this synthetic near-uniform
     # corpus is far flatter than natural text's ~-1
     assert -1.0 < r.zipf_slope < 0.0
+
+
+def test_charclass_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_charclass_profile")
+
+
+def test_charclass_shares_partition_unity(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_charclass_profile,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_charclass_profile(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        total = r.alpha_share + r.digit_share + r.space_share + r.other_share
+        assert 1.0 - 5e-6 <= total <= 1.0 + 1e-9  # four floors of slack
