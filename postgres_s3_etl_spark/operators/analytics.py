@@ -792,6 +792,30 @@ def q_customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday effect on order placement: per ISO weekday, the order
+    share and its index against a uniform week (index 1 = no effect)
+    — the day-of-week seasonality coefficient reporting reads first.
+    One 7-row rollup; weekday convention pinned like the events
+    heatmap (weekday()+1 ≡ isodow).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.weekday("o_orderdate") + 1).alias("iso_dow")
+    )
+    cell = orders.groupBy("iso_dow").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(tot)
+    return (
+        cell.select(
+            "iso_dow",
+            "n",
+            (F.floor(share * 1e6) / 1e6).alias("share"),
+            (F.floor(share * 7 * 1e6) / 1e6).alias("uniform_index"),
+        )
+        .orderBy("iso_dow")
+    )
+
+
 def q_priority_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLA monitoring: ship-latency (days from order to line ship)
     discrete p50/p95 and a 30-day breach rate PER PRIORITY — the
@@ -1657,6 +1681,7 @@ QUERIES = {
     "q_orders_mad_outliers": q_orders_mad_outliers,
     "q_orders_new_vs_returning": q_orders_new_vs_returning,
     "q_priority_ship_sla": q_priority_ship_sla,
+    "q_orders_weekday_effect": q_orders_weekday_effect,
     "q_customer_max_order": q_customer_max_order,
     "q_orders_moving_revenue": q_orders_moving_revenue,
     "q_revenue_forecast": q_revenue_forecast,
@@ -1684,6 +1709,18 @@ QUERIES = {
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
 ORACLES = {
+    "q_orders_weekday_effect": """
+        WITH cell AS (
+            SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+                   COUNT(*) AS n
+            FROM orders GROUP BY iso_dow
+        )
+        SELECT iso_dow, n,
+               floor(CAST(n AS DOUBLE) / SUM(n) OVER () * 1e6) / 1e6 AS share,
+               floor(CAST(n AS DOUBLE) / SUM(n) OVER () * 7 * 1e6) / 1e6 AS uniform_index
+        FROM cell
+        ORDER BY iso_dow
+    """,
     "q_priority_ship_sla": """
         WITH lat AS (
             SELECT o.o_orderpriority,

@@ -487,3 +487,19 @@ def test_ship_sla_percentiles_ordered(spark):
     for r in rows:
         assert r.p50_days <= r.p95_days
         assert 0.0 <= r.breach_rate_30d <= 1.0
+
+
+def test_weekday_effect_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_weekday_effect")
+
+
+def test_weekday_effect_partition_of_unity(spark):
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_weekday_effect,
+    )
+
+    rows = q_orders_weekday_effect(spark, SF_DIR).collect()
+    assert {r.iso_dow for r in rows} <= set(range(1, 8))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert abs(r.uniform_index - r.share * 7) < 1e-4
