@@ -1395,10 +1395,10 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "open_day", F.greatest("close_day", "open_day").alias("close_day")
     )
     deltas = iv.select(
-        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+        F.col("open_day").cast("date").alias("day"), F.lit(1).alias("delta")
     ).unionByName(
         iv.select(
-            F.date_add("close_day", 1).alias("day"),
+            F.date_add("close_day", 1).cast("date").alias("day"),
             F.lit(-1).alias("delta"),
         )
     )
@@ -1409,7 +1409,9 @@ def q_orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        daily.withColumn("open_orders", F.sum("net").over(w_run))
+        daily.withColumn(
+            "open_orders", F.sum("net").over(w_run).cast("bigint")
+        )
         .where(F.col("open_orders") > 0)
         .select("day", "net", "open_orders")
         .orderBy("day")
@@ -2034,17 +2036,24 @@ ORACLES = {
             GROUP BY o.o_orderkey, o.o_orderdate
         ),
         deltas AS (
-            SELECT open_day AS day, 1 AS delta FROM iv
+            SELECT CAST(open_day AS DATE) AS day, 1 AS delta FROM iv
             UNION ALL
-            SELECT close_day + 1 AS day, -1 AS delta FROM iv
+            SELECT CAST(close_day + INTERVAL 1 DAY AS DATE) AS day,
+                   -1 AS delta
+            FROM iv
         ),
         daily AS (
             SELECT day, CAST(SUM(delta) AS BIGINT) AS net
             FROM deltas GROUP BY day
         ),
         run AS (
+            -- CAST the window sum: DuckDB widens SUM(BIGINT) to
+            -- HUGEINT, which pandas materializes as float64 — a
+            -- "2.0 vs 2" rendering mismatch on any pandas-based
+            -- compare even though values are identical.
             SELECT day, net,
-                   SUM(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_orders
+                   CAST(SUM(net) OVER (ORDER BY day ROWS UNBOUNDED
+                        PRECEDING) AS BIGINT) AS open_orders
             FROM daily
         )
         SELECT day, net, open_orders

@@ -91,7 +91,7 @@ ORACLES = {
         )
         SELECT source, shard_id,
                COUNT(*) AS n_docs,
-               SUM(n_tokens) AS shard_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
                MIN(ord_key) AS first_key
         FROM packed
         GROUP BY source, shard_id

@@ -31,13 +31,23 @@ from postgres_s3_etl_spark.catalog import load_table
 RANGE_DAYS = 7
 
 
-def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_asof_join(
+    spark: SparkSession, sf_dir: str, matched_only: bool = False
+) -> DataFrame:
     """Each purchase event paired with the user's most recent click at
     or before it (classic as-of: attribution / feature look-back).
 
     Ties: clicks sort before purchases at the same timestamp (as-of is
     inclusive), and the carried value is the click *timestamp*, so
     same-ts click ties are inherently deterministic.
+
+    ``matched_only=True`` drops purchases with no prior click (inner
+    as-of). The oracle-gated query uses this form so the BIGINT
+    ``secs_since_click`` column is never NULL: pandas coerces an
+    int column with NULLs to float64, and a pandas-rendered oracle
+    then shows "123.0" against Spark's "123" — a representation
+    mismatch, not a value one. The left form (default) keeps the
+    no-click rows for callers that need them.
     """
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -59,7 +69,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ev_ts", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         clicks.unionByName(purchases)
         .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
         .where(F.col("side") == 1)
@@ -74,6 +84,9 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("secs_since_click"),
         )
     )
+    if matched_only:
+        out = out.where(F.col("last_click_ts").isNotNull())
+    return out
 
 
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,27 +125,30 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "q_events_asof_join": events_asof_join,
+    "q_events_asof_join": lambda spark, sf_dir: events_asof_join(
+        spark, sf_dir, matched_only=True
+    ),
     "q_events_range_join": events_range_join,
 }
 
 ORACLES = {
     "q_events_asof_join": """
-        SELECT p.event_id,
-               p.user_id,
-               p.ts AS purchase_ts,
-               (SELECT max(c.ts) FROM events c
-                WHERE c.event_type = 'click'
-                  AND c.user_id = p.user_id
-                  AND c.ts <= p.ts) AS last_click_ts,
-               date_diff('second',
-                         (SELECT max(c.ts) FROM events c
-                          WHERE c.event_type = 'click'
-                            AND c.user_id = p.user_id
-                            AND c.ts <= p.ts),
-                         p.ts) AS secs_since_click
-        FROM events p
-        WHERE p.event_type = 'purchase'
+        WITH matched AS (
+            SELECT p.event_id,
+                   p.user_id,
+                   p.ts AS purchase_ts,
+                   (SELECT max(c.ts) FROM events c
+                    WHERE c.event_type = 'click'
+                      AND c.user_id = p.user_id
+                      AND c.ts <= p.ts) AS last_click_ts
+            FROM events p
+            WHERE p.event_type = 'purchase'
+        )
+        SELECT event_id, user_id, purchase_ts, last_click_ts,
+               CAST(date_diff('second', last_click_ts, purchase_ts)
+                    AS BIGINT) AS secs_since_click
+        FROM matched
+        WHERE last_click_ts IS NOT NULL
     """,
     "q_events_range_join": f"""
         WITH per_signup AS (
