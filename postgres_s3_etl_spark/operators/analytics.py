@@ -80,13 +80,13 @@ def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: broadcast dim filter (customer segment) into a
+    """TPC-H Q3 shape: segment-filtered customer semijoined into a
     fact-fact join, grouped revenue, deterministic top-10.
 
-    Only the customer dim carries a broadcast hint; the filtered
-    orders side is still a fact table, so lineitem ⋈ orders is left
-    to AQE — at 100× it shuffles on the join key, at toy scale AQE
-    converts it to a broadcast join on its own.
+    No forced broadcast anywhere: customer grows linearly with scale
+    (~15B rows at 100 TB), so a hint would override AQE and OOM the
+    build side at 100×. AQE broadcasts the filtered side on its own
+    when the runtime size is actually small.
     """
     cust = _t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
@@ -99,7 +99,7 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
     return (
-        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.join(orders.join(cust, orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(revenue.cast("double"), 2).alias("revenue"))
@@ -115,8 +115,10 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 5-way join through two dim chains onto the
-    fact, all dim sides broadcast; one fact shuffle for the join with
-    orders, one for the final groupBy."""
+    fact. Only genuinely bounded dims (region: 5 rows, nation: 25)
+    carry broadcast hints — customer and supplier grow linearly with
+    scale, so their join strategy is left to AQE (broadcast at toy
+    scale, shuffle at 100×)."""
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -129,9 +131,9 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(
-            F.broadcast(cust),
+            cust,
             (F.col("o_custkey") == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -392,7 +394,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select(
         "c_mktsegment", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
@@ -488,7 +490,7 @@ def q_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).select(
         "c_mktsegment", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
     )
