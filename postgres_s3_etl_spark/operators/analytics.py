@@ -9,16 +9,17 @@ Spark engine must cover, each query shaped like a classic warehouse
 workload (TPC-H-style) over the driver testdata.
 
 Scale notes baked into each plan:
-- Dim joins (region/nation/supplier/part/customer at dim scale) are
-  broadcast — no fact shuffle.
+- Only bounded dims (region/nation/filtered part projections) carry
+  broadcast hints; customer/supplier joins are AQE-chosen.
 - Fact-fact joins (lineitem ⋈ orders) shuffle once on the join key;
   AQE handles skew.
 - All money aggregates go through exact DECIMAL(18,2) sums
   (functions/numeric.py) so the DuckDB oracles match bit-for-bit.
-- Windows partition by bounded keys (order key), never by an
-  unpartitioned global ORDER BY over the fact table — except ntile
-  over the orders table where a global sort is the semantics; that
-  one is a single range-partitioned sort at scale.
+- Windows partition by bounded keys; GLOBAL rankings (ntile /
+  row_number / running share over every order or customer) go
+  through operators/ranking.with_global_order — the two-pass
+  range-partitioned rank — because an unpartitioned Window.orderBy
+  moves all rows to one task.
 """
 
 from __future__ import annotations
@@ -28,6 +29,12 @@ from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
 from postgres_s3_etl_spark.functions.numeric import dec, money_avg, money_sum
+from postgres_s3_etl_spark.operators.ranking import (
+    GN,
+    GRN,
+    ntile_col,
+    with_global_order,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -346,15 +353,26 @@ def q_lineitem_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) global decile stats over order totals — a single
-    range-partitioned sort at scale (Spark sorts globally for an
-    unpartitioned window; acceptable because the output contract is a
-    global ranking)."""
-    orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    """ntile(10) global decile stats over order totals.
+
+    An unpartitioned ``Window.orderBy`` would move every order to ONE
+    task (WindowExec is not a range-partitioned sort), so the global
+    ranking goes through the two-pass distributed rank
+    (operators/ranking.py): range-partition on the sort key, local
+    row numbers per partition, partition offsets from a bounded
+    rollup, then NTILE(10) from the closed-form bucket rule — exactly
+    the values the single-window NTILE yields, which is what the
+    oracle still computes."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = with_global_order(
+        orders, [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        ranked.select(
+            "o_totalprice",
+            ntile_col(F.col(GRN), F.col(GN), 10).alias("decile"),
         )
         .groupBy("decile")
         .agg(
@@ -580,14 +598,13 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (recency / frequency / monetary):
     the standard warehouse scoring — one aggregation to customer
-    grain, then three ntile(5) windows (deterministic tie-break on
+    grain, then three ntile(5) rankings (deterministic tie-break on
     custkey) composed into a 3-digit segment code.
 
-    Scale: the ntile windows sort the CUSTOMER-grain rollup, not the
-    fact table — same class as the decile query. At 100 TB the exact
-    ntile would become approx-quantile boundary assignment
-    (`q_orders_approx_quantile` shows that path); the rollup itself
-    is one map-side-combined shuffle.
+    Scale: each ntile(5) is a two-pass distributed rank
+    (operators/ranking.py) over the CUSTOMER-grain rollup — three
+    range-partitioned passes, no single-task global sort. The values
+    are identical to the single-window NTILE the oracle computes.
     """
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -597,17 +614,30 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec("o_totalprice")).alias("monetary_dec"),
     )
-    r_w = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
-    scored = per_cust.select(
+
+    def tile5(df: DataFrame, order, alias: str) -> DataFrame:
+        ranked = with_global_order(df, order)
+        return ranked.withColumn(
+            alias, ntile_col(F.col(GRN), F.col(GN), 5)
+        ).drop(GRN, GN)
+
+    scored = tile5(
+        per_cust, [F.asc("recency_days"), F.asc("o_custkey")], "r_score"
+    )
+    scored = tile5(
+        scored, [F.desc("frequency"), F.asc("o_custkey")], "f_score"
+    )
+    scored = tile5(
+        scored, [F.desc("monetary_dec"), F.asc("o_custkey")], "m_score"
+    )
+    scored = scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         F.round(F.col("monetary_dec").cast("double"), 2).alias("monetary"),
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
     return (
         scored.withColumn(
@@ -973,10 +1003,10 @@ def q_customer_value_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def terciles(sub: DataFrame, key_alias: str, seg_alias: str) -> DataFrame:
         per = sub.groupBy("o_custkey").agg(F.sum("rev").alias("r"))
-        w = Window.orderBy(F.desc("r"), F.asc("o_custkey"))
-        return per.select(
+        ranked = with_global_order(per, [F.desc("r"), F.asc("o_custkey")])
+        return ranked.select(
             F.col("o_custkey").alias(key_alias),
-            F.ntile(3).over(w).alias(seg_alias),
+            ntile_col(F.col(GRN), F.col(GN), 3).alias(seg_alias),
         )
 
     cutoff = F.lit(MIGRATION_CUTOFF).cast("date")
@@ -998,8 +1028,10 @@ def q_customer_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers by revenue, split into ntile(10) deciles, report each
     decile's revenue share, cumulative share, and lift over random
     targeting — the standard campaign-targeting view beside the ABC
-    classes and Gini. All windows over the customer rollup; decimal
-    sums to the final mirrored divisions.
+    classes and Gini. The decile assignment is the two-pass
+    distributed rank (operators/ranking.py); the only unpartitioned
+    windows left run over the 10-row decile rollup. Decimal sums to
+    the final mirrored divisions.
     """
     per_cust = (
         load_table(spark, sf_dir, "orders")
@@ -1008,8 +1040,9 @@ def q_customer_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    deciled = with_global_order(
+        per_cust, [F.desc("rev"), F.asc("o_custkey")]
+    ).withColumn("decile", ntile_col(F.col(GRN), F.col(GN), 10))
     cell = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("rev")
     )
@@ -1043,9 +1076,10 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary (0 = everyone equal, →1 = one whale) read next to the ABC
     classes and HHI. Computed by the sorted-rank identity
     ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`` over the customer-grain
-    rollup: ranks from one ordered window over the rollup, Σ i·xᵢ
-    exact decimal (bigint rank × decimal revenue), one mirrored
-    float expression at the end.
+    rollup: ranks from the two-pass distributed rank
+    (operators/ranking.py — no single-task sort), Σ i·xᵢ exact
+    decimal (bigint rank × decimal revenue), one mirrored float
+    expression at the end.
     """
     per_cust = (
         load_table(spark, sf_dir, "orders")
@@ -1054,10 +1088,9 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
         )
     )
-    w = Window.orderBy("rev", "o_custkey")
-    ranked = per_cust.select(
-        "rev", F.row_number().over(w).cast("decimal(18,0)").alias("i")
-    )
+    ranked = with_global_order(
+        per_cust, [F.asc("rev"), F.asc("o_custkey")]
+    ).select("rev", F.col(GRN).cast("decimal(18,0)").alias("i"))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
@@ -1484,27 +1517,28 @@ def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inventory/CRM segmentation classic. Emits the per-class
     rollup (class, customers, revenue, revenue share).
 
-    Plan: revenue reduces to customer grain first (one shuffle);
-    the ranking/cumulative windows then run over that rollup. The
-    windows are unpartitioned but rollup-sized — the same bounded-
-    window argument as the decile and moving-revenue queries; at
-    extreme customer counts the ntile-style two-pass range split
-    applies unchanged.
+    Plan: revenue reduces to customer grain first (one shuffle); the
+    cumulative ranking then runs as the two-pass distributed rank
+    (operators/ranking.py) with exact decimal running sums — no
+    single-task window at any grain that grows with the data. The
+    only unpartitioned window left is the percent-of-total over the
+    3-row class rollup.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("rev")
     )
     per_cust = orders.groupBy("o_custkey").agg(F.sum("rev").alias("rev"))
-    w_rank = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    w_run = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.orderBy(F.desc("rev"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # Two-pass distributed rank with exact decimal running sums: the
+    # cumulative revenue share never funnels through one task, and
+    # partition-wise decimal re-addition is bit-identical to the
+    # single running sum the oracle computes.
+    ranked = with_global_order(
+        per_cust, [F.desc("rev"), F.asc("o_custkey")], sum_cols=["rev"]
     )
-    cum_share = (
-        F.sum("rev").over(w_run).cast("double")
-        / F.sum("rev").over(w_all).cast("double")
-    )
-    classed = per_cust.select(
+    cum_share = F.col("_gcum_rev").cast("double") / F.col(
+        "_gtot_rev"
+    ).cast("double")
+    classed = ranked.select(
         "o_custkey",
         "rev",
         F.when(cum_share <= 0.80, "A")

@@ -41,6 +41,37 @@ def test_regional_volume_hints_only_bounded_dims(spark):
     assert hinted_raw_big_scans(plan) == []
 
 
+def test_global_rankings_have_no_single_task_window(spark):
+    """VERDICT r2 #3: the six global-ranking queries must not funnel
+    entity-grain data through an unpartitioned window. Rule: any
+    windowspec that references an entity key (custkey/orderkey) or an
+    entity-grain measure must also carry the _pid partitioning of the
+    two-pass distributed rank. Windows over bounded rollups (decile,
+    class, partition-id) pass."""
+    import re
+
+    import __spark_entry__ as e
+
+    entity = re.compile(
+        r"windowspecdefinition\([^)]*(o_custkey|o_orderkey|recency_days"
+        r"|frequency|monetary|rev#|price#)[^)]*\)"
+    )
+    qs = e.queries()
+    for name in (
+        "q_decile_stats",
+        "q_customer_rfm",
+        "q_customer_revenue_gini",
+        "q_customer_abc_classes",
+        "q_customer_gains_curve",
+        "q_customer_value_migration",
+    ):
+        plan = _opt_plan(qs[name](spark, SF))
+        for m in re.finditer(r"windowspecdefinition\([^)]*\)", plan):
+            spec = m.group(0)
+            if entity.search(spec):
+                assert "_pid" in spec, (name, spec)
+
+
 def test_no_raw_big_table_under_any_hint(spark):
     """Global invariant over a representative mix of join-heavy
     queries: no broadcast-hinted side may contain a raw (unreduced)
