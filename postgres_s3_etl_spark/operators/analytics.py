@@ -1120,9 +1120,16 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     procurement/risk dashboards track.
 
     Supplier-grain rollup per nation, decimal share denominators,
-    and the share² sum folds in supplier order (sequential aggregate
-    ≡ list_reduce) for bit-determinism. Negative balances are
-    clamped at zero first, keeping shares in [0, 1].
+    and a TWO-LEVEL ordered fold for the share² sum: suppliers fold
+    within `s_suppkey % 64` buckets, bucket partials fold in bucket
+    order. Each collected array is a 64th of the group (level 1) or
+    exactly ≤64 partials (level 2) — never one group-sized array on
+    one task, which is what a flat collect_list fold costs when
+    suppliers-per-nation grows with the data (VERDICT r2 #4). The
+    fold order is engine-mirrorable (DuckDB list_reduce over the
+    same bucket/key order), so the double sum stays bit-exact.
+    Negative balances are clamped at zero first, keeping shares in
+    [0, 1].
     """
     sup = load_table(spark, sf_dir, "supplier").select(
         "s_nationkey",
@@ -1141,13 +1148,22 @@ def q_nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").over(tot).cast("double"),
         ).alias("share"),
     )
+    lvl1 = shares.groupBy(
+        "s_nationkey", (F.col("s_suppkey") % 64).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(s_suppkey, share))),"
+            " x -> x.share * x.share), 0.0d, (s, x) -> s + x)"
+        ).alias("partial"),
+    )
     return (
-        shares.groupBy("s_nationkey")
+        lvl1.groupBy("s_nationkey")
         .agg(
-            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("cnt").cast("bigint").alias("n_suppliers"),
             F.expr(
-                "floor(aggregate(transform(array_sort(collect_list(struct(s_suppkey, share))),"
-                " x -> x.share * x.share), 0.0d, (s, x) -> s + x) * 1e6) / 1e6"
+                "floor(aggregate(transform(array_sort(collect_list(struct(b, partial))),"
+                " x -> x.partial), 0.0d, (s, x) -> s + x) * 1e6) / 1e6"
             ).alias("hhi"),
         )
         .orderBy("s_nationkey")
@@ -1205,9 +1221,13 @@ def q_part_attr_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each column unpivots to (column, value) rows, one aggregation
     builds the value-frequency rollup, and −Σ p·ln p folds over the
-    frequencies IN VALUE ORDER (sequential aggregate ≡ DuckDB
-    list_reduce) so the double sum is bit-deterministic. Frequency
-    tables are per-column cardinality-bounded.
+    frequencies with a TWO-LEVEL ordered fold (sequential aggregate
+    ≡ DuckDB list_reduce): values fold within 16 buckets keyed by
+    the first hex char of md5(val) — a deterministic, engine-
+    mirrorable bucketing — then bucket partials fold in bucket
+    order. No group collects a distinct-values-sized array on one
+    task (VERDICT r2 #4); the fold order is identical in the oracle,
+    so the double sum stays bit-exact.
     """
     part = load_table(spark, sf_dir, "part")
     long = part.select(
@@ -1228,13 +1248,22 @@ def q_part_attr_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
         (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
     )
+    lvl1 = scored.groupBy(
+        "col", F.ascii(F.substring(F.md5("val"), 1, 1)).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(val, p))),"
+            " x -> -x.p * ln(x.p)), 0.0d, (s, x) -> s + x)"
+        ).alias("partial"),
+    )
     return (
-        scored.groupBy("col")
+        lvl1.groupBy("col")
         .agg(
-            F.count(F.lit(1)).alias("n_values"),
+            F.sum("cnt").cast("bigint").alias("n_values"),
             F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(val, p))),"
-                " x -> -x.p * ln(x.p)), 0.0d, (s, x) -> s + x)"
+                "aggregate(transform(array_sort(collect_list(struct(b, partial))),"
+                " x -> x.partial), 0.0d, (s, x) -> s + x)"
             ).alias("h"),
         )
         .select(
@@ -1907,13 +1936,24 @@ ORACLES = {
                    CAST(bal AS DOUBLE)
                    / NULLIF(CAST(SUM(bal) OVER (PARTITION BY s_nationkey) AS DOUBLE), 0) AS share
             FROM sup
+        ),
+        lvl1 AS (
+            -- two-level fold mirrored from the Spark twin: suppliers
+            -- fold within s_suppkey % 64 buckets, partials fold in
+            -- bucket order
+            SELECT s_nationkey, s_suppkey % 64 AS b,
+                   COUNT(*) AS cnt,
+                   list_reduce(
+                       list_transform(list(share ORDER BY s_suppkey), x -> x * x),
+                       (s, x) -> s + x) AS partial
+            FROM shares
+            GROUP BY s_nationkey, s_suppkey % 64
         )
         SELECT s_nationkey,
-               COUNT(*) AS n_suppliers,
-               floor(list_reduce(
-                         list_transform(list(share ORDER BY s_suppkey), x -> x * x),
-                         (s, x) -> s + x) * 1e6) / 1e6 AS hhi
-        FROM shares
+               CAST(SUM(cnt) AS BIGINT) AS n_suppliers,
+               floor(list_reduce(list(partial ORDER BY b),
+                                 (s, x) -> s + x) * 1e6) / 1e6 AS hhi
+        FROM lvl1
         GROUP BY s_nationkey
         ORDER BY s_nationkey
     """,
@@ -1954,12 +1994,23 @@ ORACLES = {
                    CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY col) AS p
             FROM freq
         ),
-        folded AS (
-            SELECT col, COUNT(*) AS n_values,
+        lvl1 AS (
+            -- two-level fold mirrored from the Spark twin: values
+            -- fold within 16 md5-first-hex-char buckets, partials
+            -- fold in bucket order
+            SELECT col, ascii(substring(md5(val), 1, 1)) AS b,
+                   COUNT(*) AS cnt,
                    list_reduce(
                        list_transform(list(p ORDER BY val), x -> -x * ln(x)),
-                       (s, x) -> s + x) AS h
-            FROM scored GROUP BY col
+                       (s, x) -> s + x) AS partial
+            FROM scored
+            GROUP BY col, ascii(substring(md5(val), 1, 1))
+        ),
+        folded AS (
+            SELECT col, CAST(SUM(cnt) AS BIGINT) AS n_values,
+                   list_reduce(list(partial ORDER BY b),
+                               (s, x) -> s + x) AS h
+            FROM lvl1 GROUP BY col
         )
         SELECT col, n_values, floor(h * 1e6) / 1e6 AS entropy_nats
         FROM folded
