@@ -39,12 +39,32 @@ def _digests(docs: DataFrame) -> DataFrame:
 
 
 def ingest_batch(
-    spark: SparkSession, batch: DataFrame, index_path: str
+    spark: SparkSession,
+    batch: DataFrame,
+    index_path: str,
+    corpus_path: str | None = None,
 ) -> DataFrame:
     """Dedup ``batch`` within itself and against the digest index,
-    commit the survivors' digests, and return the kept rows (with
-    their ``digest`` column). Call once per ingest; re-running a
-    committed batch keeps nothing."""
+    commit the survivors, and return the kept rows (with their
+    ``digest`` column). Call once per ingest; re-running a committed
+    batch keeps nothing.
+
+    Commit order is rows-first: with ``corpus_path`` the surviving
+    ROWS are snapshot-committed before their digests. Committing
+    digests first would make a crash between the two commits lose
+    data permanently — the replay's anti-join drops exactly the rows
+    whose digests already landed. Rows-first degrades to
+    at-LEAST-once instead: a crash between the commits makes the
+    replay re-append the same rows (a duplicate corpus snapshot,
+    visible in ``list_snapshots`` and removable), never a silent
+    drop.
+
+    Without ``corpus_path`` the survivors are materialized (eager
+    persist) before the digest commit, and the CALLER must persist
+    the returned rows before relying on replay idempotency — the
+    digests are committed on return, so rows that never reach
+    storage cannot be recovered by re-running the batch.
+    """
     d = _digests(batch)
     w_first = F.row_number().over(
         Window.partitionBy("digest").orderBy("doc_id")
@@ -55,10 +75,13 @@ def ingest_batch(
         fresh = in_batch_first.join(seen, "digest", "left_anti")
     except FileNotFoundError:
         fresh = in_batch_first
-    # Commit AFTER computing survivors; the manifest only becomes
-    # visible when the batch's digests are fully written.
-    fresh_digests = fresh.select("digest")
-    write_snapshot(fresh_digests, index_path, mode="append")
+    # Pin the survivor set before any commit: the anti-join must not
+    # re-evaluate against an index that now contains this batch.
+    fresh = fresh.persist()
+    fresh.count()
+    if corpus_path is not None:
+        write_snapshot(fresh, corpus_path, mode="append")
+    write_snapshot(fresh.select("digest"), index_path, mode="append")
     return fresh
 
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -151,23 +152,54 @@ def list_snapshots(table_path: str) -> list[dict]:
     ]
 
 
-def vacuum(table_path: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    table_path: str,
+    keep_last: int = 1,
+    retention_seconds: float = 24 * 3600,
+) -> list[str]:
     """Drop manifests older than the last ``keep_last`` and delete
     data directories no kept snapshot references. Returns removed
-    directory paths. Time travel reaches only kept versions after."""
+    directory paths. Time travel reaches only kept versions after.
+
+    Safe against the module's own concurrency model through two
+    guards (the Delta-style recipe):
+
+    - **Retention window**: data directories younger than
+      ``retention_seconds`` are never deleted. ``write_snapshot``
+      writes data BEFORE its manifest, so a concurrent writer's
+      already-written-but-not-yet-committed directory is unreferenced
+      exactly then — age is the only signal that distinguishes it
+      from garbage. Set ``retention_seconds=0`` only when no writer
+      can be in flight.
+    - **Post-delete re-scan**: reachability is recomputed AFTER the
+      old manifests are removed, from every manifest present at that
+      moment — an append committed between the first version scan
+      and the deletion pass keeps its directories.
+    """
     versions = _versions(table_path)
     keep = set(versions[-keep_last:]) if keep_last > 0 else set()
-    reachable: set[str] = set()
-    for v in keep:
-        reachable.update(_read_manifest(table_path, v)["data_dirs"])
-    removed = []
     for v in versions:
         if v not in keep:
             os.remove(_manifest_path(table_path, v))
+    # Re-scan: any manifest on disk NOW (kept here or committed
+    # concurrently since the scan above) protects its directories.
+    reachable: set[str] = set()
+    for v in _versions(table_path):
+        reachable.update(_read_manifest(table_path, v)["data_dirs"])
+    removed = []
+    now = time.time()
     data_root = os.path.join(table_path, _DATA_DIR)
     for name in os.listdir(data_root) if os.path.isdir(data_root) else []:
         rel = os.path.join(_DATA_DIR, name)
-        if rel not in reachable:
-            shutil.rmtree(os.path.join(table_path, rel))
-            removed.append(rel)
+        if rel in reachable:
+            continue
+        full = os.path.join(table_path, rel)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue
+        if age < retention_seconds:
+            continue
+        shutil.rmtree(full)
+        removed.append(rel)
     return removed

@@ -118,6 +118,11 @@ def read_events_kafka(
     watermarked aggregations."""
     raw = read_kafka_stream(spark, bootstrap_servers, topic, **kwargs)
     ev = parse_kafka_value(raw, EVENTS_WIRE_SCHEMA)
+    # Pin UTC before the LTZ→NTZ cast (same runtime-settable pattern
+    # as catalog.load_table): without it a non-UTC caller session
+    # shifts wall-clock ts relative to the file-path ts and silently
+    # breaks the "same downstream plan" equivalence.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return ev.withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
     )

@@ -135,6 +135,10 @@ def run_stream_to_memory(
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # The shuffle-partitions setting is session-global: this helper
+    # assumes no concurrent streaming starts on the same session
+    # while it runs (the restore below would race them).
+    q = None
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -145,6 +149,14 @@ def run_stream_to_memory(
         )
         q.awaitTermination()
     finally:
+        # Stop the query even when awaitTermination raises (e.g.
+        # interrupt): a leaked running query would keep consuming
+        # and hold the memory-sink table.
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {query_name}")

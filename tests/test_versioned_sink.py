@@ -73,12 +73,38 @@ def test_vacuum_unreferences_old_snapshots(spark, tmp_path):
     write_snapshot(_df(spark, 0, 10), t, mode="overwrite")
     write_snapshot(_df(spark, 10, 20), t, mode="overwrite")
     write_snapshot(_df(spark, 20, 25), t, mode="overwrite")
-    removed = vacuum(t, keep_last=1)
+    removed = vacuum(t, keep_last=1, retention_seconds=0)
     assert len(removed) == 2  # the two unreferenced snapshot dirs
     assert [h["version"] for h in list_snapshots(t)] == [3]
     assert read_snapshot(spark, t).count() == 5
     with pytest.raises(ValueError):
         read_snapshot(spark, t, version=1)
+
+
+def test_vacuum_retention_protects_inflight_writer_dirs(spark, tmp_path):
+    """write_snapshot lands data BEFORE its manifest commit; a
+    concurrent writer's fresh-but-uncommitted directory is
+    unreferenced exactly then. The default retention window must
+    leave young unreferenced directories alone."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 5), t, mode="overwrite")
+    write_snapshot(_df(spark, 5, 9), t, mode="overwrite")
+    # Simulate an in-flight writer: a data dir with no manifest yet.
+    inflight = os.path.join(t, "data", "snap-inflight")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "w") as f:
+        f.write("x")
+
+    removed = vacuum(t, keep_last=1)  # default retention: 24 h
+    assert removed == []  # everything is younger than the window
+
+    # With retention off, the stale v1 dir AND the orphan go: callers
+    # opt into that only when no writer can be in flight.
+    removed = vacuum(t, keep_last=1, retention_seconds=0)
+    assert len(removed) == 2
+    assert read_snapshot(spark, t).count() == 4
 
 
 def test_schema_recorded_in_manifest(spark, tmp_path):
