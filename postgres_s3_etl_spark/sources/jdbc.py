@@ -7,9 +7,12 @@ partitioned parallel read so 1000 executors don't funnel through one
 connection, and pushed-down predicates so Postgres ships only the
 rows we need.
 
-No live database exists in the test container, so these builders are
-exercised by unit tests on their option plumbing; against a real
-cluster they are the standard Spark JDBC path.
+Exercised LIVE against embedded Apache Derby (on Spark's own
+classpath) in tests/test_jdbc_derby_live.py: batched writes,
+range-partitioned parallel reads, database-side predicates, and
+Catalyst filter pushdown all run through a real JDBC engine. Against
+Postgres only the URL/driver change (the postgres JDBC jar is not in
+this container; Derby covers the wire path).
 """
 
 from __future__ import annotations
