@@ -7,11 +7,14 @@ metadata predicates prune before any decode, and decode/feature
 steps run as Arrow-batched ``mapInPandas`` over the partitioned
 corpus.
 
-The container has no image/audio libraries, so the actual decoders
-are STUBBED: ``decode_stub=True`` (default) derives deterministic
-fake features from the bytes; ``decode_stub=False`` raises
+The container has no image/audio libraries, so most decoders are
+STUBBED: ``decode_stub=True`` (default) derives deterministic fake
+features from the bytes; ``decode_stub=False`` raises
 ``NotImplementedError`` where a real decoder (PIL/ffmpeg/torchcodec)
-would plug in. Everything Spark-side — schema, batch iteration,
+would plug in. The exception is PCM WAV audio, which gets a REAL
+decode with stdlib ``wave`` + numpy RMS windows
+(:func:`decode_wav_rms_windows`) — one modality whose features are
+actual signal. Everything Spark-side — schema, batch iteration,
 column pruning, partitioning — is real and tested.
 """
 
@@ -233,6 +236,39 @@ WINDOWS_SCHEMA = StructType(
 )
 
 
+def decode_wav_rms_windows(
+    payload: bytes, window_ms: int
+) -> list[int] | None:
+    """REAL audio decode for PCM WAV payloads, zero extra deps:
+    stdlib ``wave`` parses the container, numpy computes integer RMS
+    per ``window_ms`` (multi-channel averaged to mono first). Returns
+    None when the payload is not a RIFF/WAVE container (caller falls
+    back to the digest stub) — only 16-bit PCM is handled, the format
+    ``wave`` itself guarantees for sampwidth=2."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        nch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            return None
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    win = max(int(rate * window_ms / 1000), 1)
+    levels = []
+    for i in range(0, len(samples), win):
+        seg = samples[i : i + win]
+        levels.append(int(round(float(np.sqrt(np.mean(seg * seg))))))
+    return levels or [0]
+
+
 def window_audio(
     media: DataFrame,
     window_ms: int = AUDIO_WINDOW_MS,
@@ -240,24 +276,35 @@ def window_audio(
 ) -> DataFrame:
     """Audio windowing as a 1→N ``mapInPandas`` expansion: each audio
     asset yields one row per ``window_ms`` of duration with a
-    per-window level feature (the RMS/loudness slot). The real PCM
-    decode is stubbed with a deterministic digest-derived level; the
-    Spark-side shape — metadata pruning before Python, in-batch row
-    expansion, JVM-side aggregation after — is the production
-    plumbing, identical to a real librosa/ffmpeg windower.
+    per-window level feature (RMS/loudness).
+
+    PCM WAV payloads get a REAL decode (stdlib ``wave`` + numpy RMS —
+    see :func:`decode_wav_rms_windows`); other formats fall back to a
+    deterministic digest-derived level when ``decode_stub=True`` and
+    raise ``NotImplementedError`` otherwise (mp3/ogg/etc. need
+    ffmpeg/librosa, absent from this container). The Spark-side shape
+    — metadata pruning before Python, in-batch row expansion,
+    JVM-side aggregation after — is identical either way.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real audio decode requires ffmpeg/librosa — not in "
-                    "this container; run with decode_stub=True"
-                )
             out_rows = []
             for asset_id, dur, payload in zip(
                 pdf["asset_id"], pdf["duration_ms"], pdf["payload"]
             ):
+                levels = decode_wav_rms_windows(bytes(payload), window_ms)
+                if levels is not None:
+                    out_rows.extend(
+                        (int(asset_id), i, i * window_ms, lvl)
+                        for i, lvl in enumerate(levels)
+                    )
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires ffmpeg/librosa — "
+                        "not in this container; run with decode_stub=True"
+                    )
                 n_win = max(int(dur) // window_ms, 1)
                 for i in range(n_win):
                     digest = hashlib.md5(

@@ -283,3 +283,108 @@ def test_audio_windowing_expansion(spark, duck):
         assert r.n_windows == len(per[r.asset_id])
         assert r.peak_level == max(w.level for w in per[r.asset_id])
     assert_matches_oracle(spark, duck, "mm_audio_windows")
+
+
+def _wav_bytes(samples, rate=8000, nch=1):
+    """16-bit PCM WAV container around int16 samples (stdlib only)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_payloads_get_real_rms_not_digest(spark):
+    """PCM WAV assets flow through the REAL decode path: per-window
+    levels equal numpy's RMS of the actual samples, windows count
+    from the sample stream (not the metadata duration), and non-WAV
+    payloads in the same batch still take the digest path."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        window_audio,
+    )
+
+    rate, window_ms = 8000, 500
+    win = rate * window_ms // 1000  # 4000 samples per window
+    # 1.25 s ramp: two full windows + one partial (2000 samples).
+    ramp = (np.arange(10000) % 1000 - 500).astype("<i2")
+    # Stereo constant: L=+300, R=-100 → mono mean 100 → RMS 100.
+    stereo = np.empty(2 * win, dtype="<i2")
+    stereo[0::2] = 300
+    stereo[1::2] = -100
+    rows = [
+        Row(
+            asset_id=0,
+            media_type="audio",
+            width=0,
+            height=0,
+            duration_ms=1250,
+            payload=bytearray(_wav_bytes(ramp, rate)),
+        ),
+        Row(
+            asset_id=1,
+            media_type="audio",
+            width=0,
+            height=0,
+            duration_ms=500,
+            payload=bytearray(_wav_bytes(stereo, rate, nch=2)),
+        ),
+        Row(
+            asset_id=2,
+            media_type="audio",
+            width=0,
+            height=0,
+            duration_ms=1000,
+            payload=bytearray(b"not-a-wav-payload"),
+        ),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r.asset_id, r.window_idx): r.level
+        for r in window_audio(media, window_ms=window_ms).collect()
+    }
+
+    mono = ramp.astype(np.float64)
+    for i in range(3):
+        seg = mono[i * win : (i + 1) * win]
+        want = int(round(float(np.sqrt(np.mean(seg * seg)))))
+        assert got[(0, i)] == want
+    assert got[(1, 0)] == 100  # stereo averaged to mono
+    # Non-WAV fell back to the digest stub: 2 windows from duration.
+    assert (2, 0) in got and (2, 1) in got and (2, 2) not in got
+
+
+def test_non_wav_without_stub_raises(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        window_audio,
+    )
+
+    media = spark.createDataFrame(
+        [
+            Row(
+                asset_id=0,
+                media_type="audio",
+                width=0,
+                height=0,
+                duration_ms=1000,
+                payload=bytearray(b"mp3-ish-bytes"),
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        window_audio(media, decode_stub=False).collect()
