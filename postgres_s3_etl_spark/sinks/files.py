@@ -34,6 +34,40 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 8,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed-table sink: the zero-exchange
+    join layout (SURVEY §4 "co-locate joins via bucketing").
+
+    Writing both fact tables bucketed by the join key pays the
+    shuffle ONCE at write time; every later equi-join on
+    ``bucket_cols`` between same-bucketed tables plans with no
+    Exchange on either side (tests/test_bucketed_join.py asserts the
+    plan). ``sort_cols`` (default: the bucket columns) additionally
+    sorts within buckets so the join skips its per-task sort. At
+    100 TB pick ``n_buckets`` near the cluster's reduce parallelism —
+    each bucket is one task on every downstream join.
+
+    Bucketing rides Spark's table catalog (``saveAsTable``), not a
+    bare path: the bucket spec lives in catalog metadata, which is
+    what lets the planner trust the layout.
+    """
+    (
+        df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+        .saveAsTable(name)
+    )
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 

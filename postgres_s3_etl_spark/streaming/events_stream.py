@@ -349,7 +349,10 @@ def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tws_available() -> bool:
     """TransformWithStateInPandas needs the protobuf python package
     for its driver-side state server; absent/broken in this
-    container (same class of gap as the Kafka connector jar)."""
+    container (same class of gap as the Kafka connector jar).
+    Re-verified absent round 3 (`import google.protobuf` fails and
+    package installs are unavailable here) — a hard gate until the
+    environment ships protobuf."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -18,6 +18,7 @@ N_BUCKETS = 8
 @pytest.fixture(scope="module")
 def bucketed(spark, tmp_path_factory):
     from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.sinks.files import write_bucketed_table
 
     warehouse = tmp_path_factory.mktemp("bucketed_warehouse")
     lineitem = load_table(spark, SF_DIR, "lineitem").select(
@@ -30,12 +31,8 @@ def bucketed(spark, tmp_path_factory):
         (lineitem, "b_lineitem", "l_orderkey"),
         (orders, "b_orders", "o_orderkey"),
     ):
-        (
-            df.write.mode("overwrite")
-            .option("path", str(warehouse / name))
-            .bucketBy(N_BUCKETS, key)
-            .sortBy(key)
-            .saveAsTable(name)
+        write_bucketed_table(
+            df, name, str(warehouse / name), (key,), n_buckets=N_BUCKETS
         )
     yield spark
     for name in ("b_lineitem", "b_orders"):

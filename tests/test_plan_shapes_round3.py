@@ -72,6 +72,25 @@ def test_global_rankings_have_no_single_task_window(spark):
                 assert "_pid" in spec, (name, spec)
 
 
+def test_shard_pack_running_total_is_salted(spark):
+    """VERDICT r2 item 10: the shard-pack running total must window
+    by (source, _salt), not source alone — a dominant source would
+    otherwise run as one task."""
+    import re
+
+    from postgres_s3_etl_spark.operators.sharding import text_shard_pack
+
+    plan = _opt_plan(text_shard_pack(spark, SF))
+    ord_specs = [
+        s
+        for s in re.findall(r"windowspecdefinition\([^)]*\)", plan)
+        if "ord_key" in s
+    ]
+    assert ord_specs, "expected running-total windows in plan"
+    for s in ord_specs:
+        assert "_salt" in s, s
+
+
 def test_no_raw_big_table_under_any_hint(spark):
     """Global invariant over a representative mix of join-heavy
     queries: no broadcast-hinted side may contain a raw (unreduced)
