@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
@@ -131,13 +131,17 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFr
             )
         ).alias("sh"),
     )
-    w_df = Window.partitionBy("lang", "source", "sh")
-    kept = (
-        exploded.withColumn("df", F.count(F.lit(1)).over(w_df))
+    # DF cap via groupBy + semi-join rather than a count window over
+    # the exploded postings: the groupBy gets map-side partial
+    # aggregation (the shuffle carries one row per distinct shingle,
+    # not per posting), which the window formulation cannot do.
+    rare = (
+        exploded.groupBy("lang", "source", "sh")
+        .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_df)
         .drop("df")
-        .persist()
     )
+    kept = exploded.join(rare, ["lang", "source", "sh"], "left_semi").persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = kept.alias("a")
     b = kept.alias("b")
