@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.cdc",
     "postgres_s3_etl_spark.operators.entity",
     "postgres_s3_etl_spark.operators.sql_surface",
+    "postgres_s3_etl_spark.operators.tpch",
     "postgres_s3_etl_spark.operators.quality",
     "postgres_s3_etl_spark.operators.sharding",
     "postgres_s3_etl_spark.operators.scd",
