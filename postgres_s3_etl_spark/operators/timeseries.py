@@ -1,0 +1,179 @@
+"""Time-series smoothing and changepoint detection over ``events``
+(SURVEY.md §2.3, round-3 additions).
+
+Both operators work at the day-grain rollup — the window input is
+bounded by the calendar span (#days), not the event count, so the
+ordered windows here are rollup-grain like q_events_gapfill /
+q_revenue_forecast, not entity-grain scale hazards. The raw-event
+reduction underneath is a plain partial-aggregatable groupBy.
+
+Cross-engine determinism:
+- EWMA uses alpha=1/2 so every weight is an exact power of two, and
+  the 30-term weighted sum is written as one explicit left-
+  associated chain in BOTH engines — identical IEEE evaluation
+  order, bit-equal results with no decimal detour.
+- CUSUM avoids the max(0, S+y) recurrence entirely via the
+  prefix-sum identity S_t = R_t - min(0, min_{i<=t} R_i) (R = running
+  sum of deviations), and multiplies out the mean so every
+  intermediate is exact BIGINT: v_t = n_days*x_t - total.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+
+#: EWMA lookback (terms) and decay; alpha=1/2 => weights 2^-j exact.
+EWMA_SPAN = 30
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily EWMA (pandas ``ewm(alpha=.5,
+    adjust=True)`` semantics, truncated to a 30-observation
+    lookback): the standard smoothed-rate series behind alerting
+    thresholds and trend dashboards.
+
+    A recurrence would serialize per key; the truncated form is a
+    static 30-term lag chain inside ONE window pass per event_type —
+    embarrassingly parallel across keys, no Python, no state. The
+    normalizer sum(2^-j, j<=m) collapses to 2 - 2^-m via bit shifts
+    (exact), where m caps at the lookback.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    # explicit left-associated chain => identical IEEE order in SQL
+    num = reduce(
+        lambda acc, j: acc
+        + F.coalesce(F.lag("n", j).over(w), F.lit(0)).cast("double")
+        * F.lit(float(2.0 ** -j)),
+        range(1, EWMA_SPAN),
+        F.col("n").cast("double"),
+    )
+    staged = daily.select(
+        "event_type",
+        "day",
+        "n",
+        num.alias("num"),
+        F.least(
+            F.row_number().over(w) - F.lit(1), F.lit(EWMA_SPAN - 1)
+        ).alias("m"),
+    )
+    den = F.lit(2.0) - F.lit(1.0) / F.expr(
+        "cast(shiftleft(cast(1 as bigint), cast(m as int)) as double)"
+    )
+    return (
+        staged.select(
+            "event_type",
+            "day",
+            "n",
+            (F.floor(F.col("num") / den * F.lit(1e6)) / F.lit(1e6)).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint statistic over the daily event
+    total — the drift detector for ingest-volume monitoring.
+
+    S_t = max(0, S_{t-1} + (x_t - mean)) is a sequential recurrence;
+    the identity S_t = R_t - min(0, min_{i<=t} R_i) (R_t = running
+    sum of x_i - mean) turns it into two stock window aggregates.
+    Scaling by n_days (v_t = n*x_t - T) keeps everything exact
+    BIGINT — no float mean, bit-equal across engines. A day is
+    flagged when the unscaled statistic exceeds 2x the mean rate
+    (S_t > 2T in scaled units).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scaled = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "v", F.col("n_days") * F.col("n") - F.col("total")
+    )
+    return (
+        scaled.withColumn("r", F.sum("v").over(w))
+        .withColumn(
+            "cusum_scaled",
+            (F.col("r") - F.least(F.lit(0).cast("bigint"), F.min("r").over(w)))
+            .cast("bigint"),
+        )
+        .withColumn("is_change", F.col("cusum_scaled") > F.lit(2) * F.col("total"))
+        .select("day", "n", "cusum_scaled", "is_change")
+        .orderBy("day")
+    )
+
+
+QUERIES = {
+    "q_events_ewma": q_events_ewma,
+    "q_events_cusum": q_events_cusum,
+}
+
+_EWMA_NUM_SQL = " + ".join(
+    ["CAST(n AS DOUBLE)"]
+    + [
+        f"COALESCE(lag(n, {j}) OVER w, 0) * {2.0 ** -j!r}"
+        for j in range(1, EWMA_SPAN)
+    ]
+)
+
+ORACLES = {
+    "q_events_ewma": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY event_type, day
+        )
+        SELECT event_type, day, n,
+               floor(({_EWMA_NUM_SQL})
+                     / (2.0 - 1.0 / CAST(CAST(1 AS BIGINT) << LEAST(
+                           CAST(row_number() OVER w AS INT) - 1,
+                           {EWMA_SPAN - 1}) AS DOUBLE))
+                     * 1e6) / 1e6 AS ewma
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ORDER BY event_type, day
+    """,
+    "q_events_cusum": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY day
+        ),
+        stats AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily
+        ),
+        scaled AS (
+            SELECT day, n, total, n_days * n - total AS v
+            FROM daily, stats
+        ),
+        pref AS (
+            SELECT day, n, total,
+                   SUM(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS r
+            FROM scaled
+        ),
+        run AS (
+            SELECT day, n, total, r,
+                   MIN(r) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                       AS min_r
+            FROM pref
+        )
+        SELECT day, n,
+               CAST(r - LEAST(0, min_r) AS BIGINT) AS cusum_scaled,
+               (r - LEAST(0, min_r)) > 2 * total AS is_change
+        FROM run
+        ORDER BY day
+    """,
+}

@@ -1,0 +1,131 @@
+"""Round-3 additions: EWMA / CUSUM (operators/timeseries.py) and
+weighted sampling / Bloom decontamination (operators/sampling.py).
+
+Beyond oracle parity, pin the semantic identities the docstrings
+claim: the windowed CUSUM equals the max(0, S+y) recurrence, the
+Bloom flags are a superset of exact matches, and the weighted
+sample is top-k by the Efraimidis–Spirakis priority.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+NEW = [
+    "q_events_ewma",
+    "q_events_cusum",
+    "text_sample_weighted",
+    "text_bloom_decontaminate",
+]
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_cusum_equals_recurrence(spark):
+    """S_t = R_t - min(0, min R_i) must equal the sequential
+    definition S_t = max(0, S_{t-1} + (x_t - mean)) scaled by n."""
+    from postgres_s3_etl_spark.operators.timeseries import q_events_cusum
+
+    rows = q_events_cusum(spark, SF_DIR).collect()
+    n_days = len(rows)
+    total = sum(r.n for r in rows)
+    s = 0
+    for r in rows:
+        s = max(0, s + n_days * r.n - total)
+        assert r.cusum_scaled == s, r
+        assert r.is_change == (s > 2 * total)
+
+
+def test_ewma_matches_direct_formula(spark):
+    """Spot-check the 30-term chain against a direct python EWM
+    (adjust=True, alpha=.5, truncated lookback)."""
+    from postgres_s3_etl_spark.operators.timeseries import (
+        EWMA_SPAN,
+        q_events_ewma,
+    )
+
+    rows = q_events_ewma(spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        for t, r in enumerate(series):
+            lo = max(0, t - (EWMA_SPAN - 1))
+            xs = [series[t - j].n for j in range(0, t - lo + 1)]
+            num = sum(x * 2.0 ** -j for j, x in enumerate(xs))
+            den = sum(2.0 ** -j for j in range(len(xs)))
+            expect = math.floor(num / den * 1e6) / 1e6
+            assert abs(r.ewma - expect) <= 1e-6, (r, expect)
+
+
+def test_weighted_sample_is_topk_and_biased(spark):
+    """Exactly K rows, keys strictly ordered, and the sample's mean
+    doc length exceeds the corpus mean (weight = n_chars)."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.sampling import (
+        SAMPLE_K,
+        text_sample_weighted,
+    )
+
+    rows = text_sample_weighted(spark, SF_DIR).collect()
+    assert len(rows) == min(
+        SAMPLE_K, load_table(spark, SF_DIR, "documents").count()
+    )
+    pris = [r.priority for r in rows]
+    assert pris == sorted(pris, reverse=True)
+    assert all(p <= 0 for p in pris)  # ln(u)/w, u in (0,1]
+    corpus_mean = (
+        load_table(spark, SF_DIR, "documents")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_bloom_flags_superset_of_exact(spark):
+    """No false negatives: per source, n_bloom_flagged >= n_exact;
+    and at this geometry the filter flags *something* exact."""
+    from postgres_s3_etl_spark.operators.sampling import (
+        text_bloom_decontaminate,
+    )
+
+    rows = text_bloom_decontaminate(spark, SF_DIR).collect()
+    assert rows, "no sources"
+    assert all(r.n_bloom_flagged >= r.n_exact for r in rows)
+    assert all(r.n_train_docs > 0 for r in rows)
+
+
+def test_bloom_bitmap_is_broadcast(spark):
+    """The corpus probe must join against a broadcast bitmap — the
+    corpus side never shuffles."""
+    from postgres_s3_etl_spark.operators.sampling import (
+        text_bloom_decontaminate,
+    )
+
+    plan = (
+        text_bloom_decontaminate(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("strategy=broadcast") >= 2
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    from postgres_s3_etl_spark.operators.sampling import text_sample_weighted
+
+    plan = (
+        text_sample_weighted(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
