@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.tpch",
     "postgres_s3_etl_spark.operators.timeseries",
     "postgres_s3_etl_spark.operators.sampling",
+    "postgres_s3_etl_spark.operators.graph",
     "postgres_s3_etl_spark.operators.quality",
     "postgres_s3_etl_spark.operators.sharding",
     "postgres_s3_etl_spark.operators.scd",

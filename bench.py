@@ -64,6 +64,18 @@ HEADLINE = (
     "q_customer_hierarchy",
     "q_events_user_features",
     "embedding_hard_negatives",
+    # round-3 additions
+    "q_tpch03_shipping_priority",
+    "q_tpch05_local_supplier_volume",
+    "q_tpch08_market_share",
+    "q_tpch13_customer_distribution",
+    "q_tpch18_large_volume_customer",
+    "q_events_ewma",
+    "q_events_cusum",
+    "text_sample_weighted",
+    "text_bloom_decontaminate",
+    "graph_triangle_count",
+    "graph_pagerank",
 )
 
 

@@ -1,0 +1,289 @@
+"""Graph analytics over the part co-purchase graph (SURVEY.md §2.9,
+round-3 addition).
+
+Nodes are parts; an undirected edge joins two parts that appear in
+the same order. This is the canonical retail graph (also the shape
+of doc-link, user-follow, and citation graphs) and it exercises the
+three standard distributed-graph kernels:
+
+- degree distribution (one groupBy),
+- triangle counting via the degree-ordered orientation trick,
+- fixed-iteration PageRank as repeated join+aggregate.
+
+Scale notes:
+- Edge generation is a per-order self-join: orders have a bounded
+  line count (≤7 in TPC-H, ~4 here), so pairs-per-order is a small
+  constant — no quadratic blow-up, and the pair join shuffles on
+  orderkey (already the lineitem layout).
+- Triangle counting orients each edge from its lower-(deg, id)
+  endpoint to the higher one. Every triangle is then counted
+  exactly once, and the wedge join fans out from the LOW-degree
+  endpoint — the classic trick that keeps hub nodes from emitting
+  deg² wedges (Suri & Vassilvitskii's MR triangle counting).
+- PageRank runs a FIXED 3 iterations (the oracle-checkable form;
+  convergence-looped PR is the same join repeated). Per-edge
+  contributions are computed as doubles (deterministic row-local
+  IEEE ops) but SUMMED as DECIMAL(38,18) — exact, order-independent
+  — then folded back to double. Spark and DuckDB therefore agree
+  bit-for-bit, iteration by iteration, with no sequential fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+
+#: PageRank damping and iteration count (fixed for oracle parity).
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected edges (a < b): parts sharing an order."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+        op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )
+"""
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) over the undirected edge list."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph: how many parts
+    have k co-purchase partners. One pair-gen join + two groupBys,
+    all partial-aggregatable."""
+    deg = _degrees(copurchase_edges(spark, sf_dir))
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via degree-ordered orientation.
+
+    Orient each undirected edge from its lower (deg, id) endpoint to
+    the higher; every triangle has exactly one node with two
+    out-edges, so joining oriented out-edges on their source and
+    probing the closing oriented edge counts each triangle once.
+    Wedges are generated at the LOW-degree endpoint — hubs never
+    fan out.
+    """
+    # localCheckpoint, not persist: it materializes AFTER AQE has
+    # coalesced the shuffle partitions (persist pins the raw
+    # 200-partition pre-AQE layout — cached plans opt out of AQE
+    # repartitioning — which turns this multi-join query into
+    # thousands of empty tasks on a default-conf session) and it
+    # truncates lineage so the three reuses below don't recompute
+    # the pair-generation join.
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(edges)
+    dsrc = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
+    ddst = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
+    low_first = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    # carry both endpoint degrees so wedge closure can re-derive the
+    # canonical orientation and stay an EQUI-join (an OR-of-pairs
+    # condition would fall off the hash-join path entirely)
+    oriented = (
+        edges.join(dsrc, "src")
+        .join(ddst, "dst")
+        .select(
+            F.when(low_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+            F.when(low_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
+        )
+        .localCheckpoint()  # reused 3x below (w1, w2, closing)
+    )
+    w1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("vdeg").alias("xdeg")
+    )
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("vdeg").alias("ydeg")
+    )
+    x_first = (F.col("xdeg") < F.col("ydeg")) | (
+        (F.col("xdeg") == F.col("ydeg")) & (F.col("x") < F.col("y"))
+    )
+    wedges = (
+        w1.join(w2, "u")
+        .where(F.col("x") < F.col("y"))
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("cu"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("cv"),
+        )
+    )
+    closing = oriented.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
+    tri = wedges.join(closing, ["cu", "cv"], "leftsemi")
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by 3-iteration PageRank on the co-purchase
+    graph (uniform init, d=0.85, symmetric edges, no dangling nodes
+    since every graph node has deg >= 1).
+
+    The iteration is the standard join-contributions/aggregate
+    pattern; determinism comes from summing per-edge contributions
+    as DECIMAL(38,18) (exact) while keeping the row-local ops
+    (pr/deg, damping fold) in double — both engines execute the
+    same IEEE ops on the same values.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    # symmetric directed view: contributions flow both ways.
+    # localCheckpoint (not persist) so the per-iteration reuse reads
+    # an AQE-coalesced materialization instead of recomputing the
+    # pair join — and instead of pinning pre-AQE shuffle layouts.
+    sym = (
+        edges.select("src", "dst")
+        .unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .withColumnRenamed("src", "node")
+        .localCheckpoint()
+    )
+    n = deg.count()  # scalar: node count, constant-size driver value
+    pr = deg.select("node", "deg", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+    for _ in range(PR_ITERS):
+        # every node of this symmetric graph has deg >= 1, so the
+        # contribution aggregate already covers ALL nodes — no
+        # left-join back against the node list is needed, and pr is
+        # consumed exactly once per iteration (linear lineage).
+        contrib = (
+            sym.join(pr, sym.src == pr.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("deg").cast("double"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = deg.join(contrib, "node").select(
+            "node",
+            "deg",
+            (
+                F.lit((1.0 - PR_DAMPING) / n)
+                + F.lit(PR_DAMPING) * F.col("s").cast("double")
+            ).alias("pr"),
+        )
+    return (
+        pr.select(F.col("node").alias("p_partkey"), "deg", "pr")
+        .orderBy(F.desc("pr"), "p_partkey")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "graph_degree_stats": graph_degree_stats,
+    "graph_triangle_count": graph_triangle_count,
+    "graph_pagerank": graph_pagerank,
+}
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+        {out} AS (
+            SELECT b.node, b.deg, b.n,
+                   {1.0 - PR_DAMPING} / CAST(b.n AS DOUBLE)
+                   + {PR_DAMPING} * CAST(COALESCE(s.s,
+                         CAST(0 AS DECIMAL(38,18))) AS DOUBLE) AS pr
+            FROM (SELECT node, deg, n FROM {prev}) b
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(CAST(p.pr / CAST(p.deg AS DOUBLE)
+                                AS DECIMAL(38,18))) AS s
+                FROM sym e JOIN {prev} p ON e.src = p.node
+                GROUP BY e.dst
+            ) s ON b.node = s.node
+        )
+    """
+
+
+ORACLES = {
+    "graph_degree_stats": f"""
+        WITH {_EDGES_SQL},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT src AS node FROM edges
+                  UNION ALL SELECT dst FROM edges)
+            GROUP BY node
+        )
+        SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY deg ORDER BY deg
+    """,
+    # Naive a<b<c triple join — deliberately a different formulation
+    # than the oriented wedge join, cross-checking the orientation.
+    "graph_triangle_count": f"""
+        WITH {_EDGES_SQL}
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+        JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    """,
+    "graph_pagerank": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        pr0 AS (
+            SELECT node, deg,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n,
+                   1.0 / CAST((SELECT COUNT(*) FROM deg) AS DOUBLE) AS pr
+            FROM deg
+        ),
+        {",".join(_pr_iter_sql(f"pr{i}", f"pr{i + 1}") for i in range(PR_ITERS))}
+        SELECT node AS p_partkey, deg, pr
+        FROM pr{PR_ITERS}
+        ORDER BY pr DESC, p_partkey
+        LIMIT 20
+    """,
+}

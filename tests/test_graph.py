@@ -1,0 +1,106 @@
+"""Graph analytics (operators/graph.py): oracle parity plus the
+structural invariants — orientation counts each triangle once
+(cross-checked by the naive triple join oracle), PageRank sums to 1,
+and the closing-edge join stays on the hash-join path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ALL = ["graph_degree_stats", "graph_triangle_count", "graph_pagerank"]
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_pagerank_mass_conserved(spark):
+    """Full PR vector (not just top-20) sums to ~1: symmetric graph,
+    no dangling mass."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.operators import graph as g
+
+    edges = g.copurchase_edges(spark, SF_DIR)
+    sym = edges.unionAll(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    pr = deg.select(
+        F.col("src").alias("node"),
+        "deg",
+        F.lit(1.0 / n).alias("pr"),
+    )
+    for _ in range(g.PR_ITERS):
+        contrib = (
+            sym.join(pr, sym.src == pr.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("deg").cast("double"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.select("node", "deg")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit(1.0 - g.PR_DAMPING) / F.lit(float(n))
+                    + F.lit(g.PR_DAMPING) * F.col("s").cast("double")
+                ).alias("pr"),
+            )
+        )
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-9
+
+
+def test_triangle_matches_bruteforce_python(spark):
+    """Independent third formulation: hash-set closure in Python
+    over the (small) sf0.001 edge list."""
+    from postgres_s3_etl_spark.operators.graph import (
+        copurchase_edges,
+        graph_triangle_count,
+    )
+
+    edges = {
+        (r.src, r.dst) for r in copurchase_edges(spark, SF_DIR).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = 0
+    for a, b in edges:
+        if a < b:
+            count += len(
+                {c for c in adj[a] & adj[b] if c > b}
+            )
+    got = graph_triangle_count(spark, SF_DIR).collect()[0].n_triangles
+    assert got == count
+
+
+def test_closing_join_is_equi_hash_join(spark):
+    """The wedge-closure must be a semi HASH join on (cu, cv) — an
+    OR-shaped condition would degrade to nested-loop."""
+    from postgres_s3_etl_spark.operators.graph import graph_triangle_count
+
+    plan = (
+        graph_triangle_count(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
