@@ -491,12 +491,53 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-purchasers: an UNWINDOWED stateful aggregation
+    (running count + exact decimal sum per user) — the leaderboard /
+    lifetime-value shape, and the one output mode the other streaming
+    twins don't cover: complete mode, where every trigger re-emits
+    the whole (bounded, one-row-per-user) result table.
+
+    State is one accumulator row per purchasing user — bounded by
+    |users|, not stream length; the decimal sum keeps the running
+    total exact under any micro-batch slicing, so the final table
+    equals the batch twin (operators/events.py q_events_topk_users)
+    regardless of arrival order.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_purchase_value"),
+        )
+    )
+
+
+def q_stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # complete mode: the memory sink holds the final state table;
+    # the top-k cut is a bounded batch sort over it.
+    return (
+        run_stream_to_memory(
+            stream_topk_users(spark, sf_dir),
+            _next_query_name("stream_topk"),
+            output_mode="complete",
+        )
+        .orderBy(F.desc("total_purchase_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "stream_events_tumbling": q_stream_events_tumbling,
     "stream_events_hopping": q_stream_events_hopping,
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
     "stream_click_purchase_join": q_stream_click_purchase_join,
     "stream_exact_dedup": q_stream_exact_dedup,
+    "stream_topk_users": q_stream_topk_users,
 }
 
 _GAP_MS = SESSION_GAP_MS
@@ -593,6 +634,20 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT user_id, event_type
         FROM events
         ORDER BY user_id, event_type
+    """,
+    # Complete-mode final state table == the batch aggregate; the
+    # decimal running sum makes the equality exact under any
+    # micro-batch slicing.
+    "stream_topk_users": """
+        SELECT user_id,
+               COUNT(*) AS n_purchases,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS total_purchase_value
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id
+        ORDER BY total_purchase_value DESC, user_id ASC
+        LIMIT 20
     """,
     # A single-batch stream-stream inner join emits every match; the
     # time-range predicate compares at the microsecond precision the

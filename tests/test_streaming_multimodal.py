@@ -388,3 +388,17 @@ def test_non_wav_without_stub_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
         window_audio(media, decode_stub=False).collect()
+
+
+def test_stream_topk_users_equals_batch(spark):
+    """Complete-mode running aggregation's final table equals the
+    batch top-k twin row-for-row (exact decimal running sums make
+    this independent of micro-batch slicing)."""
+    from postgres_s3_etl_spark.operators.events import q_events_topk_users
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        q_stream_topk_users,
+    )
+
+    streamed = [tuple(r) for r in q_stream_topk_users(spark, SF_DIR).collect()]
+    batch = [tuple(r) for r in q_events_topk_users(spark, SF_DIR).collect()]
+    assert streamed == batch
