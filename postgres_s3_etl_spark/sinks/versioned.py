@@ -46,6 +46,11 @@ _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A conditional commit lost: the table head moved past the
+    version the write was derived from."""
+
+
 def _manifest_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, _MANIFEST_DIR, f"v{version}.json")
 
@@ -74,12 +79,20 @@ def write_snapshot(
     table_path: str,
     mode: str = "append",
     max_commit_retries: int = 20,
+    require_head: int | None = None,
 ) -> int:
     """Write ``df`` as a new committed snapshot; returns its version.
 
     ``mode="append"`` adds to the previous snapshot's data;
     ``mode="overwrite"`` replaces it logically (old data directories
     stay on disk for time travel until ``vacuum``).
+
+    ``require_head`` turns the commit conditional (Delta-style
+    conflict detection): the commit succeeds only while the table
+    head is still that version. Readers-of-head writers (compaction,
+    read-modify-write upserts) pass the version they derived from;
+    a concurrent commit then raises instead of silently dropping the
+    other writer's rows, and our orphaned data directory is removed.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -90,6 +103,12 @@ def write_snapshot(
     for _ in range(max_commit_retries):
         versions = _versions(table_path)
         head = versions[-1] if versions else 0
+        if require_head is not None and head != require_head:
+            shutil.rmtree(snap_dir, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"table head moved {require_head} -> {head} at {table_path}; "
+                "re-derive from the new head and retry"
+            )
         dirs = [rel_dir]
         if mode == "append" and head:
             dirs = _read_manifest(table_path, head)["data_dirs"] + dirs
@@ -203,3 +222,56 @@ def vacuum(
         shutil.rmtree(full)
         removed.append(rel)
     return removed
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_rows_per_file: int = 5_000_000,
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite the LATEST
+    snapshot's rows into size-targeted files as a new overwrite
+    snapshot. A logical no-op — same rows, same schema — that undoes
+    the read-amplification of many small appends (each append commit
+    adds a directory; a 1000-executor job naively adds a file per
+    task). Old versions stay time-travelable until ``vacuum``.
+
+    Committed with ``require_head`` so a concurrent append can never
+    be silently dropped: if anyone commits between our read and our
+    manifest create, ``ConcurrentCommitError`` raises and the caller
+    re-runs compaction against the new head.
+
+    Target partition count comes from the snapshot's on-disk bytes
+    (cluster-size-independent), with ``maxRecordsPerFile`` bracketing
+    the per-file row count from above — the same two-sided control as
+    sinks.files.write_parquet_sized.
+    """
+    head = _versions(table_path)
+    if not head:
+        raise FileNotFoundError(f"no committed snapshots at {table_path}")
+    base = head[-1]
+    manifest = _read_manifest(table_path, base)
+    total_bytes = 0
+    for rel in manifest["data_dirs"]:
+        d = os.path.join(table_path, rel)
+        for root, _dirs, files in os.walk(d):
+            total_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+    n_parts = max(1, -(-total_bytes // target_file_bytes))
+    df = read_snapshot(spark, table_path, version=base, merge_schema=True)
+    prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", None)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(max_rows_per_file))
+    try:
+        return write_snapshot(
+            df.repartition(n_parts),
+            table_path,
+            mode="overwrite",
+            require_head=base,
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)

@@ -134,3 +134,74 @@ def test_additive_schema_evolution_via_merge_schema(spark, tmp_path):
     assert all(tags[i] == "new" for i in range(5, 8))
     # Time travel to v1 still sees the original narrow schema.
     assert set(read_snapshot(spark, t, version=1).columns) == {"id", "doubled"}
+
+
+def _parquet_files(table_path):
+    out = []
+    for root, _d, files in os.walk(os.path.join(table_path, "data")):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_is_logical_noop_with_fewer_files(spark, tmp_path):
+    from postgres_s3_etl_spark.sinks.versioned import compact
+
+    t = str(tmp_path / "tbl")
+    # many small appends -> many files across many snap dirs
+    for i in range(5):
+        write_snapshot(
+            _df(spark, i * 10, i * 10 + 10).repartition(4), t, mode="append"
+        )
+    before_rows = sorted(r.id for r in read_snapshot(spark, t).collect())
+    before_files = len(_parquet_files(t))
+    v = compact(spark, t)
+    assert v == 6
+    after = read_snapshot(spark, t)
+    assert sorted(r.id for r in after.collect()) == before_rows
+    assert sorted(after.columns) == ["doubled", "id"]
+    # new snapshot reads from a single compacted directory
+    assert list_snapshots(t)[-1]["n_data_dirs"] == 1
+    # and produced far fewer live files than the 20 appended ones
+    manifest = json.load(
+        open(os.path.join(t, "_manifests", f"v{v}.json"))
+    )
+    live = [
+        f
+        for f in _parquet_files(t)
+        if any(os.sep + d + os.sep in f for d in manifest["data_dirs"])
+    ]
+    assert 1 <= len(live) < before_files
+    # time travel still reaches the pre-compaction snapshot
+    assert read_snapshot(spark, t, version=5).count() == 50
+
+
+def test_compact_conflict_detection(spark, tmp_path):
+    """A commit landing between compact's read and its manifest
+    create must raise, not silently drop the concurrent rows."""
+    from postgres_s3_etl_spark.sinks.versioned import (
+        ConcurrentCommitError,
+        compact,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), t, mode="append")
+    # simulate the race: another writer commits v2 after compact()
+    # would have read head=1 — easiest via require_head directly
+    write_snapshot(_df(spark, 10, 20), t, mode="append")
+    with pytest.raises(ConcurrentCommitError):
+        write_snapshot(
+            _df(spark, 0, 1), t, mode="overwrite", require_head=1
+        )
+    # the loser's orphan data dir was cleaned up: all on-disk dirs
+    # are referenced by some manifest
+    referenced = set()
+    for h in list_snapshots(t):
+        m = json.load(
+            open(os.path.join(t, "_manifests", f"v{h['version']}.json"))
+        )
+        referenced.update(os.path.basename(d) for d in m["data_dirs"])
+    on_disk = set(os.listdir(os.path.join(t, "data")))
+    assert on_disk == referenced
+    # and a clean retry against the new head succeeds
+    assert compact(spark, t) == 3
+    assert read_snapshot(spark, t).count() == 20
