@@ -116,9 +116,63 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stl_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event total:
+    trend (centered 7-point moving average), weekday seasonal
+    (mean detrended value per ISO weekday), residual — the
+    trend/seasonality/anomaly split monitoring dashboards plot.
+
+    Determinism without a float fold: the detrended value is scaled
+    to the integer 7*n - s7 (s7 = exact 7-point moving sum), so the
+    per-weekday seasonal mean is an exact-integer sum over a double
+    division — both engines perform the identical IEEE ops. Edge
+    rows (incomplete 7-point frame) carry NULL trend/residual.
+
+    Scale: day-grain rollup (window input bounded by calendar span),
+    one ordered window pass + a 7-row broadcast join back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    staged = daily.select(
+        "day",
+        "n",
+        (F.weekday("day") + 1).alias("iso_dow"),
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("n").over(w7)).alias(
+            "s7"
+        ),
+    )
+    seas = (
+        staged.where(F.col("s7").isNotNull())
+        .groupBy("iso_dow")
+        .agg(
+            F.sum(F.lit(7) * F.col("n") - F.col("s7"))
+            .cast("bigint")
+            .alias("ds"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    out = staged.join(F.broadcast(seas), "iso_dow", "left")
+    trend = F.col("s7").cast("double") / F.lit(7.0)
+    seasonal = F.col("ds").cast("double") / (F.lit(7.0) * F.col("cnt"))
+    return (
+        out.select(
+            "day",
+            "n",
+            trend.alias("trend"),
+            seasonal.alias("seasonal"),
+            (F.col("n").cast("double") - trend - seasonal).alias("resid"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "q_events_ewma": q_events_ewma,
     "q_events_cusum": q_events_cusum,
+    "q_events_stl_weekday": q_events_stl_weekday,
 }
 
 _EWMA_NUM_SQL = " + ".join(
@@ -144,6 +198,35 @@ ORACLES = {
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day)
         ORDER BY event_type, day
+    """,
+    "q_events_stl_weekday": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY day
+        ),
+        win AS (
+            SELECT day, n, CAST(isodow(day) AS INT) AS iso_dow,
+                   CASE WHEN COUNT(*) OVER w7 = 7
+                        THEN SUM(n) OVER w7 END AS s7
+            FROM daily
+            WINDOW w7 AS (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        seas AS (
+            SELECT iso_dow,
+                   CAST(SUM(7 * n - s7) AS BIGINT) AS ds,
+                   COUNT(*) AS cnt
+            FROM win WHERE s7 IS NOT NULL
+            GROUP BY iso_dow
+        )
+        SELECT w.day, w.n,
+               CAST(w.s7 AS DOUBLE) / 7.0 AS trend,
+               CAST(s.ds AS DOUBLE) / (7.0 * s.cnt) AS seasonal,
+               CAST(w.n AS DOUBLE)
+                   - CAST(w.s7 AS DOUBLE) / 7.0
+                   - CAST(s.ds AS DOUBLE) / (7.0 * s.cnt) AS resid
+        FROM win w LEFT JOIN seas s ON w.iso_dow = s.iso_dow
+        ORDER BY w.day
     """,
     "q_events_cusum": """
         WITH daily AS (

@@ -129,3 +129,24 @@ def test_weighted_sample_plans_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_stl_weekday_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_stl_weekday")
+
+
+def test_stl_reconstruction_identity(spark):
+    """Where the trend is defined, n == trend + seasonal + resid
+    exactly (the decomposition is residual-defined); edge rows carry
+    NULL trend/resid; 3 leading + 3 trailing edges."""
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_events_stl_weekday,
+    )
+
+    rows = q_events_stl_weekday(spark, SF_DIR).collect()
+    assert len(rows) >= 7
+    edges = [r for r in rows if r.trend is None]
+    assert len(edges) == 6
+    for r in rows:
+        if r.trend is not None:
+            assert r.n == pytest.approx(r.trend + r.seasonal + r.resid)
