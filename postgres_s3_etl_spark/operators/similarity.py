@@ -457,8 +457,90 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Product quantization geometry: 64 dims -> 4 subspaces x 16 dims,
+#: 8 codewords per subspace (3 bits) => a 12-bit code per vector.
+PQ_M = 4
+PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_K = 8
+
+
+def embedding_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook profile: per (subspace, code),
+    how many vectors land there and their mean quantization distance
+    — the compression/recall planning table an ANN index build reads
+    (empty or overloaded codes mean a bad codebook).
+
+    PQ splits each vector into PQ_M subvectors and snaps each to its
+    nearest of PQ_K codewords (here: the first PQ_K corpus vectors'
+    subvectors — deterministic stand-ins for trained sub-k-means
+    centroids, same convention as sim_search_ivf's quantizer).
+
+    Scale/determinism shape: the codebook is a PQ_M x PQ_K-row
+    broadcast; assignment is an equi-join on subspace + a
+    min(struct(dist, code)) aggregate — no UDF, no shuffle of the
+    corpus beyond the final 32-group rollup. Distances use the
+    ||x||^2 + ||c||^2 - 2x.c identity with sequential aggregate()
+    folds (bit-matching DuckDB's list_dot_product), and the group
+    mean goes through an exact DECIMAL(38,12) sum.
+    """
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    subs = vecs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, "
+                f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub))"
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id",
+        F.col("s.m").alias("m"),
+        F.col("s.sub").alias("sub"),
+        F.expr(
+            "aggregate(s.sub, 0.0d, (acc, x) -> acc + x * x)"
+        ).alias("xx"),
+    )
+    seeds = subs.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"),
+        "m",
+        F.col("sub").alias("csub"),
+        F.col("xx").alias("cc"),
+    )
+    pairs = subs.join(F.broadcast(seeds), "m").withColumn(
+        "dist",
+        F.col("xx")
+        + F.col("cc")
+        - F.lit(2.0)
+        * F.expr(
+            "aggregate(zip_with(sub, csub, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)"
+        ),
+    )
+    best = (
+        pairs.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "k")).alias("b"))
+        .select("m", F.col("b.k").alias("code"), F.col("b.dist").alias("dist"))
+    )
+    return (
+        best.groupBy(F.col("m").alias("subspace"), "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.floor(
+                    F.sum(F.col("dist").cast("decimal(38,12)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("avg_qdist"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
 QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
+    "embedding_pq_stats": embedding_pq_stats,
     "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_code_dups": embedding_code_dups,
     "embedding_dim_stats": embedding_dim_stats,
@@ -507,6 +589,43 @@ def lsh_bucket_cte(extra_cols: str = "") -> str:
 
 
 ORACLES = {
+    "embedding_pq_stats": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        subs AS (
+            SELECT vec_id, m.m AS m,
+                   v[m.m * {PQ_SUBDIM} + 1 : m.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+            FROM vecs,
+                 (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m
+        ),
+        subs2 AS (
+            SELECT vec_id, m, sub, list_dot_product(sub, sub) AS xx
+            FROM subs
+        ),
+        seeds AS (
+            SELECT vec_id AS k, m, sub AS csub, xx AS cc
+            FROM subs2 WHERE vec_id < {PQ_K}
+        ),
+        pairs AS (
+            SELECT s.vec_id, s.m, c.k,
+                   s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS dist
+            FROM subs2 s JOIN seeds c ON s.m = c.m
+        ),
+        best AS (
+            SELECT vec_id, m, k AS code, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, k) AS rn
+            FROM pairs
+        )
+        SELECT m AS subspace, code,
+               COUNT(*) AS n_vectors,
+               floor(CAST(SUM(CAST(dist AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS avg_qdist
+        FROM best WHERE rn = 1
+        GROUP BY m, code
+        ORDER BY subspace, code
+    """,
     "embedding_norm_outliers": """
         WITH vecs AS (
             SELECT vec_id,

@@ -150,3 +150,23 @@ def test_stl_reconstruction_identity(spark):
     for r in rows:
         if r.trend is not None:
             assert r.n == pytest.approx(r.trend + r.seasonal + r.resid)
+
+
+def test_pq_stats_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "embedding_pq_stats")
+
+
+def test_pq_assigns_every_vector_in_every_subspace(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.similarity import (
+        PQ_M,
+        embedding_pq_stats,
+    )
+
+    rows = embedding_pq_stats(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    per_sub: dict[int, int] = {}
+    for r in rows:
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vectors
+        assert r.avg_qdist >= 0
+    assert per_sub == {m: n_vecs for m in range(PQ_M)}
