@@ -172,9 +172,109 @@ def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DSIR hashed-feature space (buckets) and target selector.
+DSIR_BUCKETS = 4096
+
+
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"):
+    score every non-target document by the log-likelihood ratio of
+    its hashed unigram features under the target distribution
+    (English docs here) vs the raw corpus, add-1 smoothed — the
+    principled "pick data that looks like the target domain"
+    sampler. Rolled up per source: mean weight and the share of
+    docs the target distribution prefers.
+
+    Plan shape at 100 TB: token→bucket hashing is row-local; the two
+    feature distributions are B-bounded (4096 rows) aggregates that
+    broadcast back; per-doc scores are one groupBy(doc) over
+    (doc, bucket) counts. Nothing quadratic, nothing collected but
+    two scalar totals. Per-term doubles are deterministic IEEE ops
+    on exact rationals; per-doc and per-source sums go through
+    DECIMAL(38,12) so no float fold depends on order.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").alias("is_target"),
+        F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % F.lit(DSIR_BUCKETS)
+        ).alias("b"),
+    )
+    cnts = toks.groupBy("doc_id", "source", "is_target", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    target_b = (
+        cnts.where(F.col("is_target"))
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("bigint").alias("ct"))
+    )
+    all_b = cnts.groupBy("b").agg(F.sum("cnt").cast("bigint").alias("cr"))
+    totals = cnts.agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum("cnt").cast("bigint").alias("nr"),
+    )
+    scored = (
+        cnts.where(~F.col("is_target"))
+        .join(F.broadcast(target_b), "b", "left")
+        .join(F.broadcast(all_b), "b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term",
+            (
+                F.col("cnt")
+                * (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast(
+                            "double"
+                        )
+                        / (F.col("nt") + F.lit(DSIR_BUCKETS)).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + F.lit(1)).cast("double")
+                        / (F.col("nr") + F.lit(DSIR_BUCKETS)).cast("double")
+                    )
+                )
+            ).cast("decimal(38,12)"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("term").cast("double").alias("w")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(F.col("w").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("mean_weight"),
+            F.sum((F.col("w") > 0).cast("int")).cast("bigint").alias(
+                "n_target_like"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "text_sample_weighted": text_sample_weighted,
     "text_bloom_decontaminate": text_bloom_decontaminate,
+    "text_dsir_weights": text_dsir_weights,
 }
 
 _HEX = "0123456789abcdef"
@@ -198,6 +298,60 @@ ORACLES = {
         FROM documents
         ORDER BY priority DESC, doc_id
         LIMIT {SAMPLE_K}
+    """,
+    "text_dsir_weights": f"""
+        WITH toks AS (
+            SELECT doc_id, source, lang = 'en' AS is_target,
+                   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, source, is_target,
+                   {_hex_to_int_sql('md5(tok)', 1, 8)} % {DSIR_BUCKETS} AS b
+            FROM toks
+        ),
+        cnts AS (
+            SELECT doc_id, source, is_target, b, COUNT(*) AS cnt
+            FROM hashed GROUP BY doc_id, source, is_target, b
+        ),
+        target_b AS (
+            SELECT b, CAST(SUM(cnt) AS BIGINT) AS ct
+            FROM cnts WHERE is_target GROUP BY b
+        ),
+        all_b AS (
+            SELECT b, CAST(SUM(cnt) AS BIGINT) AS cr FROM cnts GROUP BY b
+        ),
+        totals AS (
+            SELECT CAST(SUM(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS nt,
+                   CAST(SUM(cnt) AS BIGINT) AS nr
+            FROM cnts
+        ),
+        scored AS (
+            SELECT c.doc_id, c.source,
+                   CAST(c.cnt * (
+                        ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                           / CAST(totals.nt + {DSIR_BUCKETS} AS DOUBLE))
+                      - ln(CAST(a.cr + 1 AS DOUBLE)
+                           / CAST(totals.nr + {DSIR_BUCKETS} AS DOUBLE))
+                   ) AS DECIMAL(38,12)) AS term
+            FROM cnts c
+            LEFT JOIN target_b t ON c.b = t.b
+            JOIN all_b a ON c.b = a.b, totals
+            WHERE NOT c.is_target
+        ),
+        per_doc AS (
+            SELECT doc_id, source, CAST(SUM(term) AS DOUBLE) AS w
+            FROM scored GROUP BY doc_id, source
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               floor(CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS mean_weight,
+               CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_target_like
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
     """,
     "text_bloom_decontaminate": f"""
         WITH words AS (

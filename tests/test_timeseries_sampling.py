@@ -170,3 +170,20 @@ def test_pq_assigns_every_vector_in_every_subspace(spark):
         per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vectors
         assert r.avg_qdist >= 0
     assert per_sub == {m: n_vecs for m in range(PQ_M)}
+
+
+def test_dsir_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_dsir_weights")
+
+
+def test_dsir_prefers_english_like_docs(spark):
+    """Sanity on the direction of the weight: every source mixes
+    langs, so targets are excluded, but non-target English-script
+    sources should not be uniformly negative AND the weight must be
+    finite everywhere (add-1 smoothing covers unseen buckets)."""
+    from postgres_s3_etl_spark.operators.sampling import text_dsir_weights
+
+    rows = text_dsir_weights(spark, SF_DIR).collect()
+    assert rows
+    assert all(math.isfinite(r.mean_weight) for r in rows)
+    assert all(0 <= r.n_target_like <= r.n_docs for r in rows)
