@@ -183,7 +183,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("src", "node")
         .localCheckpoint()
     )
-    n = deg.count()  # scalar: node count, constant-size driver value
+    # scalar node count (constant-size driver value); clamp to 1 on
+    # an empty graph — the constants below then feed zero rows, so
+    # the clamp only avoids a plan-build-time division by zero
+    n = deg.count() or 1
     pr = deg.select("node", "deg", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
     for _ in range(PR_ITERS):
         # every node of this symmetric graph has deg >= 1, so the
