@@ -76,6 +76,9 @@ HEADLINE = (
     "text_bloom_decontaminate",
     "graph_triangle_count",
     "graph_pagerank",
+    "q_events_stl_weekday",
+    "text_dsir_weights",
+    "embedding_pq_stats",
 )
 
 

@@ -155,3 +155,46 @@ def test_require_jar_fails_fast_without_hadoop_aws(spark):
         pytest.skip("hadoop-aws present in this environment")
     with pytest.raises(RuntimeError, match="hadoop-aws"):
         configure_s3a(spark, require_jar=True)
+
+
+# --- property-based invariants for the schedule expansion ---------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @given(
+        start_day=st.integers(0, 2000),
+        horizon_hours=st.integers(0, 24 * 400),
+        step_hours=st.integers(1, 24 * 14),
+        catchup=st.booleans(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_runs_between_invariants(
+        start_day, horizon_hours, step_hours, catchup
+    ):
+        from datetime import datetime, timedelta
+
+        start = datetime(2020, 1, 1) + timedelta(days=start_day)
+        now = start + timedelta(hours=horizon_hours)
+        step = timedelta(hours=step_hours)
+        due = runs_between(start, now, step, catchup=catchup)
+        full = runs_between(start, now, step, catchup=True)
+        # every logical date's interval [T, T+step) has fully elapsed
+        assert all(t + step <= now for t in due)
+        # dates are the exact arithmetic progression from start
+        assert all((t - start) % step == timedelta(0) for t in due)
+        assert full == sorted(full)
+        # count matches closed-form floor(horizon/step)
+        assert len(full) == horizon_hours // step_hours
+        # catchup=False is exactly the last element (or empty)
+        if catchup:
+            assert due == full
+        else:
+            assert due == (full[-1:] if full else [])
