@@ -750,6 +750,64 @@ def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    user's pre-conversion touches split the conversion credit
+    40/20/40 — first touch 40%, last touch 40%, middles share 20% —
+    the standard position model between first- and last-touch.
+
+    Credit is integer BASIS POINTS, never a float share: with k
+    touches, k=1 takes 10000, k=2 splits 5000/5000, k>=3 gives the
+    ends 4000 each and middle j of k-2 gets
+    floor(2000/(k-2)) + (1 if j <= 2000 mod (k-2)) — credits sum to
+    exactly 10000 per conversion and the whole result is exact
+    BIGINT arithmetic in both engines.
+
+    One shuffle by user: the conversion instant is a per-user min
+    (first purchase), touch ordering is one user-partitioned window,
+    and the rollup is |event types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("c"))
+        .select("user_id", F.col("c.ts").alias("conv_ts"), F.col("c.event_id").alias("conv_id"))
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .where(F.col("ts") < F.col("conv_ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = touches.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("k"),
+    )
+    k, idx = F.col("k"), F.col("idx")
+    mid_base = F.floor(F.lit(2000) / (k - 2))
+    mid_rem = F.lit(2000) % (k - 2)
+    credit = (
+        F.when(k == 1, F.lit(10000))
+        .when((k == 2), F.lit(5000))
+        .when((idx == 1) | (idx == k), F.lit(4000))
+        .otherwise(mid_base + F.when(idx - 1 <= mid_rem, 1).otherwise(0))
+    )
+    return (
+        ranked.select("event_type", credit.cast("bigint").alias("credit_bp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_bp").cast("bigint").alias("credit_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic usage profile: event volume by (ISO weekday × hour)
     with share-of-total — the capacity/heatmap view behind load
@@ -907,6 +965,7 @@ QUERIES = {
     "q_events_autocorr": q_events_autocorr,
     "q_events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "q_events_first_touch": q_events_first_touch,
+    "q_events_attribution_ushape": q_events_attribution_ushape,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_bot_detection": q_events_bot_detection,
@@ -928,6 +987,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_attribution_ushape": """
+        WITH conv AS (
+            SELECT user_id, ts AS conv_ts
+            FROM (
+                SELECT user_id, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ) WHERE rn = 1
+        ),
+        touches AS (
+            SELECT e.user_id, e.event_type, e.ts, e.event_id
+            FROM events e JOIN conv c ON e.user_id = c.user_id
+            WHERE e.event_type <> 'purchase' AND e.ts < c.conv_ts
+        ),
+        ranked AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS idx,
+                   COUNT(*) OVER (PARTITION BY user_id) AS k
+            FROM touches
+        ),
+        credited AS (
+            SELECT event_type,
+                   CASE WHEN k = 1 THEN 10000
+                        WHEN k = 2 THEN 5000
+                        WHEN idx = 1 OR idx = k THEN 4000
+                        ELSE 2000 // (k - 2)
+                             + CASE WHEN idx - 1 <= 2000 % (k - 2)
+                                    THEN 1 ELSE 0 END
+                   END AS credit_bp
+            FROM ranked
+        )
+        SELECT event_type,
+               COUNT(*) AS n_touches,
+               CAST(SUM(credit_bp) AS BIGINT) AS credit_bp
+        FROM credited
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     "q_events_funnel": """
         WITH flags AS (
             SELECT user_id,

@@ -87,3 +87,32 @@ def test_corr_within_bounds_and_disc_values_are_table_values(spark):
     for r in q_percentiles_disc(spark, SF_DIR).collect():
         # discrete percentiles are actual data values, never interpolated
         assert {r.p25, r.p50, r.p75, r.p90} <= prices
+
+
+def test_ushape_attribution_credits_sum_to_10000_per_converter(spark):
+    """Every user with >=1 pre-conversion touch contributes exactly
+    10000 bp of credit; users without touches contribute 0."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_attribution_ushape,
+    )
+
+    rows = q_events_attribution_ushape(spark, SF_DIR).collect()
+    total = sum(r.credit_bp for r in rows)
+    ev = load_table(spark, SF_DIR, "events")
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    n_credited = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .where(F.col("ts") < F.col("conv_ts"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total == 10000 * n_credited
