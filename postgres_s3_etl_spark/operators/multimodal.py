@@ -343,10 +343,91 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATCH_PX = 16
+
+PATCHES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("px", IntegerType()),
+        StructField("py", IntegerType()),
+        StructField("patch_digest", StringType()),
+    ]
+)
+
+
+def sample_patches(
+    media: DataFrame, patch_px: int = PATCH_PX, decode_stub: bool = True
+) -> DataFrame:
+    """Vision-transformer-style patch grid as a 1→N ``mapInPandas``
+    expansion: each image yields ceil(w/p) × ceil(h/p) patch rows.
+    The real crop+embed (PIL/torchvision) is stubbed with a
+    deterministic digest of (payload, px, py); the Spark-side shape
+    — metadata pruning before Python, in-batch row expansion, no
+    payload shuffle — is the production plumbing.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real patch extraction requires PIL/torchvision — not "
+                    "in this container; run with decode_stub=True"
+                )
+            out_rows = []
+            for asset_id, w, h, payload in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                nx = -(-int(w) // patch_px)
+                ny = -(-int(h) // patch_px)
+                for py in range(ny):
+                    for px in range(nx):
+                        digest = hashlib.md5(
+                            (
+                                bytes(payload)
+                                + px.to_bytes(4, "big")
+                                + py.to_bytes(4, "big")
+                            ).hex().encode()
+                        )
+                        out_rows.append(
+                            (int(asset_id), px, py, digest.hexdigest())
+                        )
+            yield pd.DataFrame(
+                out_rows, columns=["asset_id", "px", "py", "patch_digest"]
+            )
+
+    images = media.where(F.col("media_type") == "image").select(
+        "asset_id", "width", "height", "payload"
+    )
+    return images.mapInPandas(batches, PATCHES_SCHEMA)
+
+
+def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing entry: patch-grid the synthetic images, then
+    per-asset patch stats JVM-side ("brightness" = the first 16 bits
+    of the patch digest, the same stub convention as f0/level)."""
+    patches = sample_patches(synth_media(spark, n=64))
+    bright = F.conv(F.substring("patch_digest", 1, 4), 16, 10).cast("bigint")
+    return (
+        patches.withColumn("brightness", bright)
+        .groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_patches"),
+            (F.max("px") + 1).alias("nx"),
+            (F.max("py") + 1).alias("ny"),
+            F.round(
+                F.sum("brightness").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_brightness"),
+            F.max("brightness").alias("peak_brightness"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 QUERIES = {
     "mm_decode_stub": mm_decode_stub,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
+    "mm_image_patches": mm_image_patches,
 }
 
 #: The synthetic media and the stub decoders are pure functions of
@@ -366,6 +447,51 @@ _F0_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "mm_image_patches": f"""
+        WITH images AS (
+            SELECT i,
+                   64 + (i % 32) AS width,
+                   48 + (i % 24) AS height,
+                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hex_payload
+            FROM (SELECT unnest(generate_series(0, 63)) AS i)
+            WHERE i % 3 = 0
+        ),
+        grid AS (
+            -- (w + p - 1) // p: ceil for positive ints regardless of
+            -- whether // floors or truncates (DuckDB truncates)
+            SELECT a.i AS asset_id,
+                   px.px, py.py,
+                   (a.width + {PATCH_PX - 1}) // {PATCH_PX} AS nx,
+                   (a.height + {PATCH_PX - 1}) // {PATCH_PX} AS ny,
+                   md5(a.hex_payload
+                       || lower(lpad(to_hex(px.px), 8, '0'))
+                       || lower(lpad(to_hex(py.py), 8, '0'))) AS d
+            FROM images a,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, (a.width + {PATCH_PX - 1}) // {PATCH_PX} - 1)) AS px) px,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, (a.height + {PATCH_PX - 1}) // {PATCH_PX} - 1)) AS py) py
+        ),
+        bright AS (
+            SELECT asset_id, nx, ny,
+                   CAST(4096 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
+                        + 256 * (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)
+                        + 16 * (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)
+                        + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1)
+                        AS BIGINT) AS brightness
+            FROM grid
+        )
+        SELECT asset_id,
+               COUNT(*) AS n_patches,
+               CAST(MAX(nx) AS INTEGER) AS nx,
+               CAST(MAX(ny) AS INTEGER) AS ny,
+               ROUND(CAST(SUM(brightness) AS DOUBLE) / COUNT(*), 6)
+                   AS avg_brightness,
+               MAX(brightness) AS peak_brightness
+        FROM bright
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_decode_stub": f"""
         WITH assets AS (
             SELECT i,

@@ -402,3 +402,25 @@ def test_stream_topk_users_equals_batch(spark):
     streamed = [tuple(r) for r in q_stream_topk_users(spark, SF_DIR).collect()]
     batch = [tuple(r) for r in q_events_topk_users(spark, SF_DIR).collect()]
     assert streamed == batch
+
+
+def test_image_patch_grid_covers_every_image(spark):
+    """ceil(w/p) x ceil(h/p) patches per image, gap-free grid."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        PATCH_PX,
+        mm_image_patches,
+        sample_patches,
+        synth_media,
+    )
+
+    stats = {r.asset_id: r for r in mm_image_patches(spark, SF_DIR).collect()}
+    media = {r.asset_id: r for r in synth_media(spark, n=64).collect()}
+    assert stats and all(media[a].media_type == "image" for a in stats)
+    for a, r in stats.items():
+        nx = -(-media[a].width // PATCH_PX)
+        ny = -(-media[a].height // PATCH_PX)
+        assert (r.nx, r.ny, r.n_patches) == (nx, ny, nx * ny), a
+    # the expansion emits each (px, py) exactly once per asset
+    patches = sample_patches(synth_media(spark, n=64)).collect()
+    seen = {(p.asset_id, p.px, p.py) for p in patches}
+    assert len(seen) == len(patches)
