@@ -597,8 +597,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Prefix-containment blocking: bucket on the first PREFIX_LEN chars;
+#: buckets larger than PREFIX_MAX_DF are boilerplate prefixes and are
+#: dropped before the pair join (same role as MAX_SHINGLE_DF).
+PREFIX_LEN = 64
+PREFIX_MAX_DF = 100
+
+
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection: documents whose FULL text is a
+    prefix of a longer document — the scrape-pipeline artifact exact
+    dedup misses (the same page captured at different truncation
+    lengths) and Jaccard under-weights (a short prefix shares few
+    shingles with a 10x longer doc).
+
+    Blocking: two docs in a prefix-containment relation necessarily
+    share their first PREFIX_LEN characters, so the candidate join is
+    an equi-join on md5(prefix) — never a cross join — with a DF cap
+    dropping boilerplate-prefix buckets. Verification is a row-local
+    ``startswith``. Ordered canonically (shorter ⊂ longer; doc_id
+    tiebreak on equal length). Only candidate-bucket rows shuffle
+    their text, and only to the verify stage — the same
+    candidates-then-verify cost split as dedup_minhash_verify.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        F.md5(F.substring("text", 1, PREFIX_LEN)).alias("pk"),
+    )
+    small = (
+        docs.groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= PREFIX_MAX_DF)
+        .select("pk")
+    )
+    blocked = docs.join(small, "pk", "leftsemi")
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pk") == F.col("b.pk"))
+            & (
+                (F.col("a.n_chars") < F.col("b.n_chars"))
+                | (
+                    (F.col("a.n_chars") == F.col("b.n_chars"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .where(F.col("b.text").startswith(F.col("a.text")))
+        .select(
+            F.col("a.doc_id").alias("contained_id"),
+            F.col("a.source").alias("source"),
+        )
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.countDistinct("contained_id").alias("n_contained_docs"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_prefix_containment": dedup_prefix_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verify": dedup_minhash_verify,
@@ -647,6 +715,35 @@ _SHINGLES_SQL = r"""
 """
 
 ORACLES = {
+    "dedup_prefix_containment": f"""
+        WITH docs AS (
+            SELECT doc_id, source, n_chars, text,
+                   md5(substr(text, 1, {PREFIX_LEN})) AS pk
+            FROM documents
+        ),
+        small AS (
+            SELECT pk FROM docs GROUP BY pk
+            HAVING COUNT(*) <= {PREFIX_MAX_DF}
+        ),
+        blocked AS (
+            SELECT d.* FROM docs d
+            WHERE d.pk IN (SELECT pk FROM small)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS contained_id, a.source
+            FROM blocked a JOIN blocked b
+              ON a.pk = b.pk
+             AND (a.n_chars < b.n_chars
+                  OR (a.n_chars = b.n_chars AND a.doc_id < b.doc_id))
+            WHERE starts_with(b.text, a.text)
+        )
+        SELECT source,
+               COUNT(DISTINCT contained_id) AS n_contained_docs,
+               COUNT(*) AS n_pairs
+        FROM pairs
+        GROUP BY source
+        ORDER BY source
+    """,
     "dedup_source_overlap": """
         WITH ds AS (
             SELECT DISTINCT md5(lower(trim(text))) AS digest, source

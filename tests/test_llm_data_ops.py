@@ -330,3 +330,48 @@ def test_similarity_plans_have_no_cartesian(spark):
     for fn in (sim_search_lsh, sim_search_ivf):
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_prefix_containment_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "dedup_prefix_containment")
+
+
+def test_prefix_containment_counts_verified_in_python(spark):
+    """Recompute containment pairs with a brute-force python sweep
+    over the (small) sf0.001 corpus and compare per-source counts."""
+    from collections import defaultdict
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+    from postgres_s3_etl_spark.operators.dedup import (
+        PREFIX_MAX_DF,
+        dedup_prefix_containment,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    buckets = defaultdict(list)
+    for r in docs:
+        buckets[r.text[:64]].append(r)
+    pairs_per_source = defaultdict(set)
+    n_pairs = defaultdict(int)
+    for rows in buckets.values():
+        if len(rows) > PREFIX_MAX_DF:
+            continue
+        for a in rows:
+            for b in rows:
+                la, lb = len(a.text), len(b.text)
+                if (la, a.doc_id) < (lb, b.doc_id) and b.text.startswith(
+                    a.text
+                ):
+                    pairs_per_source[a.source].add(a.doc_id)
+                    n_pairs[a.source] += 1
+    got = {
+        r.source: (r.n_contained_docs, r.n_pairs)
+        for r in dedup_prefix_containment(spark, SF_DIR).collect()
+    }
+    want = {
+        s: (len(pairs_per_source[s]), n_pairs[s]) for s in pairs_per_source
+    }
+    assert got == want
