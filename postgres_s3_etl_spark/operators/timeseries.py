@@ -169,10 +169,124 @@ def q_events_stl_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive backtest: forecast each day's event total with
+    the value 7 observations earlier (the strongest trivial baseline
+    for weekday-seasonal series) and score MAE / MAPE over the days
+    that have a forecast — the sanity bar any real forecasting model
+    must beat, and the backtest harness shape itself.
+
+    Errors are exact integers; MAE is an integer ratio; each day's
+    APE is one double division of exact ints, summed as
+    DECIMAL(38,12) so the mean is order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    scored = (
+        daily.withColumn("fc", F.lag("n", 7).over(w))
+        .where(F.col("fc").isNotNull())
+        .withColumn("abs_err", F.abs(F.col("n") - F.col("fc")).cast("bigint"))
+        .withColumn(
+            "ape",
+            (
+                F.col("abs_err").cast("double")
+                / F.col("n").cast("double")
+            ).cast("decimal(38,12)"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum("abs_err").cast("bigint").alias("total_abs_err"),
+        (
+            F.floor(
+                F.sum("abs_err").cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("mae"),
+        (
+            F.floor(
+                F.sum("ape").cast("double") / F.count(F.lit(1)) * F.lit(1e6)
+            )
+            / F.lit(1e6)
+        ).alias("mape"),
+    )
+
+
+def q_orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time distribution: per market segment, discrete
+    p50/p90 and the exact mean of the day gaps between a customer's
+    consecutive orders — the repurchase-cycle table behind CRM
+    timing and churn-definition choices.
+
+    Gaps are exact integer day diffs from one per-customer lag
+    window; the per-segment percentiles are row_number picks
+    (grouped percentile_disc, engine-exact) and the mean is an
+    integer ratio. Distinct order days per customer first, so
+    same-day multi-orders don't emit zero gaps.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    ).distinct()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    gaps = (
+        orders.withColumn("prev", F.lag("day").over(w))
+        .where(F.col("prev").isNotNull())
+        .withColumn("gap_days", F.datediff("day", "prev").cast("bigint"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .select("c_mktsegment", "gap_days")
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy("gap_days")
+    ranked = gaps.select(
+        "c_mktsegment",
+        "gap_days",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.col("n") * F.lit(0.5)).cast("bigint"),
+                    F.col("gap_days"),
+                )
+            ).alias("p50_gap_days"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.col("n") * F.lit(0.9)).cast("bigint"),
+                    F.col("gap_days"),
+                )
+            ).alias("p90_gap_days"),
+            (
+                F.floor(
+                    F.sum("gap_days").cast("double")
+                    / F.max("n")
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("mean_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES = {
     "q_events_ewma": q_events_ewma,
     "q_events_cusum": q_events_cusum,
     "q_events_stl_weekday": q_events_stl_weekday,
+    "q_events_forecast_snaive": q_events_forecast_snaive,
+    "q_orders_interpurchase": q_orders_interpurchase,
 }
 
 _EWMA_NUM_SQL = " + ".join(
@@ -227,6 +341,65 @@ ORACLES = {
                    - CAST(s.ds AS DOUBLE) / (7.0 * s.cnt) AS resid
         FROM win w LEFT JOIN seas s ON w.iso_dow = s.iso_dow
         ORDER BY w.day
+    """,
+    "q_events_forecast_snaive": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY day
+        ),
+        scored AS (
+            SELECT n, fc,
+                   CAST(abs(n - fc) AS BIGINT) AS abs_err,
+                   CAST(CAST(abs(n - fc) AS BIGINT) / CAST(n AS DOUBLE)
+                        AS DECIMAL(38,12)) AS ape
+            FROM (
+                SELECT day, n, LAG(n, 7) OVER (ORDER BY day) AS fc
+                FROM daily
+            ) WHERE fc IS NOT NULL
+        )
+        SELECT COUNT(*) AS n_days_scored,
+               CAST(SUM(abs_err) AS BIGINT) AS total_abs_err,
+               floor(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                   AS mae,
+               floor(CAST(SUM(ape) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                   AS mape
+        FROM scored
+    """,
+    "q_orders_interpurchase": """
+        WITH days AS (
+            SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS day
+            FROM orders
+        ),
+        gaps AS (
+            SELECT c.c_mktsegment,
+                   CAST(date_diff('day', prev, day) AS BIGINT) AS gap_days
+            FROM (
+                SELECT o_custkey, day,
+                       LAG(day) OVER (PARTITION BY o_custkey
+                                      ORDER BY day) AS prev
+                FROM days
+            ) g
+            JOIN customer c ON g.o_custkey = c.c_custkey
+            WHERE prev IS NOT NULL
+        ),
+        ranked AS (
+            SELECT c_mktsegment, gap_days,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY gap_days) AS rn,
+                   COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM gaps
+        )
+        SELECT c_mktsegment,
+               MAX(n) AS n_gaps,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                        THEN gap_days END) AS p50_gap_days,
+               MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                        THEN gap_days END) AS p90_gap_days,
+               floor(CAST(SUM(gap_days) AS DOUBLE) / MAX(n) * 1e6) / 1e6
+                   AS mean_gap_days
+        FROM ranked
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
     """,
     "q_events_cusum": """
         WITH daily AS (

@@ -187,3 +187,38 @@ def test_dsir_prefers_english_like_docs(spark):
     assert rows
     assert all(math.isfinite(r.mean_weight) for r in rows)
     assert all(0 <= r.n_target_like <= r.n_docs for r in rows)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_events_forecast_snaive", "q_orders_interpurchase"]
+)
+def test_late_timeseries_match_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_snaive_scores_exactly_n_minus_7_days(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_events_forecast_snaive,
+    )
+    from pyspark.sql import functions as F
+
+    n_days = (
+        load_table(spark, SF_DIR, "events")
+        .select(F.to_date("ts"))
+        .distinct()
+        .count()
+    )
+    r = q_events_forecast_snaive(spark, SF_DIR).collect()[0]
+    assert r.n_days_scored == max(n_days - 7, 0)
+    assert r.mae >= 0 and r.mape >= 0
+
+
+def test_interpurchase_percentiles_ordered(spark):
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_orders_interpurchase,
+    )
+
+    for r in q_orders_interpurchase(spark, SF_DIR).collect():
+        assert 1 <= r.p50_gap_days <= r.p90_gap_days
+        assert r.n_gaps > 0 and r.mean_gap_days > 0
