@@ -51,20 +51,32 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet (stand-in for a
-    Kafka/queue source in production; identical downstream plan)."""
+    Kafka/queue source in production; identical downstream plan).
+
+    ``glob``/``max_files_per_trigger`` let tests feed the same
+    operators from a multi-file directory sliced into several
+    micro-batches — the arrival-order / batch-boundary robustness
+    the single-file testdata can't exercise by itself."""
     # The streaming file source wants a directory; testdata stores
     # one file per table, so scan the sf_dir with a glob filter.
     # Runtime-set like catalog.load_table — keeps the read working
     # under a caller-supplied session without our build defaults.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
+    reader = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(sf_dir)
     # Watermarks demand an LTZ event-time column; the UTC pin above
     # makes the NTZ→LTZ cast a wall-clock no-op, so streaming windows
     # land on the same instants as the batch twins.

@@ -424,3 +424,100 @@ def test_image_patch_grid_covers_every_image(spark):
     patches = sample_patches(synth_media(spark, n=64)).collect()
     seen = {(p.asset_id, p.px, p.py) for p in patches}
     assert len(seen) == len(patches)
+
+
+def _split_events_to_files(spark, tmp_path, n_files=3):
+    """Write the sf0.001 events as n single-file parquets so the
+    file source produces one micro-batch per file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from postgres_s3_etl_spark.catalog import load_table
+
+    pdf = load_table(spark, SF_DIR, "events").toPandas()
+    # interleave rows across files so every batch mixes users —
+    # the worst case for stateful merge correctness
+    for i in range(n_files):
+        part = pdf.iloc[i::n_files]
+        tbl = pa.Table.from_pandas(part, preserve_index=False)
+        pq.write_table(tbl, str(tmp_path / f"ev_{i}.parquet"))
+    return str(tmp_path)
+
+
+def test_stream_topk_exact_across_micro_batches(spark, tmp_path):
+    """Complete-mode running aggregation over 3 micro-batches (one
+    file each, users interleaved) equals the batch aggregate — the
+    decimal accumulator makes slicing unobservable."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = _split_events_to_files(spark, tmp_path)
+    ev = read_events_stream(
+        spark, d, glob="ev_*.parquet", max_files_per_trigger=1
+    )
+    agg = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_purchase_value"),
+        )
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in run_stream_to_memory(
+            agg, "multi_batch_topk", output_mode="complete"
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_purchase_value"),
+        )
+        .collect()
+    )
+    assert streamed == batch
+
+
+def test_stream_dedup_exact_across_micro_batches(spark, tmp_path):
+    """dropDuplicates state carries across micro-batches: the union
+    of per-batch emissions is exactly the batch DISTINCT set, with
+    no key emitted twice."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = _split_events_to_files(spark, tmp_path)
+    ev = read_events_stream(
+        spark, d, glob="ev_*.parquet", max_files_per_trigger=1
+    ).select("user_id", "event_type")
+    emitted = run_stream_to_memory(
+        ev.dropDuplicates(["user_id", "event_type"]), "multi_batch_dedup"
+    ).collect()
+    keys = [(r.user_id, r.event_type) for r in emitted]
+    assert len(keys) == len(set(keys)), "a key was emitted twice"
+    batch = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert set(keys) == batch
