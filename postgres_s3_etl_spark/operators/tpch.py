@@ -509,24 +509,448 @@ def q_tpch22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (correlated MIN subquery): for each mid-size
+    STANDARD part, the EUROPE supplier(s) quoting the lowest observed
+    line price. partsupp doesn't exist in this schema, so the "offer"
+    is derived from shipment history: MIN(l_extendedprice) per
+    (part, supplier) — an exact DECIMAL min, so the min-equality
+    join-back has no float boundary.
+
+    Plan: the part filter prunes before any fact work; offers roll up
+    from lineitem at (part, supplier) grain with map-side combine;
+    the per-part global min is a second rollup of that (already
+    small) table; the join-back is an equi-join on (partkey, exact
+    decimal). region→nation broadcast; supplier stays AQE-chosen
+    (linear growth). No correlated per-row subquery survives —
+    the standard distributed decorrelation.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == part.p_partkey, "leftsemi")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+    )
+    offers = (
+        li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"), "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(dec("l_extendedprice")).alias("offer"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp")).agg(
+        F.min("offer").alias("best_offer")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.bp) & (offers.offer == best.best_offer),
+        )
+        .join(supp, offers.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("offer").cast("double"), 2).alias("min_price"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def q_tpch09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit for one product family by supplier
+    nation and order year. p_name LIKE drives the part prune;
+    supplycost doesn't exist, so profit reduces to discounted revenue
+    (the join topology — the point of Q9 — is unchanged: lineitem ⋈
+    part ⋈ supplier ⋈ nation ⋈ orders).
+
+    Plan: the LIKE filter is evaluated at the part scan, turning the
+    part join into a shrinking semijoin before the fact shuffles;
+    nation broadcasts; supplier/orders stay AQE-chosen. Grouping is
+    (nation, year) — 25×7 groups cross the wire after map-side
+    partial aggregation.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == part.p_partkey, "leftsemi")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.round(F.sum(_revenue()).cast("double"), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group-having against a global scalar): parts
+    whose shipped value from one nation's suppliers exceeds a fixed
+    fraction of that nation's total shipped value. partsupp's
+    availqty·supplycost is adapted to lineitem discounted revenue.
+
+    The fraction comparison is multiplied out to exact decimals
+    (value · 1000 > total) — no float threshold boundary. The total
+    is a 1-row aggregate REUSED from the same per-part rollup
+    (Catalyst caches nothing here, but the rollup is part-grain —
+    recomputing it is one extra shuffle over an already-reduced
+    table) and broadcast into the having filter.
+    """
+    supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") == 3
+    ).select("s_suppkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey, "leftsemi")
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("value"))
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value") * F.lit(1000) > F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value").cast("double"), 2).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q_tpch12_ship_latency_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional counts by shipping class): lines
+    shipped in 1998 bucketed into SLOW / FAST by order-to-ship
+    latency (l_shipmode / receiptdate don't exist; >90 days is the
+    late analog), counting high-priority (1-URGENT / 2-HIGH) vs
+    lower-priority orders per class.
+
+    Plan: one orderkey equi-join; the latency CASE and both
+    conditional sums are codegen expressions; two groups cross the
+    wire. The ship-year filter pushes to the lineitem scan.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderpriority",
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1998
+    ).select("l_orderkey", F.to_date("l_shipdate").alias("sd"))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    latency_class = F.when(
+        F.datediff("sd", "od") > 90, F.lit("SLOW")
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(latency_class.alias("ship_class"), high.alias("high"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(F.col("high"), 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+def q_tpch16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type, size) combination, for selected sizes and excluding
+    one brand and "complaint" suppliers (negative account balance —
+    the comment-LIKE analog this schema supports).
+
+    Plan: the (part, supplier) pair universe is pre-distincted from
+    lineitem at pair grain (map-side combine) INSTEAD of
+    count-distinct's Expand over the wide join — the classic
+    distinct-before-count rewrite. Exclusions are an anti-join on a
+    tiny key set (broadcast) and a part-scan filter.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == bad_supp.s_suppkey, "leftanti")
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested aggregate → semijoin): suppliers in
+    one nation who dominate supply of a product family — shipped
+    more than 10% of a ``red``-part's total quantity, ~3× the fair
+    share with ~27 suppliers per part (the availqty > 0.5·sum(qty)
+    excess-inventory test, adapted to shipment shares).
+
+    The share comparison is exact integers: 10·supplier_qty >
+    part_qty (quantities are integral). Both rollups share the
+    (partkey)-keyed shuffle; the qualifying (part, supplier) pairs
+    semi-join a nation-filtered supplier dim.
+    """
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(part, F.col("l_partkey") == part.p_partkey, "leftsemi")
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("supp_qty")
+    )
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("pp")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, per_ps.l_partkey == per_part.pp)
+        .where(F.lit(10) * F.col("supp_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") == 5
+    ).select("s_suppkey", "s_name")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "leftsemi")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers
+    who were the *sole last shipper* on finished multi-supplier
+    orders — the "kept the order waiting" blame metric. Without
+    commit/receipt dates, "late" is being the unique supplier whose
+    last shipment equals the order's last shipment while at least one
+    co-supplier shipped strictly earlier.
+
+    Plan: the exists/not-exists pair decorrelates into per-order
+    aggregates over the (order, supplier) rollup: n_supp ≥ 2,
+    exactly one supplier at the order max shipdate (MIN(suppkey) of
+    an n_at_max=1 group IS that supplier — no window, no self-join
+    back). Every step is a map-side-combinable rollup keyed on
+    orderkey; the top-20 is TakeOrderedAndProject.
+    """
+    fin = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    os = (
+        _t(spark, sf_dir, "lineitem")
+        .join(fin, F.col("l_orderkey") == fin.o_orderkey, "leftsemi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("sd"))
+    )
+    per_o = os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("sd").alias("max_sd"),
+    )
+    at_max = (
+        os.join(per_o, "l_orderkey")
+        .where((F.col("sd") == F.col("max_sd")) & (F.col("n_supp") >= 2))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_max"),
+            F.min("l_suppkey").alias("blamed"),
+        )
+        .where(F.col("n_at_max") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        at_max.groupBy("blamed")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(supp, F.col("blamed") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "q_tpch02_min_cost_supplier": q_tpch02_min_cost_supplier,
     "q_tpch03_shipping_priority": q_tpch03_shipping_priority,
     "q_tpch04_priority_late": q_tpch04_priority_late,
     "q_tpch05_local_supplier_volume": q_tpch05_local_supplier_volume,
     "q_tpch06_revenue_change": q_tpch06_revenue_change,
     "q_tpch07_volume_shipping": q_tpch07_volume_shipping,
     "q_tpch08_market_share": q_tpch08_market_share,
+    "q_tpch09_product_type_profit": q_tpch09_product_type_profit,
     "q_tpch10_returned_items": q_tpch10_returned_items,
+    "q_tpch11_important_value": q_tpch11_important_value,
+    "q_tpch12_ship_latency_modes": q_tpch12_ship_latency_modes,
     "q_tpch13_customer_distribution": q_tpch13_customer_distribution,
     "q_tpch14_promo_effect": q_tpch14_promo_effect,
     "q_tpch15_top_supplier": q_tpch15_top_supplier,
+    "q_tpch16_supplier_count": q_tpch16_supplier_count,
     "q_tpch17_small_qty_revenue": q_tpch17_small_qty_revenue,
     "q_tpch18_large_volume_customer": q_tpch18_large_volume_customer,
     "q_tpch19_discounted_revenue": q_tpch19_discounted_revenue,
+    "q_tpch20_dominant_suppliers": q_tpch20_dominant_suppliers,
+    "q_tpch21_waiting_orders": q_tpch21_waiting_orders,
     "q_tpch22_idle_customers": q_tpch22_idle_customers,
 }
 
 ORACLES = {
+    # Correlated-MIN decorrelation cross-check: the oracle keeps the
+    # correlated subquery form the Spark twin decorrelated away.
+    "q_tpch02_min_cost_supplier": """
+        WITH part_f AS (
+            SELECT p_partkey FROM part
+            WHERE p_size = 15 AND p_type = 'STANDARD'
+        ),
+        eu_supp AS (
+            SELECT s.s_suppkey, s.s_name, n.n_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE'
+        ),
+        offers AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS offer
+            FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part_f)
+              AND l.l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+            GROUP BY l.l_partkey, l.l_suppkey
+        )
+        SELECT o.l_partkey AS p_partkey, s.s_suppkey, s.s_name, s.n_name,
+               ROUND(CAST(o.offer AS DOUBLE), 2) AS min_price
+        FROM offers o JOIN eu_supp s ON o.l_suppkey = s.s_suppkey
+        WHERE o.offer = (SELECT MIN(o2.offer) FROM offers o2
+                         WHERE o2.l_partkey = o.l_partkey)
+        ORDER BY p_partkey, s_suppkey
+        LIMIT 100
+    """,
+    "q_tpch09_product_type_profit": f"""
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               ROUND(CAST(SUM({_REV_SQL}) AS DOUBLE), 2) AS sum_profit
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+        GROUP BY n.n_name, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    "q_tpch11_important_value": f"""
+        WITH per_part AS (
+            SELECT l.l_partkey, SUM({_REV_SQL}) AS value
+            FROM lineitem l
+            WHERE l.l_suppkey IN (
+                SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey AS p_partkey,
+               ROUND(CAST(value AS DOUBLE), 2) AS part_value
+        FROM per_part
+        WHERE value * 1000 > (SELECT SUM(value) FROM per_part)
+        ORDER BY part_value DESC, p_partkey
+    """,
+    "q_tpch12_ship_latency_modes": """
+        SELECT CASE WHEN CAST(l.l_shipdate AS DATE)
+                         - CAST(o.o_orderdate AS DATE) > 90
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE EXTRACT(year FROM l.l_shipdate) = 1998
+        GROUP BY ship_class
+        ORDER BY ship_class
+    """,
+    "q_tpch16_supplier_count": """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND ps.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    "q_tpch20_dominant_suppliers": """
+        WITH red AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+        ),
+        per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM red)
+            GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_nationkey = 5
+          AND s.s_suppkey IN (
+              SELECT ps.l_suppkey FROM per_ps ps
+              WHERE 10 * ps.supp_qty > (
+                  SELECT SUM(ps2.supp_qty) FROM per_ps ps2
+                  WHERE ps2.l_partkey = ps.l_partkey)
+          )
+        ORDER BY s.s_suppkey
+    """,
+    # EXISTS / NOT EXISTS form — deliberately a different formulation
+    # than the Spark twin's per-order aggregate decorrelation.
+    "q_tpch21_waiting_orders": """
+        WITH os AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   MAX(CAST(l.l_shipdate AS DATE)) AS sd
+            FROM lineitem l
+            WHERE l.l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+            GROUP BY l.l_orderkey, l.l_suppkey
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM os l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM os l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+                SELECT 1 FROM os l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.sd >= l1.sd)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """,
     "q_tpch03_shipping_priority": f"""
         SELECT o.o_orderkey,
                CAST(o.o_orderdate AS DATE) AS o_orderdate,

@@ -11,19 +11,26 @@ import pytest
 from tests.conftest import SF_DIR, assert_matches_oracle
 
 ALL = [
+    "q_tpch02_min_cost_supplier",
     "q_tpch03_shipping_priority",
     "q_tpch04_priority_late",
     "q_tpch05_local_supplier_volume",
     "q_tpch06_revenue_change",
     "q_tpch07_volume_shipping",
     "q_tpch08_market_share",
+    "q_tpch09_product_type_profit",
     "q_tpch10_returned_items",
+    "q_tpch11_important_value",
+    "q_tpch12_ship_latency_modes",
     "q_tpch13_customer_distribution",
     "q_tpch14_promo_effect",
     "q_tpch15_top_supplier",
+    "q_tpch16_supplier_count",
     "q_tpch17_small_qty_revenue",
     "q_tpch18_large_volume_customer",
     "q_tpch19_discounted_revenue",
+    "q_tpch20_dominant_suppliers",
+    "q_tpch21_waiting_orders",
     "q_tpch22_idle_customers",
 ]
 
@@ -59,6 +66,7 @@ def test_no_broadcast_hint_on_linear_growth_tables(spark):
         "q_tpch03_shipping_priority",
         "q_tpch10_returned_items",
         "q_tpch18_large_volume_customer",
+        "q_tpch21_waiting_orders",
     ],
 )
 def test_topk_is_take_ordered_not_global_sort(spark, name):
