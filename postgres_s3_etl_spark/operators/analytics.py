@@ -941,23 +941,20 @@ def q_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals beyond the standard 3·1.4826·MAD band.
 
     Both medians are exact discrete (row_number = ceil(n/2)) over the
-    value column; two ordered passes over one column, then a
-    broadcast of the two scalars back over the scan.
+    value column, computed with the two-pass range-partitioned rank
+    (ranking.with_global_order) — no single-task global sort. Ties in
+    the value don't need a tie-break: the rank-r value is the same
+    under any permutation of equal elements.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").cast("decimal(18,2)").alias("v")
     )
 
     def disc_median(df: DataFrame, col: str):
-        w = Window.orderBy(col)
-        r = df.select(
-            F.col(col),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
+        r = with_global_order(df, [F.asc(col)])
         return r.agg(
             F.max(
-                F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col(col))
+                F.when(F.col(GRN) == F.ceil(F.col(GN) * 0.5), F.col(col))
             ).alias("med")
         )
 
@@ -1283,24 +1280,22 @@ def q_orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The band bounds are actual data values picked by row_number
     (percentile_disc semantics, same recipe as the funnel-latency
-    quantiles); sums stay decimal until the final cast, so the
-    before/after figures are order-independent and hash-exact.
+    quantiles) over the two-pass range-partitioned rank — no
+    single-task global sort (value ties need no tie-break: the
+    rank-r value is permutation-invariant); sums stay decimal until
+    the final cast, so the before/after figures are
+    order-independent and hash-exact.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_totalprice").cast("decimal(18,2)").alias("v")
     )
-    w = Window.orderBy("v")
-    ranked = orders.select(
-        "v",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    ranked = with_global_order(orders, [F.asc("v")])
     bounds = ranked.agg(
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.05), F.col("v"))
+            F.when(F.col(GRN) == F.ceil(F.col(GN) * 0.05), F.col("v"))
         ).alias("p05"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("v"))
+            F.when(F.col(GRN) == F.ceil(F.col(GN) * 0.95), F.col("v"))
         ).alias("p95"),
     )
     clamped = orders.crossJoin(F.broadcast(bounds)).select(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
 from postgres_s3_etl_spark.functions.numeric import money_sum
+from postgres_s3_etl_spark.operators.ranking import GN, GRN, with_global_order
 
 SESSION_GAP_MIN = 30
 
@@ -624,8 +625,9 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: discrete percentiles by row_number (rn == ceil(p·n))
     like q_percentiles_disc — actual data values, no interpolation,
     immune to engine quantile conventions. Scale: per-user firsts are
-    one shuffle; the percentile window runs over converting users
-    only (a rollup).
+    one shuffle; the percentile rank is the two-pass range-partitioned
+    split (ranking.with_global_order) — no single-task global sort
+    even though converting users grow with the data.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
@@ -653,22 +655,15 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s_ts").cast("timestamp").cast("long")
         ).alias("secs")
     )
-    w = Window.orderBy("secs")
-    ranked = lat.select(
-        "secs",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
-    )
+    ranked = with_global_order(lat, [F.asc("secs")])
     return ranked.agg(
-        F.max("n").alias("n_converted"),
+        F.max(F.col(GN)).alias("n_converted"),
         F.min("secs").alias("min_s"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("secs"))
+            F.when(F.col(GRN) == F.ceil(F.col(GN) * 0.5), F.col("secs"))
         ).alias("median_s"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("secs"))
+            F.when(F.col(GRN) == F.ceil(F.col(GN) * 0.9), F.col("secs"))
         ).alias("p90_s"),
         F.max("secs").alias("max_s"),
     )

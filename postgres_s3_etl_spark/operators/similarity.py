@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.operators.ranking import GN, GRN, with_global_order
 
 N_PROBES = 10  # probe set: vec_id < 10
 TOP_K = 5
@@ -423,25 +424,22 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: norms come from the same sequential fold as the ANN
     dot products (bit-identical to the SQL engines' folds), and the
     band bounds are actual data values picked by row_number
-    (percentile_disc semantics). The global norm sort is one double
-    column — cheap even at corpus scale, and the documented scale
-    swap is the GK sketch bounds (q_orders_approx_quantile pattern)
-    when even that sort is unwanted.
+    (percentile_disc semantics) over the two-pass range-partitioned
+    rank (ranking.with_global_order) — the norm column never funnels
+    through a single-task sort, so the band scan holds at corpus
+    scale; the documented looser swap is GK sketch bounds
+    (q_orders_approx_quantile pattern) when exactness is negotiable.
     """
     vecs = _vecs(spark, sf_dir)
-    w = Window.orderBy("norm", "vec_id")
-    ranked = vecs.select(
-        "vec_id",
-        "norm",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked = with_global_order(
+        vecs.select("vec_id", "norm"), [F.asc("norm"), F.asc("vec_id")]
     )
     bounds = ranked.agg(
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.01), F.col("norm"))
+            F.when(F.col(GRN) == F.ceil(F.col(GN) * 0.01), F.col("norm"))
         ).alias("p01"),
         F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.99), F.col("norm"))
+            F.when(F.col(GRN) == F.ceil(F.col(GN) * 0.99), F.col("norm"))
         ).alias("p99"),
     )
     return (
