@@ -696,16 +696,28 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Zipf OLS fits over the top-K ranks only — bounds the fold arrays
+#: and turns the rank sort into a per-partition-heap top-k.
+ZIPF_TOPK = 4096
+
+
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the vocabulary: OLS slope of log-frequency
     on log-rank (natural text ≈ −1; strong deviation fingerprints
     synthetic or templated corpora — exactly this corpus, which is
     near-uniform word soup and should fit much flatter than −1).
 
-    Ranks come from one ordered window over the VOCABULARY rollup;
-    the four OLS sums over (ln rank, ln freq) pairs fold in rank
-    order (sequential aggregate ≡ list_reduce), then slope and
-    intercept are one mirrored expression each.
+    The fit runs over the TOP-``ZIPF_TOPK`` ranks only — standard
+    Zipf practice (the rank tail is hapax noise that drags the OLS
+    anyway) and the scale device: the top-K cut is a
+    TakeOrderedAndProject (per-partition heaps, no global sort) and
+    every fold array is bounded by the CONSTANT K, not the
+    vocabulary, which grows heap's-law-style with the corpus
+    (ADVICE r2: the previous form collected the whole vocabulary
+    into one aggregation buffer). ``vocab_size`` still reports the
+    full vocabulary count. The four OLS sums over (ln rank, ln freq)
+    pairs fold in rank order (sequential aggregate ≡ list_reduce),
+    then slope and intercept are one mirrored expression each.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -716,8 +728,10 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("t"))
-    pts = counts.select(
+    vocab = counts.agg(F.count(F.lit(1)).alias("vocab_size"))
+    top = counts.orderBy(F.desc("n"), F.asc("t")).limit(ZIPF_TOPK)
+    w = Window.orderBy(F.desc("n"), F.asc("t"))  # over ≤ ZIPF_TOPK rows
+    pts = top.select(
         F.log(F.row_number().over(w).cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )
@@ -746,8 +760,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy") - F.try_divide(F.col("sx") * F.col("sy"), k),
         F.col("sxx") - F.try_divide(F.col("sx") * F.col("sx"), k),
     )
-    return sums.select(
-        F.col("k").alias("vocab_size"),
+    return sums.crossJoin(F.broadcast(vocab)).select(
+        F.col("vocab_size"),
         (F.floor(slope * 1e6) / 1e6).alias("zipf_slope"),
         (
             F.floor(
@@ -1515,10 +1529,12 @@ ORACLES = {
             WHERE token <> ''
             GROUP BY token
         ),
+        vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM counts),
+        top AS (SELECT t, n FROM counts ORDER BY n DESC, t ASC LIMIT 4096),
         pts AS (
             SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS DOUBLE)) AS x,
                    ln(CAST(n AS DOUBLE)) AS y
-            FROM counts
+            FROM top
         ),
         sums AS (
             SELECT CAST(COUNT(*) AS DOUBLE) AS k,
@@ -1528,10 +1544,10 @@ ORACLES = {
                    list_reduce(list(x * x ORDER BY x), (s, v) -> s + v) AS sxx
             FROM pts
         )
-        SELECT CAST(k AS BIGINT) AS vocab_size,
+        SELECT v.vocab_size,
                floor((sxy - sx * sy / k) / (sxx - sx * sx / k) * 1e6) / 1e6 AS zipf_slope,
                floor((sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx / k) * 1e6) / 1e6 AS intercept
-        FROM sums
+        FROM sums CROSS JOIN vocab v
     """,
     "text_js_divergence": """
         WITH tok AS (
