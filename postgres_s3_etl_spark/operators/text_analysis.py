@@ -928,10 +928,13 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve that sizes a vocabulary/tokenizer (where it flattens, extra
     entries stop paying for themselves).
 
-    One wordcount rollup (map-side combined), a frequency-ordered
-    cumulative window over the VOCABULARY (not the corpus), and the
-    curve reads off at the probe points. All counts exact; one
-    mirrored division per row.
+    One wordcount rollup (map-side combined); only the top
+    ``max(COVERAGE_POINTS)`` types can matter, so the rank cut is a
+    per-partition-heap top-k (TakeOrderedAndProject) and the
+    cumulative window runs over those ≤30 rows — the vocabulary is
+    never globally sorted (same bounding device as the Zipf fit).
+    The token total comes from a separate 1-row aggregate of the
+    full rollup. All counts exact; one mirrored division per row.
     """
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -942,14 +945,16 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("t"))
+    tot = counts.agg(F.sum("n").alias("tot"))
+    top = counts.orderBy(F.desc("n"), F.asc("t")).limit(
+        max(COVERAGE_POINTS)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("t"))  # over ≤30 rows
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = counts.select(
+    ranked = top.select(
         F.row_number().over(w).alias("k"),
         F.sum("n").over(w_run).alias("cum"),
-        F.sum("n").over(w_all).alias("tot"),
-    )
+    ).crossJoin(F.broadcast(tot))
     return (
         ranked.where(F.col("k").isin(*COVERAGE_POINTS))
         .select(
