@@ -543,6 +543,37 @@ def q_stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each purchase event decorated
+    with the buyer's market segment from the STATIC customer dim —
+    the canonical "fact stream ⋈ dimension table" lookup every
+    production pipeline runs before routing/aggregating.
+
+    Spark plans this STATELESSLY: the static side is (re)resolved per
+    micro-batch and hash-joined against each batch's rows — no
+    watermark, no state store, and dim updates between triggers are
+    picked up automatically. At 100 TB/day the dim side follows the
+    usual rule (broadcast if bounded, shuffle otherwise via AQE);
+    nothing accumulates with stream length.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    cust = spark.read.parquet(table_path(sf_dir, "customer")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "value")
+    )
+
+
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_static_enrich(spark, sf_dir),
+        _next_query_name("stream_enrich"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "stream_events_tumbling": q_stream_events_tumbling,
     "stream_events_hopping": q_stream_events_hopping,
@@ -550,6 +581,7 @@ QUERIES = {
     "stream_click_purchase_join": q_stream_click_purchase_join,
     "stream_exact_dedup": q_stream_exact_dedup,
     "stream_topk_users": q_stream_topk_users,
+    "stream_static_enrich": q_stream_static_enrich,
 }
 
 _GAP_MS = SESSION_GAP_MS
@@ -557,6 +589,15 @@ _WM_SESS_MS = 10 * 60 * 1000  # sessionize watermark delay
 _WM_TUMBLE_MS = 2 * 60 * 60 * 1000  # tumbling watermark delay
 
 ORACLES: dict[str, str] = {
+    # Stream-static joins are stateless: every event joins whatever
+    # the static side holds at its micro-batch, so with a fixed dim
+    # the streamed result IS the batch join.
+    "stream_static_enrich": """
+        SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id
+    """,
     # Batch twin + the append-mode emission rule: a window is emitted
     # iff window_end <= final watermark (max event ms - 2h).
     "stream_events_tumbling": f"""

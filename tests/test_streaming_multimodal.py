@@ -521,3 +521,73 @@ def test_stream_dedup_exact_across_micro_batches(spark, tmp_path):
         .collect()
     }
     assert set(keys) == batch
+
+
+def test_stream_static_enrich_equals_batch_join(spark):
+    """Stream-static join is stateless: the streamed enrichment of
+    purchase events with the customer dim equals the batch join, and
+    the streaming plan carries no state store operator."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table, table_path
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        q_stream_static_enrich,
+    )
+
+    streamed = [
+        tuple(r) for r in q_stream_static_enrich(spark, SF_DIR).collect()
+    ]
+    cust = spark.read.parquet(table_path(SF_DIR, "customer")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    batch = [
+        tuple(r)
+        for r in load_table(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "value")
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert streamed == batch and streamed
+
+
+def test_stream_static_enrich_across_micro_batches(spark, tmp_path):
+    """Each event joins the dim in its own micro-batch; with a fixed
+    dim the union over 3 interleaved batches is exactly the batch
+    join — no rows lost or duplicated at batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import table_path
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    d = _split_events_to_files(spark, tmp_path)
+    ev = read_events_stream(
+        spark, d, glob="ev_*.parquet", max_files_per_trigger=1
+    )
+    cust = spark.read.parquet(table_path(SF_DIR, "customer")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "value")
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in run_stream_to_memory(
+            enriched, "multi_batch_enrich"
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.parquet(table_path(SF_DIR, "events"))
+        .where(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "value")
+        .collect()
+    )
+    assert streamed == batch and streamed
