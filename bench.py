@@ -79,6 +79,9 @@ HEADLINE = (
     "q_events_stl_weekday",
     "text_dsir_weights",
     "embedding_pq_stats",
+    # session-3 additions (suite-completing TPC-H shapes)
+    "q_tpch02_min_cost_supplier",
+    "q_tpch21_waiting_orders",
 )
 
 
