@@ -219,10 +219,87 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Wedge-center degree cap for link prediction: a node above this
+#: degree contributes no wedges. Hubs are exactly the nodes whose
+#: common-neighbor evidence is least informative (they neighbor
+#: everything) AND whose wedge fan-out is deg² — the standard cap
+#: drops noise and the quadratic blow-up together. Applied
+#: identically in the oracle, so the capped score is still compared
+#: bit-for-bit.
+JACCARD_DEG_CAP = 128
+
+
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by capped common-neighbor Jaccard: for part
+    pairs NOT currently co-purchased but sharing neighbors, score =
+    |N(a)∩N(b)| / |N(a)∪N(b)| and return the top-20 predicted edges
+    — the "customers also bought" candidate generator.
+
+    Scale shape: wedges fan out only from centers with deg ≤
+    JACCARD_DEG_CAP (Σ deg² bounded per center by the cap² — hub
+    nodes never emit wedges), the intersection is a count over the
+    wedge rollup, the union comes from the FULL degree table via the
+    inclusion-exclusion identity, and the known-edge exclusion is an
+    anti-join on the canonical (a < b) pair. The score division is
+    one mirrored floor(x·1e6)/1e6 per surviving pair.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(edges)
+    adj = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nb")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nb"))
+    )
+    centers = deg.where(F.col("deg") <= JACCARD_DEG_CAP).select("node")
+    capped = adj.join(centers, "node", "leftsemi")
+    x, y = capped.alias("x"), capped.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.node") == F.col("y.node"))
+        & (F.col("x.nb") < F.col("y.nb")),
+    ).select(F.col("x.nb").alias("a"), F.col("y.nb").alias("b"))
+    common = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    nonedge = common.join(
+        edges,
+        (common.a == edges.src) & (common.b == edges.dst),
+        "leftanti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    scored = (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("dega") + F.col("degb") - F.col("n_common")).alias(
+                "n_union"
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "a",
+            "b",
+            "n_common",
+            "n_union",
+            (
+                F.floor(F.col("n_common") * 1e6 / F.col("n_union")) / 1e6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "graph_degree_stats": graph_degree_stats,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
+    "graph_jaccard_links": graph_jaccard_links,
 }
 
 
@@ -246,6 +323,43 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 
 
 ORACLES = {
+    # IN-subquery + LEFT-JOIN-null formulation — different join
+    # idioms than the Spark twin's semijoin/anti-join chain.
+    "graph_jaccard_links": f"""
+        WITH {_EDGES_SQL},
+        adj AS (
+            SELECT src AS node, dst AS nb FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY node
+        ),
+        wedges AS (
+            SELECT x.nb AS a, y.nb AS b
+            FROM adj x JOIN adj y ON x.node = y.node AND x.nb < y.nb
+            WHERE x.node IN (
+                SELECT node FROM deg WHERE d <= {JACCARD_DEG_CAP})
+        ),
+        common AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM wedges GROUP BY a, b
+        ),
+        nonedge AS (
+            SELECT c.* FROM common c
+            LEFT JOIN edges e ON c.a = e.src AND c.b = e.dst
+            WHERE e.src IS NULL
+        )
+        SELECT n.a, n.b, n.n_common,
+               CAST(da.d + db.d - n.n_common AS BIGINT) AS n_union,
+               floor(n.n_common * 1e6 / (da.d + db.d - n.n_common)) / 1e6
+                   AS jaccard
+        FROM nonedge n
+        JOIN deg da ON n.a = da.node
+        JOIN deg db ON n.b = db.node
+        ORDER BY jaccard DESC, n.a, n.b
+        LIMIT 20
+    """,
     "graph_degree_stats": f"""
         WITH {_EDGES_SQL},
         deg AS (

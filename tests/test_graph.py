@@ -10,7 +10,12 @@ import pytest
 
 from tests.conftest import SF_DIR, assert_matches_oracle
 
-ALL = ["graph_degree_stats", "graph_triangle_count", "graph_pagerank"]
+ALL = [
+    "graph_degree_stats",
+    "graph_triangle_count",
+    "graph_pagerank",
+    "graph_jaccard_links",
+]
 
 
 @pytest.mark.parametrize("name", ALL)
@@ -104,3 +109,27 @@ def test_closing_join_is_equi_hash_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_links_are_nonedges_with_honest_scores(spark):
+    """Predicted pairs must not be existing edges, must share at
+    least one sub-cap common neighbor, and the score must equal the
+    floored count ratio with 0 < jaccard < 1."""
+    from postgres_s3_etl_spark.operators.graph import (
+        copurchase_edges,
+        graph_jaccard_links,
+    )
+
+    preds = graph_jaccard_links(spark, SF_DIR).collect()
+    assert preds
+    edge_set = {
+        (r.src, r.dst) for r in copurchase_edges(spark, SF_DIR).collect()
+    }
+    import math
+
+    for r in preds:
+        assert r.a < r.b
+        assert (r.a, r.b) not in edge_set
+        assert 1 <= r.n_common < r.n_union
+        assert 0 < r.jaccard < 1
+        assert r.jaccard == math.floor(r.n_common * 1e6 / r.n_union) / 1e6
