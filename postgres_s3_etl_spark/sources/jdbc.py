@@ -86,12 +86,21 @@ def write_table(
     table: str,
     mode: str = "append",
     batch_size: int = 10_000,
+    options: dict[str, str] | None = None,
 ) -> None:
     """Bulk write (parity with the reference's ``COPY FROM STDIN``
-    load, but parallel across partitions with batched inserts)."""
+    load, but parallel across partitions with batched inserts).
+    ``options`` passes writer options through (e.g.
+    ``createTableColumnTypes`` so string columns land as VARCHAR
+    instead of the dialect's unbounded LOB type)."""
     (
         df.write.format("jdbc")
-        .options(dbtable=table, batchsize=str(batch_size), **cfg.options())
+        .options(
+            dbtable=table,
+            batchsize=str(batch_size),
+            **(options or {}),
+            **cfg.options(),
+        )
         .mode(mode)
         .save()
     )
