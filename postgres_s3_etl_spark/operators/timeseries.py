@@ -281,8 +281,73 @@ def q_orders_interpurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Holt's linear-trend smoothing constants — exact binary fractions,
+#: so both engines multiply by identical doubles.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the
+    daily event total: final level/trend state, 1- and 7-day-ahead
+    forecasts, and the in-sample one-step MAE — the trending
+    complement to the seasonal-naive backtest (snaive assumes
+    repetition; Holt extrapolates drift).
+
+    The level/trend recursions are inherently sequential, but ONLY
+    over the day-grain rollup — bounded by the calendar (~2.5k rows
+    per decade at any data scale), never by the data. The fold runs
+    as one ``aggregate()`` over the day-sorted array with a struct
+    accumulator (level, trend, abs-err sum, step count), the same
+    bit-deterministic sequential-fold device as the Zipf/JS queries,
+    with the arithmetic written textually identically in the DuckDB
+    twin (``list_reduce`` over the same structs) so every IEEE op
+    matches. Init: level = first day, trend = 0; errors score from
+    the second day on.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pts = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " p -> named_struct('s', cast(p.n as double),"
+            " 'b', cast(0.0 as double), 'e', cast(0.0 as double),"
+            " 'k', cast(0 as bigint)))"
+        ).alias("pts")
+    )
+    # e0-suffixed literals: DOUBLE in both engines (a bare 0.5 is
+    # DECIMAL in DuckDB and would drag the whole fold into
+    # limited-scale decimal arithmetic)
+    a, ca = f"{HOLT_ALPHA}e0", f"{1.0 - HOLT_ALPHA}e0"
+    b, cb = f"{HOLT_BETA}e0", f"{1.0 - HOLT_BETA}e0"
+    snew = f"({a} * x.s + {ca} * (acc.s + acc.b))"
+    fold = pts.select(
+        F.size("pts").alias("n_days"),
+        F.expr(
+            "aggregate(slice(pts, 2, size(pts) - 1), pts[0],"
+            " (acc, x) -> named_struct("
+            f"'s', {snew},"
+            f"'b', {b} * ({snew} - acc.s) + {cb} * acc.b,"
+            " 'e', acc.e + abs(acc.s + acc.b - x.s),"
+            " 'k', acc.k + 1))"
+        ).alias("st"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return fold.select(
+        "n_days",
+        f6(F.col("st.s")).alias("level"),
+        f6(F.col("st.b")).alias("trend"),
+        f6(F.try_divide(F.col("st.e"), F.col("st.k"))).alias("mae_1step"),
+        f6(F.col("st.s") + F.col("st.b")).alias("forecast_1d"),
+        f6(F.col("st.s") + F.lit(7.0) * F.col("st.b")).alias("forecast_7d"),
+    )
+
+
 QUERIES = {
     "q_events_ewma": q_events_ewma,
+    "q_events_holt": q_events_holt,
     "q_events_cusum": q_events_cusum,
     "q_events_stl_weekday": q_events_stl_weekday,
     "q_events_forecast_snaive": q_events_forecast_snaive,
@@ -297,7 +362,48 @@ _EWMA_NUM_SQL = " + ".join(
     ]
 )
 
+_HOLT_SNEW_SQL = (
+    f"({HOLT_ALPHA}e0 * p.y + {1.0 - HOLT_ALPHA}e0 * (it.s + it.b))"
+)
+
 ORACLES = {
+    # Same recursion, same textual arithmetic, as a RECURSIVE CTE —
+    # one row per step. (Not list_reduce: DuckDB evaluates a
+    # struct_pack accumulator FIELD-SEQUENTIALLY, rebinding acc.s
+    # before acc.b reads it, so the lambda fold silently computes a
+    # different recursion than Spark's aggregate(); the CTE has
+    # standard all-from-previous-row semantics.)
+    "q_events_holt": f"""
+        WITH RECURSIVE daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY day
+        ),
+        pts AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+                   CAST(n AS DOUBLE) AS y
+            FROM daily
+        ),
+        it AS (
+            SELECT 1 AS i, y AS s, 0.0e0 AS b, 0.0e0 AS e,
+                   CAST(0 AS BIGINT) AS k
+            FROM pts WHERE i = 1
+            UNION ALL
+            SELECT p.i,
+                   {_HOLT_SNEW_SQL},
+                   {HOLT_BETA}e0 * ({_HOLT_SNEW_SQL} - it.s)
+                       + {1.0 - HOLT_BETA}e0 * it.b,
+                   it.e + abs(it.s + it.b - p.y),
+                   it.k + 1
+            FROM it JOIN pts p ON p.i = it.i + 1
+        )
+        SELECT CAST((SELECT COUNT(*) FROM pts) AS INT) AS n_days,
+               floor(s * 1e6) / 1e6 AS level,
+               floor(b * 1e6) / 1e6 AS trend,
+               floor(e / NULLIF(k, 0) * 1e6) / 1e6 AS mae_1step,
+               floor((s + b) * 1e6) / 1e6 AS forecast_1d,
+               floor((s + 7.0e0 * b) * 1e6) / 1e6 AS forecast_7d
+        FROM it ORDER BY i DESC LIMIT 1
+    """,
     "q_events_ewma": f"""
         WITH daily AS (
             SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

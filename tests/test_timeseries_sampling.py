@@ -18,6 +18,7 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 NEW = [
     "q_events_ewma",
     "q_events_cusum",
+    "q_events_holt",
     "text_sample_weighted",
     "text_bloom_decontaminate",
 ]
@@ -222,3 +223,42 @@ def test_interpurchase_percentiles_ordered(spark):
     for r in q_orders_interpurchase(spark, SF_DIR).collect():
         assert 1 <= r.p50_gap_days <= r.p90_gap_days
         assert r.n_gaps > 0 and r.mean_gap_days > 0
+
+
+def test_holt_matches_python_recursion(spark):
+    """The Spark fold equals an independently-coded Holt recursion
+    over the same daily series (guards the fold against engine
+    lambda-semantics quirks like DuckDB's sequential field
+    rebinding, which produced a silently different recursion)."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        q_events_holt,
+    )
+
+    daily = sorted(
+        (r.day, r.n)
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ys = [float(n) for _, n in daily]
+    s, b, e, k = ys[0], 0.0, 0.0, 0
+    for y in ys[1:]:
+        e += abs(s + b - y)
+        k += 1
+        snew = HOLT_ALPHA * y + (1.0 - HOLT_ALPHA) * (s + b)
+        b = HOLT_BETA * (snew - s) + (1.0 - HOLT_BETA) * b
+        s = snew
+    import math
+
+    row = q_events_holt(spark, SF_DIR).collect()[0]
+    assert row.n_days == len(ys)
+    assert row.level == math.floor(s * 1e6) / 1e6
+    assert row.trend == math.floor(b * 1e6) / 1e6
+    assert row.mae_1step == math.floor(e / k * 1e6) / 1e6
+    assert row.forecast_7d == math.floor((s + 7.0 * b) * 1e6) / 1e6
