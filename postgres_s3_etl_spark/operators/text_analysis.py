@@ -271,6 +271,59 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus novelty curve: per document, the fraction of its
+    distinct 8-token span fingerprints that FIRST appear in that
+    document (doc_id as arrival order) — the dataset-curation signal
+    for "is the tail of this crawl still adding new content, or just
+    re-shuffling what we have". Falling novelty is the standard
+    stop-ingesting / dedup-harder trigger.
+
+    Plan (aggregate formulation like text_span_dedup — no pairs):
+    distinct (doc, fp) → per-fp first-introducer (min doc_id, one
+    keyed shuffle, map-side combinable) → equi-join back → per-doc
+    ratio. The fp table is the only large intermediate; it stays
+    key-partitioned.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", _ws_tokens(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                rf"""
+                transform(
+                    sequence(1, greatest(size(w) - {SPAN_TOKENS - 1}, 1)),
+                    i -> md5(concat_ws(' ', slice(w, i, {SPAN_TOKENS})))
+                )
+                """
+            )
+        ).alias("fp"),
+    )
+    doc_fp = spans.select("doc_id", "fp").distinct()
+    first = doc_fp.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        doc_fp.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_fps",
+        "n_novel",
+        (
+            F.floor(F.col("n_novel").cast("double") / F.col("n_fps") * 1e6)
+            / 1e6
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
 #: Decontamination n-gram width (the standard 13-gram overlap test)
 #: scaled to this corpus's short docs.
 DECON_NGRAM = 8
@@ -1259,6 +1312,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_stratified_sample": text_stratified_sample,
     "text_span_dedup": text_span_dedup,
+    "text_ngram_novelty": text_ngram_novelty,
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
     "text_repetition_score": text_repetition_score,
@@ -1469,6 +1523,33 @@ ORACLES = {
         )
         SELECT doc_id, n_spans, n_dup_spans,
                floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e6) / 1e6 AS dup_frac
+        FROM per_doc
+        ORDER BY doc_id
+    """,
+    "text_ngram_novelty": rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id,
+                   unnest([md5(array_to_string(w[i:i+{SPAN_TOKENS - 1}], ' '))
+                           for i in generate_series(1, greatest(len(w) - {SPAN_TOKENS - 1}, 1))]) AS fp
+            FROM words
+        ),
+        doc_fp AS (SELECT DISTINCT doc_id, fp FROM spans),
+        first AS (
+            SELECT fp, MIN(doc_id) AS first_doc FROM doc_fp GROUP BY fp
+        ),
+        per_doc AS (
+            SELECT d.doc_id, COUNT(*) AS n_fps,
+                   CAST(SUM(CASE WHEN d.doc_id = f.first_doc
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+            FROM doc_fp d JOIN first f ON d.fp = f.fp
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, n_fps, n_novel,
+               floor(CAST(n_novel AS DOUBLE) / n_fps * 1e6) / 1e6 AS novelty
         FROM per_doc
         ORDER BY doc_id
     """,

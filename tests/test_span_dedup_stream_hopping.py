@@ -103,3 +103,23 @@ def test_events_queries_survive_non_utc_caller_session(spark):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert got_t == baseline_t
     assert got_h == baseline_h
+
+
+def test_ngram_novelty_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_ngram_novelty")
+
+
+def test_ngram_novelty_semantics(spark):
+    """The first document introduces everything it contains
+    (novelty 1.0); every ratio is in (0, 1]; fingerprint counts are
+    consistent."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_ngram_novelty,
+    )
+
+    rows = text_ngram_novelty(spark, SF_DIR).collect()
+    assert rows and rows[0].doc_id == min(r.doc_id for r in rows)
+    assert rows[0].novelty == 1.0
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_fps
+        assert 0.0 <= r.novelty <= 1.0
