@@ -503,6 +503,43 @@ def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOUNDED-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until
+    the watermark passes its event time + delay, then evicts it —
+    unlike plain ``dropDuplicates``, whose state grows with every
+    distinct key forever. At 100 TB/day this is the dedup-at-ingest
+    operator that actually survives: duplicates arrive within
+    minutes of each other (retries, at-least-once sources), so a
+    1-hour eviction horizon removes them all while state stays
+    proportional to the event RATE, not the stream's lifetime.
+
+    The input doubles every event (union of the stream with itself)
+    — the at-least-once-delivery worst case: every row is delivered
+    twice. The operator must collapse each pair (same event_id, same
+    timestamp → always inside any horizon) back to one row.
+    """
+    a = read_events_stream(spark, sf_dir).select("event_id", "ts", "user_id")
+    b = read_events_stream(spark, sf_dir).select("event_id", "ts", "user_id")
+    doubled = a.unionAll(b).withWatermark("ts", "1 hour")
+    return doubled.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        run_stream_to_memory(
+            stream_dedup_within_watermark(spark, sf_dir),
+            _next_query_name("stream_wm_dedup"),
+        )
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    )
+
+
 def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming top-purchasers: an UNWINDOWED stateful aggregation
     (running count + exact decimal sum per user) — the leaderboard /
@@ -582,6 +619,7 @@ QUERIES = {
     "stream_exact_dedup": q_stream_exact_dedup,
     "stream_topk_users": q_stream_topk_users,
     "stream_static_enrich": q_stream_static_enrich,
+    "stream_dedup_within_watermark": q_stream_dedup_within_watermark,
 }
 
 _GAP_MS = SESSION_GAP_MS
@@ -589,6 +627,14 @@ _WM_SESS_MS = 10 * 60 * 1000  # sessionize watermark delay
 _WM_TUMBLE_MS = 2 * 60 * 60 * 1000  # tumbling watermark delay
 
 ORACLES: dict[str, str] = {
+    # Doubled input (at-least-once worst case) collapses back to the
+    # exact per-event_id set: both copies of a row share one event
+    # time, so they always land inside the eviction horizon.
+    "stream_dedup_within_watermark": """
+        SELECT DISTINCT event_id, user_id
+        FROM events
+        ORDER BY event_id
+    """,
     # Stream-static joins are stateless: every event joins whatever
     # the static side holds at its micro-batch, so with a fixed dim
     # the streamed result IS the batch join.

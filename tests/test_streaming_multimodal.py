@@ -591,3 +591,34 @@ def test_stream_static_enrich_across_micro_batches(spark, tmp_path):
         .collect()
     )
     assert streamed == batch and streamed
+
+
+def test_stream_dedup_within_watermark_collapses_doubled_input(spark):
+    """The self-unioned (at-least-once worst case) stream carries
+    every event twice; dropDuplicatesWithinWatermark must emit the
+    exact distinct event set, and the plan must carry the
+    state-evicting dedup operator (not the unbounded one)."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        q_stream_dedup_within_watermark,
+        stream_dedup_within_watermark,
+    )
+
+    plan = (
+        stream_dedup_within_watermark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert "DeduplicateWithinWatermark" in plan, plan[:800]
+    got = {
+        (r.event_id, r.user_id)
+        for r in q_stream_dedup_within_watermark(spark, SF_DIR).collect()
+    }
+    expect = {
+        (r.event_id, r.user_id)
+        for r in load_table(spark, SF_DIR, "events")
+        .select("event_id", "user_id")
+        .collect()
+    }
+    assert got == expect and got
