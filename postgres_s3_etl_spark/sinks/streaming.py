@@ -112,3 +112,57 @@ def materialize_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def route_stream_dlq(
+    stream_df: DataFrame,
+    rules: list[tuple[str, str]],
+    valid_path: str,
+    dlq_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Dead-letter routing: per micro-batch, rows violating any rule
+    land in ``dlq_path`` with a ``_reject_reason`` column (comma-
+    joined names of every failed rule); clean rows land in
+    ``valid_path``. ``rules`` are (name, SQL-boolean-expr) pairs
+    where TRUE means VIOLATION.
+
+    Exactly-once: each batch writes to its own ``batch_id=N``
+    subdirectory in OVERWRITE mode — a replayed batch deterministically
+    rewrites the same content into the same directory, so crash-replay
+    converges instead of duplicating (the dynamic-partition variant of
+    the batch-marker contract). Readers consume ``<path>/batch_id=*``
+    as ordinary partitioned parquet.
+
+    Scale: the rule expressions are codegen'd row-local predicates
+    evaluated once per row (no second pass per rule); the split is
+    two filters over the same batch plan.
+    """
+    from pyspark.sql import functions as F
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        reasons = F.concat_ws(
+            ",",
+            *[
+                F.when(F.expr(expr), F.lit(name))
+                for name, expr in rules
+            ],
+        )
+        tagged = batch_df.withColumn("_reject_reason", reasons)
+        tagged.where(F.col("_reject_reason") != "").write.mode(
+            "overwrite"
+        ).parquet(batch_marker_dir(dlq_path, batch_id))
+        tagged.where(F.col("_reject_reason") == "").drop(
+            "_reject_reason"
+        ).write.mode("overwrite").parquet(
+            batch_marker_dir(valid_path, batch_id)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: apply(df, int(bid))
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
