@@ -326,7 +326,7 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = pts.select(
         F.size("pts").alias("n_days"),
         F.expr(
-            "aggregate(slice(pts, 2, size(pts) - 1), pts[0],"
+            "aggregate(slice(pts, 2, greatest(size(pts) - 1, 0)), get(pts, 0),"
             " (acc, x) -> named_struct("
             f"'s', {snew},"
             f"'b', {b} * ({snew} - acc.s) + {cb} * acc.b,"
