@@ -415,6 +415,82 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+#: Matryoshka evaluation prefixes (the MRL question: how much of the
+#: full-dim ranking survives a prefix truncation).
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: recall@k of cosine
+    top-k computed from only the first D dimensions against the
+    full-dimension exact top-k, for D in MRL_DIMS — the table that
+    decides how far an embedding column can be truncated (for
+    cheaper ANN / storage) before retrieval quality drops. D=64 is
+    the identity row (recall 1.0 by construction — a built-in
+    sanity check).
+
+    Scale shape: each prefix ranking is the brute-force plan with
+    sliced vectors (probes broadcast, corpus never shuffles); the
+    recall join is probe-grain (N_PROBES × TOP_K rows per dim).
+    Recall is micro-averaged from exact integer hit counts — no
+    float mean crosses engines.
+    """
+    vecs = _vecs(spark, sf_dir)
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    per_dim = []
+    for d in MRL_DIMS:
+        sub = vecs.select(
+            "vec_id", F.expr(f"slice(v, 1, {d})").alias("v")
+        ).withColumn(
+            "norm",
+            F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)")),
+        )
+        a = sub.where(F.col("vec_id") < N_PROBES).alias("a")
+        b = sub.alias("b")
+        cosine = _trunc6(
+            F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("cosine")
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        topk = (
+            F.broadcast(a)
+            .crossJoin(b)
+            .where(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("probe_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                cosine,
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        per_dim.append(
+            exact.join(topk, ["probe_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(d).alias("dim"),
+                F.count(F.lit(1)).cast("bigint").alias("total_k"),
+                F.sum(F.coalesce("hit", F.lit(0)))
+                .cast("bigint")
+                .alias("total_found"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    allrows = _reduce(lambda x, y: x.unionByName(y), per_dim)
+    return allrows.select(
+        "dim",
+        "total_k",
+        "total_found",
+        (
+            F.floor(F.col("total_found") * 1e6 / F.col("total_k")) / 1e6
+        ).alias("recall_micro"),
+    ).orderBy("dim")
+
+
 def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-corpus hygiene: flag vectors whose L2 norm falls
     outside the exact discrete [p01, p99] band — degenerate/corrupt
@@ -540,6 +616,7 @@ QUERIES = {
     "sim_search_bruteforce": sim_search_bruteforce,
     "embedding_pq_stats": embedding_pq_stats,
     "embedding_norm_outliers": embedding_norm_outliers,
+    "embedding_matryoshka_eval": embedding_matryoshka_eval,
     "embedding_code_dups": embedding_code_dups,
     "embedding_dim_stats": embedding_dim_stats,
     "sim_search_lsh": sim_search_lsh,
@@ -624,6 +701,62 @@ ORACLES = {
         GROUP BY m, code
         ORDER BY subspace, code
     """,
+    "embedding_matryoshka_eval": (
+        lambda blocks: f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        exact_topk AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                       floor(list_dot_product(a.v, b.v)
+                             / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY floor(list_dot_product(a.v, b.v)
+                                    / (a.nrm * b.nrm) * 1e6) / 1e6 DESC,
+                                    b.vec_id ASC) AS rank
+                FROM vecs a, vecs b
+                WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+            ) WHERE rank <= {TOP_K}
+        ),
+        per_dim AS ({blocks})
+        SELECT dim, total_k, total_found,
+               floor(total_found * 1e6 / total_k) / 1e6 AS recall_micro
+        FROM per_dim ORDER BY dim
+        """
+    )(
+        " UNION ALL ".join(
+            f"""
+            SELECT {d} AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS total_k,
+                   CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS total_found
+            FROM exact_topk e LEFT JOIN (
+                SELECT probe_id, neighbor_id FROM (
+                    SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY a.vec_id
+                               ORDER BY floor(
+                                   list_dot_product(a.v[1:{d}], b.v[1:{d}])
+                                   / (sqrt(list_dot_product(a.v[1:{d}],
+                                                            a.v[1:{d}]))
+                                      * sqrt(list_dot_product(b.v[1:{d}],
+                                                              b.v[1:{d}])))
+                                   * 1e6) / 1e6 DESC,
+                                   b.vec_id ASC) AS rank
+                    FROM vecs a, vecs b
+                    WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+                ) WHERE rank <= {TOP_K}
+            ) t ON e.probe_id = t.probe_id
+               AND e.neighbor_id = t.neighbor_id
+            """
+            for d in MRL_DIMS
+        )
+    ),
     "embedding_norm_outliers": """
         WITH vecs AS (
             SELECT vec_id,

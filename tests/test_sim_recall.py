@@ -27,3 +27,26 @@ def test_recall_values_are_sane(spark):
     # Same floor test_lsh_recall_vs_bruteforce holds the bucketing to
     # at this tiny SF (100 random vectors → sparse buckets).
     assert mean >= 0.3, f"mean recall {mean}"
+
+
+def test_matryoshka_eval_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "embedding_matryoshka_eval")
+
+
+def test_matryoshka_full_dim_is_identity_and_prefixes_degrade(spark):
+    """D=64 must reproduce the exact baseline (recall 1.0); every
+    recall is a valid ratio; the shortest prefix can't beat the
+    full ranking."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        embedding_matryoshka_eval,
+    )
+
+    rows = {r.dim: r for r in embedding_matryoshka_eval(spark, SF_DIR).collect()}
+    assert set(rows) == {8, 16, 32, 64}
+    assert rows[64].recall_micro == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.recall_micro <= 1.0
+        assert r.total_found <= r.total_k
+    assert rows[8].recall_micro <= rows[64].recall_micro
