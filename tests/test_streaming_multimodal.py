@@ -622,3 +622,35 @@ def test_stream_dedup_within_watermark_collapses_doubled_input(spark):
         .collect()
     }
     assert got == expect and got
+
+
+def test_scd2_pit_join_conserves_and_hash_joins(spark):
+    """Every probe shipment lands in exactly one priority era (counts
+    conserve), and the interval lookup rides an equi hash join on
+    custkey — never a nested-loop interval product."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.scd import (
+        SCD_PROBE_CUSTS,
+        q_scd2_point_in_time,
+    )
+
+    df = q_scd2_point_in_time(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    total = sum(r.n_shipments for r in rows)
+    orders = load_table(spark, SF_DIR, "orders").where(
+        F.col("o_custkey") < SCD_PROBE_CUSTS
+    )
+    expect = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert total == expect
