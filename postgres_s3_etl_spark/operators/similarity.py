@@ -415,6 +415,101 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by kNN disagreement (confident-learning
+    lite): for EVERY vector, the fraction of its ≤5 nearest LSH
+    neighbors carrying a different label; a vector whose neighborhood
+    majority disagrees (2·diff > k) is flagged as likely mislabeled.
+    Rolled up per label: micro-averaged disagreement + flag count —
+    the triage table a dataset-QA pass reads before relabeling.
+
+    Scale shape: corpus-wide kNN is quadratic; candidates come from
+    the SAME multi-table hyperplane-LSH buckets as sim_search_lsh
+    (equi-join on (table, bucket) — pair count bounded by bucket
+    occupancy; more planes shrink buckets at bigger corpora). All
+    disagreement ratios are exact integer micro-averages — no float
+    mean crosses engines.
+    """
+    base = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    ).withColumn("sig", _signature("v"))
+    buckets = base.select(
+        "vec_id",
+        "label",
+        "v",
+        "norm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
+                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", "label", "v", "norm",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cosine = _trunc6(
+        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+    ).alias("cosine")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("a.label").alias("la"),
+            F.col("b.vec_id").alias("vb"),
+            F.col("b.label").alias("lb"),
+            cosine,
+        )
+        .distinct()  # a pair can share several table buckets
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("cosine"), F.asc("vb"))
+    per_vec = (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .groupBy("va", "la")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.when(F.col("la") != F.col("lb"), 1).otherwise(0)).alias(
+                "diff"
+            ),
+        )
+    )
+    return (
+        per_vec.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum("k").cast("bigint").alias("total_k"),
+            F.sum("diff").cast("bigint").alias("total_diff"),
+            F.sum(
+                F.when(F.lit(2) * F.col("diff") > F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "total_k",
+            "total_diff",
+            "n_flagged",
+            (
+                F.floor(F.col("total_diff") * 1e6 / F.col("total_k")) / 1e6
+            ).alias("noise_micro"),
+        )
+        .orderBy("label")
+    )
+
+
 #: Matryoshka evaluation prefixes (the MRL question: how much of the
 #: full-dim ranking survives a prefix truncation).
 MRL_DIMS = (8, 16, 32, 64)
@@ -617,6 +712,7 @@ QUERIES = {
     "embedding_pq_stats": embedding_pq_stats,
     "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_matryoshka_eval": embedding_matryoshka_eval,
+    "embedding_label_noise": embedding_label_noise,
     "embedding_code_dups": embedding_code_dups,
     "embedding_dim_stats": embedding_dim_stats,
     "sim_search_lsh": sim_search_lsh,
@@ -700,6 +796,39 @@ ORACLES = {
         FROM best WHERE rn = 1
         GROUP BY m, code
         ORDER BY subspace, code
+    """,
+    "embedding_label_noise": f"""
+        WITH {lsh_bucket_cte("label,")},
+        cands AS (
+            SELECT DISTINCT a.vec_id AS va, a.label AS la,
+                   b.vec_id AS vb, b.label AS lb,
+                   floor(list_dot_product(a.v, b.v)
+                         / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY va
+                          ORDER BY cosine DESC, vb ASC) AS rank
+            FROM cands
+        ),
+        per_vec AS (
+            SELECT va, la, COUNT(*) AS k,
+                   SUM(CASE WHEN la <> lb THEN 1 ELSE 0 END) AS diff
+            FROM ranked WHERE rank <= {TOP_K}
+            GROUP BY va, la
+        )
+        SELECT la AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(k) AS BIGINT) AS total_k,
+               CAST(SUM(diff) AS BIGINT) AS total_diff,
+               CAST(SUM(CASE WHEN 2 * diff > k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged,
+               floor(SUM(diff) * 1e6 / SUM(k)) / 1e6 AS noise_micro
+        FROM per_vec
+        GROUP BY la
+        ORDER BY la
     """,
     "embedding_matryoshka_eval": (
         lambda blocks: f"""

@@ -50,3 +50,29 @@ def test_matryoshka_full_dim_is_identity_and_prefixes_degrade(spark):
         assert 0.0 <= r.recall_micro <= 1.0
         assert r.total_found <= r.total_k
     assert rows[8].recall_micro <= rows[64].recall_micro
+
+
+def test_label_noise_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "embedding_label_noise")
+
+
+def test_label_noise_covers_corpus_with_honest_ratios(spark):
+    """Every vector with at least one LSH co-bucket neighbor is
+    scored; flags never exceed the label's vector count; ratios are
+    valid micro-averages."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.similarity import (
+        embedding_label_noise,
+    )
+
+    rows = embedding_label_noise(spark, SF_DIR).collect()
+    assert rows
+    n_total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) <= n_total
+    assert sum(r.n_vecs for r in rows) >= n_total * 0.9  # buckets dense here
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_vecs
+        assert 0 <= r.total_diff <= r.total_k
+        assert 0.0 <= r.noise_micro <= 1.0
