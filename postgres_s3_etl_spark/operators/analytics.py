@@ -1721,7 +1721,108 @@ def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_customer_spend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS regression of customer lifetime spend on
+    account balance (slope, intercept, r²) — regression AS an
+    aggregation: the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) are exact DECIMAL sums, fully partial-aggregatable
+    (map-side combined, one shuffle at segment grain), and the
+    fit is one mirrored IEEE expression over them — no fold, no
+    window, no per-row residual pass. The shape every in-warehouse
+    feature/KPI regression should take at 100 TB.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", dec("c_acctbal").alias("x")
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        # re-narrow to (18,2): keeps y*y inside DECIMAL(38) in both
+        # engines (totals fit comfortably; a 100 TB run widens this
+        # and the sufficient sums together)
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("y"))
+    )
+    pts = cust.join(
+        spend, cust.c_custkey == spend.o_custkey, "inner"
+    ).select("c_mktsegment", "x", "y")
+    sums = pts.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = sxy - sx * sy / n
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    slope = cov_n / var_x
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        f6(slope).alias("slope"),
+        f6(sy / n - slope * (sx / n)).alias("intercept"),
+        f6(cov_n * cov_n / (var_x * var_y)).alias("r2"),
+    ).orderBy("c_mktsegment")
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the fraud/
+    data-integrity screen: observed leading-digit shares vs the
+    Benford expectation log10(1 + 1/d), plus each digit's
+    chi-square contribution. The leading digit comes from the
+    DECIMAL's canonical string form (first non-zero character) —
+    no float log10 near power-of-ten boundaries, identical in both
+    engines. Counts are one 9-group rollup; every ratio is one
+    mirrored expression over exact ints.
+    """
+    import math
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        dec("o_totalprice").alias("v")
+    )
+    digit = F.substring(
+        F.regexp_replace(F.col("v").cast("string"), r"[^1-9]", ""), 1, 1
+    ).cast("int")
+    counts = (
+        orders.where(F.col("v") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1.0 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    obs = F.col("n").cast("double") / F.col("total").cast("double")
+    exp_n = expected * F.col("total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            f6(obs).alias("observed"),
+            f6(expected).alias("benford"),
+            f6(
+                (F.col("n").cast("double") - exp_n)
+                * (F.col("n").cast("double") - exp_n)
+                / exp_n
+            ).alias("chisq_term"),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES = {
+    "q_customer_spend_regression": q_customer_spend_regression,
+    "q_orders_benford": q_orders_benford,
     "q_pricing_summary": q_pricing_summary,
     "q_customer_order_streaks": q_customer_order_streaks,
     "q_orders_price_histogram": q_orders_price_histogram,
@@ -1770,7 +1871,70 @@ QUERIES = {
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
 
+import math as _math
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {_math.log10(1 + 1.0 / d)!r})" for d in range(1, 10)
+)
+
 ORACLES = {
+    "q_customer_spend_regression": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS y
+            FROM orders GROUP BY o_custkey
+        ),
+        pts AS (
+            SELECT c.c_mktsegment,
+                   CAST(c.c_acctbal AS DECIMAL(18,2)) AS x, s.y
+            FROM customer c JOIN spend s ON c.c_custkey = s.o_custkey
+        ),
+        sums AS (
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM pts GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, n,
+               floor((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1e6) / 1e6
+                   AS slope,
+               floor((sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                      * (sx / n)) * 1e6) / 1e6 AS intercept,
+               floor((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                     / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+                     * 1e6) / 1e6 AS r2
+        FROM sums
+        ORDER BY c_mktsegment
+    """,
+    # Benford constants are PYTHON-computed literals inlined into
+    # both twins — a runtime log10 could differ in the last ulp
+    # between libms and cross a floor boundary.
+    "q_orders_benford": f"""
+        WITH counts AS (
+            SELECT CAST(substr(regexp_replace(
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0
+            GROUP BY digit
+        ),
+        total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+        bf (digit, p) AS (VALUES {_BENFORD_VALUES})
+        SELECT c.digit, c.n,
+               floor(CAST(c.n AS DOUBLE) / t.total * 1e6) / 1e6 AS observed,
+               floor(b.p * 1e6) / 1e6 AS benford,
+               floor((CAST(c.n AS DOUBLE) - b.p * t.total)
+                     * (CAST(c.n AS DOUBLE) - b.p * t.total)
+                     / (b.p * t.total) * 1e6) / 1e6 AS chisq_term
+        FROM counts c CROSS JOIN total t JOIN bf b ON c.digit = b.digit
+        ORDER BY c.digit
+    """,
     "q_orders_weekday_effect": """
         WITH cell AS (
             SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
