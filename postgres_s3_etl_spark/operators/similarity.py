@@ -452,11 +452,13 @@ def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "v", "norm",
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cosine = _trunc6(
-        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
-    ).alias("cosine")
-    cands = (
+    # Dedup (va, vb) int pairs FIRST (a pair can share several table
+    # buckets), then join the vectors back for ONE cosine fold per
+    # surviving pair — the 64-dim fold is the expensive part, and
+    # multi-table matches would otherwise recompute it per bucket hit.
+    thin = buckets.select("vec_id", "tbl", "bucket")
+    a, b = thin.alias("a"), thin.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -465,12 +467,38 @@ def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("a.vec_id").alias("va"),
-            F.col("a.label").alias("la"),
             F.col("b.vec_id").alias("vb"),
-            F.col("b.label").alias("lb"),
-            cosine,
         )
-        .distinct()  # a pair can share several table buckets
+        .distinct()
+    )
+    va_side = base.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("v").alias("av"),
+        F.col("norm").alias("anorm"),
+    )
+    vb_side = base.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("bv"),
+        F.col("norm").alias("bnorm"),
+    )
+    cands = (
+        pairs.join(va_side, "va")
+        .join(vb_side, "vb")
+        .select(
+            "va",
+            "la",
+            "vb",
+            "lb",
+            _trunc6(
+                F.expr(
+                    "aggregate(zip_with(av, bv, (x, y) -> x * y),"
+                    " 0.0d, (s, x) -> s + x)"
+                )
+                / (F.col("anorm") * F.col("bnorm"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("va").orderBy(F.desc("cosine"), F.asc("vb"))
     per_vec = (
