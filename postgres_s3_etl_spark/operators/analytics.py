@@ -1721,6 +1721,73 @@ def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+def q_orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily revenue series: is the
+    above/below-median sign sequence random, or does it trend/cycle
+    (too few runs) or oscillate (too many)? The randomness screen a
+    forecasting pipeline runs before trusting residuals.
+
+    All sequential structure lives at DAY grain (calendar-bounded):
+    the discrete median is a row_number pick over the daily rollup,
+    signs exclude exact-median days (standard), runs count via one
+    lag window, and the z-score is one mirrored expression over
+    exact integer (n1, n2, runs).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        dec("o_totalprice").alias("rev"),
+    )
+    daily = orders.groupBy("day").agg(F.sum("rev").alias("r"))
+    w = Window.orderBy("r", "day")  # day-grain: bounded by calendar
+    n_all = Window.partitionBy()
+    med = (
+        daily.select(
+            "r",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(n_all).alias("n"),
+        )
+        .where(F.col("rn") == F.ceil(F.col("n") * 0.5))
+        .select(F.col("r").alias("median"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("r") != F.col("median"))
+        .select("day", (F.col("r") > F.col("median")).alias("above"))
+    )
+    w_day = Window.orderBy("day")
+    flips = signed.select(
+        "above",
+        F.when(
+            F.lag("above").over(w_day).isNull()
+            | (F.lag("above").over(w_day) != F.col("above")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    sums = flips.agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum("new_run").cast("bigint").alias("runs"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    n = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (n - F.lit(1.0))
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        "n1",
+        "n2",
+        "runs",
+        f6(mu).alias("expected_runs"),
+        f6((F.col("runs").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
 def q_customer_spend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment OLS regression of customer lifetime spend on
     account balance (slope, intercept, r²) — regression AS an
@@ -1823,6 +1890,7 @@ def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_customer_spend_regression": q_customer_spend_regression,
     "q_orders_benford": q_orders_benford,
+    "q_orders_runs_test": q_orders_runs_test,
     "q_pricing_summary": q_pricing_summary,
     "q_customer_order_streaks": q_customer_order_streaks,
     "q_orders_price_histogram": q_orders_price_histogram,
@@ -1878,6 +1946,46 @@ _BENFORD_VALUES = ", ".join(
 )
 
 ORACLES = {
+    "q_orders_runs_test": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+            FROM orders GROUP BY day
+        ),
+        med AS (
+            SELECT r AS median FROM (
+                SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM daily
+            ) WHERE rn = CAST(CEIL(n * 0.5) AS BIGINT)
+        ),
+        signed AS (
+            SELECT day, d.r > m.median AS above
+            FROM daily d CROSS JOIN med m
+            WHERE d.r <> m.median
+        ),
+        flips AS (
+            SELECT above,
+                   CASE WHEN LAG(above) OVER (ORDER BY day) IS NULL
+                          OR LAG(above) OVER (ORDER BY day) <> above
+                        THEN 1 ELSE 0 END AS new_run
+            FROM signed
+        ),
+        sums AS (
+            SELECT CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+                   CAST(SUM(new_run) AS BIGINT) AS runs
+            FROM flips
+        )
+        SELECT n1, n2, runs,
+               floor((2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0) * 1e6) / 1e6
+                   AS expected_runs,
+               floor((runs - (2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0))
+                     / sqrt((2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0 - 1.0e0)
+                            * (2.0e0 * n1 * n2 / (n1 + n2) + 1.0e0 - 2.0e0)
+                            / (n1 + n2 - 1.0e0)) * 1e6) / 1e6 AS z
+        FROM sums
+    """,
     "q_customer_spend_regression": """
         WITH spend AS (
             SELECT o_custkey,

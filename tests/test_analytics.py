@@ -7,6 +7,7 @@ from tests.conftest import assert_matches_oracle
 NAMES = [
     "q_customer_spend_regression",
     "q_orders_benford",
+    "q_orders_runs_test",
     "q_pricing_summary",
     "q_revenue_forecast",
     "q_top_revenue_orders",
