@@ -952,7 +952,69 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system revenue reconciliation: clickstream purchase
+    value (events) vs booked order revenue (orders), bridged through
+    the customer dim to market-segment grain — the daily sanity
+    check between the behavioral system and the system of record,
+    with the tracking-coverage ratio per segment.
+
+    Plan: two independent map-side-combined rollups (events by user,
+    orders by customer) meet the customer dim on its key; the final
+    frame is segment-grain (5 rows). Both value sums stay DECIMAL
+    until the mirrored ratio; users without a customer row (tracking
+    ids beyond the dim) are counted, not dropped.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("click_rev"),
+            F.count(F.lit(1)).alias("n_click_purchases"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("booked_rev"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    per_key = ev.join(orders, "k", "full_outer").join(cust, "k", "left")
+    return (
+        per_key.groupBy(
+            F.coalesce("c_mktsegment", F.lit("UNMATCHED")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.coalesce("n_click_purchases", F.lit(0)))
+            .cast("bigint")
+            .alias("n_click_purchases"),
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        "click_rev", F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("click_rev"),
+            F.round(
+                F.sum(
+                    F.coalesce(
+                        "booked_rev", F.lit(0).cast("decimal(18,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("booked_rev"),
+        )
+        .orderBy("segment")
+    )
+
+
 QUERIES = {
+    "q_events_revenue_bridge": q_events_revenue_bridge,
     "q_events_funnel": q_events_funnel,
     "q_events_transition_matrix": q_events_transition_matrix,
     "q_events_top_paths": q_events_top_paths,
@@ -982,6 +1044,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_events_revenue_bridge": """
+        WITH ev AS (
+            SELECT user_id AS k,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS click_rev,
+                   COUNT(*) AS n_click_purchases
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        ord AS (
+            SELECT o_custkey AS k,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS booked_rev
+            FROM orders GROUP BY o_custkey
+        ),
+        per_key AS (
+            SELECT COALESCE(e.k, o.k) AS k,
+                   e.click_rev, e.n_click_purchases, o.booked_rev
+            FROM ev e FULL OUTER JOIN ord o ON e.k = o.k
+        )
+        SELECT COALESCE(c.c_mktsegment, 'UNMATCHED') AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(COALESCE(p.n_click_purchases, 0)) AS BIGINT)
+                   AS n_click_purchases,
+               ROUND(CAST(SUM(COALESCE(p.click_rev,
+                     CAST(0 AS DECIMAL(18,2)))) AS DOUBLE), 2) AS click_rev,
+               ROUND(CAST(SUM(COALESCE(p.booked_rev,
+                     CAST(0 AS DECIMAL(18,2)))) AS DOUBLE), 2) AS booked_rev
+        FROM per_key p LEFT JOIN customer c ON p.k = c.c_custkey
+        GROUP BY segment
+        ORDER BY segment
+    """,
     "q_events_attribution_ushape": """
         WITH conv AS (
             SELECT user_id, ts AS conv_ts
