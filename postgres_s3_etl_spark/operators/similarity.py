@@ -415,6 +415,98 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+#: LSH tuning sweep: table counts to evaluate (16 planes split into
+#: t tables of 16/t bits — more tables = bigger buckets = more
+#: candidates = higher recall).
+LSH_SWEEP_TABLES = (2, 4, 8)
+
+
+def sim_search_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index tuning as a query: for each LSH banding configuration
+    (t tables × 16/t bits from the SAME 16-plane signature), the
+    candidate-pair cost per probe and the recall@k against the exact
+    top-k — the measure-don't-guess table that picks an ANN
+    operating point before a corpus-wide build.
+
+    Scale shape: one signature computation feeds every
+    configuration; per config the candidate set is the same
+    (table, bucket) equi-join as the production path, and the eval
+    joins stay probe-grain. Recall micro-averages from exact ints.
+    """
+    vecs = _vecs(spark, sf_dir).withColumn("sig", _signature("v"))
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    out = []
+    for t in LSH_SWEEP_TABLES:
+        bits = N_PLANES // t
+        buckets = vecs.select(
+            "vec_id",
+            "v",
+            "norm",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {t - 1}), t -> struct(t AS tbl, "
+                    f"(sig div cast(pow(2, t * {bits}) as bigint)) % {2 ** bits} AS bucket))"
+                )
+            ).alias("tb"),
+        ).select(
+            "vec_id", "v", "norm",
+            F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+        )
+        a = buckets.where(F.col("vec_id") < N_PROBES).alias("a")
+        b = buckets.alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("probe_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                _trunc6(
+                    F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+                ).alias("cosine"),
+            )
+            .distinct()
+        )
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        topk = (
+            cands.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+        )
+        n_cand = cands.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        rec = exact.join(topk, ["probe_id", "neighbor_id"], "left").agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_k"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("total_found"),
+        )
+        out.append(
+            rec.crossJoin(F.broadcast(n_cand)).select(
+                F.lit(t).alias("n_tables"),
+                F.lit(bits).alias("bits_per_table"),
+                "n_candidates",
+                "total_k",
+                "total_found",
+                (
+                    F.floor(F.col("total_found") * 1e6 / F.col("total_k"))
+                    / 1e6
+                ).alias("recall_micro"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda x, y: x.unionByName(y), out).orderBy("n_tables")
+
+
 def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise detection by kNN disagreement (confident-learning
     lite): for EVERY vector, the fraction of its ≤5 nearest LSH
@@ -741,6 +833,7 @@ QUERIES = {
     "embedding_norm_outliers": embedding_norm_outliers,
     "embedding_matryoshka_eval": embedding_matryoshka_eval,
     "embedding_label_noise": embedding_label_noise,
+    "sim_search_lsh_tuning": sim_search_lsh_tuning,
     "embedding_code_dups": embedding_code_dups,
     "embedding_dim_stats": embedding_dim_stats,
     "sim_search_lsh": sim_search_lsh,
@@ -825,6 +918,80 @@ ORACLES = {
         GROUP BY m, code
         ORDER BY subspace, code
     """,
+    # One signature CTE chain; per-configuration banding + eval
+    # blocks UNION ALL'd (the default `bucketed` CTE rides along
+    # unused for t=4 — harmless).
+    "sim_search_lsh_tuning": (
+        lambda blocks: f"""
+        WITH {lsh_bucket_cte()},
+        exact_topk AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY floor(list_dot_product(a.v, b.v)
+                                    / (a.nrm * b.nrm) * 1e6) / 1e6 DESC,
+                                    b.vec_id ASC) AS rank
+                FROM vecs a, vecs b
+                WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT * FROM ({blocks}) ORDER BY n_tables
+        """
+    )(
+        " UNION ALL ".join(
+            f"""
+            SELECT {t} AS n_tables, {N_PLANES // t} AS bits_per_table,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                        SELECT DISTINCT v1.vec_id, v2.vec_id AS n2
+                        FROM vecs v1
+                        JOIN sigs s1 ON v1.vec_id = s1.vec_id,
+                             (SELECT unnest(generate_series(0, {t - 1})) AS t) tt,
+                             vecs v2
+                        JOIN sigs s2 ON v2.vec_id = s2.vec_id
+                        WHERE v1.vec_id < {N_PROBES}
+                          AND v1.vec_id <> v2.vec_id
+                          AND (s1.sig // CAST(pow(2, tt.t * {N_PLANES // t}) AS BIGINT))
+                              % {2 ** (N_PLANES // t)}
+                            = (s2.sig // CAST(pow(2, tt.t * {N_PLANES // t}) AS BIGINT))
+                              % {2 ** (N_PLANES // t)}
+                   )) AS n_candidates,
+                   CAST(COUNT(*) AS BIGINT) AS total_k,
+                   CAST(SUM(CASE WHEN tk.neighbor_id IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS total_found,
+                   floor(SUM(CASE WHEN tk.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) * 1e6 / COUNT(*)) / 1e6
+                       AS recall_micro
+            FROM exact_topk e LEFT JOIN (
+                SELECT probe_id, neighbor_id FROM (
+                    SELECT c.probe_id, c.neighbor_id,
+                           ROW_NUMBER() OVER (PARTITION BY c.probe_id
+                               ORDER BY c.cosine DESC,
+                                        c.neighbor_id ASC) AS rank
+                    FROM (
+                        SELECT DISTINCT v1.vec_id AS probe_id,
+                               v2.vec_id AS neighbor_id,
+                               floor(list_dot_product(v1.v, v2.v)
+                                     / (v1.nrm * v2.nrm) * 1e6) / 1e6
+                                   AS cosine
+                        FROM vecs v1
+                        JOIN sigs s1 ON v1.vec_id = s1.vec_id,
+                             (SELECT unnest(generate_series(0, {t - 1})) AS t) tt,
+                             vecs v2
+                        JOIN sigs s2 ON v2.vec_id = s2.vec_id
+                        WHERE v1.vec_id < {N_PROBES}
+                          AND v1.vec_id <> v2.vec_id
+                          AND (s1.sig // CAST(pow(2, tt.t * {N_PLANES // t}) AS BIGINT))
+                              % {2 ** (N_PLANES // t)}
+                            = (s2.sig // CAST(pow(2, tt.t * {N_PLANES // t}) AS BIGINT))
+                              % {2 ** (N_PLANES // t)}
+                    ) c
+                ) WHERE rank <= {TOP_K}
+            ) tk ON e.probe_id = tk.probe_id
+                AND e.neighbor_id = tk.neighbor_id
+            """
+            for t in LSH_SWEEP_TABLES
+        )
+    ),
     "embedding_label_noise": f"""
         WITH {lsh_bucket_cte("label,")},
         cands AS (

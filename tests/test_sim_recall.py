@@ -76,3 +76,29 @@ def test_label_noise_covers_corpus_with_honest_ratios(spark):
         assert 0 <= r.n_flagged <= r.n_vecs
         assert 0 <= r.total_diff <= r.total_k
         assert 0.0 <= r.noise_micro <= 1.0
+
+
+def test_lsh_tuning_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "sim_search_lsh_tuning")
+
+
+def test_lsh_tuning_cost_recall_monotone(spark):
+    """More tables (fewer bits each) = coarser buckets = more
+    candidates and no-worse recall — the tradeoff the table exists
+    to expose."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        sim_search_lsh_tuning,
+    )
+
+    rows = sorted(
+        sim_search_lsh_tuning(spark, SF_DIR).collect(),
+        key=lambda r: r.n_tables,
+    )
+    assert [r.n_tables for r in rows] == [2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.recall_micro >= a.recall_micro
+    for r in rows:
+        assert 0.0 <= r.recall_micro <= 1.0
