@@ -415,6 +415,60 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+def embedding_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization through ``mapInArrow`` — the zero-copy Arrow
+    batch path (Spark 4's fastest Python lane; no pandas conversion,
+    no per-row Python). Emits each vector's norm and its unit-vector
+    head/tail components — the prep step before cosine ANN when the
+    index stores unit vectors.
+
+    Bit-exactness across engines: the norm accumulates
+    DIM-SEQUENTIALLY but row-vectorized (``acc += x_d²`` per
+    dimension over the whole batch) — the identical add order as the
+    SQL engines' sequential folds, unlike ``numpy.sum``'s pairwise
+    tree. Divisions are one IEEE op per component.
+    """
+    import pyarrow as pa_mod
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+    def normalize(batches):
+        for batch in batches:
+            tbl = pa_mod.Table.from_batches([batch])
+            ids = tbl.column("vec_id").to_numpy()
+            mat = np.array(tbl.column("v").to_pylist(), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            acc = np.zeros(len(ids), dtype=np.float64)
+            for d in range(mat.shape[1]):  # sequential over dims
+                acc = acc + mat[:, d] * mat[:, d]
+            norm = np.sqrt(acc)
+            yield pa_mod.RecordBatch.from_arrays(
+                [
+                    pa_mod.array(ids, type=pa_mod.int64()),
+                    pa_mod.array(norm),
+                    pa_mod.array(mat[:, 0] / norm),
+                    pa_mod.array(mat[:, -1] / norm),
+                ],
+                names=["vec_id", "norm", "u_first", "u_last"],
+            )
+
+    out_schema = (
+        "vec_id bigint, norm double, u_first double, u_last double"
+    )
+    res = emb.mapInArrow(normalize, out_schema)
+    f6 = _trunc6
+    return res.select(
+        "vec_id",
+        f6(F.col("norm")).alias("norm"),
+        f6(F.col("u_first")).alias("u_first"),
+        f6(F.col("u_last")).alias("u_last"),
+    ).orderBy("vec_id")
+
+
 #: LSH tuning sweep: table counts to evaluate (16 planes split into
 #: t tables of 16/t bits — more tables = bigger buckets = more
 #: candidates = higher recall).
@@ -834,6 +888,7 @@ QUERIES = {
     "embedding_matryoshka_eval": embedding_matryoshka_eval,
     "embedding_label_noise": embedding_label_noise,
     "sim_search_lsh_tuning": sim_search_lsh_tuning,
+    "embedding_unit_norm": embedding_unit_norm,
     "embedding_code_dups": embedding_code_dups,
     "embedding_dim_stats": embedding_dim_stats,
     "sim_search_lsh": sim_search_lsh,
@@ -917,6 +972,20 @@ ORACLES = {
         FROM best WHERE rn = 1
         GROUP BY m, code
         ORDER BY subspace, code
+    """,
+    "embedding_unit_norm": """
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT vec_id,
+               floor(nrm * 1e6) / 1e6 AS norm,
+               floor(v[1] / nrm * 1e6) / 1e6 AS u_first,
+               floor(v[len(v)] / nrm * 1e6) / 1e6 AS u_last
+        FROM vecs
+        ORDER BY vec_id
     """,
     # One signature CTE chain; per-configuration banding + eval
     # blocks UNION ALL'd (the default `bucketed` CTE rides along

@@ -102,3 +102,32 @@ def test_lsh_tuning_cost_recall_monotone(spark):
         assert b.recall_micro >= a.recall_micro
     for r in rows:
         assert 0.0 <= r.recall_micro <= 1.0
+
+
+def test_unit_norm_matches_oracle(spark, duck):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "embedding_unit_norm")
+
+
+def test_unit_norm_arrow_path_equals_sql_fold(spark):
+    """The mapInArrow norms must be bit-identical to the engine-side
+    sequential aggregate fold (the dim-sequential accumulation is
+    what makes that true)."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.operators.similarity import (
+        _vecs,
+        embedding_unit_norm,
+    )
+
+    arrow = {
+        r.vec_id: r.norm for r in embedding_unit_norm(spark, SF_DIR).collect()
+    }
+    import math
+
+    sql = {
+        r.vec_id: math.floor(r.norm * 1e6) / 1e6
+        for r in _vecs(spark, SF_DIR).select("vec_id", "norm").collect()
+    }
+    assert arrow == sql and arrow
