@@ -423,8 +423,50 @@ def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup at ingest: the same asset re-uploaded
+    under a new id must collapse before feature extraction pays for
+    it twice. The synthetic feed re-ingests every 7th asset with a
+    fresh id; digests computed in the SAME Arrow-batched mapInPandas
+    pass as featurization group exact byte-duplicates, and the
+    rollup reports per-type duplication (the image-dedup step every
+    multimodal training pipeline runs, with real hashes over the
+    payload bytes — only the decode stays stubbed).
+
+    Scale: payload bytes never shuffle (digest computed in-batch at
+    the scan); the dedup shuffle carries 32-char digests; keeper
+    choice is min(asset_id) per digest — the same keep-rule as the
+    text CC keep-set.
+    """
+    base = synth_media(spark, n=64)
+    reups = base.where(F.col("asset_id") % 7 == 0).select(
+        (F.col("asset_id") + 64).alias("asset_id"),
+        "media_type",
+        "width",
+        "height",
+        "duration_ms",
+        "payload",
+    )
+    feats = extract_features(base.unionByName(reups))
+    groups = feats.groupBy("media_type", "payload_digest").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("asset_id").alias("keeper"),
+    )
+    return (
+        groups.groupBy("media_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_assets"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_payloads"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("n_dup_assets"),
+            F.max("n").cast("bigint").alias("max_dup_group"),
+        )
+        .orderBy("media_type")
+    )
+
+
 QUERIES = {
     "mm_decode_stub": mm_decode_stub,
+    "mm_payload_dedup": mm_payload_dedup,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
     "mm_image_patches": mm_image_patches,
@@ -447,6 +489,39 @@ _F0_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    # Asset ids 64+i are re-uploads of source i (i % 7 = 0); every
+    # digest regenerates from the public-hash payload construction.
+    "mm_payload_dedup": """
+        WITH ids AS (
+            SELECT i AS asset_id, i AS src
+            FROM (SELECT unnest(generate_series(0, 63)) AS i)
+            UNION ALL
+            SELECT i + 64, i
+            FROM (SELECT unnest(generate_series(0, 63)) AS i)
+            WHERE i % 7 = 0
+        ),
+        m AS (
+            SELECT asset_id,
+                   CASE src % 3 WHEN 0 THEN 'image'
+                                WHEN 1 THEN 'audio'
+                                ELSE 'video' END AS media_type,
+                   md5(repeat(sha256('asset-' || src), 4 + (src % 5)))
+                       AS payload_digest
+            FROM ids
+        ),
+        groups AS (
+            SELECT media_type, payload_digest, COUNT(*) AS n
+            FROM m GROUP BY media_type, payload_digest
+        )
+        SELECT media_type,
+               CAST(SUM(n) AS BIGINT) AS n_assets,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_payloads,
+               CAST(SUM(n - 1) AS BIGINT) AS n_dup_assets,
+               CAST(MAX(n) AS BIGINT) AS max_dup_group
+        FROM groups
+        GROUP BY media_type
+        ORDER BY media_type
+    """,
     "mm_image_patches": f"""
         WITH images AS (
             SELECT i,

@@ -654,3 +654,19 @@ def test_scd2_pit_join_conserves_and_hash_joins(spark):
         .count()
     )
     assert total == expect
+
+
+def test_mm_payload_dedup_finds_exactly_the_reuploads(spark, duck):
+    """10 re-ingested assets (i%7==0 of 64) must be the only
+    duplicates: every dup group has size 2 and per-type dup counts
+    sum to 10; oracle parity holds."""
+    from tests.conftest import assert_matches_oracle
+
+    from postgres_s3_etl_spark.operators.multimodal import mm_payload_dedup
+
+    assert_matches_oracle(spark, duck, "mm_payload_dedup")
+    rows = mm_payload_dedup(spark, SF_DIR).collect()
+    assert sum(r.n_dup_assets for r in rows) == 10
+    for r in rows:
+        assert r.max_dup_group == 2
+        assert r.n_assets == r.n_distinct_payloads + r.n_dup_assets
