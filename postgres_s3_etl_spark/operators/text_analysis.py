@@ -166,6 +166,71 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Fixed public logistic weights (binary fractions — exact DECIMAL
+#: multiplication) over the integer quality features. A trained
+#: model would only swap these constants; the PLAN is the point.
+CLS_W_TOKENS = "0.25"
+CLS_W_STOP = "0.50"
+CLS_W_PUNCT = "-0.75"
+CLS_BIAS = "-8.00"
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML inference fused into pure engine SQL (the operator-fusion
+    pattern from the in-database-inference literature): a fixed-
+    weight logistic quality classifier scored in ONE codegen
+    expression per row — no UDF, no model server, no Python on the
+    hot path. The sigmoid is monotone, so classification thresholds
+    on the LOGIT at 0 and all arithmetic stays in exact DECIMAL
+    (binary-fraction weights × integer counts) — bit-equal across
+    engines with no exp()/libm dependence.
+
+    Per-source rollup: docs, keeps, keep rate, mean logit — the
+    routing table a corpus-filter stage reads.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(_ws_tokens(text)).cast("long")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
+    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
+        "long"
+    )
+    logit = (
+        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
+        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
+        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
+        + F.lit(CLS_BIAS).cast("decimal(8,2)")
+    ).cast("decimal(18,2)")
+    scored = docs.select("source", logit.alias("z"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("z") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.sum("z").alias("z_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            (
+                F.floor(F.col("n_keep") * 1e6 / F.col("n_docs")) / 1e6
+            ).alias("keep_rate"),
+            (
+                F.floor(
+                    F.col("z_sum").cast("double")
+                    / F.col("n_docs")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("mean_logit"),
+        )
+        .orderBy("source")
+    )
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts: whitespace tokens + BPE-ish regex tokens +
     chars-per-token compression proxy."""
@@ -1303,6 +1368,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_langid_f1": text_langid_f1,
     "text_quality": text_quality,
+    "text_quality_classifier": text_quality_classifier,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_corpus_filter": text_corpus_filter,
@@ -1554,6 +1620,38 @@ ORACLES = {
         ORDER BY doc_id
     """,
     "text_langid": _langid_oracle(),
+    "text_quality_classifier": rf"""
+        WITH f AS (
+            SELECT source,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+                        AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\b(the|a|of|and|to)\b')) AS BIGINT) AS n_stop
+            FROM documents
+        ),
+        z AS (
+            SELECT source,
+                   CAST(CAST({CLS_W_TOKENS} AS DECIMAL(8,2)) * n_tokens
+                        + CAST({CLS_W_STOP} AS DECIMAL(8,2)) * n_stop
+                        + CAST({CLS_W_PUNCT} AS DECIMAL(8,2)) * n_punct
+                        + CAST({CLS_BIAS} AS DECIMAL(8,2))
+                        AS DECIMAL(18,2)) AS z
+            FROM f
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               floor(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) * 1e6
+                     / COUNT(*)) / 1e6 AS keep_rate,
+               floor(CAST(SUM(z) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                   AS mean_logit
+        FROM z
+        GROUP BY source
+        ORDER BY source
+    """,
     "text_quality": r"""
         WITH m AS (
             SELECT doc_id,
