@@ -415,6 +415,63 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+#: Incremental split: vectors with id below the threshold fraction
+#: are the "already-indexed" corpus; the rest are new arrivals.
+INCR_SPLIT_FRAC = 0.8
+
+
+def sim_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the interactive-session
+    pattern): a cached per-probe top-k over the already-indexed
+    corpus is MERGED with scores of newly-arrived vectors — re-rank
+    over k + |new matches| rows per probe, never a corpus rescan.
+    Correct because cosine top-k is a monotone selection: dropping a
+    vector that wasn't in the old top-k can never promote it after
+    more data arrives.
+
+    The oracle is the FULL-corpus top-k (one scan) — deliberately
+    the non-incremental formulation, so the compare proves the
+    incremental identity, not just the arithmetic.
+    """
+    vecs = _vecs(spark, sf_dir)
+    n_total = vecs.count()  # scalar; drives the deterministic split
+    cut = int(n_total * INCR_SPLIT_FRAC)
+    indexed = vecs.where(F.col("vec_id") < cut)
+    arrivals = vecs.where(F.col("vec_id") >= cut)
+    probes = vecs.where(F.col("vec_id") < N_PROBES)
+
+    def _score(side: DataFrame) -> DataFrame:
+        a, b = probes.alias("a"), side.alias("b")
+        return (
+            F.broadcast(a)
+            .crossJoin(b)
+            .where(F.col("a.vec_id") != F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("probe_id"),
+                F.col("b.vec_id").alias("neighbor_id"),
+                _trunc6(
+                    F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+                ).alias("cosine"),
+            )
+        )
+
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    cached = (
+        _score(indexed)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .drop("rank")
+    )
+    merged = cached.unionByName(_score(arrivals))
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("probe_id", "rank")
+    )
+
+
 def embedding_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization through ``mapInArrow`` — the zero-copy Arrow
     batch path (Spark 4's fastest Python lane; no pandas conversion,
@@ -889,6 +946,7 @@ QUERIES = {
     "embedding_label_noise": embedding_label_noise,
     "sim_search_lsh_tuning": sim_search_lsh_tuning,
     "embedding_unit_norm": embedding_unit_norm,
+    "sim_search_incremental": sim_search_incremental,
     "embedding_code_dups": embedding_code_dups,
     "embedding_dim_stats": embedding_dim_stats,
     "sim_search_lsh": sim_search_lsh,
@@ -972,6 +1030,29 @@ ORACLES = {
         FROM best WHERE rn = 1
         GROUP BY m, code
         ORDER BY subspace, code
+    """,
+    # Full-corpus (non-incremental) top-k: proves the incremental
+    # merge identity, not just the arithmetic.
+    "sim_search_incremental": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )
+        SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v)
+                         / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                       ORDER BY floor(list_dot_product(a.v, b.v)
+                                / (a.nrm * b.nrm) * 1e6) / 1e6 DESC,
+                                b.vec_id ASC) AS rank
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ) WHERE rank <= {TOP_K}
+        ORDER BY probe_id, rank
     """,
     "embedding_unit_norm": """
         WITH vecs AS (
