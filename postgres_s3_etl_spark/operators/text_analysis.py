@@ -231,6 +231,57 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report — the one-glance (metric, value) table a
+    data lead reads before green-lighting a training run: volume,
+    source/language spread, exact-duplicate rate, length profile,
+    and token budget. Composes in TWO scans: one full-column pass
+    for every row-local metric (conditional sums, map-side
+    combined) and one digest rollup for the exact-dup rate; the
+    report itself is a constant-size union of scalar aggregates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.sum(F.size(_ws_tokens(F.col("text"))))
+        .cast("double")
+        .alias("total_tokens"),
+        F.sum(F.when(F.col("n_chars") < 100, 1).otherwise(0))
+        .cast("double")
+        .alias("n_short"),
+    )
+    dups = docs.select(F.md5("text").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.countDistinct("d").cast("double").alias("n_distinct"),
+    )
+    f6 = _trunc6
+    report = base.crossJoin(F.broadcast(dups)).select(
+        F.col("n_docs"),
+        F.col("n_sources"),
+        F.col("n_langs"),
+        F.col("total_tokens"),
+        f6(F.col("total_chars") / F.col("n_docs")).alias("mean_chars"),
+        f6(F.col("n_short") / F.col("n_docs")).alias("short_doc_rate"),
+        f6(
+            (F.col("n") - F.col("n_distinct")) / F.col("n")
+        ).alias("exact_dup_rate"),
+    )
+    return report.selectExpr(
+        "stack(7, "
+        "'n_docs', n_docs, "
+        "'n_sources', n_sources, "
+        "'n_langs', n_langs, "
+        "'total_tokens', total_tokens, "
+        "'mean_chars', mean_chars, "
+        "'short_doc_rate', short_doc_rate, "
+        "'exact_dup_rate', exact_dup_rate"
+        ") AS (metric, value)"
+    ).orderBy("metric")
+
+
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts: whitespace tokens + BPE-ish regex tokens +
     chars-per-token compression proxy."""
@@ -1369,6 +1420,7 @@ QUERIES = {
     "text_langid_f1": text_langid_f1,
     "text_quality": text_quality,
     "text_quality_classifier": text_quality_classifier,
+    "text_corpus_health": text_corpus_health,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_corpus_filter": text_corpus_filter,
@@ -1620,6 +1672,41 @@ ORACLES = {
         ORDER BY doc_id
     """,
     "text_langid": _langid_oracle(),
+    "text_corpus_health": r"""
+        WITH base AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+                   CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+                   CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+                   CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                        AS DOUBLE) AS total_tokens,
+                   CAST(SUM(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n_short
+            FROM documents
+        ),
+        dups AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) AS n_distinct
+            FROM documents
+        ),
+        rep AS (
+            SELECT b.n_docs, b.n_sources, b.n_langs, b.total_tokens,
+                   floor(b.total_chars / b.n_docs * 1e6) / 1e6 AS mean_chars,
+                   floor(b.n_short / b.n_docs * 1e6) / 1e6 AS short_doc_rate,
+                   floor((d.n - d.n_distinct) / d.n * 1e6) / 1e6
+                       AS exact_dup_rate
+            FROM base b CROSS JOIN dups d
+        )
+        SELECT metric, value FROM (
+            SELECT 'n_docs' AS metric, n_docs AS value FROM rep
+            UNION ALL SELECT 'n_sources', n_sources FROM rep
+            UNION ALL SELECT 'n_langs', n_langs FROM rep
+            UNION ALL SELECT 'total_tokens', total_tokens FROM rep
+            UNION ALL SELECT 'mean_chars', mean_chars FROM rep
+            UNION ALL SELECT 'short_doc_rate', short_doc_rate FROM rep
+            UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM rep
+        ) ORDER BY metric
+    """,
     "text_quality_classifier": rf"""
         WITH f AS (
             SELECT source,
