@@ -263,10 +263,16 @@ def text_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sources"),
         F.col("n_langs"),
         F.col("total_tokens"),
-        f6(F.col("total_chars") / F.col("n_docs")).alias("mean_chars"),
-        f6(F.col("n_short") / F.col("n_docs")).alias("short_doc_rate"),
+        # try_divide: an empty corpus reports NULL ratios, not an
+        # ANSI divide-by-zero; identical to plain division otherwise
+        f6(F.try_divide(F.col("total_chars"), F.col("n_docs"))).alias(
+            "mean_chars"
+        ),
+        f6(F.try_divide(F.col("n_short"), F.col("n_docs"))).alias(
+            "short_doc_rate"
+        ),
         f6(
-            (F.col("n") - F.col("n_distinct")) / F.col("n")
+            F.try_divide(F.col("n") - F.col("n_distinct"), F.col("n"))
         ).alias("exact_dup_rate"),
     )
     return report.selectExpr(
