@@ -295,8 +295,54 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over edges (Newman's r) — do
+    hub parts co-purchase with hubs (r > 0, social-network-like) or
+    with the long tail (r < 0, dependency-graph-like)? One number
+    that shapes partitioning and sampling strategy for every other
+    graph job.
+
+    Computed from exact BIGINT sufficient sums over the symmetric
+    edge list with degrees joined at both endpoints (each undirected
+    edge contributes both orientations, the standard convention):
+    pure partial-aggregatable sums, one mirrored IEEE expression for
+    r — the same regression-as-aggregation shape as the customer
+    spend OLS, at graph scale.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = _degrees(edges)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("deg").alias("dv"))
+    j = sym.join(du, "src").join(dv, "dst")
+    sums = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("du").cast("bigint").alias("su"),
+        F.sum("dv").cast("bigint").alias("sv"),
+        F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("suv"),
+        F.sum(F.col("du") * F.col("du")).cast("bigint").alias("suu"),
+        F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("svv"),
+    )
+    m = F.col("m2").cast("double")
+    su, sv = F.col("su").cast("double"), F.col("sv").cast("double")
+    suv = F.col("suv").cast("double")
+    suu, svv = F.col("suu").cast("double"), F.col("svv").cast("double")
+    num = suv - su * sv / m
+    den = F.sqrt((suu - su * su / m) * (svv - sv * sv / m))
+    return sums.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        (F.floor(F.try_divide(num, den) * 1e6) / 1e6).alias(
+            "assortativity"
+        ),
+    )
+
+
 QUERIES = {
     "graph_degree_stats": graph_degree_stats,
+    "graph_assortativity": graph_assortativity,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
     "graph_jaccard_links": graph_jaccard_links,
@@ -323,6 +369,40 @@ def _pr_iter_sql(prev: str, out: str) -> str:
 
 
 ORACLES = {
+    "graph_assortativity": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY src
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                   CAST(SUM(a.d) AS BIGINT) AS su,
+                   CAST(SUM(b.d) AS BIGINT) AS sv,
+                   CAST(SUM(a.d * b.d) AS BIGINT) AS suv,
+                   CAST(SUM(a.d * a.d) AS BIGINT) AS suu,
+                   CAST(SUM(b.d * b.d) AS BIGINT) AS svv
+            FROM sym e
+            JOIN deg a ON e.src = a.node
+            JOIN deg b ON e.dst = b.node
+        )
+        SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+               floor((CAST(suv AS DOUBLE)
+                      - CAST(su AS DOUBLE) * CAST(sv AS DOUBLE)
+                        / CAST(m2 AS DOUBLE))
+                     / sqrt((CAST(suu AS DOUBLE)
+                             - CAST(su AS DOUBLE) * CAST(su AS DOUBLE)
+                               / CAST(m2 AS DOUBLE))
+                            * (CAST(svv AS DOUBLE)
+                               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                                 / CAST(m2 AS DOUBLE)))
+                     * 1e6) / 1e6 AS assortativity
+        FROM sums
+    """,
     # IN-subquery + LEFT-JOIN-null formulation — different join
     # idioms than the Spark twin's semijoin/anti-join chain.
     "graph_jaccard_links": f"""

@@ -15,6 +15,7 @@ ALL = [
     "graph_triangle_count",
     "graph_pagerank",
     "graph_jaccard_links",
+    "graph_assortativity",
 ]
 
 
