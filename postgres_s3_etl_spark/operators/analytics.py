@@ -307,7 +307,7 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("rev_dec"), F.asc("p_partkey")
     )
     return (
-        rev.join(F.broadcast(part.select("p_partkey", "p_brand", "p_name")),
+        rev.join(part.select("p_partkey", "p_brand", "p_name"),
                  rev.l_partkey == F.col("p_partkey"))
         .withColumn("brand_rank", F.row_number().over(w))
         .where(F.col("brand_rank") <= 3)
@@ -1406,7 +1406,7 @@ def q_supplier_brand_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     sb = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_suppkey", "p_brand")
     )
     universe = part.agg(
@@ -1611,7 +1611,7 @@ def q_brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )

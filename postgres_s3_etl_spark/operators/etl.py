@@ -138,7 +138,7 @@ def best_performing_product(
 
     base = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(part, lineitem.l_partkey == part.p_partkey)
         .select(
             "p_partkey",
             "p_name",

@@ -13,10 +13,12 @@ import sys
 
 sys.path.insert(0, ".")
 
-# Tables whose row count grows linearly with corpus size. `part` is
-# excluded deliberately: the verdict accepts hints on filtered part
-# projections (brand-grain, bounded in practice).
+# Tables whose row count grows linearly with corpus size. `part`
+# included: real TPC-H grows part at 200k rows/SF, so an unreduced
+# part projection is NOT broadcast-safe (operators/tpch.py states
+# the same rule); hints may ride only aggregate/limit-reduced frames.
 BIG_TABLES = (
+    "part",
     "customer",
     "supplier",
     "orders",
@@ -35,6 +37,16 @@ REDUCERS = (
     "Window",
     "TakeOrderedAndProject",
     "InMemoryRelation",
+)
+
+# A literal range/equality filter on one of these unique key columns
+# bounds the row count independently of corpus size (probe sets like
+# ``vec_id < N_PROBES`` in the similarity family) — as safe a cross-
+# broadcast side as an Aggregate/Limit. Keys must be listed here
+# EXPLICITLY so a new bounded-probe pattern is a conscious audit
+# decision, never a silent pass.
+BOUNDED_KEY_FILTERS = (
+    re.compile(r"Filter .*\bvec_id#\d+L? (?:<=?|=) \d+"),
 )
 
 # Non-greedy prefix: a greedy `[: ]*` would swallow the ':' of a
@@ -66,6 +78,32 @@ def _subtree(lines, i):
     return out
 
 
+def _hinted_side_indices(lines, i, indent, text) -> list[int]:
+    """Indices of the direct children of the join at lines[i] that
+    carry a broadcast hint (left child first, right second)."""
+    want_left = "leftHint=(strategy=broadcast" in text
+    want_right = "rightHint=(strategy=broadcast" in text
+    kids = []
+    child_indent = None
+    for j in range(i + 1, len(lines)):
+        ind, mk, _txt = lines[j]
+        if mk is None:
+            continue
+        if ind <= indent:
+            break
+        if child_indent is None:
+            child_indent = ind
+        if ind == child_indent:
+            kids.append(j)
+    sides = []
+    if len(kids) >= 2:
+        if want_left:
+            sides.append(kids[0])
+        if want_right:
+            sides.append(kids[1])
+    return sides
+
+
 def hinted_raw_big_scans(plan: str) -> list[str]:
     """Return descriptions of broadcast-hinted join sides that scan a
     BIG table with no reducer above the scan inside the hinted side."""
@@ -74,29 +112,7 @@ def hinted_raw_big_scans(plan: str) -> list[str]:
     for i, (indent, mark, text) in enumerate(lines):
         if "Hint=(strategy=broadcast" not in text:
             continue
-        want_left = "leftHint=(strategy=broadcast" in text
-        want_right = "rightHint=(strategy=broadcast" in text
-        # Direct children: next lines with marker at deeper indent,
-        # shallowest such level. Left child first, right second.
-        kids = []
-        child_indent = None
-        for j in range(i + 1, len(lines)):
-            ind, mk, _txt = lines[j]
-            if mk is None:
-                continue
-            if ind <= indent:
-                break
-            if child_indent is None:
-                child_indent = ind
-            if ind == child_indent:
-                kids.append(j)
-        sides = []
-        if len(kids) >= 2:
-            if want_left:
-                sides.append(kids[0])
-            if want_right:
-                sides.append(kids[1])
-        for k in sides:
+        for k in _hinted_side_indices(lines, i, indent, text):
             sub = _subtree(lines, k)
             has_reducer = any(
                 any(t.startswith(r) for r in REDUCERS) for _, _, t in sub
@@ -108,6 +124,36 @@ def hinted_raw_big_scans(plan: str) -> list[str]:
                     for big in BIG_TABLES:
                         if f"/{big}.parquet" in t or f"{big}.parquet" in t:
                             bad.append(f"{big}: {t[:120]}")
+    return bad
+
+
+def cross_hinted_nonreduced(plan: str) -> list[str]:
+    """Broadcast-hinted sides of CROSS joins that contain no reducer.
+
+    The repo-wide scalar-broadcast convention: ``crossJoin(
+    F.broadcast(x))`` is only safe when ``x`` is an aggregate/limit-
+    reduced frame (a handful of scalar rows). A cross join whose
+    hinted side is NOT reduced is a cartesian blow-up hazard at scale
+    regardless of which table it scans, so this check is stricter
+    than :func:`hinted_raw_big_scans` — no bounded-dim exemption."""
+    lines = _parse(plan)
+    bad = []
+    for i, (indent, mark, text) in enumerate(lines):
+        if not text.startswith("Join Cross"):
+            continue
+        if "Hint=(strategy=broadcast" not in text:
+            continue
+        for k in _hinted_side_indices(lines, i, indent, text):
+            sub = _subtree(lines, k)
+            has_reducer = any(
+                any(t.startswith(r) for r in REDUCERS) for _, _, t in sub
+            )
+            has_bounded_probe = any(
+                any(p.search(t) for p in BOUNDED_KEY_FILTERS)
+                for _, _, t in sub
+            )
+            if not (has_reducer or has_bounded_probe):
+                bad.append(lines[k][2][:120])
     return bad
 
 
@@ -126,7 +172,9 @@ def main() -> int:
         except Exception as ex:
             print(f"{name}: ERR {str(ex)[:80]}")
             continue
-        bad = hinted_raw_big_scans(plan)
+        bad = hinted_raw_big_scans(plan) + [
+            f"cross-nonreduced: {b}" for b in cross_hinted_nonreduced(plan)
+        ]
         if bad:
             n_bad += 1
             print(f"{name}:")
