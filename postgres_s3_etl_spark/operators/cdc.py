@@ -1,7 +1,8 @@
 """Change-data-capture MERGE / upsert operator.
 
-The reference's ``load()`` step truncate-and-reloads its analytics
-tables (reference airflow/dags/orders_ETL.py:127-148) — the
+The reference's transform step rebuilds its analytics tables with a
+one-shot ``INSERT INTO ... SELECT`` over staging (reference
+airflow/dags/orders_ETL.py:124) — the
 warehouse-grade version of that load is MERGE: apply a keyed change
 feed (inserts / updates / deletes) to a base table in one pass.
 
@@ -83,8 +84,8 @@ def merge_upsert(
 def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE audit over probe keys: action + final price per key.
 
-    Reference parity: the load step's upsert semantics
-    (airflow/dags/orders_ETL.py:127-148), upgraded to keyed
+    Reference parity: the transform step's INSERT-SELECT rebuild
+    (airflow/dags/orders_ETL.py:124), upgraded to keyed
     insert/update/delete capture.
     """
     orders = load_table(spark, sf_dir, "orders").select(

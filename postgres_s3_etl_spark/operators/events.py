@@ -1009,6 +1009,17 @@ def q_events_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("booked_rev"),
         )
+        # coverage ratio from the already-rounded doubles so the
+        # DuckDB oracle's arithmetic is bit-identical; NULL when the
+        # segment booked nothing (ratio undefined, not zero).
+        .withColumn(
+            "coverage_ratio",
+            F.when(
+                F.col("booked_rev") != 0.0,
+                F.floor(F.col("click_rev") / F.col("booked_rev") * 1e6)
+                / 1e6,
+            ),
+        )
         .orderBy("segment")
     )
 
@@ -1061,17 +1072,24 @@ ORACLES = {
             SELECT COALESCE(e.k, o.k) AS k,
                    e.click_rev, e.n_click_purchases, o.booked_rev
             FROM ev e FULL OUTER JOIN ord o ON e.k = o.k
+        ),
+        seg AS (
+            SELECT COALESCE(c.c_mktsegment, 'UNMATCHED') AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(COALESCE(p.n_click_purchases, 0)) AS BIGINT)
+                       AS n_click_purchases,
+                   ROUND(CAST(SUM(COALESCE(p.click_rev,
+                         CAST(0 AS DECIMAL(18,2)))) AS DOUBLE), 2) AS click_rev,
+                   ROUND(CAST(SUM(COALESCE(p.booked_rev,
+                         CAST(0 AS DECIMAL(18,2)))) AS DOUBLE), 2) AS booked_rev
+            FROM per_key p LEFT JOIN customer c ON p.k = c.c_custkey
+            GROUP BY segment
         )
-        SELECT COALESCE(c.c_mktsegment, 'UNMATCHED') AS segment,
-               CAST(COUNT(*) AS BIGINT) AS n_keys,
-               CAST(SUM(COALESCE(p.n_click_purchases, 0)) AS BIGINT)
-                   AS n_click_purchases,
-               ROUND(CAST(SUM(COALESCE(p.click_rev,
-                     CAST(0 AS DECIMAL(18,2)))) AS DOUBLE), 2) AS click_rev,
-               ROUND(CAST(SUM(COALESCE(p.booked_rev,
-                     CAST(0 AS DECIMAL(18,2)))) AS DOUBLE), 2) AS booked_rev
-        FROM per_key p LEFT JOIN customer c ON p.k = c.c_custkey
-        GROUP BY segment
+        SELECT segment, n_keys, n_click_purchases, click_rev, booked_rev,
+               CASE WHEN booked_rev <> 0.0
+                    THEN floor(click_rev / booked_rev * 1e6) / 1e6
+               END AS coverage_ratio
+        FROM seg
         ORDER BY segment
     """,
     "q_events_attribution_ushape": """

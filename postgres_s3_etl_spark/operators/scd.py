@@ -1,7 +1,8 @@
 """Slowly-changing-dimension (SCD Type 2) builder.
 
-The reference upserts flat staging tables into analytics tables with
-no history (``load()``, reference airflow/dags/orders_ETL.py:127-148);
+The reference rebuilds flat analytics tables from staging with no
+history (transform-step ``INSERT INTO ... SELECT``, reference
+airflow/dags/orders_ETL.py:124);
 the warehouse-grade version of that load is an SCD2 dimension:
 attribute changes become validity intervals ``[valid_from,
 valid_to)`` with an ``is_current`` flag.

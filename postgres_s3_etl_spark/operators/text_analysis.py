@@ -1796,7 +1796,7 @@ ORACLES = {
         FROM words
         ORDER BY doc_id
     """,
-    "text_zipf_fit": """
+    "text_zipf_fit": f"""
         WITH counts AS (
             SELECT token AS t, COUNT(*) AS n
             FROM (
@@ -1807,7 +1807,7 @@ ORACLES = {
             GROUP BY token
         ),
         vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size FROM counts),
-        top AS (SELECT t, n FROM counts ORDER BY n DESC, t ASC LIMIT 4096),
+        top AS (SELECT t, n FROM counts ORDER BY n DESC, t ASC LIMIT {ZIPF_TOPK}),
         pts AS (
             SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t ASC) AS DOUBLE)) AS x,
                    ln(CAST(n AS DOUBLE)) AS y

@@ -1,9 +1,14 @@
 """JDBC sink: streaming CDC upsert with transactional exactly-once.
 
-The reference's load step upserts into Postgres once per DAG run
-(reference airflow/dags/orders_ETL.py:127-148). The streaming
-equivalent lands each micro-batch of keyed changes in the database
-via the standard two-step production pattern:
+The reference's pipeline lands data in Postgres twice per DAG run:
+the load step COPYs the S3 CSV into a staging table (reference
+airflow/dags/orders_ETL.py:60) and the transform step INSERTs a
+SELECT over staging into the analytics table (orders_ETL.py:124);
+the final step is a COPY-to-CSV export back to S3 (:141-143). The
+reference never upserts — each run truncates-and-reloads. The
+streaming CDC upsert here is the incremental generalization of that
+load+transform: each micro-batch of keyed changes lands in the
+database via the standard two-step production pattern:
 
 1. the batch's upserts and deletes bulk-write to two STAGING tables
    (Spark's parallel JDBC writer — executors never open bespoke
@@ -34,15 +39,36 @@ from pyspark.sql.streaming import StreamingQuery
 
 from postgres_s3_etl_spark.sources.jdbc import JdbcConfig, write_table
 
-#: SQLState Derby raises for CREATE of an existing table.
-_TABLE_EXISTS_SQLSTATE = "X0Y32"
-
-
 def _connect(spark, cfg: JdbcConfig):
     jvm = spark._jvm
     return jvm.java.sql.DriverManager.getConnection(
         cfg.url, cfg.user, cfg.password
     )
+
+
+def table_exists(spark, cfg: JdbcConfig, table: str) -> bool:
+    """Dialect-neutral existence check via JDBC DatabaseMetaData.
+
+    Derby folds unquoted identifiers to UPPER, Postgres to lower, so
+    both casings (plus the literal) are probed. This replaces the old
+    Derby-only trick of matching SQLState 'X0Y32' in the exception
+    text, which silently broke on any other backend (Postgres raises
+    'relation already exists' with SQLState 42P07 and no X0Y32
+    substring, so the second micro-batch's CREATE killed the stream).
+    """
+    conn = _connect(spark, cfg)
+    try:
+        md = conn.getMetaData()
+        for cand in {table.upper(), table.lower(), table}:
+            rs = md.getTables(None, None, cand, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
 
 
 def execute_sql(
@@ -70,8 +96,13 @@ def execute_sql(
 
 
 def ensure_ledger(spark, cfg: JdbcConfig, ledger: str) -> None:
-    """CREATE the ledger table, tolerating 'already exists' (Derby
-    has no IF NOT EXISTS)."""
+    """CREATE the ledger table if absent. Existence is checked via
+    DatabaseMetaData (works on any JDBC backend — Derby has no
+    CREATE TABLE IF NOT EXISTS, and SQLState text-matching is
+    dialect-specific). A concurrent-create race between the check
+    and the CREATE is tolerated by re-checking on failure."""
+    if table_exists(spark, cfg, ledger):
+        return
     try:
         execute_sql(
             spark,
@@ -79,8 +110,8 @@ def ensure_ledger(spark, cfg: JdbcConfig, ledger: str) -> None:
             [f"CREATE TABLE {ledger} (batch_id BIGINT PRIMARY KEY)"],
             transactional=False,
         )
-    except Exception as e:  # pragma: no cover - sqlstate path below
-        if _TABLE_EXISTS_SQLSTATE not in str(e):
+    except Exception:  # pragma: no cover - create/create race
+        if not table_exists(spark, cfg, ledger):
             raise
 
 
@@ -97,6 +128,54 @@ def _ledger_has(spark, cfg: JdbcConfig, ledger: str, batch_id: int) -> bool:
         conn.close()
 
 
+def build_upsert_sql(
+    target: str,
+    key: str,
+    payload_cols: list[str],
+    stg: str,
+    stg_del: str,
+    dialect: str = "ansi",
+) -> tuple[str, str]:
+    """Pure SQL-text generation for the per-batch (delete, upsert)
+    pair, parameterized by backend dialect so it is unit-testable
+    without a live database.
+
+    - ``ansi``: standard ``MERGE INTO`` (Derby, SQL Server, Oracle,
+      and Postgres >= 15).
+    - ``postgres``: ``INSERT ... ON CONFLICT (key) DO UPDATE`` — the
+      idiom every supported Postgres version accepts (MERGE landed
+      only in PG 15), targeting the reference's actual warehouse.
+
+    Staging identifiers are double-quoted lowercase because Spark's
+    JDBC writer quotes column names case-preserving; the caller's
+    target table uses ordinary unquoted (dialect-folded) names.
+    """
+    q = '"{}"'.format
+    cols = ", ".join([key] + payload_cols)
+    delete_sql = (
+        f"DELETE FROM {target} "
+        f"WHERE {key} IN (SELECT {q(key)} FROM {stg_del})"
+    )
+    if dialect == "ansi":
+        sets = ", ".join(f"t.{c} = s.{q(c)}" for c in payload_cols)
+        vals = ", ".join(f"s.{q(c)}" for c in [key] + payload_cols)
+        upsert_sql = (
+            f"MERGE INTO {target} t USING {stg} s ON t.{key} = s.{q(key)} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+    elif dialect == "postgres":
+        sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in payload_cols)
+        sel = ", ".join(q(c) for c in [key] + payload_cols)
+        upsert_sql = (
+            f"INSERT INTO {target} ({cols}) SELECT {sel} FROM {stg} "
+            f"ON CONFLICT ({key}) DO UPDATE SET {sets}"
+        )
+    else:
+        raise ValueError(f"unknown JDBC upsert dialect: {dialect!r}")
+    return delete_sql, upsert_sql
+
+
 def stream_jdbc_upsert(
     changes_stream: DataFrame,
     cfg: JdbcConfig,
@@ -106,6 +185,7 @@ def stream_jdbc_upsert(
     checkpoint: str,
     staging: str | None = None,
     ledger: str = "stream_batch_ledger",
+    dialect: str = "ansi",
 ) -> StreamingQuery:
     """Continuously MERGE a keyed change feed (``key``, ``op`` U/D,
     ``seq``, payload) into JDBC table ``target``.
@@ -122,26 +202,14 @@ def stream_jdbc_upsert(
 
     stg = staging or f"{target}_staging"
     stg_del = f"{stg}_del"
-    # Spark's JDBC writer quotes column identifiers (case-preserving),
-    # so staging columns are case-sensitive lowercase; the caller's
-    # target table uses ordinary unquoted (folded) identifiers.
     # Deletes and upserts stage SEPARATELY: delete rows carry null
     # payloads, and Derby's setNull rejects the dialect's LOB type
     # against a VARCHAR column — keys-only delete staging sidesteps
     # that entirely and reduces the merge to the two classic
-    # statements (IN-delete + upsert MERGE).
-    q = '"{}"'.format
-    sets = ", ".join(f"t.{c} = s.{q(c)}" for c in payload_cols)
-    cols = ", ".join([key] + payload_cols)
-    vals = ", ".join(f"s.{q(c)}" for c in [key] + payload_cols)
-    delete_sql = f"""
-        DELETE FROM {target} WHERE {key} IN (SELECT {q(key)} FROM {stg_del})
-    """
-    merge_sql = f"""
-        MERGE INTO {target} t USING {stg} s ON t.{key} = s.{q(key)}
-        WHEN MATCHED THEN UPDATE SET {sets}
-        WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})
-    """
+    # statements (IN-delete + upsert).
+    delete_sql, merge_sql = build_upsert_sql(
+        target, key, payload_cols, stg, stg_del, dialect
+    )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

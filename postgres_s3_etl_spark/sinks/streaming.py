@@ -125,7 +125,8 @@ def route_stream_dlq(
     land in ``dlq_path`` with a ``_reject_reason`` column (comma-
     joined names of every failed rule); clean rows land in
     ``valid_path``. ``rules`` are (name, SQL-boolean-expr) pairs
-    where TRUE means VIOLATION.
+    where TRUE means VIOLATION; a rule evaluating to NULL counts as
+    no-violation (write ``x IS NULL OR ...`` to reject NULLs).
 
     Exactly-once: each batch writes to its own ``batch_id=N``
     subdirectory in OVERWRITE mode — a replayed batch deterministically
@@ -141,10 +142,17 @@ def route_stream_dlq(
     from pyspark.sql import functions as F
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        # NULL handling is pinned, not accidental: a rule evaluating
+        # to NULL (e.g. `value <= 0` on a NULL value) coalesces to
+        # FALSE — only an explicit TRUE rejects. Rules that must
+        # catch NULLs say so (`value IS NULL OR value <= 0`); they
+        # needn't be hand-written null-safe to avoid mis-routing.
         reasons = F.concat_ws(
             ",",
             *[
-                F.when(F.expr(expr), F.lit(name))
+                F.when(
+                    F.coalesce(F.expr(expr), F.lit(False)), F.lit(name)
+                )
                 for name, expr in rules
             ],
         )

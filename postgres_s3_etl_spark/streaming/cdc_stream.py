@@ -1,8 +1,11 @@
 """Streaming CDC apply: a keyed change feed continuously merged into
 a versioned snapshot table (SURVEY.md §2.5).
 
-The reference's load step is a one-shot Postgres upsert (reference
-airflow/dags/orders_ETL.py:127-148); its streaming upgrade is the
+The reference lands data in Postgres via a one-shot INSERT INTO
+analytics SELECT over staging (reference
+airflow/dags/orders_ETL.py:124; its "load" step :127-148 is the
+COPY-to-CSV export back to S3); the streaming upgrade of that
+rebuild is the
 Delta/Hudi-style pattern: each micro-batch of changes MERGEs into the
 table head and commits a new snapshot, so readers always see a
 consistent version and time travel covers every applied batch.

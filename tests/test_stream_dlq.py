@@ -80,3 +80,47 @@ def test_dlq_crash_replay_converges(spark, tmp_path):
         spark.read.parquet(f"{dlq}/batch_id=*").count(),
     )
     assert after == before
+
+
+def test_dlq_null_rule_convention_is_pinned(spark, tmp_path):
+    """A rule that evaluates to NULL (null-unsafe `value <= 0` on a
+    NULL value) is coalesced to no-violation — the row routes to the
+    valid sink deterministically, and the unknown_type rule on the
+    same row still fires independently. Pinned so the convention
+    can't silently flip when the routing expression is edited."""
+    valid, dlq, ckpt = (
+        str(tmp_path / "valid"),
+        str(tmp_path / "dlq"),
+        str(tmp_path / "ckpt"),
+    )
+    from postgres_s3_etl_spark.sinks.streaming import route_stream_dlq
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "click", None), (2, "click", -5.0), (3, "bogus", None)],
+        "id BIGINT, event_type STRING, value DOUBLE",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id BIGINT, event_type STRING, value DOUBLE"
+    ).parquet(src)
+    q = route_stream_dlq(
+        stream,
+        [
+            ("nonpositive", "value <= 0"),  # null-UNSAFE on purpose
+            ("unknown_type", "event_type NOT IN ('click')"),
+        ],
+        valid,
+        dlq,
+        ckpt,
+    )
+    q.awaitTermination()
+    got_valid = {
+        r.id for r in spark.read.parquet(f"{valid}/batch_id=*").collect()
+    }
+    rejects = {
+        r.id: r._reject_reason
+        for r in spark.read.parquet(f"{dlq}/batch_id=*").collect()
+    }
+    assert got_valid == {1}  # NULL value -> rule NULL -> pass
+    assert rejects[2] == "nonpositive"
+    assert rejects[3] == "unknown_type"  # NULL rule doesn't mask others
