@@ -219,6 +219,123 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Converged-PageRank controls: iterate until the L1 delta between
+#: successive vectors drops below PR_EPS (or the safety cap). The
+#: cap is a backstop, not the expected exit — delta contracts
+#: geometrically at rate ~PR_DAMPING, so eps=1e-6 lands around
+#: iteration 35-60 on these graphs.
+PR_EPS = 1e-6
+PR_MAX_ITERS = 60
+
+
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-form PageRank: DIRECTED edges, dangling-mass
+    redistribution, iterate-to-epsilon — the algorithm as it runs on
+    real doc-link / citation graphs, where edges point one way and
+    sink pages absorb rank unless their mass is re-spread.
+
+    The co-purchase pairs are taken as directed low-key → high-key
+    edges, so nodes that only ever appear as the higher endpoint
+    have no out-edges: genuine dangling nodes (unlike the symmetric
+    3-iteration twin ``graph_pagerank``, which has none by
+    construction). Update rule per iteration:
+
+        pr'(v) = (1-d)/n + d * ( Σ_{u→v} pr(u)/outdeg(u) + D/n )
+
+    where D = Σ pr(u) over dangling u — the standard formulation
+    that keeps Σ pr = 1 every iteration.
+
+    Scale shape: the dangling mass D is a one-row aggregate kept
+    IN-PLAN via scalar cross-broadcast (never collected); per-edge
+    contributions sum as DECIMAL(38,18) for order-independent exact
+    addition; each iteration ``localCheckpoint``s to truncate
+    lineage (the dedup_cc_keepset recipe). The only driver-side
+    value per round is the constant-size L1 convergence scalar —
+    the loop-exit decision Spark cannot make in-plan.
+
+    Oracle: iterate-to-epsilon has a data-dependent iteration count,
+    which a single DuckDB statement can't express — this entry is
+    rows-only for the driver; exact-value verification lives in
+    tests/test_graph.py against an independent NumPy power
+    iteration on the same parquet inputs.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    nodes = _degrees(edges).select("node")
+    outdeg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("outdeg"))
+    )
+    nd = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint()
+    )
+    n = nd.count() or 1
+    base = (1.0 - PR_DAMPING) / n
+    pr = nd.select(
+        "node", "outdeg", (F.lit(1.0) / F.lit(float(n))).alias("pr")
+    ).localCheckpoint()
+    n_iters = 0
+    for _ in range(PR_MAX_ITERS):
+        dang = pr.where(F.col("outdeg") == 0).agg(
+            F.coalesce(
+                F.sum(F.col("pr").cast("decimal(38,18)")),
+                F.lit(0).cast("decimal(38,18)"),
+            ).alias("dmass")
+        )
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("outdeg").cast("double"))
+                .cast("decimal(38,18)")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_pr = (
+            nd.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING)
+                    * (
+                        F.coalesce(
+                            F.col("s"), F.lit(0).cast("decimal(38,18)")
+                        ).cast("double")
+                        + F.col("dmass").cast("double") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        n_iters += 1
+        delta = (
+            new_pr.join(
+                pr.select("node", F.col("pr").alias("pr_old")), "node"
+            )
+            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("d"))
+            .collect()[0][0]
+        )  # constant-size convergence scalar — the loop-exit decision
+        pr = new_pr
+        if delta is not None and delta < PR_EPS:
+            break
+    return (
+        pr.select(
+            F.col("node").alias("p_partkey"),
+            "outdeg",
+            (F.floor(F.col("pr") * 1e9) / 1e9).alias("pr"),
+            F.lit(n_iters).cast("int").alias("n_iters"),
+        )
+        .orderBy(F.desc("pr"), "p_partkey")
+        .limit(20)
+    )
+
+
 #: Wedge-center degree cap for link prediction: a node above this
 #: degree contributes no wedges. Hubs are exactly the nodes whose
 #: common-neighbor evidence is least informative (they neighbor
@@ -345,6 +462,7 @@ QUERIES = {
     "graph_assortativity": graph_assortativity,
     "graph_triangle_count": graph_triangle_count,
     "graph_pagerank": graph_pagerank,
+    "graph_pagerank_converged": graph_pagerank_converged,
     "graph_jaccard_links": graph_jaccard_links,
 }
 

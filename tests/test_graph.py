@@ -134,3 +134,66 @@ def test_jaccard_links_are_nonedges_with_honest_scores(spark):
         assert 1 <= r.n_common < r.n_union
         assert 0 < r.jaccard < 1
         assert r.jaccard == math.floor(r.n_common * 1e6 / r.n_union) / 1e6
+
+
+def test_pagerank_converged_matches_numpy_power_iteration(spark):
+    """graph_pagerank_converged vs an independent NumPy power
+    iteration over the same parquet inputs: same directed low->high
+    edges, same dangling-mass redistribution, same L1 stopping rule.
+    Also pins that the directed graph HAS dangling nodes (the whole
+    point of the general form) and that rank mass stays ~1."""
+    import numpy as np
+    import duckdb
+
+    from postgres_s3_etl_spark.operators.graph import (
+        PR_DAMPING,
+        PR_EPS,
+        PR_MAX_ITERS,
+        graph_pagerank_converged,
+    )
+
+    got = graph_pagerank_converged(spark, SF_DIR).collect()
+    assert len(got) == 20
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{SF_DIR}/lineitem.parquet'),
+        e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey)
+        SELECT src, dst FROM e
+        """
+    ).fetchnumpy()
+    src, dst = edges["src"], edges["dst"]
+    ids = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    s = np.array([idx[int(v)] for v in src])
+    d = np.array([idx[int(v)] for v in dst])
+    outdeg = np.bincount(s, minlength=n)
+    assert (outdeg == 0).sum() > 0  # genuine dangling nodes exist
+
+    pr = np.full(n, 1.0 / n)
+    n_iters = 0
+    for _ in range(PR_MAX_ITERS):
+        dang = pr[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, d, pr[s] / outdeg[s])
+        new = (1.0 - PR_DAMPING) / n + PR_DAMPING * (contrib + dang / n)
+        n_iters += 1
+        delta = np.abs(new - pr).sum()
+        pr = new
+        if delta < PR_EPS:
+            break
+
+    assert abs(pr.sum() - 1.0) < 1e-9  # mass conserved
+    assert all(abs(r.n_iters - n_iters) <= 1 for r in got)
+    order = np.lexsort((ids, -pr))
+    expect_top = [int(ids[i]) for i in order[:20]]
+    assert [r.p_partkey for r in got] == expect_top
+    for r in got:
+        assert abs(r.pr - pr[idx[r.p_partkey]]) < 5e-6, r.p_partkey
+        assert r.outdeg == int(outdeg[idx[r.p_partkey]])
