@@ -336,6 +336,74 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Safety cap for label propagation: iterations are bounded by the
+#: graph diameter, which is tiny for co-purchase graphs (~6-10);
+#: the cap only guards a pathological path graph.
+CC_MAX_ITERS = 50
+
+
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size histogram of the co-purchase graph:
+    how many components of each size (nodes = parts that appear in
+    at least one co-purchase edge).
+
+    Spark shape: iterative min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels
+    (one join + one partial-aggregatable min per round), with
+    ``localCheckpoint`` truncating lineage and a constant-size
+    changed-count scalar as the only driver value, exactly the
+    ``dedup_cc_keepset`` recipe. Rounds are bounded by the graph
+    diameter. At 100 TB this is the standard distributed CC
+    (large-star/small-star refinements drop in without changing the
+    contract).
+
+    The oracle is a DuckDB RECURSIVE CTE computing reachability
+    labels then taking per-node minima — a genuinely different
+    formulation (breadth-first closure vs iterated relaxation) that
+    cross-checks the convergence loop end-to-end.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_MAX_ITERS):
+        nb_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nb_label", "label")
+                ).alias("label"),
+                (F.col("label") != F.least(
+                    "label", F.coalesce("nb_label", "label")
+                )).alias("chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.where(F.col("chg")).count()  # scalar
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_components"))
+        .orderBy("component_size")
+    )
+
+
 #: Wedge-center degree cap for link prediction: a node above this
 #: degree contributes no wedges. Hubs are exactly the nodes whose
 #: common-neighbor evidence is least informative (they neighbor
@@ -464,6 +532,7 @@ QUERIES = {
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
     "graph_jaccard_links": graph_jaccard_links,
+    "graph_components": graph_components,
 }
 
 
@@ -577,6 +646,33 @@ ORACLES = {
         FROM edges e1
         JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
         JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    """,
+    # Reachability-closure recursive CTE (UNION dedups the frontier)
+    # then per-node min label — a different algorithm than the Spark
+    # twin's iterated relaxation, same fixed point.
+    "graph_components": f"""
+        WITH RECURSIVE {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        reach AS (
+            SELECT DISTINCT src AS node, src AS label FROM sym
+            UNION
+            SELECT s.dst AS node, r.label
+            FROM reach r JOIN sym s ON s.src = r.node
+            WHERE r.label < s.dst
+        ),
+        comp AS (
+            SELECT node, MIN(label) AS label FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS component_size
+            FROM comp GROUP BY label
+        )
+        SELECT component_size,
+               CAST(COUNT(*) AS BIGINT) AS n_components
+        FROM sizes GROUP BY component_size ORDER BY component_size
     """,
     "graph_pagerank": f"""
         WITH {_EDGES_SQL},

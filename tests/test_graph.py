@@ -16,6 +16,7 @@ ALL = [
     "graph_pagerank",
     "graph_jaccard_links",
     "graph_assortativity",
+    "graph_components",
 ]
 
 
