@@ -82,6 +82,8 @@ HEADLINE = (
     # session-3 additions (suite-completing TPC-H shapes)
     "q_tpch02_min_cost_supplier",
     "q_tpch21_waiting_orders",
+    # round-4 additions
+    "graph_components",
 )
 
 
