@@ -39,7 +39,18 @@ _BASE_CONF: dict[str, str] = {
         "SPARK_GRAFT_SHUFFLE_PARTITIONS",
         os.environ.get("SPARK_GRAFT_CPUS", "32"),
     ),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Scale-adaptive shuffle granularity: AQE plans each shuffle at
+    # 8x parallelism and coalesces DOWN by observed size (64 MB
+    # advisory target), so per-partition volume stays bounded as
+    # data grows 10-100x instead of growing linearly under a fixed
+    # partition count. Small queries coalesce back to a handful of
+    # tasks, so toy-scale latency is unaffected; big shuffles keep
+    # the fine granularity that avoids per-task memory blow-ups
+    # (observed: a fixed-32 sort-merge join OOMing at 10x sf0.1).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+        8 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.ui.enabled": "false",
 }
 
