@@ -864,6 +864,174 @@ PQ_SUBDIM = EMB_DIM // PQ_M
 PQ_K = 8
 
 
+def _pq_subs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, sub, xx): PQ subvectors with their squared norms.
+    Row-local array slicing — no shuffle."""
+    return vecs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, "
+                f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub))"
+            )
+        ).alias("s"),
+    ).select(
+        "vec_id",
+        F.col("s.m").alias("m"),
+        F.col("s.sub").alias("sub"),
+        F.expr(
+            "aggregate(s.sub, 0.0d, (acc, x) -> acc + x * x)"
+        ).alias("xx"),
+    )
+
+
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC) — the serving-side query
+    that completes the PQ family (``embedding_pq_stats`` profiles the
+    codebook, ``embedding_quantize`` compresses; this SEARCHES):
+    probes stay full-precision, the corpus is reduced to its PQ codes,
+    and each probe-to-vector distance is the sum over subspaces of a
+    precomputed probe-to-codeword lookup table — the standard
+    IVF-PQ/FAISS serving identity.
+
+    Scale shape: the corpus contributes only its code table
+    (n x PQ_M rows of small ints — the 32x-compressed index); the
+    LUT is N_PROBES x PQ_M x PQ_K rows (320 — constant) and is
+    BROADCAST into an equi-join on (m, code), so full-precision
+    vectors are never shuffled and the corpus is touched once to
+    encode. Ranking orders by the exact DECIMAL sum of LUT entries
+    (order-independent, tie-broken on neighbor id), then emits the
+    floored double.
+    """
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    subs = _pq_subs(vecs)
+    seeds = subs.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"),
+        "m",
+        F.col("sub").alias("csub"),
+        F.col("xx").alias("cc"),
+    )
+    adc_dot = (
+        "aggregate(zip_with(sub, csub, (x, y) -> x * y), "
+        "0.0d, (acc, x) -> acc + x)"
+    )
+    codes = (
+        subs.join(F.broadcast(seeds), "m")
+        .withColumn(
+            "dist",
+            F.col("xx") + F.col("cc") - F.lit(2.0) * F.expr(adc_dot),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "k")).alias("b"))
+        .select("vec_id", "m", F.col("b.k").alias("code"))
+    )
+    lut = (
+        subs.where(F.col("vec_id") < N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"), "m", "sub", "xx"
+        )
+        .join(F.broadcast(seeds), "m")
+        .select(
+            "probe_id",
+            "m",
+            F.col("k").alias("code"),
+            (
+                F.col("xx") + F.col("cc") - F.lit(2.0) * F.expr(adc_dot)
+            ).alias("pdist"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("d_exact"), F.asc("vec_id")
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.sum(F.col("pdist").cast("decimal(38,12)")).alias("d_exact")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            (
+                F.floor(F.col("d_exact").cast("double") * 1e6) / 1e6
+            ).alias("adc_dist"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance + correlation of the embedding
+    dimensions — the PCA/whitening precursor every embedding-space
+    health check starts from (correlated dimensions waste index
+    capacity; near-rank-deficiency shows up as |corr| ~ 1 rows).
+
+    Scale shape: the d^2/2 pair terms are generated ROW-LOCALLY by a
+    double posexplode (no self-join of the corpus, unlike the DuckDB
+    twin) and partially aggregated before the shuffle, so shuffle
+    volume is O(partitions x d^2) — independent of corpus size. Sums
+    go through DECIMAL(38,18) (exact, order-independent) and the
+    covariance/correlation arithmetic is one mirrored IEEE double
+    expression. Output is d(d+1)/2 = 2080 rows at d = 64.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        F.posexplode("embedding").alias("i", "vif"), "embedding"
+    )
+    e2 = (
+        e1.select(
+            "i",
+            F.col("vif").cast("double").alias("vi"),
+            F.posexplode("embedding").alias("j", "vjf"),
+        )
+        .where(F.col("j") >= F.col("i"))
+        .select("i", "j", "vi", F.col("vjf").cast("double").alias("vj"))
+    )
+    sums = e2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vi").cast("decimal(38,18)")).alias("si"),
+        F.sum(F.col("vj").cast("decimal(38,18)")).alias("sj"),
+        F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,18)")).alias(
+            "sij"
+        ),
+    )
+    n = F.col("n").cast("double")
+    cov = (
+        F.col("sij").cast("double")
+        - F.col("si").cast("double") * F.col("sj").cast("double") / n
+    ) / (n - F.lit(1.0))
+    covs = sums.select("i", "j", cov.alias("cov")).localCheckpoint()
+    var = covs.where(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("cov").alias("v")
+    )
+    vi = var.select(F.col("d").alias("i"), F.col("v").alias("var_i"))
+    vj = var.select(F.col("d").alias("j"), F.col("v").alias("var_j"))
+    return (
+        covs.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .select(
+            "i",
+            "j",
+            (F.floor(F.col("cov") * 1e6) / 1e6).alias("cov"),
+            (
+                F.floor(
+                    F.try_divide(
+                        F.col("cov"),
+                        F.sqrt(F.col("var_i") * F.col("var_j")),
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("corr"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 def embedding_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codebook profile: per (subspace, code),
     how many vectors land there and their mean quantization distance
@@ -884,22 +1052,7 @@ def embedding_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean goes through an exact DECIMAL(38,12) sum.
     """
     vecs = _vecs(spark, sf_dir).select("vec_id", "v")
-    subs = vecs.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, "
-                f"slice(v, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS sub))"
-            )
-        ).alias("s"),
-    ).select(
-        "vec_id",
-        F.col("s.m").alias("m"),
-        F.col("s.sub").alias("sub"),
-        F.expr(
-            "aggregate(s.sub, 0.0d, (acc, x) -> acc + x * x)"
-        ).alias("xx"),
-    )
+    subs = _pq_subs(vecs)
     seeds = subs.where(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"),
         "m",
@@ -954,6 +1107,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "embedding_hard_negatives": embedding_hard_negatives,
     "sim_search_recall": sim_search_recall,
+    "sim_search_pq_adc": sim_search_pq_adc,
+    "embedding_covariance": embedding_covariance,
 }
 
 
@@ -993,9 +1148,11 @@ def lsh_bucket_cte(extra_cols: str = "") -> str:
     """
 
 
-ORACLES = {
-    "embedding_pq_stats": f"""
-        WITH vecs AS (
+#: Shared PQ CTE chain ending in subs2(vec_id, m, sub, xx) and
+#: seeds(k, m, csub, cc) — the SQL twin of _pq_subs + the seed
+#: codebook.
+_PQ_CTE = f"""
+        vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         subs AS (
@@ -1011,7 +1168,90 @@ ORACLES = {
         seeds AS (
             SELECT vec_id AS k, m, sub AS csub, xx AS cc
             FROM subs2 WHERE vec_id < {PQ_K}
+        )
+"""
+
+
+ORACLES = {
+    "sim_search_pq_adc": f"""
+        WITH {_PQ_CTE},
+        pairs AS (
+            SELECT s.vec_id, s.m, c.k,
+                   s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS dist
+            FROM subs2 s JOIN seeds c ON s.m = c.m
         ),
+        codes AS (
+            SELECT vec_id, m, k AS code
+            FROM (
+                SELECT vec_id, m, k,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, k) AS rn
+                FROM pairs
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT s.vec_id AS probe_id, s.m, c.k AS code,
+                   s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS pdist
+            FROM subs2 s JOIN seeds c ON s.m = c.m
+            WHERE s.vec_id < {N_PROBES}
+        ),
+        adc AS (
+            SELECT l.probe_id, c.vec_id,
+                   SUM(CAST(l.pdist AS DECIMAL(38,12))) AS d_exact
+            FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+            WHERE c.vec_id <> l.probe_id
+            GROUP BY l.probe_id, c.vec_id
+        ),
+        ranked AS (
+            SELECT probe_id, vec_id, d_exact,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY d_exact, vec_id) AS rank
+            FROM adc
+        )
+        SELECT probe_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+               floor(CAST(d_exact AS DOUBLE) * 1e6) / 1e6 AS adc_dist
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY probe_id, rank
+    """,
+    # Self-join formulation — deliberately different from the Spark
+    # twin's row-local double-posexplode, same exact decimal sums.
+    "embedding_covariance": """
+        WITH ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        sums AS (
+            SELECT a.i AS i, b.i AS j,
+                   COUNT(*) AS n,
+                   SUM(CAST(a.v AS DECIMAL(38,18))) AS si,
+                   SUM(CAST(b.v AS DECIMAL(38,18))) AS sj,
+                   SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS sij
+            FROM ex a JOIN ex b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        ),
+        covs AS (
+            SELECT i, j,
+                   (CAST(sij AS DOUBLE)
+                    - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS cov
+            FROM sums
+        ),
+        var AS (SELECT i AS d, cov AS v FROM covs WHERE i = j)
+        SELECT c.i, c.j,
+               floor(c.cov * 1e6) / 1e6 AS cov,
+               floor(c.cov / NULLIF(sqrt(vi.v * vj.v), 0) * 1e6) / 1e6
+                   AS corr
+        FROM covs c
+        JOIN var vi ON c.i = vi.d
+        JOIN var vj ON c.j = vj.d
+        ORDER BY c.i, c.j
+    """,
+    "embedding_pq_stats": f"""
+        WITH {_PQ_CTE},
         pairs AS (
             SELECT s.vec_id, s.m, c.k,
                    s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS dist

@@ -27,6 +27,8 @@ ORACLE_NAMES = [
     "q_profile_orders",
     "q_scd2_customer_priority",
     "kmeans_embeddings",
+    "sim_search_pq_adc",
+    "embedding_covariance",
 ]
 
 
@@ -375,3 +377,54 @@ def test_prefix_containment_counts_verified_in_python(spark):
         s: (len(pairs_per_source[s]), n_pairs[s]) for s in pairs_per_source
     }
     assert got == want
+
+
+def test_pq_adc_approximates_true_neighbors(spark):
+    """ADC sanity beyond the oracle: every ADC distance is
+    nonnegative-ish (quantization identity), ranks are dense 1..K per
+    probe, and the probe itself never appears as its own neighbor."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        N_PROBES,
+        TOP_K,
+        sim_search_pq_adc,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = sim_search_pq_adc(spark, SF_DIR).collect()
+    assert len(rows) == N_PROBES * TOP_K
+    by_probe = {}
+    for r in rows:
+        assert r.neighbor_id != r.probe_id
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, rs in by_probe.items():
+        assert [r.rank for r in rs] == list(range(1, TOP_K + 1))
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_covariance_diagonal_matches_variance(spark):
+    """cov(i,i) equals the per-dimension sample variance computed
+    independently with numpy (ddof=1), and corr(i,i) == 1."""
+    import numpy as np
+    import duckdb
+
+    from postgres_s3_etl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r.i, r.j): r
+        for r in embedding_covariance(spark, SF_DIR).collect()
+    }
+    m = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchnumpy()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    var = m.var(axis=0, ddof=1)
+    for i in range(m.shape[1]):
+        r = got[(i, i)]
+        assert abs(r.cov - var[i]) < 1e-5, i
+        assert r.corr == 1.0 or abs(r.corr - 1.0) <= 1e-6, i
