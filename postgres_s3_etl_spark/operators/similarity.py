@@ -964,20 +964,12 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Upper-triangle covariance + correlation of the embedding
-    dimensions — the PCA/whitening precursor every embedding-space
-    health check starts from (correlated dimensions waste index
-    capacity; near-rank-deficiency shows up as |corr| ~ 1 rows).
-
-    Scale shape: the d^2/2 pair terms are generated ROW-LOCALLY by a
-    double posexplode (no self-join of the corpus, unlike the DuckDB
-    twin) and partially aggregated before the shuffle, so shuffle
-    volume is O(partitions x d^2) — independent of corpus size. Sums
-    go through DECIMAL(38,18) (exact, order-independent) and the
-    covariance/correlation arithmetic is one mirrored IEEE double
-    expression. Output is d(d+1)/2 = 2080 rows at d = 64.
-    """
+def _cov_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle sample covariance (i <= j) of the embedding
+    dimensions as (i, j, cov double), materialized once
+    (``localCheckpoint``) for reuse. Pair terms come from a row-local
+    double posexplode — no corpus self-join — and partially aggregate
+    to d^2/2 keys before the shuffle; sums are DECIMAL(38,18) exact."""
     emb = load_table(spark, sf_dir, "embeddings")
     e1 = emb.select(
         F.posexplode("embedding").alias("i", "vif"), "embedding"
@@ -1004,7 +996,24 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sij").cast("double")
         - F.col("si").cast("double") * F.col("sj").cast("double") / n
     ) / (n - F.lit(1.0))
-    covs = sums.select("i", "j", cov.alias("cov")).localCheckpoint()
+    return sums.select("i", "j", cov.alias("cov")).localCheckpoint()
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance + correlation of the embedding
+    dimensions — the PCA/whitening precursor every embedding-space
+    health check starts from (correlated dimensions waste index
+    capacity; near-rank-deficiency shows up as |corr| ~ 1 rows).
+
+    Scale shape: the d^2/2 pair terms are generated ROW-LOCALLY by a
+    double posexplode (no self-join of the corpus, unlike the DuckDB
+    twin) and partially aggregated before the shuffle, so shuffle
+    volume is O(partitions x d^2) — independent of corpus size. Sums
+    go through DECIMAL(38,18) (exact, order-independent) and the
+    covariance/correlation arithmetic is one mirrored IEEE double
+    expression. Output is d(d+1)/2 = 2080 rows at d = 64.
+    """
+    covs = _cov_upper(spark, sf_dir)
     var = covs.where(F.col("i") == F.col("j")).select(
         F.col("i").alias("d"), F.col("cov").alias("v")
     )
@@ -1029,6 +1038,111 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
         .orderBy("i", "j")
+    )
+
+
+#: Fixed power-iteration count for the PCA dominant component —
+#: fixed (not iterate-to-epsilon) so the DuckDB twin can unroll the
+#: same iterations as a generated CTE chain, the PageRank-oracle
+#: trick. 8 rounds is plenty for a dominant/second eigengap on these
+#: covariances; the estimate is emitted with its own convergence
+#: residual so the answer is honest about remaining error.
+PCA_POWER_ITERS = 8
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding space by
+    distributed power iteration over the covariance matrix — the
+    first step of PCA/whitening, run the way it must be run when d
+    is too large to collect (at d = 4096 the covariance is 16M
+    entries; here d = 64 exercises the same plan).
+
+    Per round: one equi-join of the (i, j, cov) matrix frame with
+    the current d-row vector on j, a partial-aggregatable
+    DECIMAL(38,18) sum per i (the mat-vec), then normalization by a
+    one-row aggregate kept in-plan via scalar cross-broadcast. The
+    matrix frame is ``localCheckpoint``ed once and reused every
+    round. Normalizing every round keeps magnitudes at 1, so the
+    decimal sums never overflow and the final round's norm IS the
+    eigenvalue estimate (||C v|| for unit v -> lambda).
+
+    Determinism: the all-equal start vector (1/8 — dyadic-exact at
+    d = 64), mat-vec sums in exact decimal, normalization in
+    mirrored IEEE doubles — both engines walk the identical orbit,
+    so even the eigenvector SIGN matches without a convention.
+    Output: one row per dimension with the loading, the eigenvalue
+    estimate, and the Rayleigh residual ||Cv - lambda*v||.
+    """
+    covs = _cov_upper(spark, sf_dir)
+    cmat = covs.unionAll(
+        covs.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint()
+    dims = cmat.select("i").distinct()
+    v = dims.select("i", F.lit(0.125).alias("val"))  # 1/sqrt(64)
+    lam = None
+    for _ in range(PCA_POWER_ITERS):
+        # localCheckpoint per round: w is referenced twice (norm agg
+        # + normalize), so an unanchored lineage would DOUBLE the
+        # plan subtree every round — 2^8 replicas of the covariance
+        # job. The checkpoint is 64 rows.
+        w = (
+            cmat.join(v.select(F.col("i").alias("j"), "val"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    (F.col("cov") * F.col("val")).cast("decimal(38,18)")
+                )
+                .cast("double")
+                .alias("wval")
+            )
+            .localCheckpoint()
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("wval") * F.col("wval")).cast("decimal(38,18)"))
+                .cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("wval") / F.col("nrm")).alias("val")
+        )
+        lam = nrm
+    # residual: one more mat-vec against the final unit vector
+    w9 = (
+        cmat.join(v.select(F.col("i").alias("j"), "val"), "j")
+        .groupBy("i")
+        .agg(
+            F.sum((F.col("cov") * F.col("val")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("cv")
+        )
+    )
+    res = (
+        w9.join(v, "i")
+        .crossJoin(F.broadcast(lam.select(F.col("nrm").alias("lam"))))
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (
+                        (F.col("cv") - F.col("lam") * F.col("val"))
+                        * (F.col("cv") - F.col("lam") * F.col("val"))
+                    ).cast("decimal(38,18)")
+                ).cast("double")
+            ).alias("residual")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(lam.select(F.col("nrm").alias("lam"))))
+        .crossJoin(F.broadcast(res))
+        .select(
+            F.col("i").alias("pos"),
+            (F.floor(F.col("val") * 1e6) / 1e6).alias("loading"),
+            (F.floor(F.col("lam") * 1e6) / 1e6).alias("eigenvalue"),
+            (F.floor(F.col("residual") * 1e6) / 1e6).alias("residual"),
+        )
+        .orderBy("pos")
     )
 
 
@@ -1109,6 +1223,7 @@ QUERIES = {
     "sim_search_recall": sim_search_recall,
     "sim_search_pq_adc": sim_search_pq_adc,
     "embedding_covariance": embedding_covariance,
+    "embedding_pca_power": embedding_pca_power,
 }
 
 
@@ -1172,7 +1287,91 @@ _PQ_CTE = f"""
 """
 
 
+#: Shared CTE chain ending in covs(i, j, cov) — the upper-triangle
+#: sample covariance via corpus self-join (the Spark twin uses a
+#: row-local double posexplode instead; same exact decimal sums).
+_COV_CTE = """
+        ex AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings
+        ),
+        csums AS (
+            SELECT a.i AS i, b.i AS j,
+                   COUNT(*) AS n,
+                   SUM(CAST(a.v AS DECIMAL(38,18))) AS si,
+                   SUM(CAST(b.v AS DECIMAL(38,18))) AS sj,
+                   SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS sij
+            FROM ex a JOIN ex b
+              ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        ),
+        covs AS (
+            SELECT i, j,
+                   (CAST(sij AS DOUBLE)
+                    - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS cov
+            FROM csums
+        )
+"""
+
+
+def _pca_iter_sql(k: int) -> str:
+    """One unrolled power-iteration round: mat-vec in exact decimal,
+    norm, normalize — the PageRank-oracle unrolling trick."""
+    return f"""
+        w{k} AS MATERIALIZED (
+            SELECT c.i,
+                   CAST(SUM(CAST(c.cov * p.val AS DECIMAL(38,18)))
+                        AS DOUBLE) AS wval
+            FROM cmat c JOIN v{k - 1} p ON c.j = p.i
+            GROUP BY c.i
+        ),
+        n{k} AS MATERIALIZED (
+            SELECT sqrt(CAST(SUM(CAST(wval * wval AS DECIMAL(38,18)))
+                             AS DOUBLE)) AS nrm
+            FROM w{k}
+        ),
+        v{k} AS MATERIALIZED (
+            SELECT w.i, w.wval / n.nrm AS val FROM w{k} w, n{k} n
+        )
+    """
+
+
 ORACLES = {
+    "embedding_pca_power": f"""
+        WITH {_COV_CTE},
+        cmat AS MATERIALIZED (
+            SELECT i, j, cov FROM covs
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM covs WHERE i <> j
+        ),
+        v0 AS MATERIALIZED (SELECT DISTINCT i, 0.125 AS val FROM cmat),
+        {",".join(_pca_iter_sql(k) for k in range(1, PCA_POWER_ITERS + 1))},
+        wlast AS (
+            SELECT c.i,
+                   CAST(SUM(CAST(c.cov * p.val AS DECIMAL(38,18)))
+                        AS DOUBLE) AS cv
+            FROM cmat c JOIN v{PCA_POWER_ITERS} p ON c.j = p.i
+            GROUP BY c.i
+        ),
+        res AS (
+            SELECT sqrt(CAST(SUM(CAST(
+                       (w.cv - n.nrm * v.val) * (w.cv - n.nrm * v.val)
+                   AS DECIMAL(38,18))) AS DOUBLE)) AS residual
+            FROM wlast w
+            JOIN v{PCA_POWER_ITERS} v ON w.i = v.i,
+                 n{PCA_POWER_ITERS} n
+        )
+        SELECT v.i AS pos,
+               floor(v.val * 1e6) / 1e6 AS loading,
+               floor(n.nrm * 1e6) / 1e6 AS eigenvalue,
+               floor(r.residual * 1e6) / 1e6 AS residual
+        FROM v{PCA_POWER_ITERS} v, n{PCA_POWER_ITERS} n, res r
+        ORDER BY pos
+    """,
     "sim_search_pq_adc": f"""
         WITH {_PQ_CTE},
         pairs AS (
@@ -1215,31 +1414,8 @@ ORACLES = {
     """,
     # Self-join formulation — deliberately different from the Spark
     # twin's row-local double-posexplode, same exact decimal sums.
-    "embedding_covariance": """
-        WITH ex AS (
-            SELECT vec_id,
-                   generate_subscripts(embedding, 1) - 1 AS i,
-                   CAST(unnest(embedding) AS DOUBLE) AS v
-            FROM embeddings
-        ),
-        sums AS (
-            SELECT a.i AS i, b.i AS j,
-                   COUNT(*) AS n,
-                   SUM(CAST(a.v AS DECIMAL(38,18))) AS si,
-                   SUM(CAST(b.v AS DECIMAL(38,18))) AS sj,
-                   SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS sij
-            FROM ex a JOIN ex b
-              ON a.vec_id = b.vec_id AND a.i <= b.i
-            GROUP BY a.i, b.i
-        ),
-        covs AS (
-            SELECT i, j,
-                   (CAST(sij AS DOUBLE)
-                    - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE)
-                      / CAST(n AS DOUBLE))
-                   / (CAST(n AS DOUBLE) - 1.0) AS cov
-            FROM sums
-        ),
+    "embedding_covariance": f"""
+        WITH {_COV_CTE},
         var AS (SELECT i AS d, cov AS v FROM covs WHERE i = j)
         SELECT c.i, c.j,
                floor(c.cov * 1e6) / 1e6 AS cov,
