@@ -357,10 +357,13 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (large-star/small-star refinements drop in without changing the
     contract).
 
-    The oracle is a DuckDB RECURSIVE CTE computing reachability
-    labels then taking per-node minima — a genuinely different
-    formulation (breadth-first closure vs iterated relaxation) that
-    cross-checks the convergence loop end-to-end.
+    The oracle unrolls CC_ORACLE_ROUNDS min-relaxation rounds as a
+    MATERIALIZED CTE chain — O(E) work per round, so it stays
+    tractable on a giant component (a RECURSIVE reachability
+    closure is near-quadratic there: measured >25 min at sf0.1
+    before being replaced). A fixed unroll equals the convergence
+    loop whenever diameter <= CC_ORACLE_ROUNDS; a violation would
+    surface as a visible hash FAIL.
     """
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     sym = edges.unionAll(
@@ -536,6 +539,28 @@ QUERIES = {
 }
 
 
+#: Oracle unroll depth for connected components: must be >= the
+#: graph diameter (co-purchase graphs: one dense giant component,
+#: diameter well under 10 at every tested SF; 32 leaves margin).
+#: The Spark twin iterates to true convergence under CC_MAX_ITERS.
+CC_ORACLE_ROUNDS = 32
+
+
+def _cc_iter_sql(k: int) -> str:
+    """One unrolled min-label relaxation round (the Spark loop body
+    re-expressed): label <- least(label, min over in-neighbors)."""
+    return f"""
+        l{k} AS MATERIALIZED (
+            SELECT n.node, least(n.label, COALESCE(nb.m, n.label)) AS label
+            FROM l{k - 1} n LEFT JOIN (
+                SELECT s.dst AS node, MIN(l.label) AS m
+                FROM sym s JOIN l{k - 1} l ON s.src = l.node
+                GROUP BY s.dst
+            ) nb ON n.node = nb.node
+        )
+    """
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     return f"""
         {out} AS (
@@ -647,24 +672,26 @@ ORACLES = {
         JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
         JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
     """,
-    # Reachability-closure recursive CTE (UNION dedups the frontier)
-    # then per-node min label — a different algorithm than the Spark
-    # twin's iterated relaxation, same fixed point.
+    # Unrolled min-label relaxation, CC_ORACLE_ROUNDS rounds, each
+    # MATERIALIZED (DuckDB would otherwise inline every round's two
+    # references — exponential blow-up; and a RECURSIVE reachability
+    # closure is near-quadratic on a giant component: ~10^8
+    # (node, label) pairs at sf0.1, measured as a >25 min burn).
+    # Fixed unroll matches the Spark twin's convergence loop as long
+    # as the graph diameter <= CC_ORACLE_ROUNDS — a divergence would
+    # surface as a visible hash FAIL, never silently.
     "graph_components": f"""
-        WITH RECURSIVE {_EDGES_SQL},
-        sym AS (
+        WITH {_EDGES_SQL},
+        sym AS MATERIALIZED (
             SELECT src, dst FROM edges
             UNION ALL SELECT dst, src FROM edges
         ),
-        reach AS (
+        l0 AS MATERIALIZED (
             SELECT DISTINCT src AS node, src AS label FROM sym
-            UNION
-            SELECT s.dst AS node, r.label
-            FROM reach r JOIN sym s ON s.src = r.node
-            WHERE r.label < s.dst
         ),
+        {",".join(_cc_iter_sql(k) for k in range(1, CC_ORACLE_ROUNDS + 1))},
         comp AS (
-            SELECT node, MIN(label) AS label FROM reach GROUP BY node
+            SELECT node, label FROM l{CC_ORACLE_ROUNDS}
         ),
         sizes AS (
             SELECT label, CAST(COUNT(*) AS BIGINT) AS component_size
