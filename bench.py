@@ -84,6 +84,8 @@ HEADLINE = (
     "q_tpch21_waiting_orders",
     # round-4 additions
     "graph_components",
+    "sim_search_pq_adc",
+    "embedding_covariance",
 )
 
 

@@ -1887,7 +1887,174 @@ def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A customer whose last order predates the corpus end by more than
+#: this horizon is treated as churned (an observed "death"); later
+#: last-orders are right-censored — they may still be active.
+KM_CHURN_HORIZON_DAYS = 90
+
+
+def q_customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-lifetime survival curve — the churn
+    analysis the reference's order pipeline feeds downstream. A
+    customer's lifetime is first→last order in days; the death/censor
+    split uses KM_CHURN_HORIZON_DAYS. At each event time t:
+    S(t) = Π_{t_i ≤ t} (1 - d_i / n_i) with the standard convention
+    that deaths and same-day censorings are both still at risk at t.
+
+    Scale shape: one per-customer aggregation shuffle, then the life
+    table collapses to ONE ROW PER DISTINCT DURATION — bounded by the
+    calendar span (~2.5k rows for 7 years), not the customer count —
+    so the unpartitioned cumulative windows run over a constant-size
+    frame at any SF, the same single-task-on-a-tiny-frame shape as
+    q_orders_runs_test. The cutoff scalar is a broadcast aggregate.
+    The product is exp(Σ ln) with a zeroed guard so a terminal d = n
+    row yields exactly 0.0 instead of ln(0).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_dt"),
+            F.max("o_orderdate").alias("last_dt"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
+    cut = orders.agg(
+        F.date_sub(F.max("o_orderdate"), KM_CHURN_HORIZON_DAYS).alias(
+            "cutoff"
+        )
+    )
+    per = life.crossJoin(F.broadcast(cut)).select(
+        F.datediff("last_dt", "first_dt").alias("t"),
+        F.when(F.col("last_dt") < F.col("cutoff"), 1)
+        .otherwise(0)
+        .alias("event"),
+    )
+    tab = per.groupBy("t").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = tab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    ev = risk.where(F.col("d") > 0)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    zeroed = F.max(
+        F.when(F.col("d") >= F.col("n"), 1).otherwise(0)
+    ).over(w_cum)
+    lnsum = F.sum(
+        F.when(
+            F.col("d") < F.col("n"),
+            F.log(
+                (F.col("n") - F.col("d")).cast("double")
+                / F.col("n").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return (
+        ev.select(
+            F.col("t").alias("duration_days"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            F.when(zeroed == 1, F.lit(0.0))
+            .otherwise(f6(F.exp(lnsum)))
+            .alias("survival"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+#: Consecutive orders from the same customer within this many days
+#: whose totals agree within DUPE_INVOICE_PCT percent are flagged as
+#: potential duplicate invoices.
+DUPE_INVOICE_WINDOW_DAYS = 7
+DUPE_INVOICE_PCT = 5
+DUPE_INVOICE_TOP_K = 50
+
+
+def q_orders_dupe_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate-invoice screen: consecutive orders by the same
+    customer within DUPE_INVOICE_WINDOW_DAYS whose totals differ by
+    at most DUPE_INVOICE_PCT% — the double-billing audit every
+    billing pipeline runs. Expressed as a lag window over custkey so
+    the self-match needs no self-join: one hash shuffle on custkey,
+    then a partition-local sort over each customer's handful of
+    orders — skew-free at any scale. The tolerance test is
+    cross-multiplied over exact DECIMALs (|t−prev|·100 ≤ pct·max),
+    so no engine-specific decimal-division rounding can flip a
+    boundary row. Top-K via TakeOrderedAndProject — no global sort.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        dec("o_totalprice").alias("total"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    lagged = orders.select(
+        "o_custkey",
+        "total",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("total").over(w).alias("prev_total"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lag("o_orderdate").over(w).alias("prev_dt"),
+    )
+    diff = F.abs(F.col("total") - F.col("prev_total"))
+    flagged = lagged.where(
+        F.col("prev_dt").isNotNull()
+        & (
+            F.datediff("o_orderdate", "prev_dt")
+            <= DUPE_INVOICE_WINDOW_DAYS
+        )
+        & (
+            diff * 100
+            <= F.greatest("total", "prev_total") * DUPE_INVOICE_PCT
+        )
+    )
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return (
+        flagged.select(
+            "o_custkey",
+            F.col("prev_key").alias("first_orderkey"),
+            F.col("o_orderkey").alias("second_orderkey"),
+            F.col("prev_total").alias("first_total"),
+            F.col("total").alias("second_total"),
+            F.datediff("o_orderdate", "prev_dt").alias("gap_days"),
+            f6(
+                diff.cast("double")
+                / F.greatest("total", "prev_total").cast("double")
+            ).alias("rel_diff"),
+        )
+        .orderBy("gap_days", "o_custkey", "second_orderkey")
+        .limit(DUPE_INVOICE_TOP_K)
+    )
+
+
 QUERIES = {
+    "q_customer_survival_km": q_customer_survival_km,
+    "q_orders_dupe_invoices": q_orders_dupe_invoices,
     "q_customer_spend_regression": q_customer_spend_regression,
     "q_orders_benford": q_orders_benford,
     "q_orders_runs_test": q_orders_runs_test,
@@ -1946,6 +2113,99 @@ _BENFORD_VALUES = ", ".join(
 )
 
 ORACLES = {
+    "q_customer_survival_km": f"""
+        WITH life AS (
+            SELECT o_custkey,
+                   MIN(o_orderdate) AS first_dt,
+                   MAX(o_orderdate) AS last_dt
+            FROM orders
+            GROUP BY o_custkey
+            HAVING COUNT(*) >= 2
+        ),
+        cut AS (
+            SELECT MAX(o_orderdate) - INTERVAL {KM_CHURN_HORIZON_DAYS} DAY AS cutoff
+            FROM orders
+        ),
+        per AS (
+            SELECT date_diff('day', first_dt, last_dt) AS t,
+                   CASE WHEN last_dt < cutoff THEN 1 ELSE 0 END AS event
+            FROM life CROSS JOIN cut
+        ),
+        tab AS (
+            SELECT t,
+                   CAST(SUM(event) AS BIGINT) AS d,
+                   CAST(SUM(1 - event) AS BIGINT) AS c
+            FROM per GROUP BY t
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per),
+        risk AS (
+            SELECT t, d, c,
+                   n_total - COALESCE(SUM(d + c) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS n
+            FROM tab CROSS JOIN tot
+        ),
+        ev AS (SELECT * FROM risk WHERE d > 0),
+        curve AS (
+            SELECT t, n, d, c,
+                   MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS zeroed,
+                   SUM(CASE WHEN d < n
+                            THEN ln((n - d) * 1.0 / n) ELSE 0.0 END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS lnsum
+            FROM ev
+        )
+        SELECT CAST(t AS INT) AS duration_days,
+               CAST(n AS BIGINT) AS n_risk,
+               d AS n_events,
+               c AS n_censored,
+               CASE WHEN zeroed = 1 THEN 0.0
+                    ELSE floor(exp(lnsum) * 1e6) / 1e6 END AS survival
+        FROM curve
+        ORDER BY duration_days
+    """,
+    "q_orders_dupe_invoices": f"""
+        WITH w AS (
+            SELECT o_custkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+                   o_orderkey,
+                   o_orderdate,
+                   LAG(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS prev_total,
+                   LAG(o_orderkey) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS prev_key,
+                   LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS prev_dt
+            FROM orders
+        )
+        SELECT o_custkey,
+               prev_key AS first_orderkey,
+               o_orderkey AS second_orderkey,
+               prev_total AS first_total,
+               total AS second_total,
+               CAST(date_diff('day', prev_dt, o_orderdate) AS INT) AS gap_days,
+               floor(CAST(abs(total - prev_total) AS DOUBLE)
+                     / CAST(greatest(total, prev_total) AS DOUBLE) * 1e6) / 1e6
+                   AS rel_diff
+        FROM w
+        WHERE prev_dt IS NOT NULL
+          AND date_diff('day', prev_dt, o_orderdate) <= {DUPE_INVOICE_WINDOW_DAYS}
+          AND abs(total - prev_total) * 100
+              <= greatest(total, prev_total) * {DUPE_INVOICE_PCT}
+        ORDER BY gap_days, o_custkey, second_orderkey
+        LIMIT {DUPE_INVOICE_TOP_K}
+    """,
     "q_orders_runs_test": """
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,

@@ -5,6 +5,8 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_customer_survival_km",
+    "q_orders_dupe_invoices",
     "q_customer_spend_regression",
     "q_orders_benford",
     "q_orders_runs_test",
@@ -115,3 +117,36 @@ def test_value_trend_matches_oracle(spark, duck):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "q_events_value_trend")
+
+
+def test_survival_curve_is_monotone(spark):
+    """KM survival must start at ≤1 and never increase with t."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_survival_km,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_customer_survival_km(spark, SF_DIR).collect()
+    assert rows
+    last = 1.0 + 1e-9
+    for r in rows:
+        assert 0.0 <= r.survival <= last + 1e-9, r
+        assert r.n_events >= 1
+        assert r.n_risk >= r.n_events
+        last = r.survival
+
+
+def test_dupe_invoices_respect_tolerance(spark):
+    """Every flagged pair must be within the window and 5% band."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        DUPE_INVOICE_PCT,
+        DUPE_INVOICE_WINDOW_DAYS,
+        q_orders_dupe_invoices,
+    )
+
+    rows = q_orders_dupe_invoices(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.gap_days <= DUPE_INVOICE_WINDOW_DAYS
+        assert r.rel_diff <= DUPE_INVOICE_PCT / 100 + 1e-9
+        assert r.first_orderkey != r.second_orderkey
