@@ -528,7 +528,112 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: k-core order: peel nodes with degree < KCORE_K until stable.
+KCORE_K = 3
+KCORE_MAX_ITERS = 50
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the 3-core of the co-purchase graph —
+    the densest-backbone extraction (community seeding, spam-node
+    pruning on doc-link graphs). Iterative peeling: drop nodes with
+    core-degree < k, recompute degrees on the induced subgraph,
+    repeat until the edge set is stable.
+
+    Scale shape: each round is one partial-aggregatable degree
+    count plus two left-semi equi-joins to induce the subgraph —
+    never a pairs blow-up; ``localCheckpoint`` truncates lineage
+    per round and the only driver value is the constant-size
+    surviving-edge count (the convergence scalar). Rounds are
+    bounded by the peeling depth, which is tiny on heavy-tailed
+    graphs. The oracle unrolls KCORE_ORACLE_ROUNDS peels as a
+    MATERIALIZED CTE chain — extra rounds past convergence are
+    no-ops, so fixed unroll == converged loop whenever peeling
+    finishes within the unroll depth.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    n_cur = edges.count()
+    for _ in range(KCORE_MAX_ITERS):
+        deg = _degrees(edges)
+        keep = deg.where(F.col("deg") >= KCORE_K).select("node")
+        edges = (
+            edges.join(
+                keep, edges.src == keep.node, "leftsemi"
+            )
+            .join(keep, F.col("dst") == keep.node, "leftsemi")
+            .localCheckpoint()
+        )
+        n_next = edges.count()  # constant-size convergence scalar
+        if n_next == n_cur:
+            break
+        n_cur = n_next
+    return (
+        _degrees(edges)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("deg")
+    )
+
+
+#: Multi-source BFS: seed set size and fixed relaxation rounds
+#: (fixed — not converged — so the SQL twin is an exact unroll).
+BFS_N_SEEDS = 5
+BFS_ROUNDS = 6
+
+
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS level histogram: hop distance from the
+    BFS_N_SEEDS highest-degree parts (ties: node asc) after
+    BFS_ROUNDS rounds of min-distance relaxation — the reachability
+    / influence-radius kernel (also the E-R diameter probe shape).
+
+    Scale shape: per round, one join from the current distance
+    table along the symmetric edge list plus a partial-aggregatable
+    MIN — the standard distributed Bellman-Ford relaxation with
+    unit weights; ``localCheckpoint`` per round truncates lineage.
+    Rounds are FIXED (like graph_pagerank), so Spark and the
+    unrolled-CTE oracle compute identical tables with no
+    convergence scalar at all. Nodes not reached within BFS_ROUNDS
+    are excluded (they'd report +inf).
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = _degrees(edges)
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("node"))
+        .limit(BFS_N_SEEDS)
+        .select("node")
+    )
+    dist = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    for _ in range(BFS_ROUNDS):
+        cand = (
+            sym.join(dist, sym.src == dist.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(cand, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(1 << 30)),
+                    F.coalesce("nd", F.lit(1 << 30)),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        dist.groupBy(F.col("dist").alias("level"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("level")
+    )
+
+
 QUERIES = {
+    "graph_kcore": graph_kcore,
+    "graph_bfs_levels": graph_bfs_levels,
     "graph_degree_stats": graph_degree_stats,
     "graph_assortativity": graph_assortativity,
     "graph_triangle_count": graph_triangle_count,
@@ -580,7 +685,82 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     """
 
 
+#: Oracle unroll depth for k-core peeling: must be >= the number of
+#: peel rounds to convergence (heavy-tailed co-purchase graphs peel
+#: in a handful of rounds; 16 leaves margin). Extra rounds past
+#: convergence are no-ops, so deeper-than-needed unroll is safe.
+KCORE_ORACLE_ROUNDS = 16
+
+
+def _kcore_iter_sql(k: int) -> str:
+    """One unrolled peel: keep edges whose BOTH endpoints still have
+    degree >= KCORE_K in the current induced subgraph."""
+    return f"""
+        kd{k} AS (
+            SELECT node, COUNT(*) AS c FROM (
+                SELECT src AS node FROM ke{k - 1}
+                UNION ALL SELECT dst FROM ke{k - 1}
+            ) GROUP BY node
+        ),
+        ke{k} AS MATERIALIZED (
+            SELECT e.src, e.dst
+            FROM ke{k - 1} e
+            JOIN kd{k} a ON e.src = a.node AND a.c >= {KCORE_K}
+            JOIN kd{k} b ON e.dst = b.node AND b.c >= {KCORE_K}
+        )
+    """
+
+
+def _bfs_iter_sql(k: int) -> str:
+    """One unrolled unit-weight Bellman-Ford relaxation round."""
+    return f"""
+        bd{k} AS MATERIALIZED (
+            SELECT COALESCE(p.node, c.node) AS node,
+                   LEAST(COALESCE(p.dist, {1 << 30}),
+                         COALESCE(c.nd, {1 << 30})) AS dist
+            FROM bd{k - 1} p
+            FULL JOIN (
+                SELECT s.dst AS node, MIN(l.dist) + 1 AS nd
+                FROM sym s JOIN bd{k - 1} l ON s.src = l.node
+                GROUP BY s.dst
+            ) c ON p.node = c.node
+        )
+    """
+
+
 ORACLES = {
+    "graph_kcore": f"""
+        WITH {_EDGES_SQL},
+        ke0 AS MATERIALIZED (SELECT src, dst FROM edges),
+        {",".join(_kcore_iter_sql(k) for k in range(1, KCORE_ORACLE_ROUNDS + 1))},
+        core_deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT src AS node FROM ke{KCORE_ORACLE_ROUNDS}
+                UNION ALL SELECT dst FROM ke{KCORE_ORACLE_ROUNDS}
+            ) GROUP BY node
+        )
+        SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM core_deg GROUP BY deg ORDER BY deg
+    """,
+    "graph_bfs_levels": f"""
+        WITH {_EDGES_SQL},
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+        ),
+        seeds AS (
+            SELECT node FROM deg ORDER BY deg DESC, node ASC
+            LIMIT {BFS_N_SEEDS}
+        ),
+        bd0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
+        {",".join(_bfs_iter_sql(k) for k in range(1, BFS_ROUNDS + 1))}
+        SELECT CAST(dist AS INT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM bd{BFS_ROUNDS} GROUP BY dist ORDER BY level
+    """,
     "graph_assortativity": f"""
         WITH {_EDGES_SQL},
         sym AS (

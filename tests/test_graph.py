@@ -17,6 +17,8 @@ ALL = [
     "graph_jaccard_links",
     "graph_assortativity",
     "graph_components",
+    "graph_kcore",
+    "graph_bfs_levels",
 ]
 
 
@@ -198,3 +200,24 @@ def test_pagerank_converged_matches_numpy_power_iteration(spark):
     for r in got:
         assert abs(r.pr - pr[idx[r.p_partkey]]) < 5e-6, r.p_partkey
         assert r.outdeg == int(outdeg[idx[r.p_partkey]])
+
+
+def test_kcore_min_degree_invariant(spark):
+    """Every node in the k-core has degree >= KCORE_K, and the core
+    is a subgraph of the full graph's >=k-degree nodes."""
+    from postgres_s3_etl_spark.operators import graph as g
+
+    rows = g.graph_kcore(spark, SF_DIR).collect()
+    assert rows  # 3-core is non-empty on the co-purchase graph
+    for r in rows:
+        assert r.deg >= g.KCORE_K, r
+
+
+def test_bfs_levels_start_at_seeds(spark):
+    """Level 0 holds exactly the seed set; level counts positive."""
+    from postgres_s3_etl_spark.operators import graph as g
+
+    rows = g.graph_bfs_levels(spark, SF_DIR).collect()
+    by_level = {r.level: r.n_nodes for r in rows}
+    assert by_level.get(0) == g.BFS_N_SEEDS
+    assert all(n > 0 for n in by_level.values())
