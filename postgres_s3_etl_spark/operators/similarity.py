@@ -1205,7 +1205,89 @@ def embedding_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hybrid retrieval: RRF constant, per-modality candidate pool,
+#: fused output size, keyword and vector probe identities.
+RRF_K = 60
+RRF_POOL = 100
+RRF_TOP = 20
+RRF_KEYWORD = "vector"
+RRF_PROBE_ID = 0
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank
+    Fusion (Cormack et al.): keyword channel ranks documents by the
+    probe term's tf, vector channel ranks by cosine to a probe
+    embedding; fused score Σ 1/(RRF_K + rank) over the channels a
+    doc appears in — the standard RAG retrieval stack shape.
+
+    Scale shape: each channel reduces to a bounded RRF_POOL
+    candidate list via TakeOrderedAndProject (no global sort of the
+    corpus); rank assignment and the full-outer fuse then run on
+    ≤2·RRF_POOL rows — driver-independent, constant-size work
+    regardless of corpus scale. The keyword tf is a row-local array
+    filter; the cosine fold broadcasts the single probe vector.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    kw_tf = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower("text")), r"\s+"),
+                lambda t: t == F.lit(RRF_KEYWORD),
+            )
+        ).alias("kw_tf"),
+    ).where(F.col("kw_tf") > 0)
+    kw_pool = kw_tf.orderBy(F.desc("kw_tf"), F.asc("doc_id")).limit(
+        RRF_POOL
+    )
+    w_kw = Window.orderBy(F.desc("kw_tf"), F.asc("doc_id"))
+    kw_ranked = kw_pool.select(
+        "doc_id", F.row_number().over(w_kw).alias("kw_rank")
+    )
+
+    vecs = _vecs(spark, sf_dir)
+    probe = vecs.where(F.col("vec_id") == RRF_PROBE_ID).select(
+        F.col("v").alias("pv"), F.col("norm").alias("pnorm")
+    )
+    cos = _trunc6(
+        F.expr(
+            "aggregate(zip_with(v, pv, (x, y) -> x * y),"
+            " 0.0d, (s, x) -> s + x)"
+        )
+        / (F.col("norm") * F.col("pnorm"))
+    )
+    vec_pool = (
+        vecs.crossJoin(F.broadcast(probe))
+        .where(F.col("vec_id") != RRF_PROBE_ID)
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    w_vec = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    vec_ranked = vec_pool.select(
+        "doc_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+
+    fused = kw_ranked.join(vec_ranked, "doc_id", "full").select(
+        "doc_id",
+        "kw_rank",
+        "vec_rank",
+        _trunc6(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("kw_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
+
+
 QUERIES = {
+    "hybrid_search_rrf": hybrid_search_rrf,
     "sim_search_bruteforce": sim_search_bruteforce,
     "embedding_pq_stats": embedding_pq_stats,
     "embedding_norm_outliers": embedding_norm_outliers,
@@ -1341,6 +1423,57 @@ def _pca_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "hybrid_search_rrf": rf"""
+        WITH kw AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t = '{RRF_KEYWORD}')) AS kw_tf
+            FROM documents
+        ),
+        kw_pool AS (
+            SELECT doc_id, kw_tf FROM kw WHERE kw_tf > 0
+            ORDER BY kw_tf DESC, doc_id ASC LIMIT {RRF_POOL}
+        ),
+        kw_ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY kw_tf DESC, doc_id ASC) AS INT) AS kw_rank
+            FROM kw_pool
+        ),
+        vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        probe AS (
+            SELECT v AS pv, nrm AS pnorm FROM vecs
+            WHERE vec_id = {RRF_PROBE_ID}
+        ),
+        vec_pool AS (
+            SELECT vec_id AS doc_id,
+                   floor(list_dot_product(v, pv) / (nrm * pnorm) * 1e6)
+                       / 1e6 AS cosine
+            FROM vecs CROSS JOIN probe
+            WHERE vec_id <> {RRF_PROBE_ID}
+            ORDER BY cosine DESC, doc_id ASC LIMIT {RRF_POOL}
+        ),
+        vec_ranked AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY cosine DESC, doc_id ASC) AS INT) AS vec_rank
+            FROM vec_pool
+        )
+        SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+               k.kw_rank, v.vec_rank,
+               floor((COALESCE(1.0 / ({RRF_K} + k.kw_rank), 0.0)
+                      + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0))
+                     * 1e6) / 1e6 AS rrf
+        FROM kw_ranked k FULL JOIN vec_ranked v ON k.doc_id = v.doc_id
+        ORDER BY rrf DESC, doc_id ASC
+        LIMIT {RRF_TOP}
+    """,
     "embedding_pca_power": f"""
         WITH {_COV_CTE},
         cmat AS MATERIALIZED (

@@ -1421,7 +1421,55 @@ def text_topterms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Burstiness report: minimum doc frequency and output size.
+BURSTINESS_MIN_DF = 20
+BURSTINESS_TOP_K = 30
+
+
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church-Gale dispersion): variance-to-mean
+    ratio of per-document term counts, zeros included — a bursty
+    term piles up in few documents (named entities, boilerplate), a
+    Poisson-like term spreads evenly (function words). The standard
+    corpus-linguistics signal for stopword-vs-content splits and
+    template detection in training-data curation.
+
+    Scale shape: one explode + per-(doc, token) count, then a
+    per-token rollup of the exact BIGINT sufficient sums (df, Σtf,
+    Σtf²) — zeros never materialize because mean and E[x²] divide
+    by the corpus-size scalar (broadcast aggregate). Two shuffles
+    total, both with map-side combine; top-K via
+    TakeOrderedAndProject on the floored score.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    per_doc = (
+        docs.select("doc_id", tok)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+        F.sum("tf").cast("bigint").alias("tot"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("sumsq"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    m = F.col("tot").cast("double") / F.col("n_docs").cast("double")
+    ex2 = F.col("sumsq").cast("double") / F.col("n_docs").cast("double")
+    b6 = F.floor((ex2 - m * m) / m * 1e6) / 1e6
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .where(F.col("doc_freq") >= BURSTINESS_MIN_DF)
+        .select("token", "doc_freq", "tot", b6.alias("burstiness"))
+        .orderBy(F.desc("burstiness"), F.asc("token"))
+        .limit(BURSTINESS_TOP_K)
+    )
+
+
 QUERIES = {
+    "text_burstiness": text_burstiness,
     "text_langid": text_langid,
     "text_langid_f1": text_langid_f1,
     "text_quality": text_quality,
@@ -1552,6 +1600,35 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_burstiness": rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, token
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        stats AS (
+            SELECT token,
+                   CAST(COUNT(*) AS BIGINT) AS doc_freq,
+                   CAST(SUM(tf) AS BIGINT) AS tot,
+                   CAST(SUM(tf * tf) AS BIGINT) AS sumsq
+            FROM per_doc GROUP BY token
+        )
+        SELECT token, doc_freq, tot,
+               floor((CAST(sumsq AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                      - (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                        * (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                     / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     * 1e6) / 1e6 AS burstiness
+        FROM stats CROSS JOIN nd
+        WHERE doc_freq >= {BURSTINESS_MIN_DF}
+        ORDER BY burstiness DESC, token ASC
+        LIMIT {BURSTINESS_TOP_K}
+    """,
     "text_langid_f1": _langid_f1_oracle(),
     "text_decontaminate": rf"""
         WITH words AS (

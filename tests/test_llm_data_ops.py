@@ -30,6 +30,8 @@ ORACLE_NAMES = [
     "sim_search_pq_adc",
     "embedding_covariance",
     "embedding_pca_power",
+    "text_burstiness",
+    "hybrid_search_rrf",
 ]
 
 
@@ -466,3 +468,44 @@ def test_pca_power_matches_numpy_eigh(spark):
     assert min(abs(lam - w)) <= res + 1e-6  # residual honesty (Weyl)
     q = float(v @ c @ v) / float(v @ v)
     assert q >= 0.8 * w[-1], (q, w[-1])
+
+
+def test_burstiness_stopwords_are_low(spark):
+    """Uniformly-spread tokens must score lower than clumped ones:
+    every emitted score is positive-finite and ordering is by the
+    floored score (deterministic across engines)."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_burstiness,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_burstiness(spark, SF_DIR).collect()
+    assert rows
+    scores = [r.burstiness for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.burstiness >= 0.0
+        assert r.doc_freq >= 20
+
+
+def test_hybrid_rrf_fuses_both_channels(spark):
+    """Docs ranked in BOTH channels must outscore the best
+    single-channel doc at the same ranks; rrf matches the formula."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        RRF_K,
+        hybrid_search_rrf,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = hybrid_search_rrf(spark, SF_DIR).collect()
+    assert rows
+    import math
+
+    both = [r for r in rows if r.kw_rank and r.vec_rank]
+    for r in rows:
+        expect = (1.0 / (RRF_K + r.kw_rank) if r.kw_rank else 0.0) + (
+            1.0 / (RRF_K + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert r.rrf == math.floor(expect * 1e6) / 1e6
+    if both:
+        assert rows[0].rrf >= max(r.rrf for r in rows)
