@@ -1024,7 +1024,168 @@ def q_events_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Conversion for the A/B readout: a purchase whose props.k clears
+#: this bar ("high-value purchase") — plain purchases saturate at
+#: 100% on this corpus, which would degenerate the z-test (se = 0).
+AB_CONVERSION_K_MIN = 90
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a two-proportion z-test: users
+    split into arms by assignment parity (user_id % 2 — production
+    would salt-hash the id, which Spark's `xxhash64` does engine-side;
+    parity keeps the SQL twin exact), conversion = the user fired at
+    least one high-value `purchase` (props.k ≥ AB_CONVERSION_K_MIN).
+    Emits per-arm exposure/conversion, absolute lift, and the pooled
+    z statistic — the launch-decision gate on any experimentation
+    platform.
+
+    Scale shape: one per-user rollup (partial-aggregatable max), one
+    2-row arm rollup, then the z statistic is a single mirrored
+    expression over the 2-row frame pivoted via conditional
+    aggregation — no joins, no windows, two shuffles total. The
+    degenerate all-converted/none-converted case yields NULL z via
+    try_divide, not a crash.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "props"
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    >= AB_CONVERSION_K_MIN
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    arms = users.select(
+        (F.col("user_id") % 2).alias("arm"), "converted"
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    pivoted = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_users")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_converted")))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users")))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_converted")))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        p_pool
+        * (1 - p_pool)
+        * (
+            1 / F.col("n_a").cast("double")
+            + 1 / F.col("n_b").cast("double")
+        )
+    )
+    return pivoted.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        f6(p_a).alias("rate_a"),
+        f6(p_b).alias("rate_b"),
+        f6(p_b - p_a).alias("lift"),
+        f6(F.try_divide(p_b - p_a, se)).alias("z_score"),
+    )
+
+
+#: Fixed power-iteration rounds for the stationary distribution —
+#: fixed (not converged) so the SQL twin is an exact unroll.
+MARKOV_STAT_ITERS = 10
+
+
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov
+    chain (the long-run occupancy the transition matrix implies),
+    by MARKOV_STAT_ITERS fixed power-iteration rounds π ← πP, with
+    the empirical type share alongside — the behavioral-equilibrium
+    summary for session simulators and drift monitors.
+
+    Scale shape: the transition matrix lives at the TYPE-PAIR grain
+    (|taxonomy|² rows — constant in corpus size), so after the one
+    corpus-sized lead-shuffle every iteration is a tiny equi-join
+    mat-vec whose per-edge products are row-local doubles SUMMED as
+    DECIMAL(38,18) — exact and order-independent, so Spark and the
+    unrolled-CTE oracle agree bit-for-bit (the graph_pagerank
+    recipe). `localCheckpoint` per round truncates the loop lineage.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn(
+        "next_type", F.lead("event_type").over(w)
+    ).where(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = F.sum("n").over(Window.partitionBy("event_type"))
+    pmat = counts.select(
+        F.col("event_type").alias("src"),
+        F.col("next_type").alias("dst"),
+        (F.col("n").cast("double") / row_tot.cast("double")).alias("p"),
+    ).localCheckpoint()
+    states = pmat.select(F.col("src").alias("state")).distinct()
+    n_states = states.count()  # |taxonomy|: constant-size scalar
+    pi = states.select(
+        "state", F.lit(1.0 / n_states).alias("pi")
+    ).localCheckpoint()
+    for _ in range(MARKOV_STAT_ITERS):
+        pi = (
+            pmat.join(pi, pmat.src == pi.state)
+            .select(
+                F.col("dst").alias("state"),
+                (F.col("pi") * F.col("p"))
+                .cast("decimal(38,18)")
+                .alias("contrib"),
+            )
+            .groupBy("state")
+            .agg(F.sum("contrib").cast("double").alias("pi"))
+            .localCheckpoint()
+        )
+    share = (
+        ev.groupBy(F.col("event_type").alias("state"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        pi.join(share, "state")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("state").alias("event_type"),
+            f6(F.col("pi")).alias("stationary_p"),
+            f6(
+                F.col("n_events").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("empirical_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "q_events_ab_test": q_events_ab_test,
+    "q_events_markov_stationary": q_events_markov_stationary,
     "q_events_revenue_bridge": q_events_revenue_bridge,
     "q_events_funnel": q_events_funnel,
     "q_events_transition_matrix": q_events_transition_matrix,
@@ -1054,7 +1215,105 @@ QUERIES = {
     "q_events_user_features": q_events_user_features,
 }
 
+def _markov_iter_sql(k: int) -> str:
+    """One unrolled power-iteration round π ← πP with exact
+    DECIMAL(38,18) contribution sums (the graph_pagerank recipe)."""
+    return f"""
+        mpi{k} AS MATERIALIZED (
+            SELECT m.dst AS state,
+                   CAST(SUM(CAST(p.pi * m.p AS DECIMAL(38,18)))
+                        AS DOUBLE) AS pi
+            FROM pmat m JOIN mpi{k - 1} p ON m.src = p.state
+            GROUP BY m.dst
+        )
+    """
+
+
 ORACLES = {
+    "q_events_ab_test": f"""
+        WITH users AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            AND CAST(json_extract(props, '$.k') AS BIGINT)
+                                >= {AB_CONVERSION_K_MIN}
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        arms AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM users GROUP BY 1
+        ),
+        piv AS (
+            SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN n_users END) AS BIGINT) AS n_a,
+                CAST(SUM(CASE WHEN arm = 0 THEN n_converted END) AS BIGINT) AS conv_a,
+                CAST(SUM(CASE WHEN arm = 1 THEN n_users END) AS BIGINT) AS n_b,
+                CAST(SUM(CASE WHEN arm = 1 THEN n_converted END) AS BIGINT) AS conv_b
+            FROM arms
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               floor(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) * 1e6) / 1e6
+                   AS rate_a,
+               floor(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) * 1e6) / 1e6
+                   AS rate_b,
+               floor((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1e6)
+                   / 1e6 AS lift,
+               floor((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                     / NULLIF(sqrt(
+                         (CAST(conv_a + conv_b AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE))
+                         * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                                / CAST(n_a + n_b AS DOUBLE))
+                         * (1 / CAST(n_a AS DOUBLE)
+                            + 1 / CAST(n_b AS DOUBLE))
+                       ), 0) * 1e6) / 1e6 AS z_score
+        FROM piv
+    """,
+    "q_events_markov_stationary": f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+        ),
+        pmat AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+            FROM counts
+        ),
+        states AS (SELECT DISTINCT src AS state FROM pmat),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM states),
+        mpi0 AS MATERIALIZED (
+            SELECT state, 1.0 / (SELECT k FROM ns) AS pi FROM states
+        ),
+        {",".join(_markov_iter_sql(k) for k in range(1, MARKOV_STAT_ITERS + 1))},
+        share AS (
+            SELECT event_type AS state,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM events)
+        SELECT p.state AS event_type,
+               floor(p.pi * 1e6) / 1e6 AS stationary_p,
+               floor(CAST(s.n_events AS DOUBLE)
+                     / CAST(t.n_total AS DOUBLE) * 1e6) / 1e6
+                   AS empirical_share
+        FROM mpi{MARKOV_STAT_ITERS} p
+        JOIN share s ON p.state = s.state
+        CROSS JOIN tot t
+        ORDER BY event_type
+    """,
     "q_events_revenue_bridge": """
         WITH ev AS (
             SELECT user_id AS k,

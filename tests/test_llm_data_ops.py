@@ -32,6 +32,8 @@ ORACLE_NAMES = [
     "embedding_pca_power",
     "text_burstiness",
     "hybrid_search_rrf",
+    "q_events_ab_test",
+    "q_events_markov_stationary",
 ]
 
 
@@ -509,3 +511,37 @@ def test_hybrid_rrf_fuses_both_channels(spark):
         assert r.rrf == math.floor(expect * 1e6) / 1e6
     if both:
         assert rows[0].rrf >= max(r.rrf for r in rows)
+
+
+def test_ab_test_readout_is_consistent(spark):
+    """Arm sizes partition the user base; lift and z share a sign;
+    rates match conversions/users."""
+    import math
+
+    from postgres_s3_etl_spark.operators.events import q_events_ab_test
+    from tests.conftest import SF_DIR
+
+    r = q_events_ab_test(spark, SF_DIR).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert r.rate_a == math.floor(r.conv_a / r.n_a * 1e6) / 1e6
+    assert r.rate_b == math.floor(r.conv_b / r.n_b * 1e6) / 1e6
+    if r.z_score is not None and r.lift != 0:
+        assert (r.lift > 0) == (r.z_score > 0)
+
+
+def test_markov_stationary_is_a_distribution(spark):
+    """The stationary vector must be a probability distribution and
+    every state must carry positive mass on this corpus."""
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_markov_stationary,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_events_markov_stationary(spark, SF_DIR).collect()
+    assert len(rows) == 5  # the event taxonomy
+    total = sum(r.stationary_p for r in rows)
+    assert abs(total - 1.0) < 1e-4  # floored at 1e-6 per entry
+    for r in rows:
+        assert r.stationary_p > 0
+        assert 0 < r.empirical_share < 1
