@@ -25,7 +25,7 @@ passed) report — row-local, no extra shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
@@ -112,9 +112,162 @@ def q_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("check_name")
 
 
-QUERIES = {"q_quality_constraints": q_quality_constraints}
+#: PSI drift monitor: reference/current split date, price bin count,
+#: and the standard "investigate" threshold.
+PSI_SPLIT_DATE = "1997-01-01"
+PSI_PRICE_BINS = 10
+PSI_ALERT = 0.1
+
+
+def q_orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre/post
+    PSI_SPLIT_DATE order populations, per monitored feature — the
+    standard production drift gate (PSI > 0.1 investigate, > 0.25
+    act) a 100 TB ingest runs before trusting a new batch against
+    the profile of the old one.
+
+    Features: `o_orderpriority` (categorical, its own buckets) and
+    `o_totalprice` (fixed-width bins over the GLOBAL min/max so both
+    periods share boundaries). Laplace-smoothed shares keep empty
+    buckets finite, mirrored exactly in the oracle.
+
+    Scale shape: one pass computes the min/max scalar (broadcast),
+    one pass aggregates (feature, bucket, period) counts with
+    map-side combine — the bucket grain is constant-size (5 + 10
+    rows), so the PSI fold and period totals are window math over a
+    tiny frame. Two scans, one shuffle each, no joins on data rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    rng = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    period = F.when(
+        F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("date"), "ref"
+    ).otherwise("cur")
+    price_bin = F.least(
+        F.lit(PSI_PRICE_BINS - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / PSI_PRICE_BINS)
+        ),
+    ).cast("string")
+    binned = orders.crossJoin(F.broadcast(rng)).select(
+        period.alias("period"),
+        F.col("o_orderpriority").alias("prio_bucket"),
+        price_bin.alias("price_bucket"),
+    )
+    buckets = binned.select(
+        "period", F.lit("o_orderpriority").alias("feature"),
+        F.col("prio_bucket").alias("bucket"),
+    ).unionAll(
+        binned.select(
+            "period", F.lit("o_totalprice").alias("feature"),
+            F.col("price_bucket").alias("bucket"),
+        )
+    )
+    counts = buckets.groupBy("feature", "bucket", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wide = counts.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("period") == "ref", F.col("n")))
+        .cast("bigint").alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", F.col("n")))
+        .cast("bigint").alias("n_cur"),
+    ).na.fill(0, ["n_ref", "n_cur"])
+    wf = Window.partitionBy("feature")
+    n_buckets = F.count(F.lit(1)).over(wf)
+    tot_ref = F.sum("n_ref").over(wf)
+    tot_cur = F.sum("n_cur").over(wf)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        tot_ref + n_buckets
+    ).cast("double")
+    p_cur = (F.col("n_cur") + 1).cast("double") / (
+        tot_cur + n_buckets
+    ).cast("double")
+    shares = wide.select(
+        "feature", p_ref.alias("p_ref"), p_cur.alias("p_cur")
+    )
+    # Row-local double term, summed as DECIMAL(38,18) — exact and
+    # order-independent, so Spark and DuckDB agree bit-for-bit.
+    term = (
+        (F.col("p_cur") - F.col("p_ref"))
+        * F.log(F.col("p_cur") / F.col("p_ref"))
+    ).cast("decimal(38,18)")
+    return (
+        shares.groupBy("feature")
+        .agg(
+            (
+                F.floor(F.sum(term).cast("double") * 1e6) / 1e6
+            ).alias("psi")
+        )
+        .select(
+            "feature", "psi", (F.col("psi") > PSI_ALERT).alias("drifted")
+        )
+        .orderBy("feature")
+    )
+
+
+QUERIES = {
+    "q_quality_constraints": q_quality_constraints,
+    "q_orders_psi_drift": q_orders_psi_drift,
+}
 
 ORACLES = {
+    "q_orders_psi_drift": f"""
+        WITH rng AS (
+            SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+            FROM orders
+        ),
+        binned AS (
+            SELECT CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}'
+                        THEN 'ref' ELSE 'cur' END AS period,
+                   o_orderpriority AS prio_bucket,
+                   CAST(least({PSI_PRICE_BINS - 1},
+                        CAST(floor((o_totalprice - mn)
+                             / ((mx - mn) / {PSI_PRICE_BINS})) AS BIGINT))
+                        AS VARCHAR) AS price_bucket
+            FROM orders CROSS JOIN rng
+        ),
+        buckets AS (
+            SELECT period, 'o_orderpriority' AS feature,
+                   prio_bucket AS bucket FROM binned
+            UNION ALL
+            SELECT period, 'o_totalprice' AS feature,
+                   price_bucket AS bucket FROM binned
+        ),
+        wide AS (
+            SELECT feature, bucket,
+                   CAST(COALESCE(SUM(CASE WHEN period = 'ref'
+                                          THEN 1 END), 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(SUM(CASE WHEN period = 'cur'
+                                          THEN 1 END), 0) AS BIGINT) AS n_cur
+            FROM buckets GROUP BY feature, bucket
+        ),
+        shares AS (
+            SELECT feature,
+                   CAST(n_ref + 1 AS DOUBLE)
+                   / CAST(SUM(n_ref) OVER (PARTITION BY feature)
+                          + COUNT(*) OVER (PARTITION BY feature)
+                          AS DOUBLE) AS p_ref,
+                   CAST(n_cur + 1 AS DOUBLE)
+                   / CAST(SUM(n_cur) OVER (PARTITION BY feature)
+                          + COUNT(*) OVER (PARTITION BY feature)
+                          AS DOUBLE) AS p_cur
+            FROM wide
+        ),
+        scored AS (
+            SELECT feature,
+                   floor(CAST(SUM(CAST((p_cur - p_ref)
+                                       * ln(p_cur / p_ref)
+                                       AS DECIMAL(38,18))) AS DOUBLE)
+                         * 1e6) / 1e6 AS psi
+            FROM shares GROUP BY feature
+        )
+        SELECT feature, psi, psi > {PSI_ALERT} AS drifted
+        FROM scored ORDER BY feature
+    """,
     "q_quality_constraints": f"""
         WITH scan AS (
             SELECT COUNT(*) AS n_rows,

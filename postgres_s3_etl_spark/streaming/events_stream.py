@@ -313,6 +313,54 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "p_user", "purchase_ts", "click_id", "click_ts", "value")
 
 
+def stream_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the abandonment detector:
+    each click left-joined to same-user purchases in the FOLLOWING
+    hour; a click with no such purchase emits null-extended once the
+    watermark proves no future match can arrive. This is the outer
+    variant of ``stream_click_purchase_join`` and exercises the
+    state-eviction path append-mode inner joins never touch: Spark
+    holds a left row until the global watermark passes
+    click_ts + window, then emits it with nulls and drops the state
+    — the mechanism that keeps a 100 TB/day outer join's state
+    finite. Clicks too new to be provably unmatched at end-of-input
+    are NOT emitted (still live state), mirrored by the oracle's
+    watermark cutoff.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {JOIN_WINDOW}")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id", "c_user", "click_ts", "purchase_id", "purchase_ts", "value"
+    )
+
+
 # ---- driver-facing entries. The watermark/timeout semantics under
 # availableNow are deterministic for a static input, so each has an
 # exact batch-SQL twin (see ORACLES): append mode emits a window when
@@ -356,6 +404,13 @@ def q_stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_click_purchase_join(spark, sf_dir),
         _next_query_name("stream_ss_join"),
     ).orderBy("purchase_id", "click_id")
+
+
+def q_stream_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_abandoned_clicks(spark, sf_dir),
+        _next_query_name("stream_outer_join"),
+    ).orderBy("click_id", "purchase_id")
 
 
 def tws_available() -> bool:
@@ -616,6 +671,7 @@ QUERIES = {
     "stream_events_hopping": q_stream_events_hopping,
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
     "stream_click_purchase_join": q_stream_click_purchase_join,
+    "stream_abandoned_clicks": q_stream_abandoned_clicks,
     "stream_exact_dedup": q_stream_exact_dedup,
     "stream_topk_users": q_stream_topk_users,
     "stream_static_enrich": q_stream_static_enrich,
@@ -751,6 +807,57 @@ ORACLES: dict[str, str] = {
     # A single-batch stream-stream inner join emits every match; the
     # time-range predicate compares at the microsecond precision the
     # Spark side sees after the nanos->micros conversion.
+    # Left-outer stream-stream join: matches all emit; a click emits
+    # null-extended only once provably unmatchable — its whole match
+    # window lies strictly below the final global watermark
+    # (min of both sides' max event time, minus the 1 h delay).
+    # Newer unmatched clicks are still live state at end-of-input
+    # and do NOT emit (verified against Spark 4.1: 33 + 1969 rows at
+    # sf0.01 with 4 clicks withheld).
+    "stream_abandoned_clicks": """
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id AS c_user,
+                   epoch_us(ts) AS cus,
+                   make_timestamp(epoch_us(ts)) AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        purch AS (
+            SELECT event_id AS purchase_id, user_id AS p_user,
+                   epoch_us(ts) AS pus,
+                   make_timestamp(epoch_us(ts)) AS purchase_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+            SELECT least((SELECT MAX(cus) FROM clicks),
+                         (SELECT MAX(pus) FROM purch))
+                   - 3600000000 AS wm_us
+        ),
+        matched AS (
+            SELECT c.click_id, c.c_user, c.click_ts,
+                   p.purchase_id, p.purchase_ts, p.value
+            FROM clicks c JOIN purch p
+              ON c.c_user = p.p_user
+             AND p.pus >= c.cus
+             AND p.pus <= c.cus + 3600000000
+        ),
+        unmatched AS (
+            SELECT c.click_id, c.c_user, c.click_ts,
+                   CAST(NULL AS BIGINT) AS purchase_id,
+                   CAST(NULL AS TIMESTAMP) AS purchase_ts,
+                   CAST(NULL AS DOUBLE) AS value
+            FROM clicks c CROSS JOIN wm
+            WHERE NOT EXISTS (
+                SELECT 1 FROM purch p
+                WHERE p.p_user = c.c_user
+                  AND p.pus >= c.cus
+                  AND p.pus <= c.cus + 3600000000
+            )
+            AND c.cus + 3600000000 < wm.wm_us
+        )
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM unmatched
+        ORDER BY click_id, purchase_id
+    """,
     "stream_click_purchase_join": """
         SELECT p.event_id AS purchase_id,
                p.user_id AS p_user,

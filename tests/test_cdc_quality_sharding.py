@@ -119,3 +119,21 @@ def test_hopping_expands_each_event_four_times(spark):
         .count()
     )
     assert n_windowed == 4 * n_events
+
+
+def test_psi_drift_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_orders_psi_drift")
+
+
+def test_psi_stationary_corpus_scores_low(spark):
+    """The synthetic order stream is stationary across the split
+    date, so both monitored features must sit far below the 0.1
+    alert line with drifted = False."""
+    from postgres_s3_etl_spark.operators.quality import q_orders_psi_drift
+
+    rows = q_orders_psi_drift(spark, SF_DIR).collect()
+    assert {r.feature for r in rows} == {"o_orderpriority", "o_totalprice"}
+    for r in rows:
+        # stationary synthetic orders: both features hover near zero
+        # and far under the 0.1 alert line
+        assert r.psi < 0.1 and r.drifted is False, r

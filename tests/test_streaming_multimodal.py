@@ -670,3 +670,42 @@ def test_mm_payload_dedup_finds_exactly_the_reuploads(spark, duck):
     for r in rows:
         assert r.max_dup_group == 2
         assert r.n_assets == r.n_distinct_payloads + r.n_dup_assets
+
+
+def test_stream_abandoned_clicks_outer_semantics(spark):
+    """Left-outer stream-stream join: every inner match emits, a
+    null-extended click emits only when its whole match window lies
+    strictly below the final watermark, and no click appears both
+    matched and null-extended."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        q_stream_abandoned_clicks,
+    )
+
+    rows = q_stream_abandoned_clicks(spark, SF_DIR).collect()
+    assert rows
+    matched_ids = {r.click_id for r in rows if r.purchase_id is not None}
+    null_ids = {r.click_id for r in rows if r.purchase_id is None}
+    assert not (matched_ids & null_ids)
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    clicks = [e for e in ev if e.event_type == "click"]
+    purchases = [e for e in ev if e.event_type == "purchase"]
+    hour = 3_600_000_000  # µs
+    us = lambda t: int(t.timestamp() * 1e6)  # noqa: E731
+    wm = min(
+        max(us(c.ts) for c in clicks), max(us(p.ts) for p in purchases)
+    ) - hour
+    expect_matched, expect_null = set(), set()
+    for c in clicks:
+        hit = any(
+            p.user_id == c.user_id
+            and us(c.ts) <= us(p.ts) <= us(c.ts) + hour
+            for p in purchases
+        )
+        if hit:
+            expect_matched.add(c.event_id)
+        elif us(c.ts) + hour < wm:
+            expect_null.add(c.event_id)
+    assert matched_ids == expect_matched
+    assert null_ids == expect_null
