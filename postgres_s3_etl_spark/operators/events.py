@@ -1146,8 +1146,10 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     states = pmat.select(F.col("src").alias("state")).distinct()
     n_states = states.count()  # |taxonomy|: constant-size scalar
+    # max(…, 1): on an empty corpus the states frame has no rows, so
+    # the uniform weight is never read — but the literal must exist.
     pi = states.select(
-        "state", F.lit(1.0 / n_states).alias("pi")
+        "state", F.lit(1.0 / max(n_states, 1)).alias("pi")
     ).localCheckpoint()
     for _ in range(MARKOV_STAT_ITERS):
         pi = (

@@ -24,7 +24,7 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -464,7 +464,69 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-entropy screen over raw media payloads — the corrupt /
+    blank / padding-heavy asset detector every multimodal ingest
+    runs before paying for decode (near-zero entropy = stuck bytes,
+    ~8 bits = encrypted/compressed; both are triage signals). Real
+    byte processing, no stub: Shannon entropy of each payload's
+    byte histogram, rolled up per media type.
+
+    Scale shape: the payload is hex-encoded and exploded to bytes
+    ROW-LOCALLY in one JVM-side ``transform`` (no Python, and the
+    binary itself never shuffles — only (asset, byte) pairs with
+    map-side combine into 256-bucket counts). Entropy terms and the
+    per-type average are summed as DECIMAL(38,18) — exact and
+    order-independent, bit-equal to the SQL twin.
+    """
+    media = synth_media(spark, n=64).withColumn(
+        "hx", F.lower(F.hex("payload"))
+    )
+    bytes_df = media.select(
+        "asset_id",
+        "media_type",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, cast(length(hx) / 2 as int) - 1),"
+                " k -> substring(hx, 2 * k + 1, 2))"
+            )
+        ).alias("byte"),
+    )
+    counts = bytes_df.groupBy("asset_id", "media_type", "byte").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").over(Window.partitionBy("asset_id"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    per_asset = (
+        counts.withColumn("n", n)
+        .select(
+            "asset_id",
+            "media_type",
+            ((-p) * F.log(p)).cast("decimal(38,18)").alias("term"),
+        )
+        .groupBy("asset_id", "media_type")
+        .agg(F.sum("term").cast("double").alias("entropy"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        per_asset.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            f6(
+                F.sum(F.col("entropy").cast("decimal(38,18)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("avg_entropy"),
+            f6(F.min("entropy")).alias("min_entropy"),
+            f6(F.max("entropy")).alias("max_entropy"),
+        )
+        .orderBy("media_type")
+    )
+
+
 QUERIES = {
+    "mm_payload_entropy": mm_payload_entropy,
     "mm_decode_stub": mm_decode_stub,
     "mm_payload_dedup": mm_payload_dedup,
     "mm_frame_sample": mm_frame_sample,
@@ -489,6 +551,45 @@ _F0_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "mm_payload_entropy": """
+        WITH assets AS (
+            SELECT i AS asset_id,
+                   ['image', 'audio', 'video'][(i % 3) + 1] AS media_type,
+                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hx
+            FROM (SELECT unnest(generate_series(0, 63)) AS i)
+        ),
+        bytes AS (
+            SELECT asset_id, media_type,
+                   substr(hx, 2 * t.k + 1, 2) AS byte
+            FROM assets,
+                 unnest(generate_series(0,
+                     CAST(length(hx) / 2 AS INT) - 1)) AS t(k)
+        ),
+        counts AS (
+            SELECT asset_id, media_type, byte, COUNT(*) AS c
+            FROM bytes GROUP BY asset_id, media_type, byte
+        ),
+        with_n AS (
+            SELECT asset_id, media_type, c,
+                   SUM(c) OVER (PARTITION BY asset_id) AS n
+            FROM counts
+        ),
+        per_asset AS (
+            SELECT asset_id, media_type,
+                   CAST(SUM(CAST(
+                       -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS DECIMAL(38,18))) AS DOUBLE) AS entropy
+            FROM with_n GROUP BY asset_id, media_type
+        )
+        SELECT media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               floor(CAST(SUM(CAST(entropy AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS avg_entropy,
+               floor(MIN(entropy) * 1e6) / 1e6 AS min_entropy,
+               floor(MAX(entropy) * 1e6) / 1e6 AS max_entropy
+        FROM per_asset GROUP BY media_type ORDER BY media_type
+    """,
     # Asset ids 64+i are re-uploads of source i (i % 7 = 0); every
     # digest regenerates from the public-hash payload construction.
     "mm_payload_dedup": """

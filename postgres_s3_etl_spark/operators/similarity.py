@@ -1286,7 +1286,73 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(RRF_TOP)
 
 
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch audit: project 64-d embeddings
+    to 16-d with the SAME deterministic ±1 hyperplane matrix the LSH
+    family uses (scaled 1/√16 — a Rademacher JL map), then report
+    the pairwise-distance distortion over the probe set. The
+    dimensionality-reduction sanity check run before shipping a
+    cheaper index: ratios near 1 mean the sketch preserves geometry.
+
+    Scale shape: the projection is one row-local ``transform`` fold
+    per vector (engine-side, no Python); distortion pairs are the
+    bounded probe set only (broadcast self-join, never corpus²).
+    Distances use the ‖a‖²+‖b‖²−2a·b identity with sequential folds
+    so Spark and DuckDB's list_dot_product agree bit-for-bit.
+    """
+    planes = plane_signs()
+    planes_sql = ",".join(
+        "array(" + ",".join(str(x) for x in row) + ")" for row in planes
+    )
+    vecs = _vecs(spark, sf_dir).where(F.col("vec_id") < N_PROBES)
+    proj = vecs.select(
+        "vec_id",
+        "v",
+        F.expr(
+            f"""
+            transform(sequence(0, {N_PLANES - 1}), p ->
+                aggregate(
+                    zip_with(array({planes_sql})[p], v, (c, x) -> c * x),
+                    0.0d, (s, x) -> s + x
+                ) / sqrt({N_PLANES}.0d))
+            """
+        ).alias("pv"),
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    dot = lambda x, y: F.expr(  # noqa: E731
+        f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0d, (s, x) -> s + x)"
+    )
+    d_orig = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            dot("a.v", "a.v") + dot("b.v", "b.v") - 2 * dot("a.v", "b.v"),
+        )
+    )
+    d_proj = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            dot("a.pv", "a.pv")
+            + dot("b.pv", "b.pv")
+            - 2 * dot("a.pv", "b.pv"),
+        )
+    )
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            _trunc6(d_orig).alias("dist_orig"),
+            _trunc6(d_proj).alias("dist_proj"),
+            _trunc6(d_proj / d_orig).alias("distortion"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 QUERIES = {
+    "embedding_jl_projection": embedding_jl_projection,
     "hybrid_search_rrf": hybrid_search_rrf,
     "sim_search_bruteforce": sim_search_bruteforce,
     "embedding_pq_stats": embedding_pq_stats,
@@ -1423,6 +1489,49 @@ def _pca_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "embedding_jl_projection": f"""
+        WITH planes AS (
+            SELECT p.p,
+                   [CASE WHEN (strpos('0123456789abcdef',
+                               substr(md5(concat(p.p, '_', d)), 1, 1)) - 1) % 2 = 0
+                         THEN 1.0 ELSE -1.0 END
+                    for d in generate_series(0, {EMB_DIM - 1})] AS coefs
+            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
+        ),
+        vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < {N_PROBES}
+        ),
+        proj AS (
+            SELECT v.vec_id, v.v,
+                   list(list_dot_product(pl.coefs, v.v)
+                        / sqrt({N_PLANES}.0) ORDER BY pl.p) AS pv
+            FROM vecs v CROSS JOIN planes pl
+            GROUP BY v.vec_id, v.v
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               floor(sqrt(greatest(0.0,
+                   list_dot_product(a.v, a.v)
+                   + list_dot_product(b.v, b.v)
+                   - 2 * list_dot_product(a.v, b.v))) * 1e6) / 1e6
+                   AS dist_orig,
+               floor(sqrt(greatest(0.0,
+                   list_dot_product(a.pv, a.pv)
+                   + list_dot_product(b.pv, b.pv)
+                   - 2 * list_dot_product(a.pv, b.pv))) * 1e6) / 1e6
+                   AS dist_proj,
+               floor(sqrt(greatest(0.0,
+                   list_dot_product(a.pv, a.pv)
+                   + list_dot_product(b.pv, b.pv)
+                   - 2 * list_dot_product(a.pv, b.pv)))
+                   / sqrt(greatest(0.0,
+                   list_dot_product(a.v, a.v)
+                   + list_dot_product(b.v, b.v)
+                   - 2 * list_dot_product(a.v, b.v))) * 1e6) / 1e6
+                   AS distortion
+        FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+        ORDER BY a, b
+    """,
     "hybrid_search_rrf": rf"""
         WITH kw AS (
             SELECT doc_id,

@@ -34,6 +34,8 @@ ORACLE_NAMES = [
     "hybrid_search_rrf",
     "q_events_ab_test",
     "q_events_markov_stationary",
+    "embedding_jl_projection",
+    "mm_payload_entropy",
 ]
 
 
@@ -545,3 +547,37 @@ def test_markov_stationary_is_a_distribution(spark):
     for r in rows:
         assert r.stationary_p > 0
         assert 0 < r.empirical_share < 1
+
+
+def test_jl_projection_preserves_geometry(spark):
+    """Rademacher JL to 16-d: distortion stays in a loose (0.3, 2.0)
+    band for every probe pair and averages near 1."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        embedding_jl_projection,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = embedding_jl_projection(spark, SF_DIR).collect()
+    assert len(rows) == 45  # C(10, 2) probe pairs
+    for r in rows:
+        assert r.dist_orig > 0
+        assert 0.3 < r.distortion < 2.0, r
+    mean = sum(r.distortion for r in rows) / len(rows)
+    assert 0.8 < mean < 1.2
+
+
+def test_payload_entropy_in_byte_range(spark):
+    """Shannon entropy (nats) of sha256-derived payloads sits near
+    ln(32) — well above stuck-byte territory, at or below ln(256)."""
+    import math
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        mm_payload_entropy,
+    )
+
+    rows = mm_payload_entropy(spark, "/root/testdata/sf0.001").collect()
+    assert {r.media_type for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        assert r.n_assets > 0
+        assert 2.0 < r.min_entropy <= r.avg_entropy <= r.max_entropy
+        assert r.max_entropy <= math.log(256)
