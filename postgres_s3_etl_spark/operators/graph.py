@@ -95,8 +95,10 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count via degree-ordered orientation.
+def _triangle_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, cu, cv) rows — one per triangle, via degree-ordered
+    orientation (shared by graph_triangle_count and
+    graph_clustering_coeff).
 
     Orient each undirected edge from its lower (deg, id) endpoint to
     the higher; every triangle has exactly one node with two
@@ -145,13 +147,75 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         w1.join(w2, "u")
         .where(F.col("x") < F.col("y"))
         .select(
+            "u",
             F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("cu"),
             F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("cv"),
         )
     )
     closing = oriented.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-    tri = wedges.join(closing, ["cu", "cv"], "leftsemi")
-    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    # (u, cu, cv) = the triangle's three nodes — the wedge center
+    # rides along so graph_clustering_coeff can attribute per-node
+    # counts from the same oriented pipeline.
+    return wedges.join(closing, ["cu", "cv"], "leftsemi")
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (see _triangle_triples for the
+    degree-ordered orientation that keeps hubs from emitting deg²
+    wedges)."""
+    return _triangle_triples(spark, sf_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity and mean local clustering coefficient —
+    the cohesion numbers (how clique-like is the co-purchase
+    neighborhood) behind community detection and recommender
+    sanity checks.
+
+    transitivity = 3·triangles / wedges with wedges = Σ C(deg v, 2);
+    local cc(v) = t_v / C(deg v, 2) over nodes with deg ≥ 2, where
+    t_v comes from exploding each oriented triangle's three nodes —
+    the per-node attribution costs one extra explode + groupBy over
+    the (sparse) triangle set, nothing corpus-quadratic. The mean
+    lcc is summed as DECIMAL(38,18) for order-independent
+    cross-engine equality.
+    """
+    tri = _triangle_triples(spark, sf_dir)
+    tcounts = (
+        tri.select(
+            F.explode(F.array("u", "cu", "cv")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    deg = _degrees(copurchase_edges(spark, sf_dir))
+    pern = (
+        deg.where(F.col("deg") >= 2)
+        .join(tcounts, "node", "left")
+        .select(
+            "deg", F.coalesce(F.col("t"), F.lit(0)).alias("t")
+        )
+    )
+    lcc = F.col("t").cast("double") / (
+        F.col("deg").cast("double") * (F.col("deg") - 1) / 2
+    )
+    wedges_v = F.expr("(deg * (deg - 1)) div 2")  # exact integer
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return pern.agg(
+        F.expr("sum(t) div 3").cast("bigint").alias("n_triangles"),
+        F.sum(wedges_v).cast("bigint").alias("n_wedges"),
+        f6(
+            F.sum("t").cast("double")
+            / F.sum(wedges_v).cast("double")
+        ).alias("transitivity"),
+        f6(
+            F.sum(lcc.cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_lcc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+    )
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,6 +701,7 @@ QUERIES = {
     "graph_degree_stats": graph_degree_stats,
     "graph_assortativity": graph_assortativity,
     "graph_triangle_count": graph_triangle_count,
+    "graph_clustering_coeff": graph_clustering_coeff,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
     "graph_jaccard_links": graph_jaccard_links,
@@ -851,6 +916,48 @@ ORACLES = {
         FROM edges e1
         JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
         JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    """,
+    # Same naive triple join, with per-node attribution: each
+    # triangle (a < b < c) counts once for each of its three nodes.
+    "graph_clustering_coeff": f"""
+        WITH {_EDGES_SQL},
+        tris AS MATERIALIZED (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        ),
+        tcounts AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+                SELECT a AS node FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris
+            ) GROUP BY node
+        ),
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        pern AS (
+            SELECT d.deg, COALESCE(t.t, 0) AS t
+            FROM deg d LEFT JOIN tcounts t ON d.node = t.node
+            WHERE d.deg >= 2
+        )
+        SELECT CAST(SUM(t) // 3 AS BIGINT) AS n_triangles,
+               CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges,
+               floor(CAST(SUM(t) AS DOUBLE)
+                     / CAST(SUM((deg * (deg - 1)) // 2) AS DOUBLE)
+                     * 1e6) / 1e6 AS transitivity,
+               floor(CAST(SUM(CAST(CAST(t AS DOUBLE)
+                          / (CAST(deg AS DOUBLE) * (deg - 1) / 2)
+                          AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS avg_lcc,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM pern
     """,
     # Unrolled min-label relaxation, CC_ORACLE_ROUNDS rounds, each
     # MATERIALIZED (DuckDB would otherwise inline every round's two

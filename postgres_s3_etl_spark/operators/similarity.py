@@ -971,6 +971,19 @@ def _cov_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     double posexplode — no corpus self-join — and partially aggregate
     to d^2/2 keys before the shuffle; sums are DECIMAL(38,18) exact."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Dimension marginals once (64 rows) — NOT recomputed per pair:
+    # the pair shuffle below carries only the product sum, a third of
+    # the aggregation state of the naive three-sum formulation.
+    dims = (
+        emb.select(F.posexplode("embedding").alias("d", "vf"))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("vf").cast("double").cast("decimal(38,18)")).alias(
+                "s"
+            ),
+        )
+    )
     e1 = emb.select(
         F.posexplode("embedding").alias("i", "vif"), "embedding"
     )
@@ -981,22 +994,26 @@ def _cov_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("embedding").alias("j", "vjf"),
         )
         .where(F.col("j") >= F.col("i"))
-        .select("i", "j", "vi", F.col("vjf").cast("double").alias("vj"))
+        .select("i", "j", (F.col("vi") * F.col("vjf").cast("double")).alias("vij"))
     )
     sums = e2.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("vi").cast("decimal(38,18)")).alias("si"),
-        F.sum(F.col("vj").cast("decimal(38,18)")).alias("sj"),
-        F.sum((F.col("vi") * F.col("vj")).cast("decimal(38,18)")).alias(
-            "sij"
-        ),
+        F.sum(F.col("vij").cast("decimal(38,18)")).alias("sij"),
     )
+    di = dims.select(
+        F.col("d").alias("i"), F.col("n"), F.col("s").alias("si")
+    )
+    dj = dims.select(F.col("d").alias("j"), F.col("s").alias("sj"))
     n = F.col("n").cast("double")
     cov = (
         F.col("sij").cast("double")
         - F.col("si").cast("double") * F.col("sj").cast("double") / n
     ) / (n - F.lit(1.0))
-    return sums.select("i", "j", cov.alias("cov")).localCheckpoint()
+    return (
+        sums.join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+        .select("i", "j", cov.alias("cov"))
+        .localCheckpoint()
+    )
 
 
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1351,7 +1368,81 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_sign_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization recall audit: each 64-d vector
+    collapses to a 64-bit sign code (two 32-bit halves — no 2^63
+    overflow on either engine), candidates rank by Hamming distance
+    (engine-side bit_count(xor)), and the report is per-probe
+    recall@k of the Hamming top-k against the exact cosine top-k —
+    the binary-embedding memory/recall tradeoff (64× smaller index)
+    every large retrieval deployment evaluates.
+
+    Scale shape: codes are one row-local fold per vector; the
+    probe×corpus Hamming scan broadcasts the bounded probe codes
+    (two ints per probe) against the corpus code table — the corpus'
+    full-precision floats never move; ranking is a per-probe window
+    over the probe key.
+    """
+    half = lambda lo, hi: F.expr(  # noqa: E731
+        f"""
+        aggregate(sequence({lo}, {hi}), cast(0 as bigint), (acc, d) ->
+            acc + CASE WHEN element_at(v, d + 1) > 0
+                  THEN cast(pow(2, d - {lo}) as bigint) ELSE 0 END)
+        """
+    )
+    vecs = _vecs(spark, sf_dir)
+    codes = vecs.select(
+        "vec_id",
+        half(0, 31).alias("code_lo"),
+        half(32, 63).alias("code_hi"),
+    ).localCheckpoint()
+    probes = codes.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("code_lo").alias("plo"),
+        F.col("code_hi").alias("phi"),
+    )
+    hamming = (
+        F.bit_count(F.col("code_lo").bitwiseXOR(F.col("plo")))
+        + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("phi")))
+    ).alias("hamming")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    approx = (
+        F.broadcast(probes)
+        .crossJoin(codes)
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", F.col("vec_id").alias("neighbor_id"), hamming
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    return (
+        exact.join(approx, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("found"),
+        )
+        .select(
+            "probe_id",
+            "k",
+            "found",
+            (F.floor(F.col("found") * 1e6 / F.col("k")) / 1e6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("probe_id")
+    )
+
+
 QUERIES = {
+    "embedding_sign_quantization": embedding_sign_quantization,
     "embedding_jl_projection": embedding_jl_projection,
     "hybrid_search_rrf": hybrid_search_rrf,
     "sim_search_bruteforce": sim_search_bruteforce,
@@ -1489,6 +1580,73 @@ def _pca_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "embedding_sign_quantization": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        codes AS (
+            SELECT v.vec_id,
+                   CAST(SUM(CASE WHEN v.v[t.d + 1] > 0
+                            THEN CAST(pow(2, t.d) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS code_lo,
+                   CAST(SUM(CASE WHEN v.v[t.d + 33] > 0
+                            THEN CAST(pow(2, t.d) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS code_hi
+            FROM vecs v,
+                 (SELECT unnest(generate_series(0, 31)) AS d) t
+            GROUP BY v.vec_id
+        ),
+        qprobes AS (
+            SELECT vec_id AS probe_id, code_lo AS plo, code_hi AS phi
+            FROM codes WHERE vec_id < {N_PROBES}
+        ),
+        scored AS (
+            SELECT p.probe_id, c.vec_id AS neighbor_id,
+                   bit_count(xor(c.code_lo, p.plo))
+                   + bit_count(xor(c.code_hi, p.phi)) AS hamming
+            FROM qprobes p JOIN codes c ON c.vec_id <> p.probe_id
+        ),
+        hranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id
+                ORDER BY hamming ASC, neighbor_id ASC) AS rank
+            FROM scored
+        ),
+        approx AS (
+            SELECT probe_id, neighbor_id, 1 AS hit
+            FROM hranked WHERE rank <= {TOP_K}
+        ),
+        cpairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                         * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        cranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM cpairs
+        ),
+        exact AS (
+            SELECT probe_id, neighbor_id FROM cranked
+            WHERE rank <= {TOP_K}
+        )
+        SELECT e.probe_id,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS found,
+               floor(CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1e6
+                     / COUNT(*)) / 1e6 AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.probe_id
+        ORDER BY e.probe_id
+    """,
     "embedding_jl_projection": f"""
         WITH planes AS (
             SELECT p.p,

@@ -19,6 +19,7 @@ ALL = [
     "graph_components",
     "graph_kcore",
     "graph_bfs_levels",
+    "graph_clustering_coeff",
 ]
 
 
@@ -221,3 +222,16 @@ def test_bfs_levels_start_at_seeds(spark):
     by_level = {r.level: r.n_nodes for r in rows}
     assert by_level.get(0) == g.BFS_N_SEEDS
     assert all(n > 0 for n in by_level.values())
+
+
+def test_clustering_coeff_consistent_with_triangles(spark):
+    """Global numbers must agree with the standalone triangle count
+    and both coefficients must be genuine probabilities."""
+    from postgres_s3_etl_spark.operators import graph as g
+
+    cc = g.graph_clustering_coeff(spark, SF_DIR).collect()[0]
+    tri = g.graph_triangle_count(spark, SF_DIR).collect()[0]
+    assert cc.n_triangles == tri.n_triangles
+    assert cc.n_wedges >= 3 * cc.n_triangles
+    assert 0 < cc.transitivity <= 1
+    assert 0 < cc.avg_lcc <= 1

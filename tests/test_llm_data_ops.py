@@ -36,6 +36,7 @@ ORACLE_NAMES = [
     "q_events_markov_stationary",
     "embedding_jl_projection",
     "mm_payload_entropy",
+    "embedding_sign_quantization",
 ]
 
 
@@ -581,3 +582,27 @@ def test_payload_entropy_in_byte_range(spark):
         assert r.n_assets > 0
         assert 2.0 < r.min_entropy <= r.avg_entropy <= r.max_entropy
         assert r.max_entropy <= math.log(256)
+
+
+def test_sign_quantization_recall_sane(spark):
+    """1-bit codes: per-probe report shaped like sim_search_recall,
+    recall non-trivial on random vectors (signs preserve most of the
+    angle structure at 64 bits)."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        N_PROBES,
+        TOP_K,
+        embedding_sign_quantization,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = embedding_sign_quantization(spark, SF_DIR).collect()
+    assert len(rows) == N_PROBES
+    for r in rows:
+        assert r.k == TOP_K
+        assert 0 <= r.found <= r.k
+    mean = sum(r.recall for r in rows) / len(rows)
+    # Random (structureless) vectors are the worst case for 1-bit
+    # codes; measured ~0.16 here. The floor guards against total
+    # collapse (a code bug lands at ~k/n ≈ 0.01), not against the
+    # intrinsic rate.
+    assert mean >= 0.08, f"sign-code recall collapsed: {mean:.2f}"
