@@ -86,6 +86,10 @@ HEADLINE = (
     "graph_components",
     "sim_search_pq_adc",
     "embedding_covariance",
+    "graph_kcore",
+    "hybrid_search_rrf",
+    "q_customer_survival_km",
+    "q_orders_psi_drift",
 )
 
 

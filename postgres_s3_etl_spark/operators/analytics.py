@@ -2052,7 +2052,48 @@ def q_orders_dupe_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-customer acquisition curve by order month
+    — the growth chart every business review opens with. Windowed
+    COUNT(DISTINCT) doesn't exist in any engine; the scalable
+    formulation tags each customer's FIRST order (row_number over
+    the per-customer window), rolls new-customer counts to the month
+    grain, and runs a cumulative sum over the ~84-row month frame.
+    One customer-key shuffle + one month rollup; the unpartitioned
+    cumulative window sees only months, never customers.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    first_orders = orders.withColumn(
+        "rn", F.row_number().over(w)
+    ).where(F.col("rn") == 1)
+    monthly = (
+        first_orders.select(
+            F.date_trunc("month", "o_orderdate")
+            .cast("date")
+            .alias("month")
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_customers"))
+    )
+    cum = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(cum).cast("bigint").alias(
+            "total_customers"
+        ),
+    ).orderBy("month")
+
+
 QUERIES = {
+    "q_customer_acquisition_curve": q_customer_acquisition_curve,
     "q_customer_survival_km": q_customer_survival_km,
     "q_orders_dupe_invoices": q_orders_dupe_invoices,
     "q_customer_spend_regression": q_customer_spend_regression,
@@ -2113,6 +2154,28 @@ _BENFORD_VALUES = ", ".join(
 )
 
 ORACLES = {
+    "q_customer_acquisition_curve": """
+        WITH firsts AS (
+            SELECT o_custkey, o_orderdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                   ) AS rn
+            FROM orders
+        ),
+        monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS new_customers
+            FROM firsts WHERE rn = 1
+            GROUP BY 1
+        )
+        SELECT month, new_customers,
+               CAST(SUM(new_customers) OVER (
+                   ORDER BY month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS total_customers
+        FROM monthly ORDER BY month
+    """,
     "q_customer_survival_km": f"""
         WITH life AS (
             SELECT o_custkey,

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_customer_acquisition_curve",
     "q_customer_survival_km",
     "q_orders_dupe_invoices",
     "q_customer_spend_regression",
