@@ -345,7 +345,82 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on monthly order revenue —
+    the distribution-free "is this series actually trending" gate
+    run before fitting any forecaster. S = Σ_{i<j} sign(x_j − x_i)
+    over months with the exact tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)] / 18 and the
+    continuity-corrected z.
+
+    Scale shape: orders roll up to the MONTH grain first (one
+    partial-aggregatable shuffle), so the pair comparison runs over
+    the calendar-bounded month frame (~84 rows → ~3.5k pairs at any
+    SF) — a deliberate bounded-frame cross join, never data-sized.
+    S and the tie sums are exact integers over DECIMAL comparisons;
+    z is one mirrored double expression.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    monthly = orders.groupBy("month").agg(F.sum("p").alias("rev"))
+    a = monthly.select(
+        F.col("month").alias("ma"), F.col("rev").alias("ra")
+    )
+    b = monthly.select(
+        F.col("month").alias("mb"), F.col("rev").alias("rb")
+    )
+    s_stat = (
+        a.join(b, F.col("ma") < F.col("mb"))
+        .agg(
+            F.sum(
+                F.signum((F.col("rb") - F.col("ra")).cast("double"))
+                .cast("int")
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        monthly.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_sum")
+        )
+    )
+    n_months = monthly.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    joined = (
+        s_stat.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(n_months))
+    )
+    n = F.col("n_months").cast("double")
+    var_s = (
+        n * (n - 1) * (2 * n + 5)
+        - F.col("tie_sum").cast("double")
+    ) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(F.col("s_stat") > 0, (s - 1) / F.sqrt(var_s)).when(
+        F.col("s_stat") < 0, (s + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "n_months",
+        "s_stat",
+        f6(var_s).alias("var_s"),
+        f6(z).alias("z_score"),
+        (F.abs(z) > 1.96).alias("trending"),
+    )
+
+
 QUERIES = {
+    "q_orders_trend_mannkendall": q_orders_trend_mannkendall,
     "q_events_ewma": q_events_ewma,
     "q_events_holt": q_events_holt,
     "q_events_cusum": q_events_cusum,
@@ -367,6 +442,52 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_trend_mannkendall": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(SUM(CAST(sign(CAST(b.rev - a.rev AS DOUBLE))
+                                 AS INT)) AS BIGINT) AS s_stat
+            FROM monthly a JOIN monthly b ON a.month < b.month
+        ),
+        ties AS (
+            SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+            FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY rev)
+        ),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly)
+        SELECT n_months, s_stat,
+               floor((CAST(n_months AS DOUBLE) * (CAST(n_months AS DOUBLE) - 1)
+                      * (2 * CAST(n_months AS DOUBLE) + 5)
+                      - CAST(tie_sum AS DOUBLE)) / 18.0 * 1e6) / 1e6 AS var_s,
+               floor(CASE
+                   WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+                       / sqrt((CAST(n_months AS DOUBLE)
+                               * (CAST(n_months AS DOUBLE) - 1)
+                               * (2 * CAST(n_months AS DOUBLE) + 5)
+                               - CAST(tie_sum AS DOUBLE)) / 18.0)
+                   WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+                       / sqrt((CAST(n_months AS DOUBLE)
+                               * (CAST(n_months AS DOUBLE) - 1)
+                               * (2 * CAST(n_months AS DOUBLE) + 5)
+                               - CAST(tie_sum AS DOUBLE)) / 18.0)
+                   ELSE 0.0 END * 1e6) / 1e6 AS z_score,
+               abs(CASE
+                   WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1)
+                       / sqrt((CAST(n_months AS DOUBLE)
+                               * (CAST(n_months AS DOUBLE) - 1)
+                               * (2 * CAST(n_months AS DOUBLE) + 5)
+                               - CAST(tie_sum AS DOUBLE)) / 18.0)
+                   WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1)
+                       / sqrt((CAST(n_months AS DOUBLE)
+                               * (CAST(n_months AS DOUBLE) - 1)
+                               * (2 * CAST(n_months AS DOUBLE) + 5)
+                               - CAST(tie_sum AS DOUBLE)) / 18.0)
+                   ELSE 0.0 END) > 1.96 AS trending
+        FROM s CROSS JOIN ties CROSS JOIN nm
+    """,
     # Same recursion, same textual arithmetic, as a RECURSIVE CTE —
     # one row per step. (Not list_reduce: DuckDB evaluates a
     # struct_pack accumulator FIELD-SEQUENTIALLY, rebinding acc.s

@@ -21,6 +21,7 @@ NEW = [
     "q_events_holt",
     "text_sample_weighted",
     "text_bloom_decontaminate",
+    "q_orders_trend_mannkendall",
 ]
 
 
@@ -262,3 +263,47 @@ def test_holt_matches_python_recursion(spark):
     assert row.trend == math.floor(b * 1e6) / 1e6
     assert row.mae_1step == math.floor(e / k * 1e6) / 1e6
     assert row.forecast_7d == math.floor((s + 7.0 * b) * 1e6) / 1e6
+
+
+def test_mannkendall_against_scipy_free_reference(spark):
+    """Recompute S, Var(S), z in plain Python from the same monthly
+    revenues and compare (the textbook formulas, independently)."""
+    import duckdb
+
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_orders_trend_mannkendall,
+    )
+
+    got = q_orders_trend_mannkendall(spark, SF_DIR).collect()[0]
+    revs = [
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM '{SF_DIR}/orders.parquet'
+                GROUP BY date_trunc('month', o_orderdate)
+                ORDER BY date_trunc('month', o_orderdate)"""
+        ).fetchall()
+    ]
+    n = len(revs)
+    s_stat = sum(
+        (0 < (revs[j] - revs[i])) - ((revs[j] - revs[i]) < 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert got.n_months == n
+    assert got.s_stat == s_stat
+    from collections import Counter
+
+    ties = sum(
+        t * (t - 1) * (2 * t + 5) for t in Counter(revs).values() if t > 1
+    )
+    var_s = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    z = (
+        (s_stat - 1) / math.sqrt(var_s)
+        if s_stat > 0
+        else (s_stat + 1) / math.sqrt(var_s)
+        if s_stat < 0
+        else 0.0
+    )
+    assert abs(got.z_score - z) < 1e-5
+    assert got.trending == (abs(z) > 1.96)
