@@ -2092,7 +2092,125 @@ def q_customer_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+#: Poisson-bootstrap parameters: replicate count and the CI ranks
+#: (k-th smallest replicate mean) for a ~95% interval at B = 50.
+BOOT_B = 50
+BOOT_CI_LO_RANK = 2
+BOOT_CI_HI_RANK = 49
+
+#: Poisson(1) inverse-CDF thresholds P(X <= k), k = 0..6 — Python
+#: floats interpolated VERBATIM into both twins so the CASE ladder
+#: is bit-identical across engines. Mass beyond k = 7 is ~1e-5 and
+#: maps to 7.
+import math as _boot_math
+
+_POIS1_CDF = [
+    sum(_boot_math.exp(-1.0) / _boot_math.factorial(i) for i in range(k + 1))
+    for k in range(7)
+]
+
+
+def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order total by
+    the POISSON BOOTSTRAP — the one-pass resampling scheme used at
+    warehouse scale (per (row, replicate) weight ~ Poisson(1), so no
+    replicate ever materializes a resampled copy of the data). The
+    weight is a deterministic md5-derived uniform pushed through the
+    Poisson(1) inverse CDF, so Spark and DuckDB draw identical
+    resamples.
+
+    Scale shape: a bounded ×B row-local fan-out (explode over the
+    replicate ids) immediately partial-aggregates into B groups —
+    shuffle volume is B rows per partition regardless of data size;
+    replicate-mean stats and the rank-based CI then run on the
+    B-row frame. Weighted sums are exact DECIMALs.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice").alias("p")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("_", F.col("o_orderkey"), F.col("b"))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**6))
+    )
+    w = F.lit(7)
+    for k in range(6, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    fanned = orders.select(
+        "o_orderkey",
+        "p",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    ).select("b", w.alias("w"), "p")
+    reps = fanned.groupBy("b").agg(
+        F.sum(F.col("w") * F.col("p")).alias("wx"),
+        F.sum("w").cast("bigint").alias("wsum"),
+    )
+    mean_b = F.col("wx").cast("double") / F.col("wsum").cast("double")
+    ranked = reps.select("b", mean_b.alias("m")).withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy("m", "b")),
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias(
+            "point_mean"
+        ),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    boot = ranked.agg(
+        f6(
+            F.sum(F.col("m").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("boot_mean"),
+        f6(
+            F.sqrt(
+                (
+                    F.sum(
+                        (F.col("m") * F.col("m")).cast("decimal(38,18)")
+                    ).cast("double")
+                    - F.sum(F.col("m").cast("decimal(38,18)")).cast(
+                        "double"
+                    )
+                    * F.sum(F.col("m").cast("decimal(38,18)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+        ).alias("boot_se"),
+        f6(
+            F.max(
+                F.when(F.col("rk") == BOOT_CI_LO_RANK, F.col("m"))
+            )
+        ).alias("ci_lo"),
+        f6(
+            F.max(
+                F.when(F.col("rk") == BOOT_CI_HI_RANK, F.col("m"))
+            )
+        ).alias("ci_hi"),
+    )
+    return point.crossJoin(F.broadcast(boot)).select(
+        "n_orders",
+        f6(F.col("point_mean")).alias("point_mean"),
+        "boot_mean",
+        "boot_se",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
 QUERIES = {
+    "q_orders_bootstrap_ci": q_orders_bootstrap_ci,
     "q_customer_acquisition_curve": q_customer_acquisition_curve,
     "q_customer_survival_km": q_customer_survival_km,
     "q_orders_dupe_invoices": q_orders_dupe_invoices,
@@ -2153,7 +2271,63 @@ _BENFORD_VALUES = ", ".join(
     f"({d}, {_math.log10(1 + 1.0 / d)!r})" for d in range(1, 10)
 )
 
+_BOOT_W_SQL = "CASE " + " ".join(
+    f"WHEN (('0x' || substr(md5(concat(o.o_orderkey, '_', t.b)), 1, 6))::BIGINT"
+    f" / 16777216.0) < {_POIS1_CDF[k]!r} THEN {k}"
+    for k in range(7)
+) + " ELSE 7 END"
+
 ORACLES = {
+    "q_orders_bootstrap_ci": f"""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+            FROM orders
+        ),
+        fanned AS (
+            SELECT t.b, {_BOOT_W_SQL} AS w, o.p
+            FROM o,
+                 (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) t
+        ),
+        reps AS (
+            SELECT b, SUM(w * p) AS wx,
+                   CAST(SUM(w) AS BIGINT) AS wsum
+            FROM fanned GROUP BY b
+        ),
+        ranked AS (
+            SELECT b, CAST(wx AS DOUBLE) / CAST(wsum AS DOUBLE) AS m,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(wx AS DOUBLE) / CAST(wsum AS DOUBLE),
+                                b) AS rk
+            FROM reps
+        ),
+        point AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS point_mean
+            FROM orders
+        ),
+        boot AS (
+            SELECT floor(CAST(SUM(CAST(m AS DECIMAL(38,18))) AS DOUBLE)
+                         / COUNT(*) * 1e6) / 1e6 AS boot_mean,
+                   floor(sqrt((CAST(SUM(CAST(m * m AS DECIMAL(38,18)))
+                                    AS DOUBLE)
+                               - CAST(SUM(CAST(m AS DECIMAL(38,18)))
+                                      AS DOUBLE)
+                                 * CAST(SUM(CAST(m AS DECIMAL(38,18)))
+                                        AS DOUBLE) / COUNT(*))
+                              / (COUNT(*) - 1)) * 1e6) / 1e6 AS boot_se,
+                   floor(MAX(CASE WHEN rk = {BOOT_CI_LO_RANK}
+                                  THEN m END) * 1e6) / 1e6 AS ci_lo,
+                   floor(MAX(CASE WHEN rk = {BOOT_CI_HI_RANK}
+                                  THEN m END) * 1e6) / 1e6 AS ci_hi
+            FROM ranked
+        )
+        SELECT n_orders,
+               floor(point_mean * 1e6) / 1e6 AS point_mean,
+               boot_mean, boot_se, ci_lo, ci_hi
+        FROM point CROSS JOIN boot
+    """,
     "q_customer_acquisition_curve": """
         WITH firsts AS (
             SELECT o_custkey, o_orderdate,

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_orders_bootstrap_ci",
     "q_customer_acquisition_curve",
     "q_customer_survival_km",
     "q_orders_dupe_invoices",
@@ -151,3 +152,18 @@ def test_dupe_invoices_respect_tolerance(spark):
         assert 0 <= r.gap_days <= DUPE_INVOICE_WINDOW_DAYS
         assert r.rel_diff <= DUPE_INVOICE_PCT / 100 + 1e-9
         assert r.first_orderkey != r.second_orderkey
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    """Poisson-bootstrap CI must bracket both the point mean and the
+    bootstrap mean, with a positive, plausibly-sized SE."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_bootstrap_ci,
+    )
+
+    r = q_orders_bootstrap_ci(spark, "/root/testdata/sf0.01").collect()[0]
+    assert r.n_orders > 0
+    assert r.ci_lo < r.boot_mean < r.ci_hi
+    assert r.ci_lo < r.point_mean < r.ci_hi
+    assert 0 < r.boot_se < r.point_mean  # SE ≪ mean on 15k orders
+    assert abs(r.boot_mean - r.point_mean) < 5 * r.boot_se
