@@ -2209,7 +2209,61 @@ def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order totals across the five order
+    priorities — "does priority class shift spend at all": F =
+    (SSB/(k−1)) / (SSW/(N−k)) from exact DECIMAL sufficient sums
+    (per-group n, Σx, Σx²), so the whole test is one
+    partial-aggregatable scan plus arithmetic on a k-row frame. The
+    continuous-outcome companion to q_orders_chisq_independence.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", dec("o_totalprice").alias("x")
+    )
+    groups = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sxx").alias("tsxx"),
+        # Σ (group sum)² / n — the between-group building block;
+        # per-group division happens in double, summed as DECIMAL.
+        F.sum(
+            (
+                F.col("sx").cast("double")
+                * F.col("sx").cast("double")
+                / F.col("n").cast("double")
+            ).cast("decimal(38,6)")
+        ).alias("ssq_over_n"),
+    )
+    grand = F.col("tsx").cast("double")
+    big_n = F.col("big_n").cast("double")
+    ssb = F.col("ssq_over_n").cast("double") - grand * grand / big_n
+    ssw = (
+        F.col("tsxx").cast("double")
+        - F.col("ssq_over_n").cast("double")
+    )
+    k = F.col("k").cast("double")
+    f_stat = (ssb / (k - 1)) / (ssw / (big_n - k))
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    # SS magnitudes (~1e14 at sf0.1) would overflow floor(x*1e6)'s
+    # LONG result — floor at unit precision instead.
+    return tot.select(
+        "k",
+        "big_n",
+        F.floor(ssb).cast("double").alias("ss_between"),
+        F.floor(ssw).cast("double").alias("ss_within"),
+        f6(f_stat).alias("f_stat"),
+        (f_stat > 2.37).alias("significant_05"),  # F(4, inf) ≈ 2.372
+    )
+
+
 QUERIES = {
+    "q_orders_anova_priority": q_orders_anova_priority,
     "q_orders_bootstrap_ci": q_orders_bootstrap_ci,
     "q_customer_acquisition_curve": q_customer_acquisition_curve,
     "q_customer_survival_km": q_customer_survival_km,
@@ -2278,6 +2332,48 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_orders_anova_priority": """
+        WITH groups AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                       * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+            FROM orders GROUP BY o_orderpriority
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n) AS BIGINT) AS big_n,
+                   SUM(sx) AS tsx,
+                   SUM(sxx) AS tsxx,
+                   SUM(CAST(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS DECIMAL(38,6)))
+                       AS ssq_over_n
+            FROM groups
+        )
+        SELECT k, big_n,
+               floor(CAST(ssq_over_n AS DOUBLE)
+                     - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)
+                       / CAST(big_n AS DOUBLE)) AS ss_between,
+               floor(CAST(tsxx AS DOUBLE)
+                     - CAST(ssq_over_n AS DOUBLE)) AS ss_within,
+               floor(((CAST(ssq_over_n AS DOUBLE)
+                       - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)
+                         / CAST(big_n AS DOUBLE))
+                      / (CAST(k AS DOUBLE) - 1))
+                     / ((CAST(tsxx AS DOUBLE)
+                         - CAST(ssq_over_n AS DOUBLE))
+                        / (CAST(big_n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     * 1e6) / 1e6 AS f_stat,
+               ((CAST(ssq_over_n AS DOUBLE)
+                 - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)
+                   / CAST(big_n AS DOUBLE))
+                / (CAST(k AS DOUBLE) - 1))
+               / ((CAST(tsxx AS DOUBLE) - CAST(ssq_over_n AS DOUBLE))
+                  / (CAST(big_n AS DOUBLE) - CAST(k AS DOUBLE)))
+               > 2.37 AS significant_05
+        FROM tot
+    """,
     "q_orders_bootstrap_ci": f"""
         WITH o AS (
             SELECT o_orderkey,

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_orders_anova_priority",
     "q_orders_bootstrap_ci",
     "q_customer_acquisition_curve",
     "q_customer_survival_km",
@@ -167,3 +168,26 @@ def test_bootstrap_ci_brackets_the_mean(spark):
     assert r.ci_lo < r.point_mean < r.ci_hi
     assert 0 < r.boot_se < r.point_mean  # SE ≪ mean on 15k orders
     assert abs(r.boot_mean - r.point_mean) < 5 * r.boot_se
+
+
+def test_anova_sums_of_squares_partition(spark):
+    """SSB + SSW must equal total SS computed independently, and the
+    F statistic must be non-negative."""
+    import duckdb
+
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_anova_priority,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    r = q_orders_anova_priority(spark, sf).collect()[0]
+    (sst,) = duckdb.sql(
+        f"""SELECT SUM((x - m) * (x - m)) FROM (
+              SELECT CAST(o_totalprice AS DOUBLE) AS x,
+                     AVG(CAST(o_totalprice AS DOUBLE)) OVER () AS m
+              FROM '{sf}/orders.parquet')"""
+    ).fetchone()
+    assert r.f_stat >= 0
+    assert r.k == 5 and r.big_n == 15000
+    got_total = r.ss_between + r.ss_within
+    assert abs(got_total - sst) / sst < 1e-6
