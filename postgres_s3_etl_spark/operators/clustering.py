@@ -123,13 +123,98 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"kmeans_embeddings": kmeans_embeddings}
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per k-means cluster — the clustering
+    quality gate (s ≈ 1 tight/separated, s ≈ 0 overlapping, s < 0
+    misassigned) run before trusting cluster-balanced sampling. Uses
+    the centroid-based simplified silhouette (a = distance to own
+    centroid, b = nearest other centroid), the form that stays O(N·K)
+    instead of the O(N²) pairwise original — the only silhouette
+    anyone can afford at 100 TB.
+
+    Plan: the same 2-iteration Lloyd as ``kmeans_embeddings``; the
+    final K centroids inline as literal arrays, so all K distances
+    per point are row-local zip_with folds (no join, no Python on
+    this pass) and the per-cluster rollup is one shuffle with exact
+    DECIMAL silhouette sums.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    seeds = (
+        vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    )
+    cents = [list(r.v) for r in seeds]
+    assigned = _assign(vecs, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    c_sql = ",".join(
+        "array(" + ",".join(repr(x) for x in c) + ")" for c in cents
+    )
+    c2 = [_seq_dot(c, c) for c in cents]
+    dists = F.expr(
+        f"""
+        transform(sequence(0, {K_CLUSTERS - 1}), j ->
+            sqrt(greatest(0.0d,
+                aggregate(zip_with(v, v, (x, y) -> x * y),
+                          0.0d, (s, x) -> s + x)
+                - 2 * aggregate(
+                      zip_with(v, array({c_sql})[j], (x, y) -> x * y),
+                      0.0d, (s, x) -> s + x)
+                + element_at(array({",".join(repr(x) for x in c2)}), j + 1)
+            )))
+        """
+    )
+    scored = assigned.withColumn("dists", dists).select(
+        "cluster",
+        F.expr("element_at(dists, cluster + 1)").alias("a"),
+        F.expr(
+            f"""
+            array_min(zip_with(dists, sequence(0, {K_CLUSTERS - 1}),
+                (d, i) -> CASE WHEN i = cluster
+                          THEN cast('Infinity' as double)
+                          ELSE d END))
+            """
+        ).alias("b"),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.select("cluster", s.cast("decimal(38,18)").alias("s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            (
+                F.floor(
+                    F.sum("s").cast("double") / F.count(F.lit(1)) * 1e6
+                )
+                / 1e6
+            ).alias("avg_silhouette"),
+        )
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_members",
+            "avg_silhouette",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+QUERIES = {
+    "kmeans_embeddings": kmeans_embeddings,
+    "embedding_silhouette": embedding_silhouette,
+}
 
 _SCORE = "-2.0 * list_dot_product(v.v, c.c) + c.c2"
 
-ORACLES = {
-    "kmeans_embeddings": f"""
-        WITH vecs AS (
+#: Shared Lloyd chain: seeds → assign → update → re-assign, ending
+#: in c1x(cell, c, c2) + a2(vec_id, cell). Both oracles append to it.
+_KMEANS_CTE = f"""
+        vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         c0 AS (
@@ -168,7 +253,12 @@ ORACLES = {
                            ORDER BY {_SCORE} ASC, c.cell ASC) AS rn
                 FROM vecs v CROSS JOIN c1x c
             ) WHERE rn = 1
-        ),
+        )
+"""
+
+ORACLES = {
+    "kmeans_embeddings": f"""
+        WITH {_KMEANS_CTE},
         counts AS (
             SELECT cell, COUNT(*) AS n_members FROM a2 GROUP BY cell
         )
@@ -177,5 +267,41 @@ ORACLES = {
                floor(sqrt(c.c2) * 1e6) / 1e6 AS centroid_norm
         FROM c1x c JOIN counts n ON c.cell = n.cell
         ORDER BY cluster_id
+    """,
+    # Simplified (centroid-based) silhouette over the SAME final
+    # Lloyd state: a = distance to own centroid, b = nearest other.
+    "embedding_silhouette": f"""
+        WITH {_KMEANS_CTE},
+        dists AS (
+            SELECT v.vec_id, c.cell,
+                   sqrt(greatest(0.0,
+                       list_dot_product(v.v, v.v)
+                       - 2 * list_dot_product(v.v, c.c)
+                       + c.c2)) AS d
+            FROM vecs v CROSS JOIN c1x c
+        ),
+        own AS (
+            SELECT a2.vec_id, a2.cell, d.d AS a
+            FROM a2 JOIN dists d
+              ON d.vec_id = a2.vec_id AND d.cell = a2.cell
+        ),
+        other AS (
+            SELECT d.vec_id, MIN(d.d) AS b
+            FROM dists d JOIN a2
+              ON a2.vec_id = d.vec_id AND a2.cell <> d.cell
+            GROUP BY d.vec_id
+        ),
+        sil AS (
+            SELECT own.cell,
+                   CAST(CASE WHEN greatest(a, b) > 0
+                             THEN (b - a) / greatest(a, b)
+                             ELSE 0.0 END AS DECIMAL(38,18)) AS s
+            FROM own JOIN other USING (vec_id)
+        )
+        SELECT CAST(cell AS INT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               floor(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                   AS avg_silhouette
+        FROM sil GROUP BY cell ORDER BY cluster_id
     """,
 }

@@ -1468,7 +1468,62 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: Shannon entropy (nats), Simpson
+    concentration Σ nᵢ(nᵢ−1)/(N(N−1)), and type-token ratio — the
+    vocabulary-richness panel that flags template-heavy or
+    machine-generated sources before they skew a training mix.
+
+    Scale shape: one explode → (source, token) count with map-side
+    combine, then a per-source rollup where the entropy terms are
+    row-local doubles summed as DECIMAL(38,18) (order-independent)
+    and Simpson's numerator is an exact BIGINT sum. Two shuffles,
+    both at the vocabulary grain.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    counts = (
+        docs.select("source", tok)
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n_total = F.sum("c").over(Window.partitionBy("source"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return (
+        counts.withColumn("n", n_total)
+        .select(
+            "source",
+            "c",
+            "n",
+            ((-p) * F.log(p)).cast("decimal(38,18)").alias("hterm"),
+            (F.col("c") * (F.col("c") - 1)).alias("simpson_num"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            f6(F.sum("hterm").cast("double")).alias("shannon_h"),
+            f6(
+                F.sum("simpson_num").cast("double")
+                / (
+                    F.max("n").cast("double")
+                    * (F.max("n").cast("double") - 1)
+                )
+            ).alias("simpson"),
+            f6(
+                F.count(F.lit(1)).cast("double")
+                / F.max("n").cast("double")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
+    "text_lexical_diversity": text_lexical_diversity,
     "text_burstiness": text_burstiness,
     "text_langid": text_langid,
     "text_langid_f1": text_langid_f1,
@@ -1600,6 +1655,38 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_lexical_diversity": r"""
+        WITH toks AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY source, token
+        ),
+        with_n AS (
+            SELECT source, c,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM counts
+        )
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               floor(CAST(SUM(CAST(
+                   -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   AS DECIMAL(38,18))) AS DOUBLE) * 1e6) / 1e6
+                   AS shannon_h,
+               floor(CAST(SUM(c * (c - 1)) AS DOUBLE)
+                     / (CAST(MAX(n) AS DOUBLE)
+                        * (CAST(MAX(n) AS DOUBLE) - 1)) * 1e6) / 1e6
+                   AS simpson,
+               floor(CAST(COUNT(*) AS DOUBLE)
+                     / CAST(MAX(n) AS DOUBLE) * 1e6) / 1e6
+                   AS type_token_ratio
+        FROM with_n GROUP BY source ORDER BY source
+    """,
     "text_burstiness": rf"""
         WITH toks AS (
             SELECT doc_id,

@@ -37,6 +37,8 @@ ORACLE_NAMES = [
     "embedding_jl_projection",
     "mm_payload_entropy",
     "embedding_sign_quantization",
+    "embedding_silhouette",
+    "text_lexical_diversity",
 ]
 
 
@@ -606,3 +608,38 @@ def test_sign_quantization_recall_sane(spark):
     # collapse (a code bug lands at ~k/n ≈ 0.01), not against the
     # intrinsic rate.
     assert mean >= 0.08, f"sign-code recall collapsed: {mean:.2f}"
+
+
+def test_silhouette_bounded_and_aligned_with_kmeans(spark):
+    """Silhouettes live in [-1, 1]; member counts match the k-means
+    rollup exactly (same Lloyd state)."""
+    from postgres_s3_etl_spark.operators.clustering import (
+        embedding_silhouette,
+        kmeans_embeddings,
+    )
+    from tests.conftest import SF_DIR
+
+    sil = embedding_silhouette(spark, SF_DIR).collect()
+    km = {r.cluster_id: r.n_members for r in kmeans_embeddings(spark, SF_DIR).collect()}
+    assert {r.cluster_id: r.n_members for r in sil} == km
+    for r in sil:
+        assert -1.0 <= r.avg_silhouette <= 1.0
+
+
+def test_lexical_diversity_identities(spark):
+    """TTR = types/tokens exactly; Shannon bounded by ln(types);
+    Simpson in [0, 1]."""
+    import math
+
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_lexical_diversity,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = text_lexical_diversity(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_types <= r.n_tokens
+        assert r.type_token_ratio == math.floor(r.n_types * 1e6 / r.n_tokens) / 1e6
+        assert 0 < r.shannon_h <= math.log(r.n_types) + 1e-9
+        assert 0 <= r.simpson <= 1
