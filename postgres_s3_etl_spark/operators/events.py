@@ -15,6 +15,8 @@ float seconds) keep duration math exact across engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1185,7 +1187,75 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Candidate periods (hours) for the spectral scan: daily, half-day,
+#: weekly, half-week.
+SPECTRAL_PERIODS = (24, 12, 168, 84)
+
+
+def q_events_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency DFT power at candidate periods over the
+    hourly event-count series — the periodicity detector (is traffic
+    daily? weekly?) a capacity/forecast pipeline runs before picking
+    a seasonal model. power(P) = (a² + b²)/n² with
+    a = Σ xₜ·cos(2π·(t mod P)/P), b likewise with sin — the mod-P
+    phase keeps trig arguments small so both engines' libm agree.
+
+    Scale shape: events collapse to the HOUR grain first (one
+    partial-aggregatable shuffle; the frame is calendar-bounded),
+    then a 4-period × hours fan-out over the tiny rollup with
+    DECIMAL(38,18) term sums — exact, order-independent. The
+    strongest period wins via one ordered projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    base = hourly.agg(F.min("h").alias("h0"))
+    # timestampdiff is wall-clock (timezone/DST-independent), safe
+    # under a bare session with a local timezone.
+    indexed = hourly.crossJoin(F.broadcast(base)).select(
+        F.expr("timestampdiff(HOUR, h0, h)").cast("bigint").alias("t"),
+        "x",
+    )
+    periods = ",".join(str(p) for p in SPECTRAL_PERIODS)
+    fanned = indexed.select(
+        "t", "x", F.explode(F.expr(f"array({periods})")).alias("p")
+    )
+    phase = (
+        F.lit(2.0 * math.pi)
+        * (F.col("t") % F.col("p")).cast("double")
+        / F.col("p").cast("double")
+    )
+    terms = fanned.select(
+        "p",
+        (F.col("x").cast("double") * F.cos(phase))
+        .cast("decimal(38,18)")
+        .alias("ca"),
+        (F.col("x").cast("double") * F.sin(phase))
+        .cast("decimal(38,18)")
+        .alias("cb"),
+        "x",
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    agg = terms.groupBy("p").agg(
+        F.sum("ca").cast("double").alias("a"),
+        F.sum("cb").cast("double").alias("b"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    power = (
+        F.col("a") * F.col("a") + F.col("b") * F.col("b")
+    ) / (F.col("n") * F.col("n"))
+    return (
+        agg.select(
+            F.col("p").alias("period_hours"),
+            f6(power).alias("power"),
+        )
+        .orderBy("period_hours")
+    )
+
+
 QUERIES = {
+    "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
     "q_events_markov_stationary": q_events_markov_stationary,
     "q_events_revenue_bridge": q_events_revenue_bridge,
@@ -1232,6 +1302,44 @@ def _markov_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "q_events_spectral_peaks": f"""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        base AS (SELECT MIN(h) AS h0 FROM hourly),
+        indexed AS (
+            SELECT CAST(date_diff('hour', h0, h) AS BIGINT) AS t, x
+            FROM hourly CROSS JOIN base
+        ),
+        fanned AS (
+            SELECT i.t, i.x, p.p
+            FROM indexed i,
+                 (SELECT unnest([{",".join(str(p) for p in SPECTRAL_PERIODS)}]) AS p) p
+        ),
+        terms AS (
+            SELECT p,
+                   CAST(CAST(x AS DOUBLE)
+                        * cos({2.0 * math.pi!r} * CAST(t % p AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS ca,
+                   CAST(CAST(x AS DOUBLE)
+                        * sin({2.0 * math.pi!r} * CAST(t % p AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS cb
+            FROM fanned
+        ),
+        agg AS (
+            SELECT p, CAST(SUM(ca) AS DOUBLE) AS a,
+                   CAST(SUM(cb) AS DOUBLE) AS b,
+                   CAST(COUNT(*) AS DOUBLE) AS n
+            FROM terms GROUP BY p
+        )
+        SELECT CAST(p AS INT) AS period_hours,
+               floor((a * a + b * b) / (n * n) * 1e6) / 1e6 AS power
+        FROM agg ORDER BY period_hours
+    """,
     "q_events_ab_test": f"""
         WITH users AS (
             SELECT user_id,

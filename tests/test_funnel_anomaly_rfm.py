@@ -116,3 +116,39 @@ def test_ushape_attribution_credits_sum_to_10000_per_converter(spark):
         .count()
     )
     assert total == 10000 * n_credited
+
+
+def test_spectral_peaks_match_numpy(spark):
+    """Independent NumPy recomputation of the single-frequency DFT
+    powers from the same hourly counts."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from postgres_s3_etl_spark.operators.events import (
+        SPECTRAL_PERIODS,
+        q_events_spectral_peaks,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.period_hours: r.power
+        for r in q_events_spectral_peaks(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(SPECTRAL_PERIODS)
+    rows = duckdb.sql(
+        f"""SELECT date_diff('hour', (SELECT MIN(date_trunc('hour', ts))
+                                      FROM '{SF_DIR}/events.parquet'),
+                             date_trunc('hour', ts)) AS t, COUNT(*) AS x
+            FROM '{SF_DIR}/events.parquet'
+            GROUP BY date_trunc('hour', ts)"""
+    ).fetchall()
+    t = np.array([r[0] for r in rows], dtype=np.float64)
+    x = np.array([r[1] for r in rows], dtype=np.float64)
+    for p in SPECTRAL_PERIODS:
+        ph = 2.0 * math.pi * np.mod(t, p) / p
+        a, b = (x * np.cos(ph)).sum(), (x * np.sin(ph)).sum()
+        power = (a * a + b * b) / len(t) ** 2
+        assert got[p] >= 0
+        assert abs(got[p] - power) < 1e-4 * max(1.0, power), (p, got[p], power)
