@@ -2262,7 +2262,56 @@ def q_orders_anova_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_returns_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (SPC control chart) on the monthly return rate: the
+    center line is the pooled return share, limits are p̄ ±
+    3·√(p̄(1−p̄)/nₜ) per month (binomial SE with each month's own
+    sample size), and out-of-control months are flagged — the
+    classic statistical-process-control monitor an ops team runs on
+    any defect-rate series.
+
+    Scale shape: one month-grain conditional rollup (map-side
+    combine), pooled scalar broadcast, limits and flags as one
+    mirrored expression over the calendar-bounded month frame.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("month"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    monthly = li.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ret").cast("bigint").alias("n_returns"),
+    )
+    pooled = monthly.agg(
+        (
+            F.sum("n_returns").cast("double")
+            / F.sum("n").cast("double")
+        ).alias("p_bar")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    p = F.col("n_returns").cast("double") / F.col("n").cast("double")
+    se = F.sqrt(
+        F.col("p_bar") * (1 - F.col("p_bar")) / F.col("n").cast("double")
+    )
+    lcl = F.greatest(F.lit(0.0), F.col("p_bar") - 3 * se)
+    ucl = F.col("p_bar") + 3 * se
+    return (
+        monthly.crossJoin(F.broadcast(pooled))
+        .select(
+            "month",
+            "n",
+            "n_returns",
+            f6(p).alias("rate"),
+            f6(lcl).alias("lcl"),
+            f6(ucl).alias("ucl"),
+            ((p < lcl) | (p > ucl)).alias("out_of_control"),
+        )
+        .orderBy("month")
+    )
+
+
 QUERIES = {
+    "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
     "q_orders_anova_priority": q_orders_anova_priority,
     "q_orders_bootstrap_ci": q_orders_bootstrap_ci,
     "q_customer_acquisition_curve": q_customer_acquisition_curve,
@@ -2332,6 +2381,39 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_lineitem_returns_pchart": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+            FROM lineitem GROUP BY 1
+        ),
+        pooled AS (
+            SELECT CAST(SUM(n_returns) AS DOUBLE)
+                   / CAST(SUM(n) AS DOUBLE) AS p_bar
+            FROM monthly
+        )
+        SELECT month, n, n_returns,
+               floor(CAST(n_returns AS DOUBLE) / CAST(n AS DOUBLE)
+                     * 1e6) / 1e6 AS rate,
+               floor(greatest(0.0,
+                   p_bar - 3 * sqrt(p_bar * (1 - p_bar)
+                                    / CAST(n AS DOUBLE))) * 1e6) / 1e6
+                   AS lcl,
+               floor((p_bar + 3 * sqrt(p_bar * (1 - p_bar)
+                                       / CAST(n AS DOUBLE))) * 1e6) / 1e6
+                   AS ucl,
+               (CAST(n_returns AS DOUBLE) / CAST(n AS DOUBLE)
+                < greatest(0.0, p_bar - 3 * sqrt(p_bar * (1 - p_bar)
+                                                 / CAST(n AS DOUBLE))))
+               OR (CAST(n_returns AS DOUBLE) / CAST(n AS DOUBLE)
+                   > p_bar + 3 * sqrt(p_bar * (1 - p_bar)
+                                      / CAST(n AS DOUBLE)))
+                   AS out_of_control
+        FROM monthly CROSS JOIN pooled
+        ORDER BY month
+    """,
     "q_orders_anova_priority": """
         WITH groups AS (
             SELECT o_orderpriority,

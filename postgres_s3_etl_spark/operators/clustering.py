@@ -204,9 +204,62 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OOD_TOP_K = 20
+
+
+def embedding_ood_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution screen: the OOD_TOP_K vectors farthest
+    from their OWN k-means centroid — the "does this belong in the
+    corpus at all" triage list (mislabeled scrapes, corrupted
+    embeddings, genuinely novel content) a curation pass reviews
+    before training. Same Lloyd state as ``kmeans_embeddings``;
+    distance to the assigned centroid is one row-local fold against
+    the literal centroid arrays, and top-K is
+    TakeOrderedAndProject — no global sort.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    seeds = (
+        vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    )
+    cents = [list(r.v) for r in seeds]
+    assigned = _assign(vecs, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    c_sql = ",".join(
+        "array(" + ",".join(repr(x) for x in c) + ")" for c in cents
+    )
+    c2 = [_seq_dot(c, c) for c in cents]
+    dist_own = F.expr(
+        f"""
+        sqrt(greatest(0.0d,
+            aggregate(zip_with(v, v, (x, y) -> x * y),
+                      0.0d, (s, x) -> s + x)
+            - 2 * aggregate(
+                  zip_with(v, array({c_sql})[cluster], (x, y) -> x * y),
+                  0.0d, (s, x) -> s + x)
+            + element_at(array({",".join(repr(x) for x in c2)}),
+                         cluster + 1)))
+        """
+    )
+    return (
+        assigned.select(
+            "vec_id",
+            F.col("cluster").alias("cluster_id"),
+            (F.floor(dist_own * 1e6) / 1e6).alias("dist_to_centroid"),
+        )
+        .orderBy(F.desc("dist_to_centroid"), F.asc("vec_id"))
+        .limit(OOD_TOP_K)
+    )
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "embedding_silhouette": embedding_silhouette,
+    "embedding_ood_candidates": embedding_ood_candidates,
 }
 
 _SCORE = "-2.0 * list_dot_product(v.v, c.c) + c.c2"
@@ -303,5 +356,24 @@ ORACLES = {
                floor(CAST(SUM(s) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
                    AS avg_silhouette
         FROM sil GROUP BY cell ORDER BY cluster_id
+    """,
+    # Distance to the ASSIGNED centroid only, top-K farthest.
+    "embedding_ood_candidates": f"""
+        WITH {_KMEANS_CTE},
+        own AS (
+            SELECT a2.vec_id, a2.cell,
+                   sqrt(greatest(0.0,
+                       list_dot_product(v.v, v.v)
+                       - 2 * list_dot_product(v.v, c.c)
+                       + c.c2)) AS d
+            FROM a2
+            JOIN vecs v USING (vec_id)
+            JOIN c1x c ON c.cell = a2.cell
+        )
+        SELECT vec_id, CAST(cell AS INT) AS cluster_id,
+               floor(d * 1e6) / 1e6 AS dist_to_centroid
+        FROM own
+        ORDER BY dist_to_centroid DESC, vec_id ASC
+        LIMIT {OOD_TOP_K}
     """,
 }

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_lineitem_returns_pchart",
     "q_orders_anova_priority",
     "q_orders_bootstrap_ci",
     "q_customer_acquisition_curve",
@@ -191,3 +192,19 @@ def test_anova_sums_of_squares_partition(spark):
     assert r.k == 5 and r.big_n == 15000
     got_total = r.ss_between + r.ss_within
     assert abs(got_total - sst) / sst < 1e-6
+
+
+def test_pchart_limits_bracket_center(spark):
+    """Control limits must bracket the pooled rate and most months
+    must be in control on a stationary series."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_lineitem_returns_pchart,
+    )
+
+    rows = q_lineitem_returns_pchart(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    n_ooc = sum(1 for r in rows if r.out_of_control)
+    for r in rows:
+        assert 0 <= r.lcl < r.ucl
+        assert r.out_of_control == (not (r.lcl <= r.rate <= r.ucl))
+    assert n_ooc < len(rows) / 2  # stationary: mostly in control

@@ -39,6 +39,7 @@ ORACLE_NAMES = [
     "embedding_sign_quantization",
     "embedding_silhouette",
     "text_lexical_diversity",
+    "embedding_ood_candidates",
 ]
 
 
@@ -643,3 +644,21 @@ def test_lexical_diversity_identities(spark):
         assert r.type_token_ratio == math.floor(r.n_types * 1e6 / r.n_tokens) / 1e6
         assert 0 < r.shannon_h <= math.log(r.n_types) + 1e-9
         assert 0 <= r.simpson <= 1
+
+
+def test_ood_candidates_are_the_farthest(spark):
+    """Top-K OOD distances must be sorted descending and non-negative,
+    with cluster ids inside the K range."""
+    from postgres_s3_etl_spark.operators.clustering import (
+        K_CLUSTERS,
+        OOD_TOP_K,
+        embedding_ood_candidates,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = embedding_ood_candidates(spark, SF_DIR).collect()
+    assert len(rows) == OOD_TOP_K
+    dists = [r.dist_to_centroid for r in rows]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d >= 0 for d in dists)
+    assert all(0 <= r.cluster_id < K_CLUSTERS for r in rows)
