@@ -964,6 +964,57 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance search against the exact
+    EUCLIDEAN top-k (ADC approximates L2, so L2 is the honest
+    baseline — not cosine) — the compression/recall operating point
+    that justifies (or rejects) shipping the 32×-smaller PQ index.
+    Same probe-bounded eval-join shape as ``sim_search_recall``.
+    """
+    approx = sim_search_pq_adc(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    vecs = _vecs(spark, sf_dir)
+    probes = vecs.where(F.col("vec_id") < N_PROBES)
+    a, b = probes.alias("a"), vecs.alias("b")
+    vv = "aggregate(zip_with(a.v, a.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+    bb = "aggregate(zip_with(b.v, b.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+    d2 = _trunc6(F.expr(vv) + F.expr(bb) - 2 * F.expr(_DOT))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    exact = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("found"),
+        )
+        .select(
+            "probe_id",
+            "k",
+            "found",
+            (F.floor(F.col("found") * 1e6 / F.col("k")) / 1e6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("probe_id")
+    )
+
+
 def _cov_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle sample covariance (i <= j) of the embedding
     dimensions as (i, j, cov double), materialized once
@@ -1442,6 +1493,7 @@ def embedding_sign_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_search_pq_recall": sim_search_pq_recall,
     "embedding_sign_quantization": embedding_sign_quantization,
     "embedding_jl_projection": embedding_jl_projection,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -1811,6 +1863,75 @@ ORACLES = {
                floor(CAST(d_exact AS DOUBLE) * 1e6) / 1e6 AS adc_dist
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY probe_id, rank
+    """,
+    # ADC chain reused verbatim, scored against the exact euclidean
+    # top-k via the same probe-bounded left join as sim_search_recall.
+    "sim_search_pq_recall": f"""
+        WITH {_PQ_CTE},
+        pairs AS (
+            SELECT s.vec_id, s.m, c.k,
+                   s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS dist
+            FROM subs2 s JOIN seeds c ON s.m = c.m
+        ),
+        codes AS (
+            SELECT vec_id, m, k AS code
+            FROM (
+                SELECT vec_id, m, k,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, k) AS rn
+                FROM pairs
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT s.vec_id AS probe_id, s.m, c.k AS code,
+                   s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS pdist
+            FROM subs2 s JOIN seeds c ON s.m = c.m
+            WHERE s.vec_id < {N_PROBES}
+        ),
+        adc AS (
+            SELECT l.probe_id, c.vec_id,
+                   SUM(CAST(l.pdist AS DECIMAL(38,12))) AS d_exact
+            FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+            WHERE c.vec_id <> l.probe_id
+            GROUP BY l.probe_id, c.vec_id
+        ),
+        approx AS (
+            SELECT probe_id, vec_id AS neighbor_id, 1 AS hit
+            FROM (
+                SELECT probe_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY d_exact, vec_id) AS rank
+                FROM adc
+            ) WHERE rank <= {TOP_K}
+        ),
+        epairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor((list_dot_product(a.v, a.v)
+                          + list_dot_product(b.v, b.v)
+                          - 2 * list_dot_product(a.v, b.v)) * 1e6) / 1e6
+                       AS d2
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        exact AS (
+            SELECT probe_id, neighbor_id
+            FROM (
+                SELECT probe_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY d2, neighbor_id) AS rank
+                FROM epairs
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT e.probe_id,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS found,
+               floor(CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1e6
+                     / COUNT(*)) / 1e6 AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.probe_id
+        ORDER BY e.probe_id
     """,
     # Self-join formulation — deliberately different from the Spark
     # twin's row-local double-posexplode, same exact decimal sums.

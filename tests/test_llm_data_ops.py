@@ -40,6 +40,7 @@ ORACLE_NAMES = [
     "embedding_silhouette",
     "text_lexical_diversity",
     "embedding_ood_candidates",
+    "sim_search_pq_recall",
 ]
 
 
@@ -662,3 +663,22 @@ def test_ood_candidates_are_the_farthest(spark):
     assert dists == sorted(dists, reverse=True)
     assert all(d >= 0 for d in dists)
     assert all(0 <= r.cluster_id < K_CLUSTERS for r in rows)
+
+
+def test_pq_recall_beats_random(spark):
+    """ADC recall against exact L2 must be far above the random
+    floor (k / corpus ≈ 1%) — PQ with 16 subspaces retains real
+    neighborhood structure."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        N_PROBES,
+        TOP_K,
+        sim_search_pq_recall,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = sim_search_pq_recall(spark, SF_DIR).collect()
+    assert len(rows) == N_PROBES
+    for r in rows:
+        assert r.k == TOP_K and 0 <= r.found <= r.k
+    mean = sum(r.recall for r in rows) / len(rows)
+    assert mean >= 0.2, f"PQ ADC recall collapsed: {mean:.2f}"
