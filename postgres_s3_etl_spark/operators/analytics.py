@@ -2310,7 +2310,62 @@ def q_lineitem_returns_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Base year for the price-index family (first full shipping year).
+PRICE_INDEX_BASE_YEAR = 1996
+
+
+def q_part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indexes per year vs the
+    PRICE_INDEX_BASE_YEAR basket — the canonical inflation/pricing
+    analytics (L uses base-year quantities, P current-year, Fisher
+    the geometric mean), over parts traded in BOTH years.
+
+    Scale shape: one (part, year) rollup with exact DECIMAL price
+    and quantity sums; the base-year slice joins back on partkey
+    (hash join at part grain — at 100 TB AQE picks the shuffle
+    strategy, the rollup already shrank the data); per-year index
+    sums go through DECIMAL(38,12). Unit price = Σext/Σqty as
+    double, one mirrored division per (part, year).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("yr"),
+        dec("l_extendedprice").alias("ext"),
+        dec("l_quantity").alias("qty"),
+    )
+    py = li.groupBy("l_partkey", "yr").agg(
+        (
+            F.sum("ext").cast("double") / F.sum("qty").cast("double")
+        ).alias("p"),
+        F.sum("qty").cast("double").alias("q"),
+    )
+    base = py.where(F.col("yr") == PRICE_INDEX_BASE_YEAR).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    cur = py.where(F.col("yr") != PRICE_INDEX_BASE_YEAR)
+    joined = cur.join(base, "l_partkey")
+    d12 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = joined.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common_parts"),
+        F.sum(d12(F.col("p") * F.col("q0"))).alias("pt_q0"),
+        F.sum(d12(F.col("p0") * F.col("q0"))).alias("p0_q0"),
+        F.sum(d12(F.col("p") * F.col("q"))).alias("pt_qt"),
+        F.sum(d12(F.col("p0") * F.col("q"))).alias("p0_qt"),
+    )
+    lasp = F.col("pt_q0").cast("double") / F.col("p0_q0").cast("double")
+    paas = F.col("pt_qt").cast("double") / F.col("p0_qt").cast("double")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        F.col("yr").alias("year"),
+        "n_common_parts",
+        f6(lasp).alias("laspeyres"),
+        f6(paas).alias("paasche"),
+        f6(F.sqrt(lasp * paas)).alias("fisher"),
+    ).orderBy("year")
+
+
 QUERIES = {
+    "q_part_price_index": q_part_price_index,
     "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
     "q_orders_anova_priority": q_orders_anova_priority,
     "q_orders_bootstrap_ci": q_orders_bootstrap_ci,
@@ -2381,6 +2436,43 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_part_price_index": f"""
+        WITH py AS (
+            SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) AS p,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS q
+            FROM lineitem GROUP BY l_partkey, yr
+        ),
+        base AS (
+            SELECT l_partkey, p AS p0, q AS q0 FROM py
+            WHERE yr = {PRICE_INDEX_BASE_YEAR}
+        ),
+        cur AS (SELECT * FROM py WHERE yr <> {PRICE_INDEX_BASE_YEAR}),
+        sums AS (
+            SELECT c.yr,
+                   CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+                   SUM(CAST(c.p * b.q0 AS DECIMAL(38,12))) AS pt_q0,
+                   SUM(CAST(b.p0 * b.q0 AS DECIMAL(38,12))) AS p0_q0,
+                   SUM(CAST(c.p * c.q AS DECIMAL(38,12))) AS pt_qt,
+                   SUM(CAST(b.p0 * c.q AS DECIMAL(38,12))) AS p0_qt
+            FROM cur c JOIN base b USING (l_partkey)
+            GROUP BY c.yr
+        )
+        SELECT CAST(yr AS INT) AS year, n_common_parts,
+               floor(CAST(pt_q0 AS DOUBLE) / CAST(p0_q0 AS DOUBLE)
+                     * 1e6) / 1e6 AS laspeyres,
+               floor(CAST(pt_qt AS DOUBLE) / CAST(p0_qt AS DOUBLE)
+                     * 1e6) / 1e6 AS paasche,
+               floor(sqrt((CAST(pt_q0 AS DOUBLE) / CAST(p0_q0 AS DOUBLE))
+                          * (CAST(pt_qt AS DOUBLE)
+                             / CAST(p0_qt AS DOUBLE))) * 1e6) / 1e6
+                   AS fisher
+        FROM sums ORDER BY year
+    """,
     "q_lineitem_returns_pchart": """
         WITH monthly AS (
             SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_part_price_index",
     "q_lineitem_returns_pchart",
     "q_orders_anova_priority",
     "q_orders_bootstrap_ci",
@@ -208,3 +209,21 @@ def test_pchart_limits_bracket_center(spark):
         assert 0 <= r.lcl < r.ucl
         assert r.out_of_control == (not (r.lcl <= r.rate <= r.ucl))
     assert n_ooc < len(rows) / 2  # stationary: mostly in control
+
+
+def test_price_index_base_year_identity(spark):
+    """Fisher is the geometric mean of L and P; all indexes positive;
+    base-year comparison parts exist for every emitted year."""
+    import math
+
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_part_price_index,
+    )
+
+    rows = q_part_price_index(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.n_common_parts > 0
+        assert r.laspeyres > 0 and r.paasche > 0
+        fisher = math.sqrt(r.laspeyres * r.paasche)
+        assert abs(r.fisher - fisher) < 1e-4
