@@ -695,7 +695,89 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Random-walk corpus parameters: number of walks (highest-degree
+#: seeds) and steps per walk. Fixed so the oracle unrolls exactly.
+WALKS_N = 20
+WALK_LEN = 4
+
+
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the co-purchase graph — the
+    DeepWalk/node2vec corpus generator that turns a graph into
+    training sequences for an embedding model. Each of the WALKS_N
+    highest-degree seeds walks WALK_LEN steps; the neighbor choice
+    at each step is md5(walk, step, node) mod degree — a public
+    hash, so task retries AND the SQL twin reproduce the identical
+    walk (never `rand()`, which would break both).
+
+    Scale shape: adjacency lists build in one groupBy
+    (sort_array(collect_list) — bounded by max degree); each step
+    is one equi-join of the walk frontier (WALKS_N rows) against
+    the adjacency table — at 100 TB the frontier broadcasts and
+    the walk costs WALK_LEN tiny joins, the standard distributed
+    random-walk shape.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .localCheckpoint()
+    )
+    deg = _degrees(edges)
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("node"))
+        .limit(WALKS_N)
+        .select(
+            F.col("node").alias("walk_id"),
+            F.col("node").alias("cur"),
+            F.col("node").cast("string").alias("path"),
+        )
+    )
+    state = seeds
+    for s in range(1, WALK_LEN + 1):
+        idx = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("walk_id"),
+                            F.lit(s),
+                            F.col("cur"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.size("nbrs")
+        )
+        state = (
+            state.join(adj, state.cur == adj.node)
+            .select(
+                "walk_id",
+                F.element_at("nbrs", (idx + 1).cast("int")).alias("cur"),
+                F.concat_ws(
+                    "-",
+                    "path",
+                    F.element_at("nbrs", (idx + 1).cast("int")).cast(
+                        "string"
+                    ),
+                ).alias("path"),
+            )
+        )
+    return state.select(
+        "walk_id", F.col("cur").alias("final_node"), "path"
+    ).orderBy("walk_id")
+
+
 QUERIES = {
+    "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
     "graph_degree_stats": graph_degree_stats,
@@ -793,7 +875,54 @@ def _bfs_iter_sql(k: int) -> str:
     """
 
 
+def _walk_idx_sql(s: int) -> str:
+    """Deterministic neighbor pick for step ``s`` (same md5-mod as
+    the Spark twin)."""
+    return (
+        f"CAST(('0x' || substr(md5(concat(w.walk_id, '_', {s}, '_', w.cur)),"
+        f" 1, 6))::BIGINT % len(a.nbrs) + 1 AS BIGINT)"
+    )
+
+
+def _walk_iter_sql(s: int) -> str:
+    return f"""
+        w{s} AS MATERIALIZED (
+            SELECT w.walk_id,
+                   a.nbrs[{_walk_idx_sql(s)}] AS cur,
+                   w.path || '-'
+                   || CAST(a.nbrs[{_walk_idx_sql(s)}] AS VARCHAR) AS path
+            FROM w{s - 1} w JOIN adj a ON a.node = w.cur
+        )
+    """
+
+
 ORACLES = {
+    "graph_random_walks": f"""
+        WITH {_EDGES_SQL},
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        adj AS MATERIALIZED (
+            SELECT src AS node, list(dst ORDER BY dst) AS nbrs
+            FROM sym GROUP BY src
+        ),
+        deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+        ),
+        seeds AS (
+            SELECT node FROM deg ORDER BY deg DESC, node ASC
+            LIMIT {WALKS_N}
+        ),
+        w0 AS MATERIALIZED (
+            SELECT node AS walk_id, node AS cur,
+                   CAST(node AS VARCHAR) AS path
+            FROM seeds
+        ),
+        {",".join(_walk_iter_sql(s) for s in range(1, WALK_LEN + 1))}
+        SELECT walk_id, cur AS final_node, path
+        FROM w{WALK_LEN} ORDER BY walk_id
+    """,
     "graph_kcore": f"""
         WITH {_EDGES_SQL},
         ke0 AS MATERIALIZED (SELECT src, dst FROM edges),

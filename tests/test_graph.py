@@ -20,6 +20,7 @@ ALL = [
     "graph_kcore",
     "graph_bfs_levels",
     "graph_clustering_coeff",
+    "graph_random_walks",
 ]
 
 
@@ -235,3 +236,24 @@ def test_clustering_coeff_consistent_with_triangles(spark):
     assert cc.n_wedges >= 3 * cc.n_triangles
     assert 0 < cc.transitivity <= 1
     assert 0 < cc.avg_lcc <= 1
+
+
+def test_random_walks_follow_edges(spark):
+    """Every consecutive pair in every walk path must be a real edge,
+    and walks must be reproducible across invocations."""
+    from postgres_s3_etl_spark.operators import graph as g
+
+    rows = g.graph_random_walks(spark, SF_DIR).collect()
+    assert len(rows) == g.WALKS_N
+    edge_set = set()
+    for r in g.copurchase_edges(spark, SF_DIR).collect():
+        edge_set.add((r.src, r.dst))
+        edge_set.add((r.dst, r.src))
+    for r in rows:
+        hops = [int(x) for x in r.path.split("-")]
+        assert len(hops) == g.WALK_LEN + 1
+        assert hops[0] == r.walk_id and hops[-1] == r.final_node
+        for a, b in zip(hops, hops[1:]):
+            assert (a, b) in edge_set, (r.walk_id, a, b)
+    again = {r.walk_id: r.path for r in g.graph_random_walks(spark, SF_DIR).collect()}
+    assert again == {r.walk_id: r.path for r in rows}  # deterministic
