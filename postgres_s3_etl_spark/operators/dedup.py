@@ -664,7 +664,37 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy histogram — the skew diagnostic run
+    BEFORE the band-bucket candidate join: a hot bucket of size s
+    emits s² candidate pairs, so the size distribution IS the
+    join-cost forecast (and the trigger for raising the band count
+    or salting). Per band: bucket count, max occupancy, and the
+    implied candidate-pair total Σ s(s−1)/2 — all from one rollup of
+    the same signature frame the join consumes.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bands = minhash_bands_for(docs)
+    occ = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("s").cast("bigint").alias("max_occupancy"),
+            F.sum(F.expr("(s * (s - 1)) div 2"))
+            .cast("bigint")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = {
+    "dedup_lsh_bucket_stats": dedup_lsh_bucket_stats,
     "dedup_exact": dedup_exact,
     "dedup_prefix_containment": dedup_prefix_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -894,6 +924,19 @@ def _simhash_oracle() -> str:
 
 
 ORACLES["dedup_simhash"] = _simhash_oracle()
+
+ORACLES["dedup_lsh_bucket_stats"] = f"""
+    WITH {_bands_cte_sql()},
+    occ AS (
+        SELECT band, bucket, CAST(COUNT(*) AS BIGINT) AS s
+        FROM bands GROUP BY band, bucket
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(s) AS BIGINT) AS max_occupancy,
+           CAST(SUM((s * (s - 1)) // 2) AS BIGINT) AS candidate_pairs
+    FROM occ GROUP BY band ORDER BY band
+"""
 
 ORACLES["dedup_minhash_lsh"] = f"""
     WITH {_bands_cte_sql()}

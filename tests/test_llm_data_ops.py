@@ -41,6 +41,7 @@ ORACLE_NAMES = [
     "text_lexical_diversity",
     "embedding_ood_candidates",
     "sim_search_pq_recall",
+    "dedup_lsh_bucket_stats",
 ]
 
 
@@ -682,3 +683,33 @@ def test_pq_recall_beats_random(spark):
         assert r.k == TOP_K and 0 <= r.found <= r.k
     mean = sum(r.recall for r in rows) / len(rows)
     assert mean >= 0.2, f"PQ ADC recall collapsed: {mean:.2f}"
+
+
+def test_lsh_bucket_stats_forecast_the_join(spark):
+    """The per-band candidate totals must sum to the actual number of
+    (pair, band) collision rows the LSH join generates."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.operators.dedup import (
+        dedup_lsh_bucket_stats,
+        minhash_bands_for,
+    )
+    from postgres_s3_etl_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    stats = dedup_lsh_bucket_stats(spark, SF_DIR).collect()
+    assert len(stats) == 4  # bands
+    forecast = sum(r.candidate_pairs for r in stats)
+    bands = minhash_bands_for(
+        load_table(spark, SF_DIR, "documents")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    actual = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+    )
+    assert forecast == actual
