@@ -65,7 +65,74 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(load_table(spark, sf_dir, "orders"), PROFILE_COLS)
 
 
-QUERIES = {"q_profile_orders": q_profile_orders}
+def q_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality forecast from per-key count
+    rollups — the pre-shuffle planning diagnostic (|A ⋈ B| =
+    Σₖ cA(k)·cB(k)) that decides broadcast vs salt vs bucket BEFORE
+    paying for the join. Forecast three joins: the lineitem self-join
+    on partkey (the co-purchase generator's cost), lineitem ⋈ orders
+    on orderkey, and orders ⋈ customer on custkey.
+
+    Scale shape: each forecast is one partial-aggregatable key
+    rollup + one rollup-grain join (key-cardinality-sized, not
+    data-sized) + one BIGINT product sum — strictly cheaper than any
+    join it forecasts. The forecasts are EXACT, not estimates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def key_counts(df: DataFrame, key: str) -> DataFrame:
+        return df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    def forecast(
+        name: str, a: DataFrame, ka: str, b: DataFrame, kb: str
+    ) -> DataFrame:
+        ca = key_counts(a, ka)
+        cb = key_counts(b, kb).select(
+            F.col("k"), F.col("c").alias("c2")
+        )
+        return (
+            ca.join(cb, "k")
+            .agg(
+                F.sum(F.col("c") * F.col("c2"))
+                .cast("bigint")
+                .alias("est_output_rows")
+            )
+            .select(F.lit(name).alias("join_name"), "est_output_rows")
+        )
+
+    sizes = {
+        "lineitem": li.count(),
+        "orders": orders.count(),
+        "customer": cust.count(),
+    }
+    combos = [
+        ("lineitem_self_on_partkey", li, "l_partkey", li, "l_partkey",
+         "lineitem", "lineitem"),
+        ("lineitem_orders_on_orderkey", li, "l_orderkey", orders,
+         "o_orderkey", "lineitem", "orders"),
+        ("orders_customer_on_custkey", orders, "o_custkey", cust,
+         "c_custkey", "orders", "customer"),
+    ]
+    out = None
+    for name, a, ka, b, kb, an, bn in combos:
+        f = forecast(name, a, ka, b, kb).select(
+            "join_name",
+            F.lit(sizes[an]).cast("bigint").alias("left_rows"),
+            F.lit(sizes[bn]).cast("bigint").alias("right_rows"),
+            "est_output_rows",
+        )
+        out = f if out is None else out.unionAll(f)
+    return out.orderBy("join_name")
+
+
+QUERIES = {
+    "q_profile_orders": q_profile_orders,
+    "q_join_cardinality_forecast": q_join_cardinality_forecast,
+}
 
 _DUCK_EXPRS = {
     "o_orderkey": "CAST(o_orderkey AS VARCHAR)",
@@ -81,6 +148,45 @@ _UNPIVOT_SQL = " UNION ALL ".join(
 )
 
 ORACLES = {
+    "q_join_cardinality_forecast": """
+        WITH f1 AS (
+            SELECT 'lineitem_self_on_partkey' AS join_name,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+                       AS left_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+                       AS right_rows,
+                   CAST(SUM(c * c) AS BIGINT) AS est_output_rows
+            FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+        ),
+        f2 AS (
+            SELECT 'lineitem_orders_on_orderkey' AS join_name,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+                       AS left_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+                       AS right_rows,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS est_output_rows
+            FROM (SELECT l_orderkey AS k, COUNT(*) AS c
+                  FROM lineitem GROUP BY l_orderkey) a
+            JOIN (SELECT o_orderkey AS k, COUNT(*) AS c
+                  FROM orders GROUP BY o_orderkey) b USING (k)
+        ),
+        f3 AS (
+            SELECT 'orders_customer_on_custkey' AS join_name,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+                       AS left_rows,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM customer)
+                       AS right_rows,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS est_output_rows
+            FROM (SELECT o_custkey AS k, COUNT(*) AS c
+                  FROM orders GROUP BY o_custkey) a
+            JOIN (SELECT c_custkey AS k, COUNT(*) AS c
+                  FROM customer GROUP BY c_custkey) b USING (k)
+        )
+        SELECT * FROM f1
+        UNION ALL SELECT * FROM f2
+        UNION ALL SELECT * FROM f3
+        ORDER BY join_name
+    """,
     "q_profile_orders": f"""
         WITH unpivoted AS ({_UNPIVOT_SQL}),
         per_val AS (

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_join_cardinality_forecast",
     "q_part_price_index",
     "q_lineitem_returns_pchart",
     "q_orders_anova_priority",
@@ -227,3 +228,28 @@ def test_price_index_base_year_identity(spark):
         assert r.laspeyres > 0 and r.paasche > 0
         fisher = math.sqrt(r.laspeyres * r.paasche)
         assert abs(r.fisher - fisher) < 1e-4
+
+
+def test_join_forecast_is_exact(spark):
+    """The forecast must equal the ACTUAL join output sizes (these
+    are exact identities, not estimates)."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.profiling import (
+        q_join_cardinality_forecast,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.join_name: r for r in q_join_cardinality_forecast(spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    a = li.select("l_partkey").alias("a")
+    b = li.select("l_partkey").alias("b")
+    self_n = a.join(b, "l_partkey").count()
+    lo_n = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    oc_n = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    assert got["lineitem_self_on_partkey"].est_output_rows == self_n
+    assert got["lineitem_orders_on_orderkey"].est_output_rows == lo_n
+    assert got["orders_customer_on_custkey"].est_output_rows == oc_n
