@@ -146,6 +146,10 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
     )
     cents = [list(r.v) for r in seeds]
+    if not cents:  # empty corpus: no centroids, no literal arrays
+        return spark.createDataFrame(
+            [], "cluster_id int, n_members bigint, avg_silhouette double"
+        )
     assigned = _assign(vecs, cents)
     for _ in range(KMEANS_ITERS - 1):
         cents = _update(assigned)
@@ -225,6 +229,10 @@ def embedding_ood_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
     )
     cents = [list(r.v) for r in seeds]
+    if not cents:  # empty corpus: no centroids, no literal arrays
+        return spark.createDataFrame(
+            [], "vec_id long, cluster_id int, dist_to_centroid double"
+        )
     assigned = _assign(vecs, cents)
     for _ in range(KMEANS_ITERS - 1):
         cents = _update(assigned)
