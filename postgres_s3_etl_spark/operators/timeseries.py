@@ -419,7 +419,49 @@ def q_orders_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal indexes by month-of-year:
+    index(m) = mean(monthly revenue | month-of-year = m) / grand mean
+    of monthly revenue — the ratio-to-moving-average shortcut every
+    demand planner uses to deseasonalize before trending (the
+    month-grain complement to q_events_stl_weekday's weekday
+    decomposition).
+
+    Scale shape: month-grain rollup (one shuffle), 12-group rollup
+    of exact DECIMAL sums, grand-mean scalar broadcast — one
+    mirrored division per month-of-year.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    monthly = orders.groupBy("month").agg(F.sum("p").alias("rev"))
+    by_moy = monthly.groupBy(
+        F.month("month").alias("month_of_year")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.sum("rev").alias("rev_sum"),
+    )
+    grand = monthly.agg(
+        (
+            F.sum("rev").cast("double") / F.count(F.lit(1))
+        ).alias("grand_mean")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    mean_m = F.col("rev_sum").cast("double") / F.col("n_months")
+    return (
+        by_moy.crossJoin(F.broadcast(grand))
+        .select(
+            "month_of_year",
+            "n_months",
+            f6(mean_m / F.col("grand_mean")).alias("seasonal_index"),
+        )
+        .orderBy("month_of_year")
+    )
+
+
 QUERIES = {
+    "q_orders_seasonal_index": q_orders_seasonal_index,
     "q_orders_trend_mannkendall": q_orders_trend_mannkendall,
     "q_events_ewma": q_events_ewma,
     "q_events_holt": q_events_holt,
@@ -442,6 +484,28 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_seasonal_index": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        by_moy AS (
+            SELECT CAST(EXTRACT(month FROM month) AS INT) AS month_of_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_months,
+                   SUM(rev) AS rev_sum
+            FROM monthly GROUP BY 1
+        ),
+        grand AS (
+            SELECT CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS grand_mean
+            FROM monthly
+        )
+        SELECT month_of_year, n_months,
+               floor((CAST(rev_sum AS DOUBLE) / n_months) / grand_mean
+                     * 1e6) / 1e6 AS seasonal_index
+        FROM by_moy CROSS JOIN grand
+        ORDER BY month_of_year
+    """,
     "q_orders_trend_mannkendall": """
         WITH monthly AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -22,6 +22,7 @@ NEW = [
     "text_sample_weighted",
     "text_bloom_decontaminate",
     "q_orders_trend_mannkendall",
+    "q_orders_seasonal_index",
 ]
 
 
@@ -307,3 +308,18 @@ def test_mannkendall_against_scipy_free_reference(spark):
     )
     assert abs(got.z_score - z) < 1e-5
     assert got.trending == (abs(z) > 1.96)
+
+
+def test_seasonal_indexes_average_to_one(spark):
+    """Weighted by month counts, the indexes must average to exactly
+    1 (the multiplicative-decomposition identity)."""
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_orders_seasonal_index,
+    )
+
+    rows = q_orders_seasonal_index(spark, SF_DIR).collect()
+    assert len(rows) == 12
+    total_months = sum(r.n_months for r in rows)
+    weighted = sum(r.seasonal_index * r.n_months for r in rows)
+    assert abs(weighted / total_months - 1.0) < 1e-4
+    assert all(r.seasonal_index > 0 for r in rows)
