@@ -1254,7 +1254,48 @@ def q_events_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z for a 95% Wilson score interval.
+WILSON_Z = 1.96
+
+
+def q_events_share_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event share with a 95% WILSON score interval — the
+    small-sample-safe proportion interval (never escapes [0,1],
+    unlike the normal approximation) a metrics platform should emit
+    with every rate. One conditional rollup + total scalar
+    broadcast; the interval is one mirrored expression per type:
+    (p + z²/2n ± z·√(p(1−p)/n + z²/4n²)) / (1 + z²/n).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    tot = counts.agg(F.sum("k").cast("bigint").alias("n"))
+    joined = counts.crossJoin(F.broadcast(tot))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    n = F.col("n").cast("double")
+    z = F.lit(WILSON_Z)
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return joined.select(
+        "event_type",
+        "k",
+        "n",
+        f6(p).alias("share"),
+        f6(F.greatest(F.lit(0.0), center - half)).alias("wilson_lo"),
+        f6(F.least(F.lit(1.0), center + half)).alias("wilson_hi"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
+    "q_events_share_wilson": q_events_share_wilson,
     "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
     "q_events_markov_stationary": q_events_markov_stationary,
@@ -1302,6 +1343,46 @@ def _markov_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "q_events_share_wilson": f"""
+        WITH counts AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k
+            FROM events GROUP BY event_type
+        ),
+        tot AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM counts)
+        SELECT event_type, k, n,
+               floor(CAST(k AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+                   AS share,
+               floor(greatest(0.0,
+                   ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                     + {WILSON_Z} * {WILSON_Z} / (2 * CAST(n AS DOUBLE)))
+                    / (1 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE)))
+                   - ({WILSON_Z}
+                      * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                             + {WILSON_Z} * {WILSON_Z}
+                               / (4 * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE)))
+                      / (1 + {WILSON_Z} * {WILSON_Z}
+                             / CAST(n AS DOUBLE)))) * 1e6) / 1e6
+                   AS wilson_lo,
+               floor(least(1.0,
+                   ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                     + {WILSON_Z} * {WILSON_Z} / (2 * CAST(n AS DOUBLE)))
+                    / (1 + {WILSON_Z} * {WILSON_Z} / CAST(n AS DOUBLE)))
+                   + ({WILSON_Z}
+                      * sqrt((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             / CAST(n AS DOUBLE)
+                             + {WILSON_Z} * {WILSON_Z}
+                               / (4 * CAST(n AS DOUBLE)
+                                  * CAST(n AS DOUBLE)))
+                      / (1 + {WILSON_Z} * {WILSON_Z}
+                             / CAST(n AS DOUBLE)))) * 1e6) / 1e6
+                   AS wilson_hi
+        FROM counts CROSS JOIN tot
+        ORDER BY event_type
+    """,
     "q_events_spectral_peaks": f"""
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS h,

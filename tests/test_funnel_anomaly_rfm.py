@@ -152,3 +152,28 @@ def test_spectral_peaks_match_numpy(spark):
         power = (a * a + b * b) / len(t) ** 2
         assert got[p] >= 0
         assert abs(got[p] - power) < 1e-4 * max(1.0, power), (p, got[p], power)
+
+
+def test_wilson_intervals_bracket_shares(spark):
+    """Wilson bounds must bracket each share inside [0,1], shares sum
+    to 1, and the interval matches an independent recomputation."""
+    import math
+
+    from postgres_s3_etl_spark.operators.events import (
+        WILSON_Z,
+        q_events_share_wilson,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = q_events_share_wilson(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    z = WILSON_Z
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.share <= r.wilson_hi <= 1.0
+        p, n = r.k / r.n, r.n
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        assert abs(r.wilson_lo - max(0.0, center - half)) < 1e-5
+        assert abs(r.wilson_hi - min(1.0, center + half)) < 1e-5
