@@ -1522,7 +1522,81 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gopher-style rule thresholds, tuned to this corpus's scale (the
+#: published bounds assume web documents; the RULE SHAPES are what
+#: transfer). Mirrored verbatim in the oracle.
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 1000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MIN_STOPWORDS = 1
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rule panel (Rae et al. 2021's
+    repetition/format heuristics, the de-facto standard web-corpus
+    gate): word-count bounds, mean-word-length bounds, and a
+    minimum-stopword requirement, reported as per-rule failure
+    counts plus the pass-all total — the triage table that tells a
+    curation team WHICH rule is doing the filtering before they
+    commit to it.
+
+    Scale shape: every rule is a row-local expression over one
+    tokenization (split computed once per row), so the whole panel
+    is ONE conditional-sum aggregation with map-side combine — no
+    shuffle beyond the final scalar rollup, regardless of corpus
+    size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    n_words = F.size(words)
+    mean_wl = F.expr(
+        "aggregate(split(trim(lower(text)), '\\\\s+'), 0,"
+        " (acc, w) -> acc + length(w))"
+    ).cast("double") / n_words
+    n_stop = F.regexp_count(F.lower("text"), F.lit(STOPWORD_PATTERN))
+    fail_wc = (n_words < GOPHER_MIN_WORDS) | (
+        n_words > GOPHER_MAX_WORDS
+    )
+    fail_wl = (mean_wl < GOPHER_MIN_MEAN_WORD_LEN) | (
+        mean_wl > GOPHER_MAX_MEAN_WORD_LEN
+    )
+    fail_stop = n_stop < GOPHER_MIN_STOPWORDS
+    flagged = docs.select(
+        fail_wc.alias("f_wc"),
+        fail_wl.alias("f_wl"),
+        fail_stop.alias("f_stop"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("f_wc").cast("int")).cast("bigint").alias("wc"),
+        F.sum(F.col("f_wl").cast("int")).cast("bigint").alias("wl"),
+        F.sum(F.col("f_stop").cast("int")).cast("bigint").alias("stop"),
+        F.sum(
+            (~(F.col("f_wc") | F.col("f_wl") | F.col("f_stop"))).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return agg.selectExpr(
+        "stack(4,"
+        " 'word_count_bounds', wc,"
+        " 'mean_word_length_bounds', wl,"
+        " 'min_stopwords', stop,"
+        " 'pass_all_rules', pass_all) AS (rule, n)",
+        "n_docs",
+    ).select(
+        "rule",
+        F.col("n").cast("bigint").alias("n_docs_affected"),
+        f6(F.col("n") * 1.0 / F.col("n_docs")).alias("share"),
+    ).orderBy("rule")
+
+
 QUERIES = {
+    "text_gopher_rules": text_gopher_rules,
     "text_lexical_diversity": text_lexical_diversity,
     "text_burstiness": text_burstiness,
     "text_langid": text_langid,
@@ -1655,6 +1729,52 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_gopher_rules": rf"""
+        WITH scored AS (
+            SELECT len(string_split_regex(trim(lower(text)), '\s+'))
+                       AS n_words,
+                   CAST(list_sum(list_transform(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       w -> len(w))) AS DOUBLE)
+                   / len(string_split_regex(trim(lower(text)), '\s+'))
+                       AS mean_wl,
+                   len(regexp_extract_all(lower(text),
+                       '\b(the|a|of|and|to)\b')) AS n_stop
+            FROM documents
+        ),
+        flagged AS (
+            SELECT (n_words < {GOPHER_MIN_WORDS}
+                    OR n_words > {GOPHER_MAX_WORDS}) AS f_wc,
+                   (mean_wl < {GOPHER_MIN_MEAN_WORD_LEN}
+                    OR mean_wl > {GOPHER_MAX_MEAN_WORD_LEN}) AS f_wl,
+                   (n_stop < {GOPHER_MIN_STOPWORDS}) AS f_stop
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN f_wc THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wc,
+                   CAST(SUM(CASE WHEN f_wl THEN 1 ELSE 0 END)
+                        AS BIGINT) AS wl,
+                   CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END)
+                        AS BIGINT) AS stop,
+                   CAST(SUM(CASE WHEN NOT (f_wc OR f_wl OR f_stop)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+            FROM flagged
+        ),
+        rows_out AS (
+            SELECT 'word_count_bounds' AS rule, wc AS n, n_docs FROM agg
+            UNION ALL
+            SELECT 'mean_word_length_bounds', wl, n_docs FROM agg
+            UNION ALL
+            SELECT 'min_stopwords', stop, n_docs FROM agg
+            UNION ALL
+            SELECT 'pass_all_rules', pass_all, n_docs FROM agg
+        )
+        SELECT rule, n AS n_docs_affected,
+               floor(n * 1.0 / n_docs * 1e6) / 1e6 AS share
+        FROM rows_out ORDER BY rule
+    """,
     "text_lexical_diversity": r"""
         WITH toks AS (
             SELECT source,

@@ -42,6 +42,7 @@ ORACLE_NAMES = [
     "embedding_ood_candidates",
     "sim_search_pq_recall",
     "dedup_lsh_bucket_stats",
+    "text_gopher_rules",
 ]
 
 
@@ -713,3 +714,33 @@ def test_lsh_bucket_stats_forecast_the_join(spark):
         ).count()
     )
     assert forecast == actual
+
+
+def test_gopher_rules_account_for_every_doc(spark):
+    """pass_all + (docs failing >= 1 rule) == corpus size; shares are
+    consistent with the counts."""
+    import math
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_gopher_rules,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {r.rule: r for r in text_gopher_rules(spark, SF_DIR).collect()}
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert set(rows) == {
+        "word_count_bounds",
+        "mean_word_length_bounds",
+        "min_stopwords",
+        "pass_all_rules",
+    }
+    for r in rows.values():
+        assert 0 <= r.n_docs_affected <= n_docs
+        assert r.share == math.floor(r.n_docs_affected * 1e6 / n_docs) / 1e6
+    fails = sum(
+        rows[k].n_docs_affected
+        for k in ("word_count_bounds", "mean_word_length_bounds", "min_stopwords")
+    )
+    # pass_all >= n_docs - sum(fails) (rules can overlap)
+    assert rows["pass_all_rules"].n_docs_affected >= n_docs - fails
