@@ -1492,7 +1492,71 @@ def embedding_sign_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the LSH-kNN graph: build EVERY vector's
+    approximate top-k neighbor list (bucket-bounded candidates, the
+    dedup_embedding_cosine recipe — never all-pairs), then histogram
+    the IN-degree. High-dimensional spaces grow "hubs" that appear
+    in everyone's neighbor list and silently dominate retrieval /
+    kNN-label pipelines — the k-occurrence skew (Radovanović et al.)
+    is the standard diagnostic.
+
+    Scale shape: candidates from the (table, bucket) equi-join only;
+    per-source top-k via a window over the candidate set; in-degree
+    is one partial-aggregatable count; the output is a bounded
+    histogram (in-degree ≤ corpus, binned exactly).
+    """
+    vecs = _vecs(spark, sf_dir).withColumn("sig", _signature("v"))
+    buckets = vecs.select(
+        "vec_id",
+        "v",
+        "norm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
+                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id", "v", "norm",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cosine = _trunc6(
+        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+    ).alias("cosine")
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cosine"), F.asc("dst")
+    )
+    knn = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            cosine,
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+    )
+    indeg = knn.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("in_degree")
+    )
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
 QUERIES = {
+    "embedding_hubness": embedding_hubness,
     "sim_search_pq_recall": sim_search_pq_recall,
     "embedding_sign_quantization": embedding_sign_quantization,
     "embedding_jl_projection": embedding_jl_projection,
@@ -1632,6 +1696,31 @@ def _pca_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "embedding_hubness": f"""
+        WITH {lsh_bucket_cte()},
+        cands AS (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                         * 1e6) / 1e6 AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                           ORDER BY cosine DESC, dst ASC) AS rank
+                FROM cands
+            ) WHERE rank <= {TOP_K}
+        ),
+        indeg AS (
+            SELECT dst AS vec_id, CAST(COUNT(*) AS BIGINT) AS in_degree
+            FROM knn GROUP BY dst
+        )
+        SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM indeg GROUP BY in_degree ORDER BY in_degree
+    """,
     "embedding_sign_quantization": f"""
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

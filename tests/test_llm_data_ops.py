@@ -43,6 +43,7 @@ ORACLE_NAMES = [
     "sim_search_pq_recall",
     "dedup_lsh_bucket_stats",
     "text_gopher_rules",
+    "embedding_hubness",
 ]
 
 
@@ -744,3 +745,25 @@ def test_gopher_rules_account_for_every_doc(spark):
     )
     # pass_all >= n_docs - sum(fails) (rules can overlap)
     assert rows["pass_all_rules"].n_docs_affected >= n_docs - fails
+
+
+def test_hubness_histogram_mass_accounting(spark):
+    """Σ in_degree · n_vectors == total kNN edges (each of which has
+    exactly one in-endpoint); histogram covers only positive
+    degrees."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        TOP_K,
+        embedding_hubness,
+    )
+    from postgres_s3_etl_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = embedding_hubness(spark, SF_DIR).collect()
+    assert rows
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    total_edges = sum(r.in_degree * r.n_vectors for r in rows)
+    # every source emits at most TOP_K edges (fewer if its buckets
+    # are sparse), so the mass is bounded by k·n
+    assert 0 < total_edges <= TOP_K * n_vecs
+    for r in rows:
+        assert r.in_degree >= 1 and r.n_vectors >= 1
