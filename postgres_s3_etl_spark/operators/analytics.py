@@ -2421,7 +2421,87 @@ def q_nation_rca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test of order totals across priorities —
+    the distribution-free companion to q_orders_anova_priority
+    (valid when normality is off the table). Mid-ranks come from the
+    VALUE-grain rollup (ties share the average of their rank range),
+    so the global ordering runs over DISTINCT totals through the
+    two-pass distributed rank (`with_global_order`) — never a
+    single-task window over raw rows; H and its tie correction are
+    one mirrored expression over the k-row group frame.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        dec("o_totalprice").alias("v"), "o_orderpriority"
+    )
+    vg = orders.groupBy("v", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vg")
+    )
+    vals = vg.groupBy("v").agg(
+        F.sum("n_vg").cast("bigint").alias("n_v")
+    )
+    ranked = with_global_order(
+        vals, [F.asc("v")], sum_cols=["n_v"]
+    ).select(
+        "v",
+        "n_v",
+        (
+            F.col("_gcum_n_v").cast("double")
+            - (F.col("n_v") - 1) / 2.0
+        ).alias("mid_rank"),
+    )
+    groups = (
+        vg.join(ranked, "v")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_vg").cast("bigint").alias("n_j"),
+            F.sum(
+                (F.col("n_vg") * F.col("mid_rank")).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("r_j"),
+        )
+    )
+    tot = groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum(
+            (
+                F.col("r_j").cast("double")
+                * F.col("r_j").cast("double")
+                / F.col("n_j").cast("double")
+            ).cast("decimal(38,6)")
+        ).alias("rsq_over_n"),
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        )
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    n = F.col("n").cast("double")
+    h = (
+        12.0 / (n * (n + 1)) * F.col("rsq_over_n").cast("double")
+        - 3.0 * (n + 1)
+    )
+    c = 1 - F.col("tie_sum").cast("double") / (n * n * n - n)
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return (
+        tot.crossJoin(F.broadcast(ties))
+        .select(
+            "k",
+            "n",
+            f6(h).alias("h_stat"),
+            f6(h / c).alias("h_corrected"),
+            # chi-square 0.95 critical value at df = k-1 = 4
+            (h / c > 9.488).alias("significant_05"),
+        )
+    )
+
+
 QUERIES = {
+    "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
     "q_nation_rca": q_nation_rca,
     "q_part_price_index": q_part_price_index,
     "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
@@ -2494,6 +2574,65 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_orders_kruskal_wallis": """
+        WITH vg AS (
+            SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                   o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_vg
+            FROM orders GROUP BY 1, 2
+        ),
+        vals AS (
+            SELECT v, CAST(SUM(n_vg) AS BIGINT) AS n_v
+            FROM vg GROUP BY v
+        ),
+        ranked AS (
+            SELECT v, n_v,
+                   CAST(SUM(n_v) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) - (n_v - 1) / 2.0 AS mid_rank
+            FROM vals
+        ),
+        groups AS (
+            SELECT vg.o_orderpriority,
+                   CAST(SUM(vg.n_vg) AS BIGINT) AS n_j,
+                   SUM(CAST(vg.n_vg * r.mid_rank AS DECIMAL(38,6)))
+                       AS r_j
+            FROM vg JOIN ranked r ON vg.v = r.v
+            GROUP BY vg.o_orderpriority
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_j) AS BIGINT) AS n,
+                   SUM(CAST(CAST(r_j AS DOUBLE) * CAST(r_j AS DOUBLE)
+                            / CAST(n_j AS DOUBLE) AS DECIMAL(38,6)))
+                       AS rsq_over_n
+            FROM groups
+        ),
+        ties AS (
+            SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
+            FROM vals
+        )
+        SELECT k, n,
+               floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                      * CAST(rsq_over_n AS DOUBLE)
+                      - 3.0 * (CAST(n AS DOUBLE) + 1)) * 1e6) / 1e6
+                   AS h_stat,
+               floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                      * CAST(rsq_over_n AS DOUBLE)
+                      - 3.0 * (CAST(n AS DOUBLE) + 1))
+                     / (1 - CAST(tie_sum AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                     * 1e6) / 1e6 AS h_corrected,
+               (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                * CAST(rsq_over_n AS DOUBLE)
+                - 3.0 * (CAST(n AS DOUBLE) + 1))
+               / (1 - CAST(tie_sum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+               > 9.488 AS significant_05
+        FROM tot CROSS JOIN ties
+    """,
     "q_nation_rca": """
         WITH cell AS (
             SELECT n.n_name, p.p_type,

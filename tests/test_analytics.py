@@ -5,6 +5,7 @@ import pytest
 from tests.conftest import assert_matches_oracle
 
 NAMES = [
+    "q_orders_kruskal_wallis",
     "q_nation_rca",
     "q_join_cardinality_forecast",
     "q_part_price_index",
@@ -289,3 +290,41 @@ def test_rca_revenue_weighted_mean_is_one(spark):
         assert 0.2 < wmean < 5.0
     for r in rows:
         assert r.rca > 0
+
+
+def test_kruskal_wallis_matches_scipy_free_reference(spark):
+    """Recompute H with plain-Python mid-ranks from the same data."""
+    from collections import Counter
+
+    import duckdb
+
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_orders_kruskal_wallis,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = q_orders_kruskal_wallis(spark, sf).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT CAST(o_totalprice AS DECIMAL(18,2)), o_orderpriority
+            FROM '{sf}/orders.parquet'"""
+    ).fetchall()
+    vals = sorted({v for v, _ in rows})
+    counts = Counter(v for v, _ in rows)
+    cum, mid = 0, {}
+    for v in vals:
+        t = counts[v]
+        mid[v] = cum + (t + 1) / 2.0
+        cum += t
+    n = len(rows)
+    by_g = {}
+    for v, g in rows:
+        by_g.setdefault(g, []).append(mid[v])
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(r) ** 2 / len(r) for r in by_g.values()
+    ) - 3.0 * (n + 1)
+    tie = sum(t**3 - t for t in counts.values())
+    hc = h / (1 - tie / (n**3 - n))
+    assert got.n == n and got.k == len(by_g)
+    assert abs(got.h_stat - h) < 1e-3
+    assert abs(got.h_corrected - hc) < 1e-3
+    assert got.significant_05 == (hc > 9.488)
