@@ -1555,7 +1555,39 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy score of the embedding space: λ_max·d / trace(C)
+    (1 = isotropic, d = all variance on one axis) plus the top-PC
+    variance share — the "embedding collapse" health check (the
+    anisotropy problem: contextual embeddings cram into a narrow
+    cone, wrecking cosine contrast). Composes the existing pieces:
+    λ_max from the distributed power iteration, trace from the
+    covariance diagonal — one extra 64-row aggregate each.
+    """
+    lam = embedding_pca_power(spark, sf_dir).agg(
+        F.max("eigenvalue").alias("lam")
+    )
+    trace = (
+        _cov_upper(spark, sf_dir)
+        .where(F.col("i") == F.col("j"))
+        .agg(
+            F.sum(F.col("cov").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("trace")
+        )
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return lam.crossJoin(F.broadcast(trace)).select(
+        F.lit(EMB_DIM).alias("d"),
+        f6(F.col("trace")).alias("trace"),
+        F.col("lam").alias("lambda_max"),
+        f6(F.col("lam") / F.col("trace")).alias("top_pc_share"),
+        f6(F.col("lam") * EMB_DIM / F.col("trace")).alias("anisotropy"),
+    )
+
+
 QUERIES = {
+    "embedding_anisotropy": embedding_anisotropy,
     "embedding_hubness": embedding_hubness,
     "sim_search_pq_recall": sim_search_pq_recall,
     "embedding_sign_quantization": embedding_sign_quantization,
@@ -1696,6 +1728,34 @@ def _pca_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    # Same unrolled power-iteration chain as embedding_pca_power for
+    # lambda_max (reusing its floored value), trace from the
+    # covariance diagonal.
+    "embedding_anisotropy": f"""
+        WITH {_COV_CTE},
+        cmat AS MATERIALIZED (
+            SELECT i, j, cov FROM covs
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM covs WHERE i <> j
+        ),
+        v0 AS MATERIALIZED (SELECT DISTINCT i, 0.125 AS val FROM cmat),
+        {",".join(_pca_iter_sql(k) for k in range(1, PCA_POWER_ITERS + 1))},
+        lam AS (
+            SELECT floor(nrm * 1e6) / 1e6 AS lam
+            FROM n{PCA_POWER_ITERS}
+        ),
+        tr AS (
+            SELECT CAST(SUM(CAST(cov AS DECIMAL(38,18))) AS DOUBLE)
+                       AS trace
+            FROM covs WHERE i = j
+        )
+        SELECT {EMB_DIM} AS d,
+               floor(trace * 1e6) / 1e6 AS trace,
+               lam AS lambda_max,
+               floor(lam / trace * 1e6) / 1e6 AS top_pc_share,
+               floor(lam * {EMB_DIM} / trace * 1e6) / 1e6 AS anisotropy
+        FROM lam CROSS JOIN tr
+    """,
     "embedding_hubness": f"""
         WITH {lsh_bucket_cte()},
         cands AS (

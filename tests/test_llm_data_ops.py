@@ -44,6 +44,7 @@ ORACLE_NAMES = [
     "dedup_lsh_bucket_stats",
     "text_gopher_rules",
     "embedding_hubness",
+    "embedding_anisotropy",
 ]
 
 
@@ -767,3 +768,19 @@ def test_hubness_histogram_mass_accounting(spark):
     assert 0 < total_edges <= TOP_K * n_vecs
     for r in rows:
         assert r.in_degree >= 1 and r.n_vectors >= 1
+
+
+def test_anisotropy_bounds(spark):
+    """λ_max/trace in (1/d, 1]; anisotropy = that × d, in (1, d]."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        EMB_DIM,
+        embedding_anisotropy,
+    )
+    from tests.conftest import SF_DIR
+
+    r = embedding_anisotropy(spark, SF_DIR).collect()[0]
+    assert r.d == EMB_DIM
+    assert r.trace > 0 and r.lambda_max > 0
+    assert 1.0 / EMB_DIM < r.top_pc_share <= 1.0 + 1e-9
+    assert 1.0 <= r.anisotropy <= EMB_DIM + 1e-6
+    assert abs(r.anisotropy - r.top_pc_share * EMB_DIM) < 1e-3
