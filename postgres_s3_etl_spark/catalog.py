@@ -29,11 +29,13 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-#: Small dimension tables — always broadcast-join these. At TPC-H
-#: ratios they stay tiny relative to the facts at any scale factor.
-DIM_TABLES: frozenset[str] = frozenset(
-    {"region", "nation", "supplier", "part", "customer"}
-)
+#: Fixed-cardinality dimension tables (25 nations, 5 regions) — the
+#: only frames safe to hint-broadcast unreduced at any scale factor.
+#: ``part``/``customer``/``supplier`` grow linearly with SF and are
+#: in the broadcast audit's BIG_TABLES (scripts/
+#: audit_broadcast_hints.py): hints on them may ride only
+#: aggregate/limit-reduced subtrees; otherwise AQE decides.
+DIM_TABLES: frozenset[str] = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

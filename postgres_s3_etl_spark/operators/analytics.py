@@ -2001,7 +2001,11 @@ def q_orders_dupe_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders — skew-free at any scale. The tolerance test is
     cross-multiplied over exact DECIMALs (|t−prev|·100 ≤ pct·max),
     so no engine-specific decimal-division rounding can flip a
-    boundary row. Top-K via TakeOrderedAndProject — no global sort.
+    boundary row. The reported relative difference is an exact
+    scaled integer (basis points via BIGINT cent arithmetic —
+    floor(10000·diff/max) as integer division) so the row carries
+    no IEEE double that two engines could round differently.
+    Top-K via TakeOrderedAndProject — no global sort.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -2033,19 +2037,27 @@ def q_orders_dupe_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest("total", "prev_total") * DUPE_INVOICE_PCT
         )
     )
-    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    # Exact integer basis points: totals are DECIMAL(18,2), so
+    # total*100 is an exact integer number of cents; BIGINT `div`
+    # is identical in Spark and DuckDB — no doubles anywhere.
+    diff_cents = (diff * 100).cast("long")
+    max_cents = (
+        F.greatest("total", "prev_total") * 100
+    ).cast("long")
+    rel_diff_bp = F.expr(
+        "(diff_cents * 10000L) div max_cents"
+    )
     return (
-        flagged.select(
+        flagged.withColumn("diff_cents", diff_cents)
+        .withColumn("max_cents", max_cents)
+        .select(
             "o_custkey",
             F.col("prev_key").alias("first_orderkey"),
             F.col("o_orderkey").alias("second_orderkey"),
             F.col("prev_total").alias("first_total"),
             F.col("total").alias("second_total"),
             F.datediff("o_orderdate", "prev_dt").alias("gap_days"),
-            f6(
-                diff.cast("double")
-                / F.greatest("total", "prev_total").cast("double")
-            ).alias("rel_diff"),
+            rel_diff_bp.alias("rel_diff_bp"),
         )
         .orderBy("gap_days", "o_custkey", "second_orderkey")
         .limit(DUPE_INVOICE_TOP_K)
@@ -2922,9 +2934,9 @@ ORACLES = {
                prev_total AS first_total,
                total AS second_total,
                CAST(date_diff('day', prev_dt, o_orderdate) AS INT) AS gap_days,
-               floor(CAST(abs(total - prev_total) AS DOUBLE)
-                     / CAST(greatest(total, prev_total) AS DOUBLE) * 1e6) / 1e6
-                   AS rel_diff
+               (CAST(abs(total - prev_total) * 100 AS BIGINT) * 10000)
+                   // CAST(greatest(total, prev_total) * 100 AS BIGINT)
+                   AS rel_diff_bp
         FROM w
         WHERE prev_dt IS NOT NULL
           AND date_diff('day', prev_dt, o_orderdate) <= {DUPE_INVOICE_WINDOW_DAYS}

@@ -14,8 +14,11 @@ Design notes (scale):
   per-month scans (the reference's ``SUM(CASE WHEN month=k…)`` shape
   is already the right one; we keep it).
 - ``lineitem ⋈ orders`` is a fact-fact equi-join on the order key —
-  sort-merge with AQE skew splitting at scale. ``part`` is a dim —
-  always broadcast.
+  sort-merge with AQE skew splitting at scale. ``part`` grows
+  linearly with SF (200k rows/SF in real TPC-H), so unreduced
+  ``part`` frames are never hint-broadcast — AQE decides at runtime;
+  the only explicit hint here rides the 1-row top-product frame
+  (an aggregate-reduced subtree, per the SURVEY §4 plan contract).
 - The final single-row/top-1 results reduce to a scalar aggregate or
   a 1-row sort-limit; nothing is collected driver-side.
 
