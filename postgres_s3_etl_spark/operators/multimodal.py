@@ -525,7 +525,144 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Real image decode (round-5): uncompressed 24-bit BMP needs nothing
+#: beyond stdlib ``struct`` + numpy, so ONE image modality decodes
+#: real bytes end-to-end — valid BMP files are synthesized with a
+#: closed-form pixel pattern, parsed by a real header/stride/
+#: bottom-up-aware decoder inside mapInPandas, and the per-channel
+#: integer stats are verified against a DuckDB oracle that computes
+#: the same sums from the pixel formula directly. A decoder bug
+#: (wrong stride padding, missed row flip, BGR/RGB swap) breaks the
+#: hash — `row0_r_sum` is asymmetric in y precisely to catch a
+#: missing bottom-up flip.
+N_BMP_ASSETS = 64
+_BMP_MAX_W = 16 + 7  # w = 16 + i % 8
+_BMP_MAX_H = 12 + 4  # h = 12 + i % 5
+
+
+def encode_bmp24(asset_id: int, w: int, h: int) -> bytes:
+    """A real, viewer-openable 24-bit uncompressed BMP whose pixel
+    (x, y) channels follow a closed-form pattern (top-down
+    coordinates; the file stores rows bottom-up per the spec):
+    b=(7a+3x+5y)%256, g=(11a+13x+17y)%256, r=(19a+23x+29y)%256."""
+    import struct
+
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (7 * asset_id + 3 * x + 5 * y) % 256,
+                    (11 * asset_id + 13 * x + 17 * y) % 256,
+                    (19 * asset_id + 23 * x + 29 * y) % 256,
+                )
+            )
+        row += b"\x00" * ((-w * 3) % 4)  # 4-byte row stride padding
+        rows.append(bytes(row))
+    px = b"".join(reversed(rows))  # bottom-up storage
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(px), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return header + info + px
+
+
+def decode_bmp24(payload: bytes):
+    """REAL decode: parse BITMAPFILEHEADER + BITMAPINFOHEADER, honor
+    the 4-byte row stride and bottom-up row order, return an
+    (h, w, 3) uint8 array in BGR channel order (top-down), or None
+    if the payload is not an uncompressed 24-bit BMP."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (off,) = struct.unpack_from("<I", payload, 10)
+    size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if size != 40 or bpp != 24 or comp != 0 or h <= 0 or w <= 0:
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < off + stride * h:
+        return None
+    img = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    # slice off padding, then flip bottom-up -> top-down
+    return img.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+
+
+def synth_bmp_media(spark: SparkSession, n: int = N_BMP_ASSETS) -> DataFrame:
+    """n real BMP image assets with deterministic dimensions/pixels."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 8, 12 + i % 5
+        rows.append(
+            (i, "image", w, h, 0, bytearray(encode_bmp24(i, w, h)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_BMP_STATS_SCHEMA = (
+    "asset_id bigint, width int, height int, n_px bigint, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, "
+    "ssq_r bigint, ssq_g bigint, ssq_b bigint, row0_r_sum bigint"
+)
+
+
+def mm_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image decode: synthesize valid BMP files,
+    decode them with the stdlib parser inside Arrow-batched
+    mapInPandas, and emit exact int64 per-channel pixel stats. The
+    oracle recomputes the same sums from the closed-form pixel
+    pattern — so header parsing, stride handling, the bottom-up
+    flip, and BGR ordering are all value-checked, not stubbed.
+
+    Scale: same plumbing as extract_features — payload bytes stay
+    inside the Arrow batch, stats (11 ints/asset) are all that
+    leaves Python; per-type rollups would run JVM-side after.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_bmp24(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64)
+                b, g, r = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                out.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        img.shape[0] * img.shape[1],
+                        int(r.sum()),
+                        int(g.sum()),
+                        int(b.sum()),
+                        int((r * r).sum()),
+                        int((g * g).sum()),
+                        int((b * b).sum()),
+                        int(r[0, :].sum()),  # top row — y-flip witness
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "width", "height", "n_px",
+                    "sum_r", "sum_g", "sum_b",
+                    "ssq_r", "ssq_g", "ssq_b", "row0_r_sum",
+                ],
+            )
+
+    media = synth_bmp_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _BMP_STATS_SCHEMA).orderBy("asset_id")
+
+
 QUERIES = {
+    "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_payload_entropy": mm_payload_entropy,
     "mm_decode_stub": mm_decode_stub,
     "mm_payload_dedup": mm_payload_dedup,
@@ -551,6 +688,33 @@ _F0_SQL = (
 )
 
 ORACLES: dict[str, str] = {
+    "mm_image_decode_bmp": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 16 + i % 8 AS w, 12 + i % 5 AS h
+            FROM generate_series(0, {N_BMP_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, gx.x, gy.y,
+                   (19 * a.asset_id + 23 * gx.x + 29 * gy.y) % 256 AS r,
+                   (11 * a.asset_id + 13 * gx.x + 17 * gy.y) % 256 AS g,
+                   (7 * a.asset_id + 3 * gx.x + 5 * gy.y) % 256 AS b
+            FROM assets a
+            CROSS JOIN generate_series(0, {_BMP_MAX_W - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_BMP_MAX_H - 1}) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               COUNT(*) AS n_px,
+               SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
+               SUM(r * r) AS ssq_r, SUM(g * g) AS ssq_g,
+               SUM(b * b) AS ssq_b,
+               SUM(CASE WHEN y = 0 THEN r ELSE 0 END) AS row0_r_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_payload_entropy": """
         WITH assets AS (
             SELECT i AS asset_id,
