@@ -28,8 +28,23 @@ from postgres_s3_etl_spark.operators.similarity import lsh_bucket_cte
 
 NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 rows per band
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60  # 15 md5 hex chars -> fits signed BIGINT exactly
 SIMHASH_MAX_HAMMING = 6
+#: Pigeonhole chunking of the 60 bits: hamming <= 6 flips at most 6
+#: chunks, so with 7 chunks at least one survives intact and an
+#: equi-join on (chunk_id, chunk_value) finds every qualifying pair.
+#: Widths 4x9 + 3x8 bits: the widest buckets the 7-chunk constraint
+#: allows. Selectivity is what bounds the candidate join at scale —
+#: a w-bit chunk pairs random docs with prob 2^-w, so candidates
+#: ~ sum_c n^2/2^(w_c+1); the r5 scaling run measured the old 32-bit
+#: 4-bit-chunk layout at alpha=1.25 (n^2/16 per chunk) and this
+#: layout returns it to linear at the same recall guarantee.
+SIMHASH_CHUNKS = tuple(
+    (i, off, w)
+    for i, (off, w) in enumerate(
+        zip((0, 9, 18, 27, 36, 44, 52), (9, 9, 9, 9, 8, 8, 8))
+    )
+)
 TOP_PAIRS = 20
 
 
@@ -444,21 +459,22 @@ def dedup_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash near-dup pairs via pigeonhole chunk buckets.
+    """60-bit SimHash near-dup pairs via pigeonhole chunk buckets.
 
-    Per doc: tokens → one md5 each → 32-bit integer h (first 8 hex
+    Per doc: tokens → one md5 each → 60-bit integer h (first 15 hex
     chars); for each bit j, sum ±1 votes over distinct tokens
     according to bit j of h; simhash sets bit j where the sum is
     positive. The entire pipeline is JVM-side whole-stage codegen:
-    one md5 per token, then the 32-bit vote fold as
+    one md5 per token, then the 60-bit vote fold as
     ``aggregate(transform(sequence, filter))`` — bit j is set iff
     ``2·ones_j > n_tokens`` (votes = 2·ones − n, strictly positive),
     pure integer arithmetic, bit-identical to the SQL oracle with
     zero Python in the hot path (the r4 verdict flagged the previous
     per-doc pandas-UDF loop as the one Python lane on a corpus-scale
     operator). No explode, no aggregation shuffle. Pairs meet only
-    inside a shared 4-bit chunk bucket; hamming ≤ 6 via
-    bit_count(xor).
+    inside a shared chunk bucket (see SIMHASH_CHUNKS — 8/9-bit
+    chunks keep the candidate join ~linear where the old 4-bit
+    chunks were n²/16); hamming ≤ 6 via bit_count(xor).
     """
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -470,7 +486,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = toks.select(
         "doc_id",
         F.expr(
-            "transform(ts, t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+            "transform(ts, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
         ).alias("hs"),
     )
     sh = hs.select(
@@ -485,20 +501,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
               0L, (acc, x) -> acc + x)"""
         ).alias("simhash"),
     )
-    # Pigeonhole chunking: split the 32 bits into 8 chunks of 4; any
-    # pair with hamming ≤ 7 shares at least one intact chunk, so an
-    # equi-join on (chunk_id, chunk_value) finds every such pair with
-    # no cross join. (At 100 TB: 64-bit simhash, 8 chunks of 8 bits —
-    # same plan shape, bigger bucket keyspace.)
+    chunk_structs = ", ".join(
+        f"struct({i} AS chunk, (simhash div {1 << off}L) % {1 << w} AS val)"
+        for i, off, w in SIMHASH_CHUNKS
+    )
     chunks = sh.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 7), c -> "
-                "struct(c AS chunk, (simhash div cast(pow(2, c * 4) as bigint)) % 16 AS val))"
-            )
-        ).alias("cv"),
+        F.explode(F.expr(f"array({chunk_structs})")).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val").persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -869,8 +879,9 @@ ORACLES = {
 
 def _simhash_oracle() -> str:
     """SimHash SQL twin: same bit algebra as the Spark plan — one md5
-    per distinct token, h = first-8-hex-chars integer, per-bit ±1
-    vote sums, bit j set where the vote sum is positive."""
+    per distinct token, h = first-15-hex-chars integer, per-bit ±1
+    vote sums, bit j set where the vote sum is positive, 7-chunk
+    pigeonhole bucketing (SIMHASH_CHUNKS)."""
     vote_cols = ", ".join(
         f"SUM(2 * ((h // {1 << j}) % 2) - 1) AS v{j}"
         for j in range(SIMHASH_BITS)
@@ -878,6 +889,9 @@ def _simhash_oracle() -> str:
     bit_sum = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)"
         for j in range(SIMHASH_BITS)
+    )
+    chunk_rows = ", ".join(
+        f"({i}, {1 << off}, {1 << w})" for i, off, w in SIMHASH_CHUNKS
     )
     return f"""
         WITH toks AS (
@@ -889,8 +903,8 @@ def _simhash_oracle() -> str:
         hv AS (
             SELECT doc_id,
                    list_sum([(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
-                             * CAST(pow(16, 8 - i) AS BIGINT)
-                             for i in generate_series(1, 8)]) AS h
+                             * CAST(pow(16, 15 - i) AS BIGINT)
+                             for i in generate_series(1, 15)]) AS h
             FROM toks
         ),
         votes AS (
@@ -902,9 +916,9 @@ def _simhash_oracle() -> str:
             FROM votes
         ),
         chunks AS (
-            SELECT doc_id, simhash, c.c AS chunk,
-                   (simhash // CAST(pow(2, c.c * 4) AS BIGINT)) % 16 AS val
-            FROM sh, (SELECT unnest(generate_series(0, 7)) AS c) c
+            SELECT doc_id, simhash, c.chunk,
+                   (simhash // c.d) % c.m AS val
+            FROM sh, (VALUES {chunk_rows}) c(chunk, d, m)
         ),
         candidates AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
