@@ -504,14 +504,35 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     centers = deg.where(F.col("deg") <= JACCARD_DEG_CAP).select("node")
     capped = adj.join(centers, "node", "leftsemi")
-    x, y = capped.alias("x"), capped.alias("y")
-    wedges = x.join(
-        y,
-        (F.col("x.node") == F.col("y.node"))
-        & (F.col("x.nb") < F.col("y.nb")),
-    ).select(F.col("x.nb").alias("a"), F.col("y.nb").alias("b"))
-    common = wedges.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    # Round-5 plan rework (the sf1 watch row): wedge pairs generated
+    # ROW-LOCALLY from each center's sorted adjacency array — one
+    # shuffle to build the lists, where the previous capped-adjacency
+    # self-join shuffled the adjacency twice and then shuffled
+    # two-column wedge rows a third time. The wedge shuffle carries a
+    # single packed BIGINT key (a·2³² + b; part keys < 2³¹ at any
+    # real SF), halving shuffle width. nbs is ascending, so pairs are
+    # already canonical (a < b). Same semantics, one fewer shuffle.
+    nbs = capped.groupBy("node").agg(
+        F.sort_array(F.collect_list("nb")).alias("nbs")
+    )
+    wedges = nbs.select(
+        F.explode(
+            F.expr(
+                """IF(size(nbs) < 2, array(),
+                   flatten(transform(sequence(0, size(nbs) - 2), i ->
+                     transform(slice(nbs, i + 2, size(nbs) - i - 1), x ->
+                       nbs[i] * 4294967296L + x))))"""
+            )
+        ).alias("ab")
+    )
+    common = (
+        wedges.groupBy("ab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+        .select(
+            F.expr("ab div 4294967296L").alias("a"),
+            (F.col("ab") % F.lit(4294967296).cast("long")).alias("b"),
+            "n_common",
+        )
     )
     nonedge = common.join(
         edges,

@@ -7,15 +7,18 @@ metadata predicates prune before any decode, and decode/feature
 steps run as Arrow-batched ``mapInPandas`` over the partitioned
 corpus.
 
-The container has no image/audio libraries, so most decoders are
-STUBBED: ``decode_stub=True`` (default) derives deterministic fake
-features from the bytes; ``decode_stub=False`` raises
-``NotImplementedError`` where a real decoder (PIL/ffmpeg/torchcodec)
-would plug in. The exception is PCM WAV audio, which gets a REAL
-decode with stdlib ``wave`` + numpy RMS windows
-(:func:`decode_wav_rms_windows`) — one modality whose features are
-actual signal. Everything Spark-side — schema, batch iteration,
-column pruning, partitioning — is real and tested.
+The container has no media libraries (PIL/ffmpeg/torchcodec), but
+every modality still decodes REAL bytes end-to-end via stdlib-only
+codecs: images as uncompressed 24-bit BMP (:func:`decode_bmp24`) and
+zlib-compressed PNG with all five scanline filters
+(:func:`decode_png`), audio as PCM WAV RMS windows
+(:func:`decode_wav_rms_windows`), video as YUV4MPEG2 frame streams
+(:func:`decode_y4m`). The original hash-fake paths are kept as the
+generic plumbing shape (``decode_stub=True`` derives deterministic
+fake features; ``decode_stub=False`` raises ``NotImplementedError``
+where a compressed-codec library would plug in — JPEG/H.264 remain
+out of stdlib reach). Everything Spark-side — schema, batch
+iteration, column pruning, partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -661,8 +664,427 @@ def mm_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, _BMP_STATS_SCHEMA).orderBy("asset_id")
 
 
+#: Real PNG decode (round-5): PNG needs only stdlib ``zlib`` +
+#: ``struct``, so the SECOND image codec decodes real compressed
+#: bytes end-to-end — including all five scanline filter types
+#: (None/Sub/Up/Average/Paeth; the encoder cycles ``y % 5`` so every
+#: row exercises a different reconstruction path) and per-chunk CRC32
+#: verification. The oracle recomputes the closed-form pixel sums in
+#: SQL, so a wrong Paeth predictor, a missed filter byte, or a bad
+#: CRC walk all break the value hash.
+N_PNG_ASSETS = 48
+_PNG_MAX_W = 12 + 7  # w = 12 + i % 8
+_PNG_MAX_H = 8 + 6  # h = 8 + i % 7 (h >= 8 → all 5 filters appear)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): nearest of left/up/up-left
+    to the linear estimate p = a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_pixels(asset_id: int, w: int, h: int):
+    """Closed-form RGB pattern (mirrored by the SQL oracle):
+    r=(5a+7x+11y)%256, g=(13a+17x+19y)%256, b=(23a+29x+31y)%256."""
+    import numpy as np
+
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    return np.stack(
+        [
+            (5 * asset_id + 7 * x + 11 * y) % 256,
+            (13 * asset_id + 17 * x + 19 * y) % 256,
+            (23 * asset_id + 29 * x + 31 * y) % 256,
+        ],
+        axis=2,
+    ).astype(np.int64)
+
+
+def encode_png(asset_id: int, w: int, h: int) -> bytes:
+    """A real, viewer-openable 8-bit RGB PNG (color type 2, no
+    interlace). Scanline ``y`` is stored with filter type ``y % 5``,
+    so the file exercises every PNG filter; pixels follow the
+    closed-form pattern in :func:`_png_pixels`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    raw_rows = _png_pixels(asset_id, w, h).reshape(h, w * 3)
+    stride = w * 3
+    prior = np.zeros(stride, dtype=np.int64)
+    lines = []
+    for y in range(h):
+        raw = raw_rows[y]
+        left = np.concatenate([np.zeros(3, dtype=np.int64), raw[:-3]])
+        ft = y % 5
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = raw - left
+        elif ft == 2:
+            filt = raw - prior
+        elif ft == 3:
+            filt = raw - (left + prior) // 2
+        else:
+            ul = np.concatenate([np.zeros(3, dtype=np.int64), prior[:-3]])
+            pred = np.fromiter(
+                (
+                    _paeth(int(left[i]), int(prior[i]), int(ul[i]))
+                    for i in range(stride)
+                ),
+                dtype=np.int64,
+                count=stride,
+            )
+            filt = raw - pred
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL decode: walk the chunk stream (verifying each CRC32),
+    inflate the IDAT payload, and reconstruct scanlines by inverting
+    whichever of the five PNG filters each row used. Returns
+    ``(img, filters_seen)`` with ``img`` an (h, w, 3) array in RGB
+    top-down order, or None for anything that isn't an 8-bit
+    truecolor non-interlaced PNG.
+
+    Sub/Average/Paeth reconstruction is inherently sequential in x
+    (each byte depends on the just-reconstructed left neighbor), so
+    those rows use a per-byte loop — the same data dependence every
+    real PNG inflater has; rows are tiny here and the whole decode is
+    per-asset work inside one Arrow batch.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, idat, ihdr = 8, b"", None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            return None
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        return None
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    if depth != 8 or ctype != 2 or comp or filt or inter or not (w and h):
+        return None
+    raw = zlib.decompress(idat)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    filters_seen: set[int] = set()
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        filters_seen.add(ft)
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prior) % 256
+        elif ft in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = int(cur[i - 3]) if i >= 3 else 0
+                up = int(prior[i])
+                ul = int(prior[i - 3]) if i >= 3 else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[i] = (int(line[i]) + pred) % 256
+        else:
+            return None
+        out[y] = cur
+        prior = cur
+    return out.reshape(h, w, 3), sorted(filters_seen)
+
+
+def synth_png_media(spark: SparkSession, n: int = N_PNG_ASSETS) -> DataFrame:
+    """n real zlib-compressed PNG assets, deterministic dims/pixels."""
+    rows = []
+    for i in range(n):
+        w, h = 12 + i % 8, 8 + i % 7
+        rows.append((i, "image", w, h, 0, bytearray(encode_png(i, w, h))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_PNG_STATS_SCHEMA = (
+    "asset_id bigint, width int, height int, n_filter_types int, "
+    "n_px bigint, sum_r bigint, sum_g bigint, sum_b bigint, "
+    "ssq_r bigint, ssq_g bigint, ssq_b bigint, row0_r_sum bigint"
+)
+
+
+def mm_image_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL compressed-image decode: synthesize valid PNGs
+    (all five scanline filters), decode them with the stdlib
+    zlib-based parser inside Arrow-batched mapInPandas, emit exact
+    int64 per-channel stats. The oracle recomputes the sums from the
+    closed-form pixel pattern, so chunk walking, CRC verification,
+    inflation, and every filter's inverse are value-checked.
+
+    Scale: identical plumbing to the BMP decoder — payload bytes
+    never leave the Arrow batch, 12 ints/asset cross to the JVM.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_png(bytes(payload))
+                if decoded is None:
+                    continue
+                img, filters = decoded
+                px = img.astype(np.int64)
+                r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                out.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        len(filters),
+                        img.shape[0] * img.shape[1],
+                        int(r.sum()),
+                        int(g.sum()),
+                        int(b.sum()),
+                        int((r * r).sum()),
+                        int((g * g).sum()),
+                        int((b * b).sum()),
+                        int(r[0, :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "width", "height", "n_filter_types",
+                    "n_px", "sum_r", "sum_g", "sum_b",
+                    "ssq_r", "ssq_g", "ssq_b", "row0_r_sum",
+                ],
+            )
+
+    media = synth_png_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _PNG_STATS_SCHEMA).orderBy("asset_id")
+
+
+#: Real video decode (round-5): YUV4MPEG2 ("y4m") is a public
+#: uncompressed video container (plain-text stream header + FRAME
+#: markers + raw planes) decodable with nothing beyond the stdlib —
+#: so the THIRD modality decodes real bytes end-to-end and the module
+#: docstring's "decoders are stubbed" era is over: image (BMP + PNG),
+#: audio (PCM WAV), video (y4m) all parse real containers.
+N_Y4M_ASSETS = 48
+_Y4M_MAX_W = 12 + 5  # w = 12 + i % 6
+_Y4M_MAX_H = 8 + 3  # h = 8 + i % 4
+_Y4M_MAX_F = 4 + 4  # n_frames = 4 + i % 5
+Y4M_SAMPLE_EVERY = 2  # sample frames t % 2 == 0
+
+
+def _y4m_planes(asset_id: int, w: int, h: int, t: int):
+    """Closed-form Y/U/V planes (mirrored by the SQL oracle):
+    Y=(3a+5x+7y+11t)%256, U=(13a+2x+3y+5t)%256, V=(17a+4x+6y+9t)%256."""
+    import numpy as np
+
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    return (
+        (3 * asset_id + 5 * x + 7 * y + 11 * t) % 256,
+        (13 * asset_id + 2 * x + 3 * y + 5 * t) % 256,
+        (17 * asset_id + 4 * x + 6 * y + 9 * t) % 256,
+    )
+
+
+def encode_y4m(asset_id: int, w: int, h: int, n_frames: int) -> bytes:
+    """A real YUV4MPEG2 stream: text header, then per frame a FRAME
+    marker line followed by raw 4:4:4 Y, U, V planes (w*h bytes
+    each, row-major top-down)."""
+    import numpy as np
+
+    parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    for t in range(n_frames):
+        yp, up, vp = _y4m_planes(asset_id, w, h, t)
+        parts.append(
+            b"FRAME\n"
+            + yp.astype(np.uint8).tobytes()
+            + up.astype(np.uint8).tobytes()
+            + vp.astype(np.uint8).tobytes()
+        )
+    return b"".join(parts)
+
+
+def decode_y4m(payload: bytes):
+    """REAL decode: parse the YUV4MPEG2 stream header (W/H/C
+    parameters), then walk FRAME markers (each may carry its own
+    parameters up to the newline) extracting raw 4:4:4 planes.
+    Returns ``(w, h, frames)`` with each frame a (3, h, w) uint8
+    array, or None for anything that isn't an 8-bit C444 y4m."""
+    import numpy as np
+
+    magic = b"YUV4MPEG2 "
+    if not payload.startswith(magic):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    colorspace = "C420"  # the y4m default when no C tag is present
+    for tok in payload[len(magic) : nl].split(b" "):
+        if tok.startswith(b"W"):
+            w = int(tok[1:])
+        elif tok.startswith(b"H"):
+            h = int(tok[1:])
+        elif tok.startswith(b"C"):
+            colorspace = tok.decode("ascii", "replace")
+    if not w or not h or colorspace != "C444":
+        return None
+    plane, pos, frames = w * h, nl + 1, []
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or len(payload) < fnl + 1 + 3 * plane:
+            return None
+        body = np.frombuffer(payload, np.uint8, 3 * plane, fnl + 1)
+        frames.append(body.reshape(3, h, w))
+        pos = fnl + 1 + 3 * plane
+    return w, h, frames
+
+
+def synth_y4m_media(spark: SparkSession, n: int = N_Y4M_ASSETS) -> DataFrame:
+    """n real y4m video assets with deterministic dims/frames."""
+    rows = []
+    for i in range(n):
+        w, h, nf = 12 + i % 6, 8 + i % 4, 4 + i % 5
+        rows.append(
+            (i, "video", w, h, nf * 40, bytearray(encode_y4m(i, w, h, nf)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_Y4M_FRAME_SCHEMA = (
+    "asset_id bigint, width int, height int, n_frames int, "
+    "frame_idx int, sum_y bigint, ssq_y bigint, sum_u bigint, "
+    "sum_v bigint, row0_y_sum bigint"
+)
+
+
+def mm_video_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video decode + frame sampling: synthesize
+    valid YUV4MPEG2 streams, decode them stdlib-only inside
+    Arrow-batched mapInPandas, keep every ``Y4M_SAMPLE_EVERY``-th
+    frame (the production seek-and-sample shape), emit exact int64
+    per-plane stats per sampled frame, then aggregate per asset
+    JVM-side. The oracle recomputes the same sums from the
+    closed-form plane pattern, so header parsing, FRAME walking,
+    plane offsets (``row0_y_sum`` is asymmetric in y and t to catch
+    plane-order or frame-offset bugs), and the sampling rule are all
+    value-checked.
+
+    Scale: the 1→N frame expansion happens INSIDE the Arrow batch
+    (payload bytes never shuffle); only ~6 ints per sampled frame
+    cross to the JVM, and the per-asset rollup is a plain codegen
+    aggregate.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_y4m(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, frames = decoded
+                for t in range(0, len(frames), Y4M_SAMPLE_EVERY):
+                    f = frames[t].astype(np.int64)
+                    yp, up, vp = f[0], f[1], f[2]
+                    out.append(
+                        (
+                            int(aid), w, h, len(frames), t,
+                            int(yp.sum()), int((yp * yp).sum()),
+                            int(up.sum()), int(vp.sum()),
+                            int(yp[0, :].sum()),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "width", "height", "n_frames", "frame_idx",
+                    "sum_y", "ssq_y", "sum_u", "sum_v", "row0_y_sum",
+                ],
+            )
+
+    media = synth_y4m_media(spark).select("asset_id", "payload")
+    per_frame = media.mapInPandas(batches, _Y4M_FRAME_SCHEMA)
+    return (
+        per_frame.groupBy("asset_id")
+        .agg(
+            F.max("width").alias("width"),
+            F.max("height").alias("height"),
+            F.max("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).cast("int").alias("n_sampled"),
+            F.sum("sum_y").alias("sum_y"),
+            F.sum("ssq_y").alias("ssq_y"),
+            F.sum("sum_u").alias("sum_u"),
+            F.sum("sum_v").alias("sum_v"),
+            F.sum(
+                F.when(F.col("frame_idx") == 0, F.col("row0_y_sum"))
+                .otherwise(F.lit(0))
+            ).alias("f0_row0_y_sum"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 QUERIES = {
     "mm_image_decode_bmp": mm_image_decode_bmp,
+    "mm_image_decode_png": mm_image_decode_png,
+    "mm_video_decode_y4m": mm_video_decode_y4m,
     "mm_payload_entropy": mm_payload_entropy,
     "mm_decode_stub": mm_decode_stub,
     "mm_payload_dedup": mm_payload_dedup,
@@ -711,6 +1133,68 @@ ORACLES: dict[str, str] = {
                SUM(r * r) AS ssq_r, SUM(g * g) AS ssq_g,
                SUM(b * b) AS ssq_b,
                SUM(CASE WHEN y = 0 THEN r ELSE 0 END) AS row0_r_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    "mm_image_decode_png": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 12 + i % 8 AS w, 8 + i % 7 AS h
+            FROM generate_series(0, {N_PNG_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, gx.x, gy.y,
+                   (5 * a.asset_id + 7 * gx.x + 11 * gy.y) % 256 AS r,
+                   (13 * a.asset_id + 17 * gx.x + 19 * gy.y) % 256 AS g,
+                   (23 * a.asset_id + 29 * gx.x + 31 * gy.y) % 256 AS b
+            FROM assets a
+            CROSS JOIN generate_series(0, {_PNG_MAX_W - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_PNG_MAX_H - 1}) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               CAST(LEAST(MAX(h), 5) AS INTEGER) AS n_filter_types,
+               COUNT(*) AS n_px,
+               SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
+               SUM(r * r) AS ssq_r, SUM(g * g) AS ssq_g,
+               SUM(b * b) AS ssq_b,
+               SUM(CASE WHEN y = 0 THEN r ELSE 0 END) AS row0_r_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    "mm_video_decode_y4m": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 12 + i % 6 AS w, 8 + i % 4 AS h,
+                   4 + i % 5 AS nf
+            FROM generate_series(0, {N_Y4M_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, a.nf, t.t, gx.x, gy.y,
+                   (3 * a.asset_id + 5 * gx.x + 7 * gy.y + 11 * t.t) % 256
+                       AS yv,
+                   (13 * a.asset_id + 2 * gx.x + 3 * gy.y + 5 * t.t) % 256
+                       AS uv,
+                   (17 * a.asset_id + 4 * gx.x + 6 * gy.y + 9 * t.t) % 256
+                       AS vv
+            FROM assets a
+            CROSS JOIN generate_series(0, {_Y4M_MAX_F - 1}) t(t)
+            CROSS JOIN generate_series(0, {_Y4M_MAX_W - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_Y4M_MAX_H - 1}) gy(y)
+            WHERE t.t < a.nf AND t.t % {Y4M_SAMPLE_EVERY} = 0
+              AND gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               CAST(MAX(nf) AS INTEGER) AS n_frames,
+               CAST(COUNT(DISTINCT t) AS INTEGER) AS n_sampled,
+               SUM(yv) AS sum_y, SUM(yv * yv) AS ssq_y,
+               SUM(uv) AS sum_u, SUM(vv) AS sum_v,
+               SUM(CASE WHEN t = 0 AND y = 0 THEN yv ELSE 0 END)
+                   AS f0_row0_y_sum
         FROM px
         GROUP BY asset_id
         ORDER BY asset_id
