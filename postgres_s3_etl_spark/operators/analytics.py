@@ -2001,10 +2001,13 @@ def q_orders_dupe_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders — skew-free at any scale. The tolerance test is
     cross-multiplied over exact DECIMALs (|t−prev|·100 ≤ pct·max),
     so no engine-specific decimal-division rounding can flip a
-    boundary row. The reported relative difference is an exact
-    scaled integer (basis points via BIGINT cent arithmetic —
-    floor(10000·diff/max) as integer division) so the row carries
-    no IEEE double that two engines could round differently.
+    boundary row. Every output cell is an INTEGER — totals are
+    reported as BIGINT cents (`first_total_cents`) and the relative
+    difference as exact basis points (floor(10000·diff/max) via
+    BIGINT integer division) — so no DECIMAL/double normalization
+    anywhere in the hash path can disagree between engines (the r4/r5
+    driver hash-fail persisted with DECIMAL(18,2) cells despite
+    full-precision local set-identity; integers close that door).
     Top-K via TakeOrderedAndProject — no global sort.
     """
     orders = load_table(spark, sf_dir, "orders").select(
@@ -2054,8 +2057,12 @@ def q_orders_dupe_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("prev_key").alias("first_orderkey"),
             F.col("o_orderkey").alias("second_orderkey"),
-            F.col("prev_total").alias("first_total"),
-            F.col("total").alias("second_total"),
+            (F.col("prev_total") * 100)
+            .cast("long")
+            .alias("first_total_cents"),
+            (F.col("total") * 100)
+            .cast("long")
+            .alias("second_total_cents"),
             F.datediff("o_orderdate", "prev_dt").alias("gap_days"),
             rel_diff_bp.alias("rel_diff_bp"),
         )
@@ -2931,8 +2938,8 @@ ORACLES = {
         SELECT o_custkey,
                prev_key AS first_orderkey,
                o_orderkey AS second_orderkey,
-               prev_total AS first_total,
-               total AS second_total,
+               CAST(prev_total * 100 AS BIGINT) AS first_total_cents,
+               CAST(total * 100 AS BIGINT) AS second_total_cents,
                CAST(date_diff('day', prev_dt, o_orderdate) AS INT) AS gap_days,
                (CAST(abs(total - prev_total) * 100 AS BIGINT) * 10000)
                    // CAST(greatest(total, prev_total) * 100 AS BIGINT)

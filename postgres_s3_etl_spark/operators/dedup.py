@@ -509,7 +509,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.explode(F.expr(f"array({chunk_structs})")).alias("cv"),
-    ).select("doc_id", "simhash", "cv.chunk", "cv.val").persist()
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val").localCheckpoint()
     a = chunks.alias("a")
     b = chunks.alias("b")
     candidates = (

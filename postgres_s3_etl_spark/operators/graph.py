@@ -516,6 +516,14 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("nb")).alias("nbs")
     )
     wedges = nbs.select(
+        # Runtime guard for the 2³² packing assumption: nbs is
+        # ascending, so checking the last element checks the max.
+        # Reusing this operator on a graph with ≥2³² node ids must
+        # fail loudly, not silently corrupt (a, b) pairs.
+        F.expr(
+            """assert_true(size(nbs) = 0 OR nbs[size(nbs) - 1] < 4294967296L,
+               'packed wedge key overflow: node id >= 2^32')"""
+        ).alias("_guard"),
         F.explode(
             F.expr(
                 """IF(size(nbs) < 2, array(),
@@ -523,8 +531,8 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
                      transform(slice(nbs, i + 2, size(nbs) - i - 1), x ->
                        nbs[i] * 4294967296L + x))))"""
             )
-        ).alias("ab")
-    )
+        ).alias("ab"),
+    ).select("ab")
     common = (
         wedges.groupBy("ab")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))

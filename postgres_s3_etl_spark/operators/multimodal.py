@@ -212,16 +212,76 @@ def sample_frames(
     return videos.mapInPandas(batches, FRAMES_SCHEMA)
 
 
+#: Temporal sampling grid for mm_frame_sample: one sample every
+#: 120 ms over 25 fps (40 ms/frame) y4m streams → every 3rd frame
+#: index, deliberately co-prime-ish with mm_video_decode_y4m's
+#: every-2nd rule so the two queries witness different frames.
+FRAME_SAMPLE_INTERVAL_MS = 120
+Y4M_FRAME_MS = 40  # F25:1 fixed by encode_y4m's header
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing entry (rows-only): frame-sample the synthetic
-    video assets, then per-asset frame stats JVM-side."""
-    frames = sample_frames(synth_media(spark, n=64))
+    """REAL timestamp-driven frame sampling (the "give me a frame
+    every N ms" production shape, vs mm_video_decode_y4m's
+    every-Kth-index rule): synthesize genuine YUV4MPEG2 streams,
+    decode them stdlib-only inside Arrow-batched mapInPandas, pick
+    the frame at each FRAME_SAMPLE_INTERVAL_MS timestamp
+    (frame_idx = ts // 40ms at 25 fps), and emit exact int64 Y-plane
+    sums per sampled frame; per-asset rollup runs JVM-side. The
+    oracle recomputes the sums from the closed-form plane pattern,
+    so the ts→frame-index mapping and plane offsets are
+    value-checked — no digests, no fakes (round-6 re-plumb of the
+    former digest-stub entry; the generic ``sample_frames`` API
+    retains the documented ffmpeg-arm stub for non-y4m codecs).
+
+    Scale: payload bytes never shuffle; ~5 ints per sampled frame
+    cross the Arrow boundary; the rollup is a codegen aggregate.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_y4m(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, frames = decoded
+                nf = len(frames)
+                for ts in range(
+                    0, nf * Y4M_FRAME_MS, FRAME_SAMPLE_INTERVAL_MS
+                ):
+                    fi = ts // Y4M_FRAME_MS
+                    ysum = int(frames[fi][0].astype(np.int64).sum())
+                    out.append((int(aid), nf, fi, ts, ysum))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_stream_frames", "frame_idx",
+                    "frame_ts_ms", "sum_y",
+                ],
+            )
+
+    media = synth_y4m_media(spark).select("asset_id", "payload")
+    per_frame = media.mapInPandas(
+        batches,
+        "asset_id bigint, n_stream_frames int, frame_idx int, "
+        "frame_ts_ms int, sum_y bigint",
+    )
     return (
-        frames.groupBy("asset_id")
+        per_frame.groupBy("asset_id")
         .agg(
-            F.count(F.lit(1)).alias("n_frames"),
-            F.max("frame_ts_ms").alias("last_frame_ts_ms"),
-            F.countDistinct("frame_digest").alias("n_distinct_frames"),
+            F.max("n_stream_frames").alias("n_stream_frames"),
+            F.count(F.lit(1)).cast("int").alias("n_sampled"),
+            F.max("frame_ts_ms").alias("last_sample_ts_ms"),
+            F.sum("sum_y").alias("sum_y_sampled"),
+            # frame-0 witness: catches a ts→index off-by-one that a
+            # symmetric sum would mask.
+            F.sum(
+                F.when(F.col("frame_idx") == 0, F.col("sum_y"))
+                .otherwise(F.lit(0))
+            ).alias("f0_y_sum"),
         )
         .orderBy("asset_id")
     )
@@ -327,20 +387,132 @@ def window_audio(
     return audio.mapInPandas(batches, WINDOWS_SCHEMA)
 
 
+N_WAV_ASSETS = 48
+WAV_RATE = 1000  # Hz — 1 sample/ms keeps the oracle series small
+
+
+def _wav_sample(asset_id: int, k: int) -> int:
+    """Closed-form int16 sample (mirrored by the SQL oracle):
+    s(a, k) = ((7a + 13k) % 201) - 100 ∈ [-100, 100]."""
+    return ((7 * asset_id + 13 * k) % 201) - 100
+
+
+def encode_wav(asset_id: int, n_samples: int) -> bytes:
+    """A real RIFF/WAVE container: mono 16-bit PCM at WAV_RATE with
+    the closed-form sample pattern."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(
+            np.fromiter(
+                (_wav_sample(asset_id, k) for k in range(n_samples)),
+                dtype="<i2",
+                count=n_samples,
+            ).tobytes()
+        )
+    return buf.getvalue()
+
+
+def synth_wav_media(spark: SparkSession, n: int = N_WAV_ASSETS) -> DataFrame:
+    """n real PCM WAV audio assets with deterministic samples."""
+    rows = []
+    for i in range(n):
+        ns = 1000 + 10 * i  # 1.0–1.5 s at 1 kHz
+        rows.append(
+            (i, "audio", 0, 0, ns * 1000 // WAV_RATE,
+             bytearray(encode_wav(i, ns)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_wav_windows_exact(
+    payload: bytes, window_ms: int
+) -> list[tuple[int, int, int]] | None:
+    """REAL audio decode with EXACT integer outputs: stdlib ``wave``
+    parses the container; per ``window_ms`` window returns
+    (n_samples, sum, sum-of-squares) as ints — loudness-proportional
+    like RMS but with no float rounding for a value-hash oracle to
+    disagree on. Mono 16-bit PCM only; returns None otherwise."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            return None
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    win = max(int(rate * window_ms / 1000), 1)
+    out = []
+    for i in range(0, len(s), win):
+        seg = s[i : i + win]
+        out.append((len(seg), int(seg.sum()), int((seg * seg).sum())))
+    return out or [(0, 0, 0)]
+
+
 def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing entry: window the synthetic audio assets, then
-    per-asset level stats JVM-side (sum/count spelled out so the
-    division is the single IEEE op the oracle also performs)."""
-    w = window_audio(synth_media(spark, n=64))
+    """REAL audio windowing end-to-end: synthesize genuine PCM WAV
+    containers, parse them with stdlib ``wave`` inside Arrow-batched
+    mapInPandas, emit exact int64 per-window energy stats
+    (n/sum/ssq — the RMS numerator and denominator, kept integer so
+    no engine can round differently), then aggregate per asset
+    JVM-side. The oracle regenerates the closed-form sample pattern
+    in SQL, value-checking container parsing, sample decoding, and
+    the windowing rule (round-6 re-plumb of the former digest-level
+    entry; the generic ``window_audio`` API keeps its real-WAV RMS
+    path plus the documented ffmpeg-arm stub for mp3/ogg).
+
+    Scale: payload bytes never shuffle; 5 ints per window cross the
+    Arrow boundary; the per-asset rollup is a codegen aggregate.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                wins = decode_wav_windows_exact(
+                    bytes(payload), AUDIO_WINDOW_MS
+                )
+                if wins is None:
+                    continue
+                for i, (n, ssum, ssq) in enumerate(wins):
+                    out.append(
+                        (int(aid), i, i * AUDIO_WINDOW_MS, n, ssum, ssq)
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "window_idx", "window_ts_ms",
+                    "n_samples", "sum_s", "ssq_s",
+                ],
+            )
+
+    media = synth_wav_media(spark).select("asset_id", "payload")
+    per_win = media.mapInPandas(
+        batches,
+        "asset_id bigint, window_idx int, window_ts_ms int, "
+        "n_samples bigint, sum_s bigint, ssq_s bigint",
+    )
     return (
-        w.groupBy("asset_id")
+        per_win.groupBy("asset_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
             F.max("window_ts_ms").alias("last_window_ts_ms"),
-            F.round(
-                F.sum("level").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_level"),
-            F.max("level").alias("peak_level"),
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("sum_s").alias("sum_s"),
+            F.sum("ssq_s").alias("ssq_s"),
+            F.max("ssq_s").alias("peak_window_ssq"),
         )
         .orderBy("asset_id")
     )
@@ -404,22 +576,62 @@ def sample_patches(
     return images.mapInPandas(batches, PATCHES_SCHEMA)
 
 
+#: 8-px patches over the 16–23 × 12–16 BMP assets → a 2–3 × 2 grid
+#: with ragged right/bottom edges (the partial-patch case a ViT
+#: preprocessor must handle).
+BMP_PATCH_PX = 8
+
+
 def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing entry: patch-grid the synthetic images, then
-    per-asset patch stats JVM-side ("brightness" = the first 16 bits
-    of the patch digest, the same stub convention as f0/level)."""
-    patches = sample_patches(synth_media(spark, n=64))
-    bright = F.conv(F.substring("patch_digest", 1, 4), 16, 10).cast("bigint")
+    """REAL ViT-style patch extraction: synthesize valid BMP files,
+    decode them stdlib-only inside Arrow-batched mapInPandas, cut
+    each image into a ceil(w/p) × ceil(h/p) grid of BMP_PATCH_PX
+    patches (edge patches ragged, as in real preprocessing), and
+    emit each patch's exact integer brightness (sum of R+G+B over
+    its pixels); per-asset rollup runs JVM-side. The oracle
+    recomputes per-patch sums from the closed-form pixel pattern
+    grouped by (x div p, y div p) — so the decode, the grid
+    arithmetic, and the ragged-edge handling are all value-checked
+    (round-6 re-plumb of the former digest-stub entry; the generic
+    ``sample_patches`` API keeps the documented PIL-arm stub).
+
+    Scale: payload bytes never shuffle; 4 ints per patch cross the
+    Arrow boundary; the rollup is a codegen aggregate.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_bmp24(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64).sum(axis=2)  # per-pixel r+g+b
+                h, w = px.shape
+                p = BMP_PATCH_PX
+                for py in range(-(-h // p)):
+                    for gx in range(-(-w // p)):
+                        patch = px[py * p : (py + 1) * p, gx * p : (gx + 1) * p]
+                        out.append(
+                            (int(aid), gx, py, int(patch.sum()))
+                        )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "px", "py", "brightness"]
+            )
+
+    media = synth_bmp_media(spark).select("asset_id", "payload")
+    patches = media.mapInPandas(
+        batches, "asset_id bigint, px int, py int, brightness bigint"
+    )
     return (
-        patches.withColumn("brightness", bright)
-        .groupBy("asset_id")
+        patches.groupBy("asset_id")
         .agg(
-            F.count(F.lit(1)).alias("n_patches"),
-            (F.max("px") + 1).alias("nx"),
-            (F.max("py") + 1).alias("ny"),
-            F.round(
-                F.sum("brightness").cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_brightness"),
+            F.count(F.lit(1)).cast("int").alias("n_patches"),
+            (F.max("px") + 1).cast("int").alias("nx"),
+            (F.max("py") + 1).cast("int").alias("ny"),
+            F.sum("brightness").alias("total_brightness"),
             F.max("brightness").alias("peak_brightness"),
         )
         .orderBy("asset_id")
@@ -788,6 +1000,11 @@ def decode_png(payload: bytes):
     pos, idat, ihdr = 8, b"", None
     while pos + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
+        # A length field pointing past the payload is truncation or
+        # corruption — skip the asset (return-None contract), don't
+        # let unpack_from throw and fail the whole mapInPandas task.
+        if pos + 12 + ln > len(payload):
+            return None
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
@@ -805,7 +1022,13 @@ def decode_png(payload: bytes):
     w, h, depth, ctype, comp, filt, inter = ihdr
     if depth != 8 or ctype != 2 or comp or filt or inter or not (w and h):
         return None
-    raw = zlib.decompress(idat)
+    try:
+        # CRC-valid chunks can still wrap an undecompressable IDAT
+        # stream (e.g. re-CRC'd corruption) — that's a skip, not a
+        # task failure.
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
     stride = w * 3
     if len(raw) != h * (stride + 1):
         return None
@@ -973,9 +1196,16 @@ def decode_y4m(payload: bytes):
     w = h = None
     colorspace = "C420"  # the y4m default when no C tag is present
     for tok in payload[len(magic) : nl].split(b" "):
+        # Malformed W/H tokens (b"W12x", bare b"W") must skip the
+        # asset per the return-None contract, not raise ValueError
+        # inside the mapInPandas task.
         if tok.startswith(b"W"):
+            if not tok[1:].isdigit():
+                return None
             w = int(tok[1:])
         elif tok.startswith(b"H"):
+            if not tok[1:].isdigit():
+                return None
             h = int(tok[1:])
         elif tok.startswith(b"C"):
             colorspace = tok.decode("ascii", "replace")
@@ -1081,8 +1311,126 @@ def mm_video_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MIXED_ASSETS = 64
+
+
+def synth_mixed_media(spark: SparkSession, n: int = N_MIXED_ASSETS) -> DataFrame:
+    """A mixed-format feed like a real ingest sees: BMP images, PCM
+    WAV audio, and y4m video interleaved by i % 3 — plus every
+    (i % 10 == 9)-th asset an UNDECODABLE opaque payload labelled
+    'image' (the JPEG-class stand-in: right metadata, no stdlib
+    codec), so the router's skip path is exercised in-band."""
+    rows = []
+    for i in range(n):
+        if i % 10 == 9:
+            payload = hashlib.sha256(f"junk-{i}".encode()).digest() * 4
+            rows.append((i, "image", 0, 0, 0, bytearray(payload)))
+        elif i % 3 == 0:
+            w, h = 16 + i % 8, 12 + i % 5
+            rows.append(
+                (i, "image", w, h, 0, bytearray(encode_bmp24(i, w, h)))
+            )
+        elif i % 3 == 1:
+            ns = 1000 + 10 * i
+            rows.append(
+                (i, "audio", 0, 0, ns * 1000 // WAV_RATE,
+                 bytearray(encode_wav(i, ns)))
+            )
+        else:
+            w, h, nf = 12 + i % 6, 8 + i % 4, 4 + i % 5
+            rows.append(
+                (i, "video", w, h, nf * Y4M_FRAME_MS,
+                 bytearray(encode_y4m(i, w, h, nf)))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production decode front-door: ONE Arrow-batched
+    mapInPandas pass that sniffs each payload's magic bytes and
+    routes to the matching REAL stdlib codec — BMP → decode_bmp24,
+    RIFF/WAVE → wave, YUV4MPEG2 → decode_y4m — emitting per-asset
+    exact integer content stats (units = pixels / samples /
+    frame-pixels; main = Σ(r+g+b) / Σs² / ΣY). Unrecognized formats
+    (the JPEG/H.264 arm no stdlib codec can open) are SKIPPED and
+    counted, never crash the task and never get fake features —
+    this query retires the digest-fake pattern for every decodable
+    format. The oracle recomputes every sum from the closed-form
+    pixel/sample/plane patterns and the skip counts from the feed's
+    construction rule.
+
+    Scale: format dispatch is per-row inside the batch (no
+    per-format shuffle or re-scan); payload bytes never leave the
+    scan partition; 4 ints per asset cross to the JVM, and the
+    per-type rollup is a codegen aggregate.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                decoded, units, main = 0, 0, 0
+                if p[:2] == b"BM":
+                    img = decode_bmp24(p)
+                    if img is not None:
+                        decoded = 1
+                        units = img.shape[0] * img.shape[1]
+                        main = int(img.astype(np.int64).sum())
+                elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                    wins = decode_wav_windows_exact(p, AUDIO_WINDOW_MS)
+                    if wins is not None:
+                        decoded = 1
+                        units = sum(n for n, _, _ in wins)
+                        main = sum(q for _, _, q in wins)
+                elif p[:10] == b"YUV4MPEG2 ":
+                    dec = decode_y4m(p)
+                    if dec is not None:
+                        w, h, frames = dec
+                        decoded = 1
+                        units = len(frames) * w * h
+                        main = int(
+                            sum(
+                                int(f[0].astype(np.int64).sum())
+                                for f in frames
+                            )
+                        )
+                out.append((int(aid), str(mt), decoded, units, main))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "media_type", "decoded", "units", "main",
+                ],
+            )
+
+    media = synth_mixed_media(spark).select(
+        "asset_id", "media_type", "payload"
+    )
+    per_asset = media.mapInPandas(
+        batches,
+        "asset_id bigint, media_type string, decoded int, "
+        "units bigint, main bigint",
+    )
+    return (
+        per_asset.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("decoded").cast("bigint").alias("n_decoded"),
+            F.sum("units").alias("total_units"),
+            F.sum("main").alias("total_main"),
+            F.max("main").alias("max_main"),
+        )
+        .orderBy("media_type")
+    )
+
+
 QUERIES = {
     "mm_image_decode_bmp": mm_image_decode_bmp,
+    "mm_decode_router": mm_decode_router,
     "mm_image_decode_png": mm_image_decode_png,
     "mm_video_decode_y4m": mm_video_decode_y4m,
     "mm_payload_entropy": mm_payload_entropy,
@@ -1271,48 +1619,36 @@ ORACLES: dict[str, str] = {
         GROUP BY media_type
         ORDER BY media_type
     """,
+    # Round-6: real BMP patch grid — per-patch sums recomputed from
+    # the closed-form pixel pattern grouped by (x div p, y div p).
     "mm_image_patches": f"""
-        WITH images AS (
-            SELECT i,
-                   64 + (i % 32) AS width,
-                   48 + (i % 24) AS height,
-                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hex_payload
-            FROM (SELECT unnest(generate_series(0, 63)) AS i)
-            WHERE i % 3 = 0
+        WITH assets AS (
+            SELECT i AS asset_id, 16 + i % 8 AS w, 12 + i % 5 AS h
+            FROM generate_series(0, {N_BMP_ASSETS - 1}) s(i)
         ),
-        grid AS (
-            -- (w + p - 1) // p: ceil for positive ints regardless of
-            -- whether // floors or truncates (DuckDB truncates)
-            SELECT a.i AS asset_id,
-                   px.px, py.py,
-                   (a.width + {PATCH_PX - 1}) // {PATCH_PX} AS nx,
-                   (a.height + {PATCH_PX - 1}) // {PATCH_PX} AS ny,
-                   md5(a.hex_payload
-                       || lower(lpad(to_hex(px.px), 8, '0'))
-                       || lower(lpad(to_hex(py.py), 8, '0'))) AS d
-            FROM images a,
-                 LATERAL (SELECT unnest(generate_series(
-                     0, (a.width + {PATCH_PX - 1}) // {PATCH_PX} - 1)) AS px) px,
-                 LATERAL (SELECT unnest(generate_series(
-                     0, (a.height + {PATCH_PX - 1}) // {PATCH_PX} - 1)) AS py) py
+        px AS (
+            SELECT a.asset_id,
+                   gx.x // {BMP_PATCH_PX} AS px,
+                   gy.y // {BMP_PATCH_PX} AS py,
+                   ((19 * a.asset_id + 23 * gx.x + 29 * gy.y) % 256)
+                 + ((11 * a.asset_id + 13 * gx.x + 17 * gy.y) % 256)
+                 + ((7 * a.asset_id + 3 * gx.x + 5 * gy.y) % 256) AS bright
+            FROM assets a
+            CROSS JOIN generate_series(0, {_BMP_MAX_W - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_BMP_MAX_H - 1}) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
         ),
-        bright AS (
-            SELECT asset_id, nx, ny,
-                   CAST(4096 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
-                        + 256 * (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)
-                        + 16 * (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)
-                        + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1)
-                        AS BIGINT) AS brightness
-            FROM grid
+        patches AS (
+            SELECT asset_id, px, py, SUM(bright) AS brightness
+            FROM px GROUP BY asset_id, px, py
         )
         SELECT asset_id,
-               COUNT(*) AS n_patches,
-               CAST(MAX(nx) AS INTEGER) AS nx,
-               CAST(MAX(ny) AS INTEGER) AS ny,
-               ROUND(CAST(SUM(brightness) AS DOUBLE) / COUNT(*), 6)
-                   AS avg_brightness,
+               CAST(COUNT(*) AS INTEGER) AS n_patches,
+               CAST(MAX(px) + 1 AS INTEGER) AS nx,
+               CAST(MAX(py) + 1 AS INTEGER) AS ny,
+               SUM(brightness) AS total_brightness,
                MAX(brightness) AS peak_brightness
-        FROM bright
+        FROM patches
         GROUP BY asset_id
         ORDER BY asset_id
     """,
@@ -1342,63 +1678,139 @@ ORACLES: dict[str, str] = {
         GROUP BY media_type
         ORDER BY media_type
     """,
+    # Round-6: real PCM WAV windowing — exact integer energy stats
+    # recomputed from the closed-form sample pattern.
     "mm_audio_windows": f"""
         WITH audio AS (
-            SELECT i,
-                   1000 + 10 * i AS duration_ms,
-                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hex_payload
-            FROM (SELECT unnest(generate_series(0, 63)) AS i)
-            WHERE i % 3 = 1
+            SELECT i AS asset_id, 1000 + 10 * i AS ns
+            FROM generate_series(0, {N_WAV_ASSETS - 1}) s(i)
+        ),
+        samples AS (
+            SELECT a.asset_id,
+                   k.k // {WAV_RATE * AUDIO_WINDOW_MS // 1000} AS window_idx,
+                   ((7 * a.asset_id + 13 * k.k) % 201) - 100 AS s
+            FROM audio a
+            CROSS JOIN generate_series(
+                0, {1000 + 10 * (N_WAV_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
         ),
         wins AS (
-            SELECT a.i AS asset_id,
-                   w.w AS window_idx,
-                   CAST(w.w * {AUDIO_WINDOW_MS} AS INTEGER) AS window_ts_ms,
-                   md5(a.hex_payload || lower(lpad(to_hex(w.w), 8, '0'))) AS d
-            FROM audio a,
-                 LATERAL (SELECT unnest(generate_series(
-                     0, greatest(a.duration_ms // {AUDIO_WINDOW_MS}, 1) - 1)) AS w) w
-        ),
-        levels AS (
-            SELECT asset_id, window_ts_ms,
-                   CAST(4096 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
-                        + 256 * (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)
-                        + 16 * (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)
-                        + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) AS BIGINT) AS level
-            FROM wins
+            SELECT asset_id, window_idx,
+                   COUNT(*) AS n, SUM(s) AS sum_s, SUM(s * s) AS ssq_s
+            FROM samples GROUP BY asset_id, window_idx
         )
         SELECT asset_id,
-               COUNT(*) AS n_windows,
-               MAX(window_ts_ms) AS last_window_ts_ms,
-               ROUND(CAST(SUM(level) AS DOUBLE) / COUNT(*), 6) AS avg_level,
-               MAX(level) AS peak_level
-        FROM levels
+               CAST(COUNT(*) AS INTEGER) AS n_windows,
+               CAST(MAX(window_idx) * {AUDIO_WINDOW_MS} AS INTEGER)
+                   AS last_window_ts_ms,
+               SUM(n) AS n_samples,
+               SUM(sum_s) AS sum_s,
+               SUM(ssq_s) AS ssq_s,
+               MAX(ssq_s) AS peak_window_ssq
+        FROM wins
         GROUP BY asset_id
         ORDER BY asset_id
     """,
+    # Round-6: real y4m temporal sampling — every 120ms at 25fps →
+    # frame indices t % 3 == 0, Y sums from the closed-form planes.
     "mm_frame_sample": f"""
-        WITH videos AS (
-            SELECT i,
-                   1000 + 10 * i AS duration_ms,
-                   repeat(sha256('asset-' || i), 4 + (i % 5)) AS hex_payload
-            FROM (SELECT unnest(generate_series(0, 63)) AS i)
-            WHERE i % 3 = 2
+        WITH assets AS (
+            SELECT i AS asset_id, 12 + i % 6 AS w, 8 + i % 4 AS h,
+                   4 + i % 5 AS nf
+            FROM generate_series(0, {N_Y4M_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.nf, t.t,
+                   (3 * a.asset_id + 5 * gx.x + 7 * gy.y + 11 * t.t) % 256
+                       AS yv
+            FROM assets a
+            CROSS JOIN generate_series(0, {_Y4M_MAX_F - 1}) t(t)
+            CROSS JOIN generate_series(0, {_Y4M_MAX_W - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_Y4M_MAX_H - 1}) gy(y)
+            WHERE t.t < a.nf
+              AND t.t % {FRAME_SAMPLE_INTERVAL_MS // Y4M_FRAME_MS} = 0
+              AND gx.x < a.w AND gy.y < a.h
         ),
         frames AS (
-            SELECT v.i AS asset_id,
-                   f.f AS frame_idx,
-                   CAST(f.f * {FRAME_INTERVAL_MS} AS INTEGER) AS frame_ts_ms,
-                   md5(v.hex_payload || lower(lpad(to_hex(f.f), 8, '0'))) AS frame_digest
-            FROM videos v,
-                 LATERAL (SELECT unnest(generate_series(
-                     0, greatest(v.duration_ms // {FRAME_INTERVAL_MS}, 1) - 1)) AS f) f
+            SELECT asset_id, nf, t, SUM(yv) AS sum_y
+            FROM px GROUP BY asset_id, nf, t
         )
         SELECT asset_id,
-               COUNT(*) AS n_frames,
-               MAX(frame_ts_ms) AS last_frame_ts_ms,
-               COUNT(DISTINCT frame_digest) AS n_distinct_frames
+               CAST(MAX(nf) AS INTEGER) AS n_stream_frames,
+               CAST(COUNT(*) AS INTEGER) AS n_sampled,
+               CAST(MAX(t) * {Y4M_FRAME_MS} AS INTEGER)
+                   AS last_sample_ts_ms,
+               SUM(sum_y) AS sum_y_sampled,
+               SUM(CASE WHEN t = 0 THEN sum_y ELSE 0 END) AS f0_y_sum
         FROM frames
         GROUP BY asset_id
         ORDER BY asset_id
+    """,
+    # Round-6: the decode router — per-format closed-form content
+    # sums, plus the junk arm's skip counts from the feed rule.
+    "mm_decode_router": f"""
+        WITH ids AS (
+            SELECT i,
+                   CASE WHEN i % 10 = 9 THEN 'junk'
+                        WHEN i % 3 = 0 THEN 'bmp'
+                        WHEN i % 3 = 1 THEN 'wav'
+                        ELSE 'y4m' END AS kind
+            FROM generate_series(0, {N_MIXED_ASSETS - 1}) s(i)
+        ),
+        bmp AS (
+            SELECT d.i AS asset_id, 'image' AS media_type, 1 AS decoded,
+                   COUNT(*) AS units,
+                   SUM(((19 * d.i + 23 * gx.x + 29 * gy.y) % 256)
+                     + ((11 * d.i + 13 * gx.x + 17 * gy.y) % 256)
+                     + ((7 * d.i + 3 * gx.x + 5 * gy.y) % 256)) AS main
+            FROM ids d
+            CROSS JOIN generate_series(0, {_BMP_MAX_W - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_BMP_MAX_H - 1}) gy(y)
+            WHERE d.kind = 'bmp'
+              AND gx.x < 16 + d.i % 8 AND gy.y < 12 + d.i % 5
+            GROUP BY d.i
+        ),
+        wav AS (
+            SELECT d.i AS asset_id, 'audio' AS media_type, 1 AS decoded,
+                   COUNT(*) AS units,
+                   SUM((((7 * d.i + 13 * k.k) % 201) - 100)
+                       * (((7 * d.i + 13 * k.k) % 201) - 100)) AS main
+            FROM ids d
+            CROSS JOIN generate_series(
+                0, {1000 + 10 * (N_MIXED_ASSETS - 1) - 1}) k(k)
+            WHERE d.kind = 'wav' AND k.k < 1000 + 10 * d.i
+            GROUP BY d.i
+        ),
+        y4m AS (
+            SELECT d.i AS asset_id, 'video' AS media_type, 1 AS decoded,
+                   COUNT(*) AS units,
+                   SUM((3 * d.i + 5 * gx.x + 7 * gy.y + 11 * t.t) % 256)
+                       AS main
+            FROM ids d
+            CROSS JOIN generate_series(0, {_Y4M_MAX_F - 1}) t(t)
+            CROSS JOIN generate_series(0, {_Y4M_MAX_W - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_Y4M_MAX_H - 1}) gy(y)
+            WHERE d.kind = 'y4m' AND t.t < 4 + d.i % 5
+              AND gx.x < 12 + d.i % 6 AND gy.y < 8 + d.i % 4
+            GROUP BY d.i
+        ),
+        junk AS (
+            SELECT i AS asset_id, 'image' AS media_type, 0 AS decoded,
+                   0 AS units, 0 AS main
+            FROM ids WHERE kind = 'junk'
+        ),
+        allrows AS (
+            SELECT * FROM bmp UNION ALL SELECT * FROM wav
+            UNION ALL SELECT * FROM y4m UNION ALL SELECT * FROM junk
+        )
+        SELECT media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM(decoded) AS BIGINT) AS n_decoded,
+               SUM(units) AS total_units,
+               SUM(main) AS total_main,
+               MAX(main) AS max_main
+        FROM allrows
+        GROUP BY media_type
+        ORDER BY media_type
     """,
 }

@@ -156,8 +156,10 @@ def test_dupe_invoices_respect_tolerance(spark):
     assert rows
     for r in rows:
         assert 0 <= r.gap_days <= DUPE_INVOICE_WINDOW_DAYS
-        assert r.rel_diff <= DUPE_INVOICE_PCT / 100 + 1e-9
+        # rel_diff_bp is exact integer basis points: pct% == pct*100 bp.
+        assert r.rel_diff_bp <= DUPE_INVOICE_PCT * 100
         assert r.first_orderkey != r.second_orderkey
+        assert r.first_total_cents > 0 and r.second_total_cents > 0
 
 
 def test_bootstrap_ci_brackets_the_mean(spark):

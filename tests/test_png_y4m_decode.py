@@ -55,6 +55,30 @@ class TestPngCodec:
         payload[18] ^= 0xFF
         assert decode_png(bytes(payload)) is None
 
+    def test_overlong_chunk_length_rejected_not_raised(self):
+        # a chunk length field pointing past the payload is
+        # truncation/corruption: must return None (skip the asset),
+        # never raise struct.error inside the mapInPandas task
+        payload = bytearray(encode_png(0, 12, 8))
+        payload[8:12] = (2**24).to_bytes(4, "big")  # IHDR length → huge
+        assert decode_png(bytes(payload)) is None
+
+    def test_crc_valid_garbage_idat_rejected_not_raised(self):
+        # CRC-valid chunks wrapping an undecompressable IDAT stream
+        # must return None, never raise zlib.error
+        import struct
+
+        from postgres_s3_etl_spark.operators.multimodal import _png_chunk
+
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", b"not-a-zlib-stream")
+            + _png_chunk(b"IEND", b"")
+        )
+        assert decode_png(payload) is None
+
     def test_truncated_idat_rejected(self):
         # a syntactically valid PNG whose inflated stream is one byte
         # short of h * (stride + 1) must be rejected, not mis-read
@@ -119,6 +143,14 @@ class TestY4mCodec:
         raw = encode_y4m(0, 12, 8, 2)
         assert decode_y4m(b"XUV4MPEG2 " + raw[10:]) is None
         assert decode_y4m(raw[:-5]) is None  # last frame short
+
+    def test_malformed_dim_tokens_rejected_not_raised(self):
+        # non-numeric or bare W/H header tokens must return None,
+        # never raise ValueError inside the mapInPandas task
+        body = b"\nFRAME\n" + b"\x00" * (3 * 12 * 8)
+        assert decode_y4m(b"YUV4MPEG2 W12x H8 C444" + body) is None
+        assert decode_y4m(b"YUV4MPEG2 W H8 C444" + body) is None
+        assert decode_y4m(b"YUV4MPEG2 W12 Hx8 C444" + body) is None
 
 
 class TestSparkQueries:

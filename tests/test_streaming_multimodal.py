@@ -251,15 +251,42 @@ def test_frame_sampling_expansion(spark):
         assert sorted(f.frame_idx for f in fs) == list(range(expected))
         # Deterministic digests, distinct per frame.
         assert len({f.frame_digest for f in fs}) == expected
-    stats = mm_frame_sample(spark, "unused").collect()
-    assert all(s.n_frames == s.n_distinct_frames for s in stats)
+    # mm_frame_sample (round 6): REAL y4m temporal sampling — one
+    # frame per 120ms at 25fps, so sampled indices are 0, 3, 6, ...
+    # strictly below the stream's frame count.
+    from postgres_s3_etl_spark.operators.multimodal import (
+        FRAME_SAMPLE_INTERVAL_MS,
+        Y4M_FRAME_MS,
+        _y4m_planes,
+    )
+
+    stride = FRAME_SAMPLE_INTERVAL_MS // Y4M_FRAME_MS
+    stats = {r.asset_id: r for r in mm_frame_sample(spark, "unused").collect()}
+    assert len(stats) == 48
+    for aid, r in stats.items():
+        nf = 4 + aid % 5
+        sampled = [t for t in range(0, nf, stride)]
+        assert r.n_stream_frames == nf
+        assert r.n_sampled == len(sampled)
+        assert r.last_sample_ts_ms == max(sampled) * Y4M_FRAME_MS
+        w, h = 12 + aid % 6, 8 + aid % 4
+        exp = sum(int(_y4m_planes(aid, w, h, t)[0].sum()) for t in sampled)
+        assert r.sum_y_sampled == exp
+        assert r.f0_y_sum == int(_y4m_planes(aid, w, h, 0)[0].sum())
 
 
 def test_audio_windowing_expansion(spark, duck):
-    """mm_audio_windows: 1→N window expansion over audio assets only,
-    digest-derived levels, oracle hash match."""
+    """mm_audio_windows (round 6): REAL WAV decode end-to-end — the
+    exact integer energy stats equal numpy recomputation from the
+    closed-form samples, plus the generic window_audio digest arm
+    still expands audio assets 1→N."""
+    import numpy as np
+
     from postgres_s3_etl_spark.operators.multimodal import (
         AUDIO_WINDOW_MS,
+        N_WAV_ASSETS,
+        WAV_RATE,
+        _wav_sample,
         mm_audio_windows,
         synth_media,
         window_audio,
@@ -268,20 +295,28 @@ def test_audio_windowing_expansion(spark, duck):
 
     media = synth_media(spark, n=64)
     wins = window_audio(media).collect()
-    n_audio = media.where("media_type = 'audio'").count()
     assert {w.asset_id for w in wins} == {
         r.asset_id for r in media.where("media_type = 'audio'").collect()
     }
-    per = {}
     for w in wins:
-        per.setdefault(w.asset_id, []).append(w)
         assert 0 <= w.level <= 0xFFFF
         assert w.window_ts_ms == w.window_idx * AUDIO_WINDOW_MS
-    stats = mm_audio_windows(spark, "unused").collect()
-    assert len(stats) == n_audio
-    for r in stats:
-        assert r.n_windows == len(per[r.asset_id])
-        assert r.peak_level == max(w.level for w in per[r.asset_id])
+
+    stats = {r.asset_id: r for r in mm_audio_windows(spark, "unused").collect()}
+    assert len(stats) == N_WAV_ASSETS
+    win = WAV_RATE * AUDIO_WINDOW_MS // 1000
+    for aid, r in stats.items():
+        ns = 1000 + 10 * aid
+        s = np.array([_wav_sample(aid, k) for k in range(ns)], dtype=np.int64)
+        n_windows = -(-ns // win)
+        assert r.n_windows == n_windows
+        assert r.last_window_ts_ms == (n_windows - 1) * AUDIO_WINDOW_MS
+        assert r.n_samples == ns
+        assert r.sum_s == int(s.sum())
+        assert r.ssq_s == int((s * s).sum())
+        assert r.peak_window_ssq == max(
+            int((s[i : i + win] ** 2).sum()) for i in range(0, ns, win)
+        )
     assert_matches_oracle(spark, duck, "mm_audio_windows")
 
 
@@ -405,24 +440,39 @@ def test_stream_topk_users_equals_batch(spark):
 
 
 def test_image_patch_grid_covers_every_image(spark):
-    """ceil(w/p) x ceil(h/p) patches per image, gap-free grid."""
+    """mm_image_patches (round 6): REAL BMP patch grid — ceil(w/p) ×
+    ceil(h/p) patches, ragged edges included, brightness equal to
+    numpy recomputation over the decoded pixels; plus the generic
+    sample_patches digest arm still emits each (px, py) once."""
+    import numpy as np
+
     from postgres_s3_etl_spark.operators.multimodal import (
-        PATCH_PX,
+        BMP_PATCH_PX,
+        N_BMP_ASSETS,
+        decode_bmp24,
+        encode_bmp24,
         mm_image_patches,
         sample_patches,
         synth_media,
     )
 
     stats = {r.asset_id: r for r in mm_image_patches(spark, SF_DIR).collect()}
-    media = {r.asset_id: r for r in synth_media(spark, n=64).collect()}
-    assert stats and all(media[a].media_type == "image" for a in stats)
+    assert len(stats) == N_BMP_ASSETS
+    p = BMP_PATCH_PX
     for a, r in stats.items():
-        nx = -(-media[a].width // PATCH_PX)
-        ny = -(-media[a].height // PATCH_PX)
+        w, h = 16 + a % 8, 12 + a % 5
+        nx, ny = -(-w // p), -(-h // p)
         assert (r.nx, r.ny, r.n_patches) == (nx, ny, nx * ny), a
-    # the expansion emits each (px, py) exactly once per asset
+        px = decode_bmp24(encode_bmp24(a, w, h)).astype(np.int64).sum(axis=2)
+        assert r.total_brightness == int(px.sum())
+        assert r.peak_brightness == max(
+            int(px[py * p : (py + 1) * p, gx * p : (gx + 1) * p].sum())
+            for py in range(ny)
+            for gx in range(nx)
+        )
+    # the generic expansion emits each (px, py) exactly once per asset
     patches = sample_patches(synth_media(spark, n=64)).collect()
-    seen = {(p.asset_id, p.px, p.py) for p in patches}
+    seen = {(p_.asset_id, p_.px, p_.py) for p_ in patches}
     assert len(seen) == len(patches)
 
 
@@ -709,3 +759,58 @@ def test_stream_abandoned_clicks_outer_semantics(spark):
             expect_null.add(c.event_id)
     assert matched_ids == expect_matched
     assert null_ids == expect_null
+
+
+def test_decode_router_routes_and_skips(spark, duck):
+    """mm_decode_router: one pass sniffs magic bytes, decodes every
+    recognized format for real, counts-but-skips the JPEG-class junk
+    arm, and its per-type sums equal numpy recomputation."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_MIXED_ASSETS,
+        _wav_sample,
+        _y4m_planes,
+        decode_bmp24,
+        encode_bmp24,
+        mm_decode_router,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    rows = {r.media_type: r for r in mm_decode_router(spark, "unused").collect()}
+    assert set(rows) == {"image", "audio", "video"}
+
+    kinds = {}
+    for i in range(N_MIXED_ASSETS):
+        if i % 10 == 9:
+            kinds.setdefault("junk", []).append(i)
+        else:
+            kinds.setdefault(("bmp", "wav", "y4m")[i % 3], []).append(i)
+
+    img = rows["image"]
+    assert img.n_assets == len(kinds["bmp"]) + len(kinds["junk"])
+    assert img.n_decoded == len(kinds["bmp"])  # junk arm skipped, counted
+    exp_img_main = sum(
+        int(decode_bmp24(encode_bmp24(i, 16 + i % 8, 12 + i % 5))
+            .astype(np.int64).sum())
+        for i in kinds["bmp"]
+    )
+    assert img.total_main == exp_img_main
+
+    aud = rows["audio"]
+    assert aud.n_assets == aud.n_decoded == len(kinds["wav"])
+    assert aud.total_units == sum(1000 + 10 * i for i in kinds["wav"])
+    assert aud.total_main == sum(
+        _wav_sample(i, k) ** 2
+        for i in kinds["wav"]
+        for k in range(1000 + 10 * i)
+    )
+
+    vid = rows["video"]
+    assert vid.n_assets == vid.n_decoded == len(kinds["y4m"])
+    assert vid.total_main == sum(
+        int(_y4m_planes(i, 12 + i % 6, 8 + i % 4, t)[0].sum())
+        for i in kinds["y4m"]
+        for t in range(4 + i % 5)
+    )
+    assert_matches_oracle(spark, duck, "mm_decode_router")
