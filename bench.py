@@ -90,6 +90,13 @@ HEADLINE = (
     "hybrid_search_rrf",
     "q_customer_survival_km",
     "q_orders_psi_drift",
+    # round-5/6 additions (cogroup Python lane + real-codec decodes)
+    "q_order_billing_cogroup",
+    "mm_image_decode_bmp",
+    "mm_image_decode_png",
+    "mm_video_decode_y4m",
+    "mm_decode_router",
+    "semdedup_prune",
 )
 
 

@@ -264,10 +264,108 @@ def embedding_ood_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup prune threshold — calibrated to this synthetic corpus
+#: (max pairwise cosine ≈ 0.51; no planted near-identical vectors).
+#: Production corpora of normalized LLM embeddings use 0.93–0.97.
+SEMDEDUP_TAU = 0.42
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with k-means, then inside
+    each cluster dropping every vector that is cosine-similar above
+    τ to a LOWER-id keeper — pairwise comparison happens only
+    within a cluster, never across the corpus. Output is the
+    per-cluster prune report (members / dup pairs / pruned / kept),
+    all integers.
+
+    Scale shape: the published algorithm keeps clusters small by
+    growing K with the corpus (≈100k clusters for 100M docs), so the
+    within-cluster pair join is O(Σ(n_k²)) with n_k ≈ n/K bounded —
+    here K=8 over the toy corpus stands in for that contract. The
+    pair join is a cluster-key equi-join (never a cross join); the
+    keep rule (exists a lower-id neighbor above τ) is one leftsemi
+    per cluster partition; cosine uses the same sequential-fold dot
+    and single IEEE division as dedup_embedding_cosine, so the τ
+    comparison is bit-identical to the DuckDB oracle's.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    seeds = (
+        vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    )
+    cents = [list(r.v) for r in seeds]
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "cluster_id int, n_members bigint, n_dup_pairs bigint, "
+            "n_pruned bigint, n_kept bigint",
+        )
+    assigned = _assign(vecs, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    emb = assigned.withColumn(
+        "norm",
+        F.sqrt(F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), "
+                      "0.0d, (s, x) -> s + x)")),
+    ).localCheckpoint()  # self-joined below; truncate the Lloyd lineage
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+    )
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(dot / (F.col("a.norm") * F.col("b.norm")) > SEMDEDUP_TAU)
+        .select(
+            F.col("a.cluster").alias("cluster"),
+            F.col("a.vec_id").alias("keeper"),
+            F.col("b.vec_id").alias("pruned"),
+        )
+        .localCheckpoint()  # reused: pair count + pruned-id distinct
+    )
+    pruned = dup_pairs.select("cluster", "pruned").distinct()
+    per_cluster = (
+        emb.groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .join(
+            dup_pairs.groupBy("cluster").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs")
+            ),
+            "cluster",
+            "left",
+        )
+        .join(
+            pruned.groupBy("cluster").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pruned")
+            ),
+            "cluster",
+            "left",
+        )
+        .select(
+            F.col("cluster").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (
+                F.col("n_members") - F.coalesce("n_pruned", F.lit(0))
+            ).alias("n_kept"),
+        )
+    )
+    return per_cluster.orderBy("cluster_id")
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "embedding_silhouette": embedding_silhouette,
     "embedding_ood_candidates": embedding_ood_candidates,
+    "semdedup_prune": semdedup_prune,
 }
 
 _SCORE = "-2.0 * list_dot_product(v.v, c.c) + c.c2"
@@ -383,5 +481,43 @@ ORACLES = {
         FROM own
         ORDER BY dist_to_centroid DESC, vec_id ASC
         LIMIT {OOD_TOP_K}
+    """,
+    # SemDeDup over the SAME final Lloyd state: within-cluster
+    # cosine pairs above τ, prune the higher id of each pair.
+    "semdedup_prune": f"""
+        WITH {_KMEANS_CTE},
+        emb AS (
+            SELECT a2.vec_id, a2.cell, v.v,
+                   sqrt(list_dot_product(v.v, v.v)) AS norm
+            FROM a2 JOIN vecs v USING (vec_id)
+        ),
+        dup_pairs AS (
+            SELECT a.cell, a.vec_id AS keeper, b.vec_id AS pruned
+            FROM emb a JOIN emb b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm)
+                  > {SEMDEDUP_TAU}
+        ),
+        members AS (
+            SELECT cell, COUNT(*) AS n_members FROM emb GROUP BY cell
+        ),
+        np AS (
+            SELECT cell, COUNT(*) AS n_dup_pairs
+            FROM dup_pairs GROUP BY cell
+        ),
+        pr AS (
+            SELECT cell, COUNT(DISTINCT pruned) AS n_pruned
+            FROM dup_pairs GROUP BY cell
+        )
+        SELECT CAST(m.cell AS INT) AS cluster_id,
+               CAST(m.n_members AS BIGINT) AS n_members,
+               CAST(COALESCE(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(pr.n_pruned, 0) AS BIGINT) AS n_pruned,
+               CAST(m.n_members - COALESCE(pr.n_pruned, 0) AS BIGINT)
+                   AS n_kept
+        FROM members m
+        LEFT JOIN np USING (cell)
+        LEFT JOIN pr USING (cell)
+        ORDER BY cluster_id
     """,
 }

@@ -89,6 +89,16 @@ def q_order_billing_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines) survive because cogroup, like a full outer join,
     preserves both sides.
     """
+    # Pin the cogroup's parallelism explicitly: the audited slice is
+    # tiny by construction, so AQE coalesces its shuffle to ONE
+    # partition — which serializes ~N_keys per-key Python/Arrow
+    # calls in a single task (measured 18.5 s at any SF). Grouped
+    # Python-lane transforms are per-GROUP-overhead-bound, not
+    # byte-bound, so they must keep task parallelism even when the
+    # bytes are small: explicit hash repartition to core count takes
+    # the same work to 2.0 s (9×). At real scale the rule still
+    # holds — parallelism follows the key count, not the byte count.
+    n_part = spark.sparkContext.defaultParallelism
     orders = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") <= BILLING_AUDIT_MAX_ORDERKEY)
@@ -99,6 +109,7 @@ def q_order_billing_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "header_units"
             ),
         )
+        .repartition(n_part, "o_orderkey")
     )
     lines = (
         load_table(spark, sf_dir, "lineitem")
@@ -109,6 +120,7 @@ def q_order_billing_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
             F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
         )
+        .repartition(n_part, "l_orderkey")
     )
     out = (
         orders.groupBy("o_orderkey")

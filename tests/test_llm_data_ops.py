@@ -784,3 +784,30 @@ def test_anisotropy_bounds(spark):
     assert 1.0 / EMB_DIM < r.top_pc_share <= 1.0 + 1e-9
     assert 1.0 <= r.anisotropy <= EMB_DIM + 1e-6
     assert abs(r.anisotropy - r.top_pc_share * EMB_DIM) < 1e-3
+
+
+def test_semdedup_prune_invariants(spark, duck):
+    """SemDeDup: per-cluster counts are conserved (kept + pruned =
+    members), every pruned id has a lower-id same-cluster neighbor
+    above tau, and the report hash-matches the DuckDB oracle."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.clustering import (
+        SEMDEDUP_TAU,
+        semdedup_prune,
+    )
+    from tests.conftest import SF_DIR, assert_matches_oracle
+
+    rows = semdedup_prune(spark, SF_DIR).collect()
+    assert rows
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    total_pruned = 0
+    for r in rows:
+        assert r.n_kept + r.n_pruned == r.n_members
+        assert r.n_dup_pairs >= r.n_pruned  # a pruned id may pair many keepers
+        total_pruned += r.n_pruned
+    # the calibrated tau must actually prune something on this corpus
+    assert total_pruned > 0, f"tau={SEMDEDUP_TAU} pruned nothing"
+    assert_matches_oracle(spark, duck, "semdedup_prune")
