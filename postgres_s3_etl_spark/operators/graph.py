@@ -317,11 +317,17 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     value per round is the constant-size L1 convergence scalar —
     the loop-exit decision Spark cannot make in-plan.
 
-    Oracle: iterate-to-epsilon has a data-dependent iteration count,
-    which a single DuckDB statement can't express — this entry is
-    rows-only for the driver; exact-value verification lives in
-    tests/test_graph.py against an independent NumPy power
-    iteration on the same parquet inputs.
+    Oracle (round 6, upgraded from rows-only): the data-dependent
+    iteration count IS expressible in one DuckDB statement — unroll
+    PRC_ORACLE_UNROLL iterations as MATERIALIZED CTEs (the
+    graph_components recipe), compute each round's L1 delta as an
+    exact DECIMAL(38,18) sum (mirroring the Spark loop's scalar, so
+    both engines agree on the stopping round bit-for-bit), and
+    select the first round whose delta < PR_EPS. Convergence past
+    the unroll depth would surface as a visible hash FAIL, never
+    silently (measured: 26–28 rounds at sf0.001–0.1 vs 36 unrolled).
+    Independent exact-value verification also lives in
+    tests/test_graph.py against a NumPy power iteration.
     """
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     nodes = _degrees(edges).select("node")
@@ -378,15 +384,25 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         n_iters += 1
-        delta = (
+        # Constant-size convergence scalar — the loop-exit decision.
+        # Summed in DECIMAL(38,18): exact and order-independent, so
+        # Spark's partition order cannot flip an iteration count the
+        # unrolled SQL oracle reproduces deterministically.
+        delta_dec = (
             new_pr.join(
                 pr.select("node", F.col("pr").alias("pr_old")), "node"
             )
-            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("d"))
+            .agg(
+                F.sum(
+                    F.abs(F.col("pr") - F.col("pr_old")).cast(
+                        "decimal(38,18)"
+                    )
+                ).alias("d")
+            )
             .collect()[0][0]
-        )  # constant-size convergence scalar — the loop-exit decision
+        )
         pr = new_pr
-        if delta is not None and delta < PR_EPS:
+        if delta_dec is not None and float(delta_dec) < PR_EPS:
             break
     return (
         pr.select(
@@ -861,6 +877,54 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     """
 
 
+#: Oracle unroll depth for converged PageRank: must exceed the
+#: data-dependent stopping round (measured 26–28 at sf0.001–0.1;
+#: delta shrinks ~geometrically at rate PR_DAMPING, so depth is
+#: corpus-size-insensitive). Shallower-than-convergence unroll shows
+#: as a visible hash FAIL (n_iters differs), never silently.
+PRC_ORACLE_UNROLL = 36
+
+
+def _prc_iter_sql(k: int) -> str:
+    """One unrolled directed-PageRank round with dangling-mass
+    redistribution + that round's exact L1 delta, mirroring the
+    Spark loop's arithmetic op-for-op (same literals, same cast
+    points, same add/multiply order) so every double is
+    bit-identical and the DECIMAL(38,18) delta sums — being exact
+    and order-independent — agree on the stopping round."""
+    prev, out = f"cpr{k - 1}", f"cpr{k}"
+    return f"""
+        {out} AS MATERIALIZED (
+            SELECT b.node, b.outdeg, b.n,
+                   {1.0 - PR_DAMPING} / CAST(b.n AS DOUBLE)
+                   + {PR_DAMPING} * (
+                       CAST(COALESCE(s.s, CAST(0 AS DECIMAL(38,18)))
+                            AS DOUBLE)
+                       + CAST((SELECT COALESCE(
+                                   SUM(CAST(pr AS DECIMAL(38,18))),
+                                   CAST(0 AS DECIMAL(38,18)))
+                               FROM {prev} WHERE outdeg = 0) AS DOUBLE)
+                         / CAST(b.n AS DOUBLE)
+                   ) AS pr
+            FROM {prev} b
+            LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(CAST(p.pr / CAST(p.outdeg AS DOUBLE)
+                                AS DECIMAL(38,18))) AS s
+                FROM edges e JOIN {prev} p ON e.src = p.node
+                GROUP BY e.dst
+            ) s ON b.node = s.node
+        ),
+        cd{k} AS (
+            SELECT {k} AS k,
+                   COALESCE(SUM(CAST(ABS(a.pr - b.pr)
+                                     AS DECIMAL(38,18))),
+                            CAST(0 AS DECIMAL(38,18))) AS delta
+            FROM {out} a JOIN {prev} b USING (node)
+        )
+    """
+
+
 #: Oracle unroll depth for k-core peeling: must be >= the number of
 #: peel rounds to convergence (heavy-tailed co-purchase graphs peel
 #: in a handful of rounds; 16 leaves margin). Extra rounds past
@@ -1166,6 +1230,48 @@ ORACLES = {
         {",".join(_pr_iter_sql(f"pr{i}", f"pr{i + 1}") for i in range(PR_ITERS))}
         SELECT node AS p_partkey, deg, pr
         FROM pr{PR_ITERS}
+        ORDER BY pr DESC, p_partkey
+        LIMIT 20
+    """,
+    # Round-6: iterate-to-epsilon expressed in one statement — fixed
+    # unroll + first-delta-below-eps selection (see _prc_iter_sql).
+    "graph_pagerank_converged": f"""
+        WITH {_EDGES_SQL},
+        allnodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+            )
+        ),
+        odeg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src
+        ),
+        cpr0 AS MATERIALIZED (
+            SELECT a.node,
+                   COALESCE(o.outdeg, 0) AS outdeg,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM allnodes) AS n,
+                   1.0 / CAST((SELECT COUNT(*) FROM allnodes) AS DOUBLE)
+                       AS pr
+            FROM allnodes a LEFT JOIN odeg o USING (node)
+        ),
+        {",".join(_prc_iter_sql(k) for k in range(1, PRC_ORACLE_UNROLL + 1))},
+        deltas AS (
+            {" UNION ALL ".join(f"SELECT k, delta FROM cd{k}" for k in range(1, PRC_ORACLE_UNROLL + 1))}
+        ),
+        kstar AS (
+            SELECT COALESCE(MIN(k), {PRC_ORACLE_UNROLL}) AS ks
+            FROM deltas WHERE CAST(delta AS DOUBLE) < {PR_EPS}
+        ),
+        prs AS (
+            {" UNION ALL ".join(f"SELECT {k} AS k, node, outdeg, pr FROM cpr{k}" for k in range(1, PRC_ORACLE_UNROLL + 1))}
+        )
+        SELECT p.node AS p_partkey,
+               p.outdeg,
+               floor(p.pr * 1e9) / 1e9 AS pr,
+               CAST(kstar.ks AS INT) AS n_iters
+        FROM prs p, kstar
+        WHERE p.k = kstar.ks
         ORDER BY pr DESC, p_partkey
         LIMIT 20
     """,
