@@ -97,6 +97,7 @@ HEADLINE = (
     "mm_video_decode_y4m",
     "mm_decode_router",
     "semdedup_prune",
+    "mm_image_decode_jpeg",
 )
 
 

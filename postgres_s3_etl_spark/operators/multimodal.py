@@ -1311,6 +1311,377 @@ def mm_video_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Real baseline JPEG (round-6): the "genuinely impossible" arm was
+#: only impossible for a LIBRARY decode — the ITU T.81 baseline
+#: process itself is stdlib+numpy territory. This codec is a real
+#: grayscale baseline JPEG: spec-legal JFIF structure (SOI/APP0/DQT/
+#: SOF0/DHT/SOS/EOI), canonical Huffman tables carried IN the file
+#: (custom small tables — legal baseline, any viewer opens these),
+#: byte-stuffed entropy stream, differential DC, run/size AC with
+#: EOB/ZRL, dequantization, full 2-D float IDCT. The synthetic
+#: images use constant 8x8 blocks with q_DC = 8, which the DCT
+#: quantizes LOSSLESSLY (DC = 8·(v−128), AC = 0), so the decode is
+#: exact and the SQL oracle recomputes pixel sums in closed form;
+#: pytest additionally drives the AC/ZRL/negative-coefficient paths
+#: with hand-built streams. Color (YCbCr + subsampling) and
+#: progressive JPEG remain out of scope — documented stubs.
+N_JPEG_ASSETS = 48
+
+#: Canonical Huffman spec (BITS counts per length 1..16, then symbol
+#: values) — DC: categories 0..11 all at length 4 (12 of the 16
+#: 4-bit codes; the all-ones code stays unused per T.81). AC: EOB,
+#: (run 0, sizes 1..4), (run 1, size 1), (run 2, size 1), ZRL — all
+#: at length 4 (8 codes).
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00, 0x01, 0x02, 0x03, 0x04, 0x11, 0x21, 0xF0]
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Quant table: q=8 everywhere — the DC entry makes constant blocks
+#: lossless (8·(v−128) / 8 = v−128 exactly); AC entries are moot for
+#: constant blocks and exercised by pytest's hand-built streams.
+_JPEG_QTABLE = [8] * 64
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict:
+    """symbol → (code, length) via T.81 Annex C code assignment."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit stream with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-pad
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    """DC/AC magnitude category: bit length of |v| (0 for v == 0)."""
+    return abs(v).bit_length()
+
+
+def encode_jpeg_gray(asset_id: int, w: int, h: int) -> bytes:
+    """A real grayscale baseline JFIF whose 8x8 blocks are constant:
+    pixel value of block (bx, by) is (29a + 7·bx + 13·by) % 256.
+    Constant blocks + q_DC = 8 make the lossy pipeline exact."""
+    import struct
+
+    assert w % 8 == 0 and h % 8 == 0
+    dc_huf = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huf = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = (29 * asset_id + 7 * bx + 13 * by) % 256
+            dc = v - 128  # quantized DC: 8·(v−128) / q_DC=8
+            diff = dc - prev_dc
+            prev_dc = dc
+            s = _jpeg_category(diff)
+            code, ln = dc_huf[s]
+            bw.write(code, ln)
+            if s:
+                bits = diff if diff >= 0 else diff + (1 << s) - 1
+                bw.write(bits, s)
+            code, ln = ac_huf[0x00]  # EOB — all ACs zero
+            bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # DQT body is zigzag-ordered per the spec; the table is uniform
+    # so the reorder is the identity.
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+def _idct_matrix():
+    """8-point DCT-III basis A[x, u] = 0.5·c(u)·cos((2x+1)uπ/16)."""
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+            a[x, u] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+def decode_jpeg_gray(payload: bytes):
+    """REAL baseline JPEG decode, stdlib+numpy only: marker walk,
+    DQT/DHT/SOF0/SOS parsing, canonical Huffman reconstruction from
+    the tables IN the file, byte-unstuffed MSB-first bit reading,
+    differential DC + run/size AC with EOB/ZRL, dezigzag,
+    dequantization, full 2-D IDCT, level shift + clamp. Returns an
+    (h, w) uint8 array, or None for anything that isn't a
+    single-component (grayscale) baseline JFIF — color/progressive
+    need a larger decoder and are the documented remaining stub.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    hufs: dict[tuple[int, int], dict] = {}
+    w = h = None
+    qsel = 0
+    dc_id = ac_id = 0
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + ln > len(payload):
+            return None
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT — possibly several tables
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 15
+                if pq != 0 or b + 65 > len(body):
+                    return None  # 16-bit precision unsupported
+                qtables[tq] = list(body[b + 1 : b + 65])
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1 or len(body) < 9:
+                return None  # grayscale baseline only
+            # component spec: id / sampling / quant-table selector
+            if body[7] != 0x11:
+                return None  # no subsampling for 1 component
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):  # other SOF processes
+            return None
+        elif marker == 0xC4:  # DHT — possibly several tables
+            b = 0
+            while b + 17 <= len(body):
+                tc, th = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                if len(vals) < nv:
+                    return None
+                hufs[(tc, th)] = _huff_canonical(bits, vals)
+                b += 17 + nv
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                return None
+            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start is None or w is None or not w or not h:
+        return None
+    if qsel not in qtables or (0, dc_id) not in hufs or (1, ac_id) not in hufs:
+        return None
+    q = np.array(qtables[qsel], dtype=np.float64)
+    dc_rev = {v: k for k, v in hufs[(0, dc_id)].items()}
+    ac_rev = {v: k for k, v in hufs[(1, ac_id)].items()}
+
+    # Byte-unstuff the entropy stream up to EOI.
+    data = bytearray()
+    p = scan_start
+    while p < len(payload):
+        byte = payload[p]
+        if byte == 0xFF:
+            if p + 1 >= len(payload):
+                return None
+            nxt = payload[p + 1]
+            if nxt == 0x00:
+                data.append(0xFF)
+                p += 2
+                continue
+            if nxt == 0xD9:
+                break
+            return None  # restart markers unsupported
+        data.append(byte)
+        p += 1
+
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_bit():
+        nonlocal bitpos
+        if bitpos >= nbits:
+            raise IndexError
+        b = (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+        bitpos += 1
+        return b
+
+    def read_huff(rev):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | read_bit()
+            ln += 1
+            sym = rev.get((code, ln))
+            if sym is not None:
+                return sym
+        raise IndexError
+
+    def read_extend(s):
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | read_bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    A = _idct_matrix()
+    zz = np.array(_JPEG_ZIGZAG)
+    bw_, bh_ = -(-w // 8), -(-h // 8)
+    out = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    prev_dc = 0
+    try:
+        for by in range(bh_):
+            for bx in range(bw_):
+                coef = np.zeros(64, dtype=np.float64)
+                s = read_huff(dc_rev)
+                prev_dc += read_extend(s)
+                coef[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = read_huff(ac_rev)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        return None
+                    coef[k] = read_extend(rs & 15)
+                    k += 1
+                f = np.zeros(64, dtype=np.float64)
+                f[zz] = coef * q  # both in zigzag order
+                block = A @ f.reshape(8, 8) @ A.T
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block + 128.0), 0, 255
+                ).astype(np.uint8)
+    except IndexError:
+        return None  # truncated entropy stream
+    return out[:h, :w]
+
+
+def synth_jpeg_media(spark: SparkSession, n: int = N_JPEG_ASSETS) -> DataFrame:
+    """n real grayscale baseline JPEGs with deterministic dims and
+    constant-block pixel pattern (lossless by construction)."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+        rows.append(
+            (i, "image", w, h, 0, bytearray(encode_jpeg_gray(i, w, h)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_JPEG_STATS_SCHEMA = (
+    "asset_id bigint, width int, height int, n_blocks int, "
+    "sum_px bigint, ssq_px bigint, row0_sum bigint"
+)
+
+
+def mm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL JPEG decode: synthesize valid grayscale
+    baseline JFIFs, decode them stdlib+numpy inside Arrow-batched
+    mapInPandas (Huffman + differential DC + dequant + IDCT), emit
+    exact int64 pixel stats, aggregate per asset. Constant 8x8
+    blocks with q_DC = 8 quantize losslessly, so the oracle
+    recomputes the sums from the closed-form block pattern — marker
+    parsing, canonical Huffman reconstruction, bit unstuffing, DC
+    prediction, and the IDCT's DC path are all value-checked
+    (``row0_sum`` is by-asymmetric to catch block-order bugs). The
+    AC/ZRL/negative-coefficient decode paths are driven by
+    hand-built streams in tests/test_jpeg_decode.py.
+
+    Scale: identical plumbing to the BMP/PNG decodes — payload bytes
+    never shuffle, 7 ints per asset cross to the JVM.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_jpeg_gray(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64)
+                out.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        (img.shape[0] // 8) * (img.shape[1] // 8),
+                        int(px.sum()),
+                        int((px * px).sum()),
+                        int(px[0, :].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "width", "height", "n_blocks",
+                "sum_px", "ssq_px", "row0_sum",
+            ],
+        )
+
+    media = synth_jpeg_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _JPEG_STATS_SCHEMA).orderBy("asset_id")
+
+
 N_MIXED_ASSETS = 64
 
 
@@ -1430,6 +1801,7 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "mm_image_decode_bmp": mm_image_decode_bmp,
+    "mm_image_decode_jpeg": mm_image_decode_jpeg,
     "mm_decode_router": mm_decode_router,
     "mm_image_decode_png": mm_image_decode_png,
     "mm_video_decode_y4m": mm_video_decode_y4m,
@@ -1743,6 +2115,33 @@ ORACLES: dict[str, str] = {
                SUM(sum_y) AS sum_y_sampled,
                SUM(CASE WHEN t = 0 THEN sum_y ELSE 0 END) AS f0_y_sum
         FROM frames
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    # Round-6: real baseline JPEG — constant 8x8 blocks quantize
+    # losslessly (q_DC = 8), so pixel sums are closed-form.
+    "mm_image_decode_jpeg": f"""
+        WITH assets AS (
+            SELECT i AS asset_id,
+                   2 + (i % 3) AS bw, 2 + (i % 2) AS bh
+            FROM generate_series(0, {N_JPEG_ASSETS - 1}) s(i)
+        ),
+        blocks AS (
+            SELECT a.asset_id, a.bw, a.bh, gx.bx, gy.by,
+                   (29 * a.asset_id + 7 * gx.bx + 13 * gy.by) % 256 AS v
+            FROM assets a
+            CROSS JOIN generate_series(0, 3) gx(bx)
+            CROSS JOIN generate_series(0, 2) gy(by)
+            WHERE gx.bx < a.bw AND gy.by < a.bh
+        )
+        SELECT asset_id,
+               CAST(MAX(bw) * 8 AS INTEGER) AS width,
+               CAST(MAX(bh) * 8 AS INTEGER) AS height,
+               CAST(COUNT(*) AS INTEGER) AS n_blocks,
+               SUM(v) * 64 AS sum_px,
+               SUM(v * v) * 64 AS ssq_px,
+               SUM(CASE WHEN by = 0 THEN v ELSE 0 END) * 8 AS row0_sum
+        FROM blocks
         GROUP BY asset_id
         ORDER BY asset_id
     """,
