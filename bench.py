@@ -98,6 +98,7 @@ HEADLINE = (
     "mm_decode_router",
     "semdedup_prune",
     "mm_image_decode_jpeg",
+    "mm_image_decode_jpeg_color",
 )
 
 

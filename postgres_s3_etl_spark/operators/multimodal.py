@@ -1454,15 +1454,17 @@ def _idct_matrix():
     return a
 
 
-def decode_jpeg_gray(payload: bytes):
+def decode_jpeg_baseline(payload: bytes):
     """REAL baseline JPEG decode, stdlib+numpy only: marker walk,
-    DQT/DHT/SOF0/SOS parsing, canonical Huffman reconstruction from
-    the tables IN the file, byte-unstuffed MSB-first bit reading,
-    differential DC + run/size AC with EOB/ZRL, dezigzag,
-    dequantization, full 2-D IDCT, level shift + clamp. Returns an
-    (h, w) uint8 array, or None for anything that isn't a
-    single-component (grayscale) baseline JFIF — color/progressive
-    need a larger decoder and are the documented remaining stub.
+    DQT/DHT/SOF0/SOS parsing (multiple quant/Huffman tables),
+    canonical Huffman reconstruction from the tables IN the file,
+    byte-unstuffed MSB-first bit reading, per-component differential
+    DC + run/size AC with EOB/ZRL, MCU-interleaved scan, dezigzag,
+    dequantization, full 2-D IDCT, level shift + clamp. Handles 1
+    component (grayscale) and 3 components at 4:4:4 (no
+    subsampling). Returns an (ncomp, h, w) uint8 array of component
+    planes, or None for anything else — subsampled/progressive JPEG
+    stays a documented stub (SOF2 and non-1x1 sampling → None).
     """
     import struct
 
@@ -1474,8 +1476,9 @@ def decode_jpeg_gray(payload: bytes):
     qtables: dict[int, list[int]] = {}
     hufs: dict[tuple[int, int], dict] = {}
     w = h = None
-    qsel = 0
-    dc_id = ac_id = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant selector)
+    scan_tables: dict[int, tuple[int, int]] = {}  # id -> (dc_id, ac_id)
+    scan_order: list[int] = []  # component ids in SOS order
     scan_start = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1497,12 +1500,15 @@ def decode_jpeg_gray(payload: bytes):
                 b += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1 or len(body) < 9:
-                return None  # grayscale baseline only
-            # component spec: id / sampling / quant-table selector
-            if body[7] != 0x11:
-                return None  # no subsampling for 1 component
-            qsel = body[8]
+            if prec != 8 or ncomp not in (1, 3):
+                return None
+            if len(body) < 6 + 3 * ncomp:
+                return None
+            for ci in range(ncomp):
+                cid = body[6 + 3 * ci]
+                if body[7 + 3 * ci] != 0x11:
+                    return None  # 4:4:4 / no subsampling only
+                comps.append((cid, body[8 + 3 * ci]))
         elif marker in (0xC1, 0xC2, 0xC3):  # other SOF processes
             return None
         elif marker == 0xC4:  # DHT — possibly several tables
@@ -1517,19 +1523,36 @@ def decode_jpeg_gray(payload: bytes):
                 hufs[(tc, th)] = _huff_canonical(bits, vals)
                 b += 17 + nv
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
+            ns = body[0]
+            if ns != len(comps) or ns not in (1, 3):
                 return None
-            dc_id, ac_id = body[2] >> 4, body[2] & 15
+            for si in range(ns):
+                cid = body[1 + 2 * si]
+                tb = body[2 + 2 * si]
+                scan_tables[cid] = (tb >> 4, tb & 15)
+                scan_order.append(cid)
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
-    if scan_start is None or w is None or not w or not h:
+    if scan_start is None or w is None or not w or not h or not comps:
         return None
-    if qsel not in qtables or (0, dc_id) not in hufs or (1, ac_id) not in hufs:
-        return None
-    q = np.array(qtables[qsel], dtype=np.float64)
-    dc_rev = {v: k for k, v in hufs[(0, dc_id)].items()}
-    ac_rev = {v: k for k, v in hufs[(1, ac_id)].items()}
+    comp_by_id = {cid: qsel for cid, qsel in comps}
+    plane_idx = {cid: i for i, (cid, _) in enumerate(comps)}
+    qs_, dcs_, acs_ = {}, {}, {}
+    for cid in scan_order:
+        if cid not in comp_by_id or cid not in scan_tables:
+            return None
+        qsel = comp_by_id[cid]
+        dc_id, ac_id = scan_tables[cid]
+        if (
+            qsel not in qtables
+            or (0, dc_id) not in hufs
+            or (1, ac_id) not in hufs
+        ):
+            return None
+        qs_[cid] = np.array(qtables[qsel], dtype=np.float64)
+        dcs_[cid] = {v: k for k, v in hufs[(0, dc_id)].items()}
+        acs_[cid] = {v: k for k, v in hufs[(1, ac_id)].items()}
 
     # Byte-unstuff the entropy stream up to EOI.
     data = bytearray()
@@ -1582,37 +1605,222 @@ def decode_jpeg_gray(payload: bytes):
     A = _idct_matrix()
     zz = np.array(_JPEG_ZIGZAG)
     bw_, bh_ = -(-w // 8), -(-h // 8)
-    out = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
-    prev_dc = 0
+    out = np.zeros((len(comps), bh_ * 8, bw_ * 8), dtype=np.uint8)
+    prev_dc = {cid: 0 for cid in scan_order}
     try:
+        # Interleaved MCU walk: at 1x1 sampling an MCU is one 8x8
+        # block per component, components in SOS order (T.81 A.2.3;
+        # a single-component scan degenerates to the plain walk).
         for by in range(bh_):
             for bx in range(bw_):
-                coef = np.zeros(64, dtype=np.float64)
-                s = read_huff(dc_rev)
-                prev_dc += read_extend(s)
-                coef[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = read_huff(ac_rev)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    if k > 63:
-                        return None
-                    coef[k] = read_extend(rs & 15)
-                    k += 1
-                f = np.zeros(64, dtype=np.float64)
-                f[zz] = coef * q  # both in zigzag order
-                block = A @ f.reshape(8, 8) @ A.T
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block + 128.0), 0, 255
-                ).astype(np.uint8)
+                for cid in scan_order:
+                    coef = np.zeros(64, dtype=np.float64)
+                    s = read_huff(dcs_[cid])
+                    prev_dc[cid] += read_extend(s)
+                    coef[0] = prev_dc[cid]
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(acs_[cid])
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            return None
+                        coef[k] = read_extend(rs & 15)
+                        k += 1
+                    f = np.zeros(64, dtype=np.float64)
+                    f[zz] = coef * qs_[cid]  # both in zigzag order
+                    block = A @ f.reshape(8, 8) @ A.T
+                    out[
+                        plane_idx[cid],
+                        by * 8 : by * 8 + 8,
+                        bx * 8 : bx * 8 + 8,
+                    ] = np.clip(np.round(block + 128.0), 0, 255).astype(
+                        np.uint8
+                    )
     except IndexError:
         return None  # truncated entropy stream
-    return out[:h, :w]
+    return out[:, :h, :w]
+
+
+def decode_jpeg_gray(payload: bytes):
+    """Grayscale view of :func:`decode_jpeg_baseline`: (h, w) uint8
+    array for single-component baseline JFIFs, else None."""
+    planes = decode_jpeg_baseline(payload)
+    if planes is None or planes.shape[0] != 1:
+        return None
+    return planes[0]
+
+
+def decode_jpeg_color(payload: bytes):
+    """Color view of :func:`decode_jpeg_baseline`: (3, h, w) uint8
+    YCbCr planes for 3-component 4:4:4 baseline JFIFs, else None.
+    RGB conversion is a separate explicit step (ycbcr_to_rgb) so the
+    exact integer YCbCr planes stay available for oracle checks."""
+    planes = decode_jpeg_baseline(payload)
+    if planes is None or planes.shape[0] != 3:
+        return None
+    return planes
+
+
+def ycbcr_to_rgb(planes):
+    """JFIF YCbCr → RGB (BT.601 full-range constants), rounded and
+    clamped — the standard conversion every JPEG viewer applies."""
+    import numpy as np
+
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b])), 0, 255
+    ).astype(np.uint8)
+
+
+N_JPEG_COLOR_ASSETS = 48
+
+#: Closed-form per-block component constants for the color assets
+#: (mirrored by the SQL oracle): asymmetric in bx/by per plane so a
+#: plane swap or MCU-order bug breaks the value hash.
+_JPEG_COLOR_PLANES = (
+    ("y", 23, 5, 7),
+    ("cb", 11, 3, 2),
+    ("cr", 19, 2, 3),
+)
+
+
+def encode_jpeg_color(asset_id: int, w: int, h: int) -> bytes:
+    """A real 3-component 4:4:4 baseline JFIF with constant 8x8
+    blocks per plane: component value of block (bx, by) is
+    (ka·a + kx·bx + ky·by) % 256 per _JPEG_COLOR_PLANES. Uses TWO
+    quant tables (0 = luma, 1 = chroma; both uniform 8 so constant
+    blocks stay lossless) and TWO Huffman table pairs, so the
+    multi-table DQT/DHT parse paths carry real weight. Scan is
+    MCU-interleaved Y, Cb, Cr with independent DC predictors."""
+    import struct
+
+    assert w % 8 == 0 and h % 8 == 0
+    dc_huf = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huf = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev = {0: 0, 1: 0, 2: 0}
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for ci, (_, ka, kx, ky) in enumerate(_JPEG_COLOR_PLANES):
+                v = (ka * asset_id + kx * bx + ky * by) % 256
+                dc = v - 128
+                diff = dc - prev[ci]
+                prev[ci] = dc
+                s = _jpeg_category(diff)
+                code, ln = dc_huf[s]
+                bw.write(code, ln)
+                if s:
+                    bits = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw.write(bits, s)
+                code, ln = ac_huf[0x00]
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(
+        0xFFDB,
+        bytes([0x00]) + bytes(_JPEG_QTABLE)
+        + bytes([0x01]) + bytes(_JPEG_QTABLE),
+    )
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0])   # Y  → quant table 0
+        + bytes([2, 0x11, 1])   # Cb → quant table 1
+        + bytes([3, 0x11, 1]),  # Cr → quant table 1
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+def synth_jpeg_color_media(
+    spark: SparkSession, n: int = N_JPEG_COLOR_ASSETS
+) -> DataFrame:
+    """n real 4:4:4 color baseline JPEGs, deterministic planes."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+        rows.append(
+            (i, "image", w, h, 0, bytearray(encode_jpeg_color(i, w, h)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_JPEG_COLOR_STATS_SCHEMA = (
+    "asset_id bigint, width int, height int, n_blocks int, "
+    "sum_y bigint, sum_cb bigint, sum_cr bigint, ssq_y bigint, "
+    "row0_y_sum bigint"
+)
+
+
+def mm_image_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL color JPEG decode: 3-component 4:4:4 baseline
+    JFIFs with two quant tables, two Huffman pairs, and an
+    interleaved Y/Cb/Cr MCU scan with independent DC predictors —
+    decoded by the same stdlib+numpy decoder inside Arrow-batched
+    mapInPandas. Constant per-plane blocks quantize losslessly, so
+    the oracle recomputes exact YCbCr integer sums in closed form
+    (plane constants are asymmetric so a plane swap or MCU-order bug
+    breaks the hash). The YCbCr→RGB conversion is value-checked in
+    pytest (numpy-only — float round conventions differ between
+    engines, so RGB stays out of the cross-engine hash on purpose).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                planes = decode_jpeg_color(bytes(payload))
+                if planes is None:
+                    continue
+                px = planes.astype(np.int64)
+                h, w = px.shape[1], px.shape[2]
+                out.append(
+                    (
+                        int(aid), w, h, (h // 8) * (w // 8),
+                        int(px[0].sum()), int(px[1].sum()),
+                        int(px[2].sum()), int((px[0] * px[0]).sum()),
+                        int(px[0][0, :].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "width", "height", "n_blocks",
+                "sum_y", "sum_cb", "sum_cr", "ssq_y", "row0_y_sum",
+            ],
+        )
+
+    media = synth_jpeg_color_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _JPEG_COLOR_STATS_SCHEMA).orderBy(
+        "asset_id"
+    )
 
 
 def synth_jpeg_media(spark: SparkSession, n: int = N_JPEG_ASSETS) -> DataFrame:
@@ -1802,6 +2010,7 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_image_decode_jpeg": mm_image_decode_jpeg,
+    "mm_image_decode_jpeg_color": mm_image_decode_jpeg_color,
     "mm_decode_router": mm_decode_router,
     "mm_image_decode_png": mm_image_decode_png,
     "mm_video_decode_y4m": mm_video_decode_y4m,
@@ -2141,6 +2350,37 @@ ORACLES: dict[str, str] = {
                SUM(v) * 64 AS sum_px,
                SUM(v * v) * 64 AS ssq_px,
                SUM(CASE WHEN by = 0 THEN v ELSE 0 END) * 8 AS row0_sum
+        FROM blocks
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    # Round-6: 4:4:4 color baseline JPEG — per-plane constant blocks
+    # quantize losslessly; exact YCbCr sums in closed form.
+    "mm_image_decode_jpeg_color": f"""
+        WITH assets AS (
+            SELECT i AS asset_id,
+                   2 + (i % 3) AS bw, 2 + (i % 2) AS bh
+            FROM generate_series(0, {N_JPEG_COLOR_ASSETS - 1}) s(i)
+        ),
+        blocks AS (
+            SELECT a.asset_id, a.bw, a.bh, gx.bx, gy.by,
+                   (23 * a.asset_id + 5 * gx.bx + 7 * gy.by) % 256 AS y,
+                   (11 * a.asset_id + 3 * gx.bx + 2 * gy.by) % 256 AS cb,
+                   (19 * a.asset_id + 2 * gx.bx + 3 * gy.by) % 256 AS cr
+            FROM assets a
+            CROSS JOIN generate_series(0, 3) gx(bx)
+            CROSS JOIN generate_series(0, 2) gy(by)
+            WHERE gx.bx < a.bw AND gy.by < a.bh
+        )
+        SELECT asset_id,
+               CAST(MAX(bw) * 8 AS INTEGER) AS width,
+               CAST(MAX(bh) * 8 AS INTEGER) AS height,
+               CAST(COUNT(*) AS INTEGER) AS n_blocks,
+               SUM(y) * 64 AS sum_y,
+               SUM(cb) * 64 AS sum_cb,
+               SUM(cr) * 64 AS sum_cr,
+               SUM(y * y) * 64 AS ssq_y,
+               SUM(CASE WHEN by = 0 THEN y ELSE 0 END) * 8 AS row0_y_sum
         FROM blocks
         GROUP BY asset_id
         ORDER BY asset_id

@@ -50,7 +50,14 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
         8 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # Local-mode heap: the driver JVM IS the executor, so this is the
+    # whole cluster's memory. 16g OOMed the round-6 sf10 spot-check
+    # (graph_triangle_count's O(E) edge checkpoint + shuffle pressure
+    # at ~120M edges, java.lang.OutOfMemoryError in localCheckpoint);
+    # 48g matches the documented 128 GiB host with headroom for the
+    # OS and the DuckDB oracle process. On a real cluster this knob
+    # is per-executor and set by spark-submit, not here.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     "spark.ui.enabled": "false",
 }
 

@@ -224,3 +224,92 @@ def test_jpeg_query_shape(spark):
     assert r0["sum_px"] == int(exp.sum())
     assert r0["ssq_px"] == int((exp * exp).sum())
     assert r0["row0_sum"] == int(exp[0, :].sum())
+
+
+class TestColor:
+    def test_color_round_trip_exact(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _JPEG_COLOR_PLANES,
+            decode_jpeg_color,
+            encode_jpeg_color,
+        )
+
+        for a in (0, 1, 7, 29, 47):
+            w, h = 16 + 8 * (a % 3), 16 + 8 * (a % 2)
+            planes = decode_jpeg_color(encode_jpeg_color(a, w, h))
+            assert planes is not None and planes.shape == (3, h, w)
+            for ci, (_, ka, kx, ky) in enumerate(_JPEG_COLOR_PLANES):
+                exp = np.zeros((h, w), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        exp[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (
+                            ka * a + kx * bx + ky * by
+                        ) % 256
+                np.testing.assert_array_equal(planes[ci], exp, err_msg=str(ci))
+
+    def test_rgb_conversion_matches_reference(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_jpeg_color,
+            encode_jpeg_color,
+            ycbcr_to_rgb,
+        )
+
+        planes = decode_jpeg_color(encode_jpeg_color(5, 16, 16))
+        rgb = ycbcr_to_rgb(planes)
+        # Independent scalar conversion of a handful of pixels.
+        for (yy, xx) in ((0, 0), (3, 9), (15, 15), (8, 1)):
+            y = float(planes[0][yy, xx])
+            cb = float(planes[1][yy, xx]) - 128.0
+            cr = float(planes[2][yy, xx]) - 128.0
+            exp = [y + 1.402 * cr,
+                   y - 0.344136 * cb - 0.714136 * cr,
+                   y + 1.772 * cb]
+            for c in range(3):
+                v = min(255, max(0, round(exp[c])))
+                assert abs(int(rgb[c][yy, xx]) - v) <= 1  # round ties
+            # exact check when nowhere near a .5 tie
+            for c in range(3):
+                frac = abs(exp[c] - np.floor(exp[c]) - 0.5)
+                if frac > 1e-6 and 0 <= exp[c] <= 255:
+                    assert int(rgb[c][yy, xx]) == int(np.round(exp[c]))
+
+    def test_gray_decoder_rejects_color_and_vice_versa(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_jpeg_color,
+            decode_jpeg_gray,
+            encode_jpeg_color,
+        )
+
+        raw_color = encode_jpeg_color(0, 16, 16)
+        assert decode_jpeg_gray(raw_color) is None
+        raw_gray = encode_jpeg_gray(0, 16, 16)
+        assert decode_jpeg_color(raw_gray) is None
+
+    def test_subsampled_color_rejected(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_jpeg_color,
+            encode_jpeg_color,
+        )
+
+        raw = bytearray(encode_jpeg_color(0, 16, 16))
+        i = raw.find(b"\xff\xc0")
+        # set Y sampling to 2x2 (4:2:0) — decoder must reject loudly
+        raw[i + 4 + 7] = 0x22
+        assert decode_jpeg_color(bytes(raw)) is None
+
+    def test_color_query_shape(self, spark):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            N_JPEG_COLOR_ASSETS,
+            mm_image_decode_jpeg_color,
+        )
+
+        rows = mm_image_decode_jpeg_color(spark, "").collect()
+        assert len(rows) == N_JPEG_COLOR_ASSETS
+        r = {x["asset_id"]: x for x in rows}[2]
+        w, h = 16 + 8 * (2 % 3), 16 + 8 * (2 % 2)
+        assert (r["width"], r["height"]) == (w, h)
+        nb = (w // 8) * (h // 8)
+        assert r["n_blocks"] == nb
+        ys = sum((23 * 2 + 5 * bx + 7 * by) % 256
+                 for by in range(h // 8) for bx in range(w // 8))
+        assert r["sum_y"] == 64 * ys
