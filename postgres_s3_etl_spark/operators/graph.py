@@ -73,6 +73,33 @@ _EDGES_SQL = """
 """
 
 
+#: Below this fact-table size the per-round edge shuffle is cheaper
+#: than materializing a persisted hash layout (extra repartition +
+#: cache-write pass, then per-round cached scans): measured at
+#: sf0.1 (600k rows) persist made components 3.5 → 7.6-9.7 s, while
+#: at sf1 (6M rows) it took 47 → 25 s. The crossover sits between.
+ITER_LAYOUT_MIN_ROWS = 2_000_000
+
+
+def _iter_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Layout decision for iterative-join edge frames: 0 → stay on
+    the localCheckpoint path (small graph — per-round shuffles are
+    cheaper than building a cached layout); otherwise the partition
+    count for a persisted hash-partitioned layout (~400k fact rows
+    per partition, clamped to [1×, 8×] parallelism) that lets every
+    round's sort-merge join reuse the cached distribution and
+    shuffle only the small iterating side. Sizing reads the parquet
+    footer row count — no column scan."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        rows = load_table(spark, sf_dir, "lineitem").count()
+    except Exception:
+        return 0
+    if rows < ITER_LAYOUT_MIN_ROWS:
+        return 0
+    return max(par, min(8 * par, int(rows // 400_000) or 1))
+
+
 def _degrees(edges: DataFrame) -> DataFrame:
     """(node, deg) over the undirected edge list."""
     return (
@@ -234,6 +261,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (not persist) so the per-iteration reuse reads
     # an AQE-coalesced materialization instead of recomputing the
     # pair join — and instead of pinning pre-AQE shuffle layouts.
+    # (The persisted-hash-layout trick that helps graph_components'
+    # many-round loop was A/B-tested here and did NOT reproduce a
+    # win for this FIXED-3-round loop — the materialization pass
+    # costs about what three edge shuffles cost.)
     sym = (
         edges.select("src", "dst")
         .unionAll(
@@ -446,9 +477,22 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface as a visible hash FAIL.
     """
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    # Persist the symmetric edges hash-partitioned on the per-round
+    # join key (see graph_pagerank's sym note: persist preserves the
+    # layout, localCheckpoint doesn't) — each propagation round then
+    # shuffles only the label frame (N rows), not 2|E| edges.
+    # Measured at sf1: 47 → 25 s best-of-2; the round-6 sf10 run had
+    # flagged this operator's α(1→10) = 1.17 as the one super-linear
+    # row, and the per-round edge re-shuffle was exactly the excess.
+    n_part = _iter_partitions(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    )
+    if n_part:
+        sym = sym.repartition(n_part, "src").persist()
+        sym.count()  # materialize the partitioned layout once
+    else:
+        sym = sym.localCheckpoint()  # small graph: shuffles are cheap
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
