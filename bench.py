@@ -99,6 +99,8 @@ HEADLINE = (
     "semdedup_prune",
     "mm_image_decode_jpeg",
     "mm_image_decode_jpeg_color",
+    "mm_video_scene_cuts",
+    "mm_audio_silence_trim",
 )
 
 

@@ -1682,6 +1682,231 @@ def ycbcr_to_rgb(planes):
     ).astype(np.uint8)
 
 
+#: Silence-trim feed: real PCM WAVs with explicit leading/trailing
+#: zero-sample pads around the closed-form body pattern.
+N_TRIM_ASSETS = 48
+#: |sample| must exceed this to count as signal; the pattern body
+#: ranges ±100, so near-zero body samples shift the trim inward —
+#: both engines apply the identical rule, so the boundary is
+#: parity-checked, not assumed.
+SILENCE_EPS = 2
+
+
+def encode_wav_padded(asset_id: int, lead: int, body: int, tail: int) -> bytes:
+    """A real mono 16-bit PCM WAV: ``lead`` zero samples, ``body``
+    closed-form pattern samples (indexed by ABSOLUTE position k, so
+    the oracle needs no offset bookkeeping), ``tail`` zeros."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n = lead + body + tail
+    s = np.zeros(n, dtype="<i2")
+    for k in range(lead, lead + body):
+        s[k] = _wav_sample(asset_id, k)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def synth_padded_wav_media(
+    spark: SparkSession, n: int = N_TRIM_ASSETS
+) -> DataFrame:
+    """n real padded WAV assets with deterministic pad/body sizes."""
+    rows = []
+    for i in range(n):
+        lead, body, tail = 40 + 10 * (i % 5), 400 + 10 * i, 30 + 10 * (i % 4)
+        ns = lead + body + tail
+        rows.append(
+            (i, "audio", 0, 0, ns * 1000 // WAV_RATE,
+             bytearray(encode_wav_padded(i, lead, body, tail)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _wav_read_samples(payload: bytes):
+    """Mono 16-bit PCM samples as an int64 numpy array, or None."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            return None
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio silence trimming — the first preprocessing step of
+    every speech/audio training pipeline: decode genuine PCM WAVs,
+    find the first and last sample with |s| > SILENCE_EPS, and
+    report exact integer trim bounds + trimmed-span energy per
+    asset. The oracle regenerates the padded closed-form sample
+    streams in SQL and applies the identical rule, so container
+    parsing, sample decode, and the trim boundary (including body
+    samples that fall inside the epsilon band and shift it) are all
+    value-checked.
+
+    Scale: payload bytes never shuffle; 5 ints per asset cross the
+    Arrow boundary.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = _wav_read_samples(bytes(payload))
+                if s is None:
+                    continue
+                loud = np.flatnonzero(np.abs(s) > SILENCE_EPS)
+                if len(loud):
+                    first, last = int(loud[0]), int(loud[-1])
+                    span = s[first : last + 1]
+                    out.append(
+                        (
+                            int(aid), len(s), first, last,
+                            last - first + 1,
+                            int((span * span).sum()),
+                        )
+                    )
+                else:
+                    out.append((int(aid), len(s), -1, -1, 0, 0))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "n_samples", "first_loud", "last_loud",
+                "trimmed_len", "trimmed_ssq",
+            ],
+        )
+
+    media = synth_padded_wav_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, n_samples bigint, first_loud bigint, "
+        "last_loud bigint, trimmed_len bigint, trimmed_ssq bigint",
+    ).orderBy("asset_id")
+
+
+#: Scene-cut detection feed: y4m streams whose plane pattern JUMPS
+#: at a per-asset cut frame (the closed-form constant shifts by
+#: +1000), so consecutive-frame SAD is small within a scene (the
+#: pattern drifts +11/frame mod 256) and large across the cut.
+N_SCENE_ASSETS = 48
+SCENE_SHIFT = 1000
+#: Per-pixel SAD threshold: within-scene average ≈ 21 (drift 11
+#: plus wraparound), cross-scene average ≈ 85 (independent mod-256
+#: patterns) — 50 separates them with margin. Applied identically
+#: in the oracle, so the flag is engine-parity-checked either way.
+SCENE_CUT_TAU_PER_PX = 50
+
+
+def encode_y4m_scenes(
+    asset_id: int, w: int, h: int, n_frames: int, cut_at: int
+) -> bytes:
+    """A real YUV4MPEG2 stream with a hard scene change: frames
+    before ``cut_at`` use the closed-form planes of ``asset_id``,
+    frames at/after use ``asset_id + SCENE_SHIFT``."""
+    import numpy as np
+
+    parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    for t in range(n_frames):
+        aa = asset_id + (SCENE_SHIFT if t >= cut_at else 0)
+        yp, up, vp = _y4m_planes(aa, w, h, t)
+        parts.append(
+            b"FRAME\n"
+            + yp.astype(np.uint8).tobytes()
+            + up.astype(np.uint8).tobytes()
+            + vp.astype(np.uint8).tobytes()
+        )
+    return b"".join(parts)
+
+
+def synth_scene_media(
+    spark: SparkSession, n: int = N_SCENE_ASSETS
+) -> DataFrame:
+    """n real y4m streams, each with one scene cut at 2 + i % 3."""
+    rows = []
+    for i in range(n):
+        w, h, nf = 12 + i % 6, 8 + i % 4, 6 + i % 5
+        rows.append(
+            (i, "video", w, h, nf * Y4M_FRAME_MS,
+             bytearray(encode_y4m_scenes(i, w, h, nf, 2 + i % 3)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video scene-cut detection — the segmentation step a
+    video training pipeline runs before per-scene frame sampling:
+    decode genuine y4m streams, compute the exact integer
+    sum-of-absolute-differences (SAD) of consecutive Y planes inside
+    Arrow-batched mapInPandas, and flag pairs whose SAD exceeds
+    SCENE_CUT_TAU_PER_PX per pixel. Per-asset rollup (JVM-side):
+    pair count, detected cuts, first cut index, exact total SAD.
+    The oracle recomputes every SAD from the closed-form plane
+    patterns — the decode, the consecutive-pair walk, and the
+    threshold rule are all value-checked.
+
+    Scale: payload bytes never shuffle; 3 ints per frame pair cross
+    the Arrow boundary; the rollup is a codegen aggregate.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_y4m(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, frames = decoded
+                tau = SCENE_CUT_TAU_PER_PX * w * h
+                for t in range(1, len(frames)):
+                    sad = int(
+                        np.abs(
+                            frames[t][0].astype(np.int64)
+                            - frames[t - 1][0].astype(np.int64)
+                        ).sum()
+                    )
+                    out.append(
+                        (int(aid), len(frames), t, sad, int(sad > tau))
+                    )
+        yield pd.DataFrame(
+            out,
+            columns=["asset_id", "n_frames", "t", "sad", "is_cut"],
+        )
+
+    media = synth_scene_media(spark).select("asset_id", "payload")
+    pairs = media.mapInPandas(
+        batches,
+        "asset_id bigint, n_frames int, t int, sad bigint, is_cut int",
+    )
+    return (
+        pairs.groupBy("asset_id")
+        .agg(
+            F.max("n_frames").alias("n_frames"),
+            F.count(F.lit(1)).cast("int").alias("n_pairs"),
+            F.sum("is_cut").cast("int").alias("n_cuts"),
+            F.coalesce(
+                F.min(F.when(F.col("is_cut") == 1, F.col("t"))),
+                F.lit(-1),
+            ).cast("int").alias("first_cut_t"),
+            F.sum("sad").alias("total_sad"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 N_JPEG_COLOR_ASSETS = 48
 
 #: Closed-form per-block component constants for the color assets
@@ -2011,6 +2236,8 @@ QUERIES = {
     "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_image_decode_jpeg": mm_image_decode_jpeg,
     "mm_image_decode_jpeg_color": mm_image_decode_jpeg_color,
+    "mm_video_scene_cuts": mm_video_scene_cuts,
+    "mm_audio_silence_trim": mm_audio_silence_trim,
     "mm_decode_router": mm_decode_router,
     "mm_image_decode_png": mm_image_decode_png,
     "mm_video_decode_y4m": mm_video_decode_y4m,
@@ -2351,6 +2578,98 @@ ORACLES: dict[str, str] = {
                SUM(v * v) * 64 AS ssq_px,
                SUM(CASE WHEN by = 0 THEN v ELSE 0 END) * 8 AS row0_sum
         FROM blocks
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    # Round-6: silence trim — the padded sample stream regenerated
+    # in SQL (zeros outside [lead, lead+body), pattern inside,
+    # indexed by absolute k), identical |s| > eps rule.
+    "mm_audio_silence_trim": f"""
+        WITH assets AS (
+            SELECT i AS asset_id,
+                   40 + 10 * (i % 5) AS lead,
+                   400 + 10 * i AS body,
+                   30 + 10 * (i % 4) AS tail
+            FROM generate_series(0, {N_TRIM_ASSETS - 1}) s(i)
+        ),
+        samples AS (
+            SELECT a.asset_id, a.lead + a.body + a.tail AS n, k.k,
+                   CASE WHEN k.k < a.lead OR k.k >= a.lead + a.body
+                        THEN 0
+                        ELSE ((7 * a.asset_id + 13 * k.k) % 201) - 100
+                   END AS s
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {40 + 40 + 400 + 10 * (N_TRIM_ASSETS - 1) + 60 - 1}) k(k)
+            WHERE k.k < a.lead + a.body + a.tail
+        ),
+        bounds AS (
+            SELECT asset_id, MAX(n) AS n_samples,
+                   COALESCE(MIN(CASE WHEN ABS(s) > {SILENCE_EPS}
+                                     THEN k END), -1) AS first_loud,
+                   COALESCE(MAX(CASE WHEN ABS(s) > {SILENCE_EPS}
+                                     THEN k END), -1) AS last_loud
+            FROM samples GROUP BY asset_id
+        )
+        SELECT b.asset_id,
+               CAST(b.n_samples AS BIGINT) AS n_samples,
+               CAST(b.first_loud AS BIGINT) AS first_loud,
+               CAST(b.last_loud AS BIGINT) AS last_loud,
+               CAST(CASE WHEN b.first_loud >= 0
+                         THEN b.last_loud - b.first_loud + 1
+                         ELSE 0 END AS BIGINT) AS trimmed_len,
+               CAST(COALESCE(SUM(CASE WHEN s.k BETWEEN b.first_loud
+                                           AND b.last_loud
+                                      THEN s.s * s.s ELSE 0 END), 0)
+                    AS BIGINT) AS trimmed_ssq
+        FROM bounds b JOIN samples s USING (asset_id)
+        GROUP BY b.asset_id, b.n_samples, b.first_loud, b.last_loud
+        ORDER BY b.asset_id
+    """,
+    # Round-6: scene-cut detection — exact consecutive-frame Y-plane
+    # SADs recomputed from the closed-form patterns with the scene
+    # shift applied per side of the cut; threshold rule mirrored.
+    "mm_video_scene_cuts": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 12 + i % 6 AS w, 8 + i % 4 AS h,
+                   6 + i % 5 AS nf, 2 + i % 3 AS cut
+            FROM generate_series(0, {N_SCENE_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.nf, a.w, a.h, t.t,
+                   ABS(
+                     ((3 * (a.asset_id + CASE WHEN t.t >= a.cut
+                            THEN {SCENE_SHIFT} ELSE 0 END)
+                       + 5 * gx.x + 7 * gy.y + 11 * t.t) % 256)
+                     -
+                     ((3 * (a.asset_id + CASE WHEN t.t - 1 >= a.cut
+                            THEN {SCENE_SHIFT} ELSE 0 END)
+                       + 5 * gx.x + 7 * gy.y + 11 * (t.t - 1)) % 256)
+                   ) AS ad
+            FROM assets a
+            CROSS JOIN generate_series(1, {6 + 4 - 1}) t(t)
+            CROSS JOIN generate_series(0, {12 + 5 - 1}) gx(x)
+            CROSS JOIN generate_series(0, {8 + 3 - 1}) gy(y)
+            WHERE t.t < a.nf AND gx.x < a.w AND gy.y < a.h
+        ),
+        pairs AS (
+            SELECT asset_id, nf, w, h, t, SUM(ad) AS sad
+            FROM px GROUP BY asset_id, nf, w, h, t
+        ),
+        flagged AS (
+            SELECT asset_id, nf, t, sad,
+                   CASE WHEN sad > {SCENE_CUT_TAU_PER_PX} * w * h
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM pairs
+        )
+        SELECT asset_id,
+               CAST(MAX(nf) AS INTEGER) AS n_frames,
+               CAST(COUNT(*) AS INTEGER) AS n_pairs,
+               CAST(SUM(is_cut) AS INTEGER) AS n_cuts,
+               CAST(COALESCE(MIN(CASE WHEN is_cut = 1 THEN t END), -1)
+                    AS INTEGER) AS first_cut_t,
+               SUM(sad) AS total_sad
+        FROM flagged
         GROUP BY asset_id
         ORDER BY asset_id
     """,

@@ -814,3 +814,57 @@ def test_decode_router_routes_and_skips(spark, duck):
         for t in range(4 + i % 5)
     )
     assert_matches_oracle(spark, duck, "mm_decode_router")
+
+
+def test_scene_cut_detection_finds_planted_cuts(spark, duck):
+    """mm_video_scene_cuts: every asset's planted scene change (at
+    2 + i % 3) is detected exactly once — within-scene drift never
+    crosses the threshold, the cross-scene jump always does."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_SCENE_ASSETS,
+        mm_video_scene_cuts,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    rows = {r.asset_id: r for r in mm_video_scene_cuts(spark, "unused").collect()}
+    assert len(rows) == N_SCENE_ASSETS
+    for aid, r in rows.items():
+        nf = 6 + aid % 5
+        assert r.n_frames == nf
+        assert r.n_pairs == nf - 1
+        assert r.n_cuts == 1, (aid, r)
+        assert r.first_cut_t == 2 + aid % 3
+        assert r.total_sad > 0
+    assert_matches_oracle(spark, duck, "mm_video_scene_cuts")
+
+
+def test_silence_trim_bounds_match_construction(spark, duck):
+    """mm_audio_silence_trim: trim bounds respect the planted pads —
+    first_loud lands at/after the lead pad (inward only if the body
+    edge falls inside the eps band), numpy recomputation agrees."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_TRIM_ASSETS,
+        SILENCE_EPS,
+        _wav_sample,
+        mm_audio_silence_trim,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    rows = {r.asset_id: r for r in mm_audio_silence_trim(spark, "unused").collect()}
+    assert len(rows) == N_TRIM_ASSETS
+    for aid, r in rows.items():
+        lead, body, tail = 40 + 10 * (aid % 5), 400 + 10 * aid, 30 + 10 * (aid % 4)
+        n = lead + body + tail
+        s = np.zeros(n, dtype=np.int64)
+        for k in range(lead, lead + body):
+            s[k] = _wav_sample(aid, k)
+        loud = np.flatnonzero(np.abs(s) > SILENCE_EPS)
+        assert r.n_samples == n
+        assert r.first_loud == loud[0] and r.last_loud == loud[-1]
+        assert lead <= r.first_loud < lead + body
+        assert r.trimmed_len == loud[-1] - loud[0] + 1
+        span = s[loud[0] : loud[-1] + 1]
+        assert r.trimmed_ssq == int((span * span).sum())
+    assert_matches_oracle(spark, duck, "mm_audio_silence_trim")
