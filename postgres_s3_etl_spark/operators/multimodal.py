@@ -2119,32 +2119,38 @@ N_MIXED_ASSETS = 64
 
 
 def synth_mixed_media(spark: SparkSession, n: int = N_MIXED_ASSETS) -> DataFrame:
-    """A mixed-format feed like a real ingest sees: BMP images, PCM
-    WAV audio, and y4m video interleaved by i % 3 — plus every
-    (i % 10 == 9)-th asset an UNDECODABLE opaque payload labelled
-    'image' (the JPEG-class stand-in: right metadata, no stdlib
-    codec), so the router's skip path is exercised in-band."""
+    """A mixed-format feed like a real ingest sees: BMP and baseline
+    JPEG images, PCM WAV audio, and y4m video interleaved by i % 4 —
+    plus every (i % 10 == 9)-th asset an UNDECODABLE opaque payload
+    labelled 'video' (the H.264-class stand-in: right metadata, no
+    stdlib codec), so the router's skip path is exercised in-band."""
     rows = []
     for i in range(n):
         if i % 10 == 9:
             payload = hashlib.sha256(f"junk-{i}".encode()).digest() * 4
-            rows.append((i, "image", 0, 0, 0, bytearray(payload)))
-        elif i % 3 == 0:
+            rows.append((i, "video", 0, 0, 0, bytearray(payload)))
+        elif i % 4 == 0:
             w, h = 16 + i % 8, 12 + i % 5
             rows.append(
                 (i, "image", w, h, 0, bytearray(encode_bmp24(i, w, h)))
             )
-        elif i % 3 == 1:
+        elif i % 4 == 1:
             ns = 1000 + 10 * i
             rows.append(
                 (i, "audio", 0, 0, ns * 1000 // WAV_RATE,
                  bytearray(encode_wav(i, ns)))
             )
-        else:
+        elif i % 4 == 2:
             w, h, nf = 12 + i % 6, 8 + i % 4, 4 + i % 5
             rows.append(
                 (i, "video", w, h, nf * Y4M_FRAME_MS,
                  bytearray(encode_y4m(i, w, h, nf)))
+            )
+        else:
+            w, h = 16 + 8 * (i % 3), 16 + 8 * (i % 2)
+            rows.append(
+                (i, "image", w, h, 0,
+                 bytearray(encode_jpeg_gray(i, w, h)))
             )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -2152,16 +2158,16 @@ def synth_mixed_media(spark: SparkSession, n: int = N_MIXED_ASSETS) -> DataFrame
 def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production decode front-door: ONE Arrow-batched
     mapInPandas pass that sniffs each payload's magic bytes and
-    routes to the matching REAL stdlib codec — BMP → decode_bmp24,
-    RIFF/WAVE → wave, YUV4MPEG2 → decode_y4m — emitting per-asset
-    exact integer content stats (units = pixels / samples /
-    frame-pixels; main = Σ(r+g+b) / Σs² / ΣY). Unrecognized formats
-    (the JPEG/H.264 arm no stdlib codec can open) are SKIPPED and
-    counted, never crash the task and never get fake features —
-    this query retires the digest-fake pattern for every decodable
-    format. The oracle recomputes every sum from the closed-form
-    pixel/sample/plane patterns and the skip counts from the feed's
-    construction rule.
+    routes to the matching REAL stdlib codec — BM → decode_bmp24,
+    FFD8 → decode_jpeg_gray (round-6: the baseline-JPEG arm became
+    real and joined the router), RIFF/WAVE → wave, YUV4MPEG2 →
+    decode_y4m — emitting per-asset exact integer content stats
+    (units = pixels / samples / frame-pixels; main = Σ(r+g+b) /
+    Σpx / Σs² / ΣY). Unrecognized formats (the H.264-class arm no
+    stdlib codec can open) are SKIPPED and counted, never crash the
+    task and never get fake features. The oracle recomputes every
+    sum from the closed-form pixel/sample/plane/block patterns and
+    the skip counts from the feed's construction rule.
 
     Scale: format dispatch is per-row inside the batch (no
     per-format shuffle or re-scan); payload bytes never leave the
@@ -2181,6 +2187,12 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                 decoded, units, main = 0, 0, 0
                 if p[:2] == b"BM":
                     img = decode_bmp24(p)
+                    if img is not None:
+                        decoded = 1
+                        units = img.shape[0] * img.shape[1]
+                        main = int(img.astype(np.int64).sum())
+                elif p[:2] == b"\xff\xd8":
+                    img = decode_jpeg_gray(p)
                     if img is not None:
                         decoded = 1
                         units = img.shape[0] * img.shape[1]
@@ -2710,9 +2722,10 @@ ORACLES: dict[str, str] = {
         WITH ids AS (
             SELECT i,
                    CASE WHEN i % 10 = 9 THEN 'junk'
-                        WHEN i % 3 = 0 THEN 'bmp'
-                        WHEN i % 3 = 1 THEN 'wav'
-                        ELSE 'y4m' END AS kind
+                        WHEN i % 4 = 0 THEN 'bmp'
+                        WHEN i % 4 = 1 THEN 'wav'
+                        WHEN i % 4 = 2 THEN 'y4m'
+                        ELSE 'jpeg' END AS kind
             FROM generate_series(0, {N_MIXED_ASSETS - 1}) s(i)
         ),
         bmp AS (
@@ -2726,6 +2739,18 @@ ORACLES: dict[str, str] = {
             CROSS JOIN generate_series(0, {_BMP_MAX_H - 1}) gy(y)
             WHERE d.kind = 'bmp'
               AND gx.x < 16 + d.i % 8 AND gy.y < 12 + d.i % 5
+            GROUP BY d.i
+        ),
+        jpeg AS (
+            SELECT d.i AS asset_id, 'image' AS media_type, 1 AS decoded,
+                   64 * COUNT(*) AS units,
+                   64 * SUM((29 * d.i + 7 * gx.bx + 13 * gy.by) % 256)
+                       AS main
+            FROM ids d
+            CROSS JOIN generate_series(0, 3) gx(bx)
+            CROSS JOIN generate_series(0, 2) gy(by)
+            WHERE d.kind = 'jpeg'
+              AND gx.bx < 2 + d.i % 3 AND gy.by < 2 + d.i % 2
             GROUP BY d.i
         ),
         wav AS (
@@ -2753,12 +2778,13 @@ ORACLES: dict[str, str] = {
             GROUP BY d.i
         ),
         junk AS (
-            SELECT i AS asset_id, 'image' AS media_type, 0 AS decoded,
+            SELECT i AS asset_id, 'video' AS media_type, 0 AS decoded,
                    0 AS units, 0 AS main
             FROM ids WHERE kind = 'junk'
         ),
         allrows AS (
-            SELECT * FROM bmp UNION ALL SELECT * FROM wav
+            SELECT * FROM bmp UNION ALL SELECT * FROM jpeg
+            UNION ALL SELECT * FROM wav
             UNION ALL SELECT * FROM y4m UNION ALL SELECT * FROM junk
         )
         SELECT media_type,

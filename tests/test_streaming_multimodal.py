@@ -763,8 +763,9 @@ def test_stream_abandoned_clicks_outer_semantics(spark):
 
 def test_decode_router_routes_and_skips(spark, duck):
     """mm_decode_router: one pass sniffs magic bytes, decodes every
-    recognized format for real, counts-but-skips the JPEG-class junk
-    arm, and its per-type sums equal numpy recomputation."""
+    recognized format for real (BMP, baseline JPEG, WAV, y4m),
+    counts-but-skips the H.264-class junk arm, and its per-type sums
+    equal numpy recomputation."""
     import numpy as np
 
     from postgres_s3_etl_spark.operators.multimodal import (
@@ -772,7 +773,9 @@ def test_decode_router_routes_and_skips(spark, duck):
         _wav_sample,
         _y4m_planes,
         decode_bmp24,
+        decode_jpeg_gray,
         encode_bmp24,
+        encode_jpeg_gray,
         mm_decode_router,
     )
     from tests.conftest import assert_matches_oracle
@@ -785,15 +788,20 @@ def test_decode_router_routes_and_skips(spark, duck):
         if i % 10 == 9:
             kinds.setdefault("junk", []).append(i)
         else:
-            kinds.setdefault(("bmp", "wav", "y4m")[i % 3], []).append(i)
+            kinds.setdefault(("bmp", "wav", "y4m", "jpeg")[i % 4], []).append(i)
 
     img = rows["image"]
-    assert img.n_assets == len(kinds["bmp"]) + len(kinds["junk"])
-    assert img.n_decoded == len(kinds["bmp"])  # junk arm skipped, counted
+    assert img.n_assets == len(kinds["bmp"]) + len(kinds["jpeg"])
+    assert img.n_decoded == img.n_assets  # both image arms are real now
     exp_img_main = sum(
         int(decode_bmp24(encode_bmp24(i, 16 + i % 8, 12 + i % 5))
             .astype(np.int64).sum())
         for i in kinds["bmp"]
+    ) + sum(
+        int(decode_jpeg_gray(
+            encode_jpeg_gray(i, 16 + 8 * (i % 3), 16 + 8 * (i % 2))
+        ).astype(np.int64).sum())
+        for i in kinds["jpeg"]
     )
     assert img.total_main == exp_img_main
 
@@ -807,7 +815,8 @@ def test_decode_router_routes_and_skips(spark, duck):
     )
 
     vid = rows["video"]
-    assert vid.n_assets == vid.n_decoded == len(kinds["y4m"])
+    assert vid.n_assets == len(kinds["y4m"]) + len(kinds["junk"])
+    assert vid.n_decoded == len(kinds["y4m"])  # junk arm skipped, counted
     assert vid.total_main == sum(
         int(_y4m_planes(i, 12 + i % 6, 8 + i % 4, t)[0].sum())
         for i in kinds["y4m"]
