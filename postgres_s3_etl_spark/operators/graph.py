@@ -30,7 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
@@ -531,6 +531,81 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Synchronous label-propagation rounds. Fixed (not converged-to):
+#: LPA on a dense co-purchase graph oscillates, so the standard
+#: practice is a small fixed round count; 3 is enough for labels to
+#: coalesce into communities while staying exactly mirrorable by an
+#: unrolled SQL oracle.
+LPA_ITERS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation: every
+    node starts as its own label; each round it adopts its
+    neighbors' most frequent label (ties → smallest label). After
+    ``LPA_ITERS`` rounds, emit each surviving community and its size.
+
+    Spark shape: per round ONE join (edges × labels) + ONE grouped
+    count + ONE per-node window top-1 — all keyed shuffles, no pair
+    blow-up; ``localCheckpoint`` truncates lineage per round and the
+    symmetric edge frame reuses :func:`_iter_partitions`'s persisted
+    hash layout on big graphs so only the label frame (N rows)
+    re-shuffles each round. The deterministic (count DESC, label
+    ASC) tie-break makes the fixpoint bit-identical to the oracle's
+    unrolled rounds.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    n_part = _iter_partitions(spark, sf_dir)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if n_part:
+        sym = sym.repartition(n_part, "src").persist()
+        sym.count()  # materialize the partitioned layout once
+    else:
+        sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ITERS):
+        labels = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("label"))
+    )
+
+
+def _lpa_iter_sql(k: int) -> str:
+    """One unrolled synchronous LPA round (the Spark loop body
+    re-expressed): label <- arg max over neighbor labels by
+    (count DESC, label ASC)."""
+    return f"""
+        p{k} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT s.dst AS node, l.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY s.dst
+                           ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+                FROM sym s JOIN p{k - 1} l ON s.src = l.node
+                GROUP BY s.dst, l.label
+            ) WHERE rn = 1
+        )
+    """
+
+
 #: Wedge-center degree cap for link prediction: a node above this
 #: degree contributes no wedges. Hubs are exactly the nodes whose
 #: common-neighbor evidence is least informative (they neighbor
@@ -877,6 +952,7 @@ QUERIES = {
     "graph_pagerank_converged": graph_pagerank_converged,
     "graph_jaccard_links": graph_jaccard_links,
     "graph_components": graph_components,
+    "graph_label_propagation": graph_label_propagation,
 }
 
 
@@ -1233,6 +1309,21 @@ ORACLES = {
     # Fixed unroll matches the Spark twin's convergence loop as long
     # as the graph diameter <= CC_ORACLE_ROUNDS — a divergence would
     # surface as a visible hash FAIL, never silently.
+    "graph_label_propagation": f"""
+        WITH {_EDGES_SQL},
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        p0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS label FROM sym
+        ),
+        {",".join(_lpa_iter_sql(k) for k in range(1, LPA_ITERS + 1))}
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM p{LPA_ITERS}
+        GROUP BY label
+        ORDER BY n_members DESC, label ASC
+    """,
     "graph_components": f"""
         WITH {_EDGES_SQL},
         sym AS MATERIALIZED (

@@ -876,6 +876,78 @@ def mm_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, _BMP_STATS_SCHEMA).orderBy("asset_id")
 
 
+_RESIZE_STATS_SCHEMA = (
+    "asset_id bigint, out_width int, out_height int, n_px_out bigint, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, row0_r_sum bigint, "
+    "px00_r int, px00_g int, px00_b int"
+)
+
+
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode the synthesized BMPs with the real
+    parser, then 2× box-filter downsample (each output pixel is the
+    floor-average of its 2×2 source block, odd edges cropped) — the
+    thumbnail/patch-prep step every vision-data pipeline runs before
+    feature extraction. The oracle recomputes every downsampled
+    pixel from the closed-form source pattern, so block alignment,
+    the crop rule, channel order, and the floor-average rounding are
+    all value-checked.
+
+    Scale: identical plumbing to :func:`mm_image_decode_bmp` —
+    payload bytes never leave the Arrow batch, the resize is numpy
+    strided arithmetic inside ``mapInPandas``, and only 11 ints per
+    asset reach the JVM. At 100 TB this is the embarrassingly
+    parallel map stage of an image-prep job.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_bmp24(bytes(payload))
+                if img is None:
+                    continue
+                h, w = img.shape[:2]
+                h2, w2 = h // 2 * 2, w // 2 * 2
+                p = img[:h2, :w2].astype(np.int64)
+                down = (
+                    p[0::2, 0::2]
+                    + p[1::2, 0::2]
+                    + p[0::2, 1::2]
+                    + p[1::2, 1::2]
+                ) // 4
+                b, g, r = down[:, :, 0], down[:, :, 1], down[:, :, 2]
+                out.append(
+                    (
+                        int(aid),
+                        down.shape[1],
+                        down.shape[0],
+                        down.shape[0] * down.shape[1],
+                        int(r.sum()),
+                        int(g.sum()),
+                        int(b.sum()),
+                        int(r[0, :].sum()),  # top row — flip witness
+                        int(r[0, 0]),
+                        int(g[0, 0]),
+                        int(b[0, 0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "out_width", "out_height", "n_px_out",
+                    "sum_r", "sum_g", "sum_b", "row0_r_sum",
+                    "px00_r", "px00_g", "px00_b",
+                ],
+            )
+
+    media = synth_bmp_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _RESIZE_STATS_SCHEMA).orderBy(
+        "asset_id"
+    )
+
+
 #: Real PNG decode (round-5): PNG needs only stdlib ``zlib`` +
 #: ``struct``, so the SECOND image codec decodes real compressed
 #: bytes end-to-end — including all five scanline filter types
@@ -2246,6 +2318,7 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "mm_image_decode_bmp": mm_image_decode_bmp,
+    "mm_image_resize": mm_image_resize,
     "mm_image_decode_jpeg": mm_image_decode_jpeg,
     "mm_image_decode_jpeg_color": mm_image_decode_jpeg_color,
     "mm_video_scene_cuts": mm_video_scene_cuts,
@@ -2277,7 +2350,51 @@ _F0_SQL = (
     )
 )
 
+def _bmp_down_channel(ka: int, kx: int, ky: int) -> str:
+    """Floor-average of the 2×2 source block of BMP channel
+    ``(ka*a + kx*x + ky*y) % 256`` at output pixel (ox, oy)."""
+    terms = " + ".join(
+        f"({ka} * a.asset_id + {kx} * (2 * gx.x + {dx})"
+        f" + {ky} * (2 * gy.y + {dy})) % 256"
+        for dy in (0, 1)
+        for dx in (0, 1)
+    )
+    return f"({terms}) // 4"
+
+
 ORACLES: dict[str, str] = {
+    "mm_image_resize": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 16 + i % 8 AS w, 12 + i % 5 AS h
+            FROM generate_series(0, {N_BMP_ASSETS - 1}) s(i)
+        ),
+        opx AS (
+            SELECT a.asset_id, a.w // 2 AS ow, a.h // 2 AS oh,
+                   gx.x AS ox, gy.y AS oy,
+                   {_bmp_down_channel(19, 23, 29)} AS r,
+                   {_bmp_down_channel(11, 13, 17)} AS g,
+                   {_bmp_down_channel(7, 3, 5)} AS b
+            FROM assets a
+            CROSS JOIN generate_series(0, {_BMP_MAX_W // 2 - 1}) gx(x)
+            CROSS JOIN generate_series(0, {_BMP_MAX_H // 2 - 1}) gy(y)
+            WHERE gx.x < a.w // 2 AND gy.y < a.h // 2
+        )
+        SELECT asset_id,
+               CAST(MAX(ow) AS INTEGER) AS out_width,
+               CAST(MAX(oh) AS INTEGER) AS out_height,
+               COUNT(*) AS n_px_out,
+               SUM(r) AS sum_r, SUM(g) AS sum_g, SUM(b) AS sum_b,
+               SUM(CASE WHEN oy = 0 THEN r ELSE 0 END) AS row0_r_sum,
+               CAST(MAX(CASE WHEN ox = 0 AND oy = 0 THEN r END)
+                    AS INTEGER) AS px00_r,
+               CAST(MAX(CASE WHEN ox = 0 AND oy = 0 THEN g END)
+                    AS INTEGER) AS px00_g,
+               CAST(MAX(CASE WHEN ox = 0 AND oy = 0 THEN b END)
+                    AS INTEGER) AS px00_b
+        FROM opx
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_image_decode_bmp": f"""
         WITH assets AS (
             SELECT i AS asset_id, 16 + i % 8 AS w, 12 + i % 5 AS h

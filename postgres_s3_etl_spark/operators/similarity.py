@@ -1015,6 +1015,117 @@ def sim_search_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SQ8 scalar quantization: 256 levels per dimension over the
+#: corpus-global [min, max] range — FAISS's SQ8 codec, the 4×
+#: compression point between full floats and PQ.
+SQ_LEVELS = 256
+
+_SQ_DEQ = f"""
+    transform(v, (x, i) ->
+        st[i].mn
+        + (least({SQ_LEVELS - 1}.0d, greatest(0.0d,
+               floor((x - st[i].mn) / (st[i].mx - st[i].mn)
+                     * {SQ_LEVELS}.0d)))
+           + 0.5d) * (st[i].mx - st[i].mn) / {SQ_LEVELS}.0d)
+"""
+
+_FOLD_SELF = "aggregate(zip_with({c}, {c}, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+_FOLD_CROSS = (
+    "aggregate(zip_with(a.v, q.vq, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+)
+
+
+def sim_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of scalar-quantized (SQ8) search against the exact
+    L2 top-k: every dimension is quantized to 256 levels over its
+    corpus-global range, probes stay full-precision, and approximate
+    distances use the dequantized (bin-center) corpus — FAISS's SQ8
+    asymmetric search. The per-probe recall row is the accept/reject
+    evidence for shipping the 4×-smaller index.
+
+    Scale: the per-dim min/max rollup is 64 rows (partial-aggregated
+    map-side, broadcast back), quantization is a row-local transform,
+    and the eval join is probe-bounded exactly like
+    :func:`sim_search_recall` — the corpus never self-joins and
+    never shuffles; at 100 TB only the N_PROBES×corpus score scan
+    remains, embarrassingly parallel.
+    """
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    stats = (
+        vecs.select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("d", "mn", "mx"))
+            ).alias("st")
+        )
+    )
+    deq = vecs.crossJoin(F.broadcast(stats)).select(
+        "vec_id", F.expr(_SQ_DEQ).alias("vq")
+    )
+    probes = vecs.where(F.col("vec_id") < N_PROBES)
+    a, q = probes.alias("a"), deq.alias("q")
+    d2a = _trunc6(
+        F.expr(_FOLD_SELF.format(c="a.v"))
+        + F.expr(_FOLD_SELF.format(c="q.vq"))
+        - 2 * F.expr(_FOLD_CROSS)
+    )
+    wa = Window.partitionBy("probe_id").orderBy(
+        F.asc("d2a"), F.asc("neighbor_id")
+    )
+    approx = (
+        F.broadcast(a)
+        .crossJoin(q)
+        .where(F.col("a.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("q.vec_id").alias("neighbor_id"),
+            d2a.alias("d2a"),
+        )
+        .withColumn("rank", F.row_number().over(wa))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    b = vecs.alias("b")
+    vv = _FOLD_SELF.format(c="a.v")
+    bb = _FOLD_SELF.format(c="b.v")
+    d2 = _trunc6(F.expr(vv) + F.expr(bb) - 2 * F.expr(_DOT))
+    we = Window.partitionBy("probe_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    exact = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            d2.alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+    return (
+        exact.join(approx, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("found"),
+        )
+        .select(
+            "probe_id",
+            "k",
+            "found",
+            (F.floor(F.col("found") * 1e6 / F.col("k")) / 1e6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("probe_id")
+    )
+
+
 def _cov_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle sample covariance (i <= j) of the embedding
     dimensions as (i, j, cov double), materialized once
@@ -1590,6 +1701,7 @@ QUERIES = {
     "embedding_anisotropy": embedding_anisotropy,
     "embedding_hubness": embedding_hubness,
     "sim_search_pq_recall": sim_search_pq_recall,
+    "sim_search_sq8": sim_search_sq8,
     "embedding_sign_quantization": embedding_sign_quantization,
     "embedding_jl_projection": embedding_jl_projection,
     "hybrid_search_rrf": hybrid_search_rrf,
@@ -2015,6 +2127,78 @@ ORACLES = {
     """,
     # ADC chain reused verbatim, scored against the exact euclidean
     # top-k via the same probe-bounded left join as sim_search_recall.
+    "sim_search_sq8": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        dimstats AS (
+            SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY d
+        ),
+        st AS (
+            SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+            FROM dimstats
+        ),
+        deq AS (
+            SELECT v.vec_id,
+                   [mns[d + 1]
+                    + (LEAST({SQ_LEVELS - 1}.0, GREATEST(0.0,
+                           floor((v.v[d + 1] - mns[d + 1])
+                                 / (mxs[d + 1] - mns[d + 1])
+                                 * {SQ_LEVELS}.0)))
+                       + 0.5) * (mxs[d + 1] - mns[d + 1]) / {SQ_LEVELS}.0
+                    for d in generate_series(0, {EMB_DIM - 1})] AS vq
+            FROM vecs v CROSS JOIN st
+        ),
+        apairs AS (
+            SELECT a.vec_id AS probe_id, q.vec_id AS neighbor_id,
+                   floor((list_dot_product(a.v, a.v)
+                          + list_dot_product(q.vq, q.vq)
+                          - 2 * list_dot_product(a.v, q.vq)) * 1e6) / 1e6
+                       AS d2a
+            FROM vecs a JOIN deq q ON a.vec_id <> q.vec_id
+            WHERE a.vec_id < {N_PROBES}
+        ),
+        approx AS (
+            SELECT probe_id, neighbor_id, 1 AS hit FROM (
+                SELECT probe_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY d2a, neighbor_id)
+                           AS rank
+                FROM apairs
+            ) WHERE rank <= {TOP_K}
+        ),
+        epairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor((list_dot_product(a.v, a.v)
+                          + list_dot_product(b.v, b.v)
+                          - 2 * list_dot_product(a.v, b.v)) * 1e6) / 1e6
+                       AS d2
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        exact AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY d2, neighbor_id)
+                           AS rank
+                FROM epairs
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT e.probe_id,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS found,
+               floor(CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1e6
+                     / COUNT(*)) / 1e6 AS recall
+        FROM exact e LEFT JOIN approx a USING (probe_id, neighbor_id)
+        GROUP BY e.probe_id
+        ORDER BY e.probe_id
+    """,
     "sim_search_pq_recall": f"""
         WITH {_PQ_CTE},
         pairs AS (

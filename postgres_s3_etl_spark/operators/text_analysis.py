@@ -1595,8 +1595,157 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule")
 
 
+#: BM25 ranking constants (Robertson/Sparck-Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 15
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus for the standing keyword query
+    (disjunctive — any matching term scores) — the retrieval-quality
+    step a RAG/data-curation pipeline runs after the boolean match
+    in :func:`text_keyword_search`. Mirrors the query surface of the
+    reference's SQL transform layer (`reviews_ETL.py:93-198`-style
+    rank-and-pick) applied to text retrieval.
+
+    Plan: one posting build filtered to the query terms BEFORE any
+    shuffle (the classic inverted-index lookup), document lengths
+    from a second narrow scan, and the three corpus statistics
+    (N, Σdl, df per term) as constant-size broadcast rollups. All
+    arithmetic is integer-derived doubles with a fixed expression
+    tree, so the DuckDB twin is bit-identical; per-term scores are
+    truncated to 6 dp before the ≤2-term sum (commutative at that
+    arity).
+
+    Scale: the corpus-side posting stream is cut to query-term rows
+    at the scan, df/N/avgdl are tiny broadcasts — at 100 TB this is
+    a pruned-scan + map-side-filtered aggregation, no wide shuffle
+    beyond the per-doc rollup of matched terms.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", "source", F.size(_ws_tokens(F.col("text"))).alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .where(F.col("token").isin(*SEARCH_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df = postings.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        postings.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    term_score = _trunc6(
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * (F.col("dl") / avgdl))
+        )
+    )
+    return (
+        scored.select("doc_id", "source", "dl", term_score.alias("ts"))
+        .groupBy("doc_id", "source", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            _trunc6(F.sum("ts")).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )
+
+
+#: Non-overlapping token-block size for block-level (CCNet/Dolma
+#: paragraph-style) dedup — the corpus has no newlines, so fixed
+#: 12-token blocks stand in for paragraphs.
+BLOCK_TOKENS = 12
+
+
+def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level exact dedup with first-occurrence-wins semantics —
+    the CCNet/Dolma "drop duplicated paragraphs, keep the first
+    copy" pass (vs :func:`text_span_dedup`, which only *measures*
+    rolling-span duplication). Every non-overlapping 12-token block
+    is fingerprinted; the globally first occurrence (min (doc_id,
+    block_idx)) is kept, later copies are dropped; each doc reports
+    how much of it survives.
+
+    Plan: row-local block fingerprints (one projection + explode),
+    then ONE keyed shuffle — a window over the fingerprint ranks
+    occurrences by (doc_id, block_idx) — and a per-doc rollup. No
+    pair generation; at 100 TB the fp-partitioned window is the
+    standard dedup shuffle, skew-bounded because identical-block
+    groups are capped by corpus duplication itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = (
+        docs.select("doc_id", _ws_tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= BLOCK_TOKENS)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"""
+                    transform(
+                        sequence(0, cast(size(w) / {BLOCK_TOKENS} as int) - 1),
+                        i -> md5(concat_ws(' ',
+                                 slice(w, i * {BLOCK_TOKENS} + 1,
+                                       {BLOCK_TOKENS})))
+                    )
+                    """
+                )
+            ).alias("block_idx", "fp"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "block_idx")
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum((F.col("rn") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_blocks"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_dup_blocks",
+            _trunc6(
+                (F.col("n_blocks") - F.col("n_dup_blocks"))
+                * 1.0
+                / F.col("n_blocks")
+            ).alias("retained_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_gopher_rules": text_gopher_rules,
+    "text_bm25_rank": text_bm25_rank,
+    "text_block_dedup": text_block_dedup,
     "text_lexical_diversity": text_lexical_diversity,
     "text_burstiness": text_burstiness,
     "text_langid": text_langid,
@@ -1729,6 +1878,88 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_bm25_rank": rf"""
+        WITH dl AS (
+            SELECT doc_id, source,
+                   len(string_split_regex(trim(text), '\s+')) AS dl
+            FROM documents
+        ),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+        ),
+        postings AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\s+'))
+                           AS token
+                FROM documents
+            )
+            WHERE token IN ('{SEARCH_TERMS[0]}', '{SEARCH_TERMS[1]}')
+            GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df
+            FROM postings GROUP BY token
+        ),
+        scored AS (
+            SELECT p.doc_id, d.source, d.dl,
+                   floor(
+                       ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * (p.tf * {BM25_K1 + 1.0!r})
+                       / (p.tf + {BM25_K1!r}
+                          * ({1.0 - BM25_B!r} + {BM25_B!r}
+                             * (d.dl / (c.sum_dl / c.n_docs))))
+                       * 1e6) / 1e6 AS ts
+            FROM postings p
+            JOIN df f USING (token)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN corpus c
+        )
+        SELECT doc_id, source, dl,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               floor(SUM(ts) * 1e6) / 1e6 AS bm25
+        FROM scored
+        GROUP BY doc_id, source, dl
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT {BM25_TOP}
+    """,
+    "text_block_dedup": rf"""
+        WITH words AS (
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        blocks AS (
+            SELECT doc_id, i AS block_idx,
+                   md5(array_to_string(
+                       w[i * {BLOCK_TOKENS} + 1 : i * {BLOCK_TOKENS}
+                         + {BLOCK_TOKENS}], ' ')) AS fp
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(
+                           0, CAST(len(w) // {BLOCK_TOKENS} AS INT) - 1))
+                           AS i
+                FROM words
+                WHERE len(w) >= {BLOCK_TOKENS}
+            )
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, block_idx) AS rn
+            FROM blocks
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_blocks,
+               floor((COUNT(*) - SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END))
+                     * 1.0 / COUNT(*) * 1e6) / 1e6 AS retained_ratio
+        FROM ranked
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "text_gopher_rules": rf"""
         WITH scored AS (
             SELECT len(string_split_regex(trim(lower(text)), '\s+'))
