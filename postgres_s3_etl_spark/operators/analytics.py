@@ -2519,7 +2519,129 @@ def q_orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue per region —
+    the entropy-based companion to the Gini/HHI readouts:
+    ``T = (1/n) Σ (xᵢ/μ)·ln(xᵢ/μ)`` (0 = perfectly equal, ln(n) =
+    one customer holds everything). Unlike Gini it decomposes
+    additively, so regional desks can compare books directly.
+
+    Scale shape: one partial-aggregatable customer rollup (exact
+    DECIMAL revenue), one 5-row region rollup broadcast back onto
+    the customer grain, then a second partial-aggregatable fold of
+    the per-customer entropy terms — two shuffles, no windows, no
+    global sort. Per-term DECIMAL(38,6) casts pin the double-sum
+    order so the DuckDB oracle matches exactly.
+    """
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_regionkey", "rev")
+    )
+    totals = cust.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").alias("total_rev"),
+    )
+    ratio = (
+        F.col("rev").cast("double")
+        * F.col("n_customers").cast("double")
+        / F.col("total_rev").cast("double")
+    )
+    terms = cust.join(F.broadcast(totals), "n_regionkey").select(
+        "n_regionkey",
+        "n_customers",
+        (ratio * F.log(ratio)).cast("decimal(38,6)").alias("term"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        terms.groupBy("n_regionkey", "n_customers")
+        .agg(F.sum("term").alias("term_sum"))
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "r_name",
+            "n_customers",
+            f6(
+                F.col("term_sum").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("theil_t"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log price elasticity of demand: OLS slope of
+    ``ln(quantity)`` on ``ln(unit price)`` over every lineitem of
+    the brand — the classic pricing-desk readout (slope < −1 ⇒
+    elastic). ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``.
+
+    Scale shape: lineitem→part equi-join shuffles once on partkey
+    (part is NOT broadcast — it scales with SF), then one
+    partial-aggregatable brand rollup of the four OLS moments.
+    Each double product is pinned to DECIMAL(38,6) before summing
+    so the fold order can't diverge from the oracle.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.log(
+        F.col("l_extendedprice").cast("double")
+        / F.col("l_quantity").cast("double")
+    )
+    y = F.log(F.col("l_quantity").cast("double"))
+    moments = (
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_brand",
+            x.cast("decimal(38,6)").alias("x"),
+            y.cast("decimal(38,6)").alias("y"),
+            (x * y).cast("decimal(38,6)").alias("xy"),
+            (x * x).cast("decimal(38,6)").alias("xx"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum("xy").alias("sxy"),
+            F.sum("xx").alias("sxx"),
+        )
+    )
+    n = F.col("n_lines").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (n * F.col("sxy").cast("double") - sx * sy) / (
+        n * F.col("sxx").cast("double") - sx * sx
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return moments.select(
+        "p_brand",
+        "n_lines",
+        f6(slope).alias("elasticity"),
+        (slope < -1.0).alias("is_elastic"),
+    ).orderBy("p_brand")
+
+
 QUERIES = {
+    "q_customer_theil_index": q_customer_theil_index,
+    "q_part_price_elasticity": q_part_price_elasticity,
     "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
     "q_nation_rca": q_nation_rca,
     "q_part_price_index": q_part_price_index,
@@ -2593,6 +2715,75 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_customer_theil_index": """
+        WITH cust AS (
+            SELECT n.n_regionkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_regionkey, o.o_custkey
+        ),
+        totals AS (
+            SELECT n_regionkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   SUM(rev) AS total_rev
+            FROM cust GROUP BY n_regionkey
+        ),
+        terms AS (
+            SELECT c.n_regionkey, t.n_customers,
+                   CAST(
+                     (CAST(c.rev AS DOUBLE) * CAST(t.n_customers AS DOUBLE)
+                      / CAST(t.total_rev AS DOUBLE))
+                     * ln(CAST(c.rev AS DOUBLE) * CAST(t.n_customers AS DOUBLE)
+                          / CAST(t.total_rev AS DOUBLE))
+                   AS DECIMAL(38,6)) AS term
+            FROM cust c JOIN totals t USING (n_regionkey)
+        )
+        SELECT r.r_name, s.n_customers,
+               floor(CAST(s.term_sum AS DOUBLE)
+                     / CAST(s.n_customers AS DOUBLE) * 1e6) / 1e6 AS theil_t
+        FROM (
+            SELECT n_regionkey, n_customers, SUM(term) AS term_sum
+            FROM terms GROUP BY n_regionkey, n_customers
+        ) s
+        JOIN region r ON s.n_regionkey = r.r_regionkey
+        ORDER BY r.r_name
+    """,
+    "q_part_price_elasticity": """
+        WITH pts AS (
+            SELECT p.p_brand,
+                   CAST(ln(CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE)) AS DECIMAL(38,6)) AS x,
+                   CAST(ln(CAST(l_quantity AS DOUBLE)) AS DECIMAL(38,6)) AS y,
+                   CAST(ln(CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE))
+                        * ln(CAST(l_quantity AS DOUBLE)) AS DECIMAL(38,6)) AS xy,
+                   CAST(ln(CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE))
+                        * ln(CAST(l_extendedprice AS DOUBLE)
+                             / CAST(l_quantity AS DOUBLE)) AS DECIMAL(38,6)) AS xx
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        m AS (
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy, SUM(xx) AS sxx
+            FROM pts GROUP BY p_brand
+        )
+        SELECT p_brand, n_lines,
+               floor((CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6) / 1e6
+                 AS elasticity,
+               (CAST(n_lines AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_lines AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) < -1.0
+                 AS is_elastic
+        FROM m
+        ORDER BY p_brand
+    """,
     "q_orders_kruskal_wallis": """
         WITH vg AS (
             SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,

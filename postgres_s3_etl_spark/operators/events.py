@@ -1294,7 +1294,88 @@ def q_events_share_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+#: CUPED pre/post split day-of-month (events span one calendar month).
+CUPED_PRE_DAY = 15
+
+
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM'13):
+    per user, the pre-period metric X (value summed over days ≤ 15)
+    is used as a control covariate for the post-period metric Y
+    (days > 15); ``θ = cov(X,Y)/var(X)`` pooled, and each arm's
+    adjusted mean is ``mean(Y|arm) − θ·(mean(X|arm) − mean(X))``.
+    Also emits the pooled ρ² — the fraction of metric variance the
+    covariate removes (the whole point of CUPED).
+
+    Cross-engine determinism: every sufficient statistic (n, ΣX,
+    ΣY, ΣXY, ΣX², ΣY²) accumulates as an EXACT decimal sum — there
+    is not a single order-dependent double fold anywhere; θ, ρ² and
+    the adjusted means are mirrored double expressions over those
+    exact inputs.
+
+    Scale shape: one partial-aggregatable per-user rollup, one 2-row
+    arm rollup + one scalar pooled rollup broadcast back — two
+    shuffles total, no windows, no Python.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            F.dayofmonth("ts") <= CUPED_PRE_DAY,
+            F.col("value").cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("pre_v"),
+        F.when(
+            F.dayofmonth("ts") > CUPED_PRE_DAY,
+            F.col("value").cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("post_v"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.sum("pre_v").cast("decimal(18,2)").alias("x"),
+        F.sum("post_v").cast("decimal(18,2)").alias("y"),
+    )
+    moments = lambda df: [  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ]
+    pooled = users.agg(*moments(users))
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").alias("arm_sx"),
+        F.sum("y").alias("arm_sy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("n") * d("sxy") - d("sx") * d("sy")
+    var_x = d("n") * d("sxx") - d("sx") * d("sx")
+    var_y = d("n") * d("syy") - d("sy") * d("sy")
+    theta = cov / var_x
+    rho2 = cov * cov / (var_x * var_y)
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        arms.crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n_users",
+            f6(d("arm_sy") / d("n_users")).alias("mean_post"),
+            f6(
+                d("arm_sy") / d("n_users")
+                - theta * (d("arm_sx") / d("n_users") - d("sx") / d("n"))
+            ).alias("mean_post_cuped"),
+            f6(theta).alias("theta"),
+            f6(rho2).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
 QUERIES = {
+    "q_events_cuped": q_events_cuped,
     "q_events_share_wilson": q_events_share_wilson,
     "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
@@ -1343,6 +1424,59 @@ def _markov_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "q_events_cuped": """
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DECIMAL(18,2)) AS x,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DECIMAL(18,2)) AS y
+            FROM events GROUP BY user_id
+        ),
+        pooled AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM users
+        ),
+        arms AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   SUM(x) AS arm_sx, SUM(y) AS arm_sy
+            FROM users GROUP BY 1
+        )
+        SELECT arm, n_users,
+               floor(CAST(arm_sy AS DOUBLE) / n_users * 1e6) / 1e6
+                 AS mean_post,
+               floor((CAST(arm_sy AS DOUBLE) / n_users
+                      - ((n * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * (CAST(arm_sx AS DOUBLE) / n_users
+                           - CAST(sx AS DOUBLE) / n)) * 1e6) / 1e6
+                 AS mean_post_cuped,
+               floor((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1e6) / 1e6 AS theta,
+               floor((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (n * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1e6) / 1e6 AS var_reduction
+        FROM arms CROSS JOIN pooled
+        ORDER BY arm
+    """,
     "q_events_share_wilson": f"""
         WITH counts AS (
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k

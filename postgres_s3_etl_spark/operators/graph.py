@@ -711,6 +711,118 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Minimum distinct co-purchase orders for a "repeat" edge — the
+#: Adamic–Adar graph keeps only pairs bought together at least
+#: twice, which both strips one-off noise (the standard practice for
+#: co-purchase recommenders) and keeps Σ deg² tiny at any SF.
+AA_MIN_COOCCUR = 2
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the REPEAT co-purchase graph
+    (edges = part pairs sharing ≥ 2 distinct orders): for non-edge
+    pairs (a, b) sharing neighbors, ``AA(a,b) = Σ_w 1/ln(deg(w))``
+    over common neighbors w — the classic hub-discounted common-
+    neighbor score (Adamic & Adar 2003), returning the top-20
+    predicted links. Complements graph_jaccard_links: Jaccard
+    normalizes by union size, AA discounts promiscuous centers.
+
+    Scale shape: the ≥2-co-occurrence filter makes the graph sparse
+    by construction (repeat pairs are rare under any realistic
+    basket distribution), so wedges fan out from full adjacency
+    lists with no cap; pairs are generated ROW-LOCALLY from each
+    center's sorted adjacency array and shuffle as one packed
+    BIGINT (a·2³² + b, guarded). Each wedge carries the center's
+    1/ln(deg) weight pinned to DECIMAL(38,6) so the per-pair fold
+    is exact; known edges leave via one anti-join.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooccur"))
+        .where(F.col("n_cooccur") >= AA_MIN_COOCCUR)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    deg = _degrees(edges)
+    adj = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nb")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nb"))
+    )
+    nbs = adj.join(deg, "node").groupBy("node", "deg").agg(
+        F.sort_array(F.collect_list("nb")).alias("nbs")
+    )
+    wedges = nbs.select(
+        F.expr(
+            """assert_true(size(nbs) = 0 OR nbs[size(nbs) - 1] < 4294967296L,
+               'packed wedge key overflow: node id >= 2^32')"""
+        ).alias("_guard"),
+        # deg=1 centers emit no wedges (explode of empty array), but
+        # the term must still be finite there: 1/ln(1) is +inf and an
+        # ANSI decimal cast of inf would fail the task.
+        F.when(
+            F.col("deg") >= 2,
+            (F.lit(1.0) / F.log(F.col("deg").cast("double"))).cast(
+                "decimal(38,6)"
+            ),
+        )
+        .otherwise(F.lit(None).cast("decimal(38,6)"))
+        .alias("term"),
+        F.explode(
+            F.expr(
+                """IF(size(nbs) < 2, array(),
+                   flatten(transform(sequence(0, size(nbs) - 2), i ->
+                     transform(slice(nbs, i + 2, size(nbs) - i - 1), x ->
+                       nbs[i] * 4294967296L + x))))"""
+            )
+        ).alias("ab"),
+    ).select("ab", "term")
+    scored = (
+        wedges.groupBy("ab")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("term").alias("aa_sum"),
+        )
+        .select(
+            F.expr("ab div 4294967296L").alias("a"),
+            (F.col("ab") % F.lit(4294967296).cast("long")).alias("b"),
+            "n_common",
+            "aa_sum",
+        )
+    )
+    nonedge = scored.join(
+        edges,
+        (scored.a == edges.src) & (scored.b == edges.dst),
+        "leftanti",
+    )
+    return (
+        nonedge.select(
+            "a",
+            "b",
+            "n_common",
+            (F.floor(F.col("aa_sum").cast("double") * 1e6) / 1e6).alias(
+                "aa_score"
+            ),
+        )
+        .orderBy(F.desc("aa_score"), "a", "b")
+        .limit(20)
+    )
+
+
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-purchase graph: the Pearson
     correlation of endpoint degrees over edges (Newman's r) — do
@@ -941,6 +1053,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "graph_adamic_adar": graph_adamic_adar,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1110,6 +1223,44 @@ def _walk_iter_sql(s: int) -> str:
 
 
 ORACLES = {
+    "graph_adamic_adar": """
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS MATERIALIZED (
+            SELECT a.l_partkey AS src, b.l_partkey AS dst
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ),
+        sym AS (
+            SELECT src AS node, dst AS nb FROM edges
+            UNION ALL
+            SELECT dst AS node, src AS nb FROM edges
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS deg FROM sym GROUP BY node
+        ),
+        wedges AS (
+            SELECT s1.nb AS a, s2.nb AS b,
+                   CAST(1.0 / ln(CAST(d.deg AS DOUBLE))
+                        AS DECIMAL(38,6)) AS term
+            FROM sym s1
+            JOIN sym s2 ON s1.node = s2.node AND s1.nb < s2.nb
+            JOIN deg d ON d.node = s1.node
+        ),
+        scored AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+                   SUM(term) AS aa_sum
+            FROM wedges GROUP BY a, b
+        )
+        SELECT s.a, s.b, s.n_common,
+               floor(CAST(s.aa_sum AS DOUBLE) * 1e6) / 1e6 AS aa_score
+        FROM scored s
+        ANTI JOIN edges e ON s.a = e.src AND s.b = e.dst
+        ORDER BY aa_score DESC, s.a, s.b
+        LIMIT 20
+    """,
     "graph_random_walks": f"""
         WITH {_EDGES_SQL},
         sym AS MATERIALIZED (

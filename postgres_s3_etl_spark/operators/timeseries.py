@@ -460,7 +460,71 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue curve — the
+    classic risk/health metric (largest peak-to-trough fall of the
+    running total, as a fraction of the peak). Because daily revenue
+    is strictly positive the raw cumulative curve never draws down,
+    so the curve tracked is cumulative *deviation from the global
+    daily mean* (n·revₜ − total, exact BIGINT-style decimal
+    arithmetic — the same multiplied-out-mean trick as
+    q_events_cusum), i.e. drawdown of the demeaned equity curve.
+
+    Scale shape: day-grain rollup (one shuffle, partial-agg), then
+    ordered windows over the bounded calendar grain (~2.4k days at
+    any SF) — running sum and running max stay exact DECIMAL, one
+    mirrored double division at the end, one global top-1.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n_days"),
+        F.sum("rev").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        (F.col("rev") * F.col("n_days") - F.col("total")).alias("v"),
+    )
+    curve = dev.select(
+        "day",
+        "n_days",
+        F.sum("v").over(w).alias("cum"),
+    ).select(
+        "day",
+        "n_days",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        curve.select(
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").alias("trough_day"),
+            (F.col("peak") - F.col("cum")).alias("dd_abs"),
+            F.when(
+                F.col("peak") > 0,
+                (F.col("peak") - F.col("cum")).cast("double")
+                / F.col("peak").cast("double"),
+            ).alias("dd_frac"),
+        )
+        .orderBy(F.desc("dd_abs"), F.asc("trough_day"))
+        .limit(1)
+        .select(
+            "n_days",
+            "trough_day",
+            F.round(F.col("dd_abs").cast("double"), 2).alias("max_drawdown"),
+            f6(F.col("dd_frac")).alias("max_drawdown_frac"),
+        )
+    )
+
+
 QUERIES = {
+    "q_orders_max_drawdown": q_orders_max_drawdown,
     "q_orders_seasonal_index": q_orders_seasonal_index,
     "q_orders_trend_mannkendall": q_orders_trend_mannkendall,
     "q_events_ewma": q_events_ewma,
@@ -484,6 +548,40 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_max_drawdown": """
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS DECIMAL(18,0)) AS n_days,
+                   SUM(rev) AS total
+            FROM daily
+        ),
+        curve AS (
+            SELECT day, n_days,
+                   SUM(rev * n_days - total)
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+            FROM daily CROSS JOIN tot
+        ),
+        peaks AS (
+            SELECT day, n_days, cum,
+                   MAX(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                     AS peak
+            FROM curve
+        )
+        SELECT CAST(n_days AS BIGINT) AS n_days,
+               day AS trough_day,
+               ROUND(CAST(peak - cum AS DOUBLE), 2) AS max_drawdown,
+               floor(CASE WHEN peak > 0
+                          THEN CAST(peak - cum AS DOUBLE)
+                               / CAST(peak AS DOUBLE) END * 1e6) / 1e6
+                 AS max_drawdown_frac
+        FROM peaks
+        ORDER BY peak - cum DESC, day ASC
+        LIMIT 1
+    """,
     "q_orders_seasonal_index": """
         WITH monthly AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
