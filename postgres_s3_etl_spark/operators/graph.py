@@ -823,6 +823,97 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HITS power iterations (fixed for oracle parity) and per-side
+#: leaderboard size.
+HITS_ITERS = 2
+HITS_TOP = 10
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    supplier→customer fulfillment graph (edge s→c when supplier s
+    shipped any lineitem of an order of customer c): two unnormalized
+    power iterations — h ← Σ a over out-neighbors, a ← Σ h over
+    in-neighbors — then one final max-normalization per side, and the
+    top-10 of each side. Hubs = suppliers whose customer book is
+    itself well-supplied; authorities = customers contested by strong
+    suppliers.
+
+    Cross-engine determinism: starting from a(c)=1, every iterate is
+    an exact DECIMAL(38,0) integer sum (unnormalized HITS stays in
+    ℤ — the only float is the final mirrored division by the side
+    max), so no double fold ever happens engine-side.
+
+    Scale shape: per iteration one edges⋈scores equi-join + one
+    partial-aggregatable rollup (the PageRank shape); edges are
+    localCheckpointed once and reused; the side max is an in-plan
+    scalar broadcast, the leaderboard a bounded per-side window.
+    """
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # a0 = 1 for every customer; two exact-integer iterations.
+    hub = edges.groupBy("s").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("h")
+    )
+    for _ in range(HITS_ITERS - 1):
+        auth = (
+            edges.join(hub, "s")
+            .groupBy("c")
+            .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+        )
+        hub = (
+            edges.join(auth, "c")
+            .groupBy("s")
+            .agg(F.sum("a").cast("decimal(38,0)").alias("h"))
+        )
+    auth = (
+        edges.join(hub, "s")
+        .groupBy("c")
+        .agg(F.sum("h").cast("decimal(38,0)").alias("a"))
+    )
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+
+    def top(df, side, node, score):
+        # distributed top-10 (TakeOrderedAndProject), then the rank
+        # window runs on the bounded 10-row frame only; the side max
+        # is a 1-row scalar broadcast — no global window ever touches
+        # the full node-grain frame.
+        mx = df.agg(F.max(score).alias("mx"))
+        head = (
+            df.orderBy(F.desc(score), F.asc(node))
+            .limit(HITS_TOP)
+            .crossJoin(F.broadcast(mx))
+        )
+        w = Window.orderBy(F.desc(score), F.asc(node))
+        return head.select(
+            F.lit(side).alias("side"),
+            F.col(node).alias("node"),
+            F.row_number().over(w).alias("rank"),
+            f6(
+                F.col(score).cast("double") / F.col("mx").cast("double")
+            ).alias("norm_score"),
+        )
+
+    return (
+        top(hub, "hub", "s", "h")
+        .unionAll(top(auth, "authority", "c", "a"))
+        .orderBy("side", "rank")
+    )
+
+
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-purchase graph: the Pearson
     correlation of endpoint degrees over edges (Newman's r) — do
@@ -1054,6 +1145,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "graph_adamic_adar": graph_adamic_adar,
+    "graph_hits": graph_hits,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1223,6 +1315,50 @@ def _walk_iter_sql(s: int) -> str:
 
 
 ORACLES = {
+    "graph_hits": """
+        WITH edges AS MATERIALIZED (
+            SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        h1 AS (
+            SELECT s, CAST(COUNT(*) AS DECIMAL(38,0)) AS h
+            FROM edges GROUP BY s
+        ),
+        a1 AS (
+            SELECT e.c, CAST(SUM(h1.h) AS DECIMAL(38,0)) AS a
+            FROM edges e JOIN h1 ON e.s = h1.s GROUP BY e.c
+        ),
+        h2 AS (
+            SELECT e.s, CAST(SUM(a1.a) AS DECIMAL(38,0)) AS h
+            FROM edges e JOIN a1 ON e.c = a1.c GROUP BY e.s
+        ),
+        a2 AS (
+            SELECT e.c, CAST(SUM(h2.h) AS DECIMAL(38,0)) AS a
+            FROM edges e JOIN h2 ON e.s = h2.s GROUP BY e.c
+        ),
+        hub_top AS (
+            SELECT 'hub' AS side, s AS node,
+                   CAST(ROW_NUMBER() OVER (ORDER BY h DESC, s) AS INT)
+                     AS rank,
+                   floor(CAST(h AS DOUBLE)
+                         / CAST((SELECT MAX(h) FROM h2) AS DOUBLE)
+                         * 1e6) / 1e6 AS norm_score
+            FROM h2 ORDER BY h DESC, s LIMIT 10
+        ),
+        auth_top AS (
+            SELECT 'authority' AS side, c AS node,
+                   CAST(ROW_NUMBER() OVER (ORDER BY a DESC, c) AS INT)
+                     AS rank,
+                   floor(CAST(a AS DOUBLE)
+                         / CAST((SELECT MAX(a) FROM a2) AS DOUBLE)
+                         * 1e6) / 1e6 AS norm_score
+            FROM a2 ORDER BY a DESC, c LIMIT 10
+        )
+        SELECT * FROM hub_top
+        UNION ALL
+        SELECT * FROM auth_top
+        ORDER BY side, rank
+    """,
     "graph_adamic_adar": """
         WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         edges AS MATERIALIZED (

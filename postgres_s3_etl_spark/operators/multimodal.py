@@ -518,6 +518,151 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_MULAW_ASSETS = 32
+MULAW_RATE = 8000  # Hz — the G.711 telephony rate
+
+
+def _mulaw_byte(asset_id: int, k: int) -> int:
+    """Closed-form encoded μ-law byte (mirrored by the SQL oracle):
+    u(a, k) = (11a + 17k) % 256."""
+    return (11 * asset_id + 17 * k) % 256
+
+
+def mulaw_expand(u: int) -> int:
+    """G.711 μ-law byte → linear PCM16 (ITU-T G.711 expansion):
+    complement, split into sign/exponent/mantissa, and expand by
+    ``mag = ((8m + 132) << e) − 132`` (max 32124 at m=15, e=7).
+    Sign convention: complemented bit 7 set ⇒ negative — fixed here
+    and mirrored verbatim in the oracle."""
+    u ^= 0xFF
+    sign = (u >> 7) & 1
+    e = (u >> 4) & 7
+    m = u & 0x0F
+    mag = ((8 * m + 132) << e) - 132
+    return -mag if sign else mag
+
+
+def encode_wav_mulaw(asset_id: int, n_samples: int) -> bytes:
+    """A real RIFF/WAVE container with fmt tag 7 (G.711 μ-law,
+    8-bit mono) — hand-rolled because stdlib ``wave`` only writes
+    PCM containers."""
+    import struct
+
+    data = bytes(_mulaw_byte(asset_id, k) for k in range(n_samples))
+    fmt = struct.pack(
+        "<HHIIHH", 7, 1, MULAW_RATE, MULAW_RATE, 1, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_mulaw_exact(
+    payload: bytes,
+) -> tuple[int, int, int, int] | None:
+    """REAL μ-law decode with EXACT integer outputs: manual RIFF
+    chunk walk (stdlib ``wave`` rejects non-PCM), format tag must be
+    7 / mono / 8-bit, each byte expands through :func:`mulaw_expand`;
+    returns (n_samples, Σpcm, Σpcm², max|pcm|) or None on any
+    malformed structure (bounds-checked — a truncated chunk skips
+    the asset, never fails the task)."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + ln > len(payload):
+            return None
+        chunk = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and ln >= 16:
+            tag, ch, _rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", chunk, 0
+            )
+            fmt_ok = tag == 7 and ch == 1 and bits == 8
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)
+    if not fmt_ok or data is None:
+        return None
+    n = s = q = peak = 0
+    for b in data:
+        v = mulaw_expand(b)
+        n += 1
+        s += v
+        q += v * v
+        peak = max(peak, abs(v))
+    return (n, s, q, peak)
+
+
+def synth_mulaw_media(
+    spark: SparkSession, n: int = N_MULAW_ASSETS
+) -> DataFrame:
+    """n real G.711 μ-law WAV assets with deterministic bytes."""
+    rows = []
+    for i in range(n):
+        ns = 400 + 8 * i
+        rows.append(
+            (i, "audio", 0, 0, ns * 1000 // MULAW_RATE,
+             bytearray(encode_wav_mulaw(i, ns)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_audio_mulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL companded-audio decode end-to-end: G.711 μ-law WAV
+    containers (fmt tag 7 — the telephony/callcenter archive format
+    a training pipeline actually meets) are synthesized, chunk-walked
+    and expanded to linear PCM16 inside Arrow-batched mapInPandas,
+    emitting exact integer energy stats per asset. The oracle
+    regenerates the closed-form encoded bytes in SQL and mirrors the
+    ITU expansion formula — value-checking the container walk, the
+    companding math, and the aggregation.
+
+    Scale: payload bytes never shuffle; 5 ints per asset cross the
+    Arrow boundary; the final ordering is a bounded asset-grain sort.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = decode_wav_mulaw_exact(bytes(payload))
+                if dec is None:
+                    continue
+                out.append((int(aid),) + dec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_samples", "sum_pcm", "ssq_pcm",
+                    "peak_abs",
+                ],
+            )
+
+    media = synth_mulaw_media(spark).select("asset_id", "payload")
+    return (
+        media.mapInPandas(
+            batches,
+            "asset_id bigint, n_samples bigint, sum_pcm bigint, "
+            "ssq_pcm bigint, peak_abs bigint",
+        )
+        .orderBy("asset_id")
+    )
+
+
 PATCH_PX = 16
 
 PATCHES_SCHEMA = StructType(
@@ -2331,6 +2476,7 @@ QUERIES = {
     "mm_payload_dedup": mm_payload_dedup,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
+    "mm_audio_mulaw": mm_audio_mulaw,
     "mm_image_patches": mm_image_patches,
 }
 
@@ -2617,6 +2763,43 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: real PCM WAV windowing — exact integer energy stats
     # recomputed from the closed-form sample pattern.
+    "mm_audio_mulaw": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 400 + 8 * i AS ns
+            FROM generate_series(0, {N_MULAW_ASSETS - 1}) s(i)
+        ),
+        enc AS (
+            SELECT a.asset_id,
+                   xor((11 * a.asset_id + 17 * k.k) % 256, 255) AS u
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {400 + 8 * (N_MULAW_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
+        ),
+        pcm AS (
+            -- ITU-T G.711 expansion, mirrored from mulaw_expand():
+            -- mag = (8m + 132)·2^e − 132; bit 7 of the complemented
+            -- byte set ⇒ negative.
+            SELECT asset_id,
+                   CASE WHEN u // 128 = 1
+                        THEN -((8 * (u % 16) + 132)
+                               * CAST(power(2, (u // 16) % 8) AS BIGINT)
+                               - 132)
+                        ELSE ((8 * (u % 16) + 132)
+                              * CAST(power(2, (u // 16) % 8) AS BIGINT)
+                              - 132)
+                   END AS v
+            FROM enc
+        )
+        SELECT asset_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_pcm,
+               CAST(SUM(v * v) AS BIGINT) AS ssq_pcm,
+               CAST(MAX(abs(v)) AS BIGINT) AS peak_abs
+        FROM pcm
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_audio_windows": f"""
         WITH audio AS (
             SELECT i AS asset_id, 1000 + 10 * i AS ns

@@ -1742,7 +1742,62 @@ def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fuzzy-dup blocking: prefix length compared, length-bucket width,
+#: and the relative-edit-distance keep threshold.
+FUZZY_PREFIX = 80
+FUZZY_BUCKET = 24
+FUZZY_REL_MAX = 0.6
+
+
+def text_fuzzy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate pairs — the fuzzy complement to
+    the hash-exact and MinHash passes: documents blocked by
+    (language, length bucket), candidate pairs scored by the
+    engine-native Levenshtein distance over 80-char prefixes, kept
+    when the relative distance ``lev / max(len)`` is ≤ 0.6. This is
+    the classic blocked record-linkage shape (Fellegi–Sunter style
+    blocking; the same pattern as q_customer_fuzzy_match but at
+    corpus scale against untrusted text).
+
+    Scale shape: all-pairs is confined INSIDE each (lang, bucket)
+    block — the equi-join on the composite block key is the only
+    shuffle, candidate count is Σ|block|², and block sizes are
+    controlled by the bucket width, never the corpus size. The
+    Levenshtein core runs JVM-side (codegen'd, no Python); prefix
+    truncation caps the O(n·m) cell cost per pair at 80×80.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / FUZZY_BUCKET).alias("bucket"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("p"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.p"), F.col("b.p"))
+    mx = F.greatest(F.length("a.p"), F.length("b.p"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            lev.cast("bigint").alias("lev"),
+            _trunc6(
+                lev.cast("double") / mx.cast("double")
+            ).alias("rel_dist"),
+        )
+        .where(F.col("rel_dist") <= FUZZY_REL_MAX)
+        .orderBy("doc_i", "doc_j")
+    )
+
+
+
 QUERIES = {
+    "text_fuzzy_dups": text_fuzzy_dups,
     "text_gopher_rules": text_gopher_rules,
     "text_bm25_rank": text_bm25_rank,
     "text_block_dedup": text_block_dedup,
@@ -1878,6 +1933,29 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_fuzzy_dups": """
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(floor(n_chars / 24.0) AS BIGINT) AS bucket,
+                   substr(text, 1, 80) AS p
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                   CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
+                   greatest(length(a.p), length(b.p)) AS mx
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_i, doc_j, lev,
+               floor(CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6) / 1e6
+                 AS rel_dist
+        FROM pairs
+        WHERE floor(CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6) / 1e6
+              <= 0.6
+        ORDER BY doc_i, doc_j
+    """,
     "text_bm25_rank": rf"""
         WITH dl AS (
             SELECT doc_id, source,

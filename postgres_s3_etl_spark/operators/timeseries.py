@@ -523,7 +523,79 @@ def q_orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at
+    lags 1–3 via the Durbin–Levinson recursion — the AR-order
+    selection readout (an AR(p) process has PACF ≈ 0 beyond lag p)
+    that pairs with q_events_autocorr's plain ACF.
+
+    Cross-engine determinism: deviations are multiplied out to
+    exact BIGINTs (vₜ = n·xₜ − total, the q_events_cusum trick), so
+    every lagged product sum Σ vₜ·vₜ₊ₖ is exact integer arithmetic;
+    the ACF ratios and the three Durbin–Levinson closed forms
+    (φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₃₃ from the order-2
+    coefficients) are mirrored double expressions over those exact
+    sums.
+
+    Scale shape: raw events reduce in one partial-aggregatable
+    day rollup; the lag products ride three ``lead`` windows over
+    the bounded calendar grain.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").alias("total"),
+    )
+    w = Window.orderBy("day")
+    v = daily.crossJoin(F.broadcast(tot)).select(
+        "n_days",
+        (F.col("x") * F.col("n_days") - F.col("total")).alias("v"),
+        F.lead((F.col("x") * F.col("n_days") - F.col("total")), 1)
+        .over(w)
+        .alias("v1"),
+        F.lead((F.col("x") * F.col("n_days") - F.col("total")), 2)
+        .over(w)
+        .alias("v2"),
+        F.lead((F.col("x") * F.col("n_days") - F.col("total")), 3)
+        .over(w)
+        .alias("v3"),
+    )
+    # each product is cast to DECIMAL(38,0) BEFORE the fold: the
+    # per-day deviations are ~n·x and their squares would overflow a
+    # BIGINT accumulator at very large SFs; decimal sums stay exact.
+    p = lambda a, b: F.sum(  # noqa: E731
+        (F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)"))
+    )
+    sums = v.groupBy("n_days").agg(
+        p("v", "v").alias("s0"),
+        p("v", "v1").alias("s1"),
+        p("v", "v2").alias("s2"),
+        p("v", "v3").alias("s3"),
+    )
+    r1 = F.col("s1").cast("double") / F.col("s0").cast("double")
+    r2 = F.col("s2").cast("double") / F.col("s0").cast("double")
+    r3 = F.col("s3").cast("double") / F.col("s0").cast("double")
+    phi11 = r1
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = phi11 - phi22 * phi11
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1 - phi21 * r1 - phi22 * r2
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        "n_days",
+        f6(phi11).alias("pacf_1"),
+        f6(phi22).alias("pacf_2"),
+        f6(phi33).alias("pacf_3"),
+    )
+
+
 QUERIES = {
+    "q_events_pacf": q_events_pacf,
     "q_orders_max_drawdown": q_orders_max_drawdown,
     "q_orders_seasonal_index": q_orders_seasonal_index,
     "q_orders_trend_mannkendall": q_orders_trend_mannkendall,
@@ -548,6 +620,54 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_events_pacf": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   SUM(x) AS total
+            FROM daily
+        ),
+        v AS (
+            SELECT n_days,
+                   CAST(x * n_days - total AS DECIMAL(19,0)) AS v,
+                   CAST(lead(x * n_days - total, 1) OVER (ORDER BY day)
+                        AS DECIMAL(19,0)) AS v1,
+                   CAST(lead(x * n_days - total, 2) OVER (ORDER BY day)
+                        AS DECIMAL(19,0)) AS v2,
+                   CAST(lead(x * n_days - total, 3) OVER (ORDER BY day)
+                        AS DECIMAL(19,0)) AS v3
+            FROM daily CROSS JOIN tot
+        ),
+        sums AS (
+            SELECT n_days,
+                   SUM(v * v) AS s0, SUM(v * v1) AS s1,
+                   SUM(v * v2) AS s2, SUM(v * v3) AS s3
+            FROM v GROUP BY n_days
+        ),
+        r AS (
+            SELECT n_days,
+                   CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r1,
+                   CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r2,
+                   CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE) AS r3
+            FROM sums
+        ),
+        dl AS (
+            SELECT n_days, r1, r2, r3,
+                   (r2 - r1 * r1) / (1 - r1 * r1) AS phi22
+            FROM r
+        )
+        SELECT n_days,
+               floor(r1 * 1e6) / 1e6 AS pacf_1,
+               floor(phi22 * 1e6) / 1e6 AS pacf_2,
+               floor((r3 - (r1 - phi22 * r1) * r2 - phi22 * r1)
+                     / (1 - (r1 - phi22 * r1) * r1 - phi22 * r2)
+                     * 1e6) / 1e6 AS pacf_3
+        FROM dl
+    """,
     "q_orders_max_drawdown": """
         WITH daily AS (
             SELECT o_orderdate AS day,

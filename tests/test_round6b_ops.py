@@ -19,6 +19,10 @@ ALL = [
     "q_orders_max_drawdown",
     "q_events_cuped",
     "graph_adamic_adar",
+    "q_events_pacf",
+    "graph_hits",
+    "text_fuzzy_dups",
+    "mm_audio_mulaw",
 ]
 
 
@@ -82,6 +86,79 @@ def test_cuped_preserves_weighted_mean(spark):
     assert abs(raw - adj) < 1e-3
     for r in rows:
         assert 0.0 <= r.var_reduction <= 1.0
+
+
+def test_pacf_bounds(spark):
+    """PACF values are correlations — all in [-1, 1]."""
+    from postgres_s3_etl_spark.operators.timeseries import q_events_pacf
+
+    r = q_events_pacf(spark, SF_DIR).collect()[0]
+    for k in (1, 2, 3):
+        assert abs(getattr(r, f"pacf_{k}")) <= 1.0 + 1e-9
+
+
+def test_hits_leaderboard_shape(spark):
+    """Each side carries ranks 1..10 and a max-normalized score with
+    the leader at exactly 1.0."""
+    from postgres_s3_etl_spark.operators.graph import graph_hits
+
+    rows = graph_hits(spark, SF_DIR).collect()
+    by_side = {}
+    for r in rows:
+        by_side.setdefault(r.side, []).append(r)
+    assert set(by_side) == {"hub", "authority"}
+    for side, rs in by_side.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0].norm_score == 1.0
+        assert all(0.0 < r.norm_score <= 1.0 for r in rs)
+        # ranks ordered by score desc
+        scores = [r.norm_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_fuzzy_dups_blocked_and_thresholded(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        FUZZY_REL_MAX,
+        text_fuzzy_dups,
+    )
+
+    rows = text_fuzzy_dups(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.doc_i < r.doc_j
+        assert 0.0 <= r.rel_dist <= FUZZY_REL_MAX
+
+
+def test_mulaw_expansion_properties():
+    """ITU G.711 invariants: sign-bit flip negates, magnitudes are
+    bounded by 32124, and the all-ones byte decodes to exactly 0."""
+    from postgres_s3_etl_spark.operators.multimodal import mulaw_expand
+
+    for u in range(256):
+        assert mulaw_expand(u ^ 0x80) == -mulaw_expand(u)
+        assert abs(mulaw_expand(u)) <= 32124
+    assert mulaw_expand(0xFF) == 0
+    # 0x00 complements to 0xFF: sign bit set, e=7, m=15 -> -32124
+    assert mulaw_expand(0x00) == -32124
+
+
+def test_mulaw_decoder_rejects_malformed():
+    """Truncated chunks and wrong format tags skip the asset
+    (return None) instead of raising inside the Spark task."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        decode_wav_mulaw_exact,
+        encode_wav_mulaw,
+    )
+
+    good = encode_wav_mulaw(3, 100)
+    n, s, q, peak = decode_wav_mulaw_exact(good)
+    assert n == 100 and q >= 0 and peak <= 32124
+    assert decode_wav_mulaw_exact(good[:30]) is None  # truncated chunk
+    assert decode_wav_mulaw_exact(b"RIFF\x00\x00\x00\x00JUNK") is None
+    assert decode_wav_mulaw_exact(b"") is None
+    # PCM (tag 1) container must be rejected by the mu-law path
+    from postgres_s3_etl_spark.operators.multimodal import encode_wav
+
+    assert decode_wav_mulaw_exact(encode_wav(1, 50)) is None
 
 
 def test_adamic_adar_pairs_are_nonedges(spark):
