@@ -101,6 +101,17 @@ HEADLINE = (
     "mm_image_decode_jpeg_color",
     "mm_video_scene_cuts",
     "mm_audio_silence_trim",
+    # round-7 additions (retrieval ranking, block dedup, image
+    # resample, community detection, SQ8 ANN, link prediction,
+    # HITS, fuzzy linkage)
+    "text_bm25_rank",
+    "text_block_dedup",
+    "mm_image_resize",
+    "graph_label_propagation",
+    "sim_search_sq8",
+    "graph_adamic_adar",
+    "graph_hits",
+    "text_fuzzy_dups",
 )
 
 

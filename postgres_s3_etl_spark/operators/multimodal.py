@@ -1021,6 +1021,123 @@ def mm_image_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, _BMP_STATS_SCHEMA).orderBy("asset_id")
 
 
+N_PGM_ASSETS = 40
+
+
+def encode_pgm(asset_id: int, w: int, h: int) -> bytes:
+    """A real binary-netpbm P5 grayscale image (maxval 255) whose
+    pixel (x, y) follows g=(5a+11x+13y)%256; the header includes a
+    comment line so the decoder's token walk is exercised on real
+    structure, not just the happy path."""
+    head = f"P5\n# synthetic asset {asset_id}\n{w} {h}\n255\n".encode()
+    px = bytes(
+        (5 * asset_id + 11 * x + 13 * y) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    return head + px
+
+
+def decode_pgm(payload: bytes):
+    """REAL decode of binary netpbm P5: whitespace-and-comment
+    tokenizer for the header (the spec allows comments anywhere
+    between tokens), maxval must fit one byte, pixel payload must be
+    exactly w·h bytes after the single whitespace byte that ends the
+    header. Returns an (h, w) uint8 array or None on any deviation
+    (16-bit maxval, truncation, wrong magic) — malformed assets are
+    skipped, never task failures."""
+    import numpy as np
+
+    if len(payload) < 2 or payload[:2] != b"P5":
+        return None
+    pos, toks = 2, []
+    while len(toks) < 3 and pos < len(payload):
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        else:
+            end = pos
+            while end < len(payload) and payload[end] not in b" \t\r\n#":
+                end += 1
+            tok = payload[pos:end]
+            if not tok.isdigit():
+                return None
+            toks.append(int(tok))
+            pos = end
+    if len(toks) < 3 or pos >= len(payload):
+        return None
+    w, h, maxval = toks
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        return None
+    pos += 1  # the single whitespace byte terminating the header
+    if len(payload) - pos != w * h:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, offset=pos).reshape(h, w)
+
+
+def synth_pgm_media(spark: SparkSession, n: int = N_PGM_ASSETS) -> DataFrame:
+    """n real P5 grayscale assets with deterministic dimensions."""
+    rows = []
+    for i in range(n):
+        w, h = 14 + i % 7, 10 + i % 6
+        rows.append((i, "image", w, h, 0, bytearray(encode_pgm(i, w, h))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_image_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL netpbm decode: P5 grayscale containers with
+    comment-bearing headers are synthesized, parsed by the
+    spec-correct tokenizer inside Arrow-batched mapInPandas, and
+    reduced to exact int64 pixel stats; the oracle regenerates the
+    closed-form pixel pattern in SQL, value-checking the header
+    walk, the payload-size contract, and the row order (row-0 sum
+    is the top-down witness).
+
+    Scale: payload bytes never shuffle; 7 ints per asset cross the
+    Arrow boundary.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_pgm(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64)
+                out.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        img.shape[0] * img.shape[1],
+                        int(px.sum()),
+                        int((px * px).sum()),
+                        int(px[0, :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "width", "height", "n_px",
+                    "sum_g", "ssq_g", "row0_sum",
+                ],
+            )
+
+    media = synth_pgm_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, width int, height int, n_px bigint, "
+        "sum_g bigint, ssq_g bigint, row0_sum bigint",
+    ).orderBy("asset_id")
+
+
 _RESIZE_STATS_SCHEMA = (
     "asset_id bigint, out_width int, out_height int, n_px_out bigint, "
     "sum_r bigint, sum_g bigint, sum_b bigint, row0_r_sum bigint, "
@@ -2477,6 +2594,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_windows": mm_audio_windows,
     "mm_audio_mulaw": mm_audio_mulaw,
+    "mm_image_decode_pgm": mm_image_decode_pgm,
     "mm_image_patches": mm_image_patches,
 }
 
@@ -2763,6 +2881,31 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: real PCM WAV windowing — exact integer energy stats
     # recomputed from the closed-form sample pattern.
+    "mm_image_decode_pgm": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 14 + i % 7 AS w, 10 + i % 6 AS h
+            FROM generate_series(0, {N_PGM_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, gy.y,
+                   (5 * a.asset_id + 11 * gx.x + 13 * gy.y) % 256 AS g
+            FROM assets a
+            CROSS JOIN generate_series(0, 20) gx(x)
+            CROSS JOIN generate_series(0, 15) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(g * g) AS BIGINT) AS ssq_g,
+               CAST(SUM(CASE WHEN y = 0 THEN g ELSE 0 END) AS BIGINT)
+                   AS row0_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_audio_mulaw": f"""
         WITH assets AS (
             SELECT i AS asset_id, 400 + 8 * i AS ns

@@ -415,6 +415,74 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+def sim_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware ANN quality: per-probe NDCG@k of the LSH ranking
+    against the exact cosine ranking — recall@k (sim_search_recall)
+    says WHETHER the true neighbors surface; NDCG says whether they
+    surface IN ORDER, which is what a retrieval UI or a hard-negative
+    miner actually consumes. Graded relevance = k+1−exact_rank
+    (5,4,…,1), DCG = Σ rel/log₂(approx_rank+1), normalized by the
+    ideal DCG from the exact ranking itself.
+
+    Cross-engine determinism: each gain term is pinned to
+    DECIMAL(38,6) before the per-probe fold (≤k terms, but two
+    engines could still fold doubles in different order), and the
+    final NDCG is one mirrored double division.
+
+    Plan: both ranked lists are probe-bounded (N_PROBES×k rows);
+    the eval is two small joins + rollups — corpus size never enters.
+    """
+    log2 = lambda c: F.log(c.cast("double")) / F.log(F.lit(2.0))  # noqa: E731
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id",
+        "neighbor_id",
+        (F.lit(TOP_K + 1) - F.col("rank")).alias("rel"),
+        F.col("rank").alias("erank"),
+    )
+    idcg = exact.groupBy("probe_id").agg(
+        F.sum(
+            (
+                F.col("rel").cast("double")
+                / log2(F.col("erank") + F.lit(1))
+            ).cast("decimal(38,6)")
+        ).alias("idcg")
+    )
+    approx = sim_search_lsh(spark, sf_dir).select(
+        "probe_id", "neighbor_id", "rank"
+    )
+    dcg = (
+        approx.join(
+            exact.select("probe_id", "neighbor_id", "rel"),
+            ["probe_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.sum(
+                (
+                    F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+                    / log2(F.col("rank") + F.lit(1))
+                ).cast("decimal(38,6)")
+            ).alias("dcg")
+        )
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        idcg.join(dcg, "probe_id", "left")
+        .select(
+            "probe_id",
+            f6(F.coalesce(F.col("dcg"), F.lit(0)).cast("double")).alias(
+                "dcg"
+            ),
+            f6(
+                F.coalesce(F.col("dcg"), F.lit(0)).cast("double")
+                / F.col("idcg").cast("double")
+            ).alias("ndcg"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 #: Incremental split: vectors with id below the threshold fraction
 #: are the "already-indexed" corpus; the rest are new arrivals.
 INCR_SPLIT_FRAC = 0.8
@@ -1720,6 +1788,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "embedding_hard_negatives": embedding_hard_negatives,
     "sim_search_recall": sim_search_recall,
+    "sim_search_ndcg": sim_search_ndcg,
     "sim_search_pq_adc": sim_search_pq_adc,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_power": embedding_pca_power,
@@ -2716,6 +2785,61 @@ ORACLES = {
     """,
     # Recall@k of the LSH path vs exact top-k: the same two candidate
     # pipelines composed — `vecs` from the LSH CTE chain serves both.
+    "sim_search_ndcg": f"""
+        WITH {lsh_bucket_cte()},
+        exact_pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        exact_topk AS (
+            SELECT probe_id, neighbor_id,
+                   {TOP_K + 1} - rank AS rel, rank AS erank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM exact_pairs
+            ) WHERE rank <= {TOP_K}
+        ),
+        idcg AS (
+            SELECT probe_id,
+                   SUM(CAST(CAST(rel AS DOUBLE)
+                            / (ln(CAST(erank + 1 AS DOUBLE)) / ln(2.0))
+                        AS DECIMAL(38,6))) AS idcg
+            FROM exact_topk GROUP BY probe_id
+        ),
+        lsh_pairs AS (
+            SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < {N_PROBES}
+        ),
+        lsh_topk AS (
+            SELECT probe_id, neighbor_id, rank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM lsh_pairs
+            ) WHERE rank <= {TOP_K}
+        ),
+        dcg AS (
+            SELECT l.probe_id,
+                   SUM(CAST(CAST(COALESCE(e.rel, 0) AS DOUBLE)
+                            / (ln(CAST(l.rank + 1 AS DOUBLE)) / ln(2.0))
+                        AS DECIMAL(38,6))) AS dcg
+            FROM lsh_topk l
+            LEFT JOIN exact_topk e
+              ON l.probe_id = e.probe_id AND l.neighbor_id = e.neighbor_id
+            GROUP BY l.probe_id
+        )
+        SELECT i.probe_id,
+               floor(CAST(COALESCE(d.dcg, 0) AS DOUBLE) * 1e6) / 1e6 AS dcg,
+               floor(CAST(COALESCE(d.dcg, 0) AS DOUBLE)
+                     / CAST(i.idcg AS DOUBLE) * 1e6) / 1e6 AS ndcg
+        FROM idcg i LEFT JOIN dcg d ON i.probe_id = d.probe_id
+        ORDER BY i.probe_id
+    """,
     "sim_search_recall": f"""
         WITH {lsh_bucket_cte()},
         exact_pairs AS (

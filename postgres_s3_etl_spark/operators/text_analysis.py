@@ -1742,6 +1742,87 @@ def text_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RAKE stopword delimiters (the corpus' function words) and the
+#: practical phrase-length cap (RAKE implementations bound phrases
+#: to a few words; unbounded runs would let one glued phrase absorb
+#: the whole document).
+RAKE_STOPWORDS = ("a", "the")
+RAKE_MAX_WORDS = 4
+RAKE_TOP = 20
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands), each
+    word scores degree/frequency over the candidate corpus (degree =
+    Σ length of phrases containing it — co-occurrence reach; freq =
+    raw count), and a phrase scores the sum of its word scores.
+    Returns the corpus top-20 phrases — the zero-training keyword
+    extractor every document-triage pipeline starts with.
+
+    Scale shape: tokenization and island-grouping are row-local +
+    one doc-grain window (bounded by document length, never corpus
+    size); word stats are one token-keyed partial-aggregatable
+    rollup broadcast-joined back; phrase scores pin each word term
+    to DECIMAL(38,6) so the ≤4-term fold is exact. No pair joins
+    anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_ws_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    nonstop = toks.where(~F.col("tok").isin(*RAKE_STOPWORDS))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = nonstop.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    ).localCheckpoint()
+    phrases = isl.groupBy("doc_id", "grp").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok))"
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+    )
+    word_stats = (
+        isl.join(phrases.select("doc_id", "grp", "n_words"), ["doc_id", "grp"])
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+        .select(
+            "tok",
+            (F.col("deg").cast("double") / F.col("freq").cast("double"))
+            .cast("decimal(38,6)")
+            .alias("wscore"),
+        )
+    )
+    occ = (
+        isl.join(word_stats, "tok")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("wscore").alias("score"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        phrases.where(F.col("n_words") <= RAKE_MAX_WORDS)
+        .join(occ, ["doc_id", "grp"])
+        .groupBy("phrase", "n_words")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("score").alias("score"),
+        )
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            f6(F.col("score").cast("double")).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(RAKE_TOP)
+    )
+
+
 #: Fuzzy-dup blocking: prefix length compared, length-bucket width,
 #: and the relative-edit-distance keep threshold.
 FUZZY_PREFIX = 80
@@ -1798,6 +1879,7 @@ def text_fuzzy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_fuzzy_dups": text_fuzzy_dups,
+    "text_rake_keywords": text_rake_keywords,
     "text_gopher_rules": text_gopher_rules,
     "text_bm25_rank": text_bm25_rank,
     "text_block_dedup": text_block_dedup,
@@ -1933,6 +2015,51 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_rake_keywords": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(generate_series(1,
+                       len(string_split_regex(trim(text), '\\s+')))) AS pos
+            FROM documents
+        ),
+        nonstop AS (
+            SELECT doc_id, tok, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM toks WHERE tok NOT IN ('a', 'the')
+        ),
+        phrases AS (
+            SELECT doc_id, grp,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS INT) AS n_words
+            FROM nonstop GROUP BY doc_id, grp
+        ),
+        word_stats AS (
+            SELECT n.tok,
+                   CAST(CAST(SUM(p.n_words) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)
+                        AS DECIMAL(38,6)) AS wscore
+            FROM nonstop n
+            JOIN phrases p ON n.doc_id = p.doc_id AND n.grp = p.grp
+            GROUP BY n.tok
+        ),
+        occ AS (
+            SELECT n.doc_id, n.grp, SUM(w.wscore) AS score
+            FROM nonstop n JOIN word_stats w ON n.tok = w.tok
+            GROUP BY n.doc_id, n.grp
+        )
+        SELECT p.phrase, p.n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               floor(CAST(MAX(o.score) AS DOUBLE) * 1e6) / 1e6
+                 AS rake_score
+        FROM phrases p
+        JOIN occ o ON p.doc_id = o.doc_id AND p.grp = o.grp
+        WHERE p.n_words <= 4
+        GROUP BY p.phrase, p.n_words
+        ORDER BY rake_score DESC, p.phrase
+        LIMIT 20
+    """,
     "text_fuzzy_dups": """
         WITH d AS (
             SELECT doc_id, lang,

@@ -23,6 +23,9 @@ ALL = [
     "graph_hits",
     "text_fuzzy_dups",
     "mm_audio_mulaw",
+    "sim_search_ndcg",
+    "mm_image_decode_pgm",
+    "text_rake_keywords",
 ]
 
 
@@ -159,6 +162,59 @@ def test_mulaw_decoder_rejects_malformed():
     from postgres_s3_etl_spark.operators.multimodal import encode_wav
 
     assert decode_wav_mulaw_exact(encode_wav(1, 50)) is None
+
+
+def test_ndcg_bounds_and_recall_consistency(spark):
+    """NDCG ∈ [0,1]; a probe with perfect recall AND perfect order
+    has ndcg == 1; ndcg can never exceed recall's ceiling (rel mass
+    found)."""
+    from postgres_s3_etl_spark.operators.similarity import sim_search_ndcg
+
+    rows = sim_search_ndcg(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1e-9 <= r.ndcg <= 1.0 + 1e-9
+        assert r.dcg >= 0.0
+
+
+def test_pgm_decoder_spec_edges():
+    """Comment-bearing headers parse; 16-bit maxval, truncation,
+    and bad magic are rejected with None."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        decode_pgm,
+        encode_pgm,
+    )
+
+    img = decode_pgm(encode_pgm(7, 5, 3))
+    assert img.shape == (3, 5)
+    assert img[0, 0] == (5 * 7) % 256
+    assert img[2, 4] == (5 * 7 + 11 * 4 + 13 * 2) % 256
+    assert decode_pgm(b"P6\n2 2\n255\n" + b"\x00" * 12) is None
+    assert decode_pgm(b"P5\n2 2\n65535\n" + b"\x00" * 8) is None
+    assert decode_pgm(encode_pgm(1, 4, 4)[:-1]) is None  # truncated
+    # multi-comment header still parses
+    multi = b"P5\n# one\n# two\n2 2\n255\n" + bytes(range(4))
+    assert np.array_equal(decode_pgm(multi), np.arange(4).reshape(2, 2))
+
+
+def test_rake_phrases_are_stopword_free(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        RAKE_MAX_WORDS,
+        RAKE_STOPWORDS,
+        text_rake_keywords,
+    )
+
+    rows = text_rake_keywords(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.rake_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) == r.n_words <= RAKE_MAX_WORDS
+        assert not set(words) & set(RAKE_STOPWORDS)
+        assert r.n_occurrences >= 1
 
 
 def test_adamic_adar_pairs_are_nonedges(spark):
