@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.operators.ranking import GRN, with_global_order
 
 #: Distinctive stopwords per language for the n-gram/stopword
 #: evidence heuristic. Tie-break order = tuple order.
@@ -1823,53 +1824,62 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Fuzzy-dup blocking: prefix length compared, length-bucket width,
-#: and the relative-edit-distance keep threshold.
+#: Fuzzy-dup candidate generation: prefix length compared,
+#: sorted-neighborhood window width, relative-distance threshold.
 FUZZY_PREFIX = 80
-FUZZY_BUCKET = 24
+FUZZY_WINDOW = 8
 FUZZY_REL_MAX = 0.6
 
 
 def text_fuzzy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-duplicate pairs — the fuzzy complement to
-    the hash-exact and MinHash passes: documents blocked by
-    (language, length bucket), candidate pairs scored by the
-    engine-native Levenshtein distance over 80-char prefixes, kept
-    when the relative distance ``lev / max(len)`` is ≤ 0.6. This is
-    the classic blocked record-linkage shape (Fellegi–Sunter style
-    blocking; the same pattern as q_customer_fuzzy_match but at
-    corpus scale against untrusted text).
+    """Edit-distance near-duplicate pairs by the SORTED-NEIGHBORHOOD
+    method (Hernández & Stolfo 1995) — the fuzzy complement to the
+    hash-exact and MinHash passes: documents are globally ordered by
+    (lang, n_chars, prefix), and each document is compared only to
+    its next ``FUZZY_WINDOW`` neighbors in that order (near-identical
+    prefixes sort adjacent, so true near-dups land in-window).
+    Survivors are pairs with relative Levenshtein distance
+    ``lev / max(len)`` ≤ 0.6 over 80-char prefixes.
 
-    Scale shape: all-pairs is confined INSIDE each (lang, bucket)
-    block — the equi-join on the composite block key is the only
-    shuffle, candidate count is Σ|block|², and block sizes are
-    controlled by the bucket width, never the corpus size. The
-    Levenshtein core runs JVM-side (codegen'd, no Python); prefix
-    truncation caps the O(n·m) cell cost per pair at 80×80.
+    Scale shape: candidates are n·w — LINEAR in the corpus, unlike
+    fixed-cardinality blocking whose block sizes (and the all-pairs
+    join inside them) grow with the corpus. The global order comes
+    from the two-pass range-partitioned rank (operators/ranking.py —
+    no single-task window); the neighbor join is one equi-join on
+    rank+offset; the Levenshtein core runs JVM-side (codegen'd, no
+    Python), O(80²) cells per pair.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
-        F.floor(F.col("n_chars") / FUZZY_BUCKET).alias("bucket"),
+        "n_chars",
         F.substring("text", 1, FUZZY_PREFIX).alias("p"),
     )
-    a, b = d.alias("a"), d.alias("b")
-    lev = F.levenshtein(F.col("a.p"), F.col("b.p"))
-    mx = F.greatest(F.length("a.p"), F.length("b.p"))
+    ranked = with_global_order(
+        d, [F.asc("lang"), F.asc("n_chars"), F.asc("p"), F.asc("doc_id")]
+    ).select("doc_id", "lang", "p", F.col(GRN).alias("rnk"))
+    left = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("p").alias("p_a"),
+        F.explode(
+            F.sequence(F.col("rnk") + 1, F.col("rnk") + FUZZY_WINDOW)
+        ).alias("nbr_rnk"),
+    )
+    lev = F.levenshtein(F.col("p_a"), F.col("p"))
+    mx = F.greatest(F.length("p_a"), F.length("p"))
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        left.join(
+            ranked, F.col("nbr_rnk") == F.col("rnk")
         )
+        .where(F.col("lang_a") == F.col("lang"))
         .select(
-            F.col("a.doc_id").alias("doc_i"),
-            F.col("b.doc_id").alias("doc_j"),
+            F.least("id_a", "doc_id").alias("doc_i"),
+            F.greatest("id_a", "doc_id").alias("doc_j"),
             lev.cast("bigint").alias("lev"),
-            _trunc6(
-                lev.cast("double") / mx.cast("double")
-            ).alias("rel_dist"),
+            _trunc6(lev.cast("double") / mx.cast("double")).alias(
+                "rel_dist"
+            ),
         )
         .where(F.col("rel_dist") <= FUZZY_REL_MAX)
         .orderBy("doc_i", "doc_j")
@@ -2062,18 +2072,19 @@ ORACLES = {
     """,
     "text_fuzzy_dups": """
         WITH d AS (
-            SELECT doc_id, lang,
-                   CAST(floor(n_chars / 24.0) AS BIGINT) AS bucket,
-                   substr(text, 1, 80) AS p
+            SELECT doc_id, lang, substr(text, 1, 80) AS p,
+                   ROW_NUMBER() OVER (ORDER BY lang, n_chars,
+                                      substr(text, 1, 80), doc_id) AS rnk
             FROM documents
         ),
         pairs AS (
-            SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+            SELECT least(a.doc_id, b.doc_id) AS doc_i,
+                   greatest(a.doc_id, b.doc_id) AS doc_j,
                    CAST(levenshtein(a.p, b.p) AS BIGINT) AS lev,
                    greatest(length(a.p), length(b.p)) AS mx
             FROM d a JOIN d b
-              ON a.lang = b.lang AND a.bucket = b.bucket
-             AND a.doc_id < b.doc_id
+              ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 8
+             AND a.lang = b.lang
         )
         SELECT doc_i, doc_j, lev,
                floor(CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) * 1e6) / 1e6
