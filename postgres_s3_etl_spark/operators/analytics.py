@@ -2639,8 +2639,59 @@ def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_brand")
 
 
+#: Empirical-Bayes prior strength (pseudo-orders at the global mean).
+CLV_SHRINK_K = 5
+CLV_TOP = 20
+
+
+def q_customer_clv_shrunken(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrunken customer value: each customer's
+    average order value is shrunk toward the global mean with weight
+    n/(n+k) — ``shrunk = (n·x̄ + k·μ)/(n+k)`` — so a 1-order whale
+    stops outranking a 30-order regular (the James-Stein/hierarchical
+    partial-pooling fix every LTV leaderboard needs). Returns the
+    top-20 by shrunken value.
+
+    Cross-engine determinism: per-customer revenue sums and the
+    global mean's numerator are exact DECIMAL; the shrinkage formula
+    is one mirrored double expression. Scale shape: one
+    partial-aggregatable customer rollup, a 1-row global scalar
+    broadcast, and a distributed top-20 (TakeOrderedAndProject).
+    """
+    per_cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("rev"),
+        )
+    )
+    glob = per_cust.agg(
+        (
+            F.sum("rev").cast("double") / F.sum("n_orders").cast("double")
+        ).alias("mu")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    shrunk = (d("rev") + F.lit(float(CLV_SHRINK_K)) * F.col("mu")) / (
+        d("n_orders") + F.lit(float(CLV_SHRINK_K))
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(glob))
+        .select(
+            "o_custkey",
+            "n_orders",
+            f6(d("rev") / d("n_orders")).alias("raw_avg"),
+            f6(shrunk).alias("shrunk_avg"),
+        )
+        .orderBy(F.desc("shrunk_avg"), F.asc("o_custkey"))
+        .limit(CLV_TOP)
+    )
+
+
 QUERIES = {
     "q_customer_theil_index": q_customer_theil_index,
+    "q_customer_clv_shrunken": q_customer_clv_shrunken,
     "q_part_price_elasticity": q_part_price_elasticity,
     "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
     "q_nation_rca": q_nation_rca,
@@ -2715,6 +2766,30 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_customer_clv_shrunken": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY o_custkey
+        ),
+        gmean AS (
+            SELECT CAST(SUM(rev) AS DOUBLE)
+                   / CAST(SUM(n_orders) AS DOUBLE) AS mu
+            FROM per_cust
+        )
+        SELECT o_custkey, n_orders,
+               floor(CAST(rev AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                     * 1e6) / 1e6 AS raw_avg,
+               floor((CAST(rev AS DOUBLE) + 5.0 * mu)
+                     / (CAST(n_orders AS DOUBLE) + 5.0) * 1e6) / 1e6
+                 AS shrunk_avg
+        FROM per_cust CROSS JOIN gmean
+        ORDER BY floor((CAST(rev AS DOUBLE) + 5.0 * mu)
+                       / (CAST(n_orders AS DOUBLE) + 5.0) * 1e6) / 1e6
+                 DESC, o_custkey ASC
+        LIMIT 20
+    """,
     "q_customer_theil_index": """
         WITH cust AS (
             SELECT n.n_regionkey,

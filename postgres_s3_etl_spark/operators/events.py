@@ -1294,6 +1294,44 @@ def q_events_share_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Poisson rate-shift test between the two month
+    halves (days ≤15 vs >15, equal 15-day exposures): rate ratio
+    n₂/n₁ and the standard conditional z ≈ (n₂−n₁)/√(n₁+n₂) — the
+    "did this event's arrival rate change?" gate for release/rollout
+    monitoring, the count-data sibling of q_events_ab_test's
+    proportion z.
+
+    Cross-engine determinism: both counts are exact BIGINTs from one
+    partial-aggregatable rollup; ratio and z are single mirrored
+    double expressions (√ is IEEE-correctly-rounded in any engine).
+    try_divide semantics via NULLIF keep an empty first half a NULL
+    ratio, not a crash.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    counts = ev.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)
+        ).cast("bigint").alias("n1"),
+        F.sum(
+            F.when(F.dayofmonth("ts") > 15, 1).otherwise(0)
+        ).cast("bigint").alias("n2"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    z = (d("n2") - d("n1")) / F.sqrt(d("n1") + d("n2"))
+    return counts.select(
+        "event_type",
+        "n1",
+        "n2",
+        f6(
+            d("n2") / F.nullif(d("n1"), F.lit(0.0))
+        ).alias("rate_ratio"),
+        f6(z).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant_05"),
+    ).orderBy("event_type")
+
+
 #: CUPED pre/post split day-of-month (events span one calendar month).
 CUPED_PRE_DAY = 15
 
@@ -1376,6 +1414,7 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_events_cuped": q_events_cuped,
+    "q_events_poisson_rate": q_events_poisson_rate,
     "q_events_share_wilson": q_events_share_wilson,
     "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
@@ -1424,6 +1463,28 @@ def _markov_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "q_events_poisson_rate": """
+        WITH counts AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n2
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n1, n2,
+               floor(CAST(n2 AS DOUBLE)
+                     / NULLIF(CAST(n1 AS DOUBLE), 0.0) * 1e6) / 1e6
+                 AS rate_ratio,
+               floor((CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE))
+                     / sqrt(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                     * 1e6) / 1e6 AS z_stat,
+               abs((CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE))
+                   / sqrt(CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                 > 1.96 AS significant_05
+        FROM counts
+        ORDER BY event_type
+    """,
     "q_events_cuped": """
         WITH users AS (
             SELECT user_id,

@@ -1062,6 +1062,81 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Harmonic-centrality sample: per-seed BFS radius and seed count
+#: (fixed so the oracle unrolls exactly).
+HARMONIC_SEEDS = 4
+HARMONIC_ROUNDS = 3
+
+
+def graph_harmonic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated harmonic centrality of the HARMONIC_SEEDS
+    highest-degree parts: ``H(s) = Σ_{{v≠s, d(s,v)≤R}} 1/d(s,v)``
+    after R = 3 per-seed BFS rounds — the centrality that stays
+    finite on disconnected graphs (Boldi & Vigna 2014) and, sampled
+    from pivot nodes, is the standard scalable stand-in for exact
+    closeness (which would need all-pairs distances).
+
+    Scale shape: the distance frontier is keyed (seed, node) — state
+    is bounded by seeds × reach, never nodes²; each round is one
+    edges⋈frontier equi-join plus a partial-aggregatable MIN (the
+    Bellman-Ford relaxation graph_bfs_levels uses, with the seed
+    riding the key); 1/d terms are pinned to DECIMAL(38,6) before
+    the per-seed fold.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = _degrees(edges)
+    seeds = (
+        deg.orderBy(F.desc("deg"), F.asc("node"))
+        .limit(HARMONIC_SEEDS)
+        .select(F.col("node").alias("seed"))
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    for _ in range(HARMONIC_ROUNDS):
+        cand = (
+            sym.join(dist, sym.src == dist.node)
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg((F.min("dist") + 1).alias("nd"))
+        )
+        dist = (
+            dist.join(cand, ["seed", "node"], "full")
+            .select(
+                "seed",
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(1 << 30)),
+                    F.coalesce("nd", F.lit(1 << 30)),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        dist.where(F.col("dist") > 0)
+        .select(
+            "seed",
+            (F.lit(1.0) / F.col("dist").cast("double"))
+            .cast("decimal(38,6)")
+            .alias("term"),
+        )
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.sum("term").alias("hsum"),
+        )
+        .select(
+            "seed",
+            "n_reached",
+            f6(F.col("hsum").cast("double")).alias("harmonic"),
+        )
+        .orderBy("seed")
+    )
+
+
 #: Random-walk corpus parameters: number of walks (highest-degree
 #: seeds) and steps per walk. Fixed so the oracle unrolls exactly.
 WALKS_N = 20
@@ -1146,6 +1221,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "graph_adamic_adar": graph_adamic_adar,
     "graph_hits": graph_hits,
+    "graph_harmonic_sample": graph_harmonic_sample,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1293,6 +1369,25 @@ def _bfs_iter_sql(k: int) -> str:
     """
 
 
+def _hc_iter_sql(k: int) -> str:
+    """One unrolled per-seed Bellman-Ford relaxation round (the
+    graph_harmonic_sample loop body: seed rides the key)."""
+    return f"""
+        hd{k} AS MATERIALIZED (
+            SELECT COALESCE(p.seed, c.seed) AS seed,
+                   COALESCE(p.node, c.node) AS node,
+                   LEAST(COALESCE(p.dist, {1 << 30}),
+                         COALESCE(c.nd, {1 << 30})) AS dist
+            FROM hd{k - 1} p
+            FULL JOIN (
+                SELECT l.seed, s.dst AS node, MIN(l.dist) + 1 AS nd
+                FROM sym s JOIN hd{k - 1} l ON s.src = l.node
+                GROUP BY l.seed, s.dst
+            ) c ON p.seed = c.seed AND p.node = c.node
+        )
+    """
+
+
 def _walk_idx_sql(s: int) -> str:
     """Deterministic neighbor pick for step ``s`` (same md5-mod as
     the Spark twin)."""
@@ -1435,6 +1530,33 @@ ORACLES = {
         )
         SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM core_deg GROUP BY deg ORDER BY deg
+    """,
+    "graph_harmonic_sample": f"""
+        WITH {_EDGES_SQL},
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+        ),
+        seeds AS (
+            SELECT node AS seed FROM deg ORDER BY deg DESC, node ASC
+            LIMIT {HARMONIC_SEEDS}
+        ),
+        hd0 AS MATERIALIZED (
+            SELECT seed, seed AS node, 0 AS dist FROM seeds
+        ),
+        {",".join(_hc_iter_sql(k) for k in range(1, HARMONIC_ROUNDS + 1))}
+        SELECT seed,
+               CAST(COUNT(*) AS BIGINT) AS n_reached,
+               floor(CAST(SUM(CAST(1.0 / CAST(dist AS DOUBLE)
+                                   AS DECIMAL(38,6))) AS DOUBLE)
+                     * 1e6) / 1e6 AS harmonic
+        FROM hd{HARMONIC_ROUNDS}
+        WHERE dist > 0
+        GROUP BY seed
+        ORDER BY seed
     """,
     "graph_bfs_levels": f"""
         WITH {_EDGES_SQL},

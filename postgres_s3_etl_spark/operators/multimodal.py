@@ -1138,6 +1138,69 @@ def mm_image_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def mm_image_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL histogram equalization — the first contrast-normalizing
+    transform of any vision preprocessing pipeline — on decoded P5
+    assets, with the classic integer CDF remap
+    ``eq(v) = ⌊(cdf(v) − cdf_min)·255 / (n_px − cdf_min)⌋`` (floor,
+    not round: floor is identical integer arithmetic in every
+    engine, so the oracle can re-derive every remapped pixel
+    exactly). Emits per-asset stats of the original and equalized
+    planes plus the dynamic-range witness (min/max of eq — a correct
+    equalization always ends at 255).
+
+    Scale: decode + histogram + remap are row-local inside
+    Arrow-batched mapInPandas (256-bin bincount per asset); 7 ints
+    per asset leave Python; the SQL oracle mirrors the CDF with one
+    bounded window over value bins.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_pgm(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64).ravel()
+                hist = np.bincount(px, minlength=256)
+                cdf = hist.cumsum()
+                cdf_min = int(cdf[hist.nonzero()[0][0]])
+                n = int(px.size)
+                denom = n - cdf_min
+                if denom <= 0:  # constant image: map everything to 0
+                    eq = np.zeros_like(px)
+                else:
+                    lut = (cdf - cdf_min) * 255 // denom
+                    eq = lut[px]
+                out.append(
+                    (
+                        int(aid),
+                        n,
+                        int(px.sum()),
+                        int(eq.sum()),
+                        int((eq * eq).sum()),
+                        int(eq.min()),
+                        int(eq.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_px", "sum_orig", "sum_eq",
+                    "ssq_eq", "min_eq", "max_eq",
+                ],
+            )
+
+    media = synth_pgm_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, n_px bigint, sum_orig bigint, sum_eq bigint, "
+        "ssq_eq bigint, min_eq bigint, max_eq bigint",
+    ).orderBy("asset_id")
+
+
 _RESIZE_STATS_SCHEMA = (
     "asset_id bigint, out_width int, out_height int, n_px_out bigint, "
     "sum_r bigint, sum_g bigint, sum_b bigint, row0_r_sum bigint, "
@@ -2595,6 +2658,7 @@ QUERIES = {
     "mm_audio_windows": mm_audio_windows,
     "mm_audio_mulaw": mm_audio_mulaw,
     "mm_image_decode_pgm": mm_image_decode_pgm,
+    "mm_image_hist_equalize": mm_image_hist_equalize,
     "mm_image_patches": mm_image_patches,
 }
 
@@ -2881,6 +2945,50 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: real PCM WAV windowing — exact integer energy stats
     # recomputed from the closed-form sample pattern.
+    "mm_image_hist_equalize": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 14 + i % 7 AS w, 10 + i % 6 AS h
+            FROM generate_series(0, {N_PGM_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id,
+                   (5 * a.asset_id + 11 * gx.x + 13 * gy.y) % 256 AS v
+            FROM assets a
+            CROSS JOIN generate_series(0, 20) gx(x)
+            CROSS JOIN generate_series(0, 15) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        ),
+        bins AS (
+            SELECT asset_id, v, COUNT(*) AS cnt
+            FROM px GROUP BY asset_id, v
+        ),
+        cdf AS (
+            SELECT asset_id, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY asset_id ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS c,
+                   SUM(cnt) OVER (PARTITION BY asset_id) AS n,
+                   FIRST_VALUE(cnt) OVER (PARTITION BY asset_id
+                                          ORDER BY v) AS cdf_min
+            FROM bins
+        ),
+        eq AS (
+            SELECT asset_id, v, cnt, n,
+                   CASE WHEN n - cdf_min <= 0 THEN 0
+                        ELSE (c - cdf_min) * 255 // (n - cdf_min)
+                   END AS e
+            FROM cdf
+        )
+        SELECT asset_id,
+               CAST(MAX(n) AS BIGINT) AS n_px,
+               CAST(SUM(cnt * v) AS BIGINT) AS sum_orig,
+               CAST(SUM(cnt * e) AS BIGINT) AS sum_eq,
+               CAST(SUM(cnt * e * e) AS BIGINT) AS ssq_eq,
+               CAST(MIN(e) AS BIGINT) AS min_eq,
+               CAST(MAX(e) AS BIGINT) AS max_eq
+        FROM eq
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_image_decode_pgm": f"""
         WITH assets AS (
             SELECT i AS asset_id, 14 + i % 7 AS w, 10 + i % 6 AS h

@@ -26,6 +26,10 @@ ALL = [
     "sim_search_ndcg",
     "mm_image_decode_pgm",
     "text_rake_keywords",
+    "q_events_poisson_rate",
+    "q_customer_clv_shrunken",
+    "mm_image_hist_equalize",
+    "graph_harmonic_sample",
 ]
 
 
@@ -215,6 +219,84 @@ def test_rake_phrases_are_stopword_free(spark):
         assert 1 <= len(words) == r.n_words <= RAKE_MAX_WORDS
         assert not set(words) & set(RAKE_STOPWORDS)
         assert r.n_occurrences >= 1
+
+
+def test_poisson_rate_counts_partition_events(spark):
+    """n1+n2 must equal the per-type event count exactly."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.events import q_events_poisson_rate
+
+    rows = q_events_poisson_rate(spark, SF_DIR).collect()
+    totals = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n1 + r.n2 == totals[r.event_type]
+        z = (r.n2 - r.n1) / (r.n1 + r.n2) ** 0.5
+        assert r.significant_05 == (abs(z) > 1.96)
+
+
+def test_clv_shrinkage_pulls_toward_global_mean(spark):
+    """Every shrunken value lies strictly between the raw average
+    and the global mean (or equals both when they coincide)."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_clv_shrunken,
+    )
+
+    rows = q_customer_clv_shrunken(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    orders = load_table(spark, SF_DIR, "orders")
+    agg = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    ).collect()[0]
+    for r in rows:
+        lo, hi = sorted((r.raw_avg, agg.mu))
+        assert lo - 1e-4 <= r.shrunk_avg <= hi + 1e-4
+        assert r.n_orders >= 1
+
+
+def test_hist_equalize_dynamic_range(spark):
+    """Equalized plane must span up to 255 (max bin maps to 255 by
+    construction) and keep pixel count."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        mm_image_hist_equalize,
+        synth_pgm_media,
+    )
+
+    rows = mm_image_hist_equalize(spark, SF_DIR).collect()
+    metas = {
+        r.asset_id: (r.width, r.height)
+        for r in synth_pgm_media(spark).select(
+            "asset_id", "width", "height"
+        ).collect()
+    }
+    for r in rows:
+        w, h = metas[r.asset_id]
+        assert r.n_px == w * h
+        assert r.max_eq == 255
+        assert 0 <= r.min_eq <= r.max_eq
+
+
+def test_harmonic_seed_count_and_bounds(spark):
+    """H(s) ≤ n_reached (every term ≤ 1) and > 0 on a connected
+    co-purchase graph; exactly HARMONIC_SEEDS rows."""
+    from postgres_s3_etl_spark.operators.graph import (
+        HARMONIC_SEEDS,
+        graph_harmonic_sample,
+    )
+
+    rows = graph_harmonic_sample(spark, SF_DIR).collect()
+    assert len(rows) == HARMONIC_SEEDS
+    for r in rows:
+        assert 0.0 < r.harmonic <= r.n_reached + 1e-9
 
 
 def test_adamic_adar_pairs_are_nonedges(spark):
