@@ -112,6 +112,10 @@ HEADLINE = (
     "graph_adamic_adar",
     "graph_hits",
     "text_fuzzy_dups",
+    "graph_harmonic_sample",
+    "text_rake_keywords",
+    "mm_image_hist_equalize",
+    "sim_search_ndcg",
 )
 
 

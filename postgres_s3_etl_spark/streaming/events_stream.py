@@ -666,7 +666,50 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per hour as CHAINED STATEFUL streaming
+    aggregations (Spark 3.4+ multiple-stateful-operator support):
+    stage 1 deduplicates (window, user) pairs statefully, stage 2
+    counts the surviving pairs per window — the exact-cardinality
+    twin of the approx_count_distinct dashboards, and the API
+    evidence that watermark propagation through two state stores
+    works end-to-end.
+
+    State: stage 1 holds one row per (window, active user) until the
+    watermark closes the window — bounded by hourly actives, not
+    stream length; stage 2 holds one row per open window. Append
+    emission: a window leaves both stores when the watermark passes
+    its end.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    per_user = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_user.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_users"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_distinct_users",
+            "n_events",
+        )
+    )
+
+
+def q_stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_memory(
+        stream_windowed_distinct(spark, sf_dir),
+        _next_query_name("stream_wdistinct"),
+    ).orderBy("hour_start")
+
+
 QUERIES = {
+    "stream_windowed_distinct": q_stream_windowed_distinct,
     "stream_events_tumbling": q_stream_events_tumbling,
     "stream_events_hopping": q_stream_events_hopping,
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
@@ -699,6 +742,25 @@ ORACLES: dict[str, str] = {
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         WHERE e.event_type = 'purchase'
         ORDER BY e.event_id
+    """,
+    # Chained stateful twin: batch distinct-per-window + the same
+    # append emission rule as tumbling (window end <= final
+    # watermark; the second state store adds no extra delay once
+    # all input is processed to completion).
+    "stream_windowed_distinct": f"""
+        WITH pu AS (
+            SELECT date_trunc('hour', ts) AS hour_start, user_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour_start,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_users,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM pu
+        GROUP BY hour_start
+        HAVING epoch_ms(hour_start) + 3600000 <=
+               (SELECT MAX(epoch_ms(ts)) - {_WM_TUMBLE_MS} FROM events)
+        ORDER BY hour_start
     """,
     # Batch twin + the append-mode emission rule: a window is emitted
     # iff window_end <= final watermark (max event ms - 2h).

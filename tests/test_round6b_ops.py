@@ -30,6 +30,7 @@ ALL = [
     "q_customer_clv_shrunken",
     "mm_image_hist_equalize",
     "graph_harmonic_sample",
+    "stream_windowed_distinct",
 ]
 
 
@@ -297,6 +298,39 @@ def test_harmonic_seed_count_and_bounds(spark):
     assert len(rows) == HARMONIC_SEEDS
     for r in rows:
         assert 0.0 < r.harmonic <= r.n_reached + 1e-9
+
+
+def test_stream_windowed_distinct_equals_batch(spark):
+    """The chained-stateful streaming distinct equals the batch
+    distinct-per-window restricted to watermark-closed windows."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        q_stream_windowed_distinct,
+    )
+
+    streamed = {
+        (r.hour_start, r.n_distinct_users, r.n_events)
+        for r in q_stream_windowed_distinct(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = {
+        (r.hour_start, r.n_distinct_users, r.n_events)
+        for r in (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("hour_start"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("hour_start")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_distinct_users"),
+                F.sum("n").cast("bigint").alias("n_events"),
+            )
+            .collect()
+        )
+        if (max_ts - r.hour_start).total_seconds() >= 2 * 3600 + 3600
+    }
+    assert streamed == batch and len(streamed) > 0
 
 
 def test_adamic_adar_pairs_are_nonedges(spark):
