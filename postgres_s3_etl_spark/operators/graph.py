@@ -186,6 +186,50 @@ def _triangle_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.join(closing, ["cu", "cv"], "leftsemi")
 
 
+def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-bridge census: an edge is a LOCAL BRIDGE iff its
+    endpoints share no common neighbor (it closes no triangle) —
+    Granovetter's weak-tie / bottleneck edges, the ones whose removal
+    lengthens paths and which graph partitioners must not cut last.
+    Emits total edges, bridge count, and the bridge fraction.
+
+    Scale shape: reuses the degree-ordered oriented triangle
+    pipeline (_triangle_triples — hubs never fan out), projects each
+    triangle onto its three canonical edges, and removes them from
+    the edge list with one anti-join; two counting rollups close it.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    tri = _triangle_triples(spark, sf_dir)
+    pair = lambda x, y: [  # noqa: E731
+        F.least(F.col(x), F.col(y)).alias("a"),
+        F.greatest(F.col(x), F.col(y)).alias("b"),
+    ]
+    tri_edges = (
+        tri.select(*pair("u", "cu"))
+        .unionAll(tri.select(*pair("u", "cv")))
+        .unionAll(tri.select(*pair("cu", "cv")))
+        .distinct()
+    )
+    bridges = edges.join(
+        tri_edges,
+        (edges.src == tri_edges.a) & (edges.dst == tri_edges.b),
+        "leftanti",
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    n_e = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_b = bridges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bridges")
+    )
+    return n_e.crossJoin(F.broadcast(n_b)).select(
+        "n_edges",
+        "n_bridges",
+        f6(
+            F.col("n_bridges").cast("double")
+            / F.col("n_edges").cast("double")
+        ).alias("bridge_frac"),
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count (see _triangle_triples for the
     degree-ordered orientation that keeps hubs from emitting deg²
@@ -1222,6 +1266,7 @@ QUERIES = {
     "graph_adamic_adar": graph_adamic_adar,
     "graph_hits": graph_hits,
     "graph_harmonic_sample": graph_harmonic_sample,
+    "graph_local_bridges": graph_local_bridges,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1530,6 +1575,32 @@ ORACLES = {
         )
         SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM core_deg GROUP BY deg ORDER BY deg
+    """,
+    "graph_local_bridges": f"""
+        WITH {_EDGES_SQL},
+        tri AS (
+            -- all triangles as canonical node triples a<b<c
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+        ),
+        tri_edges AS (
+            SELECT a, b FROM tri
+            UNION SELECT a, c FROM tri
+            UNION SELECT b, c FROM tri
+        ),
+        bridges AS (
+            SELECT e.src, e.dst
+            FROM edges e
+            ANTI JOIN tri_edges t ON e.src = t.a AND e.dst = t.b
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_bridges,
+               floor(CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT CAST(COUNT(*) AS DOUBLE) FROM edges)
+                     * 1e6) / 1e6 AS bridge_frac
+        FROM bridges
     """,
     "graph_harmonic_sample": f"""
         WITH {_EDGES_SQL},

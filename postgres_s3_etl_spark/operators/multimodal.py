@@ -1201,6 +1201,65 @@ def mm_image_hist_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def mm_image_conv_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 3×3 convolution — Sobel edge detection on decoded P5
+    assets, the canonical first feature extractor of classical
+    vision pipelines and the plumbing proof for any stencil kernel:
+    per interior pixel, gx/gy from the two Sobel kernels and the L1
+    gradient magnitude |gx|+|gy| (integer — no sqrt, so the oracle
+    can recompute every cell exactly). Emits per-asset edge energy,
+    peak gradient, and the count of strong-edge pixels (mag ≥ 255,
+    a fixed literal threshold).
+
+    Scale: the convolution is numpy slice arithmetic inside
+    Arrow-batched mapInPandas (no Python per-pixel loop); 5 ints per
+    asset leave Python; the oracle mirrors the stencil by evaluating
+    the closed-form pixel pattern at all nine taps.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_pgm(bytes(payload))
+                if img is None or img.shape[0] < 3 or img.shape[1] < 3:
+                    continue
+                p = img.astype(np.int64)
+                gx = (
+                    (p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+                    - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])
+                )
+                gy = (
+                    (p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+                    - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])
+                )
+                mag = np.abs(gx) + np.abs(gy)
+                out.append(
+                    (
+                        int(aid),
+                        int(mag.size),
+                        int(mag.sum()),
+                        int(mag.max()),
+                        int((mag >= 255).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_interior", "edge_energy",
+                    "peak_grad", "n_strong",
+                ],
+            )
+
+    media = synth_pgm_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, n_interior bigint, edge_energy bigint, "
+        "peak_grad bigint, n_strong bigint",
+    ).orderBy("asset_id")
+
+
 _RESIZE_STATS_SCHEMA = (
     "asset_id bigint, out_width int, out_height int, n_px_out bigint, "
     "sum_r bigint, sum_g bigint, sum_b bigint, row0_r_sum bigint, "
@@ -2659,6 +2718,7 @@ QUERIES = {
     "mm_audio_mulaw": mm_audio_mulaw,
     "mm_image_decode_pgm": mm_image_decode_pgm,
     "mm_image_hist_equalize": mm_image_hist_equalize,
+    "mm_image_conv_edge": mm_image_conv_edge,
     "mm_image_patches": mm_image_patches,
 }
 
@@ -2945,6 +3005,44 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: real PCM WAV windowing — exact integer energy stats
     # recomputed from the closed-form sample pattern.
+    "mm_image_conv_edge": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 14 + i % 7 AS w, 10 + i % 6 AS h
+            FROM generate_series(0, {N_PGM_ASSETS - 1}) s(i)
+        ),
+        g AS (
+            SELECT a.asset_id,
+                   -- Sobel at interior (x, y): the nine taps are the
+                   -- closed-form pixel pattern evaluated directly.
+                   ((5*a.asset_id + 11*(gx.x+1) + 13*(gy.y-1)) % 256
+                    + 2*((5*a.asset_id + 11*(gx.x+1) + 13*gy.y) % 256)
+                    + (5*a.asset_id + 11*(gx.x+1) + 13*(gy.y+1)) % 256)
+                   - ((5*a.asset_id + 11*(gx.x-1) + 13*(gy.y-1)) % 256
+                      + 2*((5*a.asset_id + 11*(gx.x-1) + 13*gy.y) % 256)
+                      + (5*a.asset_id + 11*(gx.x-1) + 13*(gy.y+1)) % 256)
+                     AS gxv,
+                   ((5*a.asset_id + 11*(gx.x-1) + 13*(gy.y+1)) % 256
+                    + 2*((5*a.asset_id + 11*gx.x + 13*(gy.y+1)) % 256)
+                    + (5*a.asset_id + 11*(gx.x+1) + 13*(gy.y+1)) % 256)
+                   - ((5*a.asset_id + 11*(gx.x-1) + 13*(gy.y-1)) % 256
+                      + 2*((5*a.asset_id + 11*gx.x + 13*(gy.y-1)) % 256)
+                      + (5*a.asset_id + 11*(gx.x+1) + 13*(gy.y-1)) % 256)
+                     AS gyv
+            FROM assets a
+            CROSS JOIN generate_series(1, 19) gx(x)
+            CROSS JOIN generate_series(1, 14) gy(y)
+            WHERE gx.x < a.w - 1 AND gy.y < a.h - 1
+        )
+        SELECT asset_id,
+               CAST(COUNT(*) AS BIGINT) AS n_interior,
+               CAST(SUM(abs(gxv) + abs(gyv)) AS BIGINT) AS edge_energy,
+               CAST(MAX(abs(gxv) + abs(gyv)) AS BIGINT) AS peak_grad,
+               CAST(SUM(CASE WHEN abs(gxv) + abs(gyv) >= 255
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_strong
+        FROM g
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_image_hist_equalize": f"""
         WITH assets AS (
             SELECT i AS asset_id, 14 + i % 7 AS w, 10 + i % 6 AS h

@@ -1824,6 +1824,87 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus entropy rate: unigram entropy H(W) and conditional
+    bigram entropy H(W₂|W₁) = −Σ p(w₁,w₂)·log₂ p(w₂|w₁), plus their
+    ratio — the information-theoretic predictability readout
+    (Shannon's n-gram ladder) that separates natural prose
+    (H(W₂|W₁) ≪ H(W)) from shuffled or synthetic filler, a standard
+    corpus-quality signal next to perplexity.
+
+    Cross-engine determinism: all probabilities come from exact
+    BIGINT counts (bigram, unigram-prefix, totals); each entropy
+    term is pinned to DECIMAL(38,6) before its fold. Scale shape:
+    bigrams are generated ROW-LOCALLY (zip of two array slices — no
+    window, no self-join), then two token-keyed partial-aggregatable
+    rollups and a 2-scalar cross join.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        _ws_tokens(F.col("text")).alias("w")
+    )
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    prefix_counts = pair_counts.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    n_total = pair_counts.agg(
+        F.sum("c12").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    cond_terms = (
+        pair_counts.join(prefix_counts, "w1")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "n",
+            "n_distinct_bigrams",
+            (
+                -(F.col("c12").cast("double") / F.col("n").cast("double"))
+                * log2(
+                    F.col("c12").cast("double") / F.col("c1").cast("double")
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("t"),
+        )
+        .groupBy("n", "n_distinct_bigrams")
+        .agg(F.sum("t").alias("h_cond"))
+    )
+    uni_terms = (
+        prefix_counts.crossJoin(F.broadcast(n_total.select("n")))
+        .select(
+            (
+                -(F.col("c1").cast("double") / F.col("n").cast("double"))
+                * log2(
+                    F.col("c1").cast("double") / F.col("n").cast("double")
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("t")
+        )
+        .agg(F.sum("t").alias("h_uni"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return cond_terms.crossJoin(F.broadcast(uni_terms)).select(
+        F.col("n").alias("n_bigrams"),
+        "n_distinct_bigrams",
+        f6(F.col("h_uni").cast("double")).alias("h_unigram"),
+        f6(F.col("h_cond").cast("double")).alias("h_cond_bigram"),
+        f6(
+            F.col("h_cond").cast("double") / F.col("h_uni").cast("double")
+        ).alias("predictability_ratio"),
+    )
+
+
 #: Fuzzy-dup candidate generation: prefix length compared,
 #: sorted-neighborhood window width, relative-distance threshold.
 FUZZY_PREFIX = 80
@@ -1890,6 +1971,7 @@ def text_fuzzy_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_fuzzy_dups": text_fuzzy_dups,
     "text_rake_keywords": text_rake_keywords,
+    "text_ngram_entropy_rate": text_ngram_entropy_rate,
     "text_gopher_rules": text_gopher_rules,
     "text_bm25_rank": text_bm25_rank,
     "text_block_dedup": text_block_dedup,
@@ -2025,6 +2107,54 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_ngram_entropy_rate": """
+        WITH w AS (
+            SELECT string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                   unnest(toks[2:len(toks)]) AS w2
+            FROM w
+        ),
+        pc AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+            FROM bigrams GROUP BY w1, w2
+        ),
+        pfx AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+            FROM pc GROUP BY w1
+        ),
+        tot AS (
+            SELECT CAST(SUM(c12) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams
+            FROM pc
+        ),
+        hc AS (
+            SELECT SUM(CAST(
+                     -(CAST(c12 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (ln(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                        / ln(2.0))
+                   AS DECIMAL(38,6))) AS h_cond
+            FROM pc JOIN pfx USING (w1) CROSS JOIN tot
+        ),
+        hu AS (
+            SELECT SUM(CAST(
+                     -(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (ln(CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        / ln(2.0))
+                   AS DECIMAL(38,6))) AS h_uni
+            FROM pfx CROSS JOIN tot
+        )
+        SELECT tot.n AS n_bigrams, tot.n_distinct_bigrams,
+               floor(CAST(hu.h_uni AS DOUBLE) * 1e6) / 1e6 AS h_unigram,
+               floor(CAST(hc.h_cond AS DOUBLE) * 1e6) / 1e6
+                 AS h_cond_bigram,
+               floor(CAST(hc.h_cond AS DOUBLE)
+                     / CAST(hu.h_uni AS DOUBLE) * 1e6) / 1e6
+                 AS predictability_ratio
+        FROM tot CROSS JOIN hc CROSS JOIN hu
+    """,
     "text_rake_keywords": """
         WITH toks AS (
             SELECT doc_id,

@@ -31,6 +31,9 @@ ALL = [
     "mm_image_hist_equalize",
     "graph_harmonic_sample",
     "stream_windowed_distinct",
+    "mm_image_conv_edge",
+    "text_ngram_entropy_rate",
+    "graph_local_bridges",
 ]
 
 
@@ -298,6 +301,72 @@ def test_harmonic_seed_count_and_bounds(spark):
     assert len(rows) == HARMONIC_SEEDS
     for r in rows:
         assert 0.0 < r.harmonic <= r.n_reached + 1e-9
+
+
+def test_sobel_matches_manual_stencil(spark):
+    """Spot-check the Sobel L1 magnitude against a hand-rolled
+    per-pixel loop on one decoded asset."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        decode_pgm,
+        encode_pgm,
+        mm_image_conv_edge,
+    )
+
+    # asset 3's synthesized dims: w = 14 + 3 % 7 = 17, h = 10 + 3 % 6 = 13
+    img = decode_pgm(encode_pgm(3, 17, 13)).astype(np.int64)
+    h, w = img.shape
+    energy = peak = strong = 0
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            gx = (
+                img[y - 1, x + 1] + 2 * img[y, x + 1] + img[y + 1, x + 1]
+                - img[y - 1, x - 1] - 2 * img[y, x - 1] - img[y + 1, x - 1]
+            )
+            gy = (
+                img[y + 1, x - 1] + 2 * img[y + 1, x] + img[y + 1, x + 1]
+                - img[y - 1, x - 1] - 2 * img[y - 1, x] - img[y - 1, x + 1]
+            )
+            m = abs(gx) + abs(gy)
+            energy += m
+            peak = max(peak, m)
+            strong += m >= 255
+    rows = {r.asset_id: r for r in mm_image_conv_edge(spark, SF_DIR).collect()}
+    r = rows[3]
+    assert (r.edge_energy, r.peak_grad, r.n_strong) == (
+        energy, peak, strong
+    )
+    assert r.n_interior == (h - 2) * (w - 2)
+
+
+def test_entropy_rate_information_inequalities(spark):
+    """Conditioning can't increase entropy: H(W2|W1) <= H(W) (both
+    in bits); predictability ratio in (0, 1]."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_ngram_entropy_rate,
+    )
+
+    r = text_ngram_entropy_rate(spark, SF_DIR).collect()[0]
+    assert 0.0 < r.h_cond_bigram <= r.h_unigram + 1e-6
+    assert 0.0 < r.predictability_ratio <= 1.0 + 1e-9
+    assert r.n_bigrams > r.n_distinct_bigrams > 0
+
+
+def test_local_bridges_complement_triangles(spark):
+    """Bridge count + triangle-covered edge count == total edges;
+    with any triangles present, bridge_frac < 1."""
+    from postgres_s3_etl_spark.operators.graph import (
+        graph_local_bridges,
+        graph_triangle_count,
+    )
+
+    r = graph_local_bridges(spark, SF_DIR).collect()[0]
+    assert 0 <= r.n_bridges <= r.n_edges
+    n_tri = graph_triangle_count(spark, SF_DIR).collect()[0].n_triangles
+    if n_tri > 0:
+        assert r.n_bridges < r.n_edges
+    assert abs(r.bridge_frac - r.n_bridges / r.n_edges) < 2e-6
 
 
 def test_stream_windowed_distinct_equals_batch(spark):
