@@ -24,6 +24,7 @@ iteration, column pruning, partitioning — is real and tested.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import pandas as pd
@@ -513,6 +514,103 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_s").alias("sum_s"),
             F.sum("ssq_s").alias("ssq_s"),
             F.max("ssq_s").alias("peak_window_ssq"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+#: Candidate DFT periods (in samples) probed per audio asset.
+AUDIO_DFT_PERIODS = (8, 20, 50, 100)
+
+
+def mm_audio_dft_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-periodicity detection on REAL decoded audio: a
+    single-frequency DFT power scan at fixed candidate periods —
+    the pitch/hum detector of any audio-QC pass. The decode stays in
+    Python (stdlib ``wave``), but what crosses Arrow is EXACT
+    integers only: per (asset, period, residue) sums of samples
+    (``cos(2πk/P)`` depends on k only through k mod P, so the DFT
+    folds residue-first); the trigonometry then runs engine-side
+    with DECIMAL(38,18)-pinned terms, mirrored verbatim in the
+    oracle — the same cross-engine-trig contract as
+    q_events_spectral_peaks.
+
+    Scale: payload bytes never shuffle; ≤ Σ P residue rows per asset
+    cross Arrow (178 here); the per-asset winner is one bounded
+    window.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        continue
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = len(s)
+                for p in AUDIO_DFT_PERIODS:
+                    res = np.bincount(
+                        np.arange(n) % p, weights=s, minlength=p
+                    ).astype(np.int64)
+                    for r in range(p):
+                        out.append((int(aid), n, p, r, int(res[r])))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "n_samples", "p", "r", "csum"],
+            )
+
+    media = synth_wav_media(spark).select("asset_id", "payload")
+    folded = media.mapInPandas(
+        batches,
+        "asset_id bigint, n_samples bigint, p int, r int, csum bigint",
+    )
+    phase = (
+        F.lit(2.0 * math.pi)
+        * F.col("r").cast("double")
+        / F.col("p").cast("double")
+    )
+    terms = folded.select(
+        "asset_id",
+        "n_samples",
+        "p",
+        (F.col("csum").cast("double") * F.cos(phase))
+        .cast("decimal(38,18)")
+        .alias("ca"),
+        (F.col("csum").cast("double") * F.sin(phase))
+        .cast("decimal(38,18)")
+        .alias("cb"),
+    )
+    powers = terms.groupBy("asset_id", "n_samples", "p").agg(
+        F.sum("ca").alias("a"), F.sum("cb").alias("b")
+    )
+    pw = (
+        F.col("a").cast("double") * F.col("a").cast("double")
+        + F.col("b").cast("double") * F.col("b").cast("double")
+    ) / (
+        F.col("n_samples").cast("double")
+        * F.col("n_samples").cast("double")
+    )
+    w = Window.partitionBy("asset_id").orderBy(
+        F.desc("power"), F.asc("p")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        powers.select(
+            "asset_id", "n_samples", "p", f6(pw).alias("power")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "asset_id",
+            "n_samples",
+            F.col("p").alias("peak_period"),
+            "power",
         )
         .orderBy("asset_id")
     )
@@ -2719,6 +2817,7 @@ QUERIES = {
     "mm_image_decode_pgm": mm_image_decode_pgm,
     "mm_image_hist_equalize": mm_image_hist_equalize,
     "mm_image_conv_edge": mm_image_conv_edge,
+    "mm_audio_dft_peak": mm_audio_dft_peak,
     "mm_image_patches": mm_image_patches,
 }
 
@@ -3005,6 +3104,63 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: real PCM WAV windowing — exact integer energy stats
     # recomputed from the closed-form sample pattern.
+    "mm_audio_dft_peak": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 1000 + 10 * i AS ns
+            FROM generate_series(0, {N_WAV_ASSETS - 1}) s(i)
+        ),
+        samples AS (
+            SELECT a.asset_id, a.ns, k.k,
+                   ((7 * a.asset_id + 13 * k.k) % 201) - 100 AS s
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {1000 + 10 * (N_WAV_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
+        ),
+        folded AS (
+            SELECT asset_id, ns AS n_samples, p.p, k % p.p AS r,
+                   CAST(SUM(s) AS BIGINT) AS csum
+            FROM samples,
+                 (SELECT unnest([{",".join(str(p) for p in AUDIO_DFT_PERIODS)}]) AS p) p
+            GROUP BY asset_id, ns, p.p, k % p.p
+        ),
+        terms AS (
+            SELECT asset_id, n_samples, p,
+                   CAST(CAST(csum AS DOUBLE)
+                        * cos({2.0 * math.pi!r} * CAST(r AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS ca,
+                   CAST(CAST(csum AS DOUBLE)
+                        * sin({2.0 * math.pi!r} * CAST(r AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS cb
+            FROM folded
+        ),
+        agg AS (
+            SELECT asset_id, n_samples, p,
+                   CAST(SUM(ca) AS DOUBLE) AS a,
+                   CAST(SUM(cb) AS DOUBLE) AS b
+            FROM terms GROUP BY asset_id, n_samples, p
+        ),
+        pw AS (
+            SELECT asset_id, n_samples, p,
+                   floor((a * a + b * b)
+                         / (CAST(n_samples AS DOUBLE)
+                            * CAST(n_samples AS DOUBLE)) * 1e6) / 1e6
+                     AS power,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY asset_id
+                       ORDER BY floor((a * a + b * b)
+                                      / (CAST(n_samples AS DOUBLE)
+                                         * CAST(n_samples AS DOUBLE))
+                                      * 1e6) / 1e6 DESC, p ASC) AS rnk
+            FROM agg
+        )
+        SELECT asset_id, n_samples,
+               CAST(p AS INT) AS peak_period, power
+        FROM pw WHERE rnk = 1
+        ORDER BY asset_id
+    """,
     "mm_image_conv_edge": f"""
         WITH assets AS (
             SELECT i AS asset_id, 14 + i % 7 AS w, 10 + i % 6 AS h

@@ -594,8 +594,63 @@ def q_events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_changepoint_binseg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-changepoint detection by binary segmentation on the
+    daily event-count series: the split t* maximizing the
+    between-segment sum-of-squares reduction
+    ``gain(t) = (S_l − n_l/n·S)² · n / (n_l·(n−n_l))`` — the first
+    step of the classic binary-segmentation recursion (and the
+    mean-shift criterion CUSUM only approximates). Emits the best
+    split day, both segment means, and the gain.
+
+    Cross-engine determinism: prefix sums of exact BIGINT counts on
+    the bounded calendar grain; gain is one mirrored double
+    expression; the argmax is an ordered top-1 with a date
+    tie-break.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    pre = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        "s",
+        F.sum("x").over(w).cast("bigint").alias("sl"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("nl"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = d("sl") - d("nl") / d("n") * d("s")
+    gain = diff * diff * d("n") / (d("nl") * (d("n") - d("nl")))
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        pre.where(F.col("nl") < F.col("n"))  # split needs a right side
+        .select(
+            F.col("day").alias("split_day"),
+            "nl",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            f6(d("sl") / d("nl")).alias("mean_left"),
+            f6((d("s") - d("sl")) / (d("n") - d("nl"))).alias(
+                "mean_right"
+            ),
+            f6(gain).alias("gain"),
+        )
+        .orderBy(F.desc("gain"), F.asc("split_day"))
+        .limit(1)
+    )
+
+
 QUERIES = {
     "q_events_pacf": q_events_pacf,
+    "q_events_changepoint_binseg": q_events_changepoint_binseg,
     "q_orders_max_drawdown": q_orders_max_drawdown,
     "q_orders_seasonal_index": q_orders_seasonal_index,
     "q_orders_trend_mannkendall": q_orders_trend_mannkendall,
@@ -620,6 +675,49 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_events_changepoint_binseg": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM daily
+        ),
+        pre AS (
+            SELECT day, n, s,
+                   CAST(SUM(x) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                   CAST(COUNT(*) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl
+            FROM daily CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT day AS split_day, nl, n - nl AS nr,
+                   floor(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+                         * 1e6) / 1e6 AS mean_left,
+                   floor((CAST(s AS DOUBLE) - CAST(sl AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - CAST(nl AS DOUBLE))
+                         * 1e6) / 1e6 AS mean_right,
+                   floor((CAST(sl AS DOUBLE)
+                          - CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)
+                            * CAST(s AS DOUBLE))
+                         * (CAST(sl AS DOUBLE)
+                            - CAST(nl AS DOUBLE) / CAST(n AS DOUBLE)
+                              * CAST(s AS DOUBLE))
+                         * CAST(n AS DOUBLE)
+                         / (CAST(nl AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - CAST(nl AS DOUBLE)))
+                         * 1e6) / 1e6 AS gain
+            FROM pre
+            WHERE nl < n
+        )
+        SELECT * FROM scored
+        ORDER BY gain DESC, split_day ASC
+        LIMIT 1
+    """,
     "q_events_pacf": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,

@@ -34,6 +34,8 @@ ALL = [
     "mm_image_conv_edge",
     "text_ngram_entropy_rate",
     "graph_local_bridges",
+    "mm_audio_dft_peak",
+    "q_events_changepoint_binseg",
 ]
 
 
@@ -367,6 +369,48 @@ def test_local_bridges_complement_triangles(spark):
     if n_tri > 0:
         assert r.n_bridges < r.n_edges
     assert abs(r.bridge_frac - r.n_bridges / r.n_edges) < 2e-6
+
+
+def test_dft_peak_matches_numpy_fft_ranking(spark):
+    """The residue-folded engine-side DFT power must equal a direct
+    numpy computation of the same single-frequency power for one
+    asset, at every candidate period."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        AUDIO_DFT_PERIODS,
+        mm_audio_dft_peak,
+    )
+
+    aid, ns = 5, 1000 + 10 * 5
+    s = np.array(
+        [((7 * aid + 13 * k) % 201) - 100 for k in range(ns)], dtype=float
+    )
+    powers = {}
+    for p in AUDIO_DFT_PERIODS:
+        ph = 2.0 * np.pi * (np.arange(ns) % p) / p
+        a, b = (s * np.cos(ph)).sum(), (s * np.sin(ph)).sum()
+        powers[p] = (a * a + b * b) / (ns * ns)
+    best = min(
+        sorted(powers, key=lambda p: (-powers[p], p))[:1]
+    )
+    r = {x.asset_id: x for x in mm_audio_dft_peak(spark, SF_DIR).collect()}[
+        aid
+    ]
+    assert r.peak_period == best
+    assert abs(r.power - powers[best]) < 1e-3
+    assert r.n_samples == ns
+
+
+def test_binseg_gain_nonnegative_and_split_interior(spark):
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_events_changepoint_binseg,
+    )
+
+    r = q_events_changepoint_binseg(spark, SF_DIR).collect()[0]
+    assert r.gain >= 0.0
+    assert r.nl >= 1 and r.nr >= 1
+    assert r.mean_left > 0 and r.mean_right > 0
 
 
 def test_stream_windowed_distinct_equals_batch(spark):
