@@ -702,7 +702,72 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed relaxation rounds for the fuzzy-pair components (both
+#: engines compute the same 8-round partial fixpoint, so parity
+#: holds even if a pathological chain were longer; observed cluster
+#: diameters at every tested SF are ≤ 3).
+FUZZY_CC_ROUNDS = 8
+
+
+def dedup_fuzzy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the EDIT-DISTANCE dedup pipeline:
+    sorted-neighborhood Levenshtein pairs (text_fuzzy_dups) union
+    into transitive clusters by min-label propagation, one
+    representative (min doc_id) survives per cluster — the
+    Levenshtein counterpart of dedup_cc_keepset's MinHash pipeline,
+    so both fuzzy front-ends end in the same keep/drop contract.
+
+    Scale shape: label propagation touches only PAIRED docs (a
+    vanishing fraction of the corpus); each of the fixed 8 rounds is
+    one equi-join + partial-aggregatable MIN; localCheckpoint
+    truncates lineage per round.
+    """
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_fuzzy_dups,
+    )
+
+    pairs = text_fuzzy_dups(spark, sf_dir).select(
+        F.col("doc_i").alias("src"), F.col("doc_j").alias("dst")
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(FUZZY_CC_ROUNDS):
+        nb = (
+            sym.join(labels, sym.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nb, labels.doc == nb.doc2, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .select(
+            F.col("label").alias("keep_doc"),
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("keep_doc")
+    )
+
+
 QUERIES = {
+    "dedup_fuzzy_cluster": dedup_fuzzy_cluster,
     "dedup_lsh_bucket_stats": dedup_lsh_bucket_stats,
     "dedup_exact": dedup_exact,
     "dedup_prefix_containment": dedup_prefix_containment,
@@ -1016,4 +1081,53 @@ ORACLES["dedup_cc_keepset"] = f"""
            CAST((SELECT COUNT(*) FROM documents) - (SUM(sz) - COUNT(*)) AS BIGINT) AS n_kept,
            CAST(MAX(sz) AS BIGINT) AS max_component_size
     FROM sizes
+"""
+
+
+def _fuzzy_cc_iter_sql(k: int) -> str:
+    """One unrolled min-label relaxation round over the fuzzy pairs
+    (the dedup_fuzzy_cluster loop body re-expressed)."""
+    return f"""
+    fl{k} AS MATERIALIZED (
+        SELECT l.doc, least(l.label, COALESCE(nb.m, l.label)) AS label
+        FROM fl{k - 1} l LEFT JOIN (
+            SELECT s.dst AS doc, MIN(x.label) AS m
+            FROM fsym s JOIN fl{k - 1} x ON s.src = x.doc
+            GROUP BY s.dst
+        ) nb ON l.doc = nb.doc
+    )"""
+
+
+ORACLES["dedup_fuzzy_cluster"] = f"""
+    WITH fd AS (
+        SELECT doc_id, lang, substr(text, 1, 80) AS p,
+               ROW_NUMBER() OVER (ORDER BY lang, n_chars,
+                                  substr(text, 1, 80), doc_id) AS rnk
+        FROM documents
+    ),
+    fpairs AS (
+        SELECT least(a.doc_id, b.doc_id) AS doc_i,
+               greatest(a.doc_id, b.doc_id) AS doc_j
+        FROM fd a JOIN fd b
+          ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 8
+         AND a.lang = b.lang
+        WHERE floor(CAST(levenshtein(a.p, b.p) AS DOUBLE)
+                    / CAST(greatest(length(a.p), length(b.p)) AS DOUBLE)
+                    * 1e6) / 1e6 <= 0.6
+    ),
+    fsym AS (
+        SELECT doc_i AS src, doc_j AS dst FROM fpairs
+        UNION ALL
+        SELECT doc_j AS src, doc_i AS dst FROM fpairs
+    ),
+    fl0 AS MATERIALIZED (
+        SELECT DISTINCT src AS doc, src AS label FROM fsym
+    ),
+    {",".join(_fuzzy_cc_iter_sql(k) for k in range(1, FUZZY_CC_ROUNDS + 1))}
+    SELECT label AS keep_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM fl{FUZZY_CC_ROUNDS}
+    GROUP BY label
+    ORDER BY keep_doc
 """

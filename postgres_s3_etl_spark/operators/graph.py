@@ -223,9 +223,14 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_e.crossJoin(F.broadcast(n_b)).select(
         "n_edges",
         "n_bridges",
+        # empty-graph guard: 0 edges -> NULL fraction, not a
+        # DIVIDE_BY_ZERO task failure under ANSI mode
         f6(
-            F.col("n_bridges").cast("double")
-            / F.col("n_edges").cast("double")
+            F.when(
+                F.col("n_edges") > 0,
+                F.col("n_bridges").cast("double")
+                / F.col("n_edges").cast("double"),
+            )
         ).alias("bridge_frac"),
     )
 

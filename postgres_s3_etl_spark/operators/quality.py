@@ -209,12 +209,149 @@ def q_orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Wasserstein grid resolution (shared-boundary bins, like PSI).
+W1_BINS = 256
+
+
+def q_orders_wasserstein_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wasserstein-1 (earth mover's) drift between the pre/post
+    PSI_SPLIT_DATE order-value distributions on a fixed 256-bin grid
+    over the global min/max: ``W₁ = Σ_bins |F_ref − F_cur| · Δ`` —
+    the third standard drift lens next to PSI (density ratio) and KS
+    (max gap): W₁ weights HOW FAR mass moved, which PSI and KS both
+    ignore. Also emits W₁ normalized by the value range (scale-free,
+    0..1).
+
+    Scale shape: one scalar min/max pass (broadcast), one
+    (period, bin) count rollup with map-side combine; the ECDF
+    window and the |ΔF| fold run on the constant 256-row grid.
+    Mirrored per-term DECIMAL pinning keeps the fold exact.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderdate"
+    )
+    rng = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    period_is_ref = F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast(
+        "date"
+    )
+    b = F.least(
+        F.lit(W1_BINS - 1),
+        F.floor(
+            (F.col("o_totalprice") - F.col("mn"))
+            / ((F.col("mx") - F.col("mn")) / W1_BINS)
+        ),
+    ).cast("bigint")
+    counts = (
+        orders.crossJoin(F.broadcast(rng))
+        .select(
+            b.alias("bin"),
+            F.when(period_is_ref, 1).otherwise(0).alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").cast("bigint").alias("c_ref"),
+            F.sum(1 - F.col("is_ref")).cast("bigint").alias("c_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        (
+            F.sum("c_ref").over(w).cast("double")
+            / F.col("n_ref").cast("double")
+        ).alias("f_ref"),
+        (
+            F.sum("c_cur").over(w).cast("double")
+            / F.col("n_cur").cast("double")
+        ).alias("f_cur"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    gaps = ecdf.select(
+        "n_ref",
+        "n_cur",
+        F.abs(F.col("f_ref") - F.col("f_cur"))
+        .cast("decimal(38,6)")
+        .alias("gap"),
+    ).groupBy("n_ref", "n_cur").agg(F.sum("gap").alias("gap_sum"))
+    span = rng.select(
+        (F.col("mx") - F.col("mn")).cast("double").alias("span")
+    )
+    return gaps.crossJoin(F.broadcast(span)).select(
+        "n_ref",
+        "n_cur",
+        f6(
+            F.col("gap_sum").cast("double")
+            * (F.col("span") / F.lit(float(W1_BINS)))
+        ).alias("w1"),
+        f6(
+            F.col("gap_sum").cast("double") / F.lit(float(W1_BINS))
+        ).alias("w1_normalized"),
+    )
+
+
 QUERIES = {
     "q_quality_constraints": q_quality_constraints,
     "q_orders_psi_drift": q_orders_psi_drift,
+    "q_orders_wasserstein_drift": q_orders_wasserstein_drift,
 }
 
 ORACLES = {
+    "q_orders_wasserstein_drift": f"""
+        WITH rng AS (
+            SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+            FROM orders
+        ),
+        counts AS (
+            SELECT least({W1_BINS - 1},
+                       CAST(floor((o_totalprice - mn)
+                            / ((mx - mn) / {W1_BINS})) AS BIGINT)) AS bin,
+                   CAST(SUM(CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                   CAST(SUM(CASE WHEN o_orderdate < DATE '{PSI_SPLIT_DATE}'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+            FROM orders CROSS JOIN rng
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur
+            FROM counts
+        ),
+        ecdf AS (
+            SELECT n_ref, n_cur,
+                   CAST(SUM(c_ref) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(n_ref AS DOUBLE) AS f_ref,
+                   CAST(SUM(c_cur) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(n_cur AS DOUBLE) AS f_cur
+            FROM counts CROSS JOIN tot
+        ),
+        gaps AS (
+            SELECT n_ref, n_cur,
+                   SUM(CAST(abs(f_ref - f_cur) AS DECIMAL(38,6)))
+                     AS gap_sum
+            FROM ecdf GROUP BY n_ref, n_cur
+        )
+        SELECT n_ref, n_cur,
+               floor(CAST(gap_sum AS DOUBLE)
+                     * ((SELECT CAST(mx - mn AS DOUBLE) FROM rng)
+                        / {float(W1_BINS)!r}) * 1e6) / 1e6 AS w1,
+               floor(CAST(gap_sum AS DOUBLE) / {float(W1_BINS)!r}
+                     * 1e6) / 1e6 AS w1_normalized
+        FROM gaps
+    """,
     "q_orders_psi_drift": f"""
         WITH rng AS (
             SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx

@@ -36,6 +36,8 @@ ALL = [
     "graph_local_bridges",
     "mm_audio_dft_peak",
     "q_events_changepoint_binseg",
+    "q_orders_wasserstein_drift",
+    "dedup_fuzzy_cluster",
 ]
 
 
@@ -411,6 +413,38 @@ def test_binseg_gain_nonnegative_and_split_interior(spark):
     assert r.gain >= 0.0
     assert r.nl >= 1 and r.nr >= 1
     assert r.mean_left > 0 and r.mean_right > 0
+
+
+def test_wasserstein_bounds(spark):
+    """Normalized W1 is a mean |ECDF gap| — within [0, 1]; raw W1 is
+    the normalized value times the value range."""
+    from postgres_s3_etl_spark.operators.quality import (
+        q_orders_wasserstein_drift,
+    )
+
+    r = q_orders_wasserstein_drift(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r.w1_normalized <= 1.0
+    assert r.w1 >= 0.0
+    assert r.n_ref > 0 and r.n_cur > 0
+
+
+def test_fuzzy_clusters_partition_paired_docs(spark):
+    """Cluster members = every doc appearing in a fuzzy pair; the
+    representative is the minimum id so it can never be dropped."""
+    from postgres_s3_etl_spark.operators.dedup import dedup_fuzzy_cluster
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_fuzzy_dups,
+    )
+
+    clusters = dedup_fuzzy_cluster(spark, SF_DIR).collect()
+    paired = set()
+    for p in text_fuzzy_dups(spark, SF_DIR).collect():
+        paired.update((p.doc_i, p.doc_j))
+    assert sum(c.n_members for c in clusters) == len(paired)
+    for c in clusters:
+        assert c.n_members >= 2  # every paired doc has a partner
+        assert c.n_dropped == c.n_members - 1
+        assert c.keep_doc in paired
 
 
 def test_stream_windowed_distinct_equals_batch(spark):
