@@ -235,6 +235,69 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Rich-club degree thresholds probed.
+RICH_CLUB_KS = (4, 8, 16, 32)
+
+
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) at fixed
+    degree thresholds — do the high-degree parts preferentially
+    co-purchase with each other (φ→1: an elite clique; φ≈density:
+    no club)? The hub-interconnection diagnostic read before
+    trusting hub-based sampling or partitioning heuristics.
+
+    Scale shape: one degree rollup; the edge pass joins degrees at
+    both endpoints once and explodes only the constant threshold
+    array (4 rows per edge); counts fold with map-side combine.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(edges)
+    ks = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
+    nodes_k = (
+        deg.select(F.explode(ks).alias("k"), "deg")
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("deg").alias("dsrc"))
+    db = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddst"))
+    edges_k = (
+        edges.join(da, "src")
+        .join(db, "dst")
+        .select(
+            F.explode(ks).alias("k"),
+            "dsrc",
+            "ddst",
+        )
+        .where((F.col("dsrc") > F.col("k")) & (F.col("ddst") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_club_edges"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        nodes_k.join(edges_k, "k", "left")
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_club_edges", F.lit(0)).cast("bigint").alias(
+                "n_club_edges"
+            ),
+            f6(
+                F.when(
+                    F.col("n_nodes") > 1,
+                    2.0
+                    * F.coalesce("n_club_edges", F.lit(0)).cast("double")
+                    / (
+                        F.col("n_nodes").cast("double")
+                        * (F.col("n_nodes") - 1).cast("double")
+                    ),
+                )
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count (see _triangle_triples for the
     degree-ordered orientation that keeps hubs from emitting deg²
@@ -1272,6 +1335,7 @@ QUERIES = {
     "graph_hits": graph_hits,
     "graph_harmonic_sample": graph_harmonic_sample,
     "graph_local_bridges": graph_local_bridges,
+    "graph_rich_club": graph_rich_club,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1580,6 +1644,39 @@ ORACLES = {
         )
         SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM core_deg GROUP BY deg ORDER BY deg
+    """,
+    "graph_rich_club": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+        ),
+        ks AS (SELECT unnest([{",".join(str(k) for k in RICH_CLUB_KS)}]) AS k),
+        nodes_k AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM deg CROSS JOIN ks WHERE deg > k GROUP BY k
+        ),
+        edges_k AS (
+            SELECT k, CAST(COUNT(*) AS BIGINT) AS n_club_edges
+            FROM edges e
+            JOIN deg a ON e.src = a.node
+            JOIN deg b ON e.dst = b.node
+            CROSS JOIN ks
+            WHERE a.deg > k AND b.deg > k
+            GROUP BY k
+        )
+        SELECT n.k, n.n_nodes,
+               CAST(COALESCE(e.n_club_edges, 0) AS BIGINT) AS n_club_edges,
+               floor(CASE WHEN n.n_nodes > 1 THEN
+                     2.0 * CAST(COALESCE(e.n_club_edges, 0) AS DOUBLE)
+                     / (CAST(n.n_nodes AS DOUBLE)
+                        * CAST(n.n_nodes - 1 AS DOUBLE)) END * 1e6) / 1e6
+                 AS phi
+        FROM nodes_k n LEFT JOIN edges_k e ON n.k = e.k
+        ORDER BY n.k
     """,
     "graph_local_bridges": f"""
         WITH {_EDGES_SQL},

@@ -648,8 +648,197 @@ def q_events_changepoint_binseg(
     )
 
 
+#: Syntetos–Boylan classification cut points (ADI in periods, CV²).
+SBC_ADI_CUT = 1.32
+SBC_CV2_CUT = 0.49
+#: One "period" for the ADI denominator: the median-ish reorder
+#: horizon, so ADI reads in reorder-cycles not raw days.
+SBC_PERIOD_DAYS = 90.0
+
+
+def q_orders_demand_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan demand-pattern classification per market
+    segment: ADI (average inter-order interval, in SBC_PERIOD_DAYS
+    periods) × CV² (squared coefficient of variation of order
+    sizes) → smooth / erratic / intermittent / lumpy — the matrix
+    that decides which forecasting model (SES vs Croston vs SBA)
+    each segment gets.
+
+    Cross-engine determinism: inter-arrival gaps are exact integer
+    datediffs from one entity-grain window (per customer — bounded
+    by their order count); order sizes fold as exact decimals; ADI,
+    CV² and the class cuts are mirrored double expressions over
+    exact sums.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_custkey", "o_orderdate", "o_totalprice")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_totalprice")
+    gaps = o.select(
+        "c_mktsegment",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    gap_stats = gaps.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("gap").cast("bigint").alias("gap_sum"),
+    )
+    size_stats = o.select(
+        "c_mktsegment", F.col("o_totalprice").cast("decimal(18,2)").alias("v")
+    ).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,4)").alias("svv"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    adi = d("gap_sum") / d("n_gaps") / F.lit(SBC_PERIOD_DAYS)
+    mean_v = d("sv") / d("n_orders")
+    var_v = d("svv") / d("n_orders") - mean_v * mean_v
+    cv2 = var_v / (mean_v * mean_v)
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    cls = (
+        F.when(
+            (adi < SBC_ADI_CUT) & (cv2 < SBC_CV2_CUT), "smooth"
+        )
+        .when((adi < SBC_ADI_CUT), "erratic")
+        .when((cv2 < SBC_CV2_CUT), "intermittent")
+        .otherwise("lumpy")
+    )
+    return (
+        gap_stats.join(size_stats, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_gaps",
+            "n_orders",
+            f6(adi).alias("adi_periods"),
+            f6(cv2).alias("cv2"),
+            cls.alias("demand_class"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+#: R/S block sizes (days) for the Hurst log-log fit.
+HURST_BLOCKS = (16, 32, 64)
+
+
+def q_orders_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range (R/S)
+    analysis: for block sizes m ∈ {16, 32, 64}, each complete block
+    of consecutive days yields R/S (range of cumulative deviations
+    over the block std); H = the log-log slope of mean R/S vs m —
+    the long-memory diagnostic (H≈0.5 random walk, H>0.5 trending,
+    H<0.5 mean-reverting) behind capacity planning on bursty series.
+
+    Cross-engine determinism: block deviations are multiplied out
+    (m·xⱼ − Σblock, exact DECIMAL), so the cumulative-deviation
+    window, its min/max range, and the Σdev² all stay exact; R/S is
+    one mirrored double expression per block, per-block values pin
+    to DECIMAL(38,6) before the per-size mean, and the 3-point OLS
+    slope is a closed-form mirrored expression.
+
+    Scale shape: one day-grain rollup, a calendar-bounded global
+    index (precedent: q_revenue_forecast), then per-(size, block)
+    windows — block keys bound every window.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    wd = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(wd) - 1).alias("t"), "x"
+    )
+    ms = F.array(*[F.lit(m) for m in HURST_BLOCKS])
+    fanned = idx.select(
+        F.explode(ms).alias("m"), "t", "x"
+    ).select("m", (F.col("t") / F.col("m")).cast("bigint").alias("blk"), "t", "x")
+    # keep complete blocks only: block b of size m is complete iff
+    # its last day index m*(b+1)-1 exists — enforced via the max t.
+    tot = idx.agg(F.max("t").alias("tmax"))
+    fanned = fanned.crossJoin(F.broadcast(tot)).where(
+        (F.col("blk") + 1) * F.col("m") - 1 <= F.col("tmax")
+    )
+    bsum = Window.partitionBy("m", "blk")
+    wcum = (
+        Window.partitionBy("m", "blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = fanned.select(
+        "m",
+        "blk",
+        "t",
+        (
+            F.col("x") * F.col("m")
+            - F.sum("x").over(bsum)
+        ).alias("dv"),
+    )
+    cum = dev.select(
+        "m",
+        "blk",
+        F.sum("dv").over(wcum).alias("cd"),
+        (F.col("dv") * F.col("dv")).cast("decimal(38,4)").alias("dv2"),
+    )
+    blocks = cum.groupBy("m", "blk").agg(
+        F.max("cd").alias("mx"),
+        F.min("cd").alias("mn"),
+        F.sum("dv2").alias("s2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m_d = F.col("m").cast("double")
+    rs = (
+        (d("mx") - d("mn"))
+        / m_d
+        / F.sqrt(d("s2") / (m_d * m_d * m_d))
+    )
+    per_size = (
+        blocks.where(F.col("s2") > 0)
+        .select("m", rs.cast("decimal(38,6)").alias("rs"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("rs").alias("rs_sum"),
+        )
+        .select(
+            "m",
+            "n_blocks",
+            (d("rs_sum") / d("n_blocks")).alias("rs_mean"),
+        )
+    )
+    pts = per_size.select(
+        F.log(m_d).alias("lx"), F.log(F.col("rs_mean")).alias("ly")
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("lx").cast("decimal(38,18)")).alias("sx"),
+        F.sum(F.col("ly").cast("decimal(38,18)")).alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,18)")).alias("sxy"),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,18)")).alias("sxx"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    slope = (
+        F.col("n") * d("sxy") - d("sx") * d("sy")
+    ) / (F.col("n") * d("sxx") - d("sx") * d("sx"))
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_sizes"),
+        f6(slope).alias("hurst"),
+    )
+
+
 QUERIES = {
     "q_events_pacf": q_events_pacf,
+    "q_orders_demand_classes": q_orders_demand_classes,
+    "q_orders_hurst_exponent": q_orders_hurst_exponent,
     "q_events_changepoint_binseg": q_events_changepoint_binseg,
     "q_orders_max_drawdown": q_orders_max_drawdown,
     "q_orders_seasonal_index": q_orders_seasonal_index,
@@ -675,6 +864,124 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_hurst_exponent": f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS t, x
+            FROM daily
+        ),
+        tot AS (SELECT MAX(t) AS tmax FROM idx),
+        fanned AS (
+            SELECT m.m, CAST(t // m.m AS BIGINT) AS blk, t, x
+            FROM idx
+            CROSS JOIN (SELECT unnest([{",".join(str(m) for m in HURST_BLOCKS)}]) AS m) m
+            CROSS JOIN tot
+            WHERE (t // m.m + 1) * m.m - 1 <= tmax
+        ),
+        dev AS (
+            SELECT m, blk, t,
+                   x * m - SUM(x) OVER (PARTITION BY m, blk) AS dv
+            FROM fanned
+        ),
+        cum AS (
+            SELECT m, blk,
+                   SUM(dv) OVER (PARTITION BY m, blk ORDER BY t
+                                 ROWS UNBOUNDED PRECEDING) AS cd,
+                   CAST(dv * dv AS DECIMAL(38,4)) AS dv2
+            FROM dev
+        ),
+        blocks AS (
+            SELECT m, blk, MAX(cd) AS mx, MIN(cd) AS mn,
+                   SUM(dv2) AS s2
+            FROM cum GROUP BY m, blk
+        ),
+        per_size AS (
+            SELECT m,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   SUM(CAST(
+                     (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE))
+                     / CAST(m AS DOUBLE)
+                     / sqrt(CAST(s2 AS DOUBLE)
+                            / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+                               * CAST(m AS DOUBLE)))
+                   AS DECIMAL(38,6))) AS rs_sum
+            FROM blocks WHERE s2 > 0 GROUP BY m
+        ),
+        pts AS (
+            SELECT ln(CAST(m AS DOUBLE)) AS lx,
+                   ln(CAST(rs_sum AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+                     AS ly
+            FROM per_size
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(CAST(lx AS DECIMAL(38,18))) AS sx,
+                   SUM(CAST(ly AS DECIMAL(38,18))) AS sy,
+                   SUM(CAST(lx * ly AS DECIMAL(38,18))) AS sxy,
+                   SUM(CAST(lx * lx AS DECIMAL(38,18))) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_sizes,
+               floor((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1e6) / 1e6 AS hurst
+        FROM sums
+    """,
+    "q_orders_demand_classes": """
+        WITH o AS (
+            SELECT c.c_mktsegment, o.o_custkey, o.o_orderdate,
+                   o.o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        gaps AS (
+            SELECT c_mktsegment,
+                   CAST(date_diff('day',
+                        lag(o_orderdate) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_totalprice),
+                        o_orderdate) AS BIGINT) AS gap
+            FROM o
+        ),
+        gap_stats AS (
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS gap_sum
+            FROM gaps WHERE gap IS NOT NULL GROUP BY c_mktsegment
+        ),
+        size_stats AS (
+            SELECT c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sv,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                            * CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(38,4)) AS svv
+            FROM o GROUP BY c_mktsegment
+        ),
+        m AS (
+            SELECT g.c_mktsegment, g.n_gaps, s.n_orders,
+                   CAST(g.gap_sum AS DOUBLE) / g.n_gaps / 90.0 AS adi,
+                   (CAST(s.svv AS DOUBLE) / s.n_orders
+                    - (CAST(s.sv AS DOUBLE) / s.n_orders)
+                      * (CAST(s.sv AS DOUBLE) / s.n_orders))
+                   / ((CAST(s.sv AS DOUBLE) / s.n_orders)
+                      * (CAST(s.sv AS DOUBLE) / s.n_orders)) AS cv2
+            FROM gap_stats g JOIN size_stats s USING (c_mktsegment)
+        )
+        SELECT c_mktsegment, n_gaps, n_orders,
+               floor(adi * 1e6) / 1e6 AS adi_periods,
+               floor(cv2 * 1e6) / 1e6 AS cv2,
+               CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+                    WHEN adi < 1.32 THEN 'erratic'
+                    WHEN cv2 < 0.49 THEN 'intermittent'
+                    ELSE 'lumpy' END AS demand_class
+        FROM m
+        ORDER BY c_mktsegment
+    """,
     "q_events_changepoint_binseg": """
         WITH daily AS (
             SELECT CAST(ts AS DATE) AS day,

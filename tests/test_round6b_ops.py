@@ -38,6 +38,9 @@ ALL = [
     "q_events_changepoint_binseg",
     "q_orders_wasserstein_drift",
     "dedup_fuzzy_cluster",
+    "q_orders_demand_classes",
+    "graph_rich_club",
+    "q_orders_hurst_exponent",
 ]
 
 
@@ -445,6 +448,53 @@ def test_fuzzy_clusters_partition_paired_docs(spark):
         assert c.n_members >= 2  # every paired doc has a partner
         assert c.n_dropped == c.n_members - 1
         assert c.keep_doc in paired
+
+
+def test_demand_classes_consistent_with_cuts(spark):
+    from postgres_s3_etl_spark.operators.timeseries import (
+        SBC_ADI_CUT,
+        SBC_CV2_CUT,
+        q_orders_demand_classes,
+    )
+
+    rows = q_orders_demand_classes(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per market segment
+    for r in rows:
+        expect = (
+            "smooth"
+            if r.adi_periods < SBC_ADI_CUT and r.cv2 < SBC_CV2_CUT
+            else "erratic"
+            if r.adi_periods < SBC_ADI_CUT
+            else "intermittent"
+            if r.cv2 < SBC_CV2_CUT
+            else "lumpy"
+        )
+        assert r.demand_class == expect
+        assert r.adi_periods > 0 and r.cv2 >= 0
+
+
+def test_rich_club_monotone_membership(spark):
+    """Club membership shrinks as k rises; phi within [0, 1]."""
+    from postgres_s3_etl_spark.operators.graph import graph_rich_club
+
+    rows = graph_rich_club(spark, SF_DIR).collect()
+    sizes = [r.n_nodes for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+    for r in rows:
+        assert r.n_club_edges >= 0
+        if r.phi is not None:
+            assert 0.0 <= r.phi <= 1.0 + 1e-9
+
+
+def test_hurst_in_unit_interval(spark):
+    """R/S Hurst estimates land in (0, 1) for any real series."""
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_orders_hurst_exponent,
+    )
+
+    r = q_orders_hurst_exponent(spark, SF_DIR).collect()[0]
+    assert r.n_sizes == 3
+    assert 0.0 < r.hurst < 1.0
 
 
 def test_stream_windowed_distinct_equals_batch(spark):
