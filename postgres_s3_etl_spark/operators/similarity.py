@@ -483,6 +483,66 @@ def sim_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classifier evaluation — the label-quality readout every
+    embedding pipeline runs before trusting labels for training:
+    each probe's label is predicted by majority vote over its exact
+    cosine top-5 neighbors (tie → smaller label id), compared to its
+    own label. Per-probe verdicts; disagreements are the label-noise
+    suspects embedding_label_noise triages in bulk.
+
+    Plan: rides the probe-bounded brute-force ranking (corpus never
+    shuffles, probes broadcast); the vote is one count rollup + one
+    rank over ≤ 5·N_PROBES rows.
+    """
+    labels = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    nb = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    votes = (
+        nb.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("probe_id", "nb_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("n_votes"), F.asc("nb_label")
+    )
+    pred = (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "probe_id",
+            F.col("nb_label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+    return (
+        pred.join(
+            labels.select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("label").alias("true_label"),
+            ),
+            "probe_id",
+        )
+        .select(
+            "probe_id",
+            "true_label",
+            "pred_label",
+            "n_votes",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 #: Incremental split: vectors with id below the threshold fraction
 #: are the "already-indexed" corpus; the rest are new arrivals.
 INCR_SPLIT_FRAC = 0.8
@@ -1789,6 +1849,7 @@ QUERIES = {
     "embedding_hard_negatives": embedding_hard_negatives,
     "sim_search_recall": sim_search_recall,
     "sim_search_ndcg": sim_search_ndcg,
+    "embedding_knn_eval": embedding_knn_eval,
     "sim_search_pq_adc": sim_search_pq_adc,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_power": embedding_pca_power,
@@ -2785,6 +2846,44 @@ ORACLES = {
     """,
     # Recall@k of the LSH path vs exact top-k: the same two candidate
     # pipelines composed — `vecs` from the LSH CTE chain serves both.
+    "embedding_knn_eval": f"""
+        WITH vecs AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        exact_pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   b.label AS nb_label,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT probe_id, neighbor_id, nb_label FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM exact_pairs
+            ) WHERE rank <= {TOP_K}
+        ),
+        votes AS (
+            SELECT probe_id, nb_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM topk GROUP BY probe_id, nb_label
+        ),
+        pred AS (
+            SELECT probe_id, nb_label AS pred_label, n_votes FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY n_votes DESC, nb_label ASC) AS rnk
+                FROM votes
+            ) WHERE rnk = 1
+        )
+        SELECT p.probe_id, t.label AS true_label, p.pred_label,
+               p.n_votes, t.label = p.pred_label AS correct
+        FROM pred p JOIN vecs t ON p.probe_id = t.vec_id
+        ORDER BY p.probe_id
+    """,
     "sim_search_ndcg": f"""
         WITH {lsh_bucket_cte()},
         exact_pairs AS (

@@ -76,6 +76,26 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_json_compressed(
+    df: DataFrame, path: str, codec: str = "gzip", mode: str = "overwrite"
+) -> None:
+    """Compressed JSON-lines sink (gzip/bzip2/xz/zstd) — the landing
+    format most text-corpus interchange actually uses (one .json.gz
+    per partition, splittable readers downstream handle the rest).
+    Spark's json reader decompresses transparently on read-back."""
+    df.write.mode(mode).option("compression", codec).json(path)
+
+
+def write_parquet_codec(
+    df: DataFrame, path: str, codec: str = "zstd", mode: str = "overwrite"
+) -> None:
+    """Parquet with an explicit compression codec (zstd/gzip/snappy/
+    lz4/none). At 100 TB the codec choice is a real cost knob: zstd
+    trades ~10-20% CPU for ~30% smaller scans vs snappy — the usual
+    archive-tier pick; snappy stays the hot-tier default."""
+    df.write.mode(mode).option("compression", codec).parquet(path)
+
+
 def write_xml(
     df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
 ) -> None:

@@ -41,6 +41,7 @@ ALL = [
     "q_orders_demand_classes",
     "graph_rich_club",
     "q_orders_hurst_exponent",
+    "embedding_knn_eval",
 ]
 
 
@@ -495,6 +496,44 @@ def test_hurst_in_unit_interval(spark):
     r = q_orders_hurst_exponent(spark, SF_DIR).collect()[0]
     assert r.n_sizes == 3
     assert 0.0 < r.hurst < 1.0
+
+
+def test_knn_eval_votes_bounded_by_k(spark):
+    from postgres_s3_etl_spark.operators.similarity import (
+        TOP_K,
+        embedding_knn_eval,
+    )
+
+    rows = embedding_knn_eval(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 1 <= r.n_votes <= TOP_K
+        assert r.correct == (r.true_label == r.pred_label)
+
+
+def test_compressed_sinks_round_trip(spark, tmp_path):
+    """gzip JSON-lines and zstd parquet write real compressed files
+    (extension check) and read back value-identical."""
+    import os
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.sinks.files import (
+        write_json_compressed,
+        write_parquet_codec,
+    )
+
+    df = load_table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    jd = str(tmp_path / "j")
+    pd_ = str(tmp_path / "p")
+    write_json_compressed(df, jd, codec="gzip")
+    write_parquet_codec(df, pd_, codec="zstd")
+    assert any(f.endswith(".json.gz") for f in os.listdir(jd))
+    assert any(".zstd" in f and f.endswith(".parquet") for f in os.listdir(pd_))
+    orig = {tuple(r) for r in df.collect()}
+    assert {tuple(r) for r in spark.read.json(jd)
+            .select("r_regionkey", "r_name").collect()} == orig
+    assert {tuple(r) for r in spark.read.parquet(pd_)
+            .select("r_regionkey", "r_name").collect()} == orig
 
 
 def test_stream_windowed_distinct_equals_batch(spark):
