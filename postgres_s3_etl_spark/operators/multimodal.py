@@ -616,6 +616,205 @@ def mm_audio_dft_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TIFF_ASSETS = 36
+
+
+def encode_tiff_gray(asset_id: int, w: int, h: int) -> bytes:
+    """A real baseline-TIFF grayscale image (8-bit, uncompressed,
+    strip-organized): alternating little/big-endian containers and,
+    for every third asset, TWO strips with out-of-line offset/count
+    arrays — exercising the byte-order branch, the IFD tag walk,
+    SHORT vs LONG entry types, and strip reassembly. Pixels follow
+    g=(7a+3x+11y)%256."""
+    import struct
+
+    e = "<" if asset_id % 2 == 0 else ">"
+    px = bytes(
+        (7 * asset_id + 3 * x + 11 * y) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    two_strips = asset_id % 3 == 0 and h >= 2
+    rows_per_strip = (h + 1) // 2 if two_strips else h
+    strips = [
+        px[s * rows_per_strip * w : (s + 1) * rows_per_strip * w]
+        for s in range((h + rows_per_strip - 1) // rows_per_strip)
+    ]
+    pos = 8
+    strip_offsets, strip_counts = [], []
+    for s in strips:
+        strip_offsets.append(pos)
+        strip_counts.append(len(s))
+        pos += len(s)
+    arrays = b""
+    if len(strips) > 1:
+        off_array_pos = pos
+        arrays += b"".join(struct.pack(e + "I", o) for o in strip_offsets)
+        cnt_array_pos = pos + 4 * len(strips)
+        arrays += b"".join(struct.pack(e + "I", c) for c in strip_counts)
+        pos += len(arrays)
+    ifd_pos = pos
+
+    def entry(tag, typ, count, value):
+        if typ == 3 and count == 1:
+            # SHORT inline values are LEFT-justified in the 4-byte
+            # field in BOTH byte orders (TIFF 6.0 §2, "Value Offset")
+            packed = struct.pack(e + "H", value) + b"\x00\x00"
+            return struct.pack(e + "HHI", tag, typ, count) + packed
+        return struct.pack(e + "HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, w),  # ImageWidth
+        entry(257, 3, 1, h),  # ImageLength
+        entry(258, 3, 1, 8),  # BitsPerSample
+        entry(259, 3, 1, 1),  # Compression = none
+        entry(262, 3, 1, 1),  # Photometric = BlackIsZero
+        entry(273, 4, len(strips),
+              strip_offsets[0] if len(strips) == 1 else off_array_pos),
+        entry(277, 3, 1, 1),  # SamplesPerPixel
+        entry(278, 3, 1, rows_per_strip),
+        entry(279, 4, len(strips),
+              strip_counts[0] if len(strips) == 1 else cnt_array_pos),
+    ]
+    ifd = (
+        struct.pack(e + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(e + "I", 0)
+    )
+    header = (b"II" if e == "<" else b"MM") + struct.pack(
+        e + "HI", 42, ifd_pos
+    )
+    return header + b"".join(strips) + arrays + ifd
+
+
+def decode_tiff_gray(payload: bytes):
+    """REAL baseline-TIFF decode: byte-order detection (II/MM), IFD
+    tag walk with SHORT/LONG entry types, out-of-line strip
+    offset/count arrays, and multi-strip reassembly. Returns an
+    (h, w) uint8 array for 8-bit uncompressed single-sample images,
+    None on anything else or any malformed structure."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        return None
+    e = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_pos = struct.unpack_from(e + "HI", payload, 2)
+    if magic != 42 or ifd_pos + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_pos)
+    if ifd_pos + 2 + 12 * n_entries > len(payload):
+        return None
+
+    def read_values(typ, count, raw_off):
+        size = 2 if typ == 3 else 4
+        fmt = "H" if typ == 3 else "I"
+        if size * count <= 4:
+            base = raw_off
+            return list(
+                struct.unpack_from(e + fmt * count, payload, base)
+            )
+        (ptr,) = struct.unpack_from(e + "I", payload, raw_off)
+        if ptr + size * count > len(payload):
+            return None
+        return list(struct.unpack_from(e + fmt * count, payload, ptr))
+
+    tags = {}
+    for i in range(n_entries):
+        base = ifd_pos + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(e + "HHI", payload, base)
+        if typ not in (3, 4):
+            continue
+        vals = read_values(typ, count, base + 8)
+        if vals is None:
+            return None
+        tags[tag] = vals
+    try:
+        w, h = tags[256][0], tags[257][0]
+        if (
+            tags.get(258, [8])[0] != 8
+            or tags.get(259, [1])[0] != 1
+            or tags.get(277, [1])[0] != 1
+        ):
+            return None
+        offsets, counts = tags[273], tags[279]
+    except KeyError:
+        return None
+    if w <= 0 or h <= 0 or len(offsets) != len(counts):
+        return None
+    data = b""
+    for o, c in zip(offsets, counts):
+        if o + c > len(payload):
+            return None
+        data += payload[o : o + c]
+    if len(data) != w * h:
+        return None
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w)
+
+
+def synth_tiff_media(
+    spark: SparkSession, n: int = N_TIFF_ASSETS
+) -> DataFrame:
+    """n real baseline-TIFF assets (mixed endianness, 1-2 strips)."""
+    rows = []
+    for i in range(n):
+        w, h = 12 + i % 9, 9 + i % 7
+        rows.append(
+            (i, "image", w, h, 0, bytearray(encode_tiff_gray(i, w, h)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL TIFF decode: baseline grayscale containers
+    (both byte orders, single- and two-strip layouts with
+    out-of-line offset arrays) parsed by the spec-correct IFD walk
+    inside Arrow-batched mapInPandas, reduced to exact int64 pixel
+    stats; the oracle regenerates the closed-form pattern —
+    value-checking endian handling, tag typing, and strip
+    reassembly.
+
+    Scale: payload bytes never shuffle; 7 ints per asset cross the
+    Arrow boundary.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_tiff_gray(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64)
+                out.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        img.shape[0] * img.shape[1],
+                        int(px.sum()),
+                        int((px * px).sum()),
+                        int(px[0, :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "width", "height", "n_px",
+                    "sum_g", "ssq_g", "row0_sum",
+                ],
+            )
+
+    media = synth_tiff_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, width int, height int, n_px bigint, "
+        "sum_g bigint, ssq_g bigint, row0_sum bigint",
+    ).orderBy("asset_id")
+
+
 N_MULAW_ASSETS = 32
 MULAW_RATE = 8000  # Hz — the G.711 telephony rate
 
@@ -2818,6 +3017,7 @@ QUERIES = {
     "mm_image_hist_equalize": mm_image_hist_equalize,
     "mm_image_conv_edge": mm_image_conv_edge,
     "mm_audio_dft_peak": mm_audio_dft_peak,
+    "mm_image_decode_tiff": mm_image_decode_tiff,
     "mm_image_patches": mm_image_patches,
 }
 
@@ -3104,6 +3304,31 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: real PCM WAV windowing — exact integer energy stats
     # recomputed from the closed-form sample pattern.
+    "mm_image_decode_tiff": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 12 + i % 9 AS w, 9 + i % 7 AS h
+            FROM generate_series(0, {N_TIFF_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, gy.y,
+                   (7 * a.asset_id + 3 * gx.x + 11 * gy.y) % 256 AS g
+            FROM assets a
+            CROSS JOIN generate_series(0, 20) gx(x)
+            CROSS JOIN generate_series(0, 15) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(g * g) AS BIGINT) AS ssq_g,
+               CAST(SUM(CASE WHEN y = 0 THEN g ELSE 0 END) AS BIGINT)
+                   AS row0_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_audio_dft_peak": f"""
         WITH assets AS (
             SELECT i AS asset_id, 1000 + 10 * i AS ns

@@ -42,6 +42,7 @@ ALL = [
     "graph_rich_club",
     "q_orders_hurst_exponent",
     "embedding_knn_eval",
+    "mm_image_decode_tiff",
 ]
 
 
@@ -534,6 +535,33 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_tiff_codec_spec_edges():
+    """Both byte orders, two-strip reassembly, left-justified inline
+    SHORTs, and malformed rejects (bad magic, truncation, 16-bit)."""
+    import numpy as np
+    import struct
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        decode_tiff_gray,
+        encode_tiff_gray,
+    )
+
+    le = encode_tiff_gray(0, 12, 9)   # little-endian, 2 strips (0%3==0)
+    be = encode_tiff_gray(1, 13, 10)  # big-endian, single strip
+    assert le[:2] == b"II" and be[:2] == b"MM"
+    for aid, payload, w, h in ((0, le, 12, 9), (1, be, 13, 10)):
+        img = decode_tiff_gray(payload)
+        assert img.shape == (h, w)
+        assert img[h - 1, w - 1] == (7 * aid + 3 * (w - 1) + 11 * (h - 1)) % 256
+    assert decode_tiff_gray(b"XX*\x00\x00\x00\x00\x00") is None
+    # chop into the IFD entry table itself (the trailing 4-byte
+    # next-IFD pointer is never read, so -3 would still be valid)
+    assert decode_tiff_gray(le[:-20]) is None
+    # wrong magic number
+    bad = b"II" + struct.pack("<HI", 43, 8) + le[8:]
+    assert decode_tiff_gray(bad) is None
 
 
 def test_stream_windowed_distinct_equals_batch(spark):
