@@ -28,7 +28,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
@@ -361,8 +361,68 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cluster.orderBy("cluster_id")
 
 
+def embedding_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation of the standard Lloyd run against
+    the label column: per final cluster, the majority label's share
+    — the external-validity check (does unsupervised structure
+    recover the labels?) run before cluster-balanced sampling or
+    pseudo-labeling trusts the clustering.
+
+    Reuses the exact kmeans_embeddings state (same seeds, same 2
+    Lloyd iterations, same argmin tie-break), so the oracle appends
+    one vote rollup to the shared Lloyd CTE. Majority tie → smaller
+    label id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    vecs = emb.select("vec_id", "v")
+    seeds = vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
+    cents = [list(r.v) for r in seeds]
+    assigned = _assign(vecs, cents)
+    for _ in range(KMEANS_ITERS - 1):
+        cents = _update(assigned)
+        assigned = _assign(vecs, cents)
+    votes = (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        votes.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    sizes = votes.groupBy("cluster").agg(
+        F.sum("n").cast("bigint").alias("n_members")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        sizes.join(top, "cluster")
+        .select(
+            F.col("cluster").cast("int").alias("cluster_id"),
+            "n_members",
+            "majority_label",
+            "n_majority",
+            f6(
+                F.col("n_majority").cast("double")
+                / F.col("n_members").cast("double")
+            ).alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
+    "embedding_cluster_purity": embedding_cluster_purity,
     "embedding_silhouette": embedding_silhouette,
     "embedding_ood_candidates": embedding_ood_candidates,
     "semdedup_prune": semdedup_prune,
@@ -416,6 +476,32 @@ _KMEANS_CTE = f"""
 """
 
 ORACLES = {
+    "embedding_cluster_purity": f"""
+        WITH {_KMEANS_CTE},
+        votes AS (
+            SELECT a2.cell, e.label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM a2 JOIN embeddings e ON a2.vec_id = e.vec_id
+            GROUP BY a2.cell, e.label
+        ),
+        top AS (
+            SELECT cell, label AS majority_label, n AS n_majority
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY n DESC, label ASC) AS rnk
+                FROM votes
+            ) WHERE rnk = 1
+        ),
+        sizes AS (
+            SELECT cell, CAST(SUM(n) AS BIGINT) AS n_members
+            FROM votes GROUP BY cell
+        )
+        SELECT CAST(s.cell AS INT) AS cluster_id,
+               s.n_members, t.majority_label, t.n_majority,
+               floor(CAST(t.n_majority AS DOUBLE)
+                     / CAST(s.n_members AS DOUBLE) * 1e6) / 1e6 AS purity
+        FROM sizes s JOIN top t ON s.cell = t.cell
+        ORDER BY cluster_id
+    """,
     "kmeans_embeddings": f"""
         WITH {_KMEANS_CTE},
         counts AS (

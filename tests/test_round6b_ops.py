@@ -43,6 +43,7 @@ ALL = [
     "q_orders_hurst_exponent",
     "embedding_knn_eval",
     "mm_image_decode_tiff",
+    "embedding_cluster_purity",
 ]
 
 
@@ -535,6 +536,28 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_cluster_purity_partitions_corpus(spark):
+    """Cluster sizes sum to the corpus; purity in (0, 1]; majority
+    count never exceeds membership; clusters match kmeans sizes."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.clustering import (
+        embedding_cluster_purity,
+        kmeans_embeddings,
+    )
+
+    rows = embedding_cluster_purity(spark, SF_DIR).collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_corpus
+    km = {
+        r.cluster_id: r.n_members
+        for r in kmeans_embeddings(spark, SF_DIR).collect()
+    }
+    for r in rows:
+        assert 0.0 < r.purity <= 1.0
+        assert 1 <= r.n_majority <= r.n_members
+        assert km[r.cluster_id] == r.n_members
 
 
 def test_tiff_codec_spec_edges():
