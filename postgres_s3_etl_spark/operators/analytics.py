@@ -2689,9 +2689,79 @@ def q_customer_clv_shrunken(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_fe_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel fixed-effects (within) price elasticity: the log-log
+    demand slope estimated WITHIN each customer — the FE estimator
+    ``β_within = Σᵢ(Σxy−ΣxΣy/nᵢ) / Σᵢ(Σx²−(Σx)²/nᵢ)`` that sweeps
+    out customer-level heterogeneity (rich customers buy more at
+    every price), reported next to the pooled OLS slope whose gap
+    from β_within IS the omitted-variable bias — the first
+    econometrics sanity check on any observational elasticity.
+
+    Cross-engine determinism: per-customer moments are exact
+    decimal-pinned sums; both estimators are mirrored double
+    expressions over the exact two-level fold. Scale shape: one
+    lineitem→orders equi-join, one partial-aggregatable customer
+    rollup, one scalar rollup — no windows.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    x = F.log(
+        F.col("l_extendedprice").cast("double")
+        / F.col("l_quantity").cast("double")
+    )
+    y = F.log(F.col("l_quantity").cast("double"))
+    per_cust = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey",
+            x.cast("decimal(38,6)").alias("x"),
+            y.cast("decimal(38,6)").alias("y"),
+            (x * y).cast("decimal(38,6)").alias("xy"),
+            (x * x).cast("decimal(38,6)").alias("xx"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum("xy").alias("sxy"),
+            F.sum("xx").alias("sxx"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    within_num = d("sxy") - d("sx") * d("sy") / d("n")
+    within_den = d("sxx") - d("sx") * d("sx") / d("n")
+    tot = per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("n").cast("bigint").alias("n_lines"),
+        F.sum(within_num.cast("decimal(38,6)")).alias("wnum"),
+        F.sum(within_den.cast("decimal(38,6)")).alias("wden"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    pooled = (
+        d("n_lines") * d("tsxy") - d("tsx") * d("tsy")
+    ) / (d("n_lines") * d("tsxx") - d("tsx") * d("tsx"))
+    within = d("wnum") / d("wden")
+    return tot.select(
+        "n_customers",
+        "n_lines",
+        f6(within).alias("beta_within"),
+        f6(pooled).alias("beta_pooled"),
+        f6(pooled - within).alias("heterogeneity_bias"),
+    )
+
+
 QUERIES = {
     "q_customer_theil_index": q_customer_theil_index,
     "q_customer_clv_shrunken": q_customer_clv_shrunken,
+    "q_customer_fe_elasticity": q_customer_fe_elasticity,
     "q_part_price_elasticity": q_part_price_elasticity,
     "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
     "q_nation_rca": q_nation_rca,
@@ -2766,6 +2836,62 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_customer_fe_elasticity": """
+        WITH pts AS (
+            SELECT o.o_custkey,
+                   CAST(ln(CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE))
+                        AS DECIMAL(38,6)) AS x,
+                   CAST(ln(CAST(l_quantity AS DOUBLE))
+                        AS DECIMAL(38,6)) AS y,
+                   CAST(ln(CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE))
+                        * ln(CAST(l_quantity AS DOUBLE))
+                        AS DECIMAL(38,6)) AS xy,
+                   CAST(ln(CAST(l_extendedprice AS DOUBLE)
+                           / CAST(l_quantity AS DOUBLE))
+                        * ln(CAST(l_extendedprice AS DOUBLE)
+                             / CAST(l_quantity AS DOUBLE))
+                        AS DECIMAL(38,6)) AS xx
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        per_cust AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(xy) AS sxy, SUM(xx) AS sxx
+            FROM pts GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(n) AS BIGINT) AS n_lines,
+                   SUM(CAST(CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                              / CAST(n AS DOUBLE)
+                        AS DECIMAL(38,6))) AS wnum,
+                   SUM(CAST(CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / CAST(n AS DOUBLE)
+                        AS DECIMAL(38,6))) AS wden,
+                   SUM(sx) AS tsx, SUM(sy) AS tsy,
+                   SUM(sxy) AS tsxy, SUM(sxx) AS tsxx
+            FROM per_cust
+        )
+        SELECT n_customers, n_lines,
+               floor(CAST(wnum AS DOUBLE) / CAST(wden AS DOUBLE)
+                     * 1e6) / 1e6 AS beta_within,
+               floor((CAST(n_lines AS DOUBLE) * CAST(tsxy AS DOUBLE)
+                      - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+                     / (CAST(n_lines AS DOUBLE) * CAST(tsxx AS DOUBLE)
+                        - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE))
+                     * 1e6) / 1e6 AS beta_pooled,
+               floor(((CAST(n_lines AS DOUBLE) * CAST(tsxy AS DOUBLE)
+                       - CAST(tsx AS DOUBLE) * CAST(tsy AS DOUBLE))
+                      / (CAST(n_lines AS DOUBLE) * CAST(tsxx AS DOUBLE)
+                         - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE))
+                      - CAST(wnum AS DOUBLE) / CAST(wden AS DOUBLE))
+                     * 1e6) / 1e6 AS heterogeneity_bias
+        FROM tot
+    """,
     "q_customer_clv_shrunken": """
         WITH per_cust AS (
             SELECT o_custkey,

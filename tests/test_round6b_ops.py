@@ -44,6 +44,7 @@ ALL = [
     "embedding_knn_eval",
     "mm_image_decode_tiff",
     "embedding_cluster_purity",
+    "q_customer_fe_elasticity",
 ]
 
 
@@ -536,6 +537,20 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_fe_elasticity_bias_identity(spark):
+    """heterogeneity_bias must equal pooled − within (up to the f6
+    truncation), and line counts must cover all of lineitem."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_fe_elasticity,
+    )
+
+    r = q_customer_fe_elasticity(spark, SF_DIR).collect()[0]
+    assert abs(r.heterogeneity_bias - (r.beta_pooled - r.beta_within)) < 3e-6
+    assert r.n_lines == load_table(spark, SF_DIR, "lineitem").count()
+    assert r.n_customers > 0
 
 
 def test_cluster_purity_partitions_corpus(spark):
