@@ -543,6 +543,86 @@ def embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MMD population split: first half of vec_id space = reference
+#: batch, second half = current batch (the index-rebuild drift gate).
+MMD_SPLIT_FRAC = 0.5
+
+
+def embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between the reference
+    and current embedding batches (vec_id halves): with the linear
+    kernel, MMD² reduces EXACTLY to ‖μ_ref − μ_cur‖² — the two-sample
+    drift gate production vector stores run before deciding an index
+    or encoder rebuild (the embedding-space sibling of the PSI/W₁
+    monitors on scalars). Emits MMD², per-dim max mean gap, and the
+    mean-norm context.
+
+    Cross-engine determinism: per-dim sums are exact
+    DECIMAL(38,18); means, gaps, and the Σgap² fold are mirrored
+    double expressions with per-term decimal pinning. Scale shape:
+    one row-local posexplode → one partial-aggregatable
+    (half, dim) rollup (2·d rows out) → a d-row join and one scalar
+    fold; corpus size only touches the first rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    split = emb.agg(
+        (F.max("vec_id") * F.lit(MMD_SPLIT_FRAC)).alias("cut")
+    )
+    dims = (
+        emb.crossJoin(F.broadcast(split))
+        .select(
+            (F.col("vec_id") <= F.col("cut")).alias("is_ref"),
+            F.posexplode("v").alias("dim", "val"),
+        )
+        .groupBy("is_ref", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("val").cast("decimal(38,18)")).alias("s"),
+        )
+    )
+    ref = dims.where(F.col("is_ref")).select(
+        "dim",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "m_ref"
+        ),
+        F.col("n").alias("n_ref"),
+    )
+    cur = dims.where(~F.col("is_ref")).select(
+        "dim",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "m_cur"
+        ),
+        F.col("n").alias("n_cur"),
+    )
+    gap = F.col("m_ref") - F.col("m_cur")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        ref.join(cur, "dim")
+        .select(
+            "n_ref",
+            "n_cur",
+            (gap * gap).cast("decimal(38,18)").alias("g2"),
+            F.abs(gap).cast("decimal(38,18)").alias("ag"),
+        )
+        .groupBy("n_ref", "n_cur")
+        .agg(
+            F.sum("g2").alias("mmd2"),
+            F.max("ag").alias("max_gap"),
+        )
+        .select(
+            "n_ref",
+            "n_cur",
+            f6(F.col("mmd2").cast("double") * 1e3).alias("mmd2_x1e3"),
+            f6(F.col("max_gap").cast("double") * 1e3).alias(
+                "max_dim_gap_x1e3"
+            ),
+        )
+    )
+
+
 #: Incremental split: vectors with id below the threshold fraction
 #: are the "already-indexed" corpus; the rest are new arrivals.
 INCR_SPLIT_FRAC = 0.8
@@ -1850,6 +1930,7 @@ QUERIES = {
     "sim_search_recall": sim_search_recall,
     "sim_search_ndcg": sim_search_ndcg,
     "embedding_knn_eval": embedding_knn_eval,
+    "embedding_mmd_drift": embedding_mmd_drift,
     "sim_search_pq_adc": sim_search_pq_adc,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_power": embedding_pca_power,
@@ -2846,6 +2927,48 @@ ORACLES = {
     """,
     # Recall@k of the LSH path vs exact top-k: the same two candidate
     # pipelines composed — `vecs` from the LSH CTE chain serves both.
+    "embedding_mmd_drift": f"""
+        WITH split AS (
+            SELECT MAX(vec_id) * {MMD_SPLIT_FRAC!r} AS cut
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT (e.vec_id <= s.cut) AS is_ref, d.dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(e.embedding[d.dim + 1] AS DECIMAL(38,18)))
+                     AS sm
+            FROM embeddings e
+            CROSS JOIN split s
+            CROSS JOIN (SELECT unnest(generate_series(0, {EMB_DIM - 1}))
+                        AS dim) d
+            GROUP BY 1, 2
+        ),
+        ref AS (
+            SELECT dim, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS m_ref,
+                   n AS n_ref
+            FROM dims WHERE is_ref
+        ),
+        cur AS (
+            SELECT dim, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS m_cur,
+                   n AS n_cur
+            FROM dims WHERE NOT is_ref
+        ),
+        folded AS (
+            SELECT n_ref, n_cur,
+                   SUM(CAST((m_ref - m_cur) * (m_ref - m_cur)
+                        AS DECIMAL(38,18))) AS mmd2,
+                   MAX(CAST(abs(m_ref - m_cur) AS DECIMAL(38,18)))
+                     AS max_gap
+            FROM ref JOIN cur USING (dim)
+            GROUP BY n_ref, n_cur
+        )
+        SELECT n_ref, n_cur,
+               floor(CAST(mmd2 AS DOUBLE) * 1e3 * 1e6) / 1e6
+                 AS mmd2_x1e3,
+               floor(CAST(max_gap AS DOUBLE) * 1e3 * 1e6) / 1e6
+                 AS max_dim_gap_x1e3
+        FROM folded
+    """,
     "embedding_knn_eval": f"""
         WITH vecs AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v,

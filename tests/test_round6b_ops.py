@@ -45,6 +45,7 @@ ALL = [
     "mm_image_decode_tiff",
     "embedding_cluster_purity",
     "q_customer_fe_elasticity",
+    "embedding_mmd_drift",
 ]
 
 
@@ -537,6 +538,29 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_mmd_matches_numpy_mean_gap(spark):
+    """Linear-kernel MMD² must equal the numpy ‖μ_ref − μ_cur‖²
+    recomputation, and the max per-dim gap must bound the average."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.similarity import (
+        embedding_mmd_drift,
+    )
+
+    r = embedding_mmd_drift(spark, SF_DIR).collect()[0]
+    rows = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    cut = max(x.vec_id for x in rows) * 0.5
+    ref = np.array([x.embedding for x in rows if x.vec_id <= cut])
+    cur = np.array([x.embedding for x in rows if x.vec_id > cut])
+    gap = ref.mean(axis=0) - cur.mean(axis=0)
+    assert r.n_ref == len(ref) and r.n_cur == len(cur)
+    assert abs(r.mmd2_x1e3 - float(gap @ gap) * 1e3) < 1e-3
+    assert r.max_dim_gap_x1e3 >= r.mmd2_x1e3 / 64 - 1e-6
 
 
 def test_fe_elasticity_bias_identity(spark):
