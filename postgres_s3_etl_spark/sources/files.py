@@ -60,6 +60,24 @@ def read_parquet(spark: SparkSession, path: str, **options: str) -> DataFrame:
     return spark.read.options(**options).parquet(path)
 
 
+def read_parquet_robust(
+    spark: SparkSession, path: str, **options: str
+) -> DataFrame:
+    """Corruption-tolerant parquet ingest: ``ignoreCorruptFiles``
+    skips files whose footer/pages fail to parse instead of failing
+    the whole scan — the operational stance for a 100 TB landing
+    zone where a truncated upload or a partial multipart commit is a
+    WHEN, not an IF. Paired with the audited-CSV PERMISSIVE path,
+    this covers both structured-corruption classes; the skipped-file
+    count should be monitored from the Spark metrics, not inferred
+    from row counts."""
+    return (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .options(**options)
+        .parquet(path)
+    )
+
+
 def read_parquet_evolving(
     spark: SparkSession, *paths: str, **options: str
 ) -> DataFrame:

@@ -599,6 +599,29 @@ def test_cluster_purity_partitions_corpus(spark):
         assert km[r.cluster_id] == r.n_members
 
 
+def test_robust_parquet_read_skips_corrupt_files(spark, tmp_path):
+    """A truncated parquet file alongside good ones must be skipped
+    by the robust reader (and fail the strict reader)."""
+    import os
+
+    import pytest
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.sources.files import read_parquet_robust
+
+    d = str(tmp_path / "land")
+    df = load_table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    df.coalesce(1).write.parquet(d)
+    good = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+    raw = open(os.path.join(d, good), "rb").read()
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+        f.write(raw[: len(raw) // 3])  # truncated footer
+    got = {tuple(r) for r in read_parquet_robust(spark, d).collect()}
+    assert got == {tuple(r) for r in df.collect()}
+    with pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(d).collect()
+
+
 def test_tiff_codec_spec_edges():
     """Both byte orders, two-strip reassembly, left-justified inline
     SHORTs, and malformed rejects (bad magic, truncation, 16-bit)."""
