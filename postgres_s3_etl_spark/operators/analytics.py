@@ -2758,10 +2758,46 @@ def q_customer_fe_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_nb_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-model dispersion diagnostic for per-customer order
+    counts: method-of-moments negative-binomial overdispersion
+    ``α̂ = (s² − m̄) / m̄²`` (α ≈ 0 ⇒ Poisson is fine; α ≫ 0 ⇒ NB
+    needed) — the first check before any frequency/LTV count model.
+    Emits mean, variance, α̂ and the variance-to-mean ratio.
+
+    Cross-engine determinism: counts are exact BIGINTs; moments use
+    the n·Σx² − (Σx)² multiplied-out form over exact sums; every
+    emitted float is one mirrored expression.
+    """
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    tot = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    mean = d("sk") / d("n")
+    var = (d("n") * d("skk") - d("sk") * d("sk")) / (d("n") * d("n"))
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return tot.select(
+        "n",
+        f6(mean).alias("mean_orders"),
+        f6(var).alias("var_orders"),
+        f6((var - mean) / (mean * mean)).alias("nb_alpha"),
+        f6(var / mean).alias("vmr"),
+        ((var - mean) / (mean * mean) > 0.05).alias("overdispersed"),
+    )
+
+
 QUERIES = {
     "q_customer_theil_index": q_customer_theil_index,
     "q_customer_clv_shrunken": q_customer_clv_shrunken,
     "q_customer_fe_elasticity": q_customer_fe_elasticity,
+    "q_customer_nb_dispersion": q_customer_nb_dispersion,
     "q_part_price_elasticity": q_part_price_elasticity,
     "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
     "q_nation_rca": q_nation_rca,
@@ -2836,6 +2872,45 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_customer_nb_dispersion": """
+        WITH counts AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sk,
+                   CAST(SUM(k * k) AS BIGINT) AS skk
+            FROM counts
+        )
+        SELECT n,
+               floor(CAST(sk AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+                 AS mean_orders,
+               floor((CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+                      - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                     * 1e6) / 1e6 AS var_orders,
+               floor(((CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+                       - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                      - CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                     / ((CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * 1e6) / 1e6 AS nb_alpha,
+               floor(((CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+                       - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     / (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1e6) / 1e6 AS vmr,
+               ((CAST(n AS DOUBLE) * CAST(skk AS DOUBLE)
+                 - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                - CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+               / ((CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sk AS DOUBLE) / CAST(n AS DOUBLE))) > 0.05
+                 AS overdispersed
+        FROM tot
+    """,
     "q_customer_fe_elasticity": """
         WITH pts AS (
             SELECT o.o_custkey,

@@ -1412,9 +1412,66 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity distribution: per user, the Shannon
+    entropy of their event-type mix (0 bits = single-minded, log₂5 ≈
+    2.32 = uniform across all five types), rolled into quarter-bit
+    histogram bins with per-bin mean entropy — the user-base
+    diversity profile that segments "searchers" from "browsers"
+    before personalization models train.
+
+    Cross-engine determinism: per-(user, type) counts are exact;
+    each entropy term pins to DECIMAL(38,6) before the per-user fold
+    (≤5 terms, but fold order must still match); binning happens on
+    the f6-truncated entropy so bin edges can't flip between
+    engines. Scale shape: two partial-aggregatable rollups
+    (user×type, then user) and one bounded-bin rollup.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    uk = ut.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("k"))
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    share = F.col("c").cast("double") / F.col("k").cast("double")
+    per_user = (
+        ut.join(uk, "user_id")
+        .select(
+            "user_id",
+            (-share * log2(share)).cast("decimal(38,6)").alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("t").alias("h"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    binned = per_user.select(
+        f6(F.col("h").cast("double")).alias("h6"),
+        F.col("h").alias("h"),
+    ).select(
+        F.floor(F.col("h6") * 4).cast("int").alias("entropy_bin"),
+        "h",
+    )
+    return (
+        binned.groupBy("entropy_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("h").alias("h_sum"),
+        )
+        .select(
+            "entropy_bin",
+            "n_users",
+            f6(
+                F.col("h_sum").cast("double") / F.col("n_users").cast("double")
+            ).alias("mean_entropy"),
+        )
+        .orderBy("entropy_bin")
+    )
+
+
 QUERIES = {
     "q_events_cuped": q_events_cuped,
     "q_events_poisson_rate": q_events_poisson_rate,
+    "q_events_behavior_entropy": q_events_behavior_entropy,
     "q_events_share_wilson": q_events_share_wilson,
     "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
@@ -1463,6 +1520,40 @@ def _markov_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "q_events_behavior_entropy": """
+        WITH ut AS (
+            SELECT user_id, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        uk AS (
+            SELECT user_id, CAST(SUM(c) AS BIGINT) AS k
+            FROM ut GROUP BY user_id
+        ),
+        per_user AS (
+            SELECT ut.user_id,
+                   SUM(CAST(
+                     -(CAST(c AS DOUBLE) / CAST(k AS DOUBLE))
+                     * (ln(CAST(c AS DOUBLE) / CAST(k AS DOUBLE))
+                        / ln(2.0))
+                   AS DECIMAL(38,6))) AS h
+            FROM ut JOIN uk USING (user_id)
+            GROUP BY ut.user_id
+        ),
+        binned AS (
+            SELECT CAST(floor(floor(CAST(h AS DOUBLE) * 1e6) / 1e6 * 4)
+                        AS INT) AS entropy_bin,
+                   h
+            FROM per_user
+        )
+        SELECT entropy_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               floor(CAST(SUM(h) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                 AS mean_entropy
+        FROM binned
+        GROUP BY entropy_bin
+        ORDER BY entropy_bin
+    """,
     "q_events_poisson_rate": """
         WITH counts AS (
             SELECT event_type,

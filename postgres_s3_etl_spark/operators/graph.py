@@ -298,6 +298,49 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Power-law tail threshold (degrees >= dmin enter the MLE).
+POWERLAW_DMIN = 4
+
+
+def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-MLE power-law exponent of the degree distribution
+    (Clauset–Shalizi–Newman form at a fixed cutoff):
+    ``α̂ = 1 + n / Σ ln(dᵢ/dmin)`` over degrees ≥ dmin — the
+    heavy-tail diagnostic that decides whether hub-aware strategies
+    (salting, degree-capped wedges, rich-club checks) are worth
+    their complexity on this graph. Emits the exponent, tail size,
+    and tail fraction.
+
+    Cross-engine determinism: degrees are exact counts; each
+    ln(d/dmin) term pins to DECIMAL(38,6) before the fold; α̂ and
+    the tail fraction are mirrored expressions.
+    """
+    deg = _degrees(copurchase_edges(spark, sf_dir))
+    tail = deg.where(F.col("deg") >= POWERLAW_DMIN)
+    terms = tail.select(
+        F.log(
+            F.col("deg").cast("double") / F.lit(float(POWERLAW_DMIN))
+        )
+        .cast("decimal(38,6)")
+        .alias("t")
+    )
+    stats = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum("t").alias("lsum"),
+    )
+    total = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return stats.crossJoin(F.broadcast(total)).select(
+        "n_nodes",
+        "n_tail",
+        f6(d("n_tail") / d("n_nodes")).alias("tail_frac"),
+        f6(
+            F.lit(1.0) + d("n_tail") / d("lsum")
+        ).alias("alpha_mle"),
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count (see _triangle_triples for the
     degree-ordered orientation that keeps hubs from emitting deg²
@@ -1336,6 +1379,7 @@ QUERIES = {
     "graph_harmonic_sample": graph_harmonic_sample,
     "graph_local_bridges": graph_local_bridges,
     "graph_rich_club": graph_rich_club,
+    "graph_powerlaw_fit": graph_powerlaw_fit,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1644,6 +1688,33 @@ ORACLES = {
         )
         SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM core_deg GROUP BY deg ORDER BY deg
+    """,
+    "graph_powerlaw_fit": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+                   SUM(CAST(ln(CAST(deg AS DOUBLE)
+                               / {float(POWERLAW_DMIN)!r})
+                        AS DECIMAL(38,6))) AS lsum
+            FROM deg WHERE deg >= {POWERLAW_DMIN}
+        ),
+        total AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+        )
+        SELECT n_nodes, n_tail,
+               floor(CAST(n_tail AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+                     * 1e6) / 1e6 AS tail_frac,
+               floor((1.0 + CAST(n_tail AS DOUBLE)
+                            / CAST(lsum AS DOUBLE)) * 1e6) / 1e6
+                 AS alpha_mle
+        FROM stats CROSS JOIN total
     """,
     "graph_rich_club": f"""
         WITH {_EDGES_SQL},

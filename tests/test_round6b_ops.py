@@ -46,6 +46,9 @@ ALL = [
     "embedding_cluster_purity",
     "q_customer_fe_elasticity",
     "embedding_mmd_drift",
+    "q_customer_nb_dispersion",
+    "q_events_behavior_entropy",
+    "graph_powerlaw_fit",
 ]
 
 
@@ -538,6 +541,65 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_nb_dispersion_consistency(spark):
+    """vmr = var/mean; overdispersed flag matches the alpha cut; the
+    flag and moments agree with a driver-side recomputation."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_nb_dispersion,
+    )
+
+    r = q_customer_nb_dispersion(spark, SF_DIR).collect()[0]
+    ks = [
+        x.k
+        for x in load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    ]
+    n = len(ks)
+    mean = sum(ks) / n
+    var = sum(k * k for k in ks) / n - mean * mean
+    assert r.n == n
+    assert abs(r.mean_orders - mean) < 2e-6
+    assert abs(r.var_orders - var) < 2e-6
+    assert r.overdispersed == ((var - mean) / mean**2 > 0.05)
+
+
+def test_behavior_entropy_bins_bounded(spark):
+    """Per-user event-type entropy is in [0, log2(5)] so bins span
+    0..9 at quarter-bit width; bin populations sum to the user count."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_behavior_entropy,
+    )
+
+    rows = q_events_behavior_entropy(spark, SF_DIR).collect()
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    import math
+
+    for r in rows:
+        assert 0 <= r.entropy_bin <= math.log2(5) * 4
+        assert 0.0 <= r.mean_entropy <= math.log2(5) + 1e-9
+        # bin mean must lie inside the bin
+        assert r.entropy_bin * 0.25 - 1e-6 <= r.mean_entropy
+        assert r.mean_entropy < (r.entropy_bin + 1) * 0.25 + 1e-6
+
+
+def test_powerlaw_alpha_sane(spark):
+    """MLE exponent must exceed 1 by construction and the tail must
+    be a subset of the node set."""
+    from postgres_s3_etl_spark.operators.graph import graph_powerlaw_fit
+
+    r = graph_powerlaw_fit(spark, SF_DIR).collect()[0]
+    assert r.alpha_mle > 1.0
+    assert 0 < r.n_tail <= r.n_nodes
+    assert abs(r.tail_frac - r.n_tail / r.n_nodes) < 2e-6
 
 
 def test_mmd_matches_numpy_mean_gap(spark):
