@@ -835,10 +835,59 @@ def q_orders_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Annualization factor for daily log-return volatility (√252 is
+#: the trading-day convention; mirrored as a literal).
+VOL_ANNUALIZE_DAYS = 252.0
+
+
+def q_orders_log_return_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log-return volatility of revenue — the dispersion
+    companion to q_orders_max_drawdown: rₜ = ln(xₜ/xₜ₋₁) over the
+    day-grain revenue series, reported as mean drift, per-day σ, and
+    the √252-annualized σ every risk dashboard quotes.
+
+    Cross-engine determinism: daily revenues are exact DECIMAL; each
+    log return is one double ln of a ratio of exact decimals
+    (deterministic per row), and the moment sums pin each term to
+    DECIMAL(38,6); σ uses the multiplied-out n·Σr² − (Σr)² form.
+    Scale shape: one day rollup, one lag window on the bounded
+    calendar grain, one scalar fold.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.orderBy("day")
+    rets = daily.select(
+        F.log(
+            F.col("x").cast("double")
+            / F.lag(F.col("x").cast("double")).over(w)
+        ).alias("r")
+    ).where(F.col("r").isNotNull())
+    sums = rets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,6)")).alias("sr"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,6)")).alias("srr"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var = (d("n") * d("srr") - d("sr") * d("sr")) / (d("n") * d("n"))
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        "n",
+        f6(d("sr") / d("n")).alias("mean_log_return"),
+        f6(F.sqrt(var)).alias("daily_vol"),
+        f6(F.sqrt(var) * F.sqrt(F.lit(VOL_ANNUALIZE_DAYS))).alias(
+            "annualized_vol"
+        ),
+    )
+
+
 QUERIES = {
     "q_events_pacf": q_events_pacf,
     "q_orders_demand_classes": q_orders_demand_classes,
     "q_orders_hurst_exponent": q_orders_hurst_exponent,
+    "q_orders_log_return_vol": q_orders_log_return_vol,
     "q_events_changepoint_binseg": q_events_changepoint_binseg,
     "q_orders_max_drawdown": q_orders_max_drawdown,
     "q_orders_seasonal_index": q_orders_seasonal_index,
@@ -864,6 +913,37 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_log_return_vol": f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY 1
+        ),
+        rets AS (
+            SELECT ln(CAST(x AS DOUBLE)
+                      / lag(CAST(x AS DOUBLE)) OVER (ORDER BY day)) AS r
+            FROM daily
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(r AS DECIMAL(38,6))) AS sr,
+                   SUM(CAST(r * r AS DECIMAL(38,6))) AS srr
+            FROM rets WHERE r IS NOT NULL
+        )
+        SELECT n,
+               floor(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+                 AS mean_log_return,
+               floor(sqrt((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                           - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     * 1e6) / 1e6 AS daily_vol,
+               floor(sqrt((CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+                           - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                     * sqrt({VOL_ANNUALIZE_DAYS!r}) * 1e6) / 1e6
+                 AS annualized_vol
+        FROM sums
+    """,
     "q_orders_hurst_exponent": f"""
         WITH daily AS (
             SELECT o_orderdate AS day,

@@ -49,6 +49,7 @@ ALL = [
     "q_customer_nb_dispersion",
     "q_events_behavior_entropy",
     "graph_powerlaw_fit",
+    "q_orders_log_return_vol",
 ]
 
 
@@ -541,6 +542,25 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_log_return_vol_annualization(spark):
+    """annualized = daily · √252 (to f6 tolerance); n = days − 1."""
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_orders_log_return_vol,
+    )
+
+    r = q_orders_log_return_vol(spark, SF_DIR).collect()[0]
+    assert abs(r.annualized_vol - r.daily_vol * 252**0.5) < 1e-3
+    n_days = (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .count()
+    )
+    assert r.n == n_days - 1
+    assert r.daily_vol > 0
 
 
 def test_nb_dispersion_consistency(spark):
