@@ -40,7 +40,8 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
@@ -275,3 +276,53 @@ def compact(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.files.maxRecordsPerFile", prev)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_path: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """Change-data-feed between two committed snapshots: one row per
+    changed key with ``_change ∈ {insert, delete, update}`` — the
+    Delta-CDF-style diff that lets downstream consumers process only
+    what moved between versions instead of rescanning the table.
+
+    Implementation: full outer join of the two snapshots on the key,
+    non-key change detection via an md5 over the stringified non-key
+    columns (NULL-tagged so NULL vs '' can't collide) — one shuffle
+    on the key, no row comparison ever leaves the JVM. At 100 TB
+    this is the standard snapshot-reconciliation shape; with
+    bucketed snapshot layouts the exchange drops out entirely.
+    """
+    a = read_snapshot(spark, table_path, from_version)
+    b = read_snapshot(spark, table_path, to_version)
+    non_key = [c for c in b.columns if c not in key_cols]
+
+    def digest(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in non_key
+                ],
+            )
+        )
+
+    left = a.select(
+        *key_cols, digest(a).alias("_h_old")
+    )
+    right = b.select(
+        *key_cols, digest(b).alias("_h_new")
+    )
+    j = left.join(right, key_cols, "full_outer")
+    return j.select(
+        *key_cols,
+        F.when(F.col("_h_old").isNull(), F.lit("insert"))
+        .when(F.col("_h_new").isNull(), F.lit("delete"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("update"))
+        .alias("_change"),
+    ).where(F.col("_change").isNotNull())

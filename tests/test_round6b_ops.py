@@ -681,6 +681,32 @@ def test_cluster_purity_partitions_corpus(spark):
         assert km[r.cluster_id] == r.n_members
 
 
+def test_snapshot_diff_cdf(spark, tmp_path):
+    """insert/delete/update classification between two committed
+    versions matches the constructed change set exactly."""
+    from postgres_s3_etl_spark.sinks.versioned import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, name string, val double",
+    )
+    write_snapshot(v0, t, mode="overwrite")
+    v1 = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)],
+        "id bigint, name string, val double",
+    )
+    write_snapshot(v1, t, mode="overwrite")
+    changes = {
+        r.id: r._change
+        for r in snapshot_diff(spark, t, ["id"], 1, 2).collect()
+    }
+    assert changes == {1: "delete", 3: "update", 4: "insert"}
+
+
 def test_robust_parquet_read_skips_corrupt_files(spark, tmp_path):
     """A truncated parquet file alongside good ones must be skipped
     by the robust reader (and fail the strict reader)."""
