@@ -1905,6 +1905,84 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Heaps'-law fit: number of corpus-prefix checkpoints.
+HEAPS_POINTS = 10
+
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit ``V(n) ≈ K·n^β`` over
+    doc-ordered corpus prefixes — the sublinearity exponent that
+    predicts vocabulary (and hash-table/codebook) size at 100× the
+    corpus, and whose deviation from ~0.5 flags synthetic or
+    templated text. Fit by log-log OLS over 10 prefix checkpoints.
+
+    Scale shape: the prefix trick — a token's first-occurrence doc
+    (one token-keyed rollup) makes V(cut) a partial-aggregatable
+    filtered count, and token totals come from a doc-grain rollup;
+    each checkpoint is a 10-way constant fan-out of those rollups,
+    NEVER a distinct-over-prefix rescan. OLS sums pin to
+    DECIMAL(38,18).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("tok")
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    first_rollup = first.groupBy("first_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types")
+    )
+    doc_counts = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    cuts = F.array(
+        *[
+            F.floor(F.col("mx") * F.lit(i / HEAPS_POINTS)).cast("bigint")
+            for i in range(1, HEAPS_POINTS + 1)
+        ]
+    )
+    cut_frame = mx.select(F.explode(cuts).alias("cut"))
+    vocab = (
+        first_rollup.crossJoin(F.broadcast(cut_frame))
+        .where(F.col("first_doc") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(F.sum("new_types").cast("bigint").alias("v"))
+    )
+    ntok = (
+        doc_counts.crossJoin(F.broadcast(cut_frame))
+        .where(F.col("doc_id") <= F.col("cut"))
+        .groupBy("cut")
+        .agg(F.sum("n_toks").cast("bigint").alias("n"))
+    )
+    pts = vocab.join(ntok, "cut").select(
+        F.log(F.col("n").cast("double")).alias("lx"),
+        F.log(F.col("v").cast("double")).alias("ly"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("lx").cast("decimal(38,18)")).alias("sx"),
+        F.sum(F.col("ly").cast("decimal(38,18)")).alias("sy"),
+        F.sum((F.col("lx") * F.col("ly")).cast("decimal(38,18)")).alias(
+            "sxy"
+        ),
+        F.sum((F.col("lx") * F.col("lx")).cast("decimal(38,18)")).alias(
+            "sxx"
+        ),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    beta = (F.col("k") * d("sxy") - d("sx") * d("sy")) / (
+        F.col("k") * d("sxx") - d("sx") * d("sx")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        F.col("k").cast("bigint").alias("n_points"),
+        f6(beta).alias("heaps_beta"),
+        f6(
+            F.exp((d("sy") - beta * d("sx")) / F.col("k"))
+        ).alias("heaps_k"),
+    )
+
+
 #: Fuzzy-dup candidate generation: prefix length compared,
 #: sorted-neighborhood window width, relative-distance threshold.
 FUZZY_PREFIX = 80
@@ -1972,6 +2050,7 @@ QUERIES = {
     "text_fuzzy_dups": text_fuzzy_dups,
     "text_rake_keywords": text_rake_keywords,
     "text_ngram_entropy_rate": text_ngram_entropy_rate,
+    "text_heaps_law": text_heaps_law,
     "text_gopher_rules": text_gopher_rules,
     "text_bm25_rank": text_bm25_rank,
     "text_block_dedup": text_block_dedup,
@@ -2107,6 +2186,66 @@ def _langid_f1_oracle() -> str:
 
 
 ORACLES = {
+    "text_heaps_law": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        first AS (
+            SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+        ),
+        first_rollup AS (
+            SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM first GROUP BY first_doc
+        ),
+        doc_counts AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+            FROM toks GROUP BY doc_id
+        ),
+        cuts AS (
+            SELECT CAST(floor((SELECT MAX(doc_id) FROM documents)
+                              * i / 10.0) AS BIGINT) AS cut
+            FROM generate_series(1, 10) s(i)
+        ),
+        vocab AS (
+            SELECT c.cut, CAST(SUM(f.new_types) AS BIGINT) AS v
+            FROM first_rollup f JOIN cuts c ON f.first_doc <= c.cut
+            GROUP BY c.cut
+        ),
+        ntok AS (
+            SELECT c.cut, CAST(SUM(d.n_toks) AS BIGINT) AS n
+            FROM doc_counts d JOIN cuts c ON d.doc_id <= c.cut
+            GROUP BY c.cut
+        ),
+        pts AS (
+            SELECT ln(CAST(n AS DOUBLE)) AS lx,
+                   ln(CAST(v AS DOUBLE)) AS ly
+            FROM vocab JOIN ntok USING (cut)
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                   SUM(CAST(lx AS DECIMAL(38,18))) AS sx,
+                   SUM(CAST(ly AS DECIMAL(38,18))) AS sy,
+                   SUM(CAST(lx * ly AS DECIMAL(38,18))) AS sxy,
+                   SUM(CAST(lx * lx AS DECIMAL(38,18))) AS sxx
+            FROM pts
+        )
+        SELECT CAST(k AS BIGINT) AS n_points,
+               floor((k * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (k * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1e6) / 1e6 AS heaps_beta,
+               floor(exp((CAST(sy AS DOUBLE)
+                          - (k * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (k * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE)) / k) * 1e6) / 1e6
+                 AS heaps_k
+        FROM sums
+    """,
     "text_ngram_entropy_rate": """
         WITH w AS (
             SELECT string_split_regex(trim(text), '\\s+') AS toks

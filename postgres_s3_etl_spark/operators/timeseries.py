@@ -883,11 +883,70 @@ def q_orders_log_return_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Expected-shortfall tail fraction (worst 10% of daily returns).
+ES_TAIL_FRAC = 0.1
+
+
+def q_orders_expected_shortfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected shortfall (CVaR) of daily revenue log-returns at the
+    10% level: the mean of the worst ⌈n/10⌉ daily returns — the
+    coherent tail-risk measure that completes the risk triple next
+    to volatility (dispersion) and max drawdown (path). Also emits
+    the VaR boundary (the best return inside the tail).
+
+    Cross-engine determinism: returns are per-row ln of exact
+    decimal ratios; the tail cut is a rank comparison (ceil on exact
+    integers), tail terms pin to DECIMAL(38,6) before the fold.
+    Scale shape: day-grain rollup + one ordered window on the
+    bounded calendar grain.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.orderBy("day")
+    rets = daily.select(
+        "day",
+        F.log(
+            F.col("x").cast("double")
+            / F.lag(F.col("x").cast("double")).over(w)
+        ).alias("r"),
+    ).where(F.col("r").isNotNull())
+    # day tie-break: equal returns must rank identically in both
+    # engines or the tail SET itself could differ at the boundary
+    wr = Window.orderBy(F.asc("r"), F.asc("day"))
+    ranked = rets.select(
+        "r", F.row_number().over(wr).alias("rnk")
+    ).crossJoin(
+        F.broadcast(rets.agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    )
+    tail = ranked.where(
+        F.col("rnk") <= F.ceil(F.col("n") * F.lit(ES_TAIL_FRAC))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return tail.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        F.sum(F.col("r").cast("decimal(38,6)")).alias("tsum"),
+        F.max("r").alias("var_boundary"),
+    ).select(
+        "n",
+        "n_tail",
+        f6(
+            F.col("tsum").cast("double") / F.col("n_tail").cast("double")
+        ).alias("expected_shortfall"),
+        f6(F.col("var_boundary")).alias("var_10"),
+    )
+
+
 QUERIES = {
     "q_events_pacf": q_events_pacf,
     "q_orders_demand_classes": q_orders_demand_classes,
     "q_orders_hurst_exponent": q_orders_hurst_exponent,
     "q_orders_log_return_vol": q_orders_log_return_vol,
+    "q_orders_expected_shortfall": q_orders_expected_shortfall,
     "q_events_changepoint_binseg": q_events_changepoint_binseg,
     "q_orders_max_drawdown": q_orders_max_drawdown,
     "q_orders_seasonal_index": q_orders_seasonal_index,
@@ -913,6 +972,36 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_expected_shortfall": f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY 1
+        ),
+        rets AS (
+            SELECT day,
+                   ln(CAST(x AS DOUBLE)
+                      / lag(CAST(x AS DOUBLE)) OVER (ORDER BY day)) AS r
+            FROM daily
+        ),
+        ranked AS (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC, day ASC) AS rnk,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM rets WHERE r IS NOT NULL) AS n
+            FROM rets WHERE r IS NOT NULL
+        ),
+        tail AS (
+            SELECT n, r FROM ranked
+            WHERE rnk <= CAST(ceil(n * {ES_TAIL_FRAC!r}) AS BIGINT)
+        )
+        SELECT n,
+               CAST(COUNT(*) AS BIGINT) AS n_tail,
+               floor(CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS expected_shortfall,
+               floor(MAX(r) * 1e6) / 1e6 AS var_10
+        FROM tail
+        GROUP BY n
+    """,
     "q_orders_log_return_vol": f"""
         WITH daily AS (
             SELECT o_orderdate AS day,

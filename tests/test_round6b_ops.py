@@ -50,6 +50,8 @@ ALL = [
     "q_events_behavior_entropy",
     "graph_powerlaw_fit",
     "q_orders_log_return_vol",
+    "q_orders_expected_shortfall",
+    "text_heaps_law",
 ]
 
 
@@ -542,6 +544,33 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_expected_shortfall_dominates_var(spark):
+    """ES ≤ VaR boundary (mean of the tail can't exceed its max),
+    and the tail holds exactly ⌈n/10⌉ returns."""
+    import math
+
+    from postgres_s3_etl_spark.operators.timeseries import (
+        q_orders_expected_shortfall,
+    )
+
+    r = q_orders_expected_shortfall(spark, SF_DIR).collect()[0]
+    assert r.expected_shortfall <= r.var_10 + 1e-9
+    assert r.n_tail == math.ceil(r.n * 0.1)
+
+
+def test_heaps_beta_sublinear(spark):
+    """Vocabulary growth is sublinear: 0 ≤ β < 1 (the synthetic
+    corpus draws from a FIXED 40-word vocabulary, so it saturates at
+    the first checkpoint and β ≈ 0 — itself the signal this operator
+    exists to raise on templated text); K positive."""
+    from postgres_s3_etl_spark.operators.text_analysis import text_heaps_law
+
+    r = text_heaps_law(spark, SF_DIR).collect()[0]
+    assert r.n_points == 10
+    assert 0.0 <= r.heaps_beta < 1.0
+    assert r.heaps_k > 0.0
 
 
 def test_log_return_vol_annualization(spark):
