@@ -341,6 +341,83 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (brand) assortativity of the co-purchase graph —
+    Newman's discrete mixing coefficient
+    ``r = (Σᵢeᵢᵢ − Σᵢaᵢbᵢ) / (1 − Σᵢaᵢbᵢ)`` over the brand mixing
+    matrix (eᵢⱼ = fraction of directed edge ends joining brand i to
+    j; aᵢ, bᵢ its marginals): do parts co-purchase within their own
+    brand (r → 1) or across brands (r < 0)? The categorical
+    companion to the numeric degree assortativity, and the signal
+    that decides whether brand makes a useful blocking/partitioning
+    key for this graph.
+
+    Cross-engine determinism: mixing-matrix cells are exact BIGINT
+    counts over the symmetric edge list; the Σeᵢᵢ and Σaᵢbᵢ folds
+    pin per-term DECIMAL(38,18). Scale shape: edges join the part
+    projection at both endpoints (partkey equi-joins), one
+    (brand, brand) rollup — bounded at |brands|² — then scalar math.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    brands = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ba = brands.select(
+        F.col("p_partkey").alias("src"), F.col("p_brand").alias("brand_a")
+    )
+    bb = brands.select(
+        F.col("p_partkey").alias("dst"), F.col("p_brand").alias("brand_b")
+    )
+    mix = (
+        sym.join(ba, "src")
+        .join(bb, "dst")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = mix.agg(F.sum("c").cast("bigint").alias("m2"))
+    marg_a = mix.groupBy("brand_a").agg(
+        F.sum("c").cast("bigint").alias("ca")
+    )
+    marg_b = mix.groupBy("brand_b").agg(
+        F.sum("c").cast("bigint").alias("cb")
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    diag = (
+        mix.where(F.col("brand_a") == F.col("brand_b"))
+        .crossJoin(F.broadcast(tot))
+        .select((d("c") / d("m2")).cast("decimal(38,18)").alias("e"))
+        .agg(F.sum("e").alias("tr"))
+    )
+    ab = (
+        marg_a.join(
+            marg_b, marg_a.brand_a == marg_b.brand_b
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((d("ca") / d("m2")) * (d("cb") / d("m2")))
+            .cast("decimal(38,18)")
+            .alias("p")
+        )
+        .agg(F.sum("p").alias("sab"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        diag.crossJoin(F.broadcast(ab))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+            f6(F.col("tr").cast("double")).alias("same_brand_frac"),
+            f6(
+                (F.col("tr").cast("double") - F.col("sab").cast("double"))
+                / (F.lit(1.0) - F.col("sab").cast("double"))
+            ).alias("assortativity"),
+        )
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count (see _triangle_triples for the
     degree-ordered orientation that keeps hubs from emitting deg²
@@ -1380,6 +1457,7 @@ QUERIES = {
     "graph_local_bridges": graph_local_bridges,
     "graph_rich_club": graph_rich_club,
     "graph_powerlaw_fit": graph_powerlaw_fit,
+    "graph_attr_assortativity": graph_attr_assortativity,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1688,6 +1766,48 @@ ORACLES = {
         )
         SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM core_deg GROUP BY deg ORDER BY deg
+    """,
+    "graph_attr_assortativity": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        mix AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM sym s
+            JOIN part a ON s.src = a.p_partkey
+            JOIN part b ON s.dst = b.p_partkey
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS m2 FROM mix),
+        diag AS (
+            SELECT SUM(CAST(CAST(c AS DOUBLE) / CAST(m2 AS DOUBLE)
+                        AS DECIMAL(38,18))) AS tr
+            FROM mix CROSS JOIN tot WHERE brand_a = brand_b
+        ),
+        marg_a AS (
+            SELECT brand_a, CAST(SUM(c) AS BIGINT) AS ca
+            FROM mix GROUP BY brand_a
+        ),
+        marg_b AS (
+            SELECT brand_b, CAST(SUM(c) AS BIGINT) AS cb
+            FROM mix GROUP BY brand_b
+        ),
+        ab AS (
+            SELECT SUM(CAST((CAST(ca AS DOUBLE) / CAST(m2 AS DOUBLE))
+                            * (CAST(cb AS DOUBLE) / CAST(m2 AS DOUBLE))
+                        AS DECIMAL(38,18))) AS sab
+            FROM marg_a JOIN marg_b ON marg_a.brand_a = marg_b.brand_b
+            CROSS JOIN tot
+        )
+        SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+               floor(CAST(tr AS DOUBLE) * 1e6) / 1e6 AS same_brand_frac,
+               floor((CAST(tr AS DOUBLE) - CAST(sab AS DOUBLE))
+                     / (1.0 - CAST(sab AS DOUBLE)) * 1e6) / 1e6
+                 AS assortativity
+        FROM diag CROSS JOIN ab CROSS JOIN tot
     """,
     "graph_powerlaw_fit": f"""
         WITH {_EDGES_SQL},

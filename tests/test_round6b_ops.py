@@ -52,6 +52,7 @@ ALL = [
     "q_orders_log_return_vol",
     "q_orders_expected_shortfall",
     "text_heaps_law",
+    "graph_attr_assortativity",
 ]
 
 
@@ -544,6 +545,20 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_attr_assortativity_bounds(spark):
+    """Discrete assortativity r ∈ [-1, 1]; same-brand fraction is a
+    probability; edge count matches the co-purchase graph."""
+    from postgres_s3_etl_spark.operators.graph import (
+        copurchase_edges,
+        graph_attr_assortativity,
+    )
+
+    r = graph_attr_assortativity(spark, SF_DIR).collect()[0]
+    assert -1.0 - 1e-9 <= r.assortativity <= 1.0 + 1e-9
+    assert 0.0 <= r.same_brand_frac <= 1.0
+    assert r.n_edges == copurchase_edges(spark, SF_DIR).count()
 
 
 def test_expected_shortfall_dominates_var(spark):
