@@ -543,6 +543,71 @@ def embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017):
+    ``ID = n / Σ ln(r₂/r₁)`` over the probes' two nearest EUCLIDEAN
+    neighbors — how many effective degrees of freedom the embedding
+    actually uses (ID ≪ d ⇒ the manifold is thin and aggressive
+    truncation/quantization is safe; pairs with the Matryoshka and
+    JL audits).
+
+    Cross-engine determinism: squared distances come from the
+    expanded form ‖a‖²+‖b‖²−2a·b of sequential-fold dots (the
+    engine-shared contract all similarity ops use); each ln ratio
+    pins to DECIMAL(38,6). Plan: probe-bounded — the corpus never
+    shuffles; per-probe top-2 is a bounded window.
+    """
+    vecs = _vecs(spark, sf_dir)
+    a = vecs.where(F.col("vec_id") < N_PROBES).alias("a")
+    b = vecs.alias("b")
+    d2 = (
+        F.col("a.norm") * F.col("a.norm")
+        + F.col("b.norm") * F.col("b.norm")
+        - 2.0 * F.expr(_DOT)
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("dist2"), F.asc("neighbor_id")
+    )
+    top2 = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.greatest(d2, F.lit(0.0)).alias("dist2"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 2)
+    )
+    ratios = (
+        top2.groupBy("probe_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("dist2"))).alias("d1"),
+            F.max(F.when(F.col("rnk") == 2, F.col("dist2"))).alias("d2"),
+        )
+        .where(F.col("d1") > 0)
+        .select(
+            (
+                F.lit(0.5) * F.log(F.col("d2") / F.col("d1"))
+            )
+            .cast("decimal(38,6)")
+            .alias("lr")  # ln(r2/r1) = 0.5 * ln(d2²ratio)
+        )
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum("lr").alias("lsum"),
+    ).select(
+        "n_probes",
+        f6(
+            F.col("n_probes").cast("double")
+            / F.col("lsum").cast("double")
+        ).alias("intrinsic_dim"),
+    )
+
+
 #: MMD population split: first half of vec_id space = reference
 #: batch, second half = current batch (the index-rebuild drift gate).
 MMD_SPLIT_FRAC = 0.5
@@ -1931,6 +1996,7 @@ QUERIES = {
     "sim_search_ndcg": sim_search_ndcg,
     "embedding_knn_eval": embedding_knn_eval,
     "embedding_mmd_drift": embedding_mmd_drift,
+    "embedding_intrinsic_dim": embedding_intrinsic_dim,
     "sim_search_pq_adc": sim_search_pq_adc,
     "embedding_covariance": embedding_covariance,
     "embedding_pca_power": embedding_pca_power,
@@ -2927,6 +2993,42 @@ ORACLES = {
     """,
     # Recall@k of the LSH path vs exact top-k: the same two candidate
     # pipelines composed — `vecs` from the LSH CTE chain serves both.
+    "embedding_intrinsic_dim": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   greatest(a.nrm * a.nrm + b.nrm * b.nrm
+                            - 2.0 * list_dot_product(a.v, b.v), 0.0)
+                     AS dist2
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        top2 AS (
+            SELECT probe_id, dist2, rnk FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY dist2 ASC, neighbor_id ASC) AS rnk
+                FROM pairs
+            ) WHERE rnk <= 2
+        ),
+        ratios AS (
+            SELECT CAST(0.5 * ln(
+                     MAX(CASE WHEN rnk = 2 THEN dist2 END)
+                     / MAX(CASE WHEN rnk = 1 THEN dist2 END))
+                   AS DECIMAL(38,6)) AS lr
+            FROM top2 GROUP BY probe_id
+            HAVING MAX(CASE WHEN rnk = 1 THEN dist2 END) > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               floor(CAST(COUNT(*) AS DOUBLE)
+                     / CAST(SUM(lr) AS DOUBLE) * 1e6) / 1e6
+                 AS intrinsic_dim
+        FROM ratios
+    """,
     "embedding_mmd_drift": f"""
         WITH split AS (
             SELECT MAX(vec_id) * {MMD_SPLIT_FRAC!r} AS cut

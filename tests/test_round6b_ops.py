@@ -53,6 +53,7 @@ ALL = [
     "q_orders_expected_shortfall",
     "text_heaps_law",
     "graph_attr_assortativity",
+    "embedding_intrinsic_dim",
 ]
 
 
@@ -545,6 +546,19 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_intrinsic_dim_positive_and_probe_bounded(spark):
+    """Two-NN ID is positive and uses exactly the probe set (probes
+    with distinct nearest neighbors)."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        N_PROBES,
+        embedding_intrinsic_dim,
+    )
+
+    r = embedding_intrinsic_dim(spark, SF_DIR).collect()[0]
+    assert 0 < r.n_probes <= N_PROBES
+    assert r.intrinsic_dim > 0.0
 
 
 def test_attr_assortativity_bounds(spark):
