@@ -334,9 +334,17 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(total)).select(
         "n_nodes",
         "n_tail",
-        f6(d("n_tail") / d("n_nodes")).alias("tail_frac"),
+        # empty-graph / degenerate-tail guards: 0 nodes or a tail
+        # sitting entirely at dmin (lsum = 0) yield NULL, not an
+        # ANSI DIVIDE_BY_ZERO task failure
         f6(
-            F.lit(1.0) + d("n_tail") / d("lsum")
+            F.when(F.col("n_nodes") > 0, d("n_tail") / d("n_nodes"))
+        ).alias("tail_frac"),
+        f6(
+            F.when(
+                F.col("lsum") > 0,
+                F.lit(1.0) + d("n_tail") / d("lsum"),
+            )
         ).alias("alpha_mle"),
     )
 
