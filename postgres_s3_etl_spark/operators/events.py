@@ -1468,10 +1468,52 @@ def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch gate for the A/B assignment: chi-square
+    (1 df) of the observed arm sizes against the designed 50/50 split
+    — the FIRST validity check any experimentation platform runs,
+    because a biased assignment invalidates every downstream readout
+    (including q_events_ab_test and q_events_cuped, which share this
+    arm definition). χ² = (n_a − n_b)²/(n_a + n_b) for equal
+    expected counts; flag at the 3.841 (p=0.05, 1 df) critical
+    value.
+
+    Cross-engine determinism: two exact BIGINT counts from one
+    partial-aggregatable user rollup; χ² is one mirrored expression.
+    """
+    arms = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2).alias("arm"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    piv = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    chi2 = (d("n_a") - d("n_b")) * (d("n_a") - d("n_b")) / (
+        d("n_a") + d("n_b")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return piv.select(
+        "n_a",
+        "n_b",
+        f6(chi2).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
 QUERIES = {
     "q_events_cuped": q_events_cuped,
     "q_events_poisson_rate": q_events_poisson_rate,
     "q_events_behavior_entropy": q_events_behavior_entropy,
+    "q_events_srm_check": q_events_srm_check,
     "q_events_share_wilson": q_events_share_wilson,
     "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
@@ -1520,6 +1562,31 @@ def _markov_iter_sql(k: int) -> str:
 
 
 ORACLES = {
+    "q_events_srm_check": """
+        WITH arms AS (
+            SELECT user_id % 2 AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT DISTINCT user_id FROM events)
+            GROUP BY 1
+        ),
+        piv AS (
+            SELECT CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT)
+                     AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT)
+                     AS n_b
+            FROM arms
+        )
+        SELECT n_a, n_b,
+               floor((CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                     * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     * 1e6) / 1e6 AS chi2,
+               (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+               * (CAST(n_a AS DOUBLE) - CAST(n_b AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) > 3.841
+                 AS srm_detected
+        FROM piv
+    """,
     "q_events_behavior_entropy": """
         WITH ut AS (
             SELECT user_id, event_type,

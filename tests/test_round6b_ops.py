@@ -54,6 +54,7 @@ ALL = [
     "text_heaps_law",
     "graph_attr_assortativity",
     "embedding_intrinsic_dim",
+    "q_events_srm_check",
 ]
 
 
@@ -546,6 +547,20 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_srm_counts_partition_users(spark):
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.events import q_events_srm_check
+
+    r = q_events_srm_check(spark, SF_DIR).collect()[0]
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == n_users
+    chi2 = (r.n_a - r.n_b) ** 2 / (r.n_a + r.n_b)
+    assert abs(r.chi2 - chi2) < 2e-6
+    assert r.srm_detected == (chi2 > 3.841)
 
 
 def test_intrinsic_dim_positive_and_probe_bounded(spark):
