@@ -426,6 +426,60 @@ def graph_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) — the functional form
+    behind the single assortativity number (rising = assortative
+    core, falling = disassortative hub-periphery): for each degree
+    class k, the mean over its nodes of their mean neighbor degree.
+    This is what decides whether degree is a usable load predictor
+    when partitioning the graph.
+
+    Cross-engine determinism: neighbor-degree sums are exact
+    BIGINTs; each node's mean pins to DECIMAL(38,6) before the
+    per-degree-class fold. Scale shape: degrees join the symmetric
+    edge list once, one node rollup, one degree-class rollup — all
+    partial-aggregatable.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    deg = _degrees(edges)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbdeg = deg.select(
+        F.col("node").alias("dst"), F.col("deg").alias("nb_deg")
+    )
+    per_node = (
+        sym.join(nbdeg, "dst")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("nb_deg").cast("bigint").alias("s"),
+        )
+        .select(
+            "k",
+            (F.col("s").cast("double") / F.col("k").cast("double"))
+            .cast("decimal(38,6)")
+            .alias("knn"),
+        )
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        per_node.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("knn").alias("ksum"),
+        )
+        .select(
+            F.col("k").alias("degree"),
+            "n_nodes",
+            f6(
+                F.col("ksum").cast("double") / F.col("n_nodes").cast("double")
+            ).alias("mean_neighbor_degree"),
+        )
+        .orderBy("degree")
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle count (see _triangle_triples for the
     degree-ordered orientation that keeps hubs from emitting deg²
@@ -1466,6 +1520,7 @@ QUERIES = {
     "graph_rich_club": graph_rich_club,
     "graph_powerlaw_fit": graph_powerlaw_fit,
     "graph_attr_assortativity": graph_attr_assortativity,
+    "graph_knn_degree_curve": graph_knn_degree_curve,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
     "graph_bfs_levels": graph_bfs_levels,
@@ -1774,6 +1829,33 @@ ORACLES = {
         )
         SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
         FROM core_deg GROUP BY deg ORDER BY deg
+    """,
+    "graph_knn_degree_curve": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        per_node AS (
+            SELECT s.src,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(CAST(SUM(d.deg) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)
+                    AS DECIMAL(38,6)) AS knn
+            FROM sym s JOIN deg d ON s.dst = d.node
+            GROUP BY s.src
+        )
+        SELECT k AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               floor(CAST(SUM(knn) AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                 AS mean_neighbor_degree
+        FROM per_node
+        GROUP BY k
+        ORDER BY degree
     """,
     "graph_attr_assortativity": f"""
         WITH {_EDGES_SQL},

@@ -815,6 +815,58 @@ def mm_image_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def mm_audio_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate on REAL decoded audio — the classic
+    voiced/unvoiced & noisiness feature (high ZCR = noise/fricative,
+    low = tone/voiced) that complements the energy windows and the
+    DFT periodicity scan: count of consecutive-sample sign flips
+    (zero counts as non-negative, the numpy ``signbit`` convention —
+    fixed here and mirrored in SQL). Exact integers end to end.
+
+    Scale: decode in Arrow-batched mapInPandas, 3 ints per asset out;
+    the oracle recomputes sign flips from the closed-form samples
+    with one lead() over the generated series.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as wv:
+                    if wv.getnchannels() != 1 or wv.getsampwidth() != 2:
+                        continue
+                    raw = wv.readframes(wv.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                neg = s < 0
+                flips = int((neg[1:] != neg[:-1]).sum())
+                out.append((int(aid), len(s), flips))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "n_samples", "n_crossings"]
+            )
+
+    media = synth_wav_media(spark).select("asset_id", "payload")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        media.mapInPandas(
+            batches, "asset_id bigint, n_samples bigint, n_crossings bigint"
+        )
+        .select(
+            "asset_id",
+            "n_samples",
+            "n_crossings",
+            f6(
+                F.col("n_crossings").cast("double")
+                / (F.col("n_samples") - 1).cast("double")
+            ).alias("zcr"),
+        )
+        .orderBy("asset_id")
+    )
+
+
 N_MULAW_ASSETS = 32
 MULAW_RATE = 8000  # Hz — the G.711 telephony rate
 
@@ -3018,6 +3070,7 @@ QUERIES = {
     "mm_image_conv_edge": mm_image_conv_edge,
     "mm_audio_dft_peak": mm_audio_dft_peak,
     "mm_image_decode_tiff": mm_image_decode_tiff,
+    "mm_audio_zero_crossings": mm_audio_zero_crossings,
     "mm_image_patches": mm_image_patches,
 }
 
@@ -3304,6 +3357,36 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: real PCM WAV windowing — exact integer energy stats
     # recomputed from the closed-form sample pattern.
+    "mm_audio_zero_crossings": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 1000 + 10 * i AS ns
+            FROM generate_series(0, {N_WAV_ASSETS - 1}) s(i)
+        ),
+        samples AS (
+            SELECT a.asset_id, a.ns, k.k,
+                   (((7 * a.asset_id + 13 * k.k) % 201) - 100 < 0)
+                     AS neg
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {1000 + 10 * (N_WAV_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
+        ),
+        flips AS (
+            SELECT asset_id, ns,
+                   CASE WHEN lead(neg) OVER (PARTITION BY asset_id
+                                             ORDER BY k) <> neg
+                        THEN 1 ELSE 0 END AS f
+            FROM samples
+        )
+        SELECT asset_id,
+               CAST(MAX(ns) AS BIGINT) AS n_samples,
+               CAST(SUM(f) AS BIGINT) AS n_crossings,
+               floor(CAST(SUM(f) AS DOUBLE)
+                     / CAST(MAX(ns) - 1 AS DOUBLE) * 1e6) / 1e6 AS zcr
+        FROM flips
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_image_decode_tiff": f"""
         WITH assets AS (
             SELECT i AS asset_id, 12 + i % 9 AS w, 9 + i % 7 AS h

@@ -55,6 +55,8 @@ ALL = [
     "graph_attr_assortativity",
     "embedding_intrinsic_dim",
     "q_events_srm_check",
+    "mm_audio_zero_crossings",
+    "graph_knn_degree_curve",
 ]
 
 
@@ -547,6 +549,40 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_zcr_matches_manual_count(spark):
+    """Spot-check sign-flip counting against the closed-form sample
+    series for one asset; ZCR bounded to [0, 1]."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        mm_audio_zero_crossings,
+    )
+
+    rows = {r.asset_id: r for r in mm_audio_zero_crossings(spark, SF_DIR).collect()}
+    aid, ns = 7, 1000 + 10 * 7
+    s = [((7 * aid + 13 * k) % 201) - 100 for k in range(ns)]
+    flips = sum((s[i] < 0) != (s[i + 1] < 0) for i in range(ns - 1))
+    r = rows[aid]
+    assert (r.n_samples, r.n_crossings) == (ns, flips)
+    assert 0.0 <= r.zcr <= 1.0
+
+
+def test_knn_curve_weighted_mean_consistency(spark):
+    """Node counts over the curve must sum to the node count of the
+    graph; every mean neighbor degree is within global degree
+    bounds."""
+    from postgres_s3_etl_spark.operators.graph import (
+        _degrees,
+        copurchase_edges,
+        graph_knn_degree_curve,
+    )
+
+    rows = graph_knn_degree_curve(spark, SF_DIR).collect()
+    deg = _degrees(copurchase_edges(spark, SF_DIR)).collect()
+    assert sum(r.n_nodes for r in rows) == len(deg)
+    dmin, dmax = min(d.deg for d in deg), max(d.deg for d in deg)
+    for r in rows:
+        assert dmin <= r.mean_neighbor_degree <= dmax + 1e-6
 
 
 def test_srm_counts_partition_users(spark):
