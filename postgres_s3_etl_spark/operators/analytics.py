@@ -2793,7 +2793,58 @@ def q_customer_nb_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_supplier_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-firm concentration ratio (CR4) of supplier balances per
+    nation — the antitrust-style companion to the HHI (CR4 reads
+    directly as "top four hold X%", HHI weights the whole tail):
+    rank suppliers within nation by clamped balance, share of the
+    top 4. CR4 > 0.6 conventionally flags a concentrated market.
+
+    Cross-engine determinism: clamped balances are exact DECIMAL;
+    the rank window partitions by nation (bounded key) with a
+    suppkey tie-break; the share is one mirrored division of exact
+    sums. One shuffle, one bounded window.
+    """
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        "s_suppkey",
+        F.greatest(
+            dec("s_acctbal"), F.lit(0).cast("decimal(18,2)")
+        ).alias("bal"),
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("bal"), F.asc("s_suppkey")
+    )
+    ranked = sup.withColumn("rnk", F.row_number().over(w))
+    agg = ranked.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("bal").alias("total"),
+        F.sum(F.when(F.col("rnk") <= 4, F.col("bal"))).alias("top4"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    cr4 = F.when(
+        F.col("total") > 0,
+        F.col("top4").cast("double") / F.col("total").cast("double"),
+    )
+    return (
+        agg.join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            f6(cr4).alias("cr4"),
+            (cr4 > 0.6).alias("concentrated"),
+        )
+        .orderBy("n_name")
+    )
+
+
 QUERIES = {
+    "q_nation_supplier_cr4": q_nation_supplier_cr4,
     "q_customer_theil_index": q_customer_theil_index,
     "q_customer_clv_shrunken": q_customer_clv_shrunken,
     "q_customer_fe_elasticity": q_customer_fe_elasticity,
@@ -2872,6 +2923,38 @@ _BOOT_W_SQL = "CASE " + " ".join(
 ) + " ELSE 7 END"
 
 ORACLES = {
+    "q_nation_supplier_cr4": """
+        WITH sup AS (
+            SELECT s_nationkey, s_suppkey,
+                   greatest(CAST(s_acctbal AS DECIMAL(18,2)),
+                            CAST(0 AS DECIMAL(18,2))) AS bal
+            FROM supplier
+        ),
+        ranked AS (
+            SELECT s_nationkey, bal,
+                   ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                       ORDER BY bal DESC, s_suppkey ASC) AS rnk
+            FROM sup
+        ),
+        agg AS (
+            SELECT s_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   SUM(bal) AS total,
+                   SUM(CASE WHEN rnk <= 4 THEN bal END) AS top4
+            FROM ranked GROUP BY s_nationkey
+        )
+        SELECT n.n_name, a.n_suppliers,
+               floor(CASE WHEN a.total > 0
+                          THEN CAST(a.top4 AS DOUBLE)
+                               / CAST(a.total AS DOUBLE) END
+                     * 1e6) / 1e6 AS cr4,
+               CASE WHEN a.total > 0
+                    THEN CAST(a.top4 AS DOUBLE)
+                         / CAST(a.total AS DOUBLE) END > 0.6
+                 AS concentrated
+        FROM agg a JOIN nation n ON a.s_nationkey = n.n_nationkey
+        ORDER BY n.n_name
+    """,
     "q_customer_nb_dispersion": """
         WITH counts AS (
             SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k

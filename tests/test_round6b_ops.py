@@ -57,6 +57,7 @@ ALL = [
     "q_events_srm_check",
     "mm_audio_zero_crossings",
     "graph_knn_degree_curve",
+    "q_nation_supplier_cr4",
 ]
 
 
@@ -549,6 +550,25 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_cr4_bounds_and_hhi_companion(spark):
+    """CR4 ∈ (0, 1]; with ≤4 suppliers CR4 = 1; one row per nation."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_nation_supplier_cr4,
+    )
+
+    rows = q_nation_supplier_cr4(spark, SF_DIR).collect()
+    # one row per nation that HAS suppliers (tiny SFs leave gaps)
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        if r.cr4 is not None:
+            assert 0.0 < r.cr4 <= 1.0 + 1e-9
+            if r.n_suppliers <= 4:
+                assert r.cr4 > 0.999999 - 1e-6
+            # flag computed pre-truncation; only check off-boundary
+            if abs(r.cr4 - 0.6) > 1e-5:
+                assert r.concentrated == (r.cr4 > 0.6)
 
 
 def test_zcr_matches_manual_count(spark):
