@@ -941,12 +941,90 @@ def q_orders_expected_shortfall(
     )
 
 
+#: Ljung–Box lags tested and the chi-square 0.95 critical value at
+#: df = 5.
+LB_LAGS = 5
+LB_CRIT_05 = 11.07
+
+
+def q_orders_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test on daily revenue
+    log-returns (lags 1–5): ``Q = n(n+2)·Σ r_k²/(n−k)`` — is the
+    return series white noise (random-walk revenue) or
+    autocorrelated (momentum/mean-reversion worth modeling)? The
+    standard pre-test before fitting any ARMA-style model, closing
+    the diagnostics set next to PACF, Hurst, and the volatility
+    block.
+
+    Cross-engine determinism: returns are per-row ln of exact
+    decimal ratios; the mean is one scalar broadcast; every lagged
+    product of demeaned returns pins to DECIMAL(38,6) before its
+    fold; Q is one mirrored expression over the exact sums.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.orderBy("day")
+    rets = daily.select(
+        "day",
+        F.log(
+            F.col("x").cast("double")
+            / F.lag(F.col("x").cast("double")).over(w)
+        ).alias("r"),
+    ).where(F.col("r").isNotNull())
+    mean = rets.agg(
+        (
+            F.sum(F.col("r").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    dev = rets.crossJoin(F.broadcast(mean)).select(
+        "day", (F.col("r") - F.col("mu")).alias("v")
+    )
+    leads = dev.select(
+        "v",
+        *[
+            F.lead("v", k).over(Window.orderBy("day")).alias(f"v{k}")
+            for k in range(1, LB_LAGS + 1)
+        ],
+    )
+    sums = leads.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)")).alias("s0"),
+        *[
+            F.sum(
+                (F.col("v") * F.col(f"v{k}")).cast("decimal(38,6)")
+            ).alias(f"s{k}")
+            for k in range(1, LB_LAGS + 1)
+        ],
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n")
+    q_stat = (
+        n
+        * (n + 2.0)
+        * sum(
+            (d(f"s{k}") / d("s0")) * (d(f"s{k}") / d("s0")) / (n - k)
+            for k in range(1, LB_LAGS + 1)
+        )
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        "n",
+        f6(q_stat).alias("lb_q"),
+        (q_stat > LB_CRIT_05).alias("autocorrelated_05"),
+    )
+
+
 QUERIES = {
     "q_events_pacf": q_events_pacf,
     "q_orders_demand_classes": q_orders_demand_classes,
     "q_orders_hurst_exponent": q_orders_hurst_exponent,
     "q_orders_log_return_vol": q_orders_log_return_vol,
     "q_orders_expected_shortfall": q_orders_expected_shortfall,
+    "q_orders_ljung_box": q_orders_ljung_box,
     "q_events_changepoint_binseg": q_events_changepoint_binseg,
     "q_orders_max_drawdown": q_orders_max_drawdown,
     "q_orders_seasonal_index": q_orders_seasonal_index,
@@ -972,6 +1050,61 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_ljung_box": f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+            FROM orders GROUP BY 1
+        ),
+        rets AS (
+            SELECT day,
+                   ln(CAST(x AS DOUBLE)
+                      / lag(CAST(x AS DOUBLE)) OVER (ORDER BY day)) AS r
+            FROM daily
+        ),
+        rr AS (SELECT day, r FROM rets WHERE r IS NOT NULL),
+        mean AS (
+            SELECT CAST(SUM(CAST(r AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS mu
+            FROM rr
+        ),
+        dev AS (
+            SELECT day, r - mu AS v FROM rr CROSS JOIN mean
+        ),
+        leads AS (
+            SELECT v,
+                   {", ".join(
+                       f"lead(v, {k}) OVER (ORDER BY day) AS v{k}"
+                       for k in range(1, LB_LAGS + 1)
+                   )}
+            FROM dev
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v * v AS DECIMAL(38,6))) AS s0,
+                   {", ".join(
+                       f"SUM(CAST(v * v{k} AS DECIMAL(38,6))) AS s{k}"
+                       for k in range(1, LB_LAGS + 1)
+                   )}
+            FROM leads
+        )
+        SELECT n,
+               floor(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                     * ({" + ".join(
+                         f"(CAST(s{k} AS DOUBLE) / CAST(s0 AS DOUBLE))"
+                         f" * (CAST(s{k} AS DOUBLE) / CAST(s0 AS DOUBLE))"
+                         f" / (CAST(n AS DOUBLE) - {k})"
+                         for k in range(1, LB_LAGS + 1)
+                     )}) * 1e6) / 1e6 AS lb_q,
+               CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+               * ({" + ".join(
+                   f"(CAST(s{k} AS DOUBLE) / CAST(s0 AS DOUBLE))"
+                   f" * (CAST(s{k} AS DOUBLE) / CAST(s0 AS DOUBLE))"
+                   f" / (CAST(n AS DOUBLE) - {k})"
+                   for k in range(1, LB_LAGS + 1)
+               )}) > {LB_CRIT_05!r} AS autocorrelated_05
+        FROM sums
+    """,
     "q_orders_expected_shortfall": f"""
         WITH daily AS (
             SELECT o_orderdate AS day,

@@ -58,6 +58,7 @@ ALL = [
     "mm_audio_zero_crossings",
     "graph_knn_degree_curve",
     "q_nation_supplier_cr4",
+    "q_orders_ljung_box",
 ]
 
 
@@ -550,6 +551,20 @@ def test_compressed_sinks_round_trip(spark, tmp_path):
             .select("r_regionkey", "r_name").collect()} == orig
     assert {tuple(r) for r in spark.read.parquet(pd_)
             .select("r_regionkey", "r_name").collect()} == orig
+
+
+def test_ljung_box_nonnegative_and_flag_consistent(spark):
+    from postgres_s3_etl_spark.operators.timeseries import (
+        LB_CRIT_05,
+        q_orders_ljung_box,
+    )
+
+    r = q_orders_ljung_box(spark, SF_DIR).collect()[0]
+    assert r.lb_q >= 0.0
+    assert r.n > 5
+    # flag computed pre-truncation; only check off-boundary
+    if abs(r.lb_q - LB_CRIT_05) > 1e-4:
+        assert r.autocorrelated_05 == (r.lb_q > LB_CRIT_05)
 
 
 def test_cr4_bounds_and_hhi_companion(spark):
