@@ -165,14 +165,30 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or SF_DIR
+    full = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "repeat": repeat,
+    }
+    # Full per-query blob first — for humans and for the on-disk copy.
+    print(json.dumps(full))
+    with open(Path(__file__).resolve().parent / "bench_latest.json", "w") as fh:
+        json.dump(full, fh, indent=1)
+    # The driver parses the bench JSON out of a bounded (~2000-char)
+    # stdout tail; the per-query map outgrew that at 83 queries and the
+    # round-6 artifact was lost (parsed: null). The LAST line is a
+    # compact (<150 char) summary that always fits the tail window.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
                 "repeat": repeat,
             }
         )

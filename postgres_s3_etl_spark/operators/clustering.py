@@ -281,11 +281,17 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the published algorithm keeps clusters small by
     growing K with the corpus (≈100k clusters for 100M docs), so the
-    within-cluster pair join is O(Σ(n_k²)) with n_k ≈ n/K bounded —
-    here K=8 over the toy corpus stands in for that contract. The
-    pair join is a cluster-key equi-join (never a cross join); the
-    keep rule (exists a lower-id neighbor above τ) is one leftsemi
-    per cluster partition; cosine uses the same sequential-fold dot
+    within-cluster pair join is O(Σ(n_k²)) with n_k ≈ n/K bounded.
+    That contract is ENFORCED here, not just documented:
+    K = max(8, n // SEMDEDUP_TARGET_CLUSTER), so mean cluster size
+    stays ≈50 and the pair join is O(n·50) by construction. The
+    derivation is mirrored in the oracle (GREATEST(8, COUNT(*)//50)),
+    so both engines cluster identically. Centroid assignment is a
+    dense n×d×K GEMM with broadcast centroids — at the paper's
+    K=100k that broadcast is 100k×64×8B ≈ 51 MB, still executor-
+    broadcastable; beyond that an IVF-style coarse quantizer shards
+    the centroid set. The pair join is a cluster-key equi-join
+    (never a cross join); cosine uses the same sequential-fold dot
     and single IEEE division as dedup_embedding_cosine, so the τ
     comparison is bit-identical to the DuckDB oracle's.
     """
@@ -293,9 +299,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    seeds = (
-        vecs.where(F.col("vec_id") < K_CLUSTERS).orderBy("vec_id").collect()
-    )
+    n_vecs = vecs.count()
+    k = max(K_CLUSTERS, n_vecs // SEMDEDUP_TARGET_CLUSTER)
+    seeds = vecs.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [list(r.v) for r in seeds]
     if not cents:
         return spark.createDataFrame(
@@ -430,15 +436,18 @@ QUERIES = {
 
 _SCORE = "-2.0 * list_dot_product(v.v, c.c) + c.c2"
 
-#: Shared Lloyd chain: seeds → assign → update → re-assign, ending
-#: in c1x(cell, c, c2) + a2(vec_id, cell). Both oracles append to it.
-_KMEANS_CTE = f"""
+def _kmeans_cte(k_sql: str = str(K_CLUSTERS)) -> str:
+    """Shared Lloyd chain: seeds → assign → update → re-assign,
+    ending in c1x(cell, c, c2) + a2(vec_id, cell). ``k_sql`` is the
+    cluster-count expression — a literal for the fixed-K operators,
+    a COUNT(*)-derived subquery for SemDeDup's corpus-growing K."""
+    return f"""
         vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
         c0 AS (
             SELECT vec_id AS cell, v AS c, list_dot_product(v, v) AS c2
-            FROM vecs WHERE vec_id < {K_CLUSTERS}
+            FROM vecs WHERE vec_id < {k_sql}
         ),
         a1 AS (
             SELECT vec_id, cell FROM (
@@ -474,6 +483,20 @@ _KMEANS_CTE = f"""
             ) WHERE rn = 1
         )
 """
+
+
+_KMEANS_CTE = _kmeans_cte()
+
+#: SemDeDup's K contract (arXiv:2303.09540 §3): K grows with the
+#: corpus so mean cluster size stays ≈ this constant, bounding the
+#: within-cluster pair join at O(n · TARGET) by construction.
+SEMDEDUP_TARGET_CLUSTER = 50
+
+#: SQL twin of the Spark-side derivation in ``semdedup_prune``.
+_SEMDEDUP_K_SQL = (
+    f"(SELECT GREATEST({K_CLUSTERS}, "
+    f"COUNT(*) // {SEMDEDUP_TARGET_CLUSTER}) FROM embeddings)"
+)
 
 ORACLES = {
     "embedding_cluster_purity": f"""
@@ -568,10 +591,11 @@ ORACLES = {
         ORDER BY dist_to_centroid DESC, vec_id ASC
         LIMIT {OOD_TOP_K}
     """,
-    # SemDeDup over the SAME final Lloyd state: within-cluster
-    # cosine pairs above τ, prune the higher id of each pair.
+    # SemDeDup over its OWN Lloyd state with corpus-derived K
+    # (GREATEST(8, n//50), mirroring the Spark-side derivation):
+    # within-cluster cosine pairs above τ, prune the higher id.
     "semdedup_prune": f"""
-        WITH {_KMEANS_CTE},
+        WITH {_kmeans_cte(_SEMDEDUP_K_SQL)},
         emb AS (
             SELECT a2.vec_id, a2.cell, v.v,
                    sqrt(list_dot_product(v.v, v.v)) AS norm

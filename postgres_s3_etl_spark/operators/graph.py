@@ -1919,11 +1919,13 @@ ORACLES = {
             SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
         )
         SELECT n_nodes, n_tail,
-               floor(CAST(n_tail AS DOUBLE) / CAST(n_nodes AS DOUBLE)
-                     * 1e6) / 1e6 AS tail_frac,
-               floor((1.0 + CAST(n_tail AS DOUBLE)
-                            / CAST(lsum AS DOUBLE)) * 1e6) / 1e6
-                 AS alpha_mle
+               floor(CASE WHEN n_nodes > 0 THEN
+                     CAST(n_tail AS DOUBLE) / CAST(n_nodes AS DOUBLE)
+                     END * 1e6) / 1e6 AS tail_frac,
+               floor(CASE WHEN lsum > 0 THEN
+                     1.0 + CAST(n_tail AS DOUBLE)
+                           / CAST(lsum AS DOUBLE)
+                     END * 1e6) / 1e6 AS alpha_mle
         FROM stats CROSS JOIN total
     """,
     "graph_rich_club": f"""

@@ -1935,9 +1935,13 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_toks")
     )
     mx = docs.agg(F.max("doc_id").alias("mx"))
+    # Pure-integer cuts (mx*i) div 10 — bit-identical in both engines.
+    # floor(mx * (i/10)) with a pre-rounded double ratio disagrees with
+    # the oracle's floor((mx*i)/10.0) for many mx (e.g. mx=90, i=7:
+    # 62 vs 63), shifting one doc across a prefix boundary.
     cuts = F.array(
         *[
-            F.floor(F.col("mx") * F.lit(i / HEAPS_POINTS)).cast("bigint")
+            F.expr(f"(cast(mx as bigint) * {i}) div {HEAPS_POINTS}")
             for i in range(1, HEAPS_POINTS + 1)
         ]
     )
@@ -2204,8 +2208,8 @@ ORACLES = {
             FROM toks GROUP BY doc_id
         ),
         cuts AS (
-            SELECT CAST(floor((SELECT MAX(doc_id) FROM documents)
-                              * i / 10.0) AS BIGINT) AS cut
+            SELECT CAST((CAST((SELECT MAX(doc_id) FROM documents)
+                              AS BIGINT) * i) // 10 AS BIGINT) AS cut
             FROM generate_series(1, 10) s(i)
         ),
         vocab AS (

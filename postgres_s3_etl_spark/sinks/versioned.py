@@ -291,26 +291,27 @@ def snapshot_diff(
     what moved between versions instead of rescanning the table.
 
     Implementation: full outer join of the two snapshots on the key,
-    non-key change detection via an md5 over the stringified non-key
-    columns (NULL-tagged so NULL vs '' can't collide) — one shuffle
-    on the key, no row comparison ever leaves the JVM. At 100 TB
-    this is the standard snapshot-reconciliation shape; with
-    bucketed snapshot layouts the exchange drops out entirely.
+    non-key change detection via a row digest — each column is md5'd
+    SEPARATELY and the fixed-width hex digests are concatenated (NULL
+    → a non-hex marker token). Per-column hashing makes the digest
+    unambiguous by construction: no data value can contain or forge a
+    column boundary, and NULL cannot collide with any real value
+    (including a literal NUL byte or a string equal to the marker,
+    since real values always become 32-char hex). One shuffle on the
+    key, no row comparison ever leaves the JVM. At 100 TB this is the
+    standard snapshot-reconciliation shape; with bucketed snapshot
+    layouts the exchange drops out entirely.
     """
     a = read_snapshot(spark, table_path, from_version)
     b = read_snapshot(spark, table_path, to_version)
     non_key = [c for c in b.columns if c not in key_cols]
 
     def digest(df: DataFrame) -> Column:
-        return F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in non_key
-                ],
-            )
-        )
+        parts = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<NULL>"))
+            for c in non_key
+        ] or [F.lit("")]  # key-only table: every matched key is equal
+        return F.md5(F.concat(*parts))
 
     left = a.select(
         *key_cols, digest(a).alias("_h_old")
