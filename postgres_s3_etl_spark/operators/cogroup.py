@@ -40,6 +40,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.operators.python_lane import (
+    repartition_for_grouped_python,
+)
 
 #: Audit window: reconcile only orders with key ≤ this bound so the
 #: detail output stays bounded and deterministic. The full-corpus
@@ -89,17 +92,14 @@ def q_order_billing_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines) survive because cogroup, like a full outer join,
     preserves both sides.
     """
-    # Pin the cogroup's parallelism explicitly: the audited slice is
-    # tiny by construction, so AQE coalesces its shuffle to ONE
-    # partition — which serializes ~N_keys per-key Python/Arrow
-    # calls in a single task (measured 18.5 s at any SF). Grouped
-    # Python-lane transforms are per-GROUP-overhead-bound, not
-    # byte-bound, so they must keep task parallelism even when the
-    # bytes are small: explicit hash repartition to core count takes
-    # the same work to 2.0 s (9×). At real scale the rule still
-    # holds — parallelism follows the key count, not the byte count.
-    n_part = spark.sparkContext.defaultParallelism
-    orders = (
+    # Pin the cogroup's parallelism explicitly (see python_lane.py):
+    # the audited slice is tiny by construction, so AQE coalesces its
+    # shuffle to ONE partition — which serializes ~N_keys per-key
+    # Python/Arrow calls in a single task (measured 18.5 s at any
+    # SF). Grouped Python-lane transforms are per-GROUP-overhead-
+    # bound, not byte-bound: the explicit pin takes the same work to
+    # 2.0 s (9×). Parallelism follows the key count, not bytes.
+    orders = repartition_for_grouped_python(
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderkey") <= BILLING_AUDIT_MAX_ORDERKEY)
         .select(
@@ -108,10 +108,10 @@ def q_order_billing_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("o_totalprice") * 100).cast("long") * 10000).alias(
                 "header_units"
             ),
-        )
-        .repartition(n_part, "o_orderkey")
+        ),
+        "o_orderkey",
     )
-    lines = (
+    lines = repartition_for_grouped_python(
         load_table(spark, sf_dir, "lineitem")
         .where(F.col("l_orderkey") <= BILLING_AUDIT_MAX_ORDERKEY)
         .select(
@@ -119,8 +119,8 @@ def q_order_billing_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
             F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
             F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
-        )
-        .repartition(n_part, "l_orderkey")
+        ),
+        "l_orderkey",
     )
     out = (
         orders.groupBy("o_orderkey")

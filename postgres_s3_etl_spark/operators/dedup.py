@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
 from postgres_s3_etl_spark.operators.similarity import lsh_bucket_cte
+from postgres_s3_etl_spark.operators.python_lane import (
+    repartition_for_grouped_python,
+)
 
 NUM_MINHASHES = 16
 LSH_BANDS = 4  # 4 rows per band
@@ -190,8 +193,8 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFr
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most-similar doc pairs by DF-capped word-3-gram Jaccard
     within (lang, source) blocks (see ngram_jaccard_pairs)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     return (
         ngram_jaccard_pairs(docs)
@@ -270,8 +273,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized by bytes, and a compute-heavy text column packed into few
     splits (or AQE-coalesced to one) would serialize the signatures.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     bands = minhash_bands_for(docs).persist()
     a = bands.alias("a")
@@ -340,8 +343,8 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     without shuffling, and the exact intersection/union runs
     row-locally on the joined pair.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     bands = minhash_bands_for(docs).persist()
     a, b = bands.alias("a"), bands.alias("b")
@@ -401,8 +404,9 @@ def dedup_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds). The driver sees only a per-round scalar; all real work
     stays distributed.
     """
-    dp = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(dp, "doc_id")
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     bands = minhash_bands_for(docs.select("doc_id", "text")).persist()
     a = bands.alias("a")
     b = bands.alias("b")
@@ -476,8 +480,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks keep the candidate join ~linear where the old 4-bit
     chunks were n²/16); hamming ≤ 6 via bit_count(xor).
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     toks = docs.select(
         "doc_id",
@@ -682,8 +686,8 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     implied candidate-pair total Σ s(s−1)/2 — all from one rollup of
     the same signature frame the join consumes.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     bands = minhash_bands_for(docs)
     occ = bands.groupBy("band", "bucket").agg(

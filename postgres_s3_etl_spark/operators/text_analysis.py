@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
 from postgres_s3_etl_spark.operators.ranking import GRN, with_global_order
+from postgres_s3_etl_spark.operators.python_lane import (
+    repartition_for_grouped_python,
+)
 
 #: Distinctive stopwords per language for the n-gram/stopword
 #: evidence heuristic. Tie-break order = tuple order.
@@ -309,8 +312,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set never leaves the row. The word split is projected
     first: Catalyst does not CSE a split referenced from lambda
     bodies, and re-splitting per shingle made this ~6× slower."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     return (
         docs.select("doc_id", _ws_tokens(F.col("text")).alias("w"))
@@ -641,8 +644,8 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation; doc frequency via per-doc distinct tokens so
     no count-distinct expansion is needed.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     all_tokens = docs.select("doc_id", tok)
@@ -676,8 +679,8 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ~1e6 rows regardless of corpus size, so the broadcast holds
     at 100 TB while the bigram count keeps its map-side combine.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     words = docs.select(F.split(F.trim(F.lower("text")), r"\s+").alias("w"))
     uni = (
@@ -1228,8 +1231,8 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-grain aggregation. ln() is one IEEE op mirrored in the
     oracle; the score truncates at 1e-6.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     words = docs.select(
         "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("w")
@@ -1391,8 +1394,8 @@ def text_topterms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is exact; at 100 TB you'd size k over the expected head and
     the mergeable sketch replaces the second aggregation pass).
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     tokens = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
@@ -1442,8 +1445,8 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, both with map-side combine; top-K via
     TakeOrderedAndProject on the floored score.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     per_doc = (
@@ -1481,8 +1484,8 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Simpson's numerator is an exact BIGINT sum. Two shuffles,
     both at the vocabulary grain.
     """
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
     )
     tok = F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
     counts = (
