@@ -101,7 +101,7 @@ HEADLINE = (
     "mm_image_decode_jpeg_color",
     "mm_video_scene_cuts",
     "mm_audio_silence_trim",
-    # round-7 additions (retrieval ranking, block dedup, image
+    # round-6 additions (retrieval ranking, block dedup, image
     # resample, community detection, SQ8 ANN, link prediction,
     # HITS, fuzzy linkage)
     "text_bm25_rank",
