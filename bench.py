@@ -116,6 +116,8 @@ HEADLINE = (
     "text_rake_keywords",
     "mm_image_hist_equalize",
     "sim_search_ndcg",
+    # round-7 additions
+    "mm_image_decode_jpeg_420",
 )
 
 

@@ -285,7 +285,7 @@ class TestColor:
         raw_gray = encode_jpeg_gray(0, 16, 16)
         assert decode_jpeg_color(raw_gray) is None
 
-    def test_subsampled_color_rejected(self):
+    def test_sampling_factor_above_two_rejected(self):
         from postgres_s3_etl_spark.operators.multimodal import (
             decode_jpeg_color,
             encode_jpeg_color,
@@ -293,9 +293,126 @@ class TestColor:
 
         raw = bytearray(encode_jpeg_color(0, 16, 16))
         i = raw.find(b"\xff\xc0")
-        # set Y sampling to 2x2 (4:2:0) — decoder must reject loudly
-        raw[i + 4 + 7] = 0x22
+        # 3x3 sampling is valid JPEG but outside this decoder's
+        # {1,2} factor set — must reject loudly, not misdecode
+        raw[i + 4 + 7] = 0x33
         assert decode_jpeg_color(bytes(raw)) is None
+
+    def test_420_round_trip_exact(self):
+        """Full closed-form check of the 4:2:0 path: Y per 8x8 luma
+        block, chroma constant over each upsampled 16x16 MCU area."""
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _JPEG_COLOR_PLANES,
+            decode_jpeg_color,
+            encode_jpeg_color_420,
+        )
+
+        for aid, w, h in ((0, 32, 32), (5, 48, 32), (47, 64, 48)):
+            planes = decode_jpeg_color(encode_jpeg_color_420(aid, w, h))
+            assert planes is not None and planes.shape == (3, h, w)
+            (_, ka_y, kx_y, ky_y) = _JPEG_COLOR_PLANES[0]
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    blk = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    assert (
+                        blk == (ka_y * aid + kx_y * bx + ky_y * by) % 256
+                    ).all()
+            for ci, (_, ka, kx, ky) in enumerate(_JPEG_COLOR_PLANES[1:], 1):
+                for my in range(h // 16):
+                    for mx in range(w // 16):
+                        area = planes[ci][
+                            my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16
+                        ]
+                        assert (
+                            area == (ka * aid + kx * mx + ky * my) % 256
+                        ).all()
+
+    def test_422_and_440_decode(self):
+        """The generic factor walk also covers 4:2:2 (Y at 2x1) and
+        4:4:0 (Y at 1x2): hand-encode one 16x16 image per layout and
+        check the replication upsampler's axis handling."""
+        import struct
+
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _BitWriter,
+            _JPEG_AC_BITS,
+            _JPEG_AC_VALS,
+            _JPEG_DC_BITS,
+            _JPEG_DC_VALS,
+            _JPEG_QTABLE,
+            _huff_canonical,
+            _jpeg_category,
+            decode_jpeg_color,
+        )
+
+        def encode(hy, vy):
+            dc_huf = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+            ac_huf = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+            bw = _BitWriter()
+            prev = {0: 0, 1: 0, 2: 0}
+
+            def put(ci, v):
+                dc = v - 128
+                diff = dc - prev[ci]
+                prev[ci] = dc
+                s = _jpeg_category(diff)
+                c, ln = dc_huf[s]
+                bw.write(c, ln)
+                if s:
+                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                c, ln = ac_huf[0x00]
+                bw.write(c, ln)
+
+            w = h = 16
+            mcux, mcuy = w // (8 * hy), h // (8 * vy)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for dy in range(vy):
+                        for dx in range(hy):
+                            bx, by = hy * mx + dx, vy * my + dy
+                            put(0, (10 + 30 * bx + 50 * by) % 256)
+                    put(1, (60 + 7 * mx + 9 * my) % 256)
+                    put(2, (90 + 5 * mx + 3 * my) % 256)
+            scan = bw.flush()
+
+            def seg(marker, body):
+                return struct.pack(">HH", marker, len(body) + 2) + body
+
+            dqt = seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+            sof = seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, (hy << 4) | vy, 0])
+                + bytes([2, 0x11, 0])
+                + bytes([3, 0x11, 0]),
+            )
+            dht = seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+                + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+            )
+            sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+            return b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+        for hy, vy in ((2, 1), (1, 2)):
+            planes = decode_jpeg_color(encode(hy, vy))
+            assert planes is not None and planes.shape == (3, 16, 16)
+            # Y is full resolution: one constant 8x8 per luma block.
+            for by in range(2):
+                for bx in range(2):
+                    blk = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    assert (blk == (10 + 30 * bx + 50 * by) % 256).all()
+            # Chroma replicates along the subsampled axis only: each
+            # MCU covers 16 px along hy's axis, 8 px along the other.
+            mw, mh = 8 * hy, 8 * vy
+            for my in range(16 // mh):
+                for mx in range(16 // mw):
+                    cb = planes[1][my * mh : (my + 1) * mh, mx * mw : (mx + 1) * mw]
+                    assert (cb == (60 + 7 * mx + 9 * my) % 256).all()
 
     def test_color_query_shape(self, spark):
         from postgres_s3_etl_spark.operators.multimodal import (

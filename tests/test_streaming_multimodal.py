@@ -793,6 +793,13 @@ def test_decode_router_routes_and_skips(spark, duck):
     img = rows["image"]
     assert img.n_assets == len(kinds["bmp"]) + len(kinds["jpeg"])
     assert img.n_decoded == img.n_assets  # both image arms are real now
+    # jpeg feed alternates gray / 4:2:0 color by (i // 4) parity
+    # (round-7); the router's FFD8 arm reads the luma plane of both.
+    from postgres_s3_etl_spark.operators.multimodal import (
+        decode_jpeg_color,
+        encode_jpeg_color_420,
+    )
+
     exp_img_main = sum(
         int(decode_bmp24(encode_bmp24(i, 16 + i % 8, 12 + i % 5))
             .astype(np.int64).sum())
@@ -801,7 +808,12 @@ def test_decode_router_routes_and_skips(spark, duck):
         int(decode_jpeg_gray(
             encode_jpeg_gray(i, 16 + 8 * (i % 3), 16 + 8 * (i % 2))
         ).astype(np.int64).sum())
-        for i in kinds["jpeg"]
+        for i in kinds["jpeg"] if (i // 4) % 2 == 0
+    ) + sum(
+        int(decode_jpeg_color(
+            encode_jpeg_color_420(i, 32 + 16 * (i % 3), 32 + 16 * (i % 2))
+        )[0].astype(np.int64).sum())
+        for i in kinds["jpeg"] if (i // 4) % 2 == 1
     )
     assert img.total_main == exp_img_main
 
