@@ -182,6 +182,9 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFr
         .select(
             "doc_a",
             "doc_b",
+            "n_common",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
             _trunc6(
                 F.col("n_common")
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
@@ -198,7 +201,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ngram_jaccard_pairs(docs)
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(TOP_PAIRS)
+    )
+
+
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 doc pairs by MAX-CONTAINMENT over the DF-capped shingle
+    universe: C(a, b) = |Sₐ∩S_b| / min(|Sₐ|, |S_b|) — the asymmetric
+    near-dup measure (Broder's containment) that catches subset and
+    truncation duplicates Jaccard under-weights: a short doc fully
+    contained in a 10× longer one scores C = 1.0 but a tiny Jaccard.
+    The set-level complement to ``dedup_prefix_containment``'s
+    literal-prefix rule (detects contained CONTENT even when it is
+    not a character prefix).
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` — pairs meet
+    only through a shared kept shingle (equi-join; the DF cap bounds
+    every shingle's pair fan-out at max_df²), sizes join back on the
+    doc key, the final top-k is a TakeOrderedAndProject.
+    """
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    return (
+        ngram_jaccard_pairs(docs)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            _trunc6(
+                F.col("n_common") / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(TOP_PAIRS)
     )
 
@@ -776,6 +813,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_prefix_containment": dedup_prefix_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_shingle_containment": dedup_shingle_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verify": dedup_minhash_verify,
     "dedup_source_overlap": dedup_source_overlap,
@@ -920,6 +958,49 @@ ORACLES = {
         JOIN sizes sa ON c.doc_a = sa.doc_id
         JOIN sizes sb ON c.doc_b = sb.doc_id
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+        LIMIT {TOP_PAIRS}
+    """,
+    "dedup_shingle_containment": f"""
+        WITH sh AS (
+            SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, lang, source,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        raw AS (
+            SELECT doc_id, lang, source, unnest(shingles) AS s0 FROM sh
+        ),
+        exploded AS (
+            SELECT doc_id, lang, source,
+                   list_sum([(strpos('0123456789abcdef', substr(md5(s0), i, 1)) - 1)
+                             * CAST(pow(16, 15 - i) AS BIGINT)
+                             for i in generate_series(1, 15)]) AS s
+            FROM raw
+        ),
+        kept AS (
+            SELECT doc_id, lang, source, s FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY lang, source, s) AS df
+                FROM exploded
+            ) WHERE df <= {MAX_SHINGLE_DF}
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+        ),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM kept a
+            JOIN kept b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, c.n_common,
+               floor(CAST(c.n_common AS DOUBLE)
+                     / least(sa.n_sh, sb.n_sh) * 1e6) / 1e6 AS containment
+        FROM common c
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        ORDER BY containment DESC, doc_a ASC, doc_b ASC
         LIMIT {TOP_PAIRS}
     """,
     # dedup_minhash_lsh / dedup_cc_keepset are generated below from

@@ -1332,6 +1332,46 @@ def q_events_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_type_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Fano factor (index of dispersion) of DAILY
+    event counts: F = Var(c)/Mean(c) over the type's observed days —
+    F ≈ 1 is Poisson-like arrival, F ≫ 1 is bursty/clumped (bot
+    spikes, batch jobs), F < 1 is regular/metronomic. The burstiness
+    gate that decides whether per-type rate alerts need overdispersed
+    thresholds — the daily-count sibling of q_customer_nb_dispersion.
+
+    Cross-engine determinism: daily counts are exact BIGINTs from one
+    partial-aggregatable (type, day) rollup; with population variance
+    the Fano factor is the pure-integer ratio (n·Σc² − (Σc)²)/(n·Σc)
+    evaluated in ONE IEEE division, then floor-truncated — no float
+    accumulates anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # integer-exact numerator/denominator (DECIMAL so counts can't
+    # overflow 2^63 at scale), ONE IEEE division at the end
+    num = dec("n_days") * dec("ssq") - dec("n_events") * dec("n_events")
+    den = dec("n_days") * dec("n_events")
+    fano = num.cast("double") / den.cast("double")
+    return stats.select(
+        "event_type",
+        "n_days",
+        "n_events",
+        f6(F.when(F.col("n_events") > 0, fano)).alias("fano"),
+    ).orderBy("event_type")
+
+
 #: CUPED pre/post split day-of-month (events span one calendar month).
 CUPED_PRE_DAY = 15
 
@@ -1512,6 +1552,7 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_events_cuped": q_events_cuped,
     "q_events_poisson_rate": q_events_poisson_rate,
+    "q_events_type_fano": q_events_type_fano,
     "q_events_behavior_entropy": q_events_behavior_entropy,
     "q_events_srm_check": q_events_srm_check,
     "q_events_share_wilson": q_events_share_wilson,
@@ -1620,6 +1661,30 @@ ORACLES = {
         FROM binned
         GROUP BY entropy_bin
         ORDER BY entropy_bin
+    """,
+    "q_events_type_fano": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   CAST(SUM(c * c) AS BIGINT) AS ssq
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days, n_events,
+               floor(CASE WHEN n_events > 0 THEN
+                     CAST(CAST(n_days AS DECIMAL(38,0)) * ssq
+                          - CAST(n_events AS DECIMAL(38,0)) * n_events
+                          AS DOUBLE)
+                     / CAST(CAST(n_days AS DECIMAL(38,0)) * n_events
+                            AS DOUBLE)
+                     END * 1e6) / 1e6 AS fano
+        FROM stats
+        ORDER BY event_type
     """,
     "q_events_poisson_rate": """
         WITH counts AS (

@@ -30,6 +30,7 @@ Scale notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -79,6 +80,13 @@ _EDGES_SQL = """
 #: sf0.1 (600k rows) persist made components 3.5 → 7.6-9.7 s, while
 #: at sf1 (6M rows) it took 47 → 25 s. The crossover sits between.
 ITER_LAYOUT_MIN_ROWS = 2_000_000
+
+#: Storage level for the persisted iterative edge layouts (CC/LPA).
+#: Chosen by measurement at sf10 (~56M symmetric edge rows, ~5 GB
+#: deserialized): the round-6 verdict flagged α(1→10)=1.11 residual
+#: from cache+spill pressure of the default on-heap layout.
+#: See scripts/scaling_sf10.py and BASELINE.md for the comparison.
+ITER_LAYOUT_STORAGE = StorageLevel.MEMORY_AND_DISK
 
 
 def _iter_partitions(spark: SparkSession, sf_dir: str) -> int:
@@ -489,6 +497,66 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Wedge-center degree cap for square counting — same rationale as
+#: JACCARD_DEG_CAP: a center of degree d fans out C(d,2) wedges, so
+#: hubs are capped (identically in the oracle) to keep the wedge
+#: frame at Σ_{deg≤cap} C(deg,2) ≤ cap·|E|/2 instead of Σ deg².
+SQUARES_DEG_CAP = 64
+
+
+def graph_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square (4-cycle) census over the co-purchase graph, capped at
+    hub centers: wedges (a, c) through each center b with
+    deg(b) ≤ SQUARES_DEG_CAP are rolled up per endpoint pair, and
+    each pair with w common centers contributes C(w, 2) squares
+    through that diagonal. Squares are the next motif after
+    triangles — two parts co-purchased through two DISJOINT
+    intermediaries (substitute/bridge structure that triangle
+    metrics are blind to) — and the square census is the standard
+    bipartite-ish cohesion diagnostic for co-occurrence graphs.
+
+    Emits exact integers only: wedge totals, connected endpoint
+    pairs, and the diagonal-pair square count Σ C(w,2) (each square
+    is seen once per counted diagonal; under the cap a square whose
+    two diagonals' centers straddle the cap contributes once —
+    the capped census, applied identically in both engines).
+
+    Scale shape: one degree rollup, wedge fan-out ONLY from capped
+    centers (≤ cap·|E| rows, never Σ deg² unbounded), one (a, c)
+    rollup, one scalar aggregate — all equi-joins on node keys.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = _degrees(edges)
+    centers = deg.where(
+        (F.col("deg") >= 2) & (F.col("deg") <= SQUARES_DEG_CAP)
+    ).select("node")
+    adj = sym.join(centers, sym.src == centers.node).select(
+        F.col("src").alias("center"), F.col("dst").alias("leaf")
+    )
+    l1, l2 = adj.alias("l1"), adj.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.center") == F.col("l2.center"))
+            & (F.col("l1.leaf") < F.col("l2.leaf")),
+        )
+        .groupBy(
+            F.col("l1.leaf").alias("a"), F.col("l2.leaf").alias("c")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    return pairs.agg(
+        F.sum("w").cast("bigint").alias("n_wedges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_endpoint_pairs"),
+        F.sum(F.expr("(w * (w - 1)) div 2"))
+        .cast("bigint")
+        .alias("n_squares"),
+    )
+
+
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global transitivity and mean local clustering coefficient —
     the cohesion numbers (how clique-like is the co-purchase
@@ -783,7 +851,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if n_part:
-        sym = sym.repartition(n_part, "src").persist()
+        sym = sym.repartition(n_part, "src").persist(ITER_LAYOUT_STORAGE)
         sym.count()  # materialize the partitioned layout once
     else:
         sym = sym.localCheckpoint()  # small graph: shuffles are cheap
@@ -854,7 +922,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if n_part:
-        sym = sym.repartition(n_part, "src").persist()
+        sym = sym.repartition(n_part, "src").persist(ITER_LAYOUT_STORAGE)
         sym.count()  # materialize the partitioned layout once
     else:
         sym = sym.localCheckpoint()
@@ -1527,6 +1595,7 @@ QUERIES = {
     "graph_degree_stats": graph_degree_stats,
     "graph_assortativity": graph_assortativity,
     "graph_triangle_count": graph_triangle_count,
+    "graph_squares": graph_squares,
     "graph_clustering_coeff": graph_clustering_coeff,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
@@ -2117,6 +2186,32 @@ ORACLES = {
     """,
     # Naive a<b<c triple join — deliberately a different formulation
     # than the oriented wedge join, cross-checking the orientation.
+    "graph_squares": f"""
+        WITH {_EDGES_SQL},
+        sym AS (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src
+        ),
+        adj AS (
+            SELECT s.src AS center, s.dst AS leaf
+            FROM sym s JOIN deg d ON s.src = d.node
+            WHERE d.deg >= 2 AND d.deg <= {SQUARES_DEG_CAP}
+        ),
+        pairs AS (
+            SELECT l1.leaf AS a, l2.leaf AS c,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM adj l1 JOIN adj l2
+              ON l1.center = l2.center AND l1.leaf < l2.leaf
+            GROUP BY l1.leaf, l2.leaf
+        )
+        SELECT CAST(SUM(w) AS BIGINT) AS n_wedges,
+               CAST(COUNT(*) AS BIGINT) AS n_endpoint_pairs,
+               CAST(SUM((w * (w - 1)) // 2) AS BIGINT) AS n_squares
+        FROM pairs
+    """,
     "graph_triangle_count": f"""
         WITH {_EDGES_SQL}
         SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles

@@ -3251,6 +3251,264 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Real GIF87a (round-7): full LZW — the dictionary-based codec
+#: family (GIF/TIFF-LZW/Unix compress) none of the other decoders
+#: cover. The encoder is a REAL LZW compressor (greedy longest-match
+#: string table, CLEAR/EOI codes, LSB-first variable-width packing,
+#: 12-bit cap with mid-stream table reset) and the decoder rebuilds
+#: the table code-by-code including the KwKwK self-reference case,
+#: so the pair exercises genuine dictionary growth on the synthetic
+#: pixel pattern (which repeats heavily — exactly what LZW likes).
+N_GIF_ASSETS = 48
+_GIF_MIN_CODE_SIZE = 8  # 256-entry grayscale palette
+
+
+def encode_gif_gray(asset_id: int, w: int, h: int) -> bytes:
+    """A real GIF87a: 256-gray global palette, one non-interlaced
+    image, pixels px(x, y) = (11a + 5x + 7y) % 256, LZW-compressed
+    with a genuine string-table encoder."""
+    import struct
+
+    px = bytes(
+        (11 * asset_id + 5 * x + 7 * y) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    clear = 1 << _GIF_MIN_CODE_SIZE
+    eoi = clear + 1
+
+    codes: list[tuple[int, int]] = []  # (code, width at emit time)
+
+    def fresh_table():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = _GIF_MIN_CODE_SIZE + 1
+    codes.append((clear, width))
+    cur = b""
+    for b in px:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        table[nxt] = next_code
+        next_code += 1
+        # GIF width bump happens when next_code EXCEEDS the current
+        # width's range; at 12 bits the table freezes until CLEAR.
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= (1 << 12):
+            codes.append((clear, width))
+            table = fresh_table()
+            next_code = eoi + 1
+            width = _GIF_MIN_CODE_SIZE + 1
+        cur = bytes([b])
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((eoi, width))
+
+    # LSB-first bit packing into 255-byte sub-blocks.
+    acc = n = 0
+    stream = bytearray()
+    for code, cw in codes:
+        acc |= code << n
+        n += cw
+        while n >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0x00)
+
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 8-bit
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([_GIF_MIN_CODE_SIZE])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif_gray(payload: bytes):
+    """REAL GIF87a/89a decode, stdlib+numpy only: header + logical
+    screen descriptor, global color table, extension-block skipping,
+    image descriptor, and full LZW decompression (variable-width
+    LSB-first codes, CLEAR table resets, KwKwK case, 12-bit cap).
+    Returns an (h, w) uint8 array of palette-mapped gray values
+    (palette r==g==b required), or None for interlaced/local-table/
+    color-palette/other-shape GIFs — documented out of scope."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        return None  # global color table required here
+    gct_n = 2 << (packed & 7)
+    if pos + 3 * gct_n > len(payload):
+        return None
+    pal = payload[pos : pos + 3 * gct_n]
+    if any(pal[3 * i] != pal[3 * i + 1] or pal[3 * i] != pal[3 * i + 2]
+           for i in range(gct_n)):
+        return None  # gray palettes only (r == g == b)
+    gray = np.frombuffer(pal, dtype=np.uint8)[0::3]
+    pos += 3 * gct_n
+    # Skip extension blocks (0x21 label, then sub-blocks) to the
+    # image descriptor.
+    while pos < len(payload) and payload[pos] == 0x21:
+        pos += 2
+        while pos < len(payload) and payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos + 10 > len(payload) or payload[pos] != 0x2C:
+        return None
+    _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if ipacked & 0xC0:
+        return None  # local color table / interlace out of scope
+    if (iw, ih) != (w, h):
+        return None
+    min_code = payload[pos]
+    pos += 1
+    if not 2 <= min_code <= 8:
+        return None
+    # Collect the LZW byte stream from the sub-blocks.
+    data = bytearray()
+    while pos < len(payload):
+        ln = payload[pos]
+        pos += 1
+        if ln == 0:
+            break
+        data.extend(payload[pos : pos + ln])
+        pos += ln
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    out = bytearray()
+    acc = nbits = dpos = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code():
+        nonlocal acc, nbits, dpos
+        while nbits < width:
+            if dpos >= len(data):
+                return None
+            acc |= data[dpos] << nbits
+            dpos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read_code()
+        if code is None:
+            return None  # truncated stream
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    if len(out) != w * h:
+        return None
+    idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    return gray[idx]
+
+
+def synth_gif_media(spark: SparkSession, n: int = N_GIF_ASSETS) -> DataFrame:
+    """n real GIF87a images, deterministic gray pixel pattern."""
+    rows = []
+    for i in range(n):
+        w, h = 20 + 4 * (i % 4), 14 + 3 * (i % 3)
+        rows.append(
+            (i, "image", w, h, 0, bytearray(encode_gif_gray(i, w, h)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_GIF_STATS_SCHEMA = (
+    "asset_id bigint, width int, height int, n_px bigint, "
+    "sum_px bigint, ssq_px bigint, row0_sum bigint"
+)
+
+
+def mm_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL GIF decode: genuine LZW compression on the
+    encode side (string-table growth, variable-width codes, 12-bit
+    resets) and genuine LZW decompression on the decode side, inside
+    Arrow-batched mapInPandas; the decoded pixels are exact, so the
+    oracle recomputes the pixel sums from the closed-form pattern —
+    a value check of the entire dictionary machinery (one table
+    entry wrong and every later pixel shifts). ``row0_sum`` is
+    x-asymmetric to catch scan-order bugs.
+
+    Scale: identical plumbing to the other decodes — payload bytes
+    never shuffle, 7 ints per asset cross to the JVM.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_gif_gray(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64)
+                out.append(
+                    (
+                        int(aid), img.shape[1], img.shape[0],
+                        img.shape[0] * img.shape[1],
+                        int(px.sum()), int((px * px).sum()),
+                        int(px[0, :].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "width", "height", "n_px",
+                "sum_px", "ssq_px", "row0_sum",
+            ],
+        )
+
+    media = synth_gif_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _GIF_STATS_SCHEMA).orderBy("asset_id")
+
+
 QUERIES = {
     "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_image_resize": mm_image_resize,
@@ -3275,6 +3533,7 @@ QUERIES = {
     "mm_audio_zero_crossings": mm_audio_zero_crossings,
     "mm_image_patches": mm_image_patches,
     "mm_image_decode_jpeg_420": mm_image_decode_jpeg_420,
+    "mm_image_decode_gif": mm_image_decode_gif,
 }
 
 #: The synthetic media and the stub decoders are pure functions of
@@ -4082,6 +4341,35 @@ ORACLES: dict[str, str] = {
                y.row0_y_sum, c.row0_cb_sum
         FROM csum c JOIN ysum y USING (asset_id)
         ORDER BY c.asset_id
+    """,
+    # Round-7: GIF87a with real LZW — the decoded pixels are exact,
+    # so the oracle recomputes the closed-form pattern sums; one
+    # wrong dictionary entry would shift every later pixel and
+    # break sum_px/ssq_px/row0_sum.
+    "mm_image_decode_gif": f"""
+        WITH assets AS (
+            SELECT i AS asset_id,
+                   20 + 4 * (i % 4) AS w, 14 + 3 * (i % 3) AS h
+            FROM generate_series(0, {N_GIF_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, gy.y,
+                   (11 * a.asset_id + 5 * gx.x + 7 * gy.y) % 256 AS v
+            FROM assets a
+            CROSS JOIN generate_series(0, 31) gx(x)
+            CROSS JOIN generate_series(0, 19) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               SUM(v) AS sum_px,
+               SUM(v * v) AS ssq_px,
+               SUM(CASE WHEN y = 0 THEN v ELSE 0 END) AS row0_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
     """,
     # Round-6: the decode router — per-format closed-form content
     # sums, plus the junk arm's skip counts from the feed rule.

@@ -337,6 +337,129 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document from a vowel-group
+    syllable heuristic (syllables(w) = max(1, #maximal [aeiouy]
+    runs)): reading-ease = 206.835 − 1.015·words/sentences −
+    84.6·syllables/words. The corpus has no sentence punctuation, so
+    sentences ≡ 1 per doc (deterministic, stated); the informative
+    axis across docs is syllable density. The classic cheap quality
+    prior (too-easy = template spam, too-hard = OCR garbage) used
+    alongside the stopword/length gates in corpus filtering.
+
+    Cross-engine determinism: word and syllable counts are exact
+    BIGINTs from row-local array folds (no explode, no shuffle); the
+    score is the identical literal expression in both engines and is
+    floor-truncated. Scale: one projection pass, no Python.
+    """
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    per = docs.select(
+        "doc_id",
+        _ws_tokens(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.expr(
+            """
+            aggregate(
+                transform(w, t -> greatest(1,
+                    size(regexp_extract_all(t, '[aeiouy]+', 0)))),
+                0L, (s, x) -> s + cast(x as bigint)
+            )
+            """
+        ).alias("n_syllables"),
+    )
+    nw = F.col("n_words").cast("double")
+    ns = F.col("n_syllables").cast("double")
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        f6(F.when(F.col("n_words") > 0, ns / nw)).alias("syll_per_word"),
+        f6(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835) - F.lit(1.015) * nw - F.lit(84.6) * (ns / nw),
+            )
+        ).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+#: Winnowing (Schleimer et al., SIGMOD 2003 — the MOSS algorithm):
+#: k-gram size and window width. Guarantee: any shared run of
+#: WINNOW_W + WINNOW_K - 1 tokens yields at least one shared
+#: fingerprint, while storing ~2/(W+1) of the gram hashes.
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing: positional word-k-gram
+    hashes → min hash per sliding window of W consecutive grams →
+    the distinct window minima are the document's fingerprint set.
+    The plagiarism/near-dup sketch with a COVERAGE GUARANTEE (unlike
+    minhash): every shared passage of ≥ W+K−1 tokens produces a
+    shared fingerprint. Emits per-doc fingerprint stats plus an
+    order-canonical digest of the fingerprint set.
+
+    Scale shape: entirely row-local array expressions (the gram/
+    window machinery never explodes or shuffles) — one projection
+    pass at any corpus size; the 60-bit md5-prefix hash is the same
+    cross-engine trick as the minhash family. A downstream
+    fingerprint-equi-join (not materialized here) would be the
+    candidate generator, bounded like every other blocking join.
+    """
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    fps = F.expr(
+        f"""
+        array_sort(array_distinct(
+            transform(
+                sequence(0, greatest(size(h) - {WINNOW_W}, 0)),
+                i -> array_min(slice(h, i + 1, {WINNOW_W}))
+            )
+        ))
+        """
+    )
+    return (
+        docs.select("doc_id", _ws_tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""
+                transform(
+                    sequence(1, greatest(size(w) - {WINNOW_K - 1}, 1)),
+                    i -> cast(conv(substr(
+                             md5(concat_ws(' ', slice(w, i, {WINNOW_K}))),
+                             1, 15), 16, 10) as bigint)
+                )
+                """
+            ).alias("h"),
+        )
+        .select(
+            "doc_id",
+            F.size("h").alias("n_grams"),
+            fps.alias("fps"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("fps").alias("n_fps"),
+            F.element_at("fps", 1).alias("fp_min"),
+            F.md5(
+                F.concat_ws(
+                    ",", F.expr("transform(fps, x -> cast(x as string))")
+                )
+            ).alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: Span width (tokens) for cross-document repeated-substring scan.
 SPAN_TOKENS = 8
 
@@ -2070,6 +2193,8 @@ QUERIES = {
     "text_corpus_health": text_corpus_health,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_winnowing": text_winnowing,
+    "text_readability": text_readability,
     "text_corpus_filter": text_corpus_filter,
     "text_vocab_topk": text_vocab_topk,
     "text_bigram_pmi": text_bigram_pmi,
@@ -2801,6 +2926,60 @@ ORACLES = {
                          for i in generate_series(1, greatest(len(w) - 2, 1))]) AS fingerprint,
                CAST(greatest(len(w) - 2, 1) AS INT) AS n_shingles
         FROM words
+        ORDER BY doc_id
+    """,
+    "text_readability": """
+        WITH per AS (
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   CAST(list_sum([greatest(1,
+                        len(regexp_extract_all(t, '[aeiouy]+')))
+                        for t in w]) AS BIGINT) AS n_syllables
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents)
+        )
+        SELECT doc_id, n_words, n_syllables,
+               floor(CASE WHEN n_words > 0 THEN
+                     CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     END * 1e6) / 1e6 AS syll_per_word,
+               floor(CASE WHEN n_words > 0 THEN
+                     206.835 - 1.015 * CAST(n_words AS DOUBLE)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE))
+                     END * 1e6) / 1e6 AS flesch
+        FROM per
+        ORDER BY doc_id
+    """,
+    "text_winnowing": f"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   [list_sum([(strpos('0123456789abcdef',
+                               substr(md5(array_to_string(
+                                   w[i:i+{WINNOW_K - 1}], ' ')), j, 1)) - 1)
+                              * CAST(pow(16, 15 - j) AS BIGINT)
+                              for j in generate_series(1, 15)])
+                    for i in generate_series(1,
+                        greatest(len(w) - {WINNOW_K - 1}, 1))] AS h
+            FROM words
+        ),
+        fps AS (
+            SELECT doc_id, CAST(len(h) AS INT) AS n_grams,
+                   list_sort(list_distinct(
+                       [list_min(h[i+1:i+{WINNOW_W}])
+                        for i in generate_series(0,
+                            greatest(len(h) - {WINNOW_W}, 0))])) AS f
+            FROM hashes
+        )
+        SELECT doc_id, n_grams,
+               CAST(len(f) AS INT) AS n_fps,
+               f[1] AS fp_min,
+               md5(array_to_string(f, ',')) AS fp_digest
+        FROM fps
         ORDER BY doc_id
     """,
     "text_zipf_fit": f"""

@@ -1,0 +1,247 @@
+"""Round-7 second-batch operators: GIF LZW codec, winnowing,
+shingle containment, Fano dispersion, square census, readability —
+oracle parity plus the semantic invariants the hash can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ALL = [
+    "mm_image_decode_gif",
+    "text_winnowing",
+    "dedup_shingle_containment",
+    "q_events_type_fano",
+    "graph_squares",
+    "text_readability",
+]
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+class TestGifLzw:
+    def test_round_trip_exact_with_table_growth(self):
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_gif_gray,
+            encode_gif_gray,
+        )
+
+        # 200x200 forces dictionary growth through several width
+        # bumps and at least one 12-bit table reset.
+        img = decode_gif_gray(encode_gif_gray(1, 200, 200))
+        assert img is not None and img.shape == (200, 200)
+        exp = np.array(
+            [[(11 + 5 * x + 7 * y) % 256 for x in range(200)]
+             for y in range(200)],
+            dtype=np.uint8,
+        )
+        assert (img == exp).all()
+
+    def test_kwkwk_case(self):
+        """A run of identical pixels forces the code == len(table)
+        self-reference (the KwKwK case) early in the stream."""
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_gif_gray,
+        )
+        from postgres_s3_etl_spark.operators import multimodal as mm
+        import struct
+
+        # hand-build: 4x1 image of [7, 7, 7, 7]; LZW emits CLEAR, 7,
+        # then code for "77" before the decoder has finished defining
+        # it -> KwKwK.
+        clear = 256
+        eoi = 257
+        codes = [(clear, 9), (7, 9), (258, 9), (7, 9), (eoi, 9)]
+        acc = n = 0
+        stream = bytearray()
+        for code, cw in codes:
+            acc |= code << n
+            n += cw
+            while n >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            stream.append(acc & 0xFF)
+        palette = bytes(v for i in range(256) for v in (i, i, i))
+        payload = (
+            b"GIF87a"
+            + struct.pack("<HHBBB", 4, 1, 0xF7, 0, 0)
+            + palette
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 1, 0)
+            + bytes([8])
+            + bytes([len(stream)]) + bytes(stream) + b"\x00"
+            + b"\x3b"
+        )
+        img = decode_gif_gray(payload)
+        assert img is not None
+        assert img.tolist() == [[7, 7, 7, 7]]
+
+    def test_rejects_out_of_scope(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_gif_gray,
+            encode_gif_gray,
+        )
+
+        raw = bytearray(encode_gif_gray(0, 20, 14))
+        assert decode_gif_gray(b"NOTGIF" + bytes(raw[6:])) is None
+        # interlace flag set -> out of scope, loud None
+        i = raw.find(b"\x2c")
+        raw2 = bytearray(raw)
+        raw2[i + 9] |= 0x40
+        assert decode_gif_gray(bytes(raw2)) is None
+        # truncated LZW stream
+        assert decode_gif_gray(bytes(raw[:-20])) is None
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """Two docs sharing a >= W+K-1 token run must share at least one
+    fingerprint (the winnowing guarantee)."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    shared = " ".join(f"tok{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta " + shared + " gamma delta"),
+            (1, shared + " epsilon zeta eta theta iota"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # reuse the operator's gram-hash expression via a temp view
+    df.createOrReplaceTempView("tmp_winnow_docs")
+    rows = spark.sql(
+        f"""
+        WITH words AS (
+            SELECT doc_id, split(trim(text), '\\\\s+') AS w
+            FROM tmp_winnow_docs
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   transform(
+                       sequence(1, greatest(size(w) - {WINNOW_K - 1}, 1)),
+                       i -> cast(conv(substr(
+                               md5(concat_ws(' ', slice(w, i, {WINNOW_K}))),
+                               1, 15), 16, 10) as bigint)) AS h
+            FROM words
+        )
+        SELECT doc_id,
+               array_distinct(transform(
+                   sequence(0, greatest(size(h) - {WINNOW_W}, 0)),
+                   i -> array_min(slice(h, i + 1, {WINNOW_W})))) AS fps
+        FROM hashes
+        """
+    ).collect()
+    sets = {r.doc_id: set(r.fps) for r in rows}
+    assert sets[0] & sets[1], "shared passage must share a fingerprint"
+
+
+def test_containment_detects_subset_doc(spark, duck):
+    """containment >= jaccard always, and a subset pair scores
+    higher containment than jaccard."""
+    from postgres_s3_etl_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_shingle_containment,
+    )
+
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup_shingle_containment(spark, SF_DIR).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    assert cont
+    for pair, c in cont.items():
+        assert 0.0 < c <= 1.0
+        if pair in jac:
+            assert c >= jac[pair] - 1e-9
+
+
+def test_fano_matches_direct_computation(spark):
+    from postgres_s3_etl_spark.operators.events import q_events_type_fano
+
+    rows = q_events_type_fano(spark, SF_DIR).collect()
+    assert rows
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .count()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in daily:
+        per[r.event_type].append(r["count"])
+    import math
+
+    for r in rows:
+        cs = per[r.event_type]
+        n, s, ssq = len(cs), sum(cs), sum(c * c for c in cs)
+        assert r.n_days == n and r.n_events == s
+        exp = (n * ssq - s * s) / (n * s)
+        assert r.fano == math.floor(exp * 1e6) / 1e6
+
+    # sanity: a constant series has Fano 0, a Poisson-ish one ~1 —
+    # all real values must be finite and non-negative
+    for r in rows:
+        assert r.fano is not None and r.fano >= 0.0
+
+
+def test_squares_on_known_graph(spark):
+    """C4 (a 4-cycle) has exactly 1 square = sum C(w,2) over both
+    diagonals with w=2 each -> 2 diagonal pairs... verify the exact
+    census semantics on K4 and C4 via direct SQL."""
+    # Build edges as a temp view and run the operator's core rollup
+    # logic inline (the operator itself is pinned to the co-purchase
+    # graph; here we pin the math).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "src bigint, dst bigint"
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = sym.select(F.col("src").alias("center"), F.col("dst").alias("leaf"))
+    l1, l2 = adj.alias("l1"), adj.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.center") == F.col("l2.center"))
+            & (F.col("l1.leaf") < F.col("l2.leaf")),
+        )
+        .groupBy(F.col("l1.leaf").alias("a"), F.col("l2.leaf").alias("c"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    agg = pairs.agg(
+        F.sum(F.expr("(w * (w - 1)) div 2")).alias("n_squares")
+    ).first()
+    # C4: diagonals (1,3) via centers {2,4} and (2,4) via centers
+    # {1,3} -> w=2 twice -> sum C(2,2) = 2 (each square counted once
+    # per diagonal).
+    assert agg.n_squares == 2
+
+
+def test_readability_bounds(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_readability,
+    )
+
+    rows = text_readability(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.n_syllables >= r.n_words >= 1
+        assert r.syll_per_word >= 1.0
+        assert r.flesch <= 206.835 - 1.015 - 84.6
