@@ -282,6 +282,86 @@ def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Count-Min sketch geometry: D independent universal-hash rows of W
+#: counters (total D·W = 256 cells — constant, broadcastable). The
+#: classic ε = e/W, δ = e^-D point-query guarantee.
+CMS_D = 4
+CMS_W = 64
+CMS_P = 2_147_483_647  # 2^31 − 1, Mersenne prime
+CMS_A = (1_103_515_245, 22_695_477, 69_069, 1_664_525)
+CMS_B = (12_345, 1, 362_437, 1_013_904_223)
+
+
+def q_events_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point queries next to ground truth: build a
+    D×W CMS over per-event user ids (one bounded rollup — the
+    mergeable fixed-size accumulator that answers "how many events
+    did user u have?" on a 100 TB stream without a per-user
+    shuffle), then evaluate it on the exact top-20 users: estimate =
+    min over rows of the hashed-cell counter, which is provably ≥
+    the true count (overestimate-only). Emits exact, estimate, and
+    the overestimate — the sketch-error eval the CMS family is
+    deployed with (sibling of q_events_approx_distinct's HLL eval).
+
+    Cross-engine determinism: the universal hashes (a·u + b) mod p
+    mod W are pure integer ops; every counter and estimate is an
+    exact BIGINT — nothing floats.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cell = lambda d: (  # noqa: E731
+        (F.lit(CMS_A[d]) * F.col("user_id") + F.lit(CMS_B[d])) % CMS_P
+    ) % CMS_W
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cell(d).alias("cell")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.cell")
+    sketch = cells.groupBy("d", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("counter")
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+        .limit(20)
+    )
+    probes = top.select(
+        "user_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cell(d).alias("cell")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("user_id", "exact_count", "s.d", "s.cell")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("counter").cast("bigint").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("user_id"))
+    )
+
+
 def q_events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user sketch per event type, next to the
     exact count — the cardinality-sketch path for 100 TB streams where
@@ -1553,6 +1633,7 @@ QUERIES = {
     "q_events_cuped": q_events_cuped,
     "q_events_poisson_rate": q_events_poisson_rate,
     "q_events_type_fano": q_events_type_fano,
+    "q_events_countmin_topk": q_events_countmin_topk,
     "q_events_behavior_entropy": q_events_behavior_entropy,
     "q_events_srm_check": q_events_srm_check,
     "q_events_share_wilson": q_events_share_wilson,
@@ -1661,6 +1742,41 @@ ORACLES = {
         FROM binned
         GROUP BY entropy_bin
         ORDER BY entropy_bin
+    """,
+    "q_events_countmin_topk": f"""
+        WITH hashes AS (
+            SELECT unnest([{", ".join(
+                f"{{'d': {d}, 'a': {CMS_A[d]}::BIGINT, 'b': {CMS_B[d]}::BIGINT}}"
+                for d in range(CMS_D)
+            )}]) AS h
+        ),
+        cells AS (
+            SELECT h.d AS d,
+                   ((h.a * e.user_id + h.b) % {CMS_P}) % {CMS_W} AS cell
+            FROM events e CROSS JOIN hashes
+        ),
+        sketch AS (
+            SELECT d, cell, CAST(COUNT(*) AS BIGINT) AS counter
+            FROM cells GROUP BY d, cell
+        ),
+        top AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM events GROUP BY user_id
+            ORDER BY exact_count DESC, user_id ASC
+            LIMIT 20
+        ),
+        probes AS (
+            SELECT t.user_id, t.exact_count, h.d AS d,
+                   ((h.a * t.user_id + h.b) % {CMS_P}) % {CMS_W} AS cell
+            FROM top t CROSS JOIN hashes
+        )
+        SELECT p.user_id, p.exact_count,
+               CAST(MIN(s.counter) AS BIGINT) AS cms_estimate,
+               CAST(MIN(s.counter) - p.exact_count AS BIGINT)
+                   AS overestimate
+        FROM probes p JOIN sketch s ON p.d = s.d AND p.cell = s.cell
+        GROUP BY p.user_id, p.exact_count
+        ORDER BY p.exact_count DESC, p.user_id ASC
     """,
     "q_events_type_fano": """
         WITH daily AS (

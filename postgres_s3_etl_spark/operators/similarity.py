@@ -1158,25 +1158,11 @@ def _pq_subs(vecs: DataFrame) -> DataFrame:
     )
 
 
-def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance search (ADC) — the serving-side query
-    that completes the PQ family (``embedding_pq_stats`` profiles the
-    codebook, ``embedding_quantize`` compresses; this SEARCHES):
-    probes stay full-precision, the corpus is reduced to its PQ codes,
-    and each probe-to-vector distance is the sum over subspaces of a
-    precomputed probe-to-codeword lookup table — the standard
-    IVF-PQ/FAISS serving identity.
-
-    Scale shape: the corpus contributes only its code table
-    (n x PQ_M rows of small ints — the 32x-compressed index); the
-    LUT is N_PROBES x PQ_M x PQ_K rows (320 — constant) and is
-    BROADCAST into an equi-join on (m, code), so full-precision
-    vectors are never shuffled and the corpus is touched once to
-    encode. Ranking orders by the exact DECIMAL sum of LUT entries
-    (order-independent, tie-broken on neighbor id), then emits the
-    floored double.
-    """
-    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+def _pq_adc_dists(vecs: DataFrame) -> DataFrame:
+    """(probe_id, vec_id, d_exact): ADC distance of every probe to
+    every encoded corpus vector — the shared core of the PQ serving
+    queries (``sim_search_pq_adc`` ranks it; ``sim_search_pq_rerank``
+    shortlists it and re-scores with exact L2)."""
     subs = _pq_subs(vecs)
     seeds = subs.where(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"),
@@ -1213,9 +1199,6 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pdist"),
         )
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.asc("d_exact"), F.asc("vec_id")
-    )
     return (
         codes.join(F.broadcast(lut), ["m", "code"])
         .where(F.col("vec_id") != F.col("probe_id"))
@@ -1223,6 +1206,33 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("pdist").cast("decimal(38,12)")).alias("d_exact")
         )
+    )
+
+
+def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search (ADC) — the serving-side query
+    that completes the PQ family (``embedding_pq_stats`` profiles the
+    codebook, ``embedding_quantize`` compresses; this SEARCHES):
+    probes stay full-precision, the corpus is reduced to its PQ codes,
+    and each probe-to-vector distance is the sum over subspaces of a
+    precomputed probe-to-codeword lookup table — the standard
+    IVF-PQ/FAISS serving identity.
+
+    Scale shape: the corpus contributes only its code table
+    (n x PQ_M rows of small ints — the 32x-compressed index); the
+    LUT is N_PROBES x PQ_M x PQ_K rows (320 — constant) and is
+    BROADCAST into an equi-join on (m, code), so full-precision
+    vectors are never shuffled and the corpus is touched once to
+    encode. Ranking orders by the exact DECIMAL sum of LUT entries
+    (order-independent, tie-broken on neighbor id), then emits the
+    floored double.
+    """
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("d_exact"), F.asc("vec_id")
+    )
+    return (
+        _pq_adc_dists(vecs)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select(
@@ -1234,6 +1244,113 @@ def sim_search_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_dist"),
         )
         .orderBy("probe_id", "rank")
+    )
+
+
+#: Two-stage serving shortlist: ADC keeps this many candidates per
+#: probe before the exact-L2 rerank — the standard quality knob
+#: (shortlist/k ≈ 6 here) every PQ deployment tunes.
+RERANK_SHORTLIST = 30
+
+
+def sim_search_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ serving: ADC shortlists RERANK_SHORTLIST
+    candidates per probe from the compressed index, then ONLY those
+    candidates are re-scored with exact L2 on full-precision vectors
+    and cut to top-k — the universal refine step (FAISS
+    IndexRefineFlat) that recovers most of the recall PQ loses while
+    touching shortlist·k vectors instead of the corpus. Emits
+    per-probe recall@k against the exact top-k, directly comparable
+    to ``sim_search_pq_recall``'s unrefined number.
+
+    Scale shape: stage 1 is the ADC code-join (corpus as small-int
+    codes only); stage 2 joins the N_PROBES·SHORTLIST-row shortlist
+    back to full vectors by key — an equi-join whose build side is
+    constant-bounded, so full vectors still never shuffle; the
+    recall eval is the same probe-bounded crossJoin-of-10 as every
+    other eval operator.
+    """
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    ws = Window.partitionBy("probe_id").orderBy(
+        F.asc("d_exact"), F.asc("vec_id")
+    )
+    shortlist = (
+        _pq_adc_dists(vecs)
+        .withColumn("srank", F.row_number().over(ws))
+        .where(F.col("srank") <= RERANK_SHORTLIST)
+        .select("probe_id", "vec_id")
+    )
+    probes = vecs.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+    )
+    nb = vecs.select(F.col("vec_id").alias("nb_id"), F.col("v").alias("nv"))
+    d2 = _trunc6(
+        F.expr(
+            "aggregate(zip_with(pv, pv, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+        )
+        + F.expr(
+            "aggregate(zip_with(nv, nv, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+        )
+        - 2
+        * F.expr(
+            "aggregate(zip_with(pv, nv, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+        )
+    )
+    wr = Window.partitionBy("probe_id").orderBy(F.asc("d2"), F.asc("nb_id"))
+    reranked = (
+        shortlist.join(F.broadcast(probes), "probe_id")
+        .join(nb, shortlist.vec_id == nb.nb_id)
+        .select("probe_id", "nb_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", F.col("nb_id").alias("neighbor_id"),
+                F.lit(1).alias("hit"))
+    )
+    a, b = probes.alias("a"), vecs.alias("b")
+    ed2 = _trunc6(
+        F.expr(
+            "aggregate(zip_with(a.pv, a.pv, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+        )
+        + F.expr(
+            "aggregate(zip_with(b.v, b.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+        )
+        - 2
+        * F.expr(
+            "aggregate(zip_with(a.pv, b.v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+        )
+    )
+    we = Window.partitionBy("probe_id").orderBy(
+        F.asc("d2"), F.asc("neighbor_id")
+    )
+    exact = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.probe_id") != F.col("b.vec_id"))
+        .select(
+            "probe_id",
+            F.col("b.vec_id").alias("neighbor_id"),
+            ed2.alias("d2"),
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+    return (
+        exact.join(reranked, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("found"),
+        )
+        .select(
+            "probe_id",
+            "k",
+            "found",
+            (F.floor(F.col("found") * 1e6 / F.col("k")) / 1e6).alias(
+                "recall"
+            ),
+        )
+        .orderBy("probe_id")
     )
 
 
@@ -1974,6 +2091,7 @@ QUERIES = {
     "embedding_anisotropy": embedding_anisotropy,
     "embedding_hubness": embedding_hubness,
     "sim_search_pq_recall": sim_search_pq_recall,
+    "sim_search_pq_rerank": sim_search_pq_rerank,
     "sim_search_sq8": sim_search_sq8,
     "embedding_sign_quantization": embedding_sign_quantization,
     "embedding_jl_projection": embedding_jl_projection,
@@ -2473,6 +2591,85 @@ ORACLES = {
                floor(CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) * 1e6
                      / COUNT(*)) / 1e6 AS recall
         FROM exact e LEFT JOIN approx a USING (probe_id, neighbor_id)
+        GROUP BY e.probe_id
+        ORDER BY e.probe_id
+    """,
+    "sim_search_pq_rerank": f"""
+        WITH {_PQ_CTE},
+        pairs AS (
+            SELECT s.vec_id, s.m, c.k,
+                   s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS dist
+            FROM subs2 s JOIN seeds c ON s.m = c.m
+        ),
+        codes AS (
+            SELECT vec_id, m, k AS code
+            FROM (
+                SELECT vec_id, m, k,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, k) AS rn
+                FROM pairs
+            ) WHERE rn = 1
+        ),
+        lut AS (
+            SELECT s.vec_id AS probe_id, s.m, c.k AS code,
+                   s.xx + c.cc - 2 * list_dot_product(s.sub, c.csub) AS pdist
+            FROM subs2 s JOIN seeds c ON s.m = c.m
+            WHERE s.vec_id < {N_PROBES}
+        ),
+        adc AS (
+            SELECT l.probe_id, c.vec_id,
+                   SUM(CAST(l.pdist AS DECIMAL(38,12))) AS d_exact
+            FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+            WHERE c.vec_id <> l.probe_id
+            GROUP BY l.probe_id, c.vec_id
+        ),
+        shortlist AS (
+            SELECT probe_id, vec_id
+            FROM (
+                SELECT probe_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY d_exact, vec_id) AS srank
+                FROM adc
+            ) WHERE srank <= {RERANK_SHORTLIST}
+        ),
+        epairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor((list_dot_product(a.v, a.v)
+                          + list_dot_product(b.v, b.v)
+                          - 2 * list_dot_product(a.v, b.v)) * 1e6) / 1e6
+                       AS d2
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        reranked AS (
+            SELECT probe_id, neighbor_id, 1 AS hit
+            FROM (
+                SELECT e.probe_id, e.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.probe_id
+                                          ORDER BY e.d2, e.neighbor_id)
+                           AS rank
+                FROM epairs e
+                JOIN shortlist s
+                  ON e.probe_id = s.probe_id AND e.neighbor_id = s.vec_id
+            ) WHERE rank <= {TOP_K}
+        ),
+        exact AS (
+            SELECT probe_id, neighbor_id
+            FROM (
+                SELECT probe_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY d2, neighbor_id) AS rank
+                FROM epairs
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT e.probe_id,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(COALESCE(r.hit, 0)) AS BIGINT) AS found,
+               floor(CAST(SUM(COALESCE(r.hit, 0)) AS BIGINT) * 1e6
+                     / COUNT(*)) / 1e6 AS recall
+        FROM exact e
+        LEFT JOIN reranked r
+          ON e.probe_id = r.probe_id AND e.neighbor_id = r.neighbor_id
         GROUP BY e.probe_id
         ORDER BY e.probe_id
     """,

@@ -116,6 +116,82 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Haar analysis length: the daily series (one calendar month, ≤ 31
+#: points) zero-padded to the next power of two → 5 dyadic levels.
+HAAR_LEN = 32
+HAAR_LEVELS = 5
+
+
+def q_events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of the daily event
+    total: at each dyadic level, pairs collapse to sums (approx) and
+    differences (detail); the per-level detail energy Σd² is the
+    multi-resolution variance spectrum — does volume fluctuate
+    day-to-day (level 1), week-to-week (level 3), or half-month
+    (level 5)? The timescale diagnostic behind choosing smoothing
+    windows and anomaly granularities.
+
+    Cross-engine determinism: the integer Haar (sum/difference, no
+    1/√2 normalization) keeps every coefficient an exact BIGINT, so
+    the 5 unrolled levels are bit-identical in both engines; the
+    ≤31-day series is zero-padded to 32. Scale shape: one daily
+    rollup (partial-aggregatable), then a constant 32-element array
+    on a single row — the transform costs nothing at any corpus
+    size; at a multi-year span the rollup grain widens, the array
+    stays bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    df = (
+        daily.agg(
+            F.array_sort(F.collect_list(F.struct("day", "n"))).alias("sd")
+        )
+        .select(F.expr("transform(sd, s -> s.n)").alias("v0"))
+        .select(
+            F.expr(
+                f"slice(concat(v0, array_repeat(0L, "
+                f"greatest({HAAR_LEN} - size(v0), 0))), 1, {HAAR_LEN})"
+            ).alias("s0")
+        )
+    )
+    cur = "s0"
+    for lvl in range(1, HAAR_LEVELS + 1):
+        m = HAAR_LEN >> lvl
+        df = df.withColumn(
+            f"d{lvl}",
+            F.expr(
+                f"transform(sequence(1, {m}), i -> "
+                f"element_at({cur}, 2*i-1) - element_at({cur}, 2*i))"
+            ),
+        ).withColumn(
+            f"s{lvl}",
+            F.expr(
+                f"transform(sequence(1, {m}), i -> "
+                f"element_at({cur}, 2*i-1) + element_at({cur}, 2*i))"
+            ),
+        )
+        cur = f"s{lvl}"
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lvl).alias("level"),
+                        F.lit(HAAR_LEN >> lvl).alias("n_coeffs"),
+                        F.expr(
+                            f"aggregate(d{lvl}, 0L, (s, x) -> s + x * x)"
+                        ).alias("detail_energy"),
+                    )
+                    for lvl in range(1, HAAR_LEVELS + 1)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return rows.orderBy("level")
+
+
 def q_events_stl_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical seasonal decomposition of the daily event total:
     trend (centered 7-point moving average), weekday seasonal
@@ -1032,6 +1108,7 @@ QUERIES = {
     "q_events_ewma": q_events_ewma,
     "q_events_holt": q_events_holt,
     "q_events_cusum": q_events_cusum,
+    "q_events_haar_energy": q_events_haar_energy,
     "q_events_stl_weekday": q_events_stl_weekday,
     "q_events_forecast_snaive": q_events_forecast_snaive,
     "q_orders_interpurchase": q_orders_interpurchase,
@@ -1616,6 +1693,39 @@ ORACLES = {
         FROM ranked
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "q_events_haar_energy": f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        base AS (
+            SELECT COALESCE(list(n ORDER BY day), []) AS v0 FROM daily
+        ),
+        s0 AS (
+            SELECT (v0 || [CAST(0 AS BIGINT)
+                           for i in generate_series(1,
+                               greatest({HAAR_LEN} - len(v0), 0))]
+                   )[1:{HAAR_LEN}] AS s
+            FROM base
+        ),
+        {", ".join(
+            f'''l{lvl} AS (
+            SELECT [s[2*i-1] - s[2*i]
+                    for i in generate_series(1, {HAAR_LEN >> lvl})] AS d,
+                   [s[2*i-1] + s[2*i]
+                    for i in generate_series(1, {HAAR_LEN >> lvl})] AS s
+            FROM l{lvl - 1})'''.replace("FROM l0", "FROM s0")
+            for lvl in range(1, HAAR_LEVELS + 1)
+        )}
+        {" UNION ALL ".join(
+            f"SELECT {lvl} AS level, {HAAR_LEN >> lvl} AS n_coeffs, "
+            f"CAST(list_sum([x * x for x in d]) AS BIGINT) "
+            f"AS detail_energy FROM l{lvl}"
+            for lvl in range(1, HAAR_LEVELS + 1)
+        )}
+        ORDER BY level
     """,
     "q_events_cusum": """
         WITH daily AS (

@@ -16,6 +16,9 @@ ALL = [
     "q_events_type_fano",
     "graph_squares",
     "text_readability",
+    "sim_search_pq_rerank",
+    "q_events_countmin_topk",
+    "q_events_haar_energy",
 ]
 
 
@@ -232,6 +235,72 @@ def test_squares_on_known_graph(spark):
     # {1,3} -> w=2 twice -> sum C(2,2) = 2 (each square counted once
     # per diagonal).
     assert agg.n_squares == 2
+
+
+def test_pq_rerank_recall_dominates_adc(spark):
+    """The exact-L2 refine step can only help: mean rerank recall
+    must be >= mean plain-ADC recall, and strictly positive."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        sim_search_pq_recall,
+        sim_search_pq_rerank,
+    )
+
+    plain = {r.probe_id: r.recall
+             for r in sim_search_pq_recall(spark, SF_DIR).collect()}
+    rer = {r.probe_id: r.recall
+           for r in sim_search_pq_rerank(spark, SF_DIR).collect()}
+    assert set(plain) == set(rer)
+    mp = sum(plain.values()) / len(plain)
+    mr = sum(rer.values()) / len(rer)
+    assert mr >= mp - 1e-9, (mr, mp)
+    assert mr > 0.0
+
+
+def test_cms_overestimate_only(spark):
+    """Count-Min point queries are provably >= the true count."""
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_countmin_topk,
+    )
+
+    rows = q_events_countmin_topk(spark, SF_DIR).collect()
+    # sf0.001 has only 15 distinct users — top-20 returns all of them
+    assert len(rows) == 15
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+
+
+def test_haar_energy_parseval(spark):
+    """Unnormalized-Haar identity: at each level, Σ(prev²) =
+    (Σ approx² + Σ detail²) / 2 — check total detail energy against
+    a direct numpy Haar of the same padded daily series."""
+    import numpy as np
+
+    from postgres_s3_etl_spark.operators.timeseries import (
+        HAAR_LEN,
+        q_events_haar_energy,
+    )
+
+    daily = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.to_date("ts").alias("d"))
+        .count()
+        .orderBy("d")
+        .collect()
+    )
+    s = np.zeros(HAAR_LEN, dtype=np.int64)
+    s[: len(daily)] = [r["count"] for r in daily]
+    expected = {}
+    cur = s
+    for lvl in range(1, 6):
+        d = cur[0::2] - cur[1::2]
+        cur = cur[0::2] + cur[1::2]
+        expected[lvl] = int((d.astype(object) ** 2).sum())
+    rows = {r.level: r for r in q_events_haar_energy(spark, SF_DIR).collect()}
+    assert set(rows) == set(expected)
+    for lvl, e in expected.items():
+        assert rows[lvl].detail_energy == e
+        assert rows[lvl].n_coeffs == HAAR_LEN >> lvl
 
 
 def test_readability_bounds(spark):
