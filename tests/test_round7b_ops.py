@@ -19,6 +19,7 @@ ALL = [
     "sim_search_pq_rerank",
     "q_events_countmin_topk",
     "q_events_haar_energy",
+    "mm_image_decode_jpeg_progressive",
 ]
 
 
@@ -104,6 +105,124 @@ class TestGifLzw:
         assert decode_gif_gray(bytes(raw2)) is None
         # truncated LZW stream
         assert decode_gif_gray(bytes(raw[:-20])) is None
+
+
+class TestProgressiveJpeg:
+    def test_round_trip_exact(self):
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_jpeg_progressive_gray,
+            encode_jpeg_gray_progressive,
+        )
+
+        for aid in (0, 5, 47):
+            w, h = 16 + 8 * (aid % 3), 16 + 8 * (aid % 2)
+            img = decode_jpeg_progressive_gray(
+                encode_jpeg_gray_progressive(aid, w, h)
+            )
+            assert img is not None and img.shape == (h, w)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    blk = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    assert (
+                        blk == (31 * aid + 11 * bx + 3 * by) % 256
+                    ).all()
+
+    def test_nonzero_ac_first_scan(self):
+        """Hand-built AC-first scan with a NONZERO coefficient and a
+        ZRL: decode must place the coefficient at the right zigzag
+        index and reproduce the independent IDCT."""
+        import struct
+
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _BitWriter,
+            _JPEG_DC_BITS,
+            _JPEG_DC_VALS,
+            _JPEG_PROG_AC_BITS,
+            _JPEG_PROG_AC_VALS,
+            _JPEG_QTABLE,
+            _JPEG_ZIGZAG,
+            _huff_canonical,
+            _idct_matrix,
+            decode_jpeg_progressive_gray,
+        )
+
+        dc_huf = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+        ac_huf = _huff_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+        # one 8x8 block: DC first (value 0 at Al=1), DC refine bit 0,
+        # AC scan: ZRL (16 zeros) then (run 1, size 1) coeff +1 at
+        # band index 1+16+1 = zigzag position 18, then EOB (r=0).
+        s1 = _BitWriter()
+        code, ln = dc_huf[0]
+        s1.write(code, ln)
+        s2 = _BitWriter()
+        s2.write(0, 1)
+        s3 = _BitWriter()
+        code, ln = ac_huf[0xF0]
+        s3.write(code, ln)
+        code, ln = ac_huf[0x11]
+        s3.write(code, ln)
+        s3.write(1, 1)  # +1
+        code, ln = ac_huf[0x00]
+        s3.write(code, ln)
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        payload = (
+            b"\xff\xd8"
+            + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+            + seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+                + bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+                + bytes(_JPEG_PROG_AC_VALS),
+            )
+            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + s1.flush()
+            + seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + s2.flush()
+            + seg(0xFFDA, bytes([1, 1, 0x10, 1, 63, 0x00])) + s3.flush()
+            + b"\xff\xd9"
+        )
+        img = decode_jpeg_progressive_gray(payload)
+        assert img is not None and img.shape == (8, 8)
+        # independent reference: coefficient grid with q=8 at zigzag
+        # index 18 (natural position _JPEG_ZIGZAG[18]).
+        f = np.zeros(64)
+        f[_JPEG_ZIGZAG[18]] = 1 * 8
+        A = _idct_matrix()
+        ref = np.clip(
+            np.round(A @ f.reshape(8, 8) @ A.T + 128.0), 0, 255
+        ).astype(np.uint8)
+        assert (img == ref).all()
+
+    def test_out_of_scope_rejected(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_jpeg_baseline,
+            decode_jpeg_progressive_gray,
+            encode_jpeg_gray,
+            encode_jpeg_gray_progressive,
+        )
+
+        prog = encode_jpeg_gray_progressive(0, 16, 16)
+        # the baseline decoder still rejects SOF2...
+        assert decode_jpeg_baseline(prog) is None
+        # ...and the progressive decoder rejects baseline SOF0
+        assert decode_jpeg_progressive_gray(
+            encode_jpeg_gray(0, 16, 16)
+        ) is None
+        # truncation mid-header fails safely...
+        assert decode_jpeg_progressive_gray(prog[:40]) is None
+        # ...while truncation after complete scans renders what
+        # arrived — the defining progressive behavior (browsers show
+        # the partial image): with the AC scan cut off, the DC-only
+        # render still equals the full render here (AC are zero).
+        full = decode_jpeg_progressive_gray(prog)
+        partial = decode_jpeg_progressive_gray(prog[:-12])
+        assert partial is not None and (partial == full).all()
 
 
 def test_winnowing_coverage_guarantee(spark):
