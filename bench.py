@@ -118,6 +118,12 @@ HEADLINE = (
     "sim_search_ndcg",
     # round-7 additions
     "mm_image_decode_jpeg_420",
+    "mm_image_decode_gif",
+    "mm_image_decode_jpeg_progressive",
+    "text_winnowing",
+    "dedup_shingle_containment",
+    "graph_squares",
+    "sim_search_pq_rerank",
 )
 
 
