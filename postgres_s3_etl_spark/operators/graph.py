@@ -906,21 +906,17 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 3
 
 
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by synchronous label propagation: every
-    node starts as its own label; each round it adopts its
-    neighbors' most frequent label (ties → smallest label). After
-    ``LPA_ITERS`` rounds, emit each surviving community and its size.
-
-    Spark shape: per round ONE join (edges × labels) + ONE grouped
-    count + ONE per-node window top-1 — all keyed shuffles, no pair
-    blow-up; ``localCheckpoint`` truncates lineage per round and the
-    symmetric edge frame reuses :func:`_iter_partitions`'s persisted
-    hash layout on big graphs so only the label frame (N rows)
-    re-shuffles each round. The deterministic (count DESC, label
-    ASC) tie-break makes the fixpoint bit-identical to the oracle's
-    unrolled rounds.
-    """
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (node, label) frame after ``LPA_ITERS`` synchronous
+    label-propagation rounds — shared by the community query and the
+    modularity evaluation. Per round ONE join (edges × labels) + ONE
+    grouped count + ONE per-node window top-1 — all keyed shuffles,
+    no pair blow-up; ``localCheckpoint`` truncates lineage per round
+    and the symmetric edge frame reuses :func:`_iter_partitions`'s
+    persisted hash layout on big graphs so only the label frame
+    (N rows) re-shuffles each round. The deterministic (count DESC,
+    label ASC) tie-break makes the fixpoint bit-identical to the
+    oracle's unrolled rounds."""
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     n_part = _iter_partitions(spark, sf_dir)
     sym = edges.unionAll(
@@ -948,10 +944,82 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint()
         )
+    return labels
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation: every
+    node starts as its own label; each round it adopts its
+    neighbors' most frequent label (ties → smallest label). After
+    ``LPA_ITERS`` rounds, emit each surviving community and its size.
+    (Plan shape: see :func:`_lpa_labels`.)
+    """
     return (
-        labels.groupBy("label")
+        _lpa_labels(spark, sf_dir)
+        .groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .orderBy(F.desc("n_members"), F.asc("label"))
+    )
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the standard "are
+    these communities real?" score: Q = Σ_c (e_c/m − (d_c/2m)²)
+    with m undirected edges, e_c intra-community edges, d_c the
+    community's degree sum. Emits one row per community (size,
+    internal edges, degree sum, its Q contribution) so the rollup is
+    auditable, ordered by contribution.
+
+    Scale shape: the partition comes from the shared LPA loop; e_c
+    is one edges⋈labels⋈labels equi-join (each side keyed on a node
+    column) + rollup; d_c one degree⋈labels rollup; m, 2m are
+    scalars. Per-community terms pin to DECIMAL(38,18) before any
+    float emits, with the mirrored floor(x·1e6)/1e6.
+    """
+    labels = _lpa_labels(spark, sf_dir)
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    m = edges.count()  # scalar: undirected edge count
+    la = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("label_b")
+    )
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    deg = _degrees(edges)
+    dsum = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+    md = F.lit(float(m))
+    contrib = (
+        F.coalesce(F.col("internal_edges"), F.lit(0)).cast("double") / md
+        - (F.col("degree_sum").cast("double") / (2.0 * md))
+        * (F.col("degree_sum").cast("double") / (2.0 * md))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        dsum.join(intra, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("internal_edges", F.lit(0))
+            .cast("bigint")
+            .alias("internal_edges"),
+            "degree_sum",
+            f6(contrib).alias("q_contrib"),
+        )
+        .orderBy(F.desc("q_contrib"), F.asc("label"))
     )
 
 
@@ -1601,6 +1669,7 @@ QUERIES = {
     "graph_assortativity": graph_assortativity,
     "graph_triangle_count": graph_triangle_count,
     "graph_squares": graph_squares,
+    "graph_modularity": graph_modularity,
     "graph_clustering_coeff": graph_clustering_coeff,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
@@ -2288,6 +2357,54 @@ ORACLES = {
         FROM p{LPA_ITERS}
         GROUP BY label
         ORDER BY n_members DESC, label ASC
+    """,
+    "graph_modularity": f"""
+        WITH {_EDGES_SQL},
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        p0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS label FROM sym
+        ),
+        {",".join(_lpa_iter_sql(k) for k in range(1, LPA_ITERS + 1))},
+        labels AS (SELECT node, label FROM p{LPA_ITERS}),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        intra AS (
+            SELECT la.label,
+                   CAST(COUNT(*) AS BIGINT) AS internal_edges
+            FROM edges e
+            JOIN labels la ON e.src = la.node
+            JOIN labels lb ON e.dst = lb.node
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        dsum AS (
+            SELECT l.label,
+                   CAST(SUM(d.deg) AS BIGINT) AS degree_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM deg d JOIN labels l ON d.node = l.node
+            GROUP BY l.label
+        )
+        SELECT s.label, s.n_members,
+               CAST(COALESCE(i.internal_edges, 0) AS BIGINT)
+                   AS internal_edges,
+               s.degree_sum,
+               floor((CAST(COALESCE(i.internal_edges, 0) AS DOUBLE)
+                        / CAST(m.m AS DOUBLE)
+                      - (CAST(s.degree_sum AS DOUBLE)
+                         / (2.0 * CAST(m.m AS DOUBLE)))
+                        * (CAST(s.degree_sum AS DOUBLE)
+                           / (2.0 * CAST(m.m AS DOUBLE)))) * 1e6) / 1e6
+                   AS q_contrib
+        FROM dsum s
+        LEFT JOIN intra i ON s.label = i.label
+        CROSS JOIN m
+        ORDER BY q_contrib DESC, s.label ASC
     """,
     "graph_components": f"""
         WITH {_EDGES_SQL},

@@ -20,6 +20,7 @@ ALL = [
     "q_events_countmin_topk",
     "q_events_haar_energy",
     "mm_image_decode_jpeg_progressive",
+    "graph_modularity",
 ]
 
 
@@ -420,6 +421,31 @@ def test_haar_energy_parseval(spark):
     for lvl, e in expected.items():
         assert rows[lvl].detail_energy == e
         assert rows[lvl].n_coeffs == HAAR_LEN >> lvl
+
+
+def test_modularity_identities(spark):
+    """Partition identities: Σ n_members = |V|, Σ internal_edges ≤
+    m, Σ degree_sum = 2m, and Q = Σ contributions ∈ [−1, 1]."""
+    from postgres_s3_etl_spark.operators.graph import (
+        copurchase_edges,
+        graph_modularity,
+    )
+
+    rows = graph_modularity(spark, SF_DIR).collect()
+    assert rows
+    edges = copurchase_edges(spark, SF_DIR)
+    m = edges.count()
+    n_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_members for r in rows) == n_nodes
+    assert sum(r.internal_edges for r in rows) <= m
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    q = sum(r.q_contrib for r in rows)
+    assert -1.0 <= q <= 1.0
 
 
 def test_readability_bounds(spark):
