@@ -105,6 +105,35 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user sessionization via Spark's NATIVE
+    ``session_window(ts, gap)`` — the engine-managed merging-window
+    state (dynamic gap-close windows merged by the state store), the
+    built-in alternative this family's custom
+    ``applyInPandasWithState`` sessionizer (stream_sessionize_
+    stateful) reimplements by hand. Same 30-min gap, same 10-min
+    watermark; append mode emits a session once the watermark passes
+    its end (last event + gap) — so the two operators bound each
+    other: native ``session_end`` = stateful's ``session_end`` +
+    gap by construction."""
+    ev = read_events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of operators.events.q_events_hopping: 1-hour
     windows sliding every 15 minutes, 2-hour watermark. The same
@@ -383,6 +412,15 @@ def q_stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_tumbling(spark, sf_dir),
         _next_query_name("stream_tumbling"),
     ).orderBy("hour_start", "event_type")
+
+
+def q_stream_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_stream_to_memory(
+        stream_session_window_native(spark, sf_dir),
+        _next_query_name("stream_native_sessions"),
+    ).orderBy("user_id", "session_start")
 
 
 def q_stream_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,6 +751,7 @@ QUERIES = {
     "stream_events_tumbling": q_stream_events_tumbling,
     "stream_events_hopping": q_stream_events_hopping,
     "stream_sessionize_stateful": q_stream_sessionize_stateful,
+    "stream_session_window_native": q_stream_session_window_native,
     "stream_click_purchase_join": q_stream_click_purchase_join,
     "stream_abandoned_clicks": q_stream_abandoned_clicks,
     "stream_exact_dedup": q_stream_exact_dedup,
@@ -804,6 +843,48 @@ ORACLES: dict[str, str] = {
     # timeout (last_ms + gap) fired, i.e. lies strictly below the final
     # watermark (max event ms - 10 min). Timestamps are ms-floored,
     # matching the state encoding.
+    # Native session_window twin: same gap islands, but the native
+    # window's end is last_event + gap, and append mode emits a
+    # session only once the final watermark (max ts − delay) passes
+    # that end — no later-session-closes-earlier shortcut exists for
+    # the engine-managed state, so the emission rule is the ONLY
+    # filter.
+    "stream_session_window_native": f"""
+        WITH pts AS (
+            SELECT user_id, epoch_ms(ts) AS ms FROM events
+        ),
+        laged AS (
+            SELECT user_id, ms,
+                   LAG(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev_ms
+            FROM pts
+        ),
+        flagged AS (
+            SELECT user_id, ms,
+                   CASE WHEN prev_ms IS NULL OR ms - prev_ms > {_GAP_MS}
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM laged
+        ),
+        sess AS (
+            SELECT user_id, ms,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+            FROM flagged
+        ),
+        per AS (
+            SELECT user_id, sidx,
+                   MIN(ms) AS start_ms, MAX(ms) AS last_ms,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, sidx
+        )
+        SELECT user_id,
+               make_timestamp(start_ms * 1000) AS session_start,
+               make_timestamp((last_ms + {_GAP_MS}) * 1000) AS session_end,
+               n_events
+        FROM per
+        WHERE last_ms + {_GAP_MS} <=
+              (SELECT MAX(epoch_ms(ts)) - {_WM_SESS_MS} FROM events)
+        ORDER BY user_id, session_start
+    """,
     "stream_sessionize_stateful": f"""
         WITH pts AS (
             SELECT user_id, epoch_ms(ts) AS ms FROM events

@@ -55,6 +55,46 @@ def test_stream_sessionize_stateful(spark):
     assert len(sessions) >= batch_total - len(users)
 
 
+def test_native_session_window_matches_stateful(spark):
+    """The engine-managed session_window and the hand-rolled
+    applyInPandasWithState sessionizer must agree on every emitted
+    session (native end = stateful end + gap), modulo emission
+    timing: the stateful operator also closes a session when a LATER
+    session for the same user arrives, so its emitted set is a
+    superset."""
+    import datetime as dt
+
+    from postgres_s3_etl_spark.streaming.events_stream import (
+        SESSION_GAP_MS,
+        run_stream_to_memory,
+        stream_session_window_native,
+        stream_sessionize_stateful,
+    )
+
+    native = run_stream_to_memory(
+        stream_session_window_native(spark, SF_DIR), "native_sess_test"
+    ).collect()
+    stateful = run_stream_to_memory(
+        stream_sessionize_stateful(spark, SF_DIR), "stateful_sess_test"
+    ).collect()
+    assert native
+    gap = dt.timedelta(milliseconds=SESSION_GAP_MS)
+
+    def ms(t):  # the stateful operator's state is epoch-ms grain
+        return t.replace(microsecond=t.microsecond // 1000 * 1000)
+
+    st = {
+        (s.user_id, ms(s.session_start), ms(s.session_end) + gap,
+         s.n_events)
+        for s in stateful
+    }
+    nat = {
+        (s.user_id, ms(s.session_start), ms(s.session_end), s.n_events)
+        for s in native
+    }
+    assert nat <= st, sorted(nat - st)[:3]
+
+
 def test_tws_sessionize_gated_or_identical(spark):
     """TransformWithState twin: where the environment supports it,
     output must equal the applyInPandasWithState sessionizer; where
