@@ -332,6 +332,94 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Jaccard thresholds for the LSH precision/recall curve.
+PR_TAUS = (0.2, 0.4, 0.6, 0.8)
+
+
+def dedup_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator
+    against exact (rare-shingle) Jaccard ground truth, per
+    threshold τ — the eval-as-operator gate for the dedup family
+    (sibling of sim_search_recall): before trusting banding at a new
+    (bands, rows) point, measure what fraction of candidates are
+    real dups (precision) and what fraction of real dups the bands
+    surface (recall). Ground truth is the DF-capped shingle-join
+    pair set — every pair sharing ≥1 rare shingle, a superset of
+    meaningful near-dups at these τ; LSH candidates outside it share
+    no rare shingle, i.e. true Jaccard ≈ 0, and count against
+    precision.
+
+    Scale shape: both pair sets come from bounded equi-joins
+    (band-bucket; DF-capped shingle postings) — never all-pairs; the
+    eval is one full-outer join of the two pair frames + a 4-way τ
+    fan-out of one rollup.
+    """
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    bands = minhash_bands_for(docs).persist()
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("is_cand", F.lit(1))
+    )
+    gt = ngram_jaccard_pairs(docs).select("doc_a", "doc_b", "jaccard")
+    base = gt.join(cand, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("jaccard", F.lit(0.0)).alias("j"),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+    )
+    taus = spark.createDataFrame([(t,) for t in PR_TAUS], "tau double")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    stats = (
+        base.crossJoin(F.broadcast(taus))
+        .groupBy("tau")
+        .agg(
+            F.sum("is_cand").cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("j") >= F.col("tau"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_true_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("j") >= F.col("tau")) & (F.col("is_cand") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    return stats.select(
+        "tau",
+        "n_candidates",
+        "n_true_pairs",
+        "tp",
+        f6(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("tp").cast("double")
+                / F.col("n_candidates").cast("double"),
+            )
+        ).alias("precision"),
+        f6(
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("tp").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            )
+        ).alias("recall"),
+    ).orderBy("tau")
+
+
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source leakage audit: for every source pair, how many
     exact-duplicate text digests they share — the governance matrix
@@ -814,6 +902,7 @@ QUERIES = {
     "dedup_prefix_containment": dedup_prefix_containment,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_shingle_containment": dedup_shingle_containment,
+    "dedup_lsh_pr_curve": dedup_lsh_pr_curve,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verify": dedup_minhash_verify,
     "dedup_source_overlap": dedup_source_overlap,
@@ -959,6 +1048,85 @@ ORACLES = {
         JOIN sizes sb ON c.doc_b = sb.doc_id
         ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
         LIMIT {TOP_PAIRS}
+    """,
+    "dedup_lsh_pr_curve": f"""
+        WITH {_bands_cte_sql()}
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   1 AS is_cand
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+        ),
+        gsh AS (
+            SELECT doc_id, lang, source, {_SHINGLES_SQL} AS shingles
+            FROM (SELECT doc_id, lang, source,
+                         string_split_regex(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        graw AS (
+            SELECT doc_id, lang, source, unnest(shingles) AS s0 FROM gsh
+        ),
+        gexp AS (
+            SELECT doc_id, lang, source,
+                   list_sum([(strpos('0123456789abcdef', substr(md5(s0), i, 1)) - 1)
+                             * CAST(pow(16, 15 - i) AS BIGINT)
+                             for i in generate_series(1, 15)]) AS s
+            FROM graw
+        ),
+        gkept AS (
+            SELECT doc_id, lang, source, s FROM (
+                SELECT *, COUNT(*) OVER (PARTITION BY lang, source, s) AS df
+                FROM gexp
+            ) WHERE df <= {MAX_SHINGLE_DF}
+        ),
+        gsizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM gkept GROUP BY doc_id
+        ),
+        gcommon AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM gkept a JOIN gkept b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        gt AS (
+            SELECT c.doc_a, c.doc_b,
+                   floor(CAST(c.n_common AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - c.n_common) * 1e6) / 1e6
+                       AS jaccard
+            FROM gcommon c
+            JOIN gsizes sa ON c.doc_a = sa.doc_id
+            JOIN gsizes sb ON c.doc_b = sb.doc_id
+        ),
+        base AS (
+            SELECT COALESCE(g.jaccard, 0.0) AS j,
+                   COALESCE(c.is_cand, 0) AS is_cand
+            FROM gt g FULL OUTER JOIN cand c
+              ON g.doc_a = c.doc_a AND g.doc_b = c.doc_b
+        ),
+        taus AS (
+            SELECT unnest([{", ".join(repr(t) for t in PR_TAUS)}]) AS tau
+        ),
+        stats AS (
+            SELECT t.tau,
+                   CAST(SUM(b.is_cand) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN b.j >= t.tau THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_true_pairs,
+                   CAST(SUM(CASE WHEN b.j >= t.tau AND b.is_cand = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp
+            FROM base b CROSS JOIN taus t
+            GROUP BY t.tau
+        )
+        SELECT tau, n_candidates, n_true_pairs, tp,
+               floor(CASE WHEN n_candidates > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+                     END * 1e6) / 1e6 AS precision,
+               floor(CASE WHEN n_true_pairs > 0 THEN
+                     CAST(tp AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)
+                     END * 1e6) / 1e6 AS recall
+        FROM stats
+        ORDER BY tau
     """,
     "dedup_shingle_containment": f"""
         WITH sh AS (

@@ -1774,6 +1774,94 @@ def embedding_pq_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PQ distortion curve: subquantizer counts to sweep (code size per
+#: vector = M bytes at K=256; here K=PQ_K stays fixed so the sweep
+#: isolates the M axis).
+PQ_CURVE_MS = (2, 4, 8)
+
+
+def embedding_pq_distortion_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compression/quality tradeoff for product quantization: total
+    reconstruction error (Σ over vectors and subspaces of the
+    squared distance to the assigned codeword) at M ∈ {2, 4, 8}
+    subquantizers — the planning curve every PQ deployment reads
+    before fixing its code size (more subquantizers → finer grid →
+    monotonically lower distortion, bigger codes).
+
+    Scale shape: per M one row-local sub-split, one broadcast
+    codebook equi-join on the subspace key, one min-struct rollup
+    and one exact DECIMAL sum — the corpus is scanned once per M
+    (constant fan-out), nothing quadratic; results for the 3 Ms
+    union into one 3-row frame.
+    """
+    vecs = _vecs(spark, sf_dir).select("vec_id", "v")
+    outs = []
+    for m_q in PQ_CURVE_MS:
+        subdim = EMB_DIM // m_q
+        subs = vecs.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m_q - 1}), m -> struct(m AS m, "
+                    f"slice(v, m * {subdim} + 1, {subdim}) AS sub))"
+                )
+            ).alias("s"),
+        ).select(
+            "vec_id",
+            F.col("s.m").alias("m"),
+            F.col("s.sub").alias("sub"),
+            F.expr(
+                "aggregate(s.sub, 0.0d, (acc, x) -> acc + x * x)"
+            ).alias("xx"),
+        )
+        seeds = subs.where(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("k"),
+            "m",
+            F.col("sub").alias("csub"),
+            F.col("xx").alias("cc"),
+        )
+        pairs = subs.join(F.broadcast(seeds), "m").withColumn(
+            "dist",
+            F.col("xx")
+            + F.col("cc")
+            - F.lit(2.0)
+            * F.expr(
+                "aggregate(zip_with(sub, csub, (x, y) -> x * y), "
+                "0.0d, (acc, x) -> acc + x)"
+            ),
+        )
+        best = pairs.groupBy("vec_id", "m").agg(
+            F.min(F.struct("dist", "k")).alias("b")
+        )
+        outs.append(
+            best.agg(
+                F.countDistinct("vec_id").cast("bigint").alias("n_vectors"),
+                (
+                    F.floor(
+                        F.sum(
+                            F.greatest(F.col("b.dist"), F.lit(0.0)).cast(
+                                "decimal(38,12)"
+                            )
+                        ).cast("double")
+                        * F.lit(1e6)
+                    )
+                    / F.lit(1e6)
+                ).alias("total_distortion"),
+            ).select(
+                F.lit(m_q).alias("m_subquantizers"),
+                F.lit(subdim).alias("subdim"),
+                "n_vectors",
+                "total_distortion",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("m_subquantizers")
+
+
 #: Hybrid retrieval: RRF constant, per-modality candidate pool,
 #: fused output size, keyword and vector probe identities.
 RRF_K = 60
@@ -2092,6 +2180,7 @@ QUERIES = {
     "embedding_hubness": embedding_hubness,
     "sim_search_pq_recall": sim_search_pq_recall,
     "sim_search_pq_rerank": sim_search_pq_rerank,
+    "embedding_pq_distortion_curve": embedding_pq_distortion_curve,
     "sim_search_sq8": sim_search_sq8,
     "embedding_sign_quantization": embedding_sign_quantization,
     "embedding_jl_projection": embedding_jl_projection,
@@ -2593,6 +2682,45 @@ ORACLES = {
         FROM exact e LEFT JOIN approx a USING (probe_id, neighbor_id)
         GROUP BY e.probe_id
         ORDER BY e.probe_id
+    """,
+    "embedding_pq_distortion_curve": f"""
+        WITH cvecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        {",".join(
+            f'''subs{m} AS (
+            SELECT vec_id, m.m AS m,
+                   v[m.m * {EMB_DIM // m} + 1 : m.m * {EMB_DIM // m}
+                     + {EMB_DIM // m}] AS sub
+            FROM cvecs,
+                 (SELECT unnest(generate_series(0, {m - 1})) AS m) m
+        ),
+        subs2_{m} AS (
+            SELECT vec_id, m, sub, list_dot_product(sub, sub) AS xx
+            FROM subs{m}
+        ),
+        seeds{m} AS (
+            SELECT vec_id AS k, m, sub AS csub, xx AS cc
+            FROM subs2_{m} WHERE vec_id < {PQ_K}
+        ),
+        best{m} AS (
+            SELECT s.vec_id, s.m,
+                   MIN(s.xx + c.cc
+                       - 2 * list_dot_product(s.sub, c.csub)) AS dist
+            FROM subs2_{m} s JOIN seeds{m} c ON s.m = c.m
+            GROUP BY s.vec_id, s.m
+        )''' for m in PQ_CURVE_MS
+        )}
+        {" UNION ALL ".join(
+            f'''SELECT {m} AS m_subquantizers,
+                   {EMB_DIM // m} AS subdim,
+                   CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+                   floor(CAST(SUM(CAST(greatest(dist, 0.0)
+                                       AS DECIMAL(38,12))) AS DOUBLE)
+                         * 1e6) / 1e6 AS total_distortion
+            FROM best{m}''' for m in PQ_CURVE_MS
+        )}
+        ORDER BY m_subquantizers
     """,
     "sim_search_pq_rerank": f"""
         WITH {_PQ_CTE},

@@ -21,6 +21,8 @@ ALL = [
     "q_events_haar_energy",
     "mm_image_decode_jpeg_progressive",
     "graph_modularity",
+    "dedup_lsh_pr_curve",
+    "embedding_pq_distortion_curve",
 ]
 
 
@@ -421,6 +423,43 @@ def test_haar_energy_parseval(spark):
     for lvl, e in expected.items():
         assert rows[lvl].detail_energy == e
         assert rows[lvl].n_coeffs == HAAR_LEN >> lvl
+
+
+def test_lsh_pr_curve_shape(spark):
+    """Recall must be non-decreasing in τ (banding is built to catch
+    HIGH-similarity pairs) and precision/recall bounded."""
+    from postgres_s3_etl_spark.operators.dedup import dedup_lsh_pr_curve
+
+    rows = sorted(
+        dedup_lsh_pr_curve(spark, SF_DIR).collect(), key=lambda r: r.tau
+    )
+    assert [r.tau for r in rows] == [0.2, 0.4, 0.6, 0.8]
+    prev = -1.0
+    for r in rows:
+        assert r.tp <= r.n_candidates and r.tp <= r.n_true_pairs
+        if r.precision is not None:
+            assert 0.0 <= r.precision <= 1.0
+        if r.recall is not None:
+            assert 0.0 <= r.recall <= 1.0
+            assert r.recall >= prev - 1e-9
+            prev = r.recall
+
+
+def test_pq_distortion_monotone_in_m(spark):
+    """More subquantizers -> finer product grid -> total distortion
+    cannot increase."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        embedding_pq_distortion_curve,
+    )
+
+    rows = sorted(
+        embedding_pq_distortion_curve(spark, SF_DIR).collect(),
+        key=lambda r: r.m_subquantizers,
+    )
+    assert [r.m_subquantizers for r in rows] == [2, 4, 8]
+    assert all(r.n_vectors == rows[0].n_vectors for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.total_distortion <= a.total_distortion + 1e-6
 
 
 def test_modularity_identities(spark):
