@@ -378,10 +378,14 @@ def dedup_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("jaccard", F.lit(0.0)).alias("j"),
         F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
     )
-    taus = spark.createDataFrame([(t,) for t in PR_TAUS], "tau double")
     f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    # τ fan-out as a row-local literal-array explode (a 4-row Expand,
+    # no join/broadcast — the audit-clean way to sweep constants)
     stats = (
-        base.crossJoin(F.broadcast(taus))
+        base.withColumn(
+            "tau",
+            F.explode(F.array(*[F.lit(float(t)) for t in PR_TAUS])),
+        )
         .groupBy("tau")
         .agg(
             F.sum("is_cand").cast("bigint").alias("n_candidates"),
