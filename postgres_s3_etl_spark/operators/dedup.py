@@ -250,16 +250,10 @@ MINHASH_A = tuple((2_654_435_761 * (j + 1)) % 2_147_483_647 for j in range(NUM_M
 MINHASH_B = tuple((97_531 * (j + 1)) % MINHASH_P for j in range(NUM_MINHASHES))
 
 
-def minhash_bands_for(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) LSH rows for any (doc_id, text) frame,
-    entirely row-local until the band join: shingles → 28-bit md5
-    digests (ONE md5 per shingle) → 16 universal-hash ``array_min``
-    passes → md5 band buckets.
-
-    No explode and no aggregation shuffle — a minhash signature is a
-    per-document map step, so at any scale the only shuffle in the
-    whole operator is the band-bucket equi-join.
-    """
+def minhash_sig_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15) minhash signature for any (doc_id, text)
+    frame, entirely row-local: shingles → 28-bit md5 digests (ONE md5
+    per shingle) → 16 universal-hash ``array_min`` passes."""
     sh = docs.select("doc_id", _words_col().alias("w")).select(
         "doc_id", _shingles_expr().alias("shingles")
     )
@@ -270,7 +264,7 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
             "transform(shingles, s -> cast(conv(substring(md5(s), 1, 7), 16, 10) as bigint))"
         ).alias("hs"),
     )
-    sig = hs.select(
+    return hs.select(
         "doc_id",
         *[
             F.expr(
@@ -279,7 +273,13 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
             for j in range(NUM_MINHASHES)
         ],
     )
-    rows_per_band = NUM_MINHASHES // LSH_BANDS
+
+
+def _band_rows(sig: DataFrame, n_bands: int) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame at ``n_bands``
+    bands × 16/n_bands rows — the banding step factored out so the
+    tradeoff sweep can re-band one signature scan."""
+    rows_per_band = NUM_MINHASHES // n_bands
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -293,11 +293,22 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
                 )
             ).alias("bucket"),
         )
-        for b in range(LSH_BANDS)
+        for b in range(n_bands)
     ]
     return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH rows for any (doc_id, text) frame
+    at the standing (LSH_BANDS × rows) configuration — see
+    minhash_sig_for / _band_rows. No explode and no aggregation
+    shuffle before the band join: a minhash signature is a
+    per-document map step, so at any scale the only shuffle in the
+    whole operator is the band-bucket equi-join.
+    """
+    return _band_rows(minhash_sig_for(docs), LSH_BANDS)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,6 +345,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Jaccard thresholds for the LSH precision/recall curve.
 PR_TAUS = (0.2, 0.4, 0.6, 0.8)
+
+#: Banding configurations to sweep: (bands, rows) with bands·rows =
+#: NUM_MINHASHES. More bands → lower s-curve threshold → more
+#: candidates (recall↑, precision↓).
+BANDING_CONFIGS = (2, 4, 8)
+
+
+def dedup_banding_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding tuning table: for b ∈ {2, 4, 8} bands over
+    the SAME 16 minhashes, the implied detection threshold
+    τ* = (1/b)^(1/r) (the s-curve midpoint — pairs above it are
+    likely candidates) and the measured candidate-pair count — the
+    b×r operating-point sweep run before fixing a banding config,
+    next to ``dedup_lsh_pr_curve``'s quality numbers at the standing
+    point.
+
+    Scale shape: ONE signature scan (row-local minhashes), re-banded
+    three ways (constant fan-out); each config's candidate count is
+    a band-bucket equi-join + distinct — the same bounded join as
+    the production candidate generator, never all-pairs.
+    """
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    sig = minhash_sig_for(docs).persist()
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    outs = []
+    for nb in BANDING_CONFIGS:
+        rpb = NUM_MINHASHES // nb
+        bands = _band_rows(sig, nb)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        outs.append(
+            cand.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+            ).select(
+                F.lit(nb).alias("n_bands"),
+                F.lit(rpb).alias("rows_per_band"),
+                f6(
+                    F.pow(F.lit(1.0) / F.lit(float(nb)),
+                          F.lit(1.0) / F.lit(float(rpb)))
+                ).alias("est_threshold"),
+                "n_candidate_pairs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("n_bands")
 
 
 def dedup_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,3 +1460,49 @@ ORACLES["dedup_fuzzy_cluster"] = f"""
     GROUP BY label
     ORDER BY keep_doc
 """
+
+
+def _banding_tradeoff_oracle() -> str:
+    """SQL twin of dedup_banding_tradeoff: re-band the shared sig CTE
+    at each (bands, rows) config, count distinct candidate pairs."""
+    rpb = {nb: NUM_MINHASHES // nb for nb in BANDING_CONFIGS}
+    band_ctes = []
+    for nb in BANDING_CONFIGS:
+        arms = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+            + ", ".join(
+                f"CAST(mh{b * rpb[nb] + r} AS VARCHAR)"
+                for r in range(rpb[nb])
+            )
+            + ")) AS bucket FROM sig"
+            for b in range(nb)
+        )
+        band_ctes.append(f"bands{nb} AS ({arms})")
+        band_ctes.append(
+            f"""cand{nb} AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+                    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                    FROM bands{nb} a JOIN bands{nb} b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id
+                )
+            )"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT {nb} AS n_bands, {rpb[nb]} AS rows_per_band,
+               floor(pow(1.0 / {nb}.0, 1.0 / {rpb[nb]}.0) * 1e6) / 1e6
+                   AS est_threshold,
+               n AS n_candidate_pairs
+        FROM cand{nb}"""
+        for nb in BANDING_CONFIGS
+    )
+    return f"""
+        WITH {_bands_cte_sql()},
+        {", ".join(band_ctes)}
+        {selects}
+        ORDER BY n_bands
+    """
+
+
+ORACLES["dedup_banding_tradeoff"] = _banding_tradeoff_oracle()
+QUERIES["dedup_banding_tradeoff"] = dedup_banding_tradeoff

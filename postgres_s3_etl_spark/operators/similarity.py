@@ -415,6 +415,60 @@ def sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_probe.orderBy("probe_id")
 
 
+#: Cut-offs for the recall@k curve (≤ TOP_K — both ranked lists are
+#: already materialized to that depth).
+RECALL_KS = (1, 3, 5)
+
+
+def sim_search_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k CURVE for the LSH path: mean recall at k ∈ {1, 3, 5}
+    against the exact ranking — recall@1 is "is the single nearest
+    neighbor found", recall@5 the standing operating point; the
+    curve shape (flat vs climbing) tells whether LSH errors are
+    rank-swaps near the top or genuine misses, which decides whether
+    to add tables or deepen the rerank.
+
+    Plan: both ranked lists are probe-bounded (N_PROBES × TOP_K
+    rows); the k sweep is a row-local literal-array explode over the
+    joined eval frame — corpus size never enters.
+    """
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.col("rank").alias("erank")
+    )
+    approx = sim_search_lsh(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.col("rank").alias("arank")
+    )
+    base = exact.join(approx, ["probe_id", "neighbor_id"], "left")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        base.withColumn(
+            "k", F.explode(F.array(*[F.lit(k) for k in RECALL_KS]))
+        )
+        .where(F.col("erank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.countDistinct("probe_id").cast("bigint").alias("n_probes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("arank") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("found"),
+        )
+        .select(
+            "k",
+            "n_probes",
+            "n_pairs",
+            "found",
+            f6(
+                F.col("found").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("mean_recall"),
+        )
+        .orderBy("k")
+    )
+
+
 def sim_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-aware ANN quality: per-probe NDCG@k of the LSH ranking
     against the exact cosine ranking — recall@k (sim_search_recall)
@@ -2200,6 +2254,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "embedding_hard_negatives": embedding_hard_negatives,
     "sim_search_recall": sim_search_recall,
+    "sim_search_recall_curve": sim_search_recall_curve,
     "sim_search_ndcg": sim_search_ndcg,
     "embedding_knn_eval": embedding_knn_eval,
     "embedding_mmd_drift": embedding_mmd_drift,
@@ -3488,6 +3543,58 @@ ORACLES = {
                      / CAST(i.idcg AS DOUBLE) * 1e6) / 1e6 AS ndcg
         FROM idcg i LEFT JOIN dcg d ON i.probe_id = d.probe_id
         ORDER BY i.probe_id
+    """,
+    "sim_search_recall_curve": f"""
+        WITH {lsh_bucket_cte()},
+        exact_pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        exact_rk AS (
+            SELECT probe_id, neighbor_id, rank AS erank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM exact_pairs
+            ) WHERE rank <= {TOP_K}
+        ),
+        lsh_pairs AS (
+            SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            WHERE a.vec_id < {N_PROBES}
+        ),
+        lsh_rk AS (
+            SELECT probe_id, neighbor_id, rank AS arank FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM lsh_pairs
+            ) WHERE rank <= {TOP_K}
+        ),
+        base AS (
+            SELECT e.probe_id, e.erank, l.arank
+            FROM exact_rk e LEFT JOIN lsh_rk l
+              ON e.probe_id = l.probe_id AND e.neighbor_id = l.neighbor_id
+        ),
+        swept AS (
+            SELECT b.*, k.k
+            FROM base b,
+                 (SELECT unnest([{", ".join(str(k) for k in RECALL_KS)}]) AS k) k
+            WHERE b.erank <= k.k
+        )
+        SELECT k,
+               CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN arank <= k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS found,
+               floor(CAST(SUM(CASE WHEN arank <= k THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6)
+                   / 1e6 AS mean_recall
+        FROM swept
+        GROUP BY k
+        ORDER BY k
     """,
     "sim_search_recall": f"""
         WITH {lsh_bucket_cte()},

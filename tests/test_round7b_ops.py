@@ -23,6 +23,8 @@ ALL = [
     "graph_modularity",
     "dedup_lsh_pr_curve",
     "embedding_pq_distortion_curve",
+    "dedup_banding_tradeoff",
+    "sim_search_recall_curve",
 ]
 
 
@@ -460,6 +462,40 @@ def test_pq_distortion_monotone_in_m(spark):
     assert all(r.n_vectors == rows[0].n_vectors for r in rows)
     for a, b in zip(rows, rows[1:]):
         assert b.total_distortion <= a.total_distortion + 1e-6
+
+
+def test_banding_tradeoff_monotone(spark):
+    """More bands -> shorter band rows -> looser buckets: candidate
+    count must be non-decreasing in n_bands, and the implied
+    thresholds strictly decreasing."""
+    from postgres_s3_etl_spark.operators.dedup import (
+        dedup_banding_tradeoff,
+    )
+
+    rows = sorted(
+        dedup_banding_tradeoff(spark, SF_DIR).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert [r.n_bands for r in rows] == [2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidate_pairs >= a.n_candidate_pairs
+        assert b.est_threshold < a.est_threshold
+    for r in rows:
+        assert r.n_bands * r.rows_per_band == 16
+
+
+def test_recall_curve_pairs_consistent(spark):
+    """n_pairs = n_probes * k at every cut, and recall bounded."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        sim_search_recall_curve,
+    )
+
+    rows = sim_search_recall_curve(spark, SF_DIR).collect()
+    assert [r.k for r in sorted(rows, key=lambda r: r.k)] == [1, 3, 5]
+    for r in rows:
+        assert r.n_pairs == r.n_probes * r.k
+        assert 0 <= r.found <= r.n_pairs
+        assert 0.0 <= r.mean_recall <= 1.0
 
 
 def test_modularity_identities(spark):
