@@ -538,9 +538,15 @@ def graph_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = deg.where(
         (F.col("deg") >= 2) & (F.col("deg") <= SQUARES_DEG_CAP)
     ).select("node")
-    adj = sym.join(centers, sym.src == centers.node).select(
-        F.col("src").alias("center"), F.col("dst").alias("leaf")
-    )
+    # LEFT SEMI, not inner: an inner join here let the planner pick
+    # the EDGE frame as the broadcast build side (it looked small
+    # post-localCheckpoint), which at sf10 turned into a multi-GB
+    # broadcast and α(1→10) = 1.18. Semi-filtering forces the
+    # reduced center set to be the build side and keeps only sym's
+    # columns — the filter we actually meant.
+    adj = sym.join(
+        centers, sym.src == centers.node, "left_semi"
+    ).select(F.col("src").alias("center"), F.col("dst").alias("leaf"))
     l1, l2 = adj.alias("l1"), adj.alias("l2")
     pairs = (
         l1.join(
