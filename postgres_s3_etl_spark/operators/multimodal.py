@@ -3253,6 +3253,355 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Real TGA (round-7): Truevision TARGA type-10 (RLE-compressed
+#: 24-bit truecolor) — genuine run-length packets (RLE and raw,
+#: greedy encoder), bottom-up row order, BGR pixel order. The pixel
+#: pattern is constant over 4-pixel runs (x div 4 in the formulas)
+#: so the encoder emits REAL RLE packets on every row and a packet
+#: bug shifts whole runs — caught by the exact channel sums.
+N_TGA_ASSETS = 48
+
+
+def encode_tga_rle(asset_id: int, w: int, h: int) -> bytes:
+    """A real type-10 RLE truecolor TGA, bottom-up rows, with pixel
+    channels b,g,r = (5a+7(x div 4)+11y, 13a+17(x div 4)+19y,
+    23a+29(x div 4)+31y) % 256."""
+    import struct
+
+    def px(x: int, y: int) -> bytes:
+        q = x // 4
+        return bytes(
+            (
+                (5 * asset_id + 7 * q + 11 * y) % 256,
+                (13 * asset_id + 17 * q + 19 * y) % 256,
+                (23 * asset_id + 29 * q + 31 * y) % 256,
+            )
+        )
+
+    header = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0
+    )
+    out = bytearray(header)
+    for y in range(h - 1, -1, -1):  # bottom-up file order
+        x = 0
+        while x < w:
+            p = px(x, y)
+            run = 1
+            while x + run < w and run < 128 and px(x + run, y) == p:
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out.extend(p)
+                x += run
+            else:
+                # accumulate a raw packet of non-repeating pixels
+                start = x
+                x += 1
+                while (
+                    x < w
+                    and x - start < 128
+                    and not (x + 1 < w and px(x, y) == px(x + 1, y))
+                ):
+                    x += 1
+                out.append((x - start) - 1)
+                for xi in range(start, x):
+                    out.extend(px(xi, y))
+    return bytes(out)
+
+
+def decode_tga(payload: bytes):
+    """REAL TGA decode, stdlib+numpy only: 18-byte header parse,
+    type 2 (uncompressed) and type 10 (RLE) 24-bit truecolor, RLE
+    and raw packets (runs may NOT span rows per spec — enforced),
+    bottom-up/top-down origin handling. Returns an (h, w, 3) uint8
+    BGR array or None for palette/16-bit/grayscale types."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 18:
+        return None
+    (idlen, cmap, itype, _cm1, _cm2, _cm3, _x0, _y0, w, h, depth,
+     desc) = struct.unpack("<BBBHHBHHHHBB", payload[:18])
+    if itype not in (2, 10) or depth != 24 or cmap != 0:
+        return None
+    pos = 18 + idlen
+    n_px = w * h
+    out = np.zeros((n_px, 3), dtype=np.uint8)
+    i = 0
+    if itype == 2:
+        need = 3 * n_px
+        if len(payload) < pos + need:
+            return None
+        out = np.frombuffer(
+            payload[pos : pos + need], dtype=np.uint8
+        ).reshape(n_px, 3).copy()
+    else:
+        row_left = w
+        while i < n_px:
+            if pos >= len(payload):
+                return None
+            hdr = payload[pos]
+            pos += 1
+            cnt = (hdr & 0x7F) + 1
+            if cnt > row_left:
+                return None  # packets must not span rows
+            if hdr & 0x80:
+                if pos + 3 > len(payload):
+                    return None
+                out[i : i + cnt] = np.frombuffer(
+                    payload[pos : pos + 3], dtype=np.uint8
+                )
+                pos += 3
+            else:
+                if pos + 3 * cnt > len(payload):
+                    return None
+                out[i : i + cnt] = np.frombuffer(
+                    payload[pos : pos + 3 * cnt], dtype=np.uint8
+                ).reshape(cnt, 3)
+                pos += 3 * cnt
+            i += cnt
+            row_left -= cnt
+            if row_left == 0:
+                row_left = w
+    img = out.reshape(h, w, 3)
+    if not desc & 0x20:  # bit 5 clear -> bottom-left origin
+        img = img[::-1]
+    return img
+
+
+def synth_tga_media(spark: SparkSession, n: int = N_TGA_ASSETS) -> DataFrame:
+    """n real RLE truecolor TGAs with deterministic run patterns."""
+    rows = []
+    for i in range(n):
+        w, h = 24 + 4 * (i % 4), 16 + 3 * (i % 3)
+        rows.append(
+            (i, "image", w, h, 0, bytearray(encode_tga_rle(i, w, h)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_TGA_STATS_SCHEMA = (
+    "asset_id bigint, width int, height int, n_px bigint, "
+    "sum_b bigint, sum_g bigint, sum_r bigint, row0_b_sum bigint"
+)
+
+
+def mm_image_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL RLE TGA decode: genuine run-length packets
+    (the constant-over-4-pixel pattern makes every row a mix of RLE
+    packets the encoder really emits), bottom-up row order and BGR
+    channel order — decoded inside Arrow-batched mapInPandas to
+    exact int64 channel sums. ``row0_b_sum`` reads the TOP row after
+    the origin flip, so a forgotten bottom-up flip breaks the hash;
+    asymmetric channel constants catch BGR/RGB swaps.
+
+    Scale: identical plumbing to every other decode — payload bytes
+    never shuffle, 8 ints per asset cross to the JVM.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_tga(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64)
+                h, w = img.shape[0], img.shape[1]
+                out.append(
+                    (
+                        int(aid), w, h, h * w,
+                        int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int(px[0, :, 0].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "width", "height", "n_px",
+                "sum_b", "sum_g", "sum_r", "row0_b_sum",
+            ],
+        )
+
+    media = synth_tga_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _TGA_STATS_SCHEMA).orderBy(
+        "asset_id"
+    )
+
+
+#: Real AIFF (round-7): the big-endian PCM container (Apple/legacy
+#: audio interchange) — FORM/AIFF IFF chunk walk, COMM with the
+#: 80-bit IEEE-extended sample rate (a real extended-precision
+#: parse, not a shortcut), SSND with offset/blockSize, big-endian
+#: int16 frames. The byte-order mirror of the WAV family: one wrong
+#: endianness and every sample value explodes, which the exact
+#: closed-form sums catch.
+N_AIFF_ASSETS = 48
+AIFF_RATE = 1000
+
+
+def _f80_encode(x: float) -> bytes:
+    """IEEE 754 80-bit extended (AIFF sample-rate field): sign bit,
+    15-bit biased exponent, 64-bit mantissa with EXPLICIT integer
+    bit. Exact for the integer rates used here."""
+    import struct
+
+    if x == 0:
+        return b"\x00" * 10
+    n = int(x)
+    e = n.bit_length() - 1  # floor(log2) for integer rates
+    mant = n << (63 - e)  # explicit leading 1 at bit 63
+    return struct.pack(">H", 16383 + e) + struct.pack(">Q", mant)
+
+
+def _f80_decode(b: bytes) -> float:
+    import struct
+
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = (se & 0x7FFF) - 16383
+    if mant == 0:
+        return 0.0
+    return sign * (mant / float(1 << 63)) * (2.0 ** exp)
+
+
+def encode_aiff(asset_id: int, n_samples: int) -> bytes:
+    """A real FORM/AIFF file: COMM (mono, 16-bit, 80-bit-extended
+    rate) + SSND (offset 0, blockSize 0) with BIG-endian int16
+    samples of the same closed-form pattern as the WAV family."""
+    import struct
+
+    import numpy as np
+
+    frames = np.fromiter(
+        (_wav_sample(asset_id, k) for k in range(n_samples)),
+        dtype=">i2",
+        count=n_samples,
+    ).tobytes()
+    comm = (
+        b"COMM"
+        + struct.pack(">I", 18)
+        + struct.pack(">hIh", 1, n_samples, 16)
+        + _f80_encode(float(AIFF_RATE))
+    )
+    ssnd = (
+        b"SSND"
+        + struct.pack(">I", 8 + len(frames))
+        + struct.pack(">II", 0, 0)
+        + frames
+    )
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(payload: bytes):
+    """REAL AIFF decode, stdlib+numpy only: IFF chunk walk (COMM
+    before or after SSND, unknown chunks skipped, odd-length pad
+    bytes honored), 80-bit extended sample-rate parse, big-endian
+    int16 PCM. Returns (rate_hz, samples int64 array) or None for
+    compressed AIFC / non-16-bit / multi-channel files."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        return None
+    pos = 12
+    n_ch = n_frames = bits = None
+    rate = None
+    frames = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if cid == b"COMM":
+            if ln < 18:
+                return None
+            n_ch, n_frames, bits = struct.unpack(">hIh", body[:8])
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            if ln < 8:
+                return None
+            off, _blk = struct.unpack(">II", body[:8])
+            frames = body[8 + off :]
+        pos += 8 + ln + (ln & 1)  # IFF chunks pad to even length
+    if n_ch != 1 or bits != 16 or rate is None or frames is None:
+        return None
+    if n_frames is None or len(frames) < 2 * n_frames:
+        return None
+    samples = np.frombuffer(
+        frames[: 2 * n_frames], dtype=">i2"
+    ).astype(np.int64)
+    return int(round(rate)), samples
+
+
+def synth_aiff_media(spark: SparkSession, n: int = N_AIFF_ASSETS) -> DataFrame:
+    """n real AIFF audio assets with deterministic samples."""
+    rows = []
+    for i in range(n):
+        ns = 800 + 10 * i
+        rows.append(
+            (i, "audio", 0, 0, ns * 1000 // AIFF_RATE,
+             bytearray(encode_aiff(i, ns)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_AIFF_STATS_SCHEMA = (
+    "asset_id bigint, rate_hz int, n_samples bigint, "
+    "sum_s bigint, ssq_s bigint, min_s bigint, max_s bigint"
+)
+
+
+def mm_audio_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL AIFF decode: the big-endian PCM container
+    with its 80-bit extended-float sample-rate field, decoded inside
+    Arrow-batched mapInPandas to exact int64 sample stats — the
+    byte-order mirror of the WAV family (one endianness slip and
+    every sample explodes, which these exact sums catch). The chunk
+    walk honors IFF odd-length padding and unknown-chunk skipping;
+    compressed AIFC stays out of scope (loud None).
+
+    Scale: identical plumbing to every decode — payload bytes never
+    shuffle, 7 ints per asset cross to the JVM.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = decode_aiff(bytes(payload))
+                if dec is None:
+                    continue
+                rate, s = dec
+                out.append(
+                    (
+                        int(aid), rate, len(s),
+                        int(s.sum()), int((s * s).sum()),
+                        int(s.min()), int(s.max()),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "rate_hz", "n_samples",
+                "sum_s", "ssq_s", "min_s", "max_s",
+            ],
+        )
+
+    media = synth_aiff_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(batches, _AIFF_STATS_SCHEMA).orderBy(
+        "asset_id"
+    )
+
+
 #: Real progressive JPEG (round-7): the LAST JPEG stub retired. A
 #: spec-legal SOF2 file with three scans — DC first pass at
 #: successive-approximation Al=1, DC refinement (Ah=1→Al=0, one raw
@@ -3868,6 +4217,8 @@ QUERIES = {
     "mm_image_decode_jpeg_420": mm_image_decode_jpeg_420,
     "mm_image_decode_gif": mm_image_decode_gif,
     "mm_image_decode_jpeg_progressive": mm_image_decode_jpeg_progressive,
+    "mm_audio_decode_aiff": mm_audio_decode_aiff,
+    "mm_image_decode_tga": mm_image_decode_tga,
 }
 
 #: The synthetic media and the stub decoders are pure functions of
@@ -4702,6 +5053,64 @@ ORACLES: dict[str, str] = {
                SUM(v * v) * 64 AS ssq_px,
                SUM(CASE WHEN by = 0 THEN v ELSE 0 END) * 8 AS row0_sum
         FROM blocks
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    # Round-7: RLE TGA — channel sums over the run-constant pattern;
+    # row0 reads the TOP row (post-flip), catching a missed
+    # bottom-up origin flip; b/g/r constants asymmetric.
+    "mm_image_decode_tga": f"""
+        WITH assets AS (
+            SELECT i AS asset_id,
+                   24 + 4 * (i % 4) AS w, 16 + 3 * (i % 3) AS h
+            FROM generate_series(0, {N_TGA_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, gy.y,
+                   (5 * a.asset_id + 7 * (gx.x // 4) + 11 * gy.y) % 256 AS b,
+                   (13 * a.asset_id + 17 * (gx.x // 4) + 19 * gy.y) % 256 AS g,
+                   (23 * a.asset_id + 29 * (gx.x // 4) + 31 * gy.y) % 256 AS r
+            FROM assets a
+            CROSS JOIN generate_series(0, 39) gx(x)
+            CROSS JOIN generate_series(0, 21) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN y = 0 THEN b ELSE 0 END) AS BIGINT)
+                   AS row0_b_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    # Round-7: AIFF — exact big-endian PCM sample stats from the
+    # shared closed-form pattern s(a,k) = ((7a+13k)%201)−100.
+    "mm_audio_decode_aiff": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 800 + 10 * i AS ns
+            FROM generate_series(0, {N_AIFF_ASSETS - 1}) s(i)
+        ),
+        samples AS (
+            SELECT a.asset_id, a.ns,
+                   ((7 * a.asset_id + 13 * k.k) % 201) - 100 AS s
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {800 + 10 * (N_AIFF_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
+        )
+        SELECT asset_id,
+               {AIFF_RATE} AS rate_hz,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(s) AS BIGINT) AS sum_s,
+               CAST(SUM(s * s) AS BIGINT) AS ssq_s,
+               CAST(MIN(s) AS BIGINT) AS min_s,
+               CAST(MAX(s) AS BIGINT) AS max_s
+        FROM samples
         GROUP BY asset_id
         ORDER BY asset_id
     """,

@@ -25,6 +25,8 @@ ALL = [
     "embedding_pq_distortion_curve",
     "dedup_banding_tradeoff",
     "sim_search_recall_curve",
+    "mm_audio_decode_aiff",
+    "mm_image_decode_tga",
 ]
 
 
@@ -228,6 +230,75 @@ class TestProgressiveJpeg:
         full = decode_jpeg_progressive_gray(prog)
         partial = decode_jpeg_progressive_gray(prog[:-12])
         assert partial is not None and (partial == full).all()
+
+
+class TestAiffTga:
+    def test_aiff_f80_rates(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _f80_decode,
+            _f80_encode,
+        )
+
+        for r in (8000.0, 22050.0, 44100.0, 48000.0, 96000.0, 1000.0):
+            assert _f80_decode(_f80_encode(r)) == r
+        assert _f80_decode(b"\x00" * 10) == 0.0
+
+    def test_aiff_round_trip_and_chunk_skip(self):
+        import struct
+
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _wav_sample,
+            decode_aiff,
+            encode_aiff,
+        )
+
+        raw = encode_aiff(3, 100)
+        rate, s = decode_aiff(raw)
+        assert rate == 1000
+        assert (s == np.array(
+            [_wav_sample(3, k) for k in range(100)], dtype=np.int64
+        )).all()
+        # odd-length unknown chunk (with pad byte) must be skipped
+        inj = b"JUNK" + struct.pack(">I", 3) + b"abc\x00"
+        patched = raw[:12] + inj + raw[12:]
+        patched = (
+            patched[:4]
+            + struct.pack(">I", len(patched) - 8)
+            + patched[8:]
+        )
+        rate2, s2 = decode_aiff(patched)
+        assert rate2 == 1000 and (s2 == s).all()
+        assert decode_aiff(b"FORM\x00\x00\x00\x04WAVE") is None
+
+    def test_tga_round_trip_and_origin_flip(self):
+        import numpy as np
+
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_tga,
+            encode_tga_rle,
+        )
+
+        aid, w, h = 7, 28, 19
+        img = decode_tga(encode_tga_rle(aid, w, h))
+        assert img is not None and img.shape == (h, w, 3)
+        exp = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                q = x // 4
+                exp[y, x] = (
+                    (5 * aid + 7 * q + 11 * y) % 256,
+                    (13 * aid + 17 * q + 19 * y) % 256,
+                    (23 * aid + 29 * q + 31 * y) % 256,
+                )
+        assert (img == exp).all()
+        # truncated RLE stream fails safely
+        assert decode_tga(encode_tga_rle(0, 24, 16)[:-10]) is None
+        # 16-bit depth out of scope
+        raw = bytearray(encode_tga_rle(0, 24, 16))
+        raw[16] = 16
+        assert decode_tga(bytes(raw)) is None
 
 
 def test_winnowing_coverage_guarantee(spark):
