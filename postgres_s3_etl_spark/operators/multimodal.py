@@ -900,6 +900,138 @@ def mulaw_expand(u: int) -> int:
     return -mag if sign else mag
 
 
+def alaw_expand(a: int) -> int:
+    """G.711 A-law byte → linear PCM16 (ITU-T G.711 expansion):
+    even-bit inversion (XOR 0x55), then sign/exponent/mantissa with
+    ``mag = 16m + 8`` for e = 0 and ``(16m + 264) << (e−1)`` for
+    e ≥ 1 (max 32256 at m=15, e=7). Sign convention: bit 7 of the
+    inverted byte set ⇒ negative — fixed here and mirrored verbatim
+    in the oracle."""
+    a ^= 0x55
+    sign = (a >> 7) & 1
+    e = (a >> 4) & 7
+    m = a & 0x0F
+    mag = (16 * m + 8) if e == 0 else ((16 * m + 264) << (e - 1))
+    return -mag if sign else mag
+
+
+def _alaw_byte(asset_id: int, k: int) -> int:
+    """Closed-form encoded A-law byte (mirrored by the SQL oracle)."""
+    return (13 * asset_id + 19 * k) % 256
+
+
+def encode_wav_alaw(asset_id: int, n_samples: int) -> bytes:
+    """A real RIFF/WAVE container with fmt tag 6 (G.711 A-law,
+    8-bit mono at the telephony rate) and the closed-form byte
+    pattern."""
+    import struct
+
+    data = bytes(_alaw_byte(asset_id, k) for k in range(n_samples))
+    fmt = struct.pack("<HHIIHH", 6, 1, MULAW_RATE, MULAW_RATE, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_alaw_exact(
+    payload: bytes,
+) -> tuple[int, int, int, int] | None:
+    """REAL A-law decode with EXACT integer outputs: same manual
+    RIFF walk as the μ-law twin, format tag must be 6 / mono /
+    8-bit; returns (n_samples, Σpcm, Σpcm², max|pcm|) or None."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        return None
+    pos, fmt_ok, data = 12, False, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + ln > len(payload):
+            return None
+        chunk = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and ln >= 16:
+            tag, ch, _rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", chunk, 0
+            )
+            fmt_ok = tag == 6 and ch == 1 and bits == 8
+        elif cid == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)
+    if not fmt_ok or data is None:
+        return None
+    n = s = q = peak = 0
+    for b in data:
+        v = alaw_expand(b)
+        n += 1
+        s += v
+        q += v * v
+        peak = max(peak, abs(v))
+    return (n, s, q, peak)
+
+
+def synth_alaw_media(
+    spark: SparkSession, n: int = N_MULAW_ASSETS
+) -> DataFrame:
+    """n real G.711 A-law WAV assets with deterministic bytes."""
+    rows = []
+    for i in range(n):
+        ns = 400 + 8 * i
+        rows.append(
+            (i, "audio", 0, 0, ns * 1000 // MULAW_RATE,
+             bytearray(encode_wav_alaw(i, ns)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_audio_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 A-law decode end-to-end — the European-telephony
+    sibling of ``mm_audio_mulaw`` (fmt tag 6, even-bit inversion,
+    different expansion table): chunk-walked and expanded to linear
+    PCM16 inside Arrow-batched mapInPandas, exact integer energy
+    stats, oracle mirrors the ITU expansion verbatim. Together the
+    pair covers both G.711 companding laws a telephony archive
+    contains.
+
+    Scale: payload bytes never shuffle; 5 ints per asset cross the
+    Arrow boundary.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = decode_wav_alaw_exact(bytes(payload))
+                if dec is None:
+                    continue
+                out.append((int(aid),) + dec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_samples", "sum_pcm", "ssq_pcm",
+                    "peak_abs",
+                ],
+            )
+
+    media = synth_alaw_media(spark).select("asset_id", "payload")
+    return (
+        media.mapInPandas(
+            batches,
+            "asset_id bigint, n_samples bigint, sum_pcm bigint, "
+            "ssq_pcm bigint, peak_abs bigint",
+        )
+        .orderBy("asset_id")
+    )
+
+
 def encode_wav_mulaw(asset_id: int, n_samples: int) -> bytes:
     """A real RIFF/WAVE container with fmt tag 7 (G.711 μ-law,
     8-bit mono) — hand-rolled because stdlib ``wave`` only writes
@@ -4219,6 +4351,7 @@ QUERIES = {
     "mm_image_decode_jpeg_progressive": mm_image_decode_jpeg_progressive,
     "mm_audio_decode_aiff": mm_audio_decode_aiff,
     "mm_image_decode_tga": mm_image_decode_tga,
+    "mm_audio_alaw": mm_audio_alaw,
 }
 
 #: The synthetic media and the stub decoders are pure functions of
@@ -4720,6 +4853,43 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CASE WHEN y = 0 THEN g ELSE 0 END) AS BIGINT)
                    AS row0_sum
         FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    "mm_audio_alaw": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 400 + 8 * i AS ns
+            FROM generate_series(0, {N_MULAW_ASSETS - 1}) s(i)
+        ),
+        enc AS (
+            SELECT a.asset_id,
+                   xor((13 * a.asset_id + 19 * k.k) % 256, 85) AS u
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {400 + 8 * (N_MULAW_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
+        ),
+        pcm AS (
+            -- ITU-T G.711 A-law expansion, mirrored from
+            -- alaw_expand(): mag = 16m + 8 at e = 0, else
+            -- (16m + 264)·2^(e−1); bit 7 of the inverted byte set
+            -- ⇒ negative.
+            SELECT asset_id,
+                   CASE WHEN u // 128 = 1 THEN -1 ELSE 1 END
+                   * CASE WHEN (u // 16) % 8 = 0
+                          THEN 16 * (u % 16) + 8
+                          ELSE (16 * (u % 16) + 264)
+                               * CAST(power(2, (u // 16) % 8 - 1)
+                                      AS BIGINT)
+                     END AS v
+            FROM enc
+        )
+        SELECT asset_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sum_pcm,
+               CAST(SUM(v * v) AS BIGINT) AS ssq_pcm,
+               CAST(MAX(abs(v)) AS BIGINT) AS peak_abs
+        FROM pcm
         GROUP BY asset_id
         ORDER BY asset_id
     """,

@@ -27,6 +27,7 @@ ALL = [
     "sim_search_recall_curve",
     "mm_audio_decode_aiff",
     "mm_image_decode_tga",
+    "mm_audio_alaw",
 ]
 
 
@@ -271,6 +272,24 @@ class TestAiffTga:
         rate2, s2 = decode_aiff(patched)
         assert rate2 == 1000 and (s2 == s).all()
         assert decode_aiff(b"FORM\x00\x00\x00\x04WAVE") is None
+
+    def test_alaw_expansion_values(self):
+        """Spot-check the ITU A-law expansion against hand-computed
+        values and the μ-law/A-law structural relationship (A-law
+        max magnitude 32256 > μ-law 32124; min step 8 vs 4)."""
+        from postgres_s3_etl_spark.operators.multimodal import (
+            alaw_expand,
+            mulaw_expand,
+        )
+
+        # 0x55 inverts to 0x00 -> e=0, m=0, positive -> +8
+        assert alaw_expand(0x55) == 8
+        # 0xD5 inverts to 0x80 -> sign bit -> -8
+        assert alaw_expand(0xD5) == -8
+        # inverted 0x7F: e=7, m=15 -> (240+264)<<6 = 32256
+        assert alaw_expand(0x7F ^ 0x55) == 32256
+        assert max(abs(alaw_expand(b)) for b in range(256)) == 32256
+        assert max(abs(mulaw_expand(b)) for b in range(256)) == 32124
 
     def test_tga_round_trip_and_origin_flip(self):
         import numpy as np
