@@ -421,6 +421,66 @@ def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend ESTIMATOR on monthly order revenue —
+    the median of all pairwise slopes, the companion to
+    ``q_orders_trend_mannkendall``'s trend TEST (MK says whether a
+    monotone trend exists; Theil–Sen says how steep, immune to up to
+    ~29% outlier months where OLS is not).
+
+    Cross-engine determinism: each pairwise slope is ONE IEEE
+    division truncated to 1e-6 BEFORE ranking, so both engines rank
+    identical values; the median is picked by explicit row_number
+    over (slope, month_a, month_b) — middle element for odd counts,
+    the mean of the two middles (one mirrored add + halve) for even.
+
+    Scale shape: same bounded-frame trick as Mann–Kendall — the
+    month rollup is calendar-bounded (~84 rows → ~3.5k pairs at ANY
+    corpus size), so the pair join is corpus-independent; revenue
+    sums are exact DECIMAL.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    monthly = orders.groupBy("month").agg(F.sum("p").alias("rev"))
+    a = monthly.select(
+        F.col("month").alias("ma"), F.col("rev").alias("ra")
+    )
+    b = monthly.select(
+        F.col("month").alias("mb"), F.col("rev").alias("rb")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    slopes = (
+        a.join(b, F.col("ma") < F.col("mb"))
+        .select(
+            "ma",
+            "mb",
+            f6(
+                (F.col("rb") - F.col("ra")).cast("double")
+                / F.months_between(F.col("mb"), F.col("ma"))
+            ).alias("slope"),
+        )
+    )
+    # The slope frame is calendar-bounded (~3.5k rows), so the
+    # global rank and the two scalar counts are cheap by
+    # construction — this is the documented bounded-frame exception
+    # to the no-unpartitioned-window rule (same as Mann–Kendall).
+    w = Window.orderBy("slope", "ma", "mb")
+    ranked = slopes.withColumn("rn", F.row_number().over(w))
+    n = slopes.count()
+    lo, hi = (n + 1) // 2, n // 2 + 1
+    mids = ranked.where(F.col("rn").isin(lo, hi)).agg(
+        (F.sum("slope") / F.count(F.lit(1))).alias("med")
+    )
+    n_months = monthly.count()
+    return mids.select(
+        F.lit(n_months).cast("bigint").alias("n_months"),
+        F.lit(n).cast("bigint").alias("n_pairs"),
+        f6(F.col("med")).alias("theil_sen_slope"),
+    )
+
+
 def q_orders_trend_mannkendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall monotone-trend test on monthly order revenue —
     the distribution-free "is this series actually trending" gate
@@ -1109,6 +1169,7 @@ QUERIES = {
     "q_events_holt": q_events_holt,
     "q_events_cusum": q_events_cusum,
     "q_events_haar_energy": q_events_haar_energy,
+    "q_orders_theil_sen": q_orders_theil_sen,
     "q_events_stl_weekday": q_events_stl_weekday,
     "q_events_forecast_snaive": q_events_forecast_snaive,
     "q_orders_interpurchase": q_orders_interpurchase,
@@ -1693,6 +1754,34 @@ ORACLES = {
         FROM ranked
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "q_orders_theil_sen": """
+        WITH monthly AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        slopes AS (
+            SELECT a.month AS ma, b.month AS mb,
+                   floor(CAST(b.rev - a.rev AS DOUBLE)
+                         / CAST(date_diff('month', a.month, b.month)
+                                AS DOUBLE) * 1e6) / 1e6 AS slope
+            FROM monthly a JOIN monthly b ON a.month < b.month
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY slope, ma, mb) AS rn
+            FROM slopes
+        ),
+        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM slopes),
+        nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM monthly),
+        mids AS (
+            SELECT SUM(slope) / COUNT(*) AS med
+            FROM ranked, np
+            WHERE rn IN ((np.n + 1) // 2, np.n // 2 + 1)
+        )
+        SELECT nm.m AS n_months, np.n AS n_pairs,
+               floor(mids.med * 1e6) / 1e6 AS theil_sen_slope
+        FROM mids, np, nm
     """,
     "q_events_haar_energy": f"""
         WITH daily AS (

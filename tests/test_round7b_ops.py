@@ -28,6 +28,7 @@ ALL = [
     "mm_audio_decode_aiff",
     "mm_image_decode_tga",
     "mm_audio_alaw",
+    "q_orders_theil_sen",
 ]
 
 
