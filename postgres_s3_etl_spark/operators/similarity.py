@@ -163,6 +163,35 @@ IVF_CELLS = 16
 N_PROBE_CELLS = 4
 
 
+def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, norm, ranked): every vector with its coarse-
+    quantizer cells ranked by dot product — the shared IVF
+    assignment step. The dot products accumulate dimension-by-
+    dimension (still vectorized across the Arrow batch) instead of a
+    BLAS matmul: the left-to-right fold gives bit-identical doubles
+    to the SQL engines' sequential list_dot_product folds, so cell
+    assignment can't diverge from the oracle on near-ties."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    vecs = _vecs(spark, sf_dir)
+    seeds = vecs.where(F.col("vec_id") < IVF_CELLS).orderBy("vec_id").collect()
+    seed_mat = np.array(
+        [[x / r.norm for x in r.v] for r in seeds], dtype=np.float64
+    )
+
+    @pandas_udf("array<int>")
+    def rank_cells(v: pd.Series) -> pd.Series:
+        m = np.array(v.tolist(), dtype=np.float64)
+        scores = np.zeros((m.shape[0], seed_mat.shape[0]), dtype=np.float64)
+        for d in range(seed_mat.shape[1]):
+            scores += m[:, d : d + 1] * seed_mat[:, d]
+        # score desc, cell id asc on ties — matches argsort stability.
+        order = np.argsort(-scores, axis=1, kind="stable")
+        return pd.Series(order.tolist())
+
+    return vecs.withColumn("ranked", rank_cells("v"))
+
+
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 per probe via IVF: ``IVF_CELLS`` coarse-quantizer
     vectors (the first 16 corpus vectors, normalized — deterministic
@@ -180,30 +209,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe. The quantizer is deterministic, so the cell assignment —
     and with it the full top-k output — has an exact SQL oracle.
     """
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    vecs = _vecs(spark, sf_dir)
-    seeds = vecs.where(F.col("vec_id") < IVF_CELLS).orderBy("vec_id").collect()
-    seed_mat = np.array(
-        [[x / r.norm for x in r.v] for r in seeds], dtype=np.float64
-    )
-
-    @pandas_udf("array<int>")
-    def rank_cells(v: pd.Series) -> pd.Series:
-        m = np.array(v.tolist(), dtype=np.float64)
-        # Accumulate the dot products dimension-by-dimension (still
-        # vectorized across the batch) instead of a BLAS matmul: the
-        # left-to-right fold gives bit-identical doubles to the SQL
-        # engines' sequential list_dot_product / aggregate() folds, so
-        # cell assignment can't diverge from the oracle on near-ties.
-        scores = np.zeros((m.shape[0], seed_mat.shape[0]), dtype=np.float64)
-        for d in range(seed_mat.shape[1]):
-            scores += m[:, d : d + 1] * seed_mat[:, d]
-        # score desc, cell id asc on ties — matches argsort stability.
-        order = np.argsort(-scores, axis=1, kind="stable")
-        return pd.Series(order.tolist())
-
-    assigned = vecs.withColumn("ranked", rank_cells("v"))
+    assigned = _ivf_assigned(spark, sf_dir)
     corpus = assigned.select(
         "vec_id", "v", "norm", F.element_at("ranked", 1).alias("cell")
     )
@@ -231,6 +237,98 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .orderBy("probe_id", "rank")
+    )
+
+
+#: nprobe values to sweep (≤ N_PROBE_CELLS so one assignment pass
+#: serves every point).
+IVF_NPROBE_CURVE = (1, 2, 4)
+
+
+def sim_search_ivf_nprobe_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k vs nprobe for the IVF path — the #1 IVF tuning knob:
+    how many coarse cells each probe searches. One assignment pass
+    tags every candidate with the CELL RANK at which its cell enters
+    the probe's search order, so the whole curve (nprobe ∈ {1,2,4})
+    falls out of a single candidate frame filtered per sweep point;
+    each point's top-k re-ranks only that point's candidates, and
+    recall is measured against the exact cosine top-k.
+
+    Scale shape: identical to sim_search_ivf (cell equi-join touches
+    nprobe/cells of the corpus per probe) + the probe-bounded eval;
+    the sweep adds a constant 3× fan-out of the candidate frame.
+    """
+    assigned = _ivf_assigned(spark, sf_dir)
+    max_np = max(IVF_NPROBE_CURVE)
+    corpus = assigned.select(
+        "vec_id", "v", "norm", F.element_at("ranked", 1).alias("cell")
+    )
+    probes = assigned.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("norm").alias("pnorm"),
+        F.posexplode(F.slice("ranked", 1, max_np)).alias("cpos", "cell"),
+    ).withColumn("cell_rank", F.col("cpos") + 1).drop("cpos")
+    cand_cos = _trunc6(
+        F.expr(
+            "aggregate(zip_with(pv, v, (x, y) -> x * y), 0.0d, (s, x) -> s + x)"
+        )
+        / (F.col("pnorm") * F.col("norm"))
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(corpus, probes.cell == corpus.cell)
+        .where(F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_rank",
+            cand_cos.alias("cosine"),
+        )
+    )
+    swept = cands.withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(p) for p in IVF_NPROBE_CURVE])),
+    ).where(F.col("cell_rank") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        swept.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("nprobe", "probe_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        "probe_id", "neighbor_id"
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        exact.withColumn(
+            "nprobe",
+            F.explode(F.array(*[F.lit(p) for p in IVF_NPROBE_CURVE])),
+        )
+        .join(approx, ["nprobe", "probe_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct("probe_id").cast("bigint").alias("n_probes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("found"),
+        )
+        .select(
+            "nprobe",
+            "n_probes",
+            "n_pairs",
+            "found",
+            f6(
+                F.col("found").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
     )
 
 
@@ -2255,6 +2353,7 @@ QUERIES = {
     "embedding_hard_negatives": embedding_hard_negatives,
     "sim_search_recall": sim_search_recall,
     "sim_search_recall_curve": sim_search_recall_curve,
+    "sim_search_ivf_nprobe_curve": sim_search_ivf_nprobe_curve,
     "sim_search_ndcg": sim_search_ndcg,
     "embedding_knn_eval": embedding_knn_eval,
     "embedding_mmd_drift": embedding_mmd_drift,
@@ -3347,6 +3446,81 @@ ORACLES = {
         SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY probe_id, rank
+    """,
+    "sim_search_ivf_nprobe_curve": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS cell, list_transform(v, x -> x / nrm) AS sv
+            FROM vecs WHERE vec_id < {IVF_CELLS}
+        ),
+        cscores AS (
+            SELECT v.vec_id, s.cell, list_dot_product(v.v, s.sv) AS score
+            FROM vecs v CROSS JOIN seeds s
+        ),
+        ranked_cells AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cell ASC) AS crank
+            FROM cscores
+        ),
+        corpus AS (
+            SELECT v.vec_id, v.v, v.nrm, rc.cell
+            FROM vecs v JOIN ranked_cells rc
+              ON v.vec_id = rc.vec_id AND rc.crank = 1
+        ),
+        probes AS (
+            SELECT v.vec_id AS probe_id, v.v AS pv, v.nrm AS pnorm,
+                   rc.cell, rc.crank AS cell_rank
+            FROM vecs v JOIN ranked_cells rc ON v.vec_id = rc.vec_id
+            WHERE v.vec_id < {N_PROBES}
+              AND rc.crank <= {max(IVF_NPROBE_CURVE)}
+        ),
+        cands AS (
+            SELECT p.probe_id, c.vec_id AS neighbor_id, p.cell_rank,
+                   floor(list_dot_product(p.pv, c.v)
+                         / (p.pnorm * c.nrm) * 1e6) / 1e6 AS cosine
+            FROM probes p JOIN corpus c
+              ON p.cell = c.cell AND p.probe_id <> c.vec_id
+        ),
+        nps AS (SELECT unnest([{", ".join(str(p) for p in IVF_NPROBE_CURVE)}]) AS nprobe),
+        approx AS (
+            SELECT nprobe, probe_id, neighbor_id, 1 AS hit FROM (
+                SELECT n.nprobe, c.probe_id, c.neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY n.nprobe, c.probe_id
+                           ORDER BY c.cosine DESC, c.neighbor_id ASC) AS rank
+                FROM cands c JOIN nps n ON c.cell_rank <= n.nprobe
+            ) WHERE rank <= {TOP_K}
+        ),
+        epairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        exact AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM epairs
+            ) WHERE rank <= {TOP_K}
+        )
+        SELECT n.nprobe,
+               CAST(COUNT(DISTINCT e.probe_id) AS BIGINT) AS n_probes,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(COALESCE(a.hit, 0)) AS BIGINT) AS found,
+               floor(CAST(SUM(COALESCE(a.hit, 0)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+                   AS mean_recall
+        FROM exact e CROSS JOIN nps n
+        LEFT JOIN approx a
+          ON a.nprobe = n.nprobe AND a.probe_id = e.probe_id
+         AND a.neighbor_id = e.neighbor_id
+        GROUP BY n.nprobe
+        ORDER BY n.nprobe
     """,
     "embedding_hard_negatives": f"""
         WITH vecs AS (

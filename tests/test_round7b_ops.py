@@ -29,6 +29,7 @@ ALL = [
     "mm_image_decode_tga",
     "mm_audio_alaw",
     "q_orders_theil_sen",
+    "sim_search_ivf_nprobe_curve",
 ]
 
 
@@ -573,6 +574,25 @@ def test_banding_tradeoff_monotone(spark):
         assert b.est_threshold < a.est_threshold
     for r in rows:
         assert r.n_bands * r.rows_per_band == 16
+
+
+def test_nprobe_curve_monotone(spark):
+    """Searching more cells can only find more true neighbors:
+    recall must be non-decreasing in nprobe."""
+    from postgres_s3_etl_spark.operators.similarity import (
+        sim_search_ivf_nprobe_curve,
+    )
+
+    rows = sorted(
+        sim_search_ivf_nprobe_curve(spark, SF_DIR).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    for a, b in zip(rows, rows[1:]):
+        assert b.found >= a.found
+        assert b.mean_recall >= a.mean_recall - 1e-9
+    for r in rows:
+        assert r.n_pairs == r.n_probes * 5
 
 
 def test_recall_curve_pairs_consistent(spark):
