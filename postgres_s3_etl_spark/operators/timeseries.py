@@ -245,6 +245,88 @@ def q_events_stl_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_seasonal_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hyndman's seasonal/trend STRENGTH of the daily event series —
+    F_s = max(0, 1 − Var(resid)/Var(seasonal + resid)) and
+    F_t = max(0, 1 − Var(resid)/Var(trend + resid)) over the same
+    classical decomposition as ``q_events_stl_weekday`` — the two
+    scalars (each in [0, 1]) that say whether the weekday cycle and
+    the trend are real enough to justify seasonal models, vs noise.
+
+    Cross-engine determinism: the component doubles are the same
+    IEEE expressions as the STL operator; every squared/linear term
+    pins to DECIMAL(38,12) before its SUM (order-independent), and
+    each variance is the mirrored Σx²/n − (Σx/n)² expression.
+    Scale: one day-grain rollup + one bounded window pass — calendar-
+    bounded at any corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    staged = daily.select(
+        "day",
+        "n",
+        (F.weekday("day") + 1).alias("iso_dow"),
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.sum("n").over(w7)).alias(
+            "s7"
+        ),
+    )
+    seas = (
+        staged.where(F.col("s7").isNotNull())
+        .groupBy("iso_dow")
+        .agg(
+            F.sum(F.lit(7) * F.col("n") - F.col("s7"))
+            .cast("bigint")
+            .alias("ds"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    trend = F.col("s7").cast("double") / F.lit(7.0)
+    seasonal = F.col("ds").cast("double") / (F.lit(7.0) * F.col("cnt"))
+    comp = (
+        staged.join(F.broadcast(seas), "iso_dow", "left")
+        .where(F.col("s7").isNotNull())
+        .select(
+            (F.col("n").cast("double") - trend - seasonal).alias("r"),
+            (F.col("n").cast("double") - trend).alias("d"),
+            (F.col("n").cast("double") - seasonal).alias("t"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    sums = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(dec(F.col("r"))).alias("sr"),
+        F.sum(dec(F.col("r") * F.col("r"))).alias("srr"),
+        F.sum(dec(F.col("d"))).alias("sd"),
+        F.sum(dec(F.col("d") * F.col("d"))).alias("sdd"),
+        F.sum(dec(F.col("t"))).alias("st"),
+        F.sum(dec(F.col("t") * F.col("t"))).alias("stt"),
+    )
+    nd = F.col("n_days").cast("double")
+    var = lambda s2, s1: (  # noqa: E731
+        F.col(s2).cast("double") / nd
+        - (F.col(s1).cast("double") / nd)
+        * (F.col(s1).cast("double") / nd)
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    vr, vd, vt = var("srr", "sr"), var("sdd", "sd"), var("stt", "st")
+    return sums.select(
+        "n_days",
+        f6(vr).alias("var_resid"),
+        f6(vd).alias("var_detrended"),
+        f6(
+            F.when(vd > 0, F.greatest(F.lit(0.0), F.lit(1.0) - vr / vd))
+        ).alias("seasonal_strength"),
+        f6(
+            F.when(vt > 0, F.greatest(F.lit(0.0), F.lit(1.0) - vr / vt))
+        ).alias("trend_strength"),
+    )
+
+
 def q_events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive backtest: forecast each day's event total with
     the value 7 observations earlier (the strongest trivial baseline
@@ -1170,6 +1252,7 @@ QUERIES = {
     "q_events_cusum": q_events_cusum,
     "q_events_haar_energy": q_events_haar_energy,
     "q_orders_theil_sen": q_orders_theil_sen,
+    "q_events_seasonal_strength": q_events_seasonal_strength,
     "q_events_stl_weekday": q_events_stl_weekday,
     "q_events_forecast_snaive": q_events_forecast_snaive,
     "q_orders_interpurchase": q_orders_interpurchase,
@@ -1695,6 +1778,71 @@ ORACLES = {
                    - CAST(s.ds AS DOUBLE) / (7.0 * s.cnt) AS resid
         FROM win w LEFT JOIN seas s ON w.iso_dow = s.iso_dow
         ORDER BY w.day
+    """,
+    "q_events_seasonal_strength": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+            FROM events GROUP BY day
+        ),
+        win AS (
+            SELECT day, n, CAST(isodow(day) AS INT) AS iso_dow,
+                   CASE WHEN COUNT(*) OVER w7 = 7
+                        THEN SUM(n) OVER w7 END AS s7
+            FROM daily
+            WINDOW w7 AS (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        seas AS (
+            SELECT iso_dow,
+                   CAST(SUM(7 * n - s7) AS BIGINT) AS ds,
+                   COUNT(*) AS cnt
+            FROM win WHERE s7 IS NOT NULL
+            GROUP BY iso_dow
+        ),
+        comp AS (
+            SELECT CAST(w.n AS DOUBLE)
+                       - CAST(w.s7 AS DOUBLE) / 7.0
+                       - CAST(s.ds AS DOUBLE) / (7.0 * s.cnt) AS r,
+                   CAST(w.n AS DOUBLE)
+                       - CAST(w.s7 AS DOUBLE) / 7.0 AS d,
+                   CAST(w.n AS DOUBLE)
+                       - CAST(s.ds AS DOUBLE) / (7.0 * s.cnt) AS t
+            FROM win w LEFT JOIN seas s ON w.iso_dow = s.iso_dow
+            WHERE w.s7 IS NOT NULL
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                   SUM(CAST(r AS DECIMAL(38,12))) AS sr,
+                   SUM(CAST(r * r AS DECIMAL(38,12))) AS srr,
+                   SUM(CAST(d AS DECIMAL(38,12))) AS sd,
+                   SUM(CAST(d * d AS DECIMAL(38,12))) AS sdd,
+                   SUM(CAST(t AS DECIMAL(38,12))) AS st,
+                   SUM(CAST(t * t AS DECIMAL(38,12))) AS stt
+            FROM comp
+        ),
+        vars AS (
+            SELECT n_days,
+                   CAST(srr AS DOUBLE) / n_days
+                     - (CAST(sr AS DOUBLE) / n_days)
+                       * (CAST(sr AS DOUBLE) / n_days) AS vr,
+                   CAST(sdd AS DOUBLE) / n_days
+                     - (CAST(sd AS DOUBLE) / n_days)
+                       * (CAST(sd AS DOUBLE) / n_days) AS vd,
+                   CAST(stt AS DOUBLE) / n_days
+                     - (CAST(st AS DOUBLE) / n_days)
+                       * (CAST(st AS DOUBLE) / n_days) AS vt
+            FROM sums
+        )
+        SELECT n_days,
+               floor(vr * 1e6) / 1e6 AS var_resid,
+               floor(vd * 1e6) / 1e6 AS var_detrended,
+               floor(CASE WHEN vd > 0
+                     THEN greatest(0.0, 1.0 - vr / vd) END * 1e6) / 1e6
+                   AS seasonal_strength,
+               floor(CASE WHEN vt > 0
+                     THEN greatest(0.0, 1.0 - vr / vt) END * 1e6) / 1e6
+                   AS trend_strength
+        FROM vars
     """,
     "q_events_forecast_snaive": """
         WITH daily AS (

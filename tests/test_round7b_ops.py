@@ -30,6 +30,7 @@ ALL = [
     "mm_audio_alaw",
     "q_orders_theil_sen",
     "sim_search_ivf_nprobe_curve",
+    "q_events_seasonal_strength",
 ]
 
 
