@@ -1983,6 +1983,109 @@ def q_customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_customer_survival_km_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier curve WITH Greenwood 95% confidence bands — the
+    statistical completion of ``q_customer_survival_km`` (same life
+    table, same product-limit estimate): Var(S) = S²·Σ d/(n(n−d)),
+    CI = S ± 1.96·√Var clipped to [0, 1]. The band is what separates
+    "churn rose" from "the curve wiggled" on a small cohort.
+
+    Scale/determinism shape: identical to the base operator — the
+    life table is calendar-bounded, the cumulative log/Greenwood
+    sums run over ONE ordered window on that constant-size frame
+    (sequential evaluation, deterministic), and every emitted float
+    is floor-truncated with the expressions mirrored in SQL.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_dt"),
+            F.max("o_orderdate").alias("last_dt"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
+    cut = orders.agg(
+        F.date_sub(F.max("o_orderdate"), KM_CHURN_HORIZON_DAYS).alias(
+            "cutoff"
+        )
+    )
+    per = life.crossJoin(F.broadcast(cut)).select(
+        F.datediff("last_dt", "first_dt").alias("t"),
+        F.when(F.col("last_dt") < F.col("cutoff"), 1)
+        .otherwise(0)
+        .alias("event"),
+    )
+    tab = per.groupBy("t").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = tab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    ev = risk.where(F.col("d") > 0)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    zeroed = F.max(
+        F.when(F.col("d") >= F.col("n"), 1).otherwise(0)
+    ).over(w_cum)
+    lnsum = F.sum(
+        F.when(
+            F.col("d") < F.col("n"),
+            F.log(
+                (F.col("n") - F.col("d")).cast("double")
+                / F.col("n").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    gw = F.sum(
+        F.when(
+            F.col("d") < F.col("n"),
+            F.col("d").cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - F.col("d")).cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    s_raw = F.when(zeroed == 1, F.lit(0.0)).otherwise(F.exp(lnsum))
+    se = s_raw * F.sqrt(gw)
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return (
+        ev.select(
+            F.col("t").alias("duration_days"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            f6(s_raw).alias("survival"),
+            f6(F.greatest(F.lit(0.0), s_raw - F.lit(1.96) * se)).alias(
+                "ci_lo"
+            ),
+            f6(F.least(F.lit(1.0), s_raw + F.lit(1.96) * se)).alias(
+                "ci_hi"
+            ),
+        )
+        .orderBy("duration_days")
+    )
+
+
 #: Consecutive orders from the same customer within this many days
 #: whose totals agree within DUPE_INVOICE_PCT percent are flagged as
 #: potential duplicate invoices.
@@ -2858,6 +2961,7 @@ QUERIES = {
     "q_orders_bootstrap_ci": q_orders_bootstrap_ci,
     "q_customer_acquisition_curve": q_customer_acquisition_curve,
     "q_customer_survival_km": q_customer_survival_km,
+    "q_customer_survival_km_ci": q_customer_survival_km_ci,
     "q_orders_dupe_invoices": q_orders_dupe_invoices,
     "q_customer_spend_regression": q_customer_spend_regression,
     "q_orders_benford": q_orders_benford,
@@ -3408,6 +3512,75 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS total_customers
         FROM monthly ORDER BY month
+    """,
+    "q_customer_survival_km_ci": f"""
+        WITH life AS (
+            SELECT o_custkey,
+                   MIN(o_orderdate) AS first_dt,
+                   MAX(o_orderdate) AS last_dt
+            FROM orders
+            GROUP BY o_custkey
+            HAVING COUNT(*) >= 2
+        ),
+        cut AS (
+            SELECT MAX(o_orderdate) - INTERVAL {KM_CHURN_HORIZON_DAYS} DAY AS cutoff
+            FROM orders
+        ),
+        per AS (
+            SELECT date_diff('day', first_dt, last_dt) AS t,
+                   CASE WHEN last_dt < cutoff THEN 1 ELSE 0 END AS event
+            FROM life CROSS JOIN cut
+        ),
+        tab AS (
+            SELECT t,
+                   CAST(SUM(event) AS BIGINT) AS d,
+                   CAST(SUM(1 - event) AS BIGINT) AS c
+            FROM per GROUP BY t
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM per),
+        risk AS (
+            SELECT t, d, c,
+                   n_total - COALESCE(SUM(d + c) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS n
+            FROM tab CROSS JOIN tot
+        ),
+        ev AS (SELECT * FROM risk WHERE d > 0),
+        curve AS (
+            SELECT t, n, d,
+                   MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS zeroed,
+                   SUM(CASE WHEN d < n
+                            THEN ln((n - d) * 1.0 / n) ELSE 0.0 END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS lnsum,
+                   SUM(CASE WHEN d < n
+                            THEN d * 1.0 / (n * 1.0 * (n - d))
+                            ELSE 0.0 END) OVER (
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS gw
+            FROM ev
+        ),
+        scored AS (
+            SELECT t, n, d,
+                   CASE WHEN zeroed = 1 THEN 0.0 ELSE exp(lnsum) END AS s,
+                   CASE WHEN zeroed = 1 THEN 0.0 ELSE exp(lnsum) END
+                       * sqrt(gw) AS se
+            FROM curve
+        )
+        SELECT CAST(t AS INT) AS duration_days,
+               CAST(n AS BIGINT) AS n_risk,
+               d AS n_events,
+               floor(s * 1e6) / 1e6 AS survival,
+               floor(greatest(0.0, s - 1.96 * se) * 1e6) / 1e6 AS ci_lo,
+               floor(least(1.0, s + 1.96 * se) * 1e6) / 1e6 AS ci_hi
+        FROM scored
+        ORDER BY duration_days
     """,
     "q_customer_survival_km": f"""
         WITH life AS (

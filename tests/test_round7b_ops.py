@@ -31,6 +31,7 @@ ALL = [
     "q_orders_theil_sen",
     "sim_search_ivf_nprobe_curve",
     "q_events_seasonal_strength",
+    "q_customer_survival_km_ci",
 ]
 
 
@@ -608,6 +609,25 @@ def test_recall_curve_pairs_consistent(spark):
         assert r.n_pairs == r.n_probes * r.k
         assert 0 <= r.found <= r.n_pairs
         assert 0.0 <= r.mean_recall <= 1.0
+
+
+def test_km_ci_brackets_survival(spark):
+    """Greenwood bands must bracket the point estimate, stay in
+    [0,1], and the survival column must match the base KM curve."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_customer_survival_km,
+        q_customer_survival_km_ci,
+    )
+
+    base = {
+        r.duration_days: r.survival
+        for r in q_customer_survival_km(spark, SF_DIR).collect()
+    }
+    rows = q_customer_survival_km_ci(spark, SF_DIR).collect()
+    assert rows and set(base) == {r.duration_days for r in rows}
+    for r in rows:
+        assert 0.0 <= r.ci_lo <= r.survival <= r.ci_hi <= 1.0
+        assert abs(r.survival - base[r.duration_days]) < 1e-9
 
 
 def test_modularity_identities(spark):
