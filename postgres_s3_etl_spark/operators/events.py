@@ -698,6 +698,70 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — THE product-engagement headline
+    ratio (what fraction of the weekly audience shows up on a given
+    day; ~1/7 = broad-but-shallow, → 1 = daily habit), built on the
+    same bounded 7× rollup expand as ``q_events_active_users``, with
+    a z-score against the series mean so one-off dips stand out.
+
+    Cross-engine determinism: DAU/WAU are exact counts; the ratio is
+    one IEEE division truncated at 1e-6; the mean/σ fold pins each
+    ratio to DECIMAL(38,18) before summing (order-independent).
+    Scale: user-day rollup first — raw events are touched once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = ev.distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), i -> date_add(day, i))")
+        ).alias("day"),
+    )
+    wau = expanded.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    daily = dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        f6(
+            F.col("dau").cast("double") / F.col("wau").cast("double")
+        ).alias("stickiness"),
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        F.sum(F.col("stickiness").cast("decimal(38,18)")).alias("s1"),
+        F.sum(
+            (F.col("stickiness") * F.col("stickiness")).cast(
+                "decimal(38,18)"
+            )
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("nn")
+    var = F.col("s2").cast("double") / F.col("nn") - mean * mean
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "stickiness",
+            f6(
+                F.when(
+                    var > 0,
+                    (F.col("stickiness") - mean) / F.sqrt(var),
+                )
+            ).alias("z_vs_mean"),
+        )
+        .orderBy("day")
+    )
+
+
 def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-to-stage conversion latency: per converting user the
     seconds from first signup to first subsequent purchase, reduced
@@ -1634,6 +1698,7 @@ QUERIES = {
     "q_events_poisson_rate": q_events_poisson_rate,
     "q_events_type_fano": q_events_type_fano,
     "q_events_countmin_topk": q_events_countmin_topk,
+    "q_events_stickiness": q_events_stickiness,
     "q_events_behavior_entropy": q_events_behavior_entropy,
     "q_events_srm_check": q_events_srm_check,
     "q_events_share_wilson": q_events_share_wilson,
@@ -2525,6 +2590,46 @@ ORACLES = {
                MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN secs END) AS p90_s,
                MAX(secs) AS max_s
         FROM ranked
+    """,
+    "q_events_stickiness": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        dau AS (
+            SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+        ),
+        expanded AS (
+            SELECT user_id, day + CAST(t.i AS INT) AS day
+            FROM ud, (SELECT unnest(generate_series(0, 6)) AS i) t
+        ),
+        wau AS (
+            SELECT day, COUNT(DISTINCT user_id) AS wau
+            FROM expanded GROUP BY day
+        ),
+        daily AS (
+            SELECT d.day, d.dau, w.wau,
+                   floor(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE)
+                         * 1e6) / 1e6 AS stickiness
+            FROM dau d JOIN wau w ON d.day = w.day
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+                   SUM(CAST(stickiness AS DECIMAL(38,18))) AS s1,
+                   SUM(CAST(stickiness * stickiness
+                            AS DECIMAL(38,18))) AS s2
+            FROM daily
+        )
+        SELECT d.day, d.dau, d.wau, d.stickiness,
+               floor(CASE WHEN CAST(s.s2 AS DOUBLE) / s.nn
+                              - (CAST(s.s1 AS DOUBLE) / s.nn)
+                                * (CAST(s.s1 AS DOUBLE) / s.nn) > 0
+                     THEN (d.stickiness - CAST(s.s1 AS DOUBLE) / s.nn)
+                          / sqrt(CAST(s.s2 AS DOUBLE) / s.nn
+                                 - (CAST(s.s1 AS DOUBLE) / s.nn)
+                                   * (CAST(s.s1 AS DOUBLE) / s.nn))
+                     END * 1e6) / 1e6 AS z_vs_mean
+        FROM daily d CROSS JOIN stats s
+        ORDER BY d.day
     """,
     "q_events_active_users": """
         WITH ud AS (

@@ -32,6 +32,7 @@ ALL = [
     "sim_search_ivf_nprobe_curve",
     "q_events_seasonal_strength",
     "q_customer_survival_km_ci",
+    "q_events_stickiness",
 ]
 
 
