@@ -2086,6 +2086,98 @@ def q_customer_survival_km_ci(
     )
 
 
+def q_customer_cohort_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival STRATIFIED by acquisition-year cohort —
+    the retention comparison product teams actually run ("are the
+    2023 customers churning faster than the 2021s?"): the same life
+    table and product-limit estimate as ``q_customer_survival_km``,
+    computed independently per first-order year. Divergent curves
+    across cohorts are the signal; a pooled curve hides them.
+
+    Scale/determinism shape: identical to the base operator except
+    every cumulative window is PARTITIONED BY cohort (so the windows
+    are both bounded AND keyed — no single-task global frame at
+    all); per-cohort risk sets come from one cohort-grain rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_dt"),
+            F.max("o_orderdate").alias("last_dt"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .where(F.col("n_orders") >= 2)
+    )
+    cut = orders.agg(
+        F.date_sub(F.max("o_orderdate"), KM_CHURN_HORIZON_DAYS).alias(
+            "cutoff"
+        )
+    )
+    per = life.crossJoin(F.broadcast(cut)).select(
+        F.year("first_dt").alias("cohort"),
+        F.datediff("last_dt", "first_dt").alias("t"),
+        F.when(F.col("last_dt") < F.col("cutoff"), 1)
+        .otherwise(0)
+        .alias("event"),
+    )
+    tab = per.groupBy("cohort", "t").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    tot = per.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    )
+    w_prev = Window.partitionBy("cohort").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = tab.join(F.broadcast(tot), "cohort").select(
+        "cohort",
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    ev = risk.where(F.col("d") > 0)
+    w_cum = Window.partitionBy("cohort").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    zeroed = F.max(
+        F.when(F.col("d") >= F.col("n"), 1).otherwise(0)
+    ).over(w_cum)
+    lnsum = F.sum(
+        F.when(
+            F.col("d") < F.col("n"),
+            F.log(
+                (F.col("n") - F.col("d")).cast("double")
+                / F.col("n").cast("double")
+            ),
+        ).otherwise(F.lit(0.0))
+    ).over(w_cum)
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return (
+        ev.select(
+            "cohort",
+            F.col("t").alias("duration_days"),
+            F.col("n").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.when(zeroed == 1, F.lit(0.0))
+            .otherwise(f6(F.exp(lnsum)))
+            .alias("survival"),
+        )
+        .orderBy("cohort", "duration_days")
+    )
+
+
 #: Consecutive orders from the same customer within this many days
 #: whose totals agree within DUPE_INVOICE_PCT percent are flagged as
 #: potential duplicate invoices.
@@ -2962,6 +3054,7 @@ QUERIES = {
     "q_customer_acquisition_curve": q_customer_acquisition_curve,
     "q_customer_survival_km": q_customer_survival_km,
     "q_customer_survival_km_ci": q_customer_survival_km_ci,
+    "q_customer_cohort_survival": q_customer_cohort_survival,
     "q_orders_dupe_invoices": q_orders_dupe_invoices,
     "q_customer_spend_regression": q_customer_spend_regression,
     "q_orders_benford": q_orders_benford,
@@ -3512,6 +3605,66 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS total_customers
         FROM monthly ORDER BY month
+    """,
+    "q_customer_cohort_survival": f"""
+        WITH life AS (
+            SELECT o_custkey,
+                   MIN(o_orderdate) AS first_dt,
+                   MAX(o_orderdate) AS last_dt
+            FROM orders
+            GROUP BY o_custkey
+            HAVING COUNT(*) >= 2
+        ),
+        cut AS (
+            SELECT MAX(o_orderdate) - INTERVAL {KM_CHURN_HORIZON_DAYS} DAY AS cutoff
+            FROM orders
+        ),
+        per AS (
+            SELECT CAST(year(first_dt) AS INT) AS cohort,
+                   date_diff('day', first_dt, last_dt) AS t,
+                   CASE WHEN last_dt < cutoff THEN 1 ELSE 0 END AS event
+            FROM life CROSS JOIN cut
+        ),
+        tab AS (
+            SELECT cohort, t,
+                   CAST(SUM(event) AS BIGINT) AS d,
+                   CAST(SUM(1 - event) AS BIGINT) AS c
+            FROM per GROUP BY cohort, t
+        ),
+        tot AS (
+            SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM per GROUP BY cohort
+        ),
+        risk AS (
+            SELECT tab.cohort, t, d, c,
+                   n_total - COALESCE(SUM(d + c) OVER (
+                       PARTITION BY tab.cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS n
+            FROM tab JOIN tot ON tab.cohort = tot.cohort
+        ),
+        ev AS (SELECT * FROM risk WHERE d > 0),
+        curve AS (
+            SELECT cohort, t, n, d,
+                   MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS zeroed,
+                   SUM(CASE WHEN d < n
+                            THEN ln((n - d) * 1.0 / n) ELSE 0.0 END) OVER (
+                       PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS lnsum
+            FROM ev
+        )
+        SELECT cohort,
+               CAST(t AS INT) AS duration_days,
+               CAST(n AS BIGINT) AS n_risk,
+               d AS n_events,
+               CASE WHEN zeroed = 1 THEN 0.0
+                    ELSE floor(exp(lnsum) * 1e6) / 1e6 END AS survival
+        FROM curve
+        ORDER BY cohort, duration_days
     """,
     "q_customer_survival_km_ci": f"""
         WITH life AS (

@@ -33,6 +33,7 @@ ALL = [
     "q_events_seasonal_strength",
     "q_customer_survival_km_ci",
     "q_events_stickiness",
+    "q_customer_cohort_survival",
 ]
 
 
