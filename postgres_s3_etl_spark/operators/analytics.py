@@ -1838,6 +1838,104 @@ def q_customer_spend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment")
 
 
+#: Nigrini MAD conformity thresholds (Benford's Law, 2012): first
+#: digits and second digits use different cutoffs.
+BENFORD_MAD_FIRST = (0.006, 0.012, 0.015)
+BENFORD_MAD_SECOND = (0.008, 0.010, 0.012)
+
+
+def q_orders_benford_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nigrini MAD conformity audit — the summary verdict on top of
+    the per-digit Benford screen: Mean Absolute Deviation of
+    observed vs expected shares for BOTH the first digit (1–9) and
+    the second digit (0–9, expectation Σ_{d₁} log10(1+1/(10d₁+d₂))),
+    classified against Nigrini's published cutoffs
+    (close/acceptable/marginal/nonconformity). The second-digit test
+    catches round-number fabrication the first-digit test misses.
+
+    Cross-engine determinism: digits come from the DECIMAL's
+    canonical digit string (leading zeros stripped — no float log10
+    near boundaries); counts are exact; each |obs−exp| term pins to
+    DECIMAL(38,18) before the 9/10-term fold; the conformity label
+    is a threshold CASE over the identical double. One scan, two
+    tiny rollups.
+    """
+    import math
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        dec("o_totalprice").alias("v")
+    )
+    digits = F.regexp_replace(
+        F.regexp_replace(F.col("v").cast("string"), r"[^0-9]", ""),
+        r"^0+",
+        "",
+    )
+    base = orders.where(F.col("v") > 0).select(
+        F.substring(digits, 1, 1).cast("int").alias("d1"),
+        F.when(
+            F.length(digits) >= 2, F.substring(digits, 2, 1).cast("int")
+        ).alias("d2"),
+    )
+    exp1 = [math.log10(1 + 1.0 / d) for d in range(1, 10)]
+    exp2 = [
+        sum(math.log10(1 + 1.0 / (10 * a + b)) for a in range(1, 10))
+        for b in range(0, 10)
+    ]
+
+    def mad_frame(col: str, exps: list[float], offset: int):
+        counts = (
+            base.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+        expected = F.element_at(
+            F.array(*[F.lit(e) for e in exps]),
+            F.col(col) + F.lit(1 - offset),
+        )
+        term = F.abs(
+            F.col("n").cast("double") / F.col("total").cast("double")
+            - expected
+        )
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.max("total").alias("n_values"),
+                (
+                    F.sum(term.cast("decimal(38,18)")).cast("double")
+                    / F.lit(float(len(exps)))
+                ).alias("mad"),
+            )
+        )
+
+    m1 = mad_frame("d1", exp1, 1).select(
+        F.col("n_values").alias("n_first"), F.col("mad").alias("mad1")
+    )
+    m2 = mad_frame("d2", exp2, 0).select(
+        F.col("n_values").alias("n_second"), F.col("mad").alias("mad2")
+    )
+
+    def label(mad: Column, th: tuple) -> Column:
+        return (
+            F.when(mad < th[0], F.lit("close"))
+            .when(mad < th[1], F.lit("acceptable"))
+            .when(mad < th[2], F.lit("marginal"))
+            .otherwise(F.lit("nonconformity"))
+        )
+
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return m1.crossJoin(F.broadcast(m2)).select(
+        "n_first",
+        f6(F.col("mad1")).alias("mad_first"),
+        label(F.col("mad1"), BENFORD_MAD_FIRST).alias("conformity_first"),
+        "n_second",
+        f6(F.col("mad2")).alias("mad_second"),
+        label(F.col("mad2"), BENFORD_MAD_SECOND).alias(
+            "conformity_second"
+        ),
+    )
+
+
 def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit of order totals — the fraud/
     data-integrity screen: observed leading-digit shares vs the
@@ -3055,6 +3153,7 @@ QUERIES = {
     "q_customer_survival_km": q_customer_survival_km,
     "q_customer_survival_km_ci": q_customer_survival_km_ci,
     "q_customer_cohort_survival": q_customer_cohort_survival,
+    "q_orders_benford_mad": q_orders_benford_mad,
     "q_orders_dupe_invoices": q_orders_dupe_invoices,
     "q_customer_spend_regression": q_customer_spend_regression,
     "q_orders_benford": q_orders_benford,
@@ -3605,6 +3704,63 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS total_customers
         FROM monthly ORDER BY month
+    """,
+    "q_orders_benford_mad": f"""
+        WITH base AS (
+            SELECT regexp_replace(regexp_replace(
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       '[^0-9]', '', 'g'), '^0+', '') AS ds
+            FROM orders
+            WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0
+        ),
+        dd AS (
+            SELECT CAST(substr(ds, 1, 1) AS INT) AS d1,
+                   CASE WHEN length(ds) >= 2
+                        THEN CAST(substr(ds, 2, 1) AS INT) END AS d2
+            FROM base
+        ),
+        e1 AS (SELECT [{", ".join(repr(__import__("math").log10(1 + 1.0 / d)) for d in range(1, 10))}] AS exps),
+        e2 AS (SELECT [{", ".join(repr(sum(__import__("math").log10(1 + 1.0 / (10 * a + b)) for a in range(1, 10))) for b in range(0, 10))}] AS exps),
+        c1 AS (
+            SELECT d1, CAST(COUNT(*) AS BIGINT) AS n FROM dd GROUP BY d1
+        ),
+        t1 AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c1),
+        m1 AS (
+            SELECT MAX(t1.total) AS n_first,
+                   CAST(SUM(CAST(abs(CAST(c1.n AS DOUBLE)
+                                     / CAST(t1.total AS DOUBLE)
+                                     - e1.exps[c1.d1])
+                                 AS DECIMAL(38,18))) AS DOUBLE)
+                       / 9.0 AS mad1
+            FROM c1 CROSS JOIN t1 CROSS JOIN e1
+        ),
+        c2 AS (
+            SELECT d2, CAST(COUNT(*) AS BIGINT) AS n
+            FROM dd WHERE d2 IS NOT NULL GROUP BY d2
+        ),
+        t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c2),
+        m2 AS (
+            SELECT MAX(t2.total) AS n_second,
+                   CAST(SUM(CAST(abs(CAST(c2.n AS DOUBLE)
+                                     / CAST(t2.total AS DOUBLE)
+                                     - e2.exps[c2.d2 + 1])
+                                 AS DECIMAL(38,18))) AS DOUBLE)
+                       / 10.0 AS mad2
+            FROM c2 CROSS JOIN t2 CROSS JOIN e2
+        )
+        SELECT m1.n_first,
+               floor(m1.mad1 * 1e6) / 1e6 AS mad_first,
+               CASE WHEN m1.mad1 < {BENFORD_MAD_FIRST[0]} THEN 'close'
+                    WHEN m1.mad1 < {BENFORD_MAD_FIRST[1]} THEN 'acceptable'
+                    WHEN m1.mad1 < {BENFORD_MAD_FIRST[2]} THEN 'marginal'
+                    ELSE 'nonconformity' END AS conformity_first,
+               m2.n_second,
+               floor(m2.mad2 * 1e6) / 1e6 AS mad_second,
+               CASE WHEN m2.mad2 < {BENFORD_MAD_SECOND[0]} THEN 'close'
+                    WHEN m2.mad2 < {BENFORD_MAD_SECOND[1]} THEN 'acceptable'
+                    WHEN m2.mad2 < {BENFORD_MAD_SECOND[2]} THEN 'marginal'
+                    ELSE 'nonconformity' END AS conformity_second
+        FROM m1 CROSS JOIN m2
     """,
     "q_customer_cohort_survival": f"""
         WITH life AS (

@@ -34,6 +34,7 @@ ALL = [
     "q_customer_survival_km_ci",
     "q_events_stickiness",
     "q_customer_cohort_survival",
+    "q_orders_benford_mad",
 ]
 
 
