@@ -240,6 +240,83 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED vector search — the pattern every vector
+    store struggles with ("nearest neighbors WHERE label = X"):
+    per probe, the correct PRE-FILTER result (exact top-k among
+    same-label vectors) vs the naive POST-FILTER strategy (take the
+    overall top-k, then filter by label) — and the post-filter
+    recall, which collapses when the filter is selective (≈1/10
+    here, so post-filter keeps ~k/10 of the answer). The operator IS
+    the measurement that justifies filter-aware index traversal.
+
+    Scale/determinism shape: probe-bounded exact scans (the corpus
+    is crossed only against the 10 probes, as in every eval here);
+    cosine is the shared sequential fold + f6; both ranked lists
+    tie-break on neighbor id. One equi-condition on the label is
+    the only difference between the two strategies.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    vecs = vecs.withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    )
+    a = vecs.where(F.col("vec_id") < N_PROBES).alias("a")
+    b = vecs.alias("b")
+    cosine = _trunc6(
+        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            cosine.alias("cosine"),
+        )
+    )
+    w_pre = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    pre = (
+        pairs.where(F.col("same_label"))
+        .withColumn("rank", F.row_number().over(w_pre))
+        .where(F.col("rank") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+    post = (
+        pairs.withColumn("rank", F.row_number().over(w_pre))
+        .where((F.col("rank") <= TOP_K) & F.col("same_label"))
+        .select("probe_id", "neighbor_id", F.lit(1).alias("kept"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        pre.join(post, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_prefilter"),
+            F.sum(F.coalesce("kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_postfilter_hits"),
+        )
+        .select(
+            "probe_id",
+            "n_prefilter",
+            "n_postfilter_hits",
+            f6(
+                F.col("n_postfilter_hits").cast("double")
+                / F.col("n_prefilter").cast("double")
+            ).alias("postfilter_recall"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 #: nprobe values to sweep (≤ N_PROBE_CELLS so one assignment pass
 #: serves every point).
 IVF_NPROBE_CURVE = (1, 2, 4)
@@ -2354,6 +2431,7 @@ QUERIES = {
     "sim_search_recall": sim_search_recall,
     "sim_search_recall_curve": sim_search_recall_curve,
     "sim_search_ivf_nprobe_curve": sim_search_ivf_nprobe_curve,
+    "sim_search_filtered": sim_search_filtered,
     "sim_search_ndcg": sim_search_ndcg,
     "embedding_knn_eval": embedding_knn_eval,
     "embedding_mmd_drift": embedding_mmd_drift,
@@ -3446,6 +3524,47 @@ ORACLES = {
         SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY probe_id, rank
+    """,
+    "sim_search_filtered": f"""
+        WITH vecs AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   a.label = b.label AS same_label,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        pre AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM pairs WHERE same_label
+            ) WHERE rank <= {TOP_K}
+        ),
+        post AS (
+            SELECT probe_id, neighbor_id, 1 AS kept FROM (
+                SELECT probe_id, neighbor_id, same_label,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM pairs
+            ) WHERE rank <= {TOP_K} AND same_label
+        )
+        SELECT p.probe_id,
+               CAST(COUNT(*) AS BIGINT) AS n_prefilter,
+               CAST(SUM(COALESCE(q.kept, 0)) AS BIGINT)
+                   AS n_postfilter_hits,
+               floor(CAST(SUM(COALESCE(q.kept, 0)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6
+                   AS postfilter_recall
+        FROM pre p LEFT JOIN post q
+          ON p.probe_id = q.probe_id AND p.neighbor_id = q.neighbor_id
+        GROUP BY p.probe_id
+        ORDER BY p.probe_id
     """,
     "sim_search_ivf_nprobe_curve": f"""
         WITH vecs AS (

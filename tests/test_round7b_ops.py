@@ -35,6 +35,7 @@ ALL = [
     "q_events_stickiness",
     "q_customer_cohort_survival",
     "q_orders_benford_mad",
+    "sim_search_filtered",
 ]
 
 
