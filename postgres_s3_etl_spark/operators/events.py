@@ -48,6 +48,83 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel stage conversions WITH Wilson 95% intervals — the
+    statistical completion of ``q_events_funnel``: each stage's
+    conversion from the previous stage is a binomial proportion, and
+    the Wilson interval (robust at small n and extreme p, unlike the
+    normal approximation) is what makes two funnels comparable. One
+    row per transition (signup→click, click→purchase, plus the
+    overall user→signup reach).
+
+    Cross-engine determinism: stage counts are exact (same per-user
+    flag reduce as the base funnel); the Wilson center/half-width are
+    single mirrored double expressions with z = 1.96; outputs f6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("s"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("s").cast("bigint").alias("n_s"),
+        F.sum(F.col("s") * F.col("c")).cast("bigint").alias("n_sc"),
+        F.sum(F.col("s") * F.col("c") * F.col("p"))
+        .cast("bigint")
+        .alias("n_scp"),
+    )
+    stages = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("reach_signup").alias("transition"),
+                    F.col("n_users").alias("denom"),
+                    F.col("n_s").alias("num"),
+                ),
+                F.struct(
+                    F.lit("signup_to_click").alias("transition"),
+                    F.col("n_s").alias("denom"),
+                    F.col("n_sc").alias("num"),
+                ),
+                F.struct(
+                    F.lit("click_to_purchase").alias("transition"),
+                    F.col("n_sc").alias("denom"),
+                    F.col("n_scp").alias("num"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.transition", "t.denom", "t.num")
+    z = 1.96
+    nn = F.col("denom").cast("double")
+    ph = F.col("num").cast("double") / nn
+    center = (ph + F.lit(z * z) / (2.0 * nn)) / (
+        F.lit(1.0) + F.lit(z * z) / nn
+    )
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            ph * (F.lit(1.0) - ph) / nn
+            + F.lit(z * z) / (4.0 * nn * nn)
+        )
+        / (F.lit(1.0) + F.lit(z * z) / nn)
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return stages.select(
+        "transition",
+        "denom",
+        "num",
+        f6(F.when(F.col("denom") > 0, ph)).alias("conversion"),
+        f6(
+            F.when(F.col("denom") > 0, F.greatest(F.lit(0.0), center - half))
+        ).alias("ci_lo"),
+        f6(
+            F.when(F.col("denom") > 0, F.least(F.lit(1.0), center + half))
+        ).alias("ci_hi"),
+    ).orderBy("transition")
+
+
 def q_events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel (the MATCH_RECOGNIZE use case, Spark-first):
     a user converts a stage only if the event happens AFTER the
@@ -1699,6 +1776,7 @@ QUERIES = {
     "q_events_type_fano": q_events_type_fano,
     "q_events_countmin_topk": q_events_countmin_topk,
     "q_events_stickiness": q_events_stickiness,
+    "q_events_funnel_ci": q_events_funnel_ci,
     "q_events_behavior_entropy": q_events_behavior_entropy,
     "q_events_srm_check": q_events_srm_check,
     "q_events_share_wilson": q_events_share_wilson,
@@ -2590,6 +2668,56 @@ ORACLES = {
                MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN secs END) AS p90_s,
                MAX(secs) AS max_s
         FROM ranked
+    """,
+    "q_events_funnel_ci": """
+        WITH flags AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM events GROUP BY user_id
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(s) AS BIGINT) AS n_s,
+                   CAST(SUM(s * c) AS BIGINT) AS n_sc,
+                   CAST(SUM(s * c * p) AS BIGINT) AS n_scp
+            FROM flags
+        ),
+        stages AS (
+            SELECT 'reach_signup' AS transition, n_users AS denom,
+                   n_s AS num FROM agg
+            UNION ALL
+            SELECT 'signup_to_click', n_s, n_sc FROM agg
+            UNION ALL
+            SELECT 'click_to_purchase', n_sc, n_scp FROM agg
+        ),
+        scored AS (
+            SELECT transition, denom, num,
+                   CAST(num AS DOUBLE) / CAST(denom AS DOUBLE) AS ph,
+                   CAST(denom AS DOUBLE) AS nn
+            FROM stages
+        ),
+        w AS (
+            SELECT transition, denom, num, ph,
+                   (ph + 1.96 * 1.96 / (2.0 * nn))
+                       / (1.0 + 1.96 * 1.96 / nn) AS center,
+                   (1.96 * sqrt(ph * (1.0 - ph) / nn
+                                + 1.96 * 1.96 / (4.0 * nn * nn)))
+                       / (1.0 + 1.96 * 1.96 / nn) AS half
+            FROM scored
+        )
+        SELECT transition, denom, num,
+               floor(CASE WHEN denom > 0 THEN ph END * 1e6) / 1e6
+                   AS conversion,
+               floor(CASE WHEN denom > 0
+                     THEN greatest(0.0, center - half) END * 1e6) / 1e6
+                   AS ci_lo,
+               floor(CASE WHEN denom > 0
+                     THEN least(1.0, center + half) END * 1e6) / 1e6
+                   AS ci_hi
+        FROM w
+        ORDER BY transition
     """,
     "q_events_stickiness": """
         WITH ud AS (

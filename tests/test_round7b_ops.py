@@ -36,6 +36,7 @@ ALL = [
     "q_customer_cohort_survival",
     "q_orders_benford_mad",
     "sim_search_filtered",
+    "q_events_funnel_ci",
 ]
 
 
