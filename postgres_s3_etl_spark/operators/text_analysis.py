@@ -573,6 +573,98 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Dyadic span-width ladder for variable-length exact-substring
+#: dedup (the scalable approximation of Lee et al. 2022 suffix-array
+#: dedup: log-many fixed widths instead of all widths).
+SPAN_LADDER = (8, 16, 32, 64)
+
+
+def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact-substring dedup ladder: rolling spans at
+    dyadic widths 8/16/32/64 tokens are fingerprinted in ONE scan; a
+    span is "duplicated" when its fingerprint occurs in ≥ 2 distinct
+    docs AT THAT WIDTH; each doc reports, per width, its
+    duplicated-span fraction, plus the longest width at which it
+    still carries a duplicated span (``max_dup_len``) — the signal
+    that separates long verbatim quotes (dup at 64) from short
+    boilerplate (dup only at 8), which fixed-width
+    :func:`text_span_dedup` cannot distinguish.
+
+    Plan (aggregate formulation — no pair generation, like
+    ``text_span_dedup``):
+    1. one corpus scan → row-local ladder of span-fingerprint arrays
+       (flatten over the 4 widths) → single explode;
+    2. distinct (doc, width, fp) → per-(width, fp) doc-frequency
+       (two keyed shuffles, no count-distinct Expand);
+    3. spans LEFT JOIN dup-fp set on (width, fp) — result rows ==
+       span rows, never pairs — → per-(doc, width) aggregate, then a
+       doc-grain rollup for ``max_dup_len``.
+
+    At 100 TB the span table is ~4× the 8-token one (each width adds
+    ≤ n rows) and stays key-partitioned; shuffle volume is linear in
+    corpus size with constant factor |ladder| = 4.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ladder = ", ".join(str(x) for x in SPAN_LADDER)
+    spans = (
+        docs.select("doc_id", _ws_tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    rf"""
+                    flatten(transform(array({ladder}), L ->
+                        case when size(w) >= L then
+                            transform(
+                                sequence(1, size(w) - L + 1),
+                                i -> named_struct(
+                                    'span_len', L,
+                                    'fp', md5(concat_ws(' ', slice(w, i, L))))
+                            )
+                        else cast(array() as
+                                  array<struct<span_len: int, fp: string>>)
+                        end))
+                    """
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.span_len").alias("span_len"), F.col("s.fp").alias("fp"))
+    )
+    doc_freq = (
+        spans.select("doc_id", "span_len", "fp")
+        .distinct()
+        .groupBy("span_len", "fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup_fps = doc_freq.where(F.col("df") >= 2).select(
+        "span_len", "fp", F.lit(1).alias("is_dup")
+    )
+    flagged = spans.join(dup_fps, on=["span_len", "fp"], how="left")
+    per_level = flagged.groupBy("doc_id", "span_len").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup_spans"),
+    )
+    max_dup = per_level.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("n_dup_spans") > 0, F.col("span_len")).otherwise(F.lit(0))
+        ).alias("max_dup_len")
+    )
+    return (
+        per_level.join(max_dup, "doc_id")
+        .select(
+            "doc_id",
+            F.col("span_len").cast("int").alias("span_len"),
+            "n_spans",
+            "n_dup_spans",
+            _trunc6(F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+                "dup_frac"
+            ),
+            F.col("max_dup_len").cast("int").alias("max_dup_len"),
+        )
+        .orderBy("doc_id", "span_len")
+    )
+
+
 #: Decontamination n-gram width (the standard 13-gram overlap test)
 #: scaled to this corpus's short docs.
 DECON_NGRAM = 8
@@ -2202,6 +2294,7 @@ QUERIES = {
     "text_tfidf_topk": text_tfidf_topk,
     "text_stratified_sample": text_stratified_sample,
     "text_span_dedup": text_span_dedup,
+    "text_span_ladder": text_span_ladder,
     "text_ngram_novelty": text_ngram_novelty,
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
@@ -2314,6 +2407,53 @@ def _langid_f1_oracle() -> str:
                      * 1e6) / 1e6 AS f1
         FROM j
         ORDER BY lang
+    """
+
+
+def _span_ladder_oracle() -> str:
+    per_level = "\n            UNION ALL\n".join(
+        f"""SELECT doc_id, {L} AS span_len,
+                   unnest([md5(array_to_string(w[i:i+{L - 1}], ' '))
+                           for i in generate_series(1, len(w) - {L - 1})]) AS fp
+            FROM words WHERE len(w) >= {L}"""
+        for L in SPAN_LADDER
+    )
+    return rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        spans AS (
+            {per_level}
+        ),
+        doc_freq AS (
+            SELECT span_len, fp, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, span_len, fp FROM spans)
+            GROUP BY span_len, fp
+        ),
+        flagged AS (
+            SELECT s.doc_id, s.span_len,
+                   CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS is_dup
+            FROM spans s LEFT JOIN doc_freq d
+              ON s.fp = d.fp AND s.span_len = d.span_len
+        ),
+        per_level AS (
+            SELECT doc_id, span_len, COUNT(*) AS n_spans,
+                   CAST(SUM(is_dup) AS BIGINT) AS n_dup_spans
+            FROM flagged GROUP BY doc_id, span_len
+        ),
+        max_dup AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN n_dup_spans > 0 THEN span_len ELSE 0 END)
+                       AS max_dup_len
+            FROM per_level GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.span_len, p.n_spans, p.n_dup_spans,
+               floor(CAST(p.n_dup_spans AS DOUBLE) / p.n_spans * 1e6) / 1e6
+                   AS dup_frac,
+               m.max_dup_len
+        FROM per_level p JOIN max_dup m ON p.doc_id = m.doc_id
+        ORDER BY p.doc_id, p.span_len
     """
 
 
@@ -2782,6 +2922,7 @@ ORACLES = {
         FROM per_doc
         ORDER BY doc_id
     """,
+    "text_span_ladder": _span_ladder_oracle(),
     "text_ngram_novelty": rf"""
         WITH words AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

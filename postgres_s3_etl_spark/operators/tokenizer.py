@@ -1,0 +1,355 @@
+"""Distributed tokenizer training (SURVEY.md §2.4): BPE merge
+learning over the corpus, plus the encode path that applies the
+learned merges — the tokenizer-side operators an LLM training-data
+pipeline needs beyond vocabulary *sizing* (``text_vocab_coverage``)
+and regex *pre-tokenization* (``text_tokens``).
+
+Algorithm (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): start from
+characters, repeatedly merge the most frequent adjacent symbol pair.
+The distributed formulation is the word-level one from the paper:
+
+1. ONE corpus-scale shuffle builds the distinct-word frequency
+   table (the classic word-count); everything after operates on
+   that table, which is orders of magnitude smaller than the corpus
+   (Heaps' law) — at 100 TB this is the only corpus-sized pass.
+2. Each merge round is a bounded rollup over the word table:
+   row-local adjacent-pair explode (weighted by word frequency) →
+   one keyed aggregation (map-side combinable) → the argmax pair, a
+   ONE-ROW driver collect (the pagerank convergence-scalar pattern)
+   → a row-local string ``replace`` applies the merge. Rounds are
+   fixed (``BPE_ROUNDS``) so the DuckDB oracle unrolls exactly.
+
+Cross-engine exactness: a word's symbol sequence is stored as each
+symbol wrapped in a ``\\x01`` sentinel (``·a··b·``), so applying a
+merge is one literal ``replace(repr, ·x··y·, ·xy·)`` — and both
+Spark's and DuckDB's ``replace`` scan left-to-right, non-overlapping,
+continuing after each replacement, which IS greedy BPE merge
+application (verified for the ``aaa`` overlap case). All counts are
+exact integers; the single float (avg symbols per token) is a
+floor-truncated double division of two exact BIGINTs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.operators.text_analysis import _ws_tokens
+
+#: Symbol sentinel. Each symbol is stored as \x01sym\x01 so literal
+#: string replace of a sentinel-wrapped pair can never match across
+#: symbol boundaries (e.g. pair (b, c) inside symbols [ab, c]).
+SEP = "\x01"
+
+#: Fixed merge-round count — unrolled verbatim in the DuckDB oracle.
+BPE_ROUNDS = 12
+
+#: Trainable-token gate: lowercase ASCII words only (keeps char
+#: indexing byte-exact in both engines; everything else is OOV).
+BPE_TOKEN_RE = "^[a-z]+$"
+
+_SYMS = f"split(substring(repr, 2, length(repr) - 2), '{SEP}{SEP}')"
+
+_PAIRS_EXPR = (
+    "case when size(s) >= 2 then"
+    " transform(sequence(1, size(s) - 1),"
+    " i -> named_struct('x', element_at(s, i), 'y', element_at(s, i + 1)))"
+    " else cast(array() as array<struct<x: string, y: string>>) end"
+)
+
+
+def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word frequency table with char-level symbol repr."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok"))
+        .where(F.col("tok").rlike(BPE_TOKEN_RE))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "tok",
+            F.expr(
+                "concat_ws('', transform(sequence(1, length(tok)),"
+                " i -> concat(chr(1), substring(tok, i, 1), chr(1))))"
+            ).alias("repr"),
+            "freq",
+        )
+    )
+
+
+def _train_merges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Run ``BPE_ROUNDS`` merge rounds; return (final vocab, merges).
+
+    Each round: pair rollup → one-row collect (argmax pair with the
+    deterministic tie-break count DESC, x ASC, y ASC) → row-local
+    replace. ``localCheckpoint`` per round truncates lineage so round
+    N doesn't re-run rounds 1..N-1 (the iterative-kernel recipe).
+    """
+    vocab = _word_vocab(spark, sf_dir).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pairs = vocab.select(
+            "freq", F.expr(_SYMS).alias("s")
+        ).select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        top = (
+            pairs.groupBy(
+                F.col("p.x").alias("x"), F.col("p.y").alias("y")
+            )
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, cnt = top[0]["x"], top[0]["y"], int(top[0]["cnt"])
+        merges.append((rnd, x, y, cnt))
+        vocab = vocab.select(
+            "tok",
+            F.replace(
+                F.col("repr"),
+                F.lit(SEP + x + SEP + SEP + y + SEP),
+                F.lit(SEP + x + y + SEP),
+            ).alias("repr"),
+            "freq",
+        ).localCheckpoint()
+    return vocab, merges
+
+
+_TRAIN_SCHEMA = (
+    "round int, left_sym string, right_sym string, pair_count bigint,"
+    " merged_sym string, n_words bigint, total_tokens bigint,"
+    " vocab_size bigint, avg_symbols_per_token double"
+)
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn ``BPE_ROUNDS`` BPE merges from the corpus; emit the
+    merge table (round, pair, count) plus final-vocab stats.
+
+    Scale shape: one corpus word-count shuffle up front; then every
+    round is a rollup over the distinct-word table whose only driver
+    traffic is the single argmax row — corpus-linear total cost with
+    a constant number of rounds (α row in BASELINE.md).
+    """
+    vocab, merges = _train_merges(spark, sf_dir)
+    if not merges:
+        return spark.createDataFrame([], _TRAIN_SCHEMA)
+    syms = vocab.select(F.expr(_SYMS).alias("s"), "freq")
+    st = syms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("freq") * F.size("s")).cast("bigint").alias("sym_occ"),
+    ).collect()[0]
+    vocab_size = int(
+        syms.select(F.explode("s").alias("sym"))
+        .agg(F.countDistinct("sym").alias("v"))
+        .collect()[0]["v"]
+    )
+    avg = math.floor(int(st["sym_occ"]) / int(st["total_tokens"]) * 1e6) / 1e6
+    rows = [
+        (
+            rnd,
+            x,
+            y,
+            cnt,
+            x + y,
+            int(st["n_words"]),
+            int(st["total_tokens"]),
+            vocab_size,
+            avg,
+        )
+        for (rnd, x, y, cnt) in merges
+    ]
+    return spark.createDataFrame(rows, _TRAIN_SCHEMA).orderBy("round")
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned merges to the corpus and report per-source
+    tokenization cost: symbols per (trainable) token, and the OOV
+    share the char-level fallback would carry.
+
+    Scale shape: encoding is a LOOKUP, not a re-merge — the trained
+    word→symbol-count table is joined (broadcast-sized: distinct
+    words ≪ corpus) onto the corpus token stream; merges never touch
+    corpus-scale data.
+    """
+    vocab, _merges = _train_merges(spark, sf_dir)
+    word_cost = vocab.select(
+        "tok", F.size(F.expr(_SYMS)).cast("bigint").alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    joined = toks.join(F.broadcast(word_cost), "tok", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("n_syms").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("n_syms"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_symbols"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "n_symbols",
+            F.when(
+                F.col("n_tokens") > F.col("n_oov"),
+                F.floor(
+                    F.col("n_symbols").cast("double")
+                    / (F.col("n_tokens") - F.col("n_oov"))
+                    * 1e6
+                )
+                / 1e6,
+            ).alias("avg_symbols_per_token"),
+            (F.floor(F.col("n_oov").cast("double") / F.col("n_tokens") * 1e6) / 1e6).alias(
+                "oov_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_chain_ctes() -> str:
+    """The unrolled train chain: v0 (char-level word vocab) then per
+    round r: s{r} symbols → p{r} pairs → m{r} argmax → v{r} merged."""
+    parts = [
+        rf"""wf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents
+            )
+            WHERE regexp_full_match(tok, '[a-z]+')
+            GROUP BY tok
+        ),
+        v0 AS MATERIALIZED (
+            SELECT tok,
+                   array_to_string([chr(1) || tok[i:i] || chr(1)
+                                    for i in generate_series(1, len(tok))], '')
+                       AS repr,
+                   freq
+            FROM wf
+        )"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""s{r} AS (
+            SELECT tok, freq,
+                   string_split(repr[2:len(repr) - 1], chr(1) || chr(1)) AS s
+            FROM v{r - 1}
+        ),
+        p{r} AS (
+            SELECT unnest(s[1:len(s) - 1]) AS x,
+                   unnest(s[2:len(s)]) AS y,
+                   freq
+            FROM s{r} WHERE len(s) >= 2
+        ),
+        m{r} AS MATERIALIZED (
+            SELECT x, y, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM p{r} GROUP BY x, y
+            ORDER BY cnt DESC, x, y LIMIT 1
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT v.tok,
+                   CASE WHEN m.x IS NULL THEN v.repr
+                        ELSE replace(v.repr,
+                                     chr(1) || m.x || chr(1) || chr(1) || m.y || chr(1),
+                                     chr(1) || m.x || m.y || chr(1))
+                   END AS repr,
+                   v.freq
+            FROM v{r - 1} v LEFT JOIN m{r} m ON TRUE
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _bpe_train_oracle() -> str:
+    n = BPE_ROUNDS
+    merge_union = "\n            UNION ALL ".join(
+        f"SELECT {r} AS round, x, y, cnt FROM m{r}" for r in range(1, n + 1)
+    )
+    return f"""
+        WITH {_bpe_chain_ctes()},
+        final_syms AS MATERIALIZED (
+            SELECT freq,
+                   string_split(repr[2:len(repr) - 1], chr(1) || chr(1)) AS s
+            FROM v{n}
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(freq) AS BIGINT) AS total_tokens,
+                   CAST(SUM(freq * len(s)) AS BIGINT) AS sym_occ
+            FROM final_syms
+        ),
+        vsize AS (
+            SELECT CAST(COUNT(DISTINCT sym) AS BIGINT) AS vocab_size
+            FROM (SELECT unnest(s) AS sym FROM final_syms)
+        )
+        SELECT m.round, m.x AS left_sym, m.y AS right_sym,
+               m.cnt AS pair_count, m.x || m.y AS merged_sym,
+               st.n_words, st.total_tokens, v.vocab_size,
+               floor(CAST(st.sym_occ AS DOUBLE) / st.total_tokens * 1e6) / 1e6
+                   AS avg_symbols_per_token
+        FROM ({merge_union}) m
+        CROSS JOIN stats st CROSS JOIN vsize v
+        ORDER BY m.round
+    """
+
+
+def _bpe_encode_oracle() -> str:
+    n = BPE_ROUNDS
+    return rf"""
+        WITH {_bpe_chain_ctes()},
+        word_cost AS (
+            SELECT tok,
+                   CAST(len(string_split(repr[2:len(repr) - 1],
+                                         chr(1) || chr(1))) AS BIGINT) AS n_syms
+            FROM v{n}
+        ),
+        toks AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        agg AS (
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN w.n_syms IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(SUM(COALESCE(w.n_syms, 0)) AS BIGINT) AS n_symbols
+            FROM toks t LEFT JOIN word_cost w ON t.tok = w.tok
+            GROUP BY t.source
+        )
+        SELECT source, n_tokens, n_oov, n_symbols,
+               CASE WHEN n_tokens > n_oov THEN
+                   floor(CAST(n_symbols AS DOUBLE) / (n_tokens - n_oov) * 1e6)
+                       / 1e6
+               END AS avg_symbols_per_token,
+               floor(CAST(n_oov AS DOUBLE) / n_tokens * 1e6) / 1e6 AS oov_share
+        FROM agg
+        ORDER BY source
+    """
+
+
+QUERIES = {
+    "text_bpe_train": text_bpe_train,
+    "text_bpe_encode": text_bpe_encode,
+}
+
+ORACLES = {
+    "text_bpe_train": _bpe_train_oracle(),
+    "text_bpe_encode": _bpe_encode_oracle(),
+}
