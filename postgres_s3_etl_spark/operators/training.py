@@ -1,0 +1,290 @@
+"""In-engine model training (SURVEY.md §2.4): distributed logistic
+regression via exact sufficient-statistics IRLS — so the corpus
+quality gate's weights (``text_quality_classifier`` scores with
+FIXED weights) can be LEARNED from labeled documents without leaving
+the engine.
+
+Formulation (the classic scale-out GLM recipe): the feature
+dimension d is tiny (intercept + 2), so each Newton/IRLS round is
+one distributed rollup of the d(d+1)/2 + d sufficient statistics
+X'WX and X'(y−μ) — map-side-combinable sums of row-local terms —
+followed by a driver-side 3×3 closed-form solve (cofactor inverse).
+Rounds are fixed (``IRLS_ROUNDS``) so the DuckDB oracle unrolls
+exactly; at 100 TB each round is one corpus scan with a 9-number
+driver collect, the same convergence-scalar pattern as pagerank.
+
+Cross-engine exactness: features are floor-truncated ratios of exact
+integers; μ = σ(xβ) is the ONLY libm call and is floor-pinned to
+1e-9 before every downstream use; every summed term is floor-pinned
+to an exact integer grid (×1e9) so the sums are exact BIGINTs; the
+3×3 solve is written with the IDENTICAL operation order in Python
+(Spark driver) and SQL (oracle), and IEEE doubles make identical
+expression trees produce identical bits.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.operators.text_analysis import (
+    STOPWORD_PATTERN,
+    _ws_tokens,
+)
+
+#: Fixed IRLS/Newton round count — unrolled verbatim in the oracle.
+IRLS_ROUNDS = 4
+
+#: Pin grid for sufficient-statistic terms and for μ (1e-9: coarse
+#: enough to absorb cross-engine exp() ulp differences, fine enough
+#: that 4 Newton rounds still converge to ~1e-8 coefficients).
+PIN = 1e9
+
+FEATURES = ("intercept", "stopword_ratio", "mean_word_len")
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc training frame: exact-ratio features + binary label
+    (is the doc English — the router task whose weights a corpus
+    pipeline actually retrains)."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(_ws_tokens(text))
+    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN))
+    n_word_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    t6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return docs.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        t6(n_stop.cast("double") / n_tokens).alias("x1"),
+        t6(n_word_chars.cast("double") / n_tokens).alias("x2"),
+    )
+
+
+def _mu(b0: float, b1: float, b2: float) -> Column:
+    """μ = σ(b0 + x1·b1 + x2·b2), floor-pinned to the 1e-9 grid.
+    Operation order mirrors the oracle verbatim."""
+    z = F.lit(b0) + F.col("x1") * F.lit(b1) + F.col("x2") * F.lit(b2)
+    return F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * PIN) / F.lit(PIN)
+
+
+def _newton_step(
+    beta: tuple[float, float, float], s: dict[str, float]
+) -> tuple[float, float, float]:
+    """One 3×3 closed-form IRLS update. The expression order here is
+    the contract with the SQL oracle — do not re-associate."""
+    a00, a01, a02 = s["a00"], s["a01"], s["a02"]
+    a11, a12, a22 = s["a11"], s["a12"], s["a22"]
+    g0, g1, g2 = s["g0"], s["g1"], s["g2"]
+    m00 = a11 * a22 - a12 * a12
+    m01 = a02 * a12 - a01 * a22
+    m02 = a01 * a12 - a02 * a11
+    i11 = a00 * a22 - a02 * a02
+    i12 = a01 * a02 - a00 * a12
+    i22 = a00 * a11 - a01 * a01
+    det = a00 * m00 + a01 * m01 + a02 * m02
+    if det == 0.0:
+        return beta
+    c0, c1, c2 = beta
+    return (
+        c0 + (m00 * g0 + m01 * g1 + m02 * g2) / det,
+        c1 + (m01 * g0 + i11 * g1 + i12 * g2) / det,
+        c2 + (m02 * g0 + i12 * g1 + i22 * g2) / det,
+    )
+
+
+def _pin(col: Column) -> Column:
+    return F.floor(col * F.lit(PIN)).cast("long")
+
+
+def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the logistic quality/router model in-engine: IRLS with
+    exact pinned sufficient statistics; emit the learned
+    coefficients plus training accuracy.
+
+    Scale shape: ``IRLS_ROUNDS`` corpus scans, each reduced map-side
+    to 10 numbers; no data-sized driver traffic, no Python UDF — the
+    sigmoid runs in whole-stage codegen.
+    """
+    feat = _features(spark, sf_dir).localCheckpoint()
+    n_docs = feat.count()
+    out_schema = (
+        "feature string, coef double, n_docs bigint, n_pos bigint,"
+        " train_acc double"
+    )
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(IRLS_ROUNDS):
+        mu = _mu(*beta)
+        w = mu * (F.lit(1.0) - mu)
+        r = F.col("y") - mu
+        x1, x2 = F.col("x1"), F.col("x2")
+        sums = feat.select(
+            _pin(w).alias("p00"),
+            _pin(w * x1).alias("p01"),
+            _pin(w * x2).alias("p02"),
+            _pin(w * x1 * x1).alias("p11"),
+            _pin(w * x1 * x2).alias("p12"),
+            _pin(w * x2 * x2).alias("p22"),
+            _pin(r).alias("q0"),
+            _pin(r * x1).alias("q1"),
+            _pin(r * x2).alias("q2"),
+        ).agg(
+            *[
+                F.sum(c).cast("long").alias(c)
+                for c in (
+                    "p00",
+                    "p01",
+                    "p02",
+                    "p11",
+                    "p12",
+                    "p22",
+                    "q0",
+                    "q1",
+                    "q2",
+                )
+            ]
+        ).collect()[0]
+        s = {
+            "a00": sums["p00"] / PIN,
+            "a01": sums["p01"] / PIN,
+            "a02": sums["p02"] / PIN,
+            "a11": sums["p11"] / PIN,
+            "a12": sums["p12"] / PIN,
+            "a22": sums["p22"] / PIN,
+            "g0": sums["q0"] / PIN,
+            "g1": sums["q1"] / PIN,
+            "g2": sums["q2"] / PIN,
+        }
+        beta = _newton_step(beta, s)
+    b0, b1, b2 = beta
+    z = F.lit(b0) + F.col("x1") * F.lit(b1) + F.col("x2") * F.lit(b2)
+    acc_row = feat.agg(
+        F.sum(
+            F.when(
+                ((z >= 0.0) & (F.col("y") == 1.0))
+                | ((z < 0.0) & (F.col("y") == 0.0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("correct"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    ).collect()[0]
+    acc = math.floor(acc_row["correct"] / n_docs * 1e6) / 1e6
+    rows = [
+        (name, math.floor(c * 1e6) / 1e6, n_docs, int(acc_row["n_pos"]), acc)
+        for name, c in zip(FEATURES, beta)
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy("feature")
+
+
+def _irls_round_ctes() -> str:
+    parts = []
+    for t in range(1, IRLS_ROUNDS + 1):
+        parts.append(
+            f"""mu{t} AS (
+            SELECT f.y, f.x1, f.x2,
+                   floor(1.0 / (1.0 + exp(-(b.c0 + f.x1 * b.c1 + f.x2 * b.c2)))
+                         * {PIN:.1f}) / {PIN:.1f} AS mu
+            FROM feat f CROSS JOIN beta{t - 1} b
+        ),
+        s{t} AS (
+            SELECT
+                CAST(SUM(CAST(floor(mu * (1.0 - mu) * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS a00,
+                CAST(SUM(CAST(floor(mu * (1.0 - mu) * x1 * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS a01,
+                CAST(SUM(CAST(floor(mu * (1.0 - mu) * x2 * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS a02,
+                CAST(SUM(CAST(floor(mu * (1.0 - mu) * x1 * x1 * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS a11,
+                CAST(SUM(CAST(floor(mu * (1.0 - mu) * x1 * x2 * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS a12,
+                CAST(SUM(CAST(floor(mu * (1.0 - mu) * x2 * x2 * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS a22,
+                CAST(SUM(CAST(floor((y - mu) * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS g0,
+                CAST(SUM(CAST(floor((y - mu) * x1 * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS g1,
+                CAST(SUM(CAST(floor((y - mu) * x2 * {PIN:.1f}) AS BIGINT)) AS DOUBLE) / {PIN:.1f} AS g2
+            FROM mu{t}
+        ),
+        beta{t} AS MATERIALIZED (
+            SELECT CASE WHEN det IS NULL OR det = 0.0 THEN c0
+                        ELSE c0 + (m00 * g0 + m01 * g1 + m02 * g2) / det END AS c0,
+                   CASE WHEN det IS NULL OR det = 0.0 THEN c1
+                        ELSE c1 + (m01 * g0 + i11 * g1 + i12 * g2) / det END AS c1,
+                   CASE WHEN det IS NULL OR det = 0.0 THEN c2
+                        ELSE c2 + (m02 * g0 + i12 * g1 + i22 * g2) / det END AS c2
+            FROM (
+                SELECT *, a00 * m00 + a01 * m01 + a02 * m02 AS det
+                FROM (
+                    SELECT *,
+                           a11 * a22 - a12 * a12 AS m00,
+                           a02 * a12 - a01 * a22 AS m01,
+                           a01 * a12 - a02 * a11 AS m02,
+                           a00 * a22 - a02 * a02 AS i11,
+                           a01 * a02 - a00 * a12 AS i12,
+                           a00 * a11 - a01 * a01 AS i22
+                    FROM (SELECT b.c0, b.c1, b.c2, s.*
+                          FROM beta{t - 1} b CROSS JOIN s{t} s)
+                )
+            )
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _quality_train_oracle() -> str:
+    n = IRLS_ROUNDS
+    return rf"""
+        WITH feat AS MATERIALIZED (
+            SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   floor(CAST(len(regexp_extract_all(lower(text),
+                                  '\b(the|a|of|and|to)\b')) AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\s+'))
+                         * 1e6) / 1e6 AS x1,
+                   floor(CAST(length(regexp_replace(text, '\s+', '', 'g'))
+                              AS DOUBLE)
+                         / len(string_split_regex(trim(text), '\s+'))
+                         * 1e6) / 1e6 AS x2
+            FROM documents
+        ),
+        beta0 AS (
+            SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+                   CAST(0.0 AS DOUBLE) AS c2
+        ),
+        {_irls_round_ctes()},
+        final_acc AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN f.y = 1.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos,
+                   CAST(SUM(CASE WHEN ((b.c0 + f.x1 * b.c1 + f.x2 * b.c2)
+                                       >= 0.0 AND f.y = 1.0)
+                                   OR ((b.c0 + f.x1 * b.c1 + f.x2 * b.c2)
+                                       < 0.0 AND f.y = 0.0)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS correct
+            FROM feat f CROSS JOIN beta{n} b
+        )
+        SELECT t.feature,
+               floor(t.coef * 1e6) / 1e6 AS coef,
+               a.n_docs, a.n_pos,
+               floor(CAST(a.correct AS DOUBLE) / a.n_docs * 1e6) / 1e6
+                   AS train_acc
+        FROM (
+            SELECT 'intercept' AS feature, c0 AS coef FROM beta{n}
+            UNION ALL
+            SELECT 'stopword_ratio', c1 FROM beta{n}
+            UNION ALL
+            SELECT 'mean_word_len', c2 FROM beta{n}
+        ) t CROSS JOIN final_acc a
+        WHERE a.n_docs > 0
+        ORDER BY t.feature
+    """
+
+
+QUERIES = {
+    "text_quality_train": text_quality_train,
+}
+
+ORACLES = {
+    "text_quality_train": _quality_train_oracle(),
+}

@@ -17,6 +17,7 @@ ALL = [
     "text_span_ladder",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_quality_train",
 ]
 
 
@@ -153,6 +154,84 @@ def test_bpe_train_matches_python_reference(spark):
     assert r0.avg_symbols_per_token == (
         math.floor(sym_occ / total_tokens * 1e6) / 1e6
     )
+
+
+def test_quality_train_matches_independent_fit(spark):
+    """The pinned-sufficient-stats IRLS coefficients must agree with
+    an UNPINNED pure-Python IRLS (same features/label, full float
+    precision, same fixed round count) to well inside the pin noise."""
+    import re
+
+    from postgres_s3_etl_spark.operators.training import (
+        IRLS_ROUNDS,
+        text_quality_train,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    stop_re = re.compile(r"\b(the|a|of|and|to)\b")
+    feats = []
+    for r in docs:
+        toks = r.text.strip().split()
+        n_stop = len(stop_re.findall(r.text.lower()))
+        n_word_chars = len(re.sub(r"\s+", "", r.text))
+        import math as m
+
+        x1 = m.floor(n_stop / len(toks) * 1e6) / 1e6
+        x2 = m.floor(n_word_chars / len(toks) * 1e6) / 1e6
+        feats.append((1.0 if r.lang == "en" else 0.0, x1, x2))
+
+    import math
+
+    beta = [0.0, 0.0, 0.0]
+    for _ in range(IRLS_ROUNDS):
+        a = [[0.0] * 3 for _ in range(3)]
+        g = [0.0] * 3
+        for y, x1, x2 in feats:
+            z = beta[0] + x1 * beta[1] + x2 * beta[2]
+            mu = 1.0 / (1.0 + math.exp(-z))
+            w = mu * (1.0 - mu)
+            xs = (1.0, x1, x2)
+            for i in range(3):
+                g[i] += (y - mu) * xs[i]
+                for j in range(3):
+                    a[i][j] += w * xs[i] * xs[j]
+        # solve 3x3 via numpy-free Cramer-ish (use cofactors)
+        a00, a01, a02 = a[0][0], a[0][1], a[0][2]
+        a11, a12, a22 = a[1][1], a[1][2], a[2][2]
+        m00 = a11 * a22 - a12 * a12
+        m01 = a02 * a12 - a01 * a22
+        m02 = a01 * a12 - a02 * a11
+        i11 = a00 * a22 - a02 * a02
+        i12 = a01 * a02 - a00 * a12
+        i22 = a00 * a11 - a01 * a01
+        det = a00 * m00 + a01 * m01 + a02 * m02
+        beta = [
+            beta[0] + (m00 * g[0] + m01 * g[1] + m02 * g[2]) / det,
+            beta[1] + (m01 * g[0] + i11 * g[1] + i12 * g[2]) / det,
+            beta[2] + (m02 * g[0] + i12 * g[1] + i22 * g[2]) / det,
+        ]
+
+    got = {
+        r.feature: r.coef for r in text_quality_train(spark, SF_DIR).collect()
+    }
+    ref = dict(
+        zip(("intercept", "stopword_ratio", "mean_word_len"), beta)
+    )
+    for k, v in ref.items():
+        assert abs(got[k] - v) < 1e-3, (k, got[k], v)
+    # stats sanity: n_pos is the exact positive-label count and the
+    # reported accuracy is the exact share of correct 0-threshold
+    # predictions under the final coefficients
+    rows = text_quality_train(spark, SF_DIR).collect()
+    n_pos, n_docs, acc = rows[0].n_pos, rows[0].n_docs, rows[0].train_acc
+    assert n_docs == len(feats)
+    assert n_pos == sum(1 for y, _, _ in feats if y == 1.0)
+    correct = sum(
+        1
+        for y, x1, x2 in feats
+        if ((beta[0] + x1 * beta[1] + x2 * beta[2]) >= 0.0) == (y == 1.0)
+    )
+    assert abs(acc - math.floor(correct / n_docs * 1e6) / 1e6) < 2e-6
 
 
 def test_bpe_encode_consistent_with_train_state(spark):
