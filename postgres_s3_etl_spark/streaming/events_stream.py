@@ -83,10 +83,17 @@ def read_events_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming twin of operators.events.q_events_tumbling: 1-hour
     tumbling windows per event type with a 2-hour watermark."""
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -307,14 +314,25 @@ def stream_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_WINDOW = "1 hour"
 
 
-def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_click_purchase_join(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Stream-stream inner join: each purchase matched to the same
     user's clicks in the preceding hour. Both sides carry watermarks
     and the time-range predicate bounds the join state — the pattern
     that keeps a 100 TB/day stream-stream join's state finite (clicks
     older than purchase-watermark − window are evicted).
+
+    ``glob``/``max_files_per_trigger`` pass through to the file
+    source so tests can slice a crafted feed into micro-batches and
+    observe the watermark-eviction metrics (listener ``state_df``).
     """
-    ev = read_events_stream(spark, sf_dir)
+    ev = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
     clicks = (
         ev.where(F.col("event_type") == "click")
         .select(

@@ -29,6 +29,7 @@ class ProgressCapture(StreamingQueryListener):
 
     def __init__(self) -> None:
         self.records: list[dict[str, Any]] = []
+        self.state_records: list[dict[str, Any]] = []
         self.started: list[str] = []
         self.terminated: list[str] = []
 
@@ -47,6 +48,28 @@ class ProgressCapture(StreamingQueryListener):
                 "sink": (p.get("sink") or {}).get("description"),
             }
         )
+        # Stateful-operator accounting: state size, eviction, and
+        # late-data drops per operator per batch — the numbers a
+        # 100×-scale streaming join lives or dies by (unbounded
+        # numRowsTotal ⇒ missing watermark bound; growing
+        # numRowsDroppedByWatermark ⇒ the delay is too tight for the
+        # source's real lateness).
+        wm = (p.get("eventTime") or {}).get("watermark")
+        for op in p.get("stateOperators") or []:
+            self.state_records.append(
+                {
+                    "query_name": p.get("name"),
+                    "batch_id": int(p.get("batchId", -1)),
+                    "operator_name": op.get("operatorName"),
+                    "num_rows_total": int(op.get("numRowsTotal", 0)),
+                    "num_rows_updated": int(op.get("numRowsUpdated", 0)),
+                    "num_rows_removed": int(op.get("numRowsRemoved", 0)),
+                    "num_rows_dropped_by_watermark": int(
+                        op.get("numRowsDroppedByWatermark", 0)
+                    ),
+                    "watermark": wm,
+                }
+            )
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -74,6 +97,32 @@ class ProgressCapture(StreamingQueryListener):
             ]
         )
         return spark.createDataFrame(self.records, schema)
+
+    def state_df(self, spark: SparkSession) -> DataFrame:
+        """Stateful-operator metrics as a DataFrame: per (query,
+        batch, operator) state rows, eviction counts, and
+        late-rows-dropped-by-watermark — the eviction/lateness
+        readout for watermarked joins and aggregations."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("query_name", StringType()),
+                StructField("batch_id", LongType()),
+                StructField("operator_name", StringType()),
+                StructField("num_rows_total", LongType()),
+                StructField("num_rows_updated", LongType()),
+                StructField("num_rows_removed", LongType()),
+                StructField("num_rows_dropped_by_watermark", LongType()),
+                StructField("watermark", StringType()),
+            ]
+        )
+        return spark.createDataFrame(self.state_records, schema)
 
 
 class capture_progress:
