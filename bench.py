@@ -124,6 +124,12 @@ HEADLINE = (
     "dedup_shingle_containment",
     "graph_squares",
     "sim_search_pq_rerank",
+    # round-8 additions (tokenizer training/encode, span ladder,
+    # in-engine IRLS training)
+    "text_bpe_train",
+    "text_bpe_encode",
+    "text_span_ladder",
+    "text_quality_train",
 )
 
 

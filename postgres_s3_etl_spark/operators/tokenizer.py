@@ -82,9 +82,12 @@ def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _train_merges(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
-    """Run ``BPE_ROUNDS`` merge rounds; return (final vocab, merges).
+    spark: SparkSession, sf_dir: str, track_curve: bool = False
+) -> tuple[
+    DataFrame, list[tuple[int, str, str, int]], list[tuple[int, int]]
+]:
+    """Run ``BPE_ROUNDS`` merge rounds; return (final vocab, merges,
+    per-round curve [(round, sym_occ)] — empty unless requested).
 
     Each round: pair rollup → one-row collect (argmax pair with the
     deterministic tie-break count DESC, x ASC, y ASC) → row-local
@@ -93,6 +96,7 @@ def _train_merges(
     """
     vocab = _word_vocab(spark, sf_dir).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    curve: list[tuple[int, int]] = []
     for rnd in range(1, BPE_ROUNDS + 1):
         pairs = vocab.select(
             "freq", F.expr(_SYMS).alias("s")
@@ -119,7 +123,14 @@ def _train_merges(
             ).alias("repr"),
             "freq",
         ).localCheckpoint()
-    return vocab, merges
+        if track_curve:
+            occ = vocab.agg(
+                F.sum(F.col("freq") * F.size(F.expr(_SYMS)))
+                .cast("bigint")
+                .alias("o")
+            ).collect()[0]["o"]
+            curve.append((rnd, int(occ)))
+    return vocab, merges, curve
 
 
 _TRAIN_SCHEMA = (
@@ -138,7 +149,7 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     traffic is the single argmax row — corpus-linear total cost with
     a constant number of rounds (α row in BASELINE.md).
     """
-    vocab, merges = _train_merges(spark, sf_dir)
+    vocab, merges, _curve = _train_merges(spark, sf_dir)
     if not merges:
         return spark.createDataFrame([], _TRAIN_SCHEMA)
     syms = vocab.select(F.expr(_SYMS).alias("s"), "freq")
@@ -180,7 +191,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words ≪ corpus) onto the corpus token stream; merges never touch
     corpus-scale data.
     """
-    vocab, _merges = _train_merges(spark, sf_dir)
+    vocab, _merges, _curve = _train_merges(spark, sf_dir)
     word_cost = vocab.select(
         "tok", F.size(F.expr(_SYMS)).cast("bigint").alias("n_syms")
     )
@@ -220,6 +231,52 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def text_bpe_compression_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BPE tuning curve: corpus symbol count after EACH merge
+    round — the diminishing-returns readout that decides how many
+    merges a vocabulary budget is worth (the tokenizer twin of
+    ``dedup_banding_tradeoff`` / ``sim_search_ivf_nprobe_curve``:
+    the operating-point sweep as data, in-engine).
+
+    Same plan as training (the curve is a per-round one-row rollup
+    over the already-checkpointed word table); character baseline =
+    symbol count before any merge.
+    """
+    vocab, merges, curve = _train_merges(spark, sf_dir, track_curve=True)
+    out_schema = (
+        "round int, merged_sym string, pair_count bigint,"
+        " sym_occ bigint, avg_symbols_per_token double,"
+        " saved_vs_chars double"
+    )
+    if not merges:
+        return spark.createDataFrame([], out_schema)
+    base = (
+        _word_vocab(spark, sf_dir)
+        .agg(
+            F.sum(F.col("freq") * F.length("tok"))
+            .cast("bigint")
+            .alias("char_occ"),
+            F.sum("freq").cast("bigint").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    char_occ, total_tokens = int(base["char_occ"]), int(base["total_tokens"])
+    rows = [
+        (
+            rnd,
+            x + y,
+            cnt,
+            occ,
+            math.floor(occ / total_tokens * 1e6) / 1e6,
+            math.floor((1.0 - occ / char_occ) * 1e6) / 1e6,
+        )
+        for (rnd, x, y, cnt), (_r, occ) in zip(merges, curve)
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy("round")
 
 
 def _bpe_chain_ctes() -> str:
@@ -344,12 +401,49 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+def _bpe_curve_oracle() -> str:
+    n = BPE_ROUNDS
+    st_ctes = ",\n        ".join(
+        f"""st{r} AS (
+            SELECT CAST(SUM(freq * len(string_split(repr[2:len(repr) - 1],
+                                                    chr(1) || chr(1))))
+                        AS BIGINT) AS sym_occ
+            FROM v{r}
+        )"""
+        for r in range(1, n + 1)
+    )
+    merge_union = "\n            UNION ALL ".join(
+        f"SELECT {r} AS round, x, y, cnt,"
+        f" (SELECT sym_occ FROM st{r}) AS sym_occ FROM m{r}"
+        for r in range(1, n + 1)
+    )
+    return f"""
+        WITH {_bpe_chain_ctes()},
+        {st_ctes},
+        base AS (
+            SELECT CAST(SUM(freq * len(tok)) AS BIGINT) AS char_occ,
+                   CAST(SUM(freq) AS BIGINT) AS total_tokens
+            FROM v0
+        )
+        SELECT m.round, m.x || m.y AS merged_sym, m.cnt AS pair_count,
+               m.sym_occ,
+               floor(CAST(m.sym_occ AS DOUBLE) / b.total_tokens * 1e6) / 1e6
+                   AS avg_symbols_per_token,
+               floor((1.0 - CAST(m.sym_occ AS DOUBLE) / b.char_occ) * 1e6)
+                   / 1e6 AS saved_vs_chars
+        FROM ({merge_union}) m CROSS JOIN base b
+        ORDER BY m.round
+    """
+
+
 QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_encode": text_bpe_encode,
+    "text_bpe_compression_curve": text_bpe_compression_curve,
 }
 
 ORACLES = {
     "text_bpe_train": _bpe_train_oracle(),
     "text_bpe_encode": _bpe_encode_oracle(),
+    "text_bpe_compression_curve": _bpe_curve_oracle(),
 }

@@ -99,24 +99,17 @@ def _pin(col: Column) -> Column:
     return F.floor(col * F.lit(PIN)).cast("long")
 
 
-def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the logistic quality/router model in-engine: IRLS with
-    exact pinned sufficient statistics; emit the learned
-    coefficients plus training accuracy.
-
-    Scale shape: ``IRLS_ROUNDS`` corpus scans, each reduced map-side
-    to 10 numbers; no data-sized driver traffic, no Python UDF — the
-    sigmoid runs in whole-stage codegen.
-    """
+def _train_beta(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, tuple[float, float, float]]:
+    """Run the IRLS loop; return (checkpointed feature frame, n_docs,
+    final β). Shared by the train/AUC/calibration operators so every
+    consumer sees the SAME bit-exact coefficients."""
     feat = _features(spark, sf_dir).localCheckpoint()
     n_docs = feat.count()
-    out_schema = (
-        "feature string, coef double, n_docs bigint, n_pos bigint,"
-        " train_acc double"
-    )
-    if n_docs == 0:
-        return spark.createDataFrame([], out_schema)
     beta = (0.0, 0.0, 0.0)
+    if n_docs == 0:
+        return feat, 0, beta
     for _ in range(IRLS_ROUNDS):
         mu = _mu(*beta)
         w = mu * (F.lit(1.0) - mu)
@@ -160,6 +153,25 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2": sums["q2"] / PIN,
         }
         beta = _newton_step(beta, s)
+    return feat, n_docs, beta
+
+
+def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the logistic quality/router model in-engine: IRLS with
+    exact pinned sufficient statistics; emit the learned
+    coefficients plus training accuracy.
+
+    Scale shape: ``IRLS_ROUNDS`` corpus scans, each reduced map-side
+    to 10 numbers; no data-sized driver traffic, no Python UDF — the
+    sigmoid runs in whole-stage codegen.
+    """
+    feat, n_docs, beta = _train_beta(spark, sf_dir)
+    out_schema = (
+        "feature string, coef double, n_docs bigint, n_pos bigint,"
+        " train_acc double"
+    )
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
     b0, b1, b2 = beta
     z = F.lit(b0) + F.col("x1") * F.lit(b1) + F.col("x2") * F.lit(b2)
     acc_row = feat.agg(
@@ -182,6 +194,127 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, c in zip(FEATURES, beta)
     ]
     return spark.createDataFrame(rows, out_schema).orderBy("feature")
+
+
+def text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC + KS statistic of the IRLS-trained classifier —
+    the threshold-free evaluation a quality-gate owner reads before
+    trusting ``train_acc``.
+
+    AUC is computed EXACTLY from integer rank sums (Mann–Whitney
+    with average-rank tie handling): group docs by distinct score,
+    take a two-pass range-partitioned global cumulative count
+    (:func:`with_global_order` — no single-task sort, scale-safe),
+    and fold Σ_pos(2·rank) = Σ pos_at·(2·cum_before + n_at + 1) — all
+    BIGINT arithmetic until the final division. KS is the max CDF
+    gap over the same cumulative frame.
+    """
+    from postgres_s3_etl_spark.operators.ranking import with_global_order
+
+    feat, n_docs, beta = _train_beta(spark, sf_dir)
+    out_schema = "n_pos bigint, n_neg bigint, auc double, ks_stat double"
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+    b0, b1, b2 = beta
+    z = F.lit(b0) + F.col("x1") * F.lit(b1) + F.col("x2") * F.lit(b2)
+    scored = feat.select(z.alias("s"), "y")
+    agg = scored.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_at"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos_at"),
+    )
+    cum = with_global_order(agg, [F.col("s")], sum_cols=["n_at", "pos_at"])
+    n_pos = F.col("_gtot_pos_at")
+    n_neg = F.col("_gtot_n_at") - n_pos
+    cum_before = F.col("_gcum_n_at") - F.col("n_at")
+    two_ranks = F.col("pos_at") * (
+        F.lit(2) * cum_before + F.col("n_at") + F.lit(1)
+    )
+    cum_neg = F.col("_gcum_n_at") - F.col("_gcum_pos_at")
+    gap = F.abs(
+        F.col("_gcum_pos_at").cast("double") / n_pos
+        - cum_neg.cast("double") / n_neg
+    )
+    out = cum.agg(
+        F.max(n_pos).cast("bigint").alias("n_pos"),
+        F.max(n_neg).cast("bigint").alias("n_neg"),
+        F.sum(two_ranks).cast("bigint").alias("two_rank_sum"),
+        F.max(gap).alias("max_gap"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        (
+            F.floor(
+                (
+                    F.col("two_rank_sum")
+                    - F.col("n_pos") * (F.col("n_pos") + F.lit(1))
+                ).cast("double")
+                / F.nullif(F.lit(2) * F.col("n_pos") * F.col("n_neg"), F.lit(0))
+                * 1e6
+            )
+            / 1e6
+        ).alias("auc"),
+        (F.floor(F.col("max_gap") * 1e6) / 1e6).alias("ks_stat"),
+    )
+    return out
+
+
+#: Calibration deciles for the reliability curve.
+CAL_BINS = 10
+
+
+def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve of the trained classifier: predicted-
+    probability deciles vs observed positive rate — the calibration
+    readout that decides whether the gate's scores can be used as
+    sampling weights or only as a ranking. One corpus scan over the
+    trained scores; ``CAL_BINS``-row output.
+    """
+    feat, n_docs, beta = _train_beta(spark, sf_dir)
+    out_schema = (
+        "bin int, n_docs bigint, n_pos bigint, mean_pred double,"
+        " actual_rate double"
+    )
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+    mu = _mu(*beta)
+    binned = feat.select(
+        F.least(F.lit(CAL_BINS - 1), F.floor(mu * CAL_BINS))
+        .cast("int")
+        .alias("bin"),
+        F.floor(mu * F.lit(PIN)).cast("long").alias("mu_pinned"),
+        "y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum("mu_pinned").cast("bigint").alias("mu_sum"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            (
+                F.floor(
+                    F.col("mu_sum").cast("double")
+                    / F.col("n_docs")
+                    / F.lit(PIN)
+                    * 1e6
+                )
+                / 1e6
+            ).alias("mean_pred"),
+            (
+                F.floor(F.col("n_pos").cast("double") / F.col("n_docs") * 1e6)
+                / 1e6
+            ).alias("actual_rate"),
+        )
+        .orderBy("bin")
+    )
 
 
 def _irls_round_ctes() -> str:
@@ -233,10 +366,9 @@ def _irls_round_ctes() -> str:
     return ",\n        ".join(parts)
 
 
-def _quality_train_oracle() -> str:
-    n = IRLS_ROUNDS
-    return rf"""
-        WITH feat AS MATERIALIZED (
+#: The shared per-doc feature/label CTE (MATERIALIZED: referenced by
+#: every IRLS round plus the final readout).
+_FEAT_CTE = r"""feat AS MATERIALIZED (
             SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
                    floor(CAST(len(regexp_extract_all(lower(text),
                                   '\b(the|a|of|and|to)\b')) AS DOUBLE)
@@ -247,7 +379,13 @@ def _quality_train_oracle() -> str:
                          / len(string_split_regex(trim(text), '\s+'))
                          * 1e6) / 1e6 AS x2
             FROM documents
-        ),
+        )"""
+
+
+def _quality_train_oracle() -> str:
+    n = IRLS_ROUNDS
+    return rf"""
+        WITH {_FEAT_CTE},
         beta0 AS (
             SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
                    CAST(0.0 AS DOUBLE) AS c2
@@ -281,10 +419,101 @@ def _quality_train_oracle() -> str:
     """
 
 
+def _quality_auc_oracle() -> str:
+    n = IRLS_ROUNDS
+    return rf"""
+        WITH {_FEAT_CTE},
+        beta0 AS (
+            SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+                   CAST(0.0 AS DOUBLE) AS c2
+        ),
+        {_irls_round_ctes()},
+        scored AS (
+            SELECT f.y, b.c0 + f.x1 * b.c1 + f.x2 * b.c2 AS s
+            FROM feat f CROSS JOIN beta{n} b
+        ),
+        agg AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n_at,
+                   CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS pos_at
+            FROM scored GROUP BY s
+        ),
+        cum AS (
+            SELECT s, n_at, pos_at,
+                   CAST(SUM(n_at) OVER (ORDER BY s) AS BIGINT) AS cn,
+                   CAST(SUM(pos_at) OVER (ORDER BY s) AS BIGINT) AS cp
+            FROM agg
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_at) AS BIGINT) AS n,
+                   CAST(SUM(pos_at) AS BIGINT) AS np
+            FROM agg
+        ),
+        folded AS (
+            SELECT CAST(SUM(pos_at * (2 * (cn - n_at) + n_at + 1))
+                        AS BIGINT) AS two_rank_sum,
+                   MAX(abs(CAST(cp AS DOUBLE) / t.np
+                           - CAST(cn - cp AS DOUBLE) / (t.n - t.np)))
+                       AS max_gap
+            FROM cum CROSS JOIN tot t
+            GROUP BY t.n, t.np
+        )
+        SELECT t.np AS n_pos, t.n - t.np AS n_neg,
+               floor(CAST(two_rank_sum - t.np * (t.np + 1) AS DOUBLE)
+                     / NULLIF(2 * t.np * (t.n - t.np), 0) * 1e6) / 1e6
+                   AS auc,
+               floor(max_gap * 1e6) / 1e6 AS ks_stat
+        FROM folded CROSS JOIN tot t
+        WHERE t.n > 0
+    """
+
+
+def _quality_calibration_oracle() -> str:
+    n = IRLS_ROUNDS
+    return rf"""
+        WITH {_FEAT_CTE},
+        beta0 AS (
+            SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+                   CAST(0.0 AS DOUBLE) AS c2
+        ),
+        {_irls_round_ctes()},
+        mu_final AS (
+            SELECT f.y,
+                   floor(1.0 / (1.0 + exp(-(b.c0 + f.x1 * b.c1
+                                            + f.x2 * b.c2)))
+                         * {PIN:.1f}) / {PIN:.1f} AS mu
+            FROM feat f CROSS JOIN beta{n} b
+        ),
+        binned AS (
+            SELECT CAST(least({CAL_BINS - 1}, floor(mu * {CAL_BINS}))
+                        AS INT) AS bin,
+                   CAST(floor(mu * {PIN:.1f}) AS BIGINT) AS mu_pinned,
+                   y
+            FROM mu_final
+        )
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               floor(CAST(CAST(SUM(mu_pinned) AS BIGINT) AS DOUBLE)
+                     / COUNT(*) / {PIN:.1f} * 1e6) / 1e6 AS mean_pred,
+               floor(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                   AS actual_rate
+        FROM binned
+        GROUP BY bin
+        ORDER BY bin
+    """
+
+
 QUERIES = {
     "text_quality_train": text_quality_train,
+    "text_quality_auc": text_quality_auc,
+    "text_quality_calibration": text_quality_calibration,
 }
 
 ORACLES = {
     "text_quality_train": _quality_train_oracle(),
+    "text_quality_auc": _quality_auc_oracle(),
+    "text_quality_calibration": _quality_calibration_oracle(),
 }

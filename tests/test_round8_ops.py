@@ -17,7 +17,10 @@ ALL = [
     "text_span_ladder",
     "text_bpe_train",
     "text_bpe_encode",
+    "text_bpe_compression_curve",
     "text_quality_train",
+    "text_quality_auc",
+    "text_quality_calibration",
 ]
 
 
@@ -232,6 +235,86 @@ def test_quality_train_matches_independent_fit(spark):
         if ((beta[0] + x1 * beta[1] + x2 * beta[2]) >= 0.0) == (y == 1.0)
     )
     assert abs(acc - math.floor(correct / n_docs * 1e6) / 1e6) < 2e-6
+
+
+def test_quality_auc_matches_pairwise_bruteforce(spark):
+    """The rank-sum AUC must equal the O(n²) pairwise definition
+    P(score_pos > score_neg) + ½P(=), computed in Python from the
+    SAME engine coefficients."""
+    import math
+
+    from postgres_s3_etl_spark.operators.training import (
+        _features,
+        _train_beta,
+        text_quality_auc,
+    )
+
+    _feat, _n, beta = _train_beta(spark, SF_DIR)
+    rows = _features(spark, SF_DIR).collect()
+    scores = [
+        (beta[0] + r.x1 * beta[1] + r.x2 * beta[2], r.y) for r in rows
+    ]
+    pos = [s for s, y in scores if y == 1.0]
+    neg = [s for s, y in scores if y == 0.0]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    ref_auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    out = text_quality_auc(spark, SF_DIR).collect()[0]
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+    assert abs(out.auc - math.floor(ref_auc * 1e6) / 1e6) < 2e-6
+    assert 0.0 <= out.ks_stat <= 1.0
+
+
+def test_quality_calibration_partitions_and_bounds(spark):
+    """Bins partition the corpus; mean predicted probability lies in
+    its bin's interval; positives sum to the label total."""
+    from postgres_s3_etl_spark.operators.training import (
+        CAL_BINS,
+        _features,
+        text_quality_calibration,
+    )
+
+    rows = text_quality_calibration(spark, SF_DIR).collect()
+    assert rows
+    feats = _features(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == len(feats)
+    assert sum(r.n_pos for r in rows) == sum(
+        1 for f in feats if f.y == 1.0
+    )
+    for r in rows:
+        assert 0 <= r.bin < CAL_BINS
+        lo, hi = r.bin / CAL_BINS, (r.bin + 1) / CAL_BINS
+        assert lo - 1e-6 <= r.mean_pred <= hi + 1e-6, r
+        assert 0.0 <= r.actual_rate <= 1.0
+
+
+def test_bpe_curve_monotone_and_bounded_by_pair_count(spark):
+    """Each merge with pair count c removes at MOST c symbol
+    occurrences (less when occurrences overlap, e.g. 'aaa'), and the
+    curve is strictly decreasing."""
+    from postgres_s3_etl_spark.operators.tokenizer import (
+        BPE_TOKEN_RE,
+        text_bpe_compression_curve,
+    )
+
+    rows = text_bpe_compression_curve(spark, SF_DIR).orderBy("round").collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    char_occ = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+        )
+        .where(F.col("tok").rlike(BPE_TOKEN_RE))
+        .agg(F.sum(F.length("tok")))
+        .first()[0]
+    )
+    prev = char_occ
+    for r in rows:
+        drop = prev - r.sym_occ
+        assert 0 < drop <= r.pair_count, (r, prev)
+        prev = r.sym_occ
+    assert rows[-1].saved_vs_chars > 0
 
 
 def test_bpe_encode_consistent_with_train_state(spark):
