@@ -1029,6 +1029,67 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of each LPA community — the cut-quality twin of
+    :func:`graph_modularity` (Kannan/Vempala/Vetta's cluster-quality
+    measure): φ(C) = cut(C) / min(vol(C), 2m − vol(C)). Low φ =
+    few escaping edges = a real community; reading φ next to the
+    modularity contribution is how a practitioner separates "big
+    community" from "well-separated community".
+
+    Scale shape: NO new corpus-scale work beyond modularity's — the
+    cut is derivable from frames already needed there
+    (cut = vol − 2·internal since vol counts both endpoints of
+    internal edges, one endpoint of cut edges), so the plan is the
+    shared LPA loop + one edges⋈labels⋈labels rollup + one
+    degree⋈labels rollup; m is a scalar.
+    """
+    labels = _lpa_labels(spark, sf_dir)
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    m = edges.count()  # scalar: undirected edge count
+    la = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("label_b")
+    )
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("internal_edges"))
+    )
+    deg = _degrees(edges)
+    dsum = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(
+            F.sum("deg").cast("bigint").alias("volume"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+    cut = F.col("volume") - F.lit(2) * F.coalesce(
+        F.col("internal_edges"), F.lit(0)
+    )
+    denom = F.least(F.col("volume"), F.lit(2 * m) - F.col("volume"))
+    cond = F.when(
+        denom > 0,
+        F.floor(cut.cast("double") / denom * 1e6) / 1e6,
+    )
+    return (
+        dsum.join(intra, "label", "left")
+        .select(
+            "label",
+            "n_members",
+            cut.cast("bigint").alias("cut_edges"),
+            "volume",
+            cond.alias("conductance"),
+        )
+        .orderBy(F.col("conductance").asc_nulls_last(), F.asc("label"))
+    )
+
+
 def _lpa_iter_sql(k: int) -> str:
     """One unrolled synchronous LPA round (the Spark loop body
     re-expressed): label <- arg max over neighbor labels by
@@ -1676,6 +1737,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_squares": graph_squares,
     "graph_modularity": graph_modularity,
+    "graph_conductance": graph_conductance,
     "graph_clustering_coeff": graph_clustering_coeff,
     "graph_pagerank": graph_pagerank,
     "graph_pagerank_converged": graph_pagerank_converged,
@@ -2363,6 +2425,52 @@ ORACLES = {
         FROM p{LPA_ITERS}
         GROUP BY label
         ORDER BY n_members DESC, label ASC
+    """,
+    "graph_conductance": f"""
+        WITH {_EDGES_SQL},
+        sym AS MATERIALIZED (
+            SELECT src, dst FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ),
+        p0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, src AS label FROM sym
+        ),
+        {",".join(_lpa_iter_sql(k) for k in range(1, LPA_ITERS + 1))},
+        labels AS (SELECT node, label FROM p{LPA_ITERS}),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        intra AS (
+            SELECT la.label,
+                   CAST(COUNT(*) AS BIGINT) AS internal_edges
+            FROM edges e
+            JOIN labels la ON e.src = la.node
+            JOIN labels lb ON e.dst = lb.node
+            WHERE la.label = lb.label
+            GROUP BY la.label
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src
+        ),
+        dsum AS (
+            SELECT l.label,
+                   CAST(SUM(d.deg) AS BIGINT) AS volume,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM deg d JOIN labels l ON d.node = l.node
+            GROUP BY l.label
+        )
+        SELECT s.label, s.n_members,
+               CAST(s.volume - 2 * COALESCE(i.internal_edges, 0) AS BIGINT)
+                   AS cut_edges,
+               s.volume,
+               CASE WHEN least(s.volume, 2 * m.m - s.volume) > 0 THEN
+                   floor(CAST(s.volume - 2 * COALESCE(i.internal_edges, 0)
+                              AS DOUBLE)
+                         / least(s.volume, 2 * m.m - s.volume) * 1e6) / 1e6
+               END AS conductance
+        FROM dsum s
+        LEFT JOIN intra i ON s.label = i.label
+        CROSS JOIN m
+        ORDER BY conductance ASC NULLS LAST, s.label ASC
     """,
     "graph_modularity": f"""
         WITH {_EDGES_SQL},

@@ -279,6 +279,41 @@ def text_bpe_compression_curve(
     return spark.createDataFrame(rows, out_schema).orderBy("round")
 
 
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained vocabulary as a table — the artifact an encode
+    deployment actually loads: (token_id, symbol, corpus occurrences,
+    word types containing it, is_merged). token_id assigns rank by
+    (occurrences DESC, symbol ASC) — the conventional
+    frequency-ordered id space.
+
+    Scale shape: one rollup over the word table; the vocabulary is
+    BOUNDED (≤ distinct characters + ``BPE_ROUNDS`` merges, ≤ ~38
+    symbols here), so the ranking window runs on a constant-size
+    frame regardless of corpus size.
+    """
+    vocab, _merges, _curve = _train_merges(spark, sf_dir)
+    from pyspark.sql import Window
+
+    syms = vocab.select(F.explode(F.expr(_SYMS)).alias("symbol"), "freq")
+    w = Window.orderBy(F.desc("occurrences"), F.asc("symbol"))
+    return (
+        syms.groupBy("symbol")
+        .agg(
+            F.sum("freq").cast("bigint").alias("occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+        )
+        .withColumn("token_id", F.row_number().over(w).cast("int"))
+        .select(
+            "token_id",
+            "symbol",
+            "occurrences",
+            "n_word_types",
+            (F.length("symbol") > 1).alias("is_merged"),
+        )
+        .orderBy("token_id")
+    )
+
+
 def _bpe_chain_ctes() -> str:
     """The unrolled train chain: v0 (char-level word vocab) then per
     round r: s{r} symbols → p{r} pairs → m{r} argmax → v{r} merged."""
@@ -436,14 +471,41 @@ def _bpe_curve_oracle() -> str:
     """
 
 
+def _bpe_vocab_oracle() -> str:
+    n = BPE_ROUNDS
+    return f"""
+        WITH {_bpe_chain_ctes()},
+        syms AS (
+            SELECT unnest(string_split(repr[2:len(repr) - 1],
+                                       chr(1) || chr(1))) AS symbol,
+                   freq
+            FROM v{n}
+        ),
+        agg AS (
+            SELECT symbol,
+                   CAST(SUM(freq) AS BIGINT) AS occurrences,
+                   CAST(COUNT(*) AS BIGINT) AS n_word_types
+            FROM syms GROUP BY symbol
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC,
+                                       symbol ASC) AS INT) AS token_id,
+               symbol, occurrences, n_word_types,
+               len(symbol) > 1 AS is_merged
+        FROM agg
+        ORDER BY token_id
+    """
+
+
 QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_encode": text_bpe_encode,
     "text_bpe_compression_curve": text_bpe_compression_curve,
+    "text_bpe_vocab": text_bpe_vocab,
 }
 
 ORACLES = {
     "text_bpe_train": _bpe_train_oracle(),
     "text_bpe_encode": _bpe_encode_oracle(),
     "text_bpe_compression_curve": _bpe_curve_oracle(),
+    "text_bpe_vocab": _bpe_vocab_oracle(),
 }

@@ -18,9 +18,11 @@ ALL = [
     "text_bpe_train",
     "text_bpe_encode",
     "text_bpe_compression_curve",
+    "text_bpe_vocab",
     "text_quality_train",
     "text_quality_auc",
     "text_quality_calibration",
+    "graph_conductance",
 ]
 
 
@@ -315,6 +317,45 @@ def test_bpe_curve_monotone_and_bounded_by_pair_count(spark):
         assert 0 < drop <= r.pair_count, (r, prev)
         prev = r.sym_occ
     assert rows[-1].saved_vs_chars > 0
+
+
+def test_conductance_cut_identity(spark):
+    """Σ_c cut(c) counts every inter-community edge once from each
+    side: Σ cut = 2·(m − Σ internal). Internal edges come from
+    modularity (same LPA partition); m from the shared edge builder."""
+    from postgres_s3_etl_spark.operators.graph import (
+        copurchase_edges,
+        graph_conductance,
+        graph_modularity,
+    )
+
+    cond = graph_conductance(spark, SF_DIR).collect()
+    assert cond
+    mod = {r.label: r.internal_edges for r in graph_modularity(spark, SF_DIR).collect()}
+    m = copurchase_edges(spark, SF_DIR).count()
+    assert sum(r.cut_edges for r in cond) == 2 * (m - sum(mod.values()))
+    for r in cond:
+        assert r.cut_edges >= 0
+        if r.conductance is not None:
+            assert 0.0 <= r.conductance <= 1.0 + 1e-9
+
+
+def test_bpe_vocab_complete_and_ranked(spark):
+    """token_ids are contiguous from 1; merged symbols are exactly
+    the distinct merge outputs still surviving in word reprs; total
+    occurrences equal the final compression-curve symbol count."""
+    from postgres_s3_etl_spark.operators.tokenizer import (
+        text_bpe_compression_curve,
+        text_bpe_vocab,
+    )
+
+    rows = text_bpe_vocab(spark, SF_DIR).orderBy("token_id").collect()
+    assert [r.token_id for r in rows] == list(range(1, len(rows) + 1))
+    occ = [r.occurrences for r in rows]
+    assert occ == sorted(occ, reverse=True)
+    assert all(r.is_merged == (len(r.symbol) > 1) for r in rows)
+    curve = text_bpe_compression_curve(spark, SF_DIR).orderBy("round").collect()
+    assert sum(occ) == curve[-1].sym_occ
 
 
 def test_bpe_encode_consistent_with_train_state(spark):
