@@ -665,6 +665,73 @@ def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Keep-set policy width: only LONG verbatim overlap (32 tokens)
+#: triggers removal — short boilerplate overlap is tolerated.
+SPAN_KEEP_W = 32
+
+
+def text_span_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal POLICY on top of the span ladder: a doc is dropped
+    when it repeats a ``SPAN_KEEP_W``-token span first introduced by
+    an EARLIER doc (arrival order = doc_id) — keep-first exact-
+    substring dedup at the long-verbatim level, the decision stage
+    `text_span_ladder` only measures. Emits per-source keep/drop
+    accounting (what a curation run reports).
+
+    Plan: one scan → row-local 32-token fingerprints → distinct
+    (doc, fp) → per-fp first introducer (one keyed min rollup) →
+    equi-join back → per-doc ANY → per-source rollup. Linear, no
+    candidate pairs, same shape as ``text_ngram_novelty``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", _ws_tokens(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                rf"""
+                case when size(w) >= {SPAN_KEEP_W} then
+                    transform(
+                        sequence(1, size(w) - {SPAN_KEEP_W - 1}),
+                        i -> md5(concat_ws(' ', slice(w, i, {SPAN_KEEP_W}))))
+                else cast(array() as array<string>) end
+                """
+            )
+        ).alias("fp"),
+    )
+    doc_fp = spans.distinct()
+    first = doc_fp.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    flagged = (
+        doc_fp.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") > F.col("first_doc"), 1).otherwise(0)
+            ).alias("is_dropped")
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            (F.col("n_docs") - F.col("n_dropped")).cast("bigint").alias("n_kept"),
+            _trunc6(
+                F.col("n_dropped").cast("double") / F.col("n_docs")
+            ).alias("drop_share"),
+        )
+        .orderBy("source")
+    )
+
+
 #: Decontamination n-gram width (the standard 13-gram overlap test)
 #: scaled to this corpus's short docs.
 DECON_NGRAM = 8
@@ -2295,6 +2362,7 @@ QUERIES = {
     "text_stratified_sample": text_stratified_sample,
     "text_span_dedup": text_span_dedup,
     "text_span_ladder": text_span_ladder,
+    "text_span_keepset": text_span_keepset,
     "text_ngram_novelty": text_ngram_novelty,
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
@@ -2461,7 +2529,7 @@ ORACLES = {
     "text_heaps_law": """
         WITH toks AS (
             SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
             FROM documents
         ),
         first AS (
@@ -2520,7 +2588,7 @@ ORACLES = {
     """,
     "text_ngram_entropy_rate": """
         WITH w AS (
-            SELECT string_split_regex(trim(text), '\\s+') AS toks
+            SELECT string_split_regex(trim(text), '\s+') AS toks
             FROM documents
         ),
         bigrams AS (
@@ -2569,9 +2637,9 @@ ORACLES = {
     "text_rake_keywords": """
         WITH toks AS (
             SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok,
                    unnest(generate_series(1,
-                       len(string_split_regex(trim(text), '\\s+')))) AS pos
+                       len(string_split_regex(trim(text), '\s+')))) AS pos
             FROM documents
         ),
         nonstop AS (
@@ -2922,6 +2990,38 @@ ORACLES = {
         FROM per_doc
         ORDER BY doc_id
     """,
+    "text_span_keepset": rf"""
+        WITH words AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        spans AS (
+            SELECT DISTINCT doc_id,
+                   unnest([md5(array_to_string(w[i:i+{SPAN_KEEP_W - 1}], ' '))
+                           for i in generate_series(1, len(w) - {SPAN_KEEP_W - 1})]) AS fp
+            FROM words WHERE len(w) >= {SPAN_KEEP_W}
+        ),
+        first AS (
+            SELECT fp, MIN(doc_id) AS first_doc FROM spans GROUP BY fp
+        ),
+        flagged AS (
+            SELECT s.doc_id,
+                   MAX(CASE WHEN s.doc_id > f.first_doc THEN 1 ELSE 0 END)
+                       AS is_dropped
+            FROM spans s JOIN first f ON s.fp = f.fp
+            GROUP BY s.doc_id
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(fl.is_dropped, 0)) AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) - SUM(COALESCE(fl.is_dropped, 0)) AS BIGINT)
+                   AS n_kept,
+               floor(CAST(SUM(COALESCE(fl.is_dropped, 0)) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS drop_share
+        FROM documents d LEFT JOIN flagged fl ON d.doc_id = fl.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
     "text_span_ladder": _span_ladder_oracle(),
     "text_ngram_novelty": rf"""
         WITH words AS (
@@ -3077,7 +3177,7 @@ ORACLES = {
                         len(regexp_extract_all(t, '[aeiouy]+')))
                         for t in w]) AS BIGINT) AS n_syllables
             FROM (SELECT doc_id,
-                         string_split_regex(trim(text), '\\s+') AS w
+                         string_split_regex(trim(text), '\s+') AS w
                   FROM documents)
         )
         SELECT doc_id, n_words, n_syllables,
@@ -3094,7 +3194,7 @@ ORACLES = {
     """,
     "text_winnowing": f"""
         WITH words AS (
-            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
             FROM documents
         ),
         hashes AS (
@@ -3127,7 +3227,7 @@ ORACLES = {
         WITH counts AS (
             SELECT token AS t, COUNT(*) AS n
             FROM (
-                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
                 FROM documents
             )
             WHERE token <> ''
@@ -3158,7 +3258,7 @@ ORACLES = {
             SELECT source, token AS t
             FROM (
                 SELECT source,
-                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
                 FROM documents
             )
             WHERE token <> ''
@@ -3218,7 +3318,7 @@ ORACLES = {
             SELECT source, token AS t, COUNT(*) AS n
             FROM (
                 SELECT source,
-                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                       unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
                 FROM documents
             )
             WHERE token <> ''
@@ -3238,7 +3338,7 @@ ORACLES = {
         WITH counts AS (
             SELECT token AS t, COUNT(*) AS n
             FROM (
-                SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
                 FROM documents
             )
             WHERE token <> ''

@@ -23,6 +23,7 @@ ALL = [
     "text_quality_auc",
     "text_quality_calibration",
     "graph_conductance",
+    "text_span_keepset",
 ]
 
 
@@ -317,6 +318,30 @@ def test_bpe_curve_monotone_and_bounded_by_pair_count(spark):
         assert 0 < drop <= r.pair_count, (r, prev)
         prev = r.sym_occ
     assert rows[-1].saved_vs_chars > 0
+
+
+def test_span_keepset_consistent_with_ladder(spark):
+    """A doc can be dropped by the 32-token keep-first policy ONLY if
+    the ladder shows it carries a duplicated span of width ≥ 32; the
+    first introducer of every long span is always kept (doc 0 of any
+    dup pair survives), so dropped < docs-with-32-dups unless every
+    dup doc is a repeater."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_span_keepset,
+        text_span_ladder,
+    )
+
+    dropped_total = sum(
+        r.n_dropped for r in text_span_keepset(spark, SF_DIR).collect()
+    )
+    docs_with_long_dup = (
+        text_span_ladder(spark, SF_DIR)
+        .where((F.col("span_len") == 32) & (F.col("n_dup_spans") > 0))
+        .count()
+    )
+    assert 0 < dropped_total < docs_with_long_dup
 
 
 def test_conductance_cut_identity(spark):
