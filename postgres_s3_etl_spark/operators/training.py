@@ -105,11 +105,21 @@ def _train_beta(
     """Run the IRLS loop; return (checkpointed feature frame, n_docs,
     final β). Shared by the train/AUC/calibration operators so every
     consumer sees the SAME bit-exact coefficients."""
+    feat, n_docs, history = _train_beta_history(spark, sf_dir)
+    return feat, n_docs, history[-1]
+
+
+def _train_beta_history(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, list[tuple[float, float, float]]]:
+    """As :func:`_train_beta` but returning β after EVERY round
+    (index 0 = the zero start), for the convergence-curve readout."""
     feat = _features(spark, sf_dir).localCheckpoint()
     n_docs = feat.count()
     beta = (0.0, 0.0, 0.0)
+    history = [beta]
     if n_docs == 0:
-        return feat, 0, beta
+        return feat, 0, history
     for _ in range(IRLS_ROUNDS):
         mu = _mu(*beta)
         w = mu * (F.lit(1.0) - mu)
@@ -153,7 +163,8 @@ def _train_beta(
             "g2": sums["q2"] / PIN,
         }
         beta = _newton_step(beta, s)
-    return feat, n_docs, beta
+        history.append(beta)
+    return feat, n_docs, history
 
 
 def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -258,6 +269,46 @@ def text_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("max_gap") * 1e6) / 1e6).alias("ks_stat"),
     )
     return out
+
+
+def text_quality_train_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRLS convergence curve: binomial deviance after every Newton
+    round (round 0 = the zero start) — the training-observability
+    readout that says whether ``IRLS_ROUNDS`` is enough, the way a
+    loss curve does for any trainer.
+
+    Same plan per point as one training round: a corpus scan reduced
+    to ONE pinned log-likelihood sum. μ is clamped to
+    [1e-9, 1−1e-9] before ln() (mirrored), and each row's term is
+    floor-pinned to the 1e-9 grid so the only libm calls (exp, ln)
+    cannot diverge across engines.
+    """
+    feat, n_docs, history = _train_beta_history(spark, sf_dir)
+    out_schema = "round int, deviance double, improvement double"
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+    devs = []
+    for beta in history:
+        mu = _mu(*beta)
+        mu_c = F.greatest(F.lit(1e-9), F.least(F.lit(0.999999999), mu))
+        term = F.col("y") * F.log(mu_c) + (F.lit(1.0) - F.col("y")) * F.log(
+            F.lit(1.0) - mu_c
+        )
+        s = feat.agg(F.sum(_pin(term)).cast("long").alias("s")).collect()[0][
+            "s"
+        ]
+        devs.append(math.floor(-2.0 * (int(s) / PIN) * 1e6) / 1e6)
+    rows = [
+        (
+            r,
+            dev,
+            None
+            if r == 0
+            else math.floor((devs[r - 1] - dev) * 1e6) / 1e6,
+        )
+        for r, dev in enumerate(devs)
+    ]
+    return spark.createDataFrame(rows, out_schema).orderBy("round")
 
 
 #: Calibration deciles for the reliability curve.
@@ -506,14 +557,64 @@ def _quality_calibration_oracle() -> str:
     """
 
 
+def _quality_curve_oracle() -> str:
+    n = IRLS_ROUNDS
+    dev_ctes = ",\n        ".join(
+        f"""dv{r} AS (
+            SELECT CAST(SUM(CAST(floor(
+                (f.y * ln(greatest(1e-9, least(0.999999999,
+                     floor(1.0 / (1.0 + exp(-(b.c0 + f.x1 * b.c1
+                                              + f.x2 * b.c2)))
+                           * {PIN:.1f}) / {PIN:.1f})))
+                 + (1.0 - f.y) * ln(1.0 - greatest(1e-9, least(0.999999999,
+                     floor(1.0 / (1.0 + exp(-(b.c0 + f.x1 * b.c1
+                                              + f.x2 * b.c2)))
+                           * {PIN:.1f}) / {PIN:.1f}))))
+                * {PIN:.1f}) AS BIGINT)) AS BIGINT) AS s
+            FROM feat f CROSS JOIN beta{r} b
+        )"""
+        for r in range(0, n + 1)
+    )
+    dev_union = "\n            UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" floor(-2.0 * (CAST(s AS DOUBLE) / {PIN:.1f}) * 1e6) / 1e6"
+        f" AS deviance FROM dv{r}"
+        for r in range(0, n + 1)
+    )
+    return rf"""
+        WITH {_FEAT_CTE},
+        beta0 AS (
+            SELECT CAST(0.0 AS DOUBLE) AS c0, CAST(0.0 AS DOUBLE) AS c1,
+                   CAST(0.0 AS DOUBLE) AS c2
+        ),
+        {_irls_round_ctes()},
+        cnt AS (SELECT COUNT(*) AS n FROM feat),
+        {dev_ctes},
+        devs AS (
+            {dev_union}
+        )
+        SELECT d.round, d.deviance,
+               CASE WHEN p.deviance IS NULL THEN NULL
+                    ELSE floor((p.deviance - d.deviance) * 1e6) / 1e6
+               END AS improvement
+        FROM devs d
+        LEFT JOIN devs p ON p.round = d.round - 1
+        CROSS JOIN cnt
+        WHERE cnt.n > 0
+        ORDER BY d.round
+    """
+
+
 QUERIES = {
     "text_quality_train": text_quality_train,
+    "text_quality_train_curve": text_quality_train_curve,
     "text_quality_auc": text_quality_auc,
     "text_quality_calibration": text_quality_calibration,
 }
 
 ORACLES = {
     "text_quality_train": _quality_train_oracle(),
+    "text_quality_train_curve": _quality_curve_oracle(),
     "text_quality_auc": _quality_auc_oracle(),
     "text_quality_calibration": _quality_calibration_oracle(),
 }

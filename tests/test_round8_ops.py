@@ -20,6 +20,7 @@ ALL = [
     "text_bpe_compression_curve",
     "text_bpe_vocab",
     "text_quality_train",
+    "text_quality_train_curve",
     "text_quality_auc",
     "text_quality_calibration",
     "graph_conductance",
@@ -342,6 +343,28 @@ def test_span_keepset_consistent_with_ladder(spark):
         .count()
     )
     assert 0 < dropped_total < docs_with_long_dup
+
+
+def test_train_curve_monotone_improvement(spark):
+    """Newton steps on a strictly-convex deviance must improve every
+    round on this data: improvement > 0 for rounds 1..N, deviance
+    positive, and round-0 deviance equals -2*n*ln(0.5) (zero start)."""
+    import math
+
+    from postgres_s3_etl_spark.operators.training import (
+        text_quality_train_curve,
+    )
+
+    rows = text_quality_train_curve(spark, SF_DIR).orderBy("round").collect()
+    assert rows[0].improvement is None
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    expect0 = math.floor(-2.0 * (math.floor(n * math.log(0.5) * 1e9) / 1e9) * 1e6) / 1e6
+    assert abs(rows[0].deviance - expect0) < 1e-5, (rows[0].deviance, expect0)
+    assert rows[1].improvement > 0, rows  # first step must make progress
+    for r in rows[1:]:
+        # converged rounds read 0.0 at trunc6 resolution, never negative
+        assert r.improvement >= 0, rows
+        assert r.deviance > 0
 
 
 def test_conductance_cut_identity(spark):
