@@ -368,6 +368,186 @@ def text_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Absolute-discounting mass for the bigram LM (binary fraction —
+#: exact in doubles).
+LM_DISCOUNT = "0.75"
+
+#: Shared probability expression — VALID IN BOTH Spark SQL and
+#: DuckDB verbatim, which is what makes the twin exact: absolute
+#: discounting with unigram backoff,
+#: p(y|x) = max(c(x,y)−D,0)/c(x) + (D·N1+(x)/c(x))·p_uni(y),
+#: falling back to p_uni for unseen contexts.
+_LM_P_EXPR = (
+    f"case when cx > 0 then"
+    f" greatest(cast(cxy as double) - {LM_DISCOUNT}, 0.0) / cx"
+    f" + ({LM_DISCOUNT} * n1p / cx) * p_uni"
+    f" else p_uni end"
+)
+
+_LM_PUNI_EXPR = "(cast(c1y as double) + 1.0) / (cast(t as double) + v + 1.0)"
+
+
+def text_bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a bigram language model IN-ENGINE (absolute discounting
+    D=0.75 with add-one-unigram backoff) on the even-doc_id half of
+    the corpus and score held-out perplexity on the odd half — the
+    data-quality signal the DSIR/perplexity-filter literature uses,
+    but with the LM itself trained distributed instead of imported.
+
+    Plan: training is TWO count rollups (bigram counts; their per-
+    context sums — N1+(x) and c(x) come from the same frame, no
+    count-distinct); evaluation is the test-bigram frame equi-joined
+    to those counts plus one broadcast scalar frame (T, V). All
+    probabilities are rationals of exact integer counts evaluated by
+    a probability expression string shared VERBATIM between Spark
+    SQL and DuckDB; ln is pinned per test bigram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _ws_tokens(F.lower(F.col("text"))).alias("w")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(w) >= 2 then"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> named_struct('x', element_at(w, i),"
+                " 'y', element_at(w, i + 1)))"
+                " else cast(array() as array<struct<x: string, y: string>>)"
+                " end"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+    train_bg = bigrams.where(F.col("doc_id") % 2 == 0)
+    test_bg = bigrams.where(F.col("doc_id") % 2 == 1)
+    cxy = train_bg.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    ctx = cxy.groupBy("x").agg(
+        F.sum("cxy").cast("bigint").alias("cx"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    train_tok = toks.where(F.col("doc_id") % 2 == 0).select(
+        F.explode("w").alias("tok")
+    )
+    uni = train_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1y")
+    )
+    scal = train_tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.countDistinct("tok").cast("bigint").alias("v"),
+    )
+    scored = (
+        test_bg.join(cxy, ["x", "y"], "left")
+        .join(ctx, "x", "left")
+        .join(uni.withColumnRenamed("tok", "y"), "y", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.coalesce("cxy", F.lit(0)).alias("cxy"),
+            F.coalesce("cx", F.lit(0)).alias("cx"),
+            F.coalesce("n1p", F.lit(0)).alias("n1p"),
+            F.coalesce("c1y", F.lit(0)).alias("c1y"),
+            "t",
+            "v",
+        )
+        .withColumn("p_uni", F.expr(_LM_PUNI_EXPR))
+        .withColumn("p", F.expr(_LM_P_EXPR))
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_bigrams"),
+        F.sum(F.when(F.col("cx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unseen_ctx"),
+        F.sum(_pin(F.log("p"))).cast("long").alias("ll_pinned"),
+    ).collect()[0]
+    out_schema = (
+        "n_test_bigrams bigint, n_unseen_ctx bigint, unseen_ctx_share"
+        " double, avg_nll double, perplexity double"
+    )
+    n = int(agg["n_test_bigrams"] or 0)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    avg_nll_raw = -(int(agg["ll_pinned"]) / PIN) / n
+    row = (
+        n,
+        int(agg["n_unseen_ctx"]),
+        math.floor(int(agg["n_unseen_ctx"]) / n * 1e6) / 1e6,
+        math.floor(avg_nll_raw * 1e6) / 1e6,
+        math.floor(math.exp(avg_nll_raw) * 1e6) / 1e6,
+    )
+    return spark.createDataFrame([row], out_schema)
+
+
+def _bigram_lm_oracle() -> str:
+    return rf"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        bigrams AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS x,
+                   unnest(w[2:len(w)]) AS y
+            FROM toks WHERE len(w) >= 2
+        ),
+        cxy AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+            FROM bigrams WHERE doc_id % 2 = 0 GROUP BY x, y
+        ),
+        ctx AS (
+            SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx,
+                   CAST(COUNT(*) AS BIGINT) AS n1p
+            FROM cxy GROUP BY x
+        ),
+        train_tok AS MATERIALIZED (
+            SELECT unnest(w) AS tok FROM toks WHERE doc_id % 2 = 0
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1y
+            FROM train_tok GROUP BY tok
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM train_tok
+        ),
+        scored AS (
+            SELECT COALESCE(c.cxy, 0) AS cxy, COALESCE(k.cx, 0) AS cx,
+                   COALESCE(k.n1p, 0) AS n1p, COALESCE(u.c1y, 0) AS c1y,
+                   s.t, s.v
+            FROM (SELECT x, y FROM bigrams WHERE doc_id % 2 = 1) tb
+            LEFT JOIN cxy c ON tb.x = c.x AND tb.y = c.y
+            LEFT JOIN ctx k ON tb.x = k.x
+            LEFT JOIN uni u ON tb.y = u.tok
+            CROSS JOIN scal s
+        ),
+        probs AS (
+            SELECT cx,
+                   {_LM_P_EXPR.replace("p_uni", f"({_LM_PUNI_EXPR})")} AS p
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
+                   CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unseen_ctx,
+                   CAST(SUM(CAST(floor(ln(p) * {PIN:.1f}) AS BIGINT))
+                        AS BIGINT) AS ll_pinned
+            FROM probs
+        )
+        SELECT n_test_bigrams, n_unseen_ctx,
+               floor(CAST(n_unseen_ctx AS DOUBLE) / n_test_bigrams * 1e6)
+                   / 1e6 AS unseen_ctx_share,
+               floor(-(CAST(ll_pinned AS DOUBLE) / {PIN:.1f})
+                     / n_test_bigrams * 1e6) / 1e6 AS avg_nll,
+               floor(exp(-(CAST(ll_pinned AS DOUBLE) / {PIN:.1f})
+                         / n_test_bigrams) * 1e6) / 1e6 AS perplexity
+        FROM agg
+        WHERE n_test_bigrams > 0
+    """
+
+
 def _irls_round_ctes() -> str:
     parts = []
     for t in range(1, IRLS_ROUNDS + 1):
@@ -608,6 +788,7 @@ def _quality_curve_oracle() -> str:
 QUERIES = {
     "text_quality_train": text_quality_train,
     "text_quality_train_curve": text_quality_train_curve,
+    "text_bigram_lm_heldout": text_bigram_lm_heldout,
     "text_quality_auc": text_quality_auc,
     "text_quality_calibration": text_quality_calibration,
 }
@@ -615,6 +796,7 @@ QUERIES = {
 ORACLES = {
     "text_quality_train": _quality_train_oracle(),
     "text_quality_train_curve": _quality_curve_oracle(),
+    "text_bigram_lm_heldout": _bigram_lm_oracle(),
     "text_quality_auc": _quality_auc_oracle(),
     "text_quality_calibration": _quality_calibration_oracle(),
 }

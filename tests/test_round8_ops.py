@@ -21,6 +21,7 @@ ALL = [
     "text_bpe_vocab",
     "text_quality_train",
     "text_quality_train_curve",
+    "text_bigram_lm_heldout",
     "text_quality_auc",
     "text_quality_calibration",
     "graph_conductance",
@@ -437,3 +438,53 @@ def test_bpe_encode_consistent_with_train_state(spark):
     ).first()
     assert agg.s == expect_syms
     assert agg.t == sum(wf.values()) + agg.o
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """Held-out perplexity must match an independent pure-Python
+    implementation of the same absolute-discounting bigram LM."""
+    import collections as c
+    import math
+
+    from postgres_s3_etl_spark.operators.training import (
+        text_bigram_lm_heldout,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    train_bg, test_bg, train_tok = c.Counter(), [], c.Counter()
+    for r in docs:
+        w = r.text.strip().lower().split()
+        pairs = list(zip(w, w[1:]))
+        if r.doc_id % 2 == 0:
+            train_bg.update(pairs)
+            train_tok.update(w)
+        else:
+            test_bg.extend(pairs)
+    cx = c.Counter()
+    n1p = c.Counter()
+    for (x, _y), n in train_bg.items():
+        cx[x] += n
+        n1p[x] += 1
+    t, v = sum(train_tok.values()), len(train_tok)
+    d = 0.75
+    ll, unseen = 0.0, 0
+    for x, y in test_bg:
+        p_uni = (train_tok.get(y, 0) + 1.0) / (t + v + 1.0)
+        if cx.get(x, 0) > 0:
+            p = max(train_bg.get((x, y), 0) - d, 0.0) / cx[x] + (
+                d * n1p[x] / cx[x]
+            ) * p_uni
+        else:
+            p = p_uni
+            unseen += 1
+        ll += math.log(p)
+    ref_ppl = math.exp(-ll / len(test_bg))
+
+    out = text_bigram_lm_heldout(spark, SF_DIR).collect()[0]
+    assert out.n_test_bigrams == len(test_bg)
+    assert out.n_unseen_ctx == unseen
+    assert abs(out.perplexity - ref_ppl) / ref_ppl < 1e-4, (
+        out.perplexity,
+        ref_ppl,
+    )
+    assert out.perplexity > 1.0
