@@ -744,19 +744,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 near-duplicate embedding pairs by cosine, blocked by
-    ``(label, LSH table, LSH bucket)``.
-
-    Label alone (IVF-cluster stand-in) bounds nothing when label
-    cardinality is small — O(n²/L) pairs at corpus scale. Sub-blocking
-    each label by the hyperplane-LSH multi-table buckets (the same
-    deterministic signature sim_search_lsh uses) caps a block at
-    ~n/(L·2^bits) vectors per table, while near-dup pairs — nearly
-    identical vectors — still collide in ≥1 table with high
-    probability. Candidates come from a (label, tbl, bucket)
-    equi-join, never a per-label cross join.
-    """
+def _cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct LSH-blocked near-dup candidate pairs with exact
+    cosine: the shared frame behind :func:`dedup_embedding_cosine`
+    and :func:`embedding_dedup_threshold_curve`. Candidates come from
+    a (label, tbl, bucket) equi-join, never a per-label cross join."""
     from postgres_s3_etl_spark.operators.similarity import (
         BITS_PER_TABLE,
         LSH_TABLES,
@@ -806,8 +798,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             _trunc6(dot / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
         )
         .distinct()
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 near-duplicate embedding pairs by cosine, blocked by
+    ``(label, LSH table, LSH bucket)``.
+
+    Label alone (IVF-cluster stand-in) bounds nothing when label
+    cardinality is small — O(n²/L) pairs at corpus scale. Sub-blocking
+    each label by the hyperplane-LSH multi-table buckets (the same
+    deterministic signature sim_search_lsh uses) caps a block at
+    ~n/(L·2^bits) vectors per table, while near-dup pairs — nearly
+    identical vectors — still collide in ≥1 table with high
+    probability. (Pair plan: :func:`_cosine_candidate_pairs`.)
+    """
+    return (
+        _cosine_candidate_pairs(spark, sf_dir)
         .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(TOP_PAIRS)
+    )
+
+
+#: Semantic-dedup threshold sweep (operating points).
+DEDUP_TAUS = ("0.80", "0.85", "0.90", "0.95")
+
+
+def embedding_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The semantic-dedup OPERATING CURVE: for each cosine threshold
+    τ, how many candidate pairs and how many distinct vectors the
+    dedup would touch — the sweep a curation team reads before
+    committing to a τ (the embedding twin of
+    ``dedup_banding_tradeoff``).
+
+    Plan: the LSH-blocked candidate frame is built ONCE; the τ sweep
+    is conditional aggregation over it (no fan-out join, no re-scan),
+    plus one endpoint-explode rollup for the distinct-vector counts.
+    """
+    pairs = _cosine_candidate_pairs(spark, sf_dir)
+    pair_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")]
+    for t in DEDUP_TAUS:
+        pair_aggs.append(
+            F.sum(F.when(F.col("cosine") >= float(t), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"p_{t.replace('.', '')}")
+        )
+    pa = pairs.agg(*pair_aggs)
+    ends = pairs.select(
+        F.explode(F.array("vec_a", "vec_b")).alias("vec"), "cosine"
+    )
+    vec_aggs = [
+        F.countDistinct(
+            F.when(F.col("cosine") >= float(t), F.col("vec"))
+        )
+        .cast("bigint")
+        .alias(f"v_{t.replace('.', '')}")
+        for t in DEDUP_TAUS
+    ]
+    va = ends.agg(*vec_aggs)
+    stack_items = ", ".join(
+        f"'{t}', p_{t.replace('.', '')}, v_{t.replace('.', '')}"
+        for t in DEDUP_TAUS
+    )
+    return (
+        pa.crossJoin(va)
+        .selectExpr(
+            f"stack({len(DEDUP_TAUS)}, {stack_items})"
+            " AS (tau, n_pairs, n_vecs)",
+            "n_candidate_pairs",
+        )
+        .select(
+            F.col("tau").cast("double").alias("tau"),
+            "n_pairs",
+            "n_vecs",
+            "n_candidate_pairs",
+            F.when(
+                F.col("n_candidate_pairs") > 0,
+                F.floor(
+                    F.col("n_pairs").cast("double")
+                    / F.col("n_candidate_pairs")
+                    * 1e6
+                )
+                / 1e6,
+            ).alias("pair_share"),
+        )
+        .orderBy("tau")
     )
 
 
@@ -985,6 +1062,7 @@ QUERIES = {
     "dedup_cc_keepset": dedup_cc_keepset,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "embedding_dedup_threshold_curve": embedding_dedup_threshold_curve,
 }
 
 
@@ -1266,6 +1344,52 @@ ORACLES = {
         FROM pairs
         ORDER BY cosine DESC, vec_a ASC, vec_b ASC
         LIMIT {TOP_PAIRS}
+    """,
+    "embedding_dedup_threshold_curve": f"""
+        WITH {lsh_bucket_cte("label,")},
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   a.label AS label,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM bucketed a
+            JOIN bucketed b
+              ON a.label = b.label AND a.tbl = b.tbl
+             AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        pa AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN cosine >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS p_{t.replace('.', '')}"
+                       for t in DEDUP_TAUS
+                   )}
+            FROM pairs
+        ),
+        ends AS (
+            SELECT unnest([vec_a, vec_b]) AS vec, cosine FROM pairs
+        ),
+        va AS (
+            SELECT {", ".join(
+                       f"CAST(COUNT(DISTINCT CASE WHEN cosine >= {t} THEN vec END) AS BIGINT) AS v_{t.replace('.', '')}"
+                       for t in DEDUP_TAUS
+                   )}
+            FROM ends
+        ),
+        rows_out AS (
+            {" UNION ALL ".join(
+                f"SELECT CAST({t} AS DOUBLE) AS tau,"
+                f" p_{t.replace('.', '')} AS n_pairs,"
+                f" v_{t.replace('.', '')} AS n_vecs,"
+                f" n_candidate_pairs FROM pa CROSS JOIN va"
+                for t in DEDUP_TAUS
+            )}
+        )
+        SELECT tau, n_pairs, n_vecs, n_candidate_pairs,
+               CASE WHEN n_candidate_pairs > 0 THEN
+                   floor(CAST(n_pairs AS DOUBLE) / n_candidate_pairs * 1e6)
+                       / 1e6
+               END AS pair_share
+        FROM rows_out
+        ORDER BY tau
     """,
     # dedup_simhash: oracle below is generated — see _simhash_oracle().
 }

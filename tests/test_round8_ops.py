@@ -26,6 +26,7 @@ ALL = [
     "text_quality_calibration",
     "graph_conductance",
     "text_span_keepset",
+    "embedding_dedup_threshold_curve",
 ]
 
 
@@ -488,3 +489,20 @@ def test_bigram_lm_matches_python_reference(spark):
         ref_ppl,
     )
     assert out.perplexity > 1.0
+
+
+def test_dedup_threshold_curve_monotone(spark):
+    """Raising tau can only shrink the pair and vector sets; every
+    pair count is bounded by the candidate total."""
+    from postgres_s3_etl_spark.operators.dedup import (
+        embedding_dedup_threshold_curve,
+    )
+
+    rows = embedding_dedup_threshold_curve(spark, SF_DIR).orderBy("tau").collect()
+    assert len(rows) == 4
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_vecs >= b.n_vecs
+    for r in rows:
+        assert 0 <= r.n_pairs <= r.n_candidate_pairs
+        assert r.n_vecs <= 2 * r.n_pairs or r.n_pairs == 0
