@@ -1253,6 +1253,89 @@ def q_events_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 AB_CONVERSION_K_MIN = 90
 
 
+#: Relative minimum-detectable-effect sweep for the power analysis.
+POWER_MDES = ("0.01", "0.02", "0.05", "0.10")
+
+#: z(α/2)=1.959963985 (two-sided 5%), z(β)=0.841621234 (80% power) —
+#: fixed literals shared verbatim with the oracle.
+_POWER_N_TMPL = (
+    "CASE WHEN p > 0.0 THEN CAST(ceil("
+    "2.0 * ((1.959963985 + 0.841621234) * (1.959963985 + 0.841621234))"
+    " * (p * (1.0 - p)) / ((p * {m}) * (p * {m}))) AS BIGINT) END"
+)
+
+_POWER_DAYS_EXPR = (
+    "CASE WHEN n_per_arm IS NOT NULL THEN"
+    " CAST(ceil(CAST(n_per_arm AS DOUBLE) / (upd / 2.0)) AS BIGINT) END"
+)
+
+
+def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size planning from MEASURED data: using the
+    observed conversion rate (same definition as ``q_events_ab_test``)
+    and observed daily traffic, the per-arm N and calendar days to
+    80% power at a two-sided 5% test, for each relative MDE in
+    ``POWER_MDES`` — the sizing table a growth team reads BEFORE
+    launching the experiment the z-test readout grades after.
+
+    Scale shape: one per-user rollup + one scalar rollup; the MDE
+    sweep is a 4-way union over the 1-row stats frame. Binary metric
+    ⇒ variance p(1−p) is rational in exact counts (no pinning
+    needed); the z constants are fixed literals shared verbatim with
+    the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "props", "ts"
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    >= AB_CONVERSION_K_MIN
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    days = ev.agg(
+        F.countDistinct(F.to_date("ts")).cast("bigint").alias("n_days")
+    )
+    stats = (
+        users.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_conv"),
+        )
+        .crossJoin(F.broadcast(days))
+        .selectExpr(
+            "CAST(n_conv AS DOUBLE) / n_users AS p",
+            "CAST(n_users AS DOUBLE) / n_days AS upd",
+        )
+    )
+    parts = []
+    for m in POWER_MDES:
+        parts.append(
+            stats.selectExpr(
+                f"CAST({m} AS DOUBLE) AS mde",
+                "floor(p * 1e6) / 1e6 AS baseline_rate",
+                f"floor((p * {m}) * 1e6) / 1e6 AS delta",
+                f"{_POWER_N_TMPL.format(m=m)} AS n_per_arm",
+                "upd",
+            ).selectExpr(
+                "mde",
+                "baseline_rate",
+                "delta",
+                "n_per_arm",
+                f"{_POWER_DAYS_EXPR} AS days_to_power",
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionAll(pt)
+    return out.orderBy("mde")
+
+
 def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout with a two-proportion z-test: users
     split into arms by assignment parity (user_id % 2 — production
@@ -1782,6 +1865,7 @@ QUERIES = {
     "q_events_share_wilson": q_events_share_wilson,
     "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
+    "q_events_power_analysis": q_events_power_analysis,
     "q_events_markov_stationary": q_events_markov_stationary,
     "q_events_revenue_bridge": q_events_revenue_bridge,
     "q_events_funnel": q_events_funnel,
@@ -2097,6 +2181,50 @@ ORACLES = {
         SELECT CAST(p AS INT) AS period_hours,
                floor((a * a + b * b) / (n * n) * 1e6) / 1e6 AS power
         FROM agg ORDER BY period_hours
+    """,
+    "q_events_power_analysis": f"""
+        WITH users AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase'
+                             AND CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) >= {AB_CONVERSION_K_MIN}
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        days AS (
+            SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                       AS n_days
+            FROM events
+        ),
+        stats AS (
+            SELECT CAST(n_conv AS DOUBLE) / n_users AS p,
+                   CAST(n_users AS DOUBLE) / n_days AS upd
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                         CAST(SUM(converted) AS BIGINT) AS n_conv
+                  FROM users) CROSS JOIN days
+        ),
+        rows_out AS (
+            SELECT CAST(0.01 AS DOUBLE) AS mde,
+                   floor(p * 1e6) / 1e6 AS baseline_rate,
+                   floor((p * 0.01) * 1e6) / 1e6 AS delta,
+                   CASE WHEN p > 0.0 THEN CAST(ceil(2.0 * ((1.959963985 + 0.841621234) * (1.959963985 + 0.841621234)) * (p * (1.0 - p)) / ((p * 0.01) * (p * 0.01))) AS BIGINT) END AS n_per_arm, upd FROM stats
+            UNION ALL SELECT CAST(0.02 AS DOUBLE) AS mde,
+                   floor(p * 1e6) / 1e6 AS baseline_rate,
+                   floor((p * 0.02) * 1e6) / 1e6 AS delta,
+                   CASE WHEN p > 0.0 THEN CAST(ceil(2.0 * ((1.959963985 + 0.841621234) * (1.959963985 + 0.841621234)) * (p * (1.0 - p)) / ((p * 0.02) * (p * 0.02))) AS BIGINT) END AS n_per_arm, upd FROM stats
+            UNION ALL SELECT CAST(0.05 AS DOUBLE) AS mde,
+                   floor(p * 1e6) / 1e6 AS baseline_rate,
+                   floor((p * 0.05) * 1e6) / 1e6 AS delta,
+                   CASE WHEN p > 0.0 THEN CAST(ceil(2.0 * ((1.959963985 + 0.841621234) * (1.959963985 + 0.841621234)) * (p * (1.0 - p)) / ((p * 0.05) * (p * 0.05))) AS BIGINT) END AS n_per_arm, upd FROM stats
+            UNION ALL SELECT CAST(0.10 AS DOUBLE) AS mde,
+                   floor(p * 1e6) / 1e6 AS baseline_rate,
+                   floor((p * 0.10) * 1e6) / 1e6 AS delta,
+                   CASE WHEN p > 0.0 THEN CAST(ceil(2.0 * ((1.959963985 + 0.841621234) * (1.959963985 + 0.841621234)) * (p * (1.0 - p)) / ((p * 0.10) * (p * 0.10))) AS BIGINT) END AS n_per_arm, upd FROM stats
+        )
+        SELECT mde, baseline_rate, delta, n_per_arm,
+               CASE WHEN n_per_arm IS NOT NULL THEN CAST(ceil(CAST(n_per_arm AS DOUBLE) / (upd / 2.0)) AS BIGINT) END AS days_to_power
+        FROM rows_out
+        ORDER BY mde
     """,
     "q_events_ab_test": f"""
         WITH users AS (

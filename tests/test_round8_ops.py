@@ -27,6 +27,7 @@ ALL = [
     "graph_conductance",
     "text_span_keepset",
     "embedding_dedup_threshold_curve",
+    "q_events_power_analysis",
 ]
 
 
@@ -506,3 +507,34 @@ def test_dedup_threshold_curve_monotone(spark):
     for r in rows:
         assert 0 <= r.n_pairs <= r.n_candidate_pairs
         assert r.n_vecs <= 2 * r.n_pairs or r.n_pairs == 0
+
+
+def test_power_analysis_monotone_in_mde(spark):
+    """Smaller MDE must require (weakly) more samples; closed-form
+    cross-check: n = ceil(2 (z_a+z_b)^2 p(1-p) / (p*mde)^2)."""
+    import math
+
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_power_analysis,
+    )
+
+    rows = q_events_power_analysis(spark, SF_DIR).orderBy("mde").collect()
+    assert len(rows) == 4
+    ns = [r.n_per_arm for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        p = r.baseline_rate
+        if p and p > 0:
+            expect = math.ceil(
+                2.0
+                * ((1.959963985 + 0.841621234) * (1.959963985 + 0.841621234))
+                * (p * (1.0 - p))
+                / ((p * r.mde) * (p * r.mde))
+            )
+            # baseline_rate is trunc6 of the exact p the engine used,
+            # so allow the ceil to land one step off
+            assert abs(r.n_per_arm - expect) <= max(2, expect // 1000), (
+                r,
+                expect,
+            )
+            assert r.days_to_power >= 1
