@@ -1535,6 +1535,99 @@ def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("yr")
 
 
+def q_part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC × XYZ inventory segmentation of parts — the planning
+    matrix that crosses revenue concentration (Pareto ABC on line
+    revenue) with demand variability (XYZ on the squared CV of
+    monthly shipped quantity): A-X parts get tight service levels,
+    C-Z parts get make-to-order. Emits the ≤9-cell rollup.
+
+    Plan: revenue and monthly demand both reduce to part grain first
+    (two keyed shuffles over the same pruned lineitem scan); the ABC
+    cumulative share uses the two-pass distributed rank (no
+    single-task sort); CV² is classified WITHOUT sqrt (cuts at 0.25
+    and 1.0 on CV², mirroring Syntetos–Boylan) so no libm call
+    exists anywhere — every number is a rational of exact decimal
+    sums.
+    """
+    from postgres_s3_etl_spark.functions.numeric import dec
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+        ).alias("rev"),
+        dec("l_quantity").alias("qty"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+    )
+    per_part_rev = li.groupBy("l_partkey").agg(F.sum("rev").alias("rev"))
+    ranked = with_global_order(
+        per_part_rev, [F.desc("rev"), F.asc("l_partkey")], sum_cols=["rev"]
+    )
+    cum_share = F.col("_gcum_rev").cast("double") / F.col("_gtot_rev").cast(
+        "double"
+    )
+    abc = ranked.select(
+        "l_partkey",
+        "rev",
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    monthly = li.groupBy("l_partkey", "month").agg(
+        F.sum("qty").alias("mq")
+    )
+    xyz = (
+        monthly.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_m"),
+            F.sum("mq").alias("s1"),
+            F.sum(F.col("mq") * F.col("mq")).alias("s2"),
+        )
+        .selectExpr(
+            "l_partkey",
+            "CAST(s1 AS DOUBLE) / n_m AS mean_q",
+            "CAST(s2 AS DOUBLE) / n_m AS msq",
+        )
+        .selectExpr(
+            "l_partkey",
+            "(msq - mean_q * mean_q) / (mean_q * mean_q) AS cv2",
+        )
+        .select(
+            "l_partkey",
+            F.when(F.col("cv2") <= 0.25, "X")
+            .when(F.col("cv2") <= 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+    )
+    rolled = (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").alias("cell_rev"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return rolled.select(
+        "abc_class",
+        "xyz_class",
+        "n_parts",
+        F.round(F.col("cell_rev").cast("double"), 2).alias("revenue"),
+        (
+            F.floor(
+                F.col("cell_rev").cast("double")
+                * 1e6
+                / F.sum("cell_rev").over(w_all).cast("double")
+            )
+            / 1e6
+        ).alias("rev_share"),
+    ).orderBy("abc_class", "xyz_class")
+
+
 def q_customer_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC classification: customers ranked by revenue,
     cumulative revenue share, and the A (≤80%), B (≤95%), C classes —
@@ -3163,6 +3256,7 @@ QUERIES = {
     "q_orders_price_histogram": q_orders_price_histogram,
     "q_brand_basket_affinity": q_brand_basket_affinity,
     "q_customer_abc_classes": q_customer_abc_classes,
+    "q_part_abc_xyz_matrix": q_part_abc_xyz_matrix,
     "q_orders_yoy_growth": q_orders_yoy_growth,
     "q_part_skyline": q_part_skyline,
     "q_orders_open_backlog": q_orders_open_backlog,
@@ -4483,6 +4577,67 @@ ORACLES = {
                      / CAST(LAG(rev) OVER (ORDER BY yr) AS DOUBLE) * 1e4) / 1e4 AS yoy_pct
         FROM yearly
         ORDER BY yr
+    """,
+    "q_part_abc_xyz_matrix": """
+        WITH li AS (
+            SELECT l_partkey,
+                   CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                   date_trunc('month', l_shipdate) AS month
+            FROM lineitem
+        ),
+        per_part_rev AS (
+            SELECT l_partkey, SUM(rev) AS rev FROM li GROUP BY l_partkey
+        ),
+        abc AS (
+            SELECT l_partkey, rev,
+                   CASE WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC,
+                                                 l_partkey ASC
+                                                 ROWS UNBOUNDED PRECEDING)
+                             AS DOUBLE)
+                        / CAST(SUM(rev) OVER () AS DOUBLE) <= 0.80 THEN 'A'
+                        WHEN CAST(SUM(rev) OVER (ORDER BY rev DESC,
+                                                 l_partkey ASC
+                                                 ROWS UNBOUNDED PRECEDING)
+                             AS DOUBLE)
+                        / CAST(SUM(rev) OVER () AS DOUBLE) <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM per_part_rev
+        ),
+        monthly AS (
+            SELECT l_partkey, month, SUM(qty) AS mq
+            FROM li GROUP BY l_partkey, month
+        ),
+        xyz AS (
+            SELECT l_partkey,
+                   CASE WHEN (msq - mean_q * mean_q) / (mean_q * mean_q)
+                             <= 0.25 THEN 'X'
+                        WHEN (msq - mean_q * mean_q) / (mean_q * mean_q)
+                             <= 1.0 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM (
+                SELECT l_partkey,
+                       CAST(SUM(mq) AS DOUBLE) / COUNT(*) AS mean_q,
+                       CAST(SUM(mq * mq) AS DOUBLE) / COUNT(*) AS msq
+                FROM monthly GROUP BY l_partkey
+            )
+        ),
+        rolled AS (
+            SELECT a.abc_class, x.xyz_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   SUM(a.rev) AS cell_rev
+            FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+            GROUP BY a.abc_class, x.xyz_class
+        )
+        SELECT abc_class, xyz_class, n_parts,
+               ROUND(CAST(cell_rev AS DOUBLE), 2) AS revenue,
+               floor(CAST(cell_rev AS DOUBLE) * 1e6
+                     / CAST(SUM(cell_rev) OVER () AS DOUBLE)) / 1e6
+                   AS rev_share
+        FROM rolled
+        ORDER BY abc_class, xyz_class
     """,
     "q_customer_abc_classes": """
         WITH per_cust AS (

@@ -28,6 +28,7 @@ ALL = [
     "text_span_keepset",
     "embedding_dedup_threshold_curve",
     "q_events_power_analysis",
+    "q_part_abc_xyz_matrix",
 ]
 
 
@@ -538,3 +539,25 @@ def test_power_analysis_monotone_in_mde(spark):
                 expect,
             )
             assert r.days_to_power >= 1
+
+
+def test_abc_xyz_matrix_partitions_parts(spark):
+    """Cells partition the part population that has lineitems; the
+    revenue shares sum to ~1; class labels stay in range."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_part_abc_xyz_matrix,
+    )
+
+    rows = q_part_abc_xyz_matrix(spark, SF_DIR).collect()
+    assert rows
+    n_parts_with_sales = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts_with_sales
+    assert abs(sum(r.rev_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.abc_class in ("A", "B", "C")
+        assert r.xyz_class in ("X", "Y", "Z")
