@@ -125,11 +125,16 @@ HEADLINE = (
     "graph_squares",
     "sim_search_pq_rerank",
     # round-8 additions (tokenizer training/encode, span ladder,
-    # in-engine IRLS training)
+    # in-engine IRLS training + eval, bigram LM, community quality,
+    # semantic-dedup sweep)
     "text_bpe_train",
     "text_bpe_encode",
     "text_span_ladder",
     "text_quality_train",
+    "text_quality_auc",
+    "text_bigram_lm_heldout",
+    "graph_conductance",
+    "embedding_dedup_threshold_curve",
 )
 
 
