@@ -592,8 +592,10 @@ def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (aggregate formulation — no pair generation, like
     ``text_span_dedup``):
-    1. one corpus scan → row-local ladder of span-fingerprint arrays
-       (flatten over the 4 widths) → single explode;
+    1. row-local ladder of span-fingerprint arrays (flatten over the
+       4 widths) → single explode (Catalyst instantiates the pruned
+       2-column scan+explode once per consumer — recompute beats
+       exchanging exploded span rows);
     2. distinct (doc, width, fp) → per-(width, fp) doc-frequency
        (two keyed shuffles, no count-distinct Expand);
     3. spans LEFT JOIN dup-fp set on (width, fp) — result rows ==
