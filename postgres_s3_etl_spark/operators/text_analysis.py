@@ -2528,7 +2528,7 @@ def _span_ladder_oracle() -> str:
 
 
 ORACLES = {
-    "text_heaps_law": """
+    "text_heaps_law": r"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -2588,7 +2588,7 @@ ORACLES = {
                  AS heaps_k
         FROM sums
     """,
-    "text_ngram_entropy_rate": """
+    "text_ngram_entropy_rate": r"""
         WITH w AS (
             SELECT string_split_regex(trim(text), '\s+') AS toks
             FROM documents
@@ -2636,7 +2636,7 @@ ORACLES = {
                  AS predictability_ratio
         FROM tot CROSS JOIN hc CROSS JOIN hu
     """,
-    "text_rake_keywords": """
+    "text_rake_keywords": r"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(string_split_regex(trim(text), '\s+')) AS tok,
@@ -3171,7 +3171,7 @@ ORACLES = {
         FROM words
         ORDER BY doc_id
     """,
-    "text_readability": """
+    "text_readability": r"""
         WITH per AS (
             SELECT doc_id,
                    CAST(len(w) AS BIGINT) AS n_words,
@@ -3194,7 +3194,7 @@ ORACLES = {
         FROM per
         ORDER BY doc_id
     """,
-    "text_winnowing": f"""
+    "text_winnowing": rf"""
         WITH words AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
             FROM documents
@@ -3225,7 +3225,7 @@ ORACLES = {
         FROM fps
         ORDER BY doc_id
     """,
-    "text_zipf_fit": f"""
+    "text_zipf_fit": rf"""
         WITH counts AS (
             SELECT token AS t, COUNT(*) AS n
             FROM (
@@ -3255,7 +3255,7 @@ ORACLES = {
                floor((sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx / k) * 1e6) / 1e6 AS intercept
         FROM sums CROSS JOIN vocab v
     """,
-    "text_js_divergence": """
+    "text_js_divergence": r"""
         WITH tok AS (
             SELECT source, token AS t
             FROM (
@@ -3315,7 +3315,7 @@ ORACLES = {
         FROM agg
         ORDER BY source
     """,
-    "text_hapax_ratio": """
+    "text_hapax_ratio": r"""
         WITH per_type AS (
             SELECT source, token AS t, COUNT(*) AS n
             FROM (
@@ -3336,7 +3336,7 @@ ORACLES = {
         GROUP BY source
         ORDER BY source
     """,
-    "text_vocab_coverage": """
+    "text_vocab_coverage": r"""
         WITH counts AS (
             SELECT token AS t, COUNT(*) AS n
             FROM (
