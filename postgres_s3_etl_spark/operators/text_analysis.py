@@ -734,6 +734,100 @@ def text_span_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup-pipeline accounting: the CASCADE a curation
+    run actually executes — (1) exact dedup (md5 keep-first), then
+    (2) the 32-token long-verbatim keep-first policy over the
+    SURVIVORS — reported per source as a funnel (docs → exact-dropped
+    → span-dropped → kept). Cascading matters: a span-dup of an
+    exact-dropped doc must be charged to stage 2 against the
+    surviving copy, not double-counted.
+
+    Plan: one md5 rollup (keep-first = min doc_id per digest), the
+    span stage from ``text_span_keepset`` restricted to survivors,
+    one per-source rollup. Linear, no candidate pairs anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    digests = docs.select("doc_id", "source", F.md5("text").alias("dg"))
+    keep1 = digests.groupBy("dg").agg(F.min("doc_id").alias("first_doc"))
+    staged = digests.join(keep1, "dg").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") > F.col("first_doc")).alias("exact_dropped"),
+    )
+    survivors = staged.where(~F.col("exact_dropped")).select("doc_id")
+    spans = (
+        docs.join(survivors, "doc_id")
+        .select("doc_id", _ws_tokens(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    rf"""
+                    case when size(w) >= {SPAN_KEEP_W} then
+                        transform(
+                            sequence(1, size(w) - {SPAN_KEEP_W - 1}),
+                            i -> md5(concat_ws(' ', slice(w, i, {SPAN_KEEP_W}))))
+                    else cast(array() as array<string>) end
+                    """
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    first_fp = spans.groupBy("fp").agg(F.min("doc_id").alias("fp_first"))
+    span_dropped = (
+        spans.join(first_fp, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") > F.col("fp_first"), 1).otherwise(0)
+            ).alias("span_dropped")
+        )
+    )
+    return (
+        staged.join(span_dropped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("exact_dropped"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dropped"),
+            F.sum(
+                F.when(
+                    (~F.col("exact_dropped"))
+                    & (F.coalesce(F.col("span_dropped"), F.lit(0)) == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_span_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dropped",
+            "n_span_dropped",
+            (
+                F.col("n_docs")
+                - F.col("n_exact_dropped")
+                - F.col("n_span_dropped")
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+            _trunc6(
+                (
+                    F.col("n_docs")
+                    - F.col("n_exact_dropped")
+                    - F.col("n_span_dropped")
+                ).cast("double")
+                / F.col("n_docs")
+            ).alias("kept_share"),
+        )
+        .orderBy("source")
+    )
+
+
 #: Decontamination n-gram width (the standard 13-gram overlap test)
 #: scaled to this corpus's short docs.
 DECON_NGRAM = 8
@@ -2365,6 +2459,7 @@ QUERIES = {
     "text_span_dedup": text_span_dedup,
     "text_span_ladder": text_span_ladder,
     "text_span_keepset": text_span_keepset,
+    "text_dedup_pipeline": text_dedup_pipeline,
     "text_ngram_novelty": text_ngram_novelty,
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
@@ -2991,6 +3086,61 @@ ORACLES = {
                floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e6) / 1e6 AS dup_frac
         FROM per_doc
         ORDER BY doc_id
+    """,
+    "text_dedup_pipeline": rf"""
+        WITH digests AS (
+            SELECT doc_id, source, md5(text) AS dg FROM documents
+        ),
+        keep1 AS (
+            SELECT dg, MIN(doc_id) AS first_doc FROM digests GROUP BY dg
+        ),
+        staged AS (
+            SELECT d.doc_id, d.source,
+                   d.doc_id > k.first_doc AS exact_dropped
+            FROM digests d JOIN keep1 k ON d.dg = k.dg
+        ),
+        spans AS (
+            SELECT DISTINCT w.doc_id,
+                   unnest([md5(array_to_string(w.w[i:i+{SPAN_KEEP_W - 1}], ' '))
+                           for i in generate_series(1, len(w.w) - {SPAN_KEEP_W - 1})]) AS fp
+            FROM (
+                SELECT d.doc_id,
+                       string_split_regex(trim(d.text), '\s+') AS w
+                FROM documents d
+                JOIN staged st ON d.doc_id = st.doc_id
+                WHERE NOT st.exact_dropped
+            ) w
+            WHERE len(w.w) >= {SPAN_KEEP_W}
+        ),
+        first_fp AS (
+            SELECT fp, MIN(doc_id) AS fp_first FROM spans GROUP BY fp
+        ),
+        span_dropped AS (
+            SELECT s.doc_id,
+                   MAX(CASE WHEN s.doc_id > f.fp_first THEN 1 ELSE 0 END)
+                       AS span_dropped
+            FROM spans s JOIN first_fp f ON s.fp = f.fp
+            GROUP BY s.doc_id
+        ),
+        acct AS (
+            SELECT st.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN st.exact_dropped THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact_dropped,
+                   CAST(SUM(CASE WHEN NOT st.exact_dropped
+                                  AND COALESCE(sd.span_dropped, 0) = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_span_dropped
+            FROM staged st LEFT JOIN span_dropped sd
+              ON st.doc_id = sd.doc_id
+            GROUP BY st.source
+        )
+        SELECT source, n_docs, n_exact_dropped, n_span_dropped,
+               CAST(n_docs - n_exact_dropped - n_span_dropped AS BIGINT)
+                   AS n_kept,
+               floor(CAST(n_docs - n_exact_dropped - n_span_dropped
+                          AS DOUBLE) / n_docs * 1e6) / 1e6 AS kept_share
+        FROM acct
+        ORDER BY source
     """,
     "text_span_keepset": rf"""
         WITH words AS (

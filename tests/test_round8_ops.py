@@ -29,6 +29,7 @@ ALL = [
     "embedding_dedup_threshold_curve",
     "q_events_power_analysis",
     "q_part_abc_xyz_matrix",
+    "text_dedup_pipeline",
 ]
 
 
@@ -561,3 +562,22 @@ def test_abc_xyz_matrix_partitions_parts(spark):
     for r in rows:
         assert r.abc_class in ("A", "B", "C")
         assert r.xyz_class in ("X", "Y", "Z")
+
+
+def test_dedup_pipeline_funnel_consistency(spark):
+    """Funnel accounting closes: kept + exact + span = docs per
+    source; Σ exact drops = total docs − distinct texts; stage-2
+    drops only touch exact survivors."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_dedup_pipeline,
+    )
+
+    rows = text_dedup_pipeline(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept + r.n_exact_dropped + r.n_span_dropped == r.n_docs
+        assert r.n_kept >= 1
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_total = docs.count()
+    n_distinct = docs.select(F.md5("text")).distinct().count()
+    assert sum(r.n_exact_dropped for r in rows) == n_total - n_distinct
