@@ -1336,6 +1336,103 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("mde")
 
 
+#: O'Brien–Fleming-style boundary constant (z² · information ≥ c²).
+_OF_C = "2.797"
+
+#: Shared squared-z expression (valid verbatim in Spark SQL and
+#: DuckDB): two-proportion z² from cumulative counts — squared so no
+#: sqrt/libm ever runs; NULL while either arm is all-0 or all-1.
+_SEQ_Z2_EXPR = (
+    "CASE WHEN cn0 > 0 AND cn1 > 0"
+    " AND (cconv0 + cconv1) > 0 AND (cconv0 + cconv1) < (cn0 + cn1) THEN"
+    " ((CAST(cconv0 AS DOUBLE) / cn0 - CAST(cconv1 AS DOUBLE) / cn1)"
+    "  * (CAST(cconv0 AS DOUBLE) / cn0 - CAST(cconv1 AS DOUBLE) / cn1))"
+    " / ((CAST(cconv0 + cconv1 AS DOUBLE) / (cn0 + cn1))"
+    "    * (1.0 - CAST(cconv0 + cconv1 AS DOUBLE) / (cn0 + cn1))"
+    "    * (1.0 / cn0 + 1.0 / cn1)) END"
+)
+
+
+def q_events_ab_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peeking-safe SEQUENTIAL monitoring of the A/B experiment: per
+    calendar day, cumulative exposures/conversions per arm, the
+    two-proportion z² statistic, the information fraction, and
+    whether the O'Brien–Fleming-style boundary (z²·t/T ≥ c²,
+    c=2.797) is crossed — the readout that lets a team look every
+    day WITHOUT inflating false positives, vs the fixed-horizon
+    ``q_events_ab_test``.
+
+    Everything stays in squared/rational domain (no sqrt, no libm):
+    z² is a rational of exact cumulative counts, the boundary test
+    multiplies by the information fraction instead of dividing by
+    its square root. Day-grain cumulative windows are calendar-
+    bounded (the accepted bounded-frame window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") % 2).alias("arm"),
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    >= AB_CONVERSION_K_MIN
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("conv0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("conv1"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("n0").over(w).cast("bigint").alias("cn0"),
+        F.sum("n1").over(w).cast("bigint").alias("cn1"),
+        F.sum("conv0").over(w).cast("bigint").alias("cconv0"),
+        F.sum("conv1").over(w).cast("bigint").alias("cconv1"),
+    )
+    tot = daily.agg(
+        F.sum(F.col("n0") + F.col("n1")).cast("bigint").alias("t_total")
+    )
+    staged = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "day",
+        "cn0",
+        "cn1",
+        "cconv0",
+        "cconv1",
+        f"{_SEQ_Z2_EXPR} AS z2_raw",
+        "CAST(cn0 + cn1 AS DOUBLE) / t_total AS info_frac_raw",
+    )
+    return staged.selectExpr(
+        "day",
+        "cn0",
+        "cn1",
+        "cconv0",
+        "cconv1",
+        "floor(z2_raw * 1e6) / 1e6 AS z2",
+        "floor(info_frac_raw * 1e6) / 1e6 AS info_frac",
+        "CASE WHEN z2_raw IS NOT NULL THEN"
+        f" z2_raw * info_frac_raw >= ({_OF_C} * {_OF_C}) END AS crossed",
+    ).orderBy("day")
+
+
 def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout with a two-proportion z-test: users
     split into arms by assignment parity (user_id % 2 — production
@@ -1866,6 +1963,7 @@ QUERIES = {
     "q_events_spectral_peaks": q_events_spectral_peaks,
     "q_events_ab_test": q_events_ab_test,
     "q_events_power_analysis": q_events_power_analysis,
+    "q_events_ab_sequential": q_events_ab_sequential,
     "q_events_markov_stationary": q_events_markov_stationary,
     "q_events_revenue_bridge": q_events_revenue_bridge,
     "q_events_funnel": q_events_funnel,
@@ -2181,6 +2279,55 @@ ORACLES = {
         SELECT CAST(p AS INT) AS period_hours,
                floor((a * a + b * b) / (n * n) * 1e6) / 1e6 AS power
         FROM agg ORDER BY period_hours
+    """,
+    "q_events_ab_sequential": f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                                  AND event_type = 'purchase'
+                                  AND CAST(json_extract_string(props, '$.k')
+                                           AS BIGINT) >= {AB_CONVERSION_K_MIN}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS conv0,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                  AND event_type = 'purchase'
+                                  AND CAST(json_extract_string(props, '$.k')
+                                           AS BIGINT) >= {AB_CONVERSION_K_MIN}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS conv1
+            FROM events GROUP BY CAST(ts AS DATE)
+        ),
+        cum AS (
+            SELECT day,
+                   CAST(SUM(n0) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn0,
+                   CAST(SUM(n1) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn1,
+                   CAST(SUM(conv0) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cconv0,
+                   CAST(SUM(conv1) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cconv1
+            FROM daily
+        ),
+        tot AS (
+            SELECT CAST(SUM(n0 + n1) AS BIGINT) AS t_total FROM daily
+        ),
+        staged AS (
+            SELECT day, cn0, cn1, cconv0, cconv1,
+                   {_SEQ_Z2_EXPR} AS z2_raw,
+                   CAST(cn0 + cn1 AS DOUBLE) / t_total AS info_frac_raw
+            FROM cum CROSS JOIN tot
+        )
+        SELECT day, cn0, cn1, cconv0, cconv1,
+               floor(z2_raw * 1e6) / 1e6 AS z2,
+               floor(info_frac_raw * 1e6) / 1e6 AS info_frac,
+               CASE WHEN z2_raw IS NOT NULL THEN
+                   z2_raw * info_frac_raw >= ({_OF_C} * {_OF_C})
+               END AS crossed
+        FROM staged
+        ORDER BY day
     """,
     "q_events_power_analysis": f"""
         WITH users AS (

@@ -30,6 +30,7 @@ ALL = [
     "q_events_power_analysis",
     "q_part_abc_xyz_matrix",
     "text_dedup_pipeline",
+    "q_events_ab_sequential",
 ]
 
 
@@ -581,3 +582,35 @@ def test_dedup_pipeline_funnel_consistency(spark):
     n_total = docs.count()
     n_distinct = docs.select(F.md5("text")).distinct().count()
     assert sum(r.n_exact_dropped for r in rows) == n_total - n_distinct
+
+
+def test_ab_sequential_consistent_with_fixed_horizon(spark):
+    """The final day's cumulative counts must reproduce event-grain
+    totals, info_frac must end at 1.0, and z² must be the square of
+    the two-proportion z from the same counts."""
+    from postgres_s3_etl_spark.operators.events import (
+        q_events_ab_sequential,
+    )
+
+    rows = q_events_ab_sequential(spark, SF_DIR).orderBy("day").collect()
+    assert rows
+    last = rows[-1]
+    assert abs(last.info_frac - 1.0) < 2e-6
+    # cumulative monotonicity
+    for a, b in zip(rows, rows[1:]):
+        assert b.cn0 >= a.cn0 and b.cn1 >= a.cn1
+        assert b.cconv0 >= a.cconv0 and b.cconv1 >= a.cconv1
+    # closed-form z² cross-check on the final row
+    p0 = last.cconv0 / last.cn0
+    p1 = last.cconv1 / last.cn1
+    pp = (last.cconv0 + last.cconv1) / (last.cn0 + last.cn1)
+    z2 = (p0 - p1) ** 2 / (pp * (1 - pp) * (1 / last.cn0 + 1 / last.cn1))
+    assert abs(last.z2 - z2) < 1e-4
+    # boundary flag matches its definition
+    for r in rows:
+        if r.z2 is not None:
+            assert r.crossed == (
+                r.z2 * r.info_frac >= 2.797 * 2.797
+                or abs(r.z2 * r.info_frac - 2.797 * 2.797) < 1e-4
+                and r.crossed
+            )
