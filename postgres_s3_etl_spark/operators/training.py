@@ -548,6 +548,204 @@ def _bigram_lm_oracle() -> str:
     """
 
 
+#: Fixed EM rounds for the Jelinek–Mercer interpolation weight.
+EM_ROUNDS = 3
+
+#: MLE bigram probability (no discounting — the interpolation with
+#: the unigram IS the smoothing here). Valid verbatim both engines.
+_JM_PBI_EXPR = (
+    "case when cx > 0 then cast(cxy as double) / cx else 0.0 end"
+)
+
+
+def text_lm_interp_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer smoothing weight learned IN-ENGINE by EM: the
+    mixture λ·p_bigram + (1−λ)·p_unigram is exactly a 2-component
+    mixture per held-out bigram, so EM's E-step is one responsibility
+    aggregate and the M-step is its mean — λ provably increases
+    held-out likelihood every round (tested). Emits the EM curve:
+    λ, avg NLL, and perplexity at each round — hyperparameter TUNING
+    as a distributed operator, completing the LM story next to the
+    fixed-D ``text_bigram_lm_heldout``.
+
+    Plan per round: ONE aggregate over the (checkpointed) scored
+    test-bigram frame — the responsibility sum and the current-λ
+    log-likelihood in the same pass — with a 2-number driver collect
+    (the convergence-scalar pattern). Responsibilities and ln terms
+    are floor-pinned to the 1e-9 grid; λ itself is derived from an
+    exact pinned sum, so both engines walk the identical λ sequence.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _ws_tokens(F.lower(F.col("text"))).alias("w")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(w) >= 2 then"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> named_struct('x', element_at(w, i),"
+                " 'y', element_at(w, i + 1)))"
+                " else cast(array() as array<struct<x: string, y: string>>)"
+                " end"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+    cxy = (
+        bigrams.where(F.col("doc_id") % 2 == 0)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    )
+    ctx = cxy.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    train_tok = toks.where(F.col("doc_id") % 2 == 0).select(
+        F.explode("w").alias("tok")
+    )
+    uni = train_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1y")
+    )
+    scal = train_tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.countDistinct("tok").cast("bigint").alias("v"),
+    )
+    scored = (
+        bigrams.where(F.col("doc_id") % 2 == 1)
+        .join(cxy, ["x", "y"], "left")
+        .join(ctx, "x", "left")
+        .join(uni.withColumnRenamed("tok", "y"), "y", "left")
+        .crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "coalesce(cxy, 0) as cxy",
+            "coalesce(cx, 0) as cx",
+            "coalesce(c1y, 0) as c1y",
+            "t",
+            "v",
+        )
+        .selectExpr(
+            f"{_JM_PBI_EXPR} as p_bi",
+            f"{_LM_PUNI_EXPR} as p_uni",
+        )
+        .localCheckpoint()
+    )
+    n = scored.count()
+    out_schema = (
+        "round int, lam double, avg_nll double, perplexity double"
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    lam = 0.5
+    rows = []
+    for r in range(EM_ROUNDS + 1):
+        mix = F.lit(lam) * F.col("p_bi") + (
+            F.lit(1.0) - F.lit(lam)
+        ) * F.col("p_uni")
+        resp = (F.lit(lam) * F.col("p_bi")) / mix
+        agg = scored.agg(
+            F.sum(_pin(F.log(mix))).cast("long").alias("ll"),
+            F.sum(_pin(resp)).cast("long").alias("rs"),
+        ).collect()[0]
+        avg_nll_raw = -(int(agg["ll"]) / PIN) / n
+        rows.append(
+            (
+                r,
+                math.floor(lam * 1e6) / 1e6,
+                math.floor(avg_nll_raw * 1e6) / 1e6,
+                math.floor(math.exp(avg_nll_raw) * 1e6) / 1e6,
+            )
+        )
+        lam = (int(agg["rs"]) / PIN) / n
+    return spark.createDataFrame(rows, out_schema).orderBy("round")
+
+
+def _lm_interp_oracle() -> str:
+    parts = []
+    for r in range(EM_ROUNDS + 1):
+        prev = (
+            "lam0"
+            if r == 0
+            else f"(SELECT (CAST(rs AS DOUBLE) / {PIN:.1f}) / n AS lam"
+            f" FROM em{r - 1} CROSS JOIN cnt)"
+        )
+        parts.append(
+            f"""l{r} AS ({("SELECT 0.5 AS lam" if r == 0 else f"SELECT lam FROM {prev} x")}),
+        em{r} AS (
+            SELECT CAST(SUM(CAST(floor(ln(l.lam * s.p_bi
+                                          + (1.0 - l.lam) * s.p_uni)
+                                       * {PIN:.1f}) AS BIGINT)) AS BIGINT)
+                       AS ll,
+                   CAST(SUM(CAST(floor(((l.lam * s.p_bi)
+                                        / (l.lam * s.p_bi
+                                           + (1.0 - l.lam) * s.p_uni))
+                                       * {PIN:.1f}) AS BIGINT)) AS BIGINT)
+                       AS rs
+            FROM scored s CROSS JOIN l{r} l
+        )"""
+        )
+    round_rows = "\n            UNION ALL ".join(
+        f"SELECT {r} AS round,"
+        f" floor((SELECT lam FROM l{r}) * 1e6) / 1e6 AS lam,"
+        f" floor(-(CAST(ll AS DOUBLE) / {PIN:.1f}) / cnt.n * 1e6) / 1e6"
+        f" AS avg_nll,"
+        f" floor(exp(-(CAST(ll AS DOUBLE) / {PIN:.1f}) / cnt.n) * 1e6)"
+        f" / 1e6 AS perplexity"
+        f" FROM em{r} CROSS JOIN cnt"
+        for r in range(EM_ROUNDS + 1)
+    )
+    chain = ",\n        ".join(parts)
+    return rf"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        bigrams AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS x,
+                   unnest(w[2:len(w)]) AS y
+            FROM toks WHERE len(w) >= 2
+        ),
+        cxy AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+            FROM bigrams WHERE doc_id % 2 = 0 GROUP BY x, y
+        ),
+        ctx AS (
+            SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cxy GROUP BY x
+        ),
+        train_tok AS MATERIALIZED (
+            SELECT unnest(w) AS tok FROM toks WHERE doc_id % 2 = 0
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1y
+            FROM train_tok GROUP BY tok
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM train_tok
+        ),
+        scored AS MATERIALIZED (
+            SELECT {_JM_PBI_EXPR} AS p_bi,
+                   {_LM_PUNI_EXPR} AS p_uni
+            FROM (
+                SELECT COALESCE(c.cxy, 0) AS cxy, COALESCE(k.cx, 0) AS cx,
+                       COALESCE(u.c1y, 0) AS c1y, s.t, s.v
+                FROM (SELECT x, y FROM bigrams WHERE doc_id % 2 = 1) tb
+                LEFT JOIN cxy c ON tb.x = c.x AND tb.y = c.y
+                LEFT JOIN ctx k ON tb.x = k.x
+                LEFT JOIN uni u ON tb.y = u.tok
+                CROSS JOIN scal s
+            )
+        ),
+        cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+        {chain}
+        SELECT r.round, r.lam, r.avg_nll, r.perplexity FROM (
+            {round_rows}
+        ) r CROSS JOIN cnt c
+        WHERE c.n > 0
+        ORDER BY r.round
+    """
+
+
 def _irls_round_ctes() -> str:
     parts = []
     for t in range(1, IRLS_ROUNDS + 1):
@@ -789,6 +987,7 @@ QUERIES = {
     "text_quality_train": text_quality_train,
     "text_quality_train_curve": text_quality_train_curve,
     "text_bigram_lm_heldout": text_bigram_lm_heldout,
+    "text_lm_interp_em": text_lm_interp_em,
     "text_quality_auc": text_quality_auc,
     "text_quality_calibration": text_quality_calibration,
 }
@@ -797,6 +996,7 @@ ORACLES = {
     "text_quality_train": _quality_train_oracle(),
     "text_quality_train_curve": _quality_curve_oracle(),
     "text_bigram_lm_heldout": _bigram_lm_oracle(),
+    "text_lm_interp_em": _lm_interp_oracle(),
     "text_quality_auc": _quality_auc_oracle(),
     "text_quality_calibration": _quality_calibration_oracle(),
 }

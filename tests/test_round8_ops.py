@@ -31,6 +31,7 @@ ALL = [
     "q_part_abc_xyz_matrix",
     "text_dedup_pipeline",
     "q_events_ab_sequential",
+    "text_lm_interp_em",
 ]
 
 
@@ -614,3 +615,23 @@ def test_ab_sequential_consistent_with_fixed_horizon(spark):
                 or abs(r.z2 * r.info_frac - 2.797 * 2.797) < 1e-4
                 and r.crossed
             )
+
+
+def test_lm_interp_em_improves_heldout_each_round(spark):
+    """EM on the 2-component mixture maximizes held-out likelihood:
+    avg NLL must be non-increasing round over round, and λ stays a
+    probability."""
+    from postgres_s3_etl_spark.operators.training import (
+        text_lm_interp_em,
+    )
+
+    rows = text_lm_interp_em(spark, SF_DIR).orderBy("round").collect()
+    assert len(rows) == 4
+    assert rows[0].lam == 0.5
+    for a, b in zip(rows, rows[1:]):
+        assert b.avg_nll <= a.avg_nll + 1e-6, rows
+        assert 0.0 < b.lam < 1.0
+    # the mixture must beat BOTH pure components at the final lambda
+    # (weaker but closed-form-free: final <= round-0 equal mixture)
+    assert rows[-1].avg_nll <= rows[0].avg_nll
+    assert rows[-1].perplexity <= rows[0].perplexity
