@@ -1336,6 +1336,72 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("mde")
 
 
+#: Seasonal-naive backtest horizon (days scored at the tail).
+SNAIVE_BT_DAYS = 7
+#: Seasonal period (weekly).
+SNAIVE_PERIOD = 7
+
+
+def q_events_snaive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin BACKTEST of the seasonal-naive forecaster: for
+    each of the last ``SNAIVE_BT_DAYS`` days, the forecast is the
+    value ``SNAIVE_PERIOD`` days earlier; per event type report MAE,
+    MAPE, and bias — the evaluation harness that tells a team whether
+    `q_events_forecast_snaive`'s model is even worth running, the
+    forecasting twin of ``sim_search_recall``.
+
+    Plan: one daily rollup, a self equi-join on (type, day−period)
+    — no windows, no cross join — then one per-type rollup. Errors
+    are exact integers; the two ratio metrics floor-pin per-row
+    terms before summation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    max_day = daily.agg(F.max("day").alias("mx"))
+    actual = (
+        daily.crossJoin(F.broadcast(max_day))
+        .where(F.col("day") > F.date_sub(F.col("mx"), SNAIVE_BT_DAYS))
+        .select("event_type", "day", F.col("n").alias("actual"))
+    )
+    fc = daily.select(
+        "event_type",
+        F.date_add("day", SNAIVE_PERIOD).alias("day"),
+        F.col("n").alias("forecast"),
+    )
+    scored = actual.join(fc, ["event_type", "day"]).select(
+        "event_type",
+        (F.col("actual") - F.col("forecast")).cast("bigint").alias("err"),
+        "actual",
+    )
+    pin = lambda c: F.floor(c * 1e9).cast("long")  # noqa: E731
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+            F.sum(F.abs("err")).cast("bigint").alias("abs_err_sum"),
+            F.sum("err").cast("bigint").alias("err_sum"),
+            F.sum(
+                pin(F.abs("err").cast("double") / F.col("actual"))
+            )
+            .cast("bigint")
+            .alias("ape_pinned"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_days_scored",
+            "floor(CAST(abs_err_sum AS DOUBLE) / n_days_scored * 1e6)"
+            " / 1e6 AS mae",
+            "floor((CAST(ape_pinned AS DOUBLE) / 1e9) / n_days_scored"
+            " * 1e6) / 1e6 AS mape",
+            "floor(CAST(err_sum AS DOUBLE) / n_days_scored * 1e6)"
+            " / 1e6 AS bias",
+        )
+        .orderBy("event_type")
+    )
+
+
 #: O'Brien–Fleming-style boundary constant (z² · information ≥ c²).
 _OF_C = "2.797"
 
@@ -1964,6 +2030,7 @@ QUERIES = {
     "q_events_ab_test": q_events_ab_test,
     "q_events_power_analysis": q_events_power_analysis,
     "q_events_ab_sequential": q_events_ab_sequential,
+    "q_events_snaive_backtest": q_events_snaive_backtest,
     "q_events_markov_stationary": q_events_markov_stationary,
     "q_events_revenue_bridge": q_events_revenue_bridge,
     "q_events_funnel": q_events_funnel,
@@ -2279,6 +2346,51 @@ ORACLES = {
         SELECT CAST(p AS INT) AS period_hours,
                floor((a * a + b * b) / (n * n) * 1e6) / 1e6 AS power
         FROM agg ORDER BY period_hours
+    """,
+    "q_events_snaive_backtest": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        mx AS (SELECT MAX(day) AS mx FROM daily),
+        actual AS (
+            SELECT d.event_type, d.day, d.n AS actual
+            FROM daily d CROSS JOIN mx
+            WHERE d.day > mx.mx - INTERVAL {SNAIVE_BT_DAYS} DAY
+        ),
+        fc AS (
+            SELECT event_type,
+                   day + INTERVAL {SNAIVE_PERIOD} DAY AS day,
+                   n AS forecast
+            FROM daily
+        ),
+        scored AS (
+            SELECT a.event_type,
+                   CAST(a.actual - f.forecast AS BIGINT) AS err,
+                   a.actual
+            FROM actual a JOIN fc f
+              ON a.event_type = f.event_type AND a.day = f.day
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+                   CAST(SUM(abs(err)) AS BIGINT) AS abs_err_sum,
+                   CAST(SUM(err) AS BIGINT) AS err_sum,
+                   CAST(SUM(CAST(floor(CAST(abs(err) AS DOUBLE) / actual
+                                       * 1e9) AS BIGINT)) AS BIGINT)
+                       AS ape_pinned
+            FROM scored GROUP BY event_type
+        )
+        SELECT event_type, n_days_scored,
+               floor(CAST(abs_err_sum AS DOUBLE) / n_days_scored * 1e6)
+                   / 1e6 AS mae,
+               floor((CAST(ape_pinned AS DOUBLE) / 1e9) / n_days_scored
+                     * 1e6) / 1e6 AS mape,
+               floor(CAST(err_sum AS DOUBLE) / n_days_scored * 1e6)
+                   / 1e6 AS bias
+        FROM agg
+        ORDER BY event_type
     """,
     "q_events_ab_sequential": f"""
         WITH daily AS (

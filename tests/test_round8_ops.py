@@ -32,6 +32,7 @@ ALL = [
     "text_dedup_pipeline",
     "q_events_ab_sequential",
     "text_lm_interp_em",
+    "q_events_snaive_backtest",
 ]
 
 
@@ -635,3 +636,38 @@ def test_lm_interp_em_improves_heldout_each_round(spark):
     # (weaker but closed-form-free: final <= round-0 equal mixture)
     assert rows[-1].avg_nll <= rows[0].avg_nll
     assert rows[-1].perplexity <= rows[0].perplexity
+
+
+def test_snaive_backtest_matches_direct_computation(spark):
+    """MAE/bias must equal a pure-Python recomputation from the raw
+    daily counts (the forecast IS the 7-day-lag value)."""
+    import collections as c
+    import datetime as dt
+    import math
+
+    from postgres_s3_etl_spark.operators.events import (
+        SNAIVE_BT_DAYS,
+        SNAIVE_PERIOD,
+        q_events_snaive_backtest,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    daily = c.Counter()
+    for r in ev:
+        daily[(r.event_type, r.ts.date())] += 1
+    mx = max(d for _, d in daily)
+    ref = {}
+    for (et, d), n in daily.items():
+        if d > mx - dt.timedelta(days=SNAIVE_BT_DAYS):
+            prev = daily.get((et, d - dt.timedelta(days=SNAIVE_PERIOD)))
+            if prev is not None:
+                ref.setdefault(et, []).append(n - prev)
+    rows = {r.event_type: r for r in q_events_snaive_backtest(spark, SF_DIR).collect()}
+    assert set(rows) == set(ref)
+    for et, errs in ref.items():
+        r = rows[et]
+        assert r.n_days_scored == len(errs)
+        assert r.mae == math.floor(
+            sum(abs(e) for e in errs) / len(errs) * 1e6
+        ) / 1e6
+        assert r.bias == math.floor(sum(errs) / len(errs) * 1e6) / 1e6
