@@ -828,6 +828,62 @@ def text_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_source_vocab_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources — the mixing
+    diagnostic that says which corpus components are lexically
+    redundant before `text_mixture_weights` allocates budget to
+    them (vocabulary-level, so it catches topical overlap that
+    doc-level dedup can't).
+
+    Plan: distinct (source, token) frame (one shuffle); the pair
+    join is an equi-join ON TOKEN, so candidates per token are
+    bounded by |sources|² (a constant, ~20² here) — never
+    corpus-quadratic; per-source vocab sizes come from one rollup
+    and |A∪B| = |A|+|B|−|A∩B| needs no second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source",
+            F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vsz")
+    )
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vsz").alias("vsz_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vsz").alias("vsz_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            (F.col("vsz_a") + F.col("vsz_b") - F.col("inter"))
+            .cast("bigint")
+            .alias("uni"),
+            _trunc6(
+                F.col("inter").cast("double")
+                / (F.col("vsz_a") + F.col("vsz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 #: Decontamination n-gram width (the standard 13-gram overlap test)
 #: scaled to this corpus's short docs.
 DECON_NGRAM = 8
@@ -2460,6 +2516,7 @@ QUERIES = {
     "text_span_ladder": text_span_ladder,
     "text_span_keepset": text_span_keepset,
     "text_dedup_pipeline": text_dedup_pipeline,
+    "text_source_vocab_overlap": text_source_vocab_overlap,
     "text_ngram_novelty": text_ngram_novelty,
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
@@ -3086,6 +3143,33 @@ ORACLES = {
                floor(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e6) / 1e6 AS dup_frac
         FROM per_doc
         ORDER BY doc_id
+    """,
+    "text_source_vocab_overlap": r"""
+        WITH st AS (
+            SELECT DISTINCT source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS tok
+            FROM documents
+        ),
+        sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS vsz
+            FROM st GROUP BY source
+        ),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM st a JOIN st b
+              ON a.tok = b.tok AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT i.src_a, i.src_b, i.inter,
+               CAST(sa.vsz + sb.vsz - i.inter AS BIGINT) AS uni,
+               floor(CAST(i.inter AS DOUBLE)
+                     / (sa.vsz + sb.vsz - i.inter) * 1e6) / 1e6 AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.src_a = sa.source
+        JOIN sizes sb ON i.src_b = sb.source
+        ORDER BY i.src_a, i.src_b
     """,
     "text_dedup_pipeline": rf"""
         WITH digests AS (

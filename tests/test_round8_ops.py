@@ -33,6 +33,7 @@ ALL = [
     "q_events_ab_sequential",
     "text_lm_interp_em",
     "q_events_snaive_backtest",
+    "text_source_vocab_overlap",
 ]
 
 
@@ -671,3 +672,20 @@ def test_snaive_backtest_matches_direct_computation(spark):
             sum(abs(e) for e in errs) / len(errs) * 1e6
         ) / 1e6
         assert r.bias == math.floor(sum(errs) / len(errs) * 1e6) / 1e6
+
+
+def test_vocab_overlap_symmetric_complete_and_bounded(spark):
+    """All source pairs present (k choose 2), Jaccard in (0, 1],
+    and the intersection never exceeds either vocabulary."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_source_vocab_overlap,
+    )
+
+    rows = text_source_vocab_overlap(spark, SF_DIR).collect()
+    sources = {r.src_a for r in rows} | {r.src_b for r in rows}
+    k = len(sources)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.inter <= r.uni
+        assert 0.0 < r.jaccard <= 1.0
