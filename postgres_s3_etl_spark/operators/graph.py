@@ -1466,6 +1466,51 @@ KCORE_K = 3
 KCORE_MAX_ITERS = 50
 
 
+#: k ladder for the full core decomposition curve.
+CORE_DECOMP_KS = (2, 3, 4, 5)
+
+
+def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core-decomposition CURVE: surviving nodes/edges of the k-core
+    for k = 2..5 — the density ladder that locates where the graph's
+    cohesive backbone actually sits (`graph_kcore` reports one fixed
+    k; this is the sweep that justifies choosing it).
+
+    Scale shape: k-cores are NESTED, so each level's peel starts
+    from the PREVIOUS core's edge set (never from scratch) — total
+    work is one peel cascade, the same per-round
+    degree-rollup + two-semi-join shape as ``graph_kcore``, with
+    only constant-size convergence scalars on the driver.
+    """
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    rows = []
+    for kval in CORE_DECOMP_KS:
+        n_cur = edges.count()
+        for _ in range(KCORE_MAX_ITERS):
+            deg = _degrees(edges)
+            keep = deg.where(F.col("deg") >= kval).select("node")
+            edges = (
+                edges.join(keep, edges.src == keep.node, "leftsemi")
+                .join(keep, F.col("dst") == keep.node, "leftsemi")
+                .localCheckpoint()
+            )
+            n_next = edges.count()
+            if n_next == n_cur:
+                break
+            n_cur = n_next
+        n_nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .count()
+        )
+        rows.append((kval, int(n_nodes), int(n_cur)))
+    return spark.createDataFrame(
+        rows, "k int, n_nodes bigint, n_edges bigint"
+    ).orderBy("k")
+
+
+
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the 3-core of the co-purchase graph —
     the densest-backbone extraction (community seeding, spam-node
@@ -1731,6 +1776,7 @@ QUERIES = {
     "graph_knn_degree_curve": graph_knn_degree_curve,
     "graph_random_walks": graph_random_walks,
     "graph_kcore": graph_kcore,
+    "graph_core_decomposition": graph_core_decomposition,
     "graph_bfs_levels": graph_bfs_levels,
     "graph_degree_stats": graph_degree_stats,
     "graph_assortativity": graph_assortativity,
@@ -1841,6 +1887,52 @@ def _prc_iter_sql(k: int) -> str:
 #: in a handful of rounds; 16 leaves margin). Extra rounds past
 #: convergence are no-ops, so deeper-than-needed unroll is safe.
 KCORE_ORACLE_ROUNDS = 16
+
+
+def _core_decomp_oracle() -> str:
+    parts = ["c2e0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    prev_final = None
+    sel_rows = []
+    for kval in CORE_DECOMP_KS:
+        pre = f"c{kval}e"
+        if prev_final is not None:
+            parts.append(
+                f"{pre}0 AS MATERIALIZED (SELECT src, dst FROM {prev_final})"
+            )
+        for r in range(1, KCORE_ORACLE_ROUNDS + 1):
+            parts.append(
+                f"""{pre}d{r} AS (
+            SELECT node, COUNT(*) AS c FROM (
+                SELECT src AS node FROM {pre}{r - 1}
+                UNION ALL SELECT dst FROM {pre}{r - 1}
+            ) GROUP BY node
+        ),
+        {pre}{r} AS MATERIALIZED (
+            SELECT e.src, e.dst
+            FROM {pre}{r - 1} e
+            JOIN {pre}d{r} a ON e.src = a.node AND a.c >= {kval}
+            JOIN {pre}d{r} b ON e.dst = b.node AND b.c >= {kval}
+        )"""
+            )
+        prev_final = f"{pre}{KCORE_ORACLE_ROUNDS}"
+        sel_rows.append(
+            f"""SELECT {kval} AS k,
+                   (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM (
+                        SELECT src AS node FROM {prev_final}
+                        UNION ALL SELECT dst FROM {prev_final})) AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM {prev_final})
+                       AS n_edges"""
+        )
+    chain = ",\n        ".join(parts)
+    rows_sql = "\n            UNION ALL ".join(sel_rows)
+    return f"""
+        WITH {_EDGES_SQL},
+        {chain}
+        SELECT k, n_nodes, n_edges FROM (
+            {rows_sql}
+        )
+        ORDER BY k
+    """
 
 
 def _kcore_iter_sql(k: int) -> str:
@@ -2426,6 +2518,7 @@ ORACLES = {
         GROUP BY label
         ORDER BY n_members DESC, label ASC
     """,
+    "graph_core_decomposition": _core_decomp_oracle(),
     "graph_conductance": f"""
         WITH {_EDGES_SQL},
         sym AS MATERIALIZED (

@@ -34,6 +34,7 @@ ALL = [
     "text_lm_interp_em",
     "q_events_snaive_backtest",
     "text_source_vocab_overlap",
+    "graph_core_decomposition",
 ]
 
 
@@ -689,3 +690,20 @@ def test_vocab_overlap_symmetric_complete_and_bounded(spark):
         assert r.src_a < r.src_b
         assert 0 < r.inter <= r.uni
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_core_decomposition_nested_and_matches_kcore(spark):
+    """k-cores nest: node/edge counts are non-increasing in k; the
+    k=3 level must agree with graph_kcore's 3-core node total."""
+    from postgres_s3_etl_spark.operators.graph import (
+        graph_core_decomposition,
+        graph_kcore,
+    )
+
+    rows = graph_core_decomposition(spark, SF_DIR).orderBy("k").collect()
+    assert [r.k for r in rows] == [2, 3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_nodes >= b.n_nodes
+        assert a.n_edges >= b.n_edges
+    core3_nodes = sum(r.n_nodes for r in graph_kcore(spark, SF_DIR).collect())
+    assert rows[1].n_nodes == core3_nodes
