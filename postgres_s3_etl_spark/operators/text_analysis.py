@@ -2033,6 +2033,148 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule")
 
 
+#: Gopher repetition-rule thresholds (Rae et al. 2021 Table A1 rows
+#: 6-13), expressed in exact micro-units (x 1e6) so the pass/fail
+#: comparison is integer-vs-integer in BOTH engines — no float
+#: boundary can flip a rule between Spark and DuckDB.
+REP_DUP_LINE_MAX_X1M = 300_000  # dup-line fraction > 0.30 fails
+REP_DUP_PARA_MAX_X1M = 300_000  # dup-paragraph fraction > 0.30 fails
+REP_TOP2_MAX_X1M = 200_000  # top-2-gram char fraction > 0.20 fails
+REP_TOP3_MAX_X1M = 180_000  # top-3-gram char fraction > 0.18 fails
+REP_TOP4_MAX_X1M = 160_000  # top-4-gram char fraction > 0.16 fails
+
+#: "Line" boundary for the repetition panel: newline runs or
+#: sentence ends. The driver corpus has no newlines, so the sentence
+#: alternative keeps the line rules non-vacuous on real prose while
+#: staying a pure regex both engines split identically.
+REP_LINE_SPLIT_RE = r"\n+|\.\s+"
+REP_PARA_SPLIT_RE = r"\n\n+"
+
+
+def _rep_best_run_expr(n: int) -> str:
+    """Spark SQL expression: max over distinct word-``n``-grams of
+    (occurrences x gram char length), computed ROW-LOCALLY by
+    sorting the gram array and scanning equal-adjacent runs — an
+    O(m log m) per-doc kernel with no shuffle, vs the exploded
+    corpus-x-grams groupBy a naive plan would pay.
+    """
+    run = "CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1L END"
+    return f"""
+        CASE WHEN size(words) >= {n} THEN
+            aggregate(
+                array_sort(transform(
+                    sequence(1, size(words) - {n} + 1),
+                    i -> array_join(slice(words, i, {n}), ' '))),
+                named_struct('prev', CAST(NULL AS STRING),
+                             'run', 0L, 'best', 0L),
+                (acc, x) -> named_struct(
+                    'prev', x,
+                    'run', {run},
+                    'best', greatest(acc.best,
+                                     ({run}) * length(x))),
+                acc -> acc.best)
+        ELSE 0L END
+    """
+
+
+def text_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition rule panel — the other half of the
+    Gopher quality gate (Rae et al. 2021 Table A1 rows 6-13) that
+    :func:`text_gopher_rules` (rows 1-5) doesn't cover: duplicate
+    line fraction, duplicate paragraph fraction, and top-2/3/4-gram
+    character fraction per document. ``text_block_dedup`` /
+    ``text_span_ladder`` measure CROSS-doc duplication; this panel is
+    the WITHIN-doc repetition filter every production corpus runs.
+    Completes the reference's quality-gate analog
+    (`reviews_ETL.py:93-198` filters rows before aggregating; this
+    filters documents before training).
+
+    Scale shape: every metric is row-local over one tokenization —
+    n-gram mode via sort + equal-run scan on the per-doc gram array
+    (never an exploded corpus-grain groupBy), duplicate lines via
+    ``array_distinct``. The whole panel is ONE conditional-sum
+    aggregation with map-side combine; shuffle is 1 row regardless
+    of corpus size. Per-rule fail decisions compare exact micro-unit
+    integers, so Spark and the oracle can't diverge on boundaries.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.selectExpr(
+        "filter(split(trim(lower(text)), '\\\\s+'), w -> w <> '')"
+        " AS words",
+        "filter(transform(split(lower(text), '\\\\n+|\\\\.\\\\s+'),"
+        " l -> trim(l)), l -> l <> '') AS lines",
+        "filter(transform(split(lower(text), '\\\\n\\\\n+'),"
+        " p -> trim(p)), p -> p <> '') AS paras",
+    )
+    per_doc = norm.selectExpr(
+        "size(lines) AS n_lines",
+        "size(array_distinct(lines)) AS d_lines",
+        "size(paras) AS n_paras",
+        "size(array_distinct(paras)) AS d_paras",
+        "length(array_join(words, ' ')) AS n_chars",
+        f"{_rep_best_run_expr(2)} AS best2",
+        f"{_rep_best_run_expr(3)} AS best3",
+        f"{_rep_best_run_expr(4)} AS best4",
+    ).selectExpr(
+        "CASE WHEN n_lines > 0 THEN CAST(floor("
+        "(n_lines - d_lines) * 1e6 / n_lines) AS BIGINT)"
+        " ELSE 0L END AS mic_dl",
+        "CASE WHEN n_paras > 0 THEN CAST(floor("
+        "(n_paras - d_paras) * 1e6 / n_paras) AS BIGINT)"
+        " ELSE 0L END AS mic_dp",
+        "CASE WHEN n_chars > 0 THEN CAST(floor("
+        "best2 * 1e6 / n_chars) AS BIGINT) ELSE 0L END AS mic_2",
+        "CASE WHEN n_chars > 0 THEN CAST(floor("
+        "best3 * 1e6 / n_chars) AS BIGINT) ELSE 0L END AS mic_3",
+        "CASE WHEN n_chars > 0 THEN CAST(floor("
+        "best4 * 1e6 / n_chars) AS BIGINT) ELSE 0L END AS mic_4",
+    )
+    agg = per_doc.selectExpr(
+        "COUNT(*) AS n_docs",
+        f"SUM(CASE WHEN mic_dl > {REP_DUP_LINE_MAX_X1M} THEN 1"
+        " ELSE 0 END) AS f_dl",
+        f"SUM(CASE WHEN mic_dp > {REP_DUP_PARA_MAX_X1M} THEN 1"
+        " ELSE 0 END) AS f_dp",
+        f"SUM(CASE WHEN mic_2 > {REP_TOP2_MAX_X1M} THEN 1"
+        " ELSE 0 END) AS f_2",
+        f"SUM(CASE WHEN mic_3 > {REP_TOP3_MAX_X1M} THEN 1"
+        " ELSE 0 END) AS f_3",
+        f"SUM(CASE WHEN mic_4 > {REP_TOP4_MAX_X1M} THEN 1"
+        " ELSE 0 END) AS f_4",
+        f"SUM(CASE WHEN mic_dl <= {REP_DUP_LINE_MAX_X1M}"
+        f" AND mic_dp <= {REP_DUP_PARA_MAX_X1M}"
+        f" AND mic_2 <= {REP_TOP2_MAX_X1M}"
+        f" AND mic_3 <= {REP_TOP3_MAX_X1M}"
+        f" AND mic_4 <= {REP_TOP4_MAX_X1M} THEN 1 ELSE 0 END)"
+        " AS pass_all",
+        "SUM(mic_dl) AS s_dl",
+        "SUM(mic_dp) AS s_dp",
+        "SUM(mic_2) AS s_2",
+        "SUM(mic_3) AS s_3",
+        "SUM(mic_4) AS s_4",
+    )
+    return agg.selectExpr(
+        "stack(6,"
+        " 'dup_line_frac', f_dl, s_dl,"
+        " 'dup_para_frac', f_dp, s_dp,"
+        " 'top_2gram_char_frac', f_2, s_2,"
+        " 'top_3gram_char_frac', f_3, s_3,"
+        " 'top_4gram_char_frac', f_4, s_4,"
+        " 'pass_all_rules', pass_all, CAST(NULL AS BIGINT))"
+        " AS (rule, n, sm)",
+        "n_docs",
+    ).selectExpr(
+        "rule",
+        "CAST(n AS BIGINT) AS n_docs_affected",
+        "CASE WHEN n_docs > 0 THEN"
+        " floor(n * 1.0 / n_docs * 1e6) / 1e6"
+        " ELSE CAST(NULL AS DOUBLE) END AS share",
+        "CASE WHEN sm IS NOT NULL AND n_docs > 0 THEN"
+        " floor(sm / n_docs) / 1e6"
+        " ELSE CAST(NULL AS DOUBLE) END AS avg_frac",
+    ).orderBy("rule")
+
+
 #: BM25 ranking constants (Robertson/Sparck-Jones defaults).
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -2493,6 +2635,7 @@ QUERIES = {
     "text_ngram_entropy_rate": text_ngram_entropy_rate,
     "text_heaps_law": text_heaps_law,
     "text_gopher_rules": text_gopher_rules,
+    "text_repetition_rules": text_repetition_rules,
     "text_bm25_rank": text_bm25_rank,
     "text_block_dedup": text_block_dedup,
     "text_lexical_diversity": text_lexical_diversity,
@@ -2983,6 +3126,138 @@ ORACLES = {
         )
         SELECT rule, n AS n_docs_affected,
                floor(n * 1.0 / n_docs * 1e6) / 1e6 AS share
+        FROM rows_out ORDER BY rule
+    """,
+    "text_repetition_rules": rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       w -> w <> '') AS words,
+                   list_filter(list_transform(
+                       string_split_regex(lower(text), '\n+|\.\s+'),
+                       l -> trim(l)), l -> l <> '') AS lines,
+                   list_filter(list_transform(
+                       string_split_regex(lower(text), '\n\n+'),
+                       p -> trim(p)), p -> p <> '') AS paras
+            FROM documents
+        ),
+        chars AS (
+            SELECT doc_id, words,
+                   len(words) AS n_words,
+                   length(array_to_string(words, ' ')) AS n_chars,
+                   len(lines) AS n_lines,
+                   len(list_distinct(lines)) AS d_lines,
+                   len(paras) AS n_paras,
+                   len(list_distinct(paras)) AS d_paras
+            FROM base
+        ),
+        g2 AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, n_words), i ->
+                array_to_string(list_slice(words, i, i + 1), ' ')))
+                AS gram
+            FROM chars WHERE n_words >= 2
+        ),
+        g3 AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, n_words - 1), i ->
+                array_to_string(list_slice(words, i, i + 2), ' ')))
+                AS gram
+            FROM chars WHERE n_words >= 3
+        ),
+        g4 AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, n_words - 2), i ->
+                array_to_string(list_slice(words, i, i + 3), ' ')))
+                AS gram
+            FROM chars WHERE n_words >= 4
+        ),
+        b2 AS (
+            SELECT doc_id, MAX(c * length(gram)) AS best FROM (
+                SELECT doc_id, gram, COUNT(*) AS c
+                FROM g2 GROUP BY doc_id, gram)
+            GROUP BY doc_id
+        ),
+        b3 AS (
+            SELECT doc_id, MAX(c * length(gram)) AS best FROM (
+                SELECT doc_id, gram, COUNT(*) AS c
+                FROM g3 GROUP BY doc_id, gram)
+            GROUP BY doc_id
+        ),
+        b4 AS (
+            SELECT doc_id, MAX(c * length(gram)) AS best FROM (
+                SELECT doc_id, gram, COUNT(*) AS c
+                FROM g4 GROUP BY doc_id, gram)
+            GROUP BY doc_id
+        ),
+        per_doc AS (
+            SELECT
+                CASE WHEN n_lines > 0 THEN CAST(floor(
+                    (n_lines - d_lines) * 1e6 / n_lines) AS BIGINT)
+                    ELSE 0 END AS mic_dl,
+                CASE WHEN n_paras > 0 THEN CAST(floor(
+                    (n_paras - d_paras) * 1e6 / n_paras) AS BIGINT)
+                    ELSE 0 END AS mic_dp,
+                CASE WHEN n_chars > 0 THEN CAST(floor(
+                    COALESCE(b2.best, 0) * 1e6 / n_chars) AS BIGINT)
+                    ELSE 0 END AS mic_2,
+                CASE WHEN n_chars > 0 THEN CAST(floor(
+                    COALESCE(b3.best, 0) * 1e6 / n_chars) AS BIGINT)
+                    ELSE 0 END AS mic_3,
+                CASE WHEN n_chars > 0 THEN CAST(floor(
+                    COALESCE(b4.best, 0) * 1e6 / n_chars) AS BIGINT)
+                    ELSE 0 END AS mic_4
+            FROM chars c
+            LEFT JOIN b2 USING (doc_id)
+            LEFT JOIN b3 USING (doc_id)
+            LEFT JOIN b4 USING (doc_id)
+        ),
+        agg AS (
+            SELECT COUNT(*) AS n_docs,
+                SUM(CASE WHEN mic_dl > {REP_DUP_LINE_MAX_X1M}
+                    THEN 1 ELSE 0 END) AS f_dl,
+                SUM(CASE WHEN mic_dp > {REP_DUP_PARA_MAX_X1M}
+                    THEN 1 ELSE 0 END) AS f_dp,
+                SUM(CASE WHEN mic_2 > {REP_TOP2_MAX_X1M}
+                    THEN 1 ELSE 0 END) AS f_2,
+                SUM(CASE WHEN mic_3 > {REP_TOP3_MAX_X1M}
+                    THEN 1 ELSE 0 END) AS f_3,
+                SUM(CASE WHEN mic_4 > {REP_TOP4_MAX_X1M}
+                    THEN 1 ELSE 0 END) AS f_4,
+                SUM(CASE WHEN mic_dl <= {REP_DUP_LINE_MAX_X1M}
+                    AND mic_dp <= {REP_DUP_PARA_MAX_X1M}
+                    AND mic_2 <= {REP_TOP2_MAX_X1M}
+                    AND mic_3 <= {REP_TOP3_MAX_X1M}
+                    AND mic_4 <= {REP_TOP4_MAX_X1M}
+                    THEN 1 ELSE 0 END) AS pass_all,
+                SUM(mic_dl) AS s_dl, SUM(mic_dp) AS s_dp,
+                SUM(mic_2) AS s_2, SUM(mic_3) AS s_3,
+                SUM(mic_4) AS s_4
+            FROM per_doc
+        ),
+        rows_out AS (
+            SELECT 'dup_line_frac' AS rule, f_dl AS n, s_dl AS sm,
+                   n_docs FROM agg
+            UNION ALL
+            SELECT 'dup_para_frac', f_dp, s_dp, n_docs FROM agg
+            UNION ALL
+            SELECT 'top_2gram_char_frac', f_2, s_2, n_docs FROM agg
+            UNION ALL
+            SELECT 'top_3gram_char_frac', f_3, s_3, n_docs FROM agg
+            UNION ALL
+            SELECT 'top_4gram_char_frac', f_4, s_4, n_docs FROM agg
+            UNION ALL
+            SELECT 'pass_all_rules', pass_all,
+                   CAST(NULL AS BIGINT), n_docs FROM agg
+        )
+        SELECT rule, CAST(n AS BIGINT) AS n_docs_affected,
+               CASE WHEN n_docs > 0 THEN
+                   floor(n * 1.0 / n_docs * 1e6) / 1e6
+                   ELSE CAST(NULL AS DOUBLE) END AS share,
+               CASE WHEN sm IS NOT NULL AND n_docs > 0 THEN
+                   floor(sm / n_docs) / 1e6
+                   ELSE CAST(NULL AS DOUBLE) END AS avg_frac
         FROM rows_out ORDER BY rule
     """,
     "text_lexical_diversity": r"""

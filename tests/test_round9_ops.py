@@ -1,0 +1,147 @@
+"""Round-9 operators: within-doc repetition rule panel (Gopher
+Table A1 rows 6-13) — oracle parity plus planted-repetition semantics
+the corpus value hash can't express (the driver corpus has no
+newlines, so the line/paragraph rules only exercise on planted docs).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+ALL = [
+    "text_repetition_rules",
+]
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+# --- planted-doc reference mirror -----------------------------------
+
+def _rep_metrics_py(text: str) -> dict[str, int]:
+    """Pure-Python mirror of the per-doc micro-unit metrics."""
+    low = text.lower()
+    words = [w for w in re.split(r"\s+", low.strip()) if w]
+    lines = [
+        piece.strip()
+        for piece in re.split(r"\n+|\.\s+", low)
+        if piece.strip()
+    ]
+    paras = [
+        piece.strip()
+        for piece in re.split(r"\n\n+", low)
+        if piece.strip()
+    ]
+    n_chars = len(" ".join(words))
+
+    def frac_mic(num: int, den: int) -> int:
+        return math.floor(num * 1e6 / den) if den > 0 else 0
+
+    out = {
+        "mic_dl": frac_mic(len(lines) - len(set(lines)), len(lines)),
+        "mic_dp": frac_mic(len(paras) - len(set(paras)), len(paras)),
+    }
+    for n in (2, 3, 4):
+        grams: dict[str, int] = {}
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            grams[g] = grams.get(g, 0) + 1
+        best = max(
+            (c * len(g) for g, c in grams.items()), default=0
+        )
+        out[f"mic_{n}"] = frac_mic(best, n_chars)
+    return out
+
+
+PLANTED = [
+    # d0: the same sentence three times -> duplicate-line rule fires.
+    (0, "Alpha beta.\nAlpha beta.\nAlpha beta.\nGamma delta now."),
+    # d1: a repeated paragraph -> duplicate-paragraph rule fires.
+    (1, "para one words\n\npara one words\n\npara two words"),
+    # d2: a drummed 2-gram -> top-2-gram character rule fires.
+    (2, "spam ham spam ham spam ham spam ham unique tail words go"),
+    # d3: 30 distinct words, no repetition -> passes every rule.
+    (
+        3,
+        "the quick brown fox jumps over a lazy dog while two red "
+        "hens peck corn near an old barn gate and wind moves dry "
+        "leaves across warm stone paths as one gray cat naps by "
+        "the low wall then rain taps on tin roofs far up the hill",
+    ),
+]
+
+THRESHOLDS = {
+    "dup_line_frac": ("mic_dl", 300_000),
+    "dup_para_frac": ("mic_dp", 300_000),
+    "top_2gram_char_frac": ("mic_2", 200_000),
+    "top_3gram_char_frac": ("mic_3", 180_000),
+    "top_4gram_char_frac": ("mic_4", 160_000),
+}
+
+
+def test_repetition_rules_planted(spark, tmp_path):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_repetition_rules,
+    )
+
+    rows = [
+        (doc_id, text, "en", "planted", len(text))
+        for doc_id, text in PLANTED
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.rule: r for r in text_repetition_rules(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    mets = [_rep_metrics_py(t) for _, t in PLANTED]
+    expected_pass = 0
+    for m in mets:
+        if all(m[k] <= thr for _, (k, thr) in THRESHOLDS.items()):
+            expected_pass += 1
+    for rule, (key, thr) in THRESHOLDS.items():
+        n_fail = sum(1 for m in mets if m[key] > thr)
+        assert got[rule].n_docs_affected == n_fail, rule
+        avg = math.floor(sum(m[key] for m in mets) / len(mets)) / 1e6
+        assert got[rule].avg_frac == pytest.approx(avg, abs=2e-6)
+    assert got["pass_all_rules"].n_docs_affected == expected_pass
+
+    # The planted design itself: each trap doc trips its rule, the
+    # clean doc passes everything.
+    assert mets[0]["mic_dl"] > 300_000
+    assert mets[1]["mic_dp"] > 300_000
+    assert mets[2]["mic_2"] > 200_000
+    assert all(
+        mets[3][k] <= thr for _, (k, thr) in THRESHOLDS.items()
+    )
+    assert expected_pass >= 1
+
+
+def test_repetition_rules_shape(spark):
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        text_repetition_rules,
+    )
+
+    rows = text_repetition_rules(spark, SF_DIR).collect()
+    assert [r.rule for r in rows] == sorted(
+        list(THRESHOLDS) + ["pass_all_rules"]
+    )
+    for r in rows:
+        if r.rule == "pass_all_rules":
+            assert r.avg_frac is None
+        else:
+            assert 0.0 <= r.avg_frac <= 1.0
+        assert 0.0 <= r.share <= 1.0
