@@ -4323,7 +4323,227 @@ def mm_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, _GIF_STATS_SCHEMA).orderBy("asset_id")
 
 
+#: Perceptual-hash dedup constants. 9x8 box grid -> 64-bit dHash
+#: (8 row bytes); pigeonhole on the 8 row bytes: hamming <= 6 means
+#: at most 6 differing BYTES, so any true near-dup pair shares >= 2
+#: equal row bytes and the (row_pos, row_byte) equi-join has EXACT
+#: recall (same guarantee family as dedup_simhash's 7-chunk split).
+PHASH_GRID_X = 9
+PHASH_GRID_Y = 8
+PHASH_MAX_HAMMING = 6
+N_PHASH_BASE = 40
+PHASH_W, PHASH_H = 24, 16
+PHASH_VARIANT_DELTA = 9
+PHASH_TOP_PAIRS = 50
+
+
+def _phash_base_pixel(a: int, x: int, y: int) -> int:
+    """Closed-form synthetic luma for base asset ``a`` — enough
+    per-asset structure that distinct bases land >= 8 hamming apart
+    (verified at build time), so planted variants are the ONLY
+    near-dups. Mirrored verbatim in the oracle SQL."""
+    return (
+        a * 37
+        + ((a * a) % 101) * 3
+        + (x * x % 97) * (1 + a % 7)
+        + (y * y % 89) * (1 + a % 5)
+        + (x * y) % 61
+        + x * (a % 11)
+    ) % 256
+
+
+def encode_phash_pgm(asset_id: int, base: int, variant: bool) -> bytes:
+    """Real P5 re-encode of base ``base``: the header comment carries
+    the ASSET id, so even a pixel-identical variant differs bytewise
+    (exact-digest dedup misses it; that is the gap this operator
+    closes). Variants add a clamped brightness shift plus a sparse
+    additive tweak — the classic 'slightly edited copy'."""
+    head = f"P5\n# phash asset {asset_id}\n{PHASH_W} {PHASH_H}\n255\n"
+    px = bytearray()
+    for y in range(PHASH_H):
+        for x in range(PHASH_W):
+            g = _phash_base_pixel(base, x, y)
+            if variant:
+                g = min(255, g + PHASH_VARIANT_DELTA)
+                if (x * 7 + y * 11) % 83 == 0:
+                    g = min(255, g + 40)
+            px.append(g)
+    return head.encode() + bytes(px)
+
+
+def synth_phash_media(spark: SparkSession) -> DataFrame:
+    """N_PHASH_BASE distinct images + one near-dup variant for every
+    4th base (variant asset_id = N_PHASH_BASE + base/4)."""
+    rows = []
+    for a in range(N_PHASH_BASE):
+        rows.append(
+            (a, "image", PHASH_W, PHASH_H, 0,
+             bytearray(encode_phash_pgm(a, a, False)))
+        )
+    for b in range(0, N_PHASH_BASE, 4):
+        vid = N_PHASH_BASE + b // 4
+        rows.append(
+            (vid, "image", PHASH_W, PHASH_H, 0,
+             bytearray(encode_phash_pgm(vid, b, True)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs via perceptual dHash + pigeonhole
+    byte buckets — the 'which images are near-copies' question a
+    100-TB image corpus asks first, which exact-digest
+    ``mm_payload_dedup`` cannot answer (re-encodes and brightness
+    edits change every byte). Text had 10+ near-dup operators;
+    this is the image-side twin of ``dedup_simhash``
+    (dedup.py:666 pigeonhole recipe).
+
+    Per asset (row-local, inside the existing Arrow-batched decode
+    lane): REAL P5 decode -> 9x8 integer box-mean downsample (cell
+    of x is ``x*9 div w`` — a pure integer expression both engines
+    evaluate identically) -> 64-bit dHash as 8 row bytes
+    (bit cx set iff mean[cx+1] > mean[cx]). Only 8 small ints per
+    asset cross the Arrow boundary; payload bytes never shuffle.
+
+    Candidates meet ONLY inside a shared (row_pos, row_byte) bucket:
+    hamming <= 6 implies <= 6 differing bytes of 8, so >= 2 buckets
+    collide and recall is exact by pigeonhole — never all-pairs.
+    Verified per candidate with bit_count(xor) over the 8 bytes.
+    The oracle regenerates pixels from the closed form and
+    brute-forces all pairs (sound because the pigeonhole candidate
+    set provably contains every pair at hamming <= 6).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_pgm(bytes(payload))
+                if img is None:
+                    continue
+                h, w = img.shape
+                if w < PHASH_GRID_X or h < PHASH_GRID_Y:
+                    continue
+                gxi = (np.arange(w) * PHASH_GRID_X) // w
+                gyi = (np.arange(h) * PHASH_GRID_Y) // h
+                cell = gyi[:, None] * PHASH_GRID_X + gxi[None, :]
+                n_cells = PHASH_GRID_X * PHASH_GRID_Y
+                sums = np.bincount(
+                    cell.ravel(),
+                    weights=img.astype(np.int64).ravel(),
+                    minlength=n_cells,
+                ).astype(np.int64)
+                cnts = np.bincount(cell.ravel(), minlength=n_cells)
+                means = (sums // cnts).reshape(
+                    PHASH_GRID_Y, PHASH_GRID_X
+                )
+                rows = []
+                for gy in range(PHASH_GRID_Y):
+                    byte = 0
+                    for cx in range(PHASH_GRID_X - 1):
+                        if means[gy, cx + 1] > means[gy, cx]:
+                            byte |= 1 << cx
+                    rows.append(int(byte))
+                out.append((int(aid), rows))
+            yield pd.DataFrame(out, columns=["asset_id", "rows"])
+
+    media = synth_phash_media(spark).select("asset_id", "payload")
+    hashed = media.mapInPandas(
+        batches, "asset_id bigint, rows array<int>"
+    )
+    chunks = hashed.select(
+        "asset_id",
+        "rows",
+        F.posexplode("rows").alias("pos", "rbyte"),
+    ).localCheckpoint()
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.expr(
+        "aggregate(zip_with(a.rows, b.rows,"
+        " (x, y) -> bit_count(x ^ y)),"
+        " 0L, (s, v) -> s + cast(v as bigint))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.rbyte") == F.col("b.rbyte"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .orderBy("hamming", "asset_a", "asset_b")
+        .limit(PHASH_TOP_PAIRS)
+    )
+
+
+_PHASH_ORACLE = f"""
+    WITH assets AS (
+        SELECT a AS asset_id, a AS base, FALSE AS is_variant
+        FROM range(0, {N_PHASH_BASE}) t(a)
+        UNION ALL
+        SELECT {N_PHASH_BASE} + b // 4, b, TRUE
+        FROM range(0, {N_PHASH_BASE}, 4) t(b)
+    ),
+    px AS (
+        SELECT asset_id,
+               x, y,
+               CASE WHEN is_variant THEN
+                   LEAST(255, LEAST(255, gbase + {PHASH_VARIANT_DELTA})
+                       + CASE WHEN (x*7 + y*11) % 83 = 0
+                              THEN 40 ELSE 0 END)
+               ELSE gbase END AS g
+        FROM (
+            SELECT asset_id, is_variant, x, y,
+                   (base*37 + ((base*base) % 101) * 3
+                    + (x*x % 97) * (1 + base % 7)
+                    + (y*y % 89) * (1 + base % 5)
+                    + (x*y) % 61 + x * (base % 11)) % 256 AS gbase
+            FROM assets,
+                 range(0, {PHASH_W}) tx(x),
+                 range(0, {PHASH_H}) ty(y)
+        )
+    ),
+    cells AS (
+        SELECT asset_id,
+               (x * {PHASH_GRID_X}) // {PHASH_W} AS gx,
+               (y * {PHASH_GRID_Y}) // {PHASH_H} AS gy,
+               SUM(g) // COUNT(*) AS mean_g
+        FROM px GROUP BY 1, 2, 3
+    ),
+    rbytes AS (
+        SELECT a.asset_id, a.gy,
+               SUM(CASE WHEN b.mean_g > a.mean_g
+                        THEN 1 << a.gx ELSE 0 END) AS rbyte
+        FROM cells a
+        JOIN cells b ON a.asset_id = b.asset_id AND a.gy = b.gy
+                     AND b.gx = a.gx + 1
+        WHERE a.gx < {PHASH_GRID_X - 1}
+        GROUP BY a.asset_id, a.gy
+    ),
+    pairs AS (
+        SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+               SUM(bit_count(xor(a.rbyte, b.rbyte))) AS hamming
+        FROM rbytes a
+        JOIN rbytes b ON a.gy = b.gy AND a.asset_id < b.asset_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(asset_a AS BIGINT) AS asset_a,
+           CAST(asset_b AS BIGINT) AS asset_b,
+           CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= {PHASH_MAX_HAMMING}
+    ORDER BY hamming, asset_a, asset_b LIMIT {PHASH_TOP_PAIRS}
+"""
+
+
 QUERIES = {
+    "mm_image_phash_dedup": mm_image_phash_dedup,
     "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_image_resize": mm_image_resize,
     "mm_image_decode_jpeg": mm_image_decode_jpeg,
@@ -4383,6 +4603,7 @@ def _bmp_down_channel(ka: int, kx: int, ky: int) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "mm_image_phash_dedup": _PHASH_ORACLE,
     "mm_image_resize": f"""
         WITH assets AS (
             SELECT i AS asset_id, 16 + i % 8 AS w, 12 + i % 5 AS h

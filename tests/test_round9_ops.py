@@ -15,6 +15,7 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 
 ALL = [
     "text_repetition_rules",
+    "mm_image_phash_dedup",
 ]
 
 
@@ -128,6 +129,48 @@ def test_repetition_rules_planted(spark, tmp_path):
         mets[3][k] <= thr for _, (k, thr) in THRESHOLDS.items()
     )
     assert expected_pass >= 1
+
+
+def test_phash_planted_recall(spark):
+    """Every planted near-dup pair (re-encode + brightness shift +
+    sparse tweak of every 4th base) is recovered at hamming <=
+    PHASH_MAX_HAMMING, and NOTHING else is: distinct bases were
+    designed >= 8 hamming apart. Recall of the pigeonhole bucket
+    join is exact by construction; this pins it empirically."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_PHASH_BASE,
+        PHASH_MAX_HAMMING,
+        mm_image_phash_dedup,
+    )
+
+    rows = mm_image_phash_dedup(spark, SF_DIR).collect()
+    got = {(r.asset_a, r.asset_b): r.hamming for r in rows}
+    planted = {
+        (b, N_PHASH_BASE + b // 4) for b in range(0, N_PHASH_BASE, 4)
+    }
+    assert set(got) == planted  # perfect recall AND precision
+    assert all(0 <= h <= PHASH_MAX_HAMMING for h in got.values())
+    # the design is non-trivial: some planted pairs survive with
+    # hamming > 0 (the sparse tweak flips real dHash bits)
+    assert any(h > 0 for h in got.values())
+
+
+def test_phash_reencode_defeats_exact_digest(spark):
+    """The planted variants are invisible to exact-payload dedup
+    (every byte differs after re-encode) — the gap this operator
+    exists to close."""
+    import hashlib
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        synth_phash_media,
+    )
+
+    payloads = {
+        r.asset_id: bytes(r.payload)
+        for r in synth_phash_media(spark).collect()
+    }
+    digests = [hashlib.sha256(p).hexdigest() for p in payloads.values()]
+    assert len(set(digests)) == len(digests)
 
 
 def test_repetition_rules_shape(spark):
