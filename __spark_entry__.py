@@ -26,6 +26,7 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.similarity",
     "postgres_s3_etl_spark.operators.text_analysis",
     "postgres_s3_etl_spark.operators.tokenizer",
+    "postgres_s3_etl_spark.operators.unigram",
     "postgres_s3_etl_spark.operators.training",
     "postgres_s3_etl_spark.operators.temporal",
     "postgres_s3_etl_spark.operators.multimodal",

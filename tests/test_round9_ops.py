@@ -16,6 +16,9 @@ from tests.conftest import SF_DIR, assert_matches_oracle
 ALL = [
     "text_repetition_rules",
     "mm_image_phash_dedup",
+    "text_unigram_lm_train",
+    "text_unigram_lm_vocab",
+    "text_unigram_lm_heldout",
 ]
 
 
@@ -171,6 +174,86 @@ def test_phash_reencode_defeats_exact_digest(spark):
     }
     digests = [hashlib.sha256(p).hexdigest() for p in payloads.values()]
     assert len(set(digests)) == len(digests)
+
+
+def test_unigram_segmentation_valid(spark):
+    """Viterbi segmentations are REAL segmentations: pieces
+    concatenate back to the word, every piece is in the trained
+    inventory, and no piece exceeds PIECE_MAX_LEN."""
+    from postgres_s3_etl_spark.operators.unigram import (
+        PIECE_MAX_LEN,
+        _estep,
+        _run_em,
+        _word_freq,
+    )
+
+    words = _word_freq(spark, SF_DIR).localCheckpoint()
+    inv, rounds = _run_em(words)
+    assert rounds and len(rounds) == 3
+    pieces_set = {p for p, _ in inv}
+    rows = _estep(words, inv).collect()
+    assert rows
+    for r in rows:
+        assert "".join(r.pieces) == r.tok
+        assert all(p in pieces_set for p in r.pieces)
+        assert all(1 <= len(p) <= PIECE_MAX_LEN for p in r.pieces)
+        assert r.score > 0  # every train word is segmentable
+
+
+def test_unigram_em_improves_likelihood_proxy(spark):
+    """Hard EM with a fixed inventory should not segment WORSE over
+    rounds: avg pieces/token is non-increasing from round 1 to the
+    final round (multi-char pieces only gain probability mass)."""
+    from postgres_s3_etl_spark.operators.unigram import (
+        text_unigram_lm_train,
+    )
+
+    rows = {
+        r.round: r
+        for r in text_unigram_lm_train(spark, SF_DIR).collect()
+    }
+    assert rows[3].avg_pieces_per_token <= rows[1].avg_pieces_per_token
+    assert all(r.n_multi_pieces <= 48 for r in rows.values())
+
+
+def test_unigram_heldout_accounting(spark):
+    from postgres_s3_etl_spark.operators.unigram import (
+        text_unigram_lm_heldout,
+    )
+
+    row = text_unigram_lm_heldout(spark, SF_DIR).collect()[0]
+    assert (
+        row.oov_char_tokens + row.zero_prob_tokens + row.scored_tokens
+        == row.n_heldout_tokens
+    )
+    assert row.scored_tokens > 0
+    assert row.perplexity > 1.0
+    assert row.avg_nll > 0.0
+
+
+def test_unigram_heldout_planted_oov(spark, tmp_path):
+    """A character that only ever appears in held-out docs makes
+    those tokens OOV — the honest failure mode the op must count."""
+    from postgres_s3_etl_spark.operators.unigram import (
+        text_unigram_lm_heldout,
+    )
+
+    docs = [
+        (0, "zq zq banana", "en", "s", 12),  # heldout (0 % 5 == 0)
+        (1, "banana apple apple", "en", "s", 18),
+        (2, "apple banana apple", "en", "s", 18),
+        (3, "banana banana apple", "en", "s", 19),
+        (4, "apple apple banana", "en", "s", 18),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, "
+        "source string, n_chars bigint"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    row = text_unigram_lm_heldout(spark, str(tmp_path)).collect()[0]
+    assert row.oov_char_tokens == 2  # the two 'zq' tokens
+    assert row.scored_tokens == 1  # 'banana'
+    assert row.n_heldout_tokens == 3
 
 
 def test_repetition_rules_shape(spark):
