@@ -408,6 +408,72 @@ def stream_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_order_ship_reconcile(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — the reconciliation shape
+    (reference `shipments_ETL.py:84-104` reconciles orders against
+    shipments in batch): every order (purchase event) matched to its
+    fulfillment signal (the same user's click within the following
+    hour, standing in for a ship-confirm stream); EACH side
+    null-extends only once the watermark proves its own match window
+    closed. Completes the streaming join-type matrix next to the
+    inner (``stream_click_purchase_join``) and left-outer
+    (``stream_abandoned_clicks``) variants.
+
+    BOTH-side eviction semantics, the part a 100×-scale pipeline
+    must get right: an unmatched ORDER emits null-extended when the
+    global watermark passes order_ts + window (no future ship can
+    match it); an unmatched SHIP emits null-extended when the
+    watermark passes ship_ts (any future order would be newer than
+    the ship, outside the window). Rows too new to be provably
+    unmatched stay live state and do NOT emit — mirrored by the
+    oracle's two watermark cutoffs.
+    """
+    ev = read_events_stream(
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    orders = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("event_id").alias("order_id"),
+            F.col("ts").alias("order_ts"),
+            F.col("value"),
+        )
+        .withWatermark("order_ts", "1 hour")
+    )
+    ships = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("ship_id"),
+            F.col("ts").alias("ship_ts"),
+        )
+        .withWatermark("ship_ts", "1 hour")
+    )
+    return orders.join(
+        ships,
+        (F.col("o_user") == F.col("s_user"))
+        & (F.col("ship_ts") >= F.col("order_ts"))
+        & (
+            F.col("ship_ts")
+            <= F.col("order_ts") + F.expr(f"INTERVAL {JOIN_WINDOW}")
+        ),
+        "fullOuter",
+    ).select(
+        "order_id",
+        F.coalesce("o_user", "s_user").alias("user_id"),
+        "order_ts",
+        "ship_id",
+        "ship_ts",
+        "value",
+    )
+
+
 # ---- driver-facing entries. The watermark/timeout semantics under
 # availableNow are deterministic for a static input, so each has an
 # exact batch-SQL twin (see ORACLES): append mode emits a window when
@@ -467,6 +533,15 @@ def q_stream_abandoned_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_abandoned_clicks(spark, sf_dir),
         _next_query_name("stream_outer_join"),
     ).orderBy("click_id", "purchase_id")
+
+
+def q_stream_order_ship_reconcile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return run_stream_to_memory(
+        stream_order_ship_reconcile(spark, sf_dir),
+        _next_query_name("stream_full_outer"),
+    ).orderBy("order_id", "ship_id")
 
 
 def tws_available() -> bool:
@@ -772,6 +847,7 @@ QUERIES = {
     "stream_session_window_native": q_stream_session_window_native,
     "stream_click_purchase_join": q_stream_click_purchase_join,
     "stream_abandoned_clicks": q_stream_abandoned_clicks,
+    "stream_order_ship_reconcile": q_stream_order_ship_reconcile,
     "stream_exact_dedup": q_stream_exact_dedup,
     "stream_topk_users": q_stream_topk_users,
     "stream_static_enrich": q_stream_static_enrich,
@@ -1018,6 +1094,73 @@ ORACLES: dict[str, str] = {
         SELECT * FROM matched
         UNION ALL SELECT * FROM unmatched
         ORDER BY click_id, purchase_id
+    """,
+    # Full-outer stream-stream join: matches all emit; an order
+    # null-extends once its whole match window [order, order+1h]
+    # lies strictly below the final global watermark (same rule as
+    # the left-outer op's click side); a ship null-extends once its
+    # OWN event time lies strictly below the watermark (any future
+    # order is newer than the ship → outside the window). Rows newer
+    # than either cutoff are live state at end-of-input and do not
+    # emit.
+    "stream_order_ship_reconcile": """
+        WITH orders AS (
+            SELECT event_id AS order_id, user_id AS o_user,
+                   epoch_us(ts) AS ous,
+                   make_timestamp(epoch_us(ts)) AS order_ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ships AS (
+            SELECT event_id AS ship_id, user_id AS s_user,
+                   epoch_us(ts) AS sus,
+                   make_timestamp(epoch_us(ts)) AS ship_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        wm AS (
+            SELECT least((SELECT MAX(ous) FROM orders),
+                         (SELECT MAX(sus) FROM ships))
+                   - 3600000000 AS wm_us
+        ),
+        matched AS (
+            SELECT o.order_id, o.o_user AS user_id, o.order_ts,
+                   s.ship_id, s.ship_ts, o.value
+            FROM orders o JOIN ships s
+              ON o.o_user = s.s_user
+             AND s.sus >= o.ous
+             AND s.sus <= o.ous + 3600000000
+        ),
+        o_unmatched AS (
+            SELECT o.order_id, o.o_user AS user_id, o.order_ts,
+                   CAST(NULL AS BIGINT) AS ship_id,
+                   CAST(NULL AS TIMESTAMP) AS ship_ts, o.value
+            FROM orders o CROSS JOIN wm
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ships s
+                WHERE s.s_user = o.o_user
+                  AND s.sus >= o.ous
+                  AND s.sus <= o.ous + 3600000000
+            )
+            AND o.ous + 3600000000 < wm.wm_us
+        ),
+        s_unmatched AS (
+            SELECT CAST(NULL AS BIGINT) AS order_id,
+                   s.s_user AS user_id,
+                   CAST(NULL AS TIMESTAMP) AS order_ts,
+                   s.ship_id, s.ship_ts,
+                   CAST(NULL AS DOUBLE) AS value
+            FROM ships s CROSS JOIN wm
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_user = s.s_user
+                  AND s.sus >= o.ous
+                  AND s.sus <= o.ous + 3600000000
+            )
+            AND s.sus < wm.wm_us
+        )
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM o_unmatched
+        UNION ALL SELECT * FROM s_unmatched
+        ORDER BY order_id, ship_id
     """,
     "stream_click_purchase_join": """
         SELECT p.event_id AS purchase_id,
