@@ -89,3 +89,254 @@ def index_stats(spark: SparkSession, index_path: str) -> dict:
     """Size of the committed index (distinct retained digests)."""
     idx = read_snapshot(spark, index_path)
     return {"n_digests": idx.count(), "n_distinct": idx.distinct().count()}
+
+
+# --- incremental NEAR-dup ingest -------------------------------------
+#
+# The digest index above only stops EXACT re-ingestion; a
+# continuously-ingested corpus re-admits near-duplicates the batch
+# ``dedup_minhash_lsh`` would catch. The near-dup twin keeps a
+# **signature index** — the 16 minhashes per RETAINED doc
+# (~128 bytes/doc, still ∝ docs and corpus-text-free) — and per batch:
+#
+# 1. one signature scan over the batch (row-local minhash),
+# 2. band-bucket equi-join of the batch's LSH rows against the
+#    index's (candidates only ever meet inside a shared bucket —
+#    never batch × index),
+# 3. exact-Jaccard verify of the candidates (``dedup_minhash_verify``'s
+#    shingle intersection/union, same VERIFY_JACCARD_T): index-side
+#    shingles are recomputed from the retained-corpus snapshot for
+#    JUST the candidate rows (semi-join first), so the index never
+#    stores text,
+# 4. within-batch: the same verified-pair graph restricted to the
+#    batch, resolved to the GREEDY keep-set (lexicographically-first
+#    maximal independent set by doc_id — the set a sequential
+#    one-doc-at-a-time ingest would keep) via bounded peeling rounds,
+# 5. survivors commit rows-first (corpus snapshot, then signatures) —
+#    the same crash/replay contract as ``ingest_batch``; a replayed
+#    batch verifies at Jaccard 1.0 against its own committed copies
+#    and keeps nothing.
+#
+# Batch-equivalence (pytest-pinned): ingesting B1..B3 in doc_id order
+# keeps exactly the docs the one-shot greedy keep-set over the union's
+# LSH-verified pair graph keeps.
+
+
+def _shingle_frame(docs: DataFrame) -> DataFrame:
+    from postgres_s3_etl_spark.operators.dedup import (
+        _shingles_expr,
+        _words_col,
+    )
+
+    return docs.select("doc_id", _words_col().alias("w")).select(
+        "doc_id", _shingles_expr().alias("shingles")
+    )
+
+
+def _verified_pairs(
+    cands: DataFrame, left_sh: DataFrame, right_sh: DataFrame
+) -> DataFrame:
+    """Filter candidate (a_id, b_id) pairs to exact-Jaccard >= the
+    standing verify threshold (dedup_minhash_verify's test)."""
+    from postgres_s3_etl_spark.operators.dedup import VERIFY_JACCARD_T
+
+    j = F.floor(
+        F.size(F.array_intersect("sa", "sb"))
+        * 1e6
+        / F.size(F.array_union("sa", "sb"))
+    ) / 1e6
+    return (
+        cands.join(
+            left_sh.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("shingles").alias("sa"),
+            ),
+            "a_id",
+        )
+        .join(
+            right_sh.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("shingles").alias("sb"),
+            ),
+            "b_id",
+        )
+        .where(j >= F.lit(VERIFY_JACCARD_T))
+        .select("a_id", "b_id")
+    )
+
+
+#: Peeling-round cap for the within-batch greedy keep-set. Each round
+#: decides at least the smallest undecided doc, so rounds are bounded
+#: by the longest verified-pair chain in ONE batch — single digits in
+#: practice. Non-convergence raises (fail loudly, the k-core lesson).
+GREEDY_MAX_ROUNDS = 50
+
+
+def _greedy_keepset(
+    ids: DataFrame, idx_dropped: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Greedy (lex-first by doc_id) keep-set over the within-batch
+    verified-pair graph: a doc is KEPT iff no KEPT smaller verified
+    neighbor exists; docs verified against the index start DROPPED
+    (index docs are all kept and all smaller). Iterative peeling —
+    per round one join + anti-join over the EDGE nodes only; the
+    driver sees a single undecided-count scalar per round."""
+    status = ids.join(idx_dropped, "doc_id", "left_anti").select(
+        F.col("doc_id"), F.lit("U").alias("st")
+    ).unionAll(
+        ids.join(idx_dropped, "doc_id", "left_semi").select(
+            F.col("doc_id"), F.lit("D").alias("st")
+        )
+    ).localCheckpoint()
+    for _ in range(GREEDY_MAX_ROUNDS):
+        undecided = status.where(F.col("st") == "U")
+        n_u = undecided.count()
+        if n_u == 0:
+            break
+        # blockers: undecided docs with a smaller U/K neighbor can't
+        # be decided KEPT yet; a smaller K neighbor decides DROPPED.
+        u_side = edges.join(
+            status.select(
+                F.col("doc_id").alias("a_id"), F.col("st").alias("a_st")
+            ),
+            "a_id",
+        )
+        has_kept_smaller = (
+            u_side.where(F.col("a_st") == "K")
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+        has_open_smaller = (
+            u_side.where(F.col("a_st").isin("U", "K"))
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+        newly_dropped = undecided.join(
+            has_kept_smaller, "doc_id", "left_semi"
+        )
+        newly_kept = undecided.join(
+            has_open_smaller, "doc_id", "left_anti"
+        )
+        status = (
+            status.where(F.col("st") != "U")
+            .unionAll(newly_dropped.select("doc_id", F.lit("D").alias("st")))
+            .unionAll(newly_kept.select("doc_id", F.lit("K").alias("st")))
+            .unionAll(
+                undecided.join(newly_dropped, "doc_id", "left_anti")
+                .join(newly_kept, "doc_id", "left_anti")
+                .select("doc_id", F.lit("U").alias("st"))
+            )
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"greedy keep-set did not converge in {GREEDY_MAX_ROUNDS}"
+            " rounds — verified-pair chain longer than the bound"
+        )
+    return status.where(F.col("st") == "K").select("doc_id")
+
+
+def ingest_batch_near(
+    spark: SparkSession,
+    batch: DataFrame,
+    sig_index_path: str,
+    corpus_path: str,
+) -> DataFrame:
+    """Near-dup-aware ingest: dedup ``batch`` against the committed
+    signature index AND within itself (greedy keep-set over verified
+    pairs), commit survivors rows-first, return the kept rows.
+
+    Replay-idempotent: a committed doc's replay copy shares every
+    band bucket with its committed self and verifies at Jaccard 1.0,
+    so it anti-joins away. Subsumes exact dedup (identical text IS
+    Jaccard 1.0).
+    """
+    from postgres_s3_etl_spark.operators.dedup import (
+        LSH_BANDS,
+        _band_rows,
+        minhash_sig_for,
+    )
+
+    docs = batch.select("doc_id", "text")
+    sig = minhash_sig_for(docs).persist()
+    bands = _band_rows(sig, LSH_BANDS)
+    sh = _shingle_frame(docs).persist()
+    try:
+        idx_sig = read_snapshot(spark, sig_index_path)
+        have_index = True
+    except FileNotFoundError:
+        have_index = False
+    if have_index:
+        idx_bands = _band_rows(idx_sig, LSH_BANDS)
+        idx_cands = (
+            idx_bands.select(
+                F.col("doc_id").alias("a_id"), "band", "bucket"
+            )
+            .join(
+                bands.select(
+                    F.col("doc_id").alias("b_id"), "band", "bucket"
+                ),
+                ["band", "bucket"],
+            )
+            .select("a_id", "b_id")
+            .distinct()
+        )
+        # index-side shingles: recompute from the retained corpus for
+        # candidate rows only (semi-join first — never a corpus scan
+        # proportional to the index).
+        cand_idx_docs = (
+            read_snapshot(spark, corpus_path)
+            .select("doc_id", "text")
+            .join(
+                idx_cands.select(F.col("a_id").alias("doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        idx_sh = _shingle_frame(cand_idx_docs)
+        idx_dropped = (
+            _verified_pairs(idx_cands, idx_sh, sh)
+            .select(F.col("b_id").alias("doc_id"))
+            .distinct()
+        )
+    else:
+        idx_dropped = docs.select("doc_id").limit(0)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    in_cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    in_edges = _verified_pairs(in_cands, sh, sh).localCheckpoint()
+    keep_ids = _greedy_keepset(
+        docs.select("doc_id"), idx_dropped, in_edges
+    )
+    fresh = batch.join(keep_ids, "doc_id", "left_semi").persist()
+    fresh.count()
+    write_snapshot(fresh, corpus_path, mode="append")
+    write_snapshot(
+        sig.join(keep_ids, "doc_id", "left_semi"),
+        sig_index_path,
+        mode="append",
+    )
+    sig.unpersist()
+    sh.unpersist()
+    return fresh
+
+
+def near_index_stats(spark: SparkSession, sig_index_path: str) -> dict:
+    """Committed signature-index size — one row per retained doc."""
+    idx = read_snapshot(spark, sig_index_path)
+    return {
+        "n_signatures": idx.count(),
+        "n_distinct_docs": idx.select("doc_id").distinct().count(),
+    }

@@ -91,3 +91,138 @@ def test_corpus_commits_before_digests(spark, tmp_path, monkeypatch):
     assert index_stats(spark, idx)["n_distinct"] == 2
     # And a second full replay now keeps nothing.
     assert ingest_batch(spark, batch, idx, corpus_path=corpus).count() == 0
+
+
+# --- incremental NEAR-dup ingest (signature index) -------------------
+
+BASE = [f"tok{i:02d}" for i in range(30)]
+OTHER = [f"oth{i:02d}" for i in range(30)]
+OTHER2 = [f"two{i:02d}" for i in range(30)]
+OTHER3 = [f"thr{i:02d}" for i in range(30)]
+
+
+def _text(words, changes=None):
+    w = list(words)
+    for pos, repl in (changes or {}).items():
+        w[pos] = repl
+    return " ".join(w)
+
+
+#: Planted corpus. Within-batch exact dup (3,4), cross-batch exact
+#: dup (8 of 1; 9 of 7; 12 of 10), cross-batch near-dup (5 of 1 — one
+#: word changed), near-dup of a DROPPED doc (7 is near 2 but two
+#: words away from 1 — the chain case greedy must KEEP), near-dup of
+#: a kept doc from an earlier batch (11 of 6).
+BATCHES = [
+    [
+        (1, _text(BASE)),
+        (2, _text(BASE, {10: "zz2"})),
+        (3, _text(OTHER)),
+        (4, _text(OTHER)),
+    ],
+    [
+        (5, _text(BASE, {20: "zz5"})),
+        (6, _text(OTHER2)),
+        (7, _text(BASE, {10: "zz2", 25: "zz7"})),
+        (8, _text(BASE)),
+    ],
+    [
+        (9, _text(BASE, {10: "zz2", 25: "zz7"})),
+        (10, _text(OTHER3)),
+        (11, _text(OTHER2, {15: "qq11"})),
+        (12, _text(OTHER3)),
+    ],
+]
+
+
+def _one_shot_greedy_keepset(spark, docs_df):
+    """The one-shot reference: LSH candidates + exact-Jaccard verify
+    over the UNION, then the sequential greedy keep-set in plain
+    Python (kept iff no kept smaller verified neighbor)."""
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.operators.dedup import (
+        LSH_BANDS,
+        _band_rows,
+        minhash_sig_for,
+    )
+    from postgres_s3_etl_spark.plans.incremental_dedup import (
+        _shingle_frame,
+        _verified_pairs,
+    )
+
+    bands = _band_rows(minhash_sig_for(docs_df), LSH_BANDS)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    sh = _shingle_frame(docs_df)
+    edges = {
+        (r.a_id, r.b_id)
+        for r in _verified_pairs(cands, sh, sh).collect()
+    }
+    kept: set[int] = set()
+    for did in sorted(r.doc_id for r in docs_df.select("doc_id").collect()):
+        if not any(
+            (u, did) in edges for u in kept if u < did
+        ):
+            kept.add(did)
+    return kept, edges
+
+
+def test_near_dup_incremental_equals_one_shot(spark, tmp_path):
+    from postgres_s3_etl_spark.plans.incremental_dedup import (
+        ingest_batch_near,
+        near_index_stats,
+    )
+
+    sig_idx = str(tmp_path / "sig_index")
+    corpus = str(tmp_path / "near_corpus")
+    kept_inc: set[int] = set()
+    for rows in BATCHES:
+        kept = ingest_batch_near(spark, _docs(spark, rows), sig_idx, corpus)
+        kept_inc |= {r.doc_id for r in kept.collect()}
+
+    union = _docs(spark, [d for b in BATCHES for d in b])
+    kept_ref, edges = _one_shot_greedy_keepset(spark, union)
+
+    # batch-equivalence: 3 incremental ingests == one-shot greedy
+    assert kept_inc == kept_ref
+
+    # the planted design materialized as intended
+    assert (1, 2) in edges and (2, 7) in edges
+    assert (1, 7) not in edges  # two words away — below the verify bar
+    assert {1, 3, 6, 10} <= kept_inc
+    assert 7 in kept_inc  # near only the DROPPED 2 -> greedy keeps it
+    assert {4, 8, 9, 12, 2, 5, 11}.isdisjoint(kept_inc)
+
+    # index size ∝ retained docs: one signature row per kept doc
+    stats = near_index_stats(spark, sig_idx)
+    assert stats["n_signatures"] == len(kept_inc)
+    assert stats["n_distinct_docs"] == len(kept_inc)
+
+
+def test_near_dup_replay_is_idempotent(spark, tmp_path):
+    from postgres_s3_etl_spark.plans.incremental_dedup import (
+        ingest_batch_near,
+        near_index_stats,
+    )
+
+    sig_idx = str(tmp_path / "sig_index")
+    corpus = str(tmp_path / "near_corpus")
+    batch = _docs(spark, BATCHES[0])
+    n_first = ingest_batch_near(spark, batch, sig_idx, corpus).count()
+    assert n_first == 2  # kept {1, 3}: 2 is near 1, 4 exact-dups 3
+    # replay: every doc verifies at Jaccard 1.0 vs its committed copy
+    assert ingest_batch_near(spark, batch, sig_idx, corpus).count() == 0
+    assert near_index_stats(spark, sig_idx)["n_signatures"] == n_first
