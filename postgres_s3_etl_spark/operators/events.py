@@ -1312,6 +1312,11 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_conv AS DOUBLE) / n_users AS p",
             "CAST(n_users AS DOUBLE) / n_days AS upd",
         )
+        # Materialize the 1-row stats frame before the MDE fan-out:
+        # without this each union branch re-evaluates the per-user
+        # conversion rollup and the distinct-day scan — 4 corpus
+        # scans for a 1-row input (round-8 ADVICE).
+        .localCheckpoint()
     )
     parts = []
     for m in POWER_MDES:

@@ -1463,9 +1463,6 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: k-core order: peel nodes with degree < KCORE_K until stable.
 KCORE_K = 3
-KCORE_MAX_ITERS = 50
-
-
 #: k ladder for the full core decomposition curve.
 CORE_DECOMP_KS = (2, 3, 4, 5)
 
@@ -1486,7 +1483,11 @@ def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for kval in CORE_DECOMP_KS:
         n_cur = edges.count()
-        for _ in range(KCORE_MAX_ITERS):
+        # Peel within the ORACLE's unroll budget and fail loudly if a
+        # level hasn't converged by then: silently peeling further
+        # would diverge from the fixed-round SQL twin (round-8
+        # ADVICE). Real peel depths here are single digits.
+        for _ in range(KCORE_ORACLE_ROUNDS):
             deg = _degrees(edges)
             keep = deg.where(F.col("deg") >= kval).select("node")
             edges = (
@@ -1498,6 +1499,12 @@ def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             if n_next == n_cur:
                 break
             n_cur = n_next
+        else:
+            raise RuntimeError(
+                f"k={kval} core peel did not converge within"
+                f" KCORE_ORACLE_ROUNDS={KCORE_ORACLE_ROUNDS};"
+                " raise the oracle round count to match"
+            )
         n_nodes = (
             edges.select(F.col("src").alias("node"))
             .unionAll(edges.select(F.col("dst").alias("node")))
@@ -1531,7 +1538,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     n_cur = edges.count()
-    for _ in range(KCORE_MAX_ITERS):
+    # Convergence must land within the oracle's fixed unroll depth —
+    # peeling past it would silently diverge from the SQL twin.
+    for _ in range(KCORE_ORACLE_ROUNDS):
         deg = _degrees(edges)
         keep = deg.where(F.col("deg") >= KCORE_K).select("node")
         edges = (
@@ -1545,6 +1554,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n_next == n_cur:
             break
         n_cur = n_next
+    else:
+        raise RuntimeError(
+            "3-core peel did not converge within"
+            f" KCORE_ORACLE_ROUNDS={KCORE_ORACLE_ROUNDS};"
+            " raise the oracle round count to match"
+        )
     return (
         _degrees(edges)
         .groupBy("deg")

@@ -81,6 +81,17 @@ def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Trained-merge memo keyed by (Spark application, sf_dir,
+#: track_curve): the four BPE-family operators each need the trained
+#: state, and without the memo a bench run covering the family
+#: re-runs the full 12-round merge loop (12 shuffles + collects)
+#: FOUR times (round-8 ADVICE). The vocab frame is localCheckpointed,
+#: so it stays valid for the lifetime of the application the key
+#: carries; a new session (new applicationId) never sees stale
+#: entries.
+_TRAIN_CACHE: dict[tuple[str, str, bool], tuple] = {}
+
+
 def _train_merges(
     spark: SparkSession, sf_dir: str, track_curve: bool = False
 ) -> tuple[
@@ -94,6 +105,9 @@ def _train_merges(
     replace. ``localCheckpoint`` per round truncates lineage so round
     N doesn't re-run rounds 1..N-1 (the iterative-kernel recipe).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, track_curve)
+    if key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     vocab = _word_vocab(spark, sf_dir).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     curve: list[tuple[int, int]] = []
@@ -130,6 +144,7 @@ def _train_merges(
                 .alias("o")
             ).collect()[0]["o"]
             curve.append((rnd, int(occ)))
+    _TRAIN_CACHE[key] = (vocab, merges, curve)
     return vocab, merges, curve
 
 

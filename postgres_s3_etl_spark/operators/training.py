@@ -99,6 +99,33 @@ def _pin(col: Column) -> Column:
     return F.floor(col * F.lit(PIN)).cast("long")
 
 
+def pin_boundary_margin(df: DataFrame, col: Column) -> float:
+    """Minimum distance — in ulps of the scaled value — between any
+    row's pre-pin value × PIN and the integer grid ``_pin`` floors it
+    to. Floor-pinning absorbs cross-engine libm ulp differences ONLY
+    while no value sits on a grid line: a value within ~1 ulp of the
+    grid can still floor differently between Spark's and DuckDB's
+    exp()/ln(), cascading into β and every downstream readout. This
+    is the early-warning probe (round-8 ADVICE): a dataset is
+    fragile when the margin approaches ~4 ulps. Values EXACTLY on
+    the grid are excluded: they arise from exact arithmetic (e.g. a
+    saturated sigmoid's exp underflow gives mu = 1.0 bit-exactly in
+    every IEEE engine) and floor identically everywhere — the hazard
+    is near-but-not-on the grid. Distributed: one MIN aggregate, no
+    row ever reaches the driver."""
+    d = col * F.lit(PIN)
+    frac = d - F.floor(d)
+    dist = F.least(frac, F.lit(1.0) - frac)
+    ulp = F.greatest(F.abs(d) * F.lit(2.0 ** -52), F.lit(5e-324))
+    out = (
+        df.select(dist.alias("dist"), ulp.alias("ulp"))
+        .where(F.col("dist") > 0.0)
+        .agg(F.min(F.col("dist") / F.col("ulp")).alias("m"))
+        .collect()[0]["m"]
+    )
+    return float("inf") if out is None else float(out)
+
+
 def _train_beta(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, int, tuple[float, float, float]]:

@@ -223,6 +223,23 @@ def _run_em(
     return inv, rounds
 
 
+#: Trained-inventory memo keyed by (application, sf_dir, split) —
+#: the train/vocab/heldout operators share one EM run per corpus
+#: instead of re-training (the tokenizer.py _TRAIN_CACHE rationale).
+#: Values are plain Python lists/tuples, session-lifetime safe.
+_EM_CACHE: dict[tuple[str, str, str | None], tuple] = {}
+
+
+def _trained(
+    spark: SparkSession, sf_dir: str, split: str | None = None
+) -> tuple[list[tuple[str, int]], list[tuple]]:
+    key = (spark.sparkContext.applicationId, sf_dir, split)
+    if key not in _EM_CACHE:
+        words = _word_freq(spark, sf_dir, split).localCheckpoint()
+        _EM_CACHE[key] = _run_em(words)
+    return _EM_CACHE[key]
+
+
 _TRAIN_SCHEMA = (
     "round int, n_pieces bigint, n_multi_pieces bigint,"
     " total_occ bigint, n_tokens bigint,"
@@ -241,8 +258,7 @@ def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup whose ≤ 74-row result is the only driver traffic (α row
     in BASELINE.md). No libm anywhere in the segmentation decisions.
     """
-    words = _word_freq(spark, sf_dir).localCheckpoint()
-    _inv, rounds = _run_em(words)
+    _inv, rounds = _trained(spark, sf_dir)
     if not rounds:
         return spark.createDataFrame([], _TRAIN_SCHEMA)
     return spark.createDataFrame(rounds, _TRAIN_SCHEMA).orderBy("round")
@@ -258,8 +274,7 @@ def text_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained piece inventory as the deployable artifact:
     (piece_id by occurrences DESC / piece ASC, piece, Viterbi
     occurrences, floor-pinned probability, is_multi)."""
-    words = _word_freq(spark, sf_dir).localCheckpoint()
-    inv, rounds = _run_em(words)
+    inv, rounds = _trained(spark, sf_dir)
     if not rounds:
         return spark.createDataFrame([], _VOCAB_SCHEMA)
     total = sum(c for _, c in inv)
@@ -300,8 +315,7 @@ def text_unigram_lm_heldout(
     discipline), then the avg-NLL and perplexity readouts are
     floor-truncated doubles.
     """
-    words_tr = _word_freq(spark, sf_dir, "train").localCheckpoint()
-    inv, rounds = _run_em(words_tr)
+    inv, rounds = _trained(spark, sf_dir, "train")
     hw = _word_freq(spark, sf_dir, "heldout")
     if not rounds or not hw.take(1):
         return spark.createDataFrame([], _HELDOUT_SCHEMA)

@@ -61,11 +61,15 @@ class ProgressCapture(StreamingQueryListener):
                     "query_name": p.get("name"),
                     "batch_id": int(p.get("batchId", -1)),
                     "operator_name": op.get("operatorName"),
-                    "num_rows_total": int(op.get("numRowsTotal", 0)),
-                    "num_rows_updated": int(op.get("numRowsUpdated", 0)),
-                    "num_rows_removed": int(op.get("numRowsRemoved", 0)),
+                    # `or 0` (not a .get default): an explicit null
+                    # in the progress JSON (key present, value None)
+                    # must not raise inside the listener callback —
+                    # that would silently drop the batch's record.
+                    "num_rows_total": int(op.get("numRowsTotal") or 0),
+                    "num_rows_updated": int(op.get("numRowsUpdated") or 0),
+                    "num_rows_removed": int(op.get("numRowsRemoved") or 0),
                     "num_rows_dropped_by_watermark": int(
-                        op.get("numRowsDroppedByWatermark", 0)
+                        op.get("numRowsDroppedByWatermark") or 0
                     ),
                     "watermark": wm,
                 }

@@ -256,6 +256,71 @@ def test_unigram_heldout_planted_oov(spark, tmp_path):
     assert row.n_heldout_tokens == 3
 
 
+def test_pin_grid_margins_not_fragile(spark):
+    """Round-8 ADVICE: cross-engine bit-exactness of the IRLS/LM
+    pins rests on libm outputs not landing within ~ulps of the 1e-9
+    grid. Probe the ACTUAL margins on the test corpus:
+
+    - the libm-heavy decision paths (IRLS W-terms at the trained
+      beta, deviance log terms, unigram held-out log scores) must
+      clear a 4-ulp margin — they do, by 2-6 orders of magnitude;
+    - the residual-terms (q0/q1/q2, r = y - mu) measurably SIT
+      ~0.5 ulp from grid lines on this corpus. That is the
+      documented residual risk made concrete: a 1-ulp exp()
+      disagreement between engines would flip ONE pinned 1e-9 unit
+      in a q-sum, perturbing beta in its 9th decimal — absorbed by
+      every 1e-6-floored readout unless that readout itself sits
+      within ~1e-9 of a 1e-6 boundary. This test pins the measured
+      state so a dataset change that WIDENS exposure (margins
+      collapsing on the W/log paths too) fails loudly here first.
+    """
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.operators.training import (
+        _mu,
+        _train_beta,
+        pin_boundary_margin,
+    )
+
+    feat, n_docs, beta = _train_beta(spark, SF_DIR)
+    assert n_docs > 0
+    mu = _mu(*beta)
+    w = mu * (F.lit(1.0) - mu)
+    x1, x2 = F.col("x1"), F.col("x2")
+    for term in (w, w * x1, w * x2, w * x1 * x1, w * x1 * x2,
+                 w * x2 * x2):
+        assert pin_boundary_margin(feat, term) > 4.0
+    mu_c = F.greatest(F.lit(1e-9), F.least(F.lit(0.999999999), mu))
+    ll = F.col("y") * F.log(mu_c) + (
+        F.lit(1.0) - F.col("y")
+    ) * F.log(F.lit(1.0) - mu_c)
+    assert pin_boundary_margin(feat, ll) > 4.0
+    # the known near-grid residuals: record, don't pretend otherwise
+    q_margin = pin_boundary_margin(feat, F.col("y") - mu)
+    assert 0.0 < q_margin < 4.0
+
+    from postgres_s3_etl_spark.operators.unigram import (
+        _dp_expr,
+        _map_literal,
+        _run_em,
+        _word_freq,
+    )
+
+    words = _word_freq(spark, SF_DIR, "train").localCheckpoint()
+    inv, rounds = _run_em(words)
+    assert rounds
+    hw = _word_freq(spark, SF_DIR, "heldout")
+    scores = (
+        hw.withColumn("m", F.expr(_map_literal(inv)))
+        .withColumn(
+            "best", F.expr(_dp_expr(sum(c for _, c in inv)))
+        )
+        .select(F.col("best.score").alias("score"))
+        .where(F.col("score") > 0)
+    )
+    assert pin_boundary_margin(scores, F.log("score")) > 4.0
+
+
 def test_repetition_rules_shape(spark):
     from postgres_s3_etl_spark.operators.text_analysis import (
         text_repetition_rules,
