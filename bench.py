@@ -135,6 +135,12 @@ HEADLINE = (
     "text_bigram_lm_heldout",
     "graph_conductance",
     "embedding_dedup_threshold_curve",
+    # round-9 additions (within-doc repetition panel, perceptual-hash
+    # image near-dup, unigram-LM tokenizer train + held-out eval)
+    "text_repetition_rules",
+    "mm_image_phash_dedup",
+    "text_unigram_lm_train",
+    "text_unigram_lm_heldout",
 )
 
 

@@ -748,11 +748,21 @@ def _cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct LSH-blocked near-dup candidate pairs with exact
     cosine: the shared frame behind :func:`dedup_embedding_cosine`
     and :func:`embedding_dedup_threshold_curve`. Candidates come from
-    a (label, tbl, bucket) equi-join, never a per-label cross join."""
+    a (label, tbl, bucket) equi-join, never a per-label cross join.
+
+    Bits per table are CORPUS-ADAPTIVE (similarity.adaptive_dedup_bits
+    — the integer rule the oracle mirrors in its ``nb`` CTE): the
+    round-9 honest sf10 decade measured fixed 4-bit tables at
+    α(1→10)=1.92 because fixed bucket cardinality makes the pair
+    frame quadratic; scaling bits to hold the expected bucket
+    population at DEDUP_TARGET_BUCKET restores ~linear candidates.
+    The two corpus scalars (count, label count) are the only driver
+    traffic."""
     from postgres_s3_etl_spark.operators.similarity import (
-        BITS_PER_TABLE,
+        DEDUP_SIG_PLANES,
         LSH_TABLES,
         _signature,
+        adaptive_dedup_bits,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -760,9 +770,14 @@ def _cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
+    st = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("label").alias("l"),
+    ).collect()[0]
+    bits = adaptive_dedup_bits(int(st["n"]), int(st["l"] or 0))
     emb = emb.withColumn(
         "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
-    ).withColumn("sig", _signature("v"))
+    ).withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
     buckets = emb.select(
         "vec_id",
         "label",
@@ -771,7 +786,7 @@ def _cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
-                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
+                f"(sig div cast(pow(2, t * {bits}) as bigint)) % {1 << bits}L AS bucket))"
             )
         ).alias("tb"),
     ).select(

@@ -77,29 +77,31 @@ def sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def plane_signs() -> list[list[int]]:
+def plane_signs(n_planes: int = N_PLANES) -> list[list[int]]:
     """Deterministic ±1 hyperplane components: sign(p, d) = +1 iff the
     first hex nibble of md5(f"{p}_{d}") is even. Pure public md5 —
-    the SQL oracle regenerates the identical matrix."""
+    the SQL oracle regenerates the identical matrix. Plane p's
+    definition is independent of ``n_planes``, so a wider signature
+    is a strict bit-extension of a narrower one."""
     return [
         [
             1 if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
             for d in range(EMB_DIM)
         ]
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     ]
 
 
-def _signature(vec_col: str = "v") -> Column:
-    """16-bit LSH signature: bit p set iff plane_p · v > 0."""
-    planes = plane_signs()
+def _signature(vec_col: str = "v", n_planes: int = N_PLANES) -> Column:
+    """``n_planes``-bit LSH signature: bit p set iff plane_p · v > 0."""
+    planes = plane_signs(n_planes)
     planes_sql = ",".join(
         "array(" + ",".join(str(x) for x in row) + ")" for row in planes
     )
     return F.expr(
         f"""
         aggregate(
-            sequence(0, {N_PLANES - 1}),
+            sequence(0, {n_planes - 1}),
             cast(0 as bigint),
             (acc, p) -> acc + CASE WHEN
                 aggregate(
@@ -2442,19 +2444,62 @@ QUERIES = {
 }
 
 
+#: Corpus-adaptive banding for the embedding-DEDUP pair frame
+#: (dedup_embedding_cosine / embedding_dedup_threshold_curve). The
+#: round-9 sf10 decade measured the fixed 4-bit tables at
+#: α(1→10) = 1.92 on an honest (orthogonally-transformed-replica)
+#: corpus: with FIXED bucket cardinality, bucket populations grow
+#: linearly and the candidate pair frame quadratically — the
+#: fixed-cardinality blocking-key trap. Bits per table now scale
+#: with the corpus so the expected (label, tbl, bucket) population
+#: stays ≤ DEDUP_TARGET_BUCKET: bits = the smallest b in
+#: [BITS_PER_TABLE, DEDUP_MAX_BITS] with
+#: labels · DEDUP_TARGET_BUCKET · 2^b ≥ n — a pure INTEGER rule both
+#: engines evaluate identically (no log2/libm boundary). At the
+#: driver's SFs the rule yields b = 4 = the historical constant, so
+#: small-SF results are bit-identical to the fixed-bit plan. The
+#: known tradeoff: per-table collision probability for a true
+#: near-dup falls as (1−θ/π)^b, so at production scale the recall
+#: floor is held by raising DEDUP_LSH-table count alongside b —
+#: the table count is the recall knob, the bit count the cost knob.
+DEDUP_TARGET_BUCKET = 32
+DEDUP_MAX_BITS = 14
+DEDUP_SIG_PLANES = LSH_TABLES * DEDUP_MAX_BITS  # 56-bit sig, int64-safe
+
+
+def adaptive_dedup_bits(n_vecs: int, n_labels: int) -> int:
+    """Python mirror of the oracle's integer bits rule."""
+    for b in range(BITS_PER_TABLE, DEDUP_MAX_BITS + 1):
+        if max(n_labels, 1) * DEDUP_TARGET_BUCKET * (1 << b) >= n_vecs:
+            return b
+    return DEDUP_MAX_BITS
+
+
 def lsh_bucket_cte(extra_cols: str = "") -> str:
     """Shared DuckDB CTE chain ending in ``bucketed(vec_id[, extras],
     v, nrm, tbl, bucket)`` — the SQL twin of the hyperplane-LSH
-    signature + multi-table banding. ``extra_cols`` (e.g. ``label,``)
+    signature + multi-table banding with CORPUS-ADAPTIVE bits per
+    table (see adaptive_dedup_bits). ``extra_cols`` (e.g. ``label,``)
     are carried from ``embeddings`` through to ``bucketed``."""
     return f"""
+        nb AS (
+            SELECT CAST(COALESCE((
+                SELECT MIN(b) FROM generate_series({BITS_PER_TABLE},
+                                                   {DEDUP_MAX_BITS}) g(b)
+                WHERE GREATEST((SELECT COUNT(DISTINCT label)
+                                FROM embeddings), 1)
+                      * {DEDUP_TARGET_BUCKET}
+                      * CAST(pow(2, b) AS BIGINT)
+                      >= (SELECT COUNT(*) FROM embeddings)
+            ), {DEDUP_MAX_BITS}) AS BIGINT) AS nb
+        ),
         planes AS (
             SELECT p.p,
                    [CASE WHEN (strpos('0123456789abcdef',
                                substr(md5(concat(p.p, '_', d)), 1, 1)) - 1) % 2 = 0
                          THEN 1.0 ELSE -1.0 END
                     for d in generate_series(0, {EMB_DIM - 1})] AS coefs
-            FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p) p
+            FROM (SELECT unnest(generate_series(0, {DEDUP_SIG_PLANES - 1})) AS p) p
         ),
         vecs AS (
             SELECT vec_id, {extra_cols} embedding::DOUBLE[] AS v,
@@ -2470,10 +2515,12 @@ def lsh_bucket_cte(extra_cols: str = "") -> str:
         ),
         bucketed AS (
             SELECT v.vec_id, {extra_cols.replace("label,", "v.label,")} v.v, v.nrm, t.t AS tbl,
-                   (s.sig // CAST(pow(2, t.t * {BITS_PER_TABLE}) AS BIGINT)) % {2 ** BITS_PER_TABLE} AS bucket
+                   (s.sig // CAST(pow(2, t.t * nb.nb) AS BIGINT))
+                       % CAST(pow(2, nb.nb) AS BIGINT) AS bucket
             FROM vecs v
             JOIN sigs s ON v.vec_id = s.vec_id,
-                 (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS t) t
+                 (SELECT unnest(generate_series(0, {LSH_TABLES - 1})) AS t) t,
+                 nb
         )
     """
 
