@@ -2905,6 +2905,81 @@ def q_orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test: do urgent/high-priority orders carry a
+    different totalprice DISTRIBUTION than the rest? The two-sample
+    rank test (Wilcoxon rank-sum) — the pairwise companion to
+    ``q_orders_kruskal_wallis``'s k-sample H, and the test a
+    pipeline reaches for when ANOVA's normality assumption is off
+    the table. Normal approximation with the standard tie-corrected
+    variance; no transcendental anywhere (sqrt is IEEE
+    correctly-rounded in both engines, so even the 1.96 verdict
+    compares identical doubles).
+
+    Scale shape: mid-ranks from the VALUE-grain rollup through the
+    two-pass distributed rank (`with_global_order`) — never a
+    single-task window over raw rows; everything after is one
+    scalar rollup. Rank sums pinned per-term to DECIMAL(38,6).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        dec("o_totalprice").alias("v"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("hi"),
+    )
+    vg = orders.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum("hi").cast("bigint").alias("n1_v"),
+    )
+    ranked = with_global_order(
+        vg, [F.asc("v")], sum_cols=["n_v"]
+    ).select(
+        "n_v",
+        "n1_v",
+        (
+            F.col("_gcum_n_v").cast("double")
+            - (F.col("n_v") - 1) / 2.0
+        ).alias("mid_rank"),
+    )
+    tot = ranked.agg(
+        F.sum("n1_v").cast("bigint").alias("n1"),
+        F.sum(F.col("n_v") - F.col("n1_v")).cast("bigint").alias("n2"),
+        F.sum(
+            (F.col("n1_v") * F.col("mid_rank")).cast("decimal(38,6)")
+        ).alias("r1"),
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        )
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n = n1 + n2
+    u1 = F.col("r1").cast("double") - n1 * (n1 + 1.0) / 2.0
+    mu = n1 * n2 / 2.0
+    sig = F.sqrt(
+        n1
+        * n2
+        / 12.0
+        * ((n + 1.0) - F.col("tie_sum").cast("double") / (n * (n - 1.0)))
+    )
+    z = (u1 - mu) / sig
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return tot.select(
+        "n1",
+        "n2",
+        f6(F.col("r1").cast("double")).alias("rank_sum_high"),
+        f6(u1).alias("u_stat"),
+        f6(mu).alias("mu_u"),
+        f6(sig).alias("sigma_u"),
+        f6(z).alias("z"),
+        (F.abs(z) > 1.96).alias("reject_h0_05"),
+    )
+
+
 def q_customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T inequality index of customer revenue per region —
     the entropy-based companion to the Gini/HHI readouts:
@@ -3237,6 +3312,7 @@ QUERIES = {
     "q_customer_nb_dispersion": q_customer_nb_dispersion,
     "q_part_price_elasticity": q_part_price_elasticity,
     "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
+    "q_orders_mann_whitney": q_orders_mann_whitney,
     "q_nation_rca": q_nation_rca,
     "q_part_price_index": q_part_price_index,
     "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
@@ -3532,6 +3608,75 @@ ORACLES = {
                  AS is_elastic
         FROM m
         ORDER BY p_brand
+    """,
+    "q_orders_mann_whitney": """
+        WITH vg AS (
+            SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS n_v,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                            ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n1_v
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT n_v, n1_v,
+                   CAST(SUM(n_v) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) - (n_v - 1) / 2.0 AS mid_rank
+            FROM vg
+        ),
+        tot AS (
+            SELECT CAST(SUM(n1_v) AS BIGINT) AS n1,
+                   CAST(SUM(n_v - n1_v) AS BIGINT) AS n2,
+                   SUM(CAST(n1_v * mid_rank AS DECIMAL(38,6))) AS r1,
+                   CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
+            FROM ranked
+        )
+        SELECT n1, n2,
+               floor(CAST(r1 AS DOUBLE) * 1e6) / 1e6 AS rank_sum_high,
+               floor((CAST(r1 AS DOUBLE)
+                      - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)
+                        / 2.0) * 1e6) / 1e6 AS u_stat,
+               floor(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+                     * 1e6) / 1e6 AS mu_u,
+               floor(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+                          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                              + 1.0)
+                             - CAST(tie_sum AS DOUBLE)
+                               / ((CAST(n1 AS DOUBLE)
+                                   + CAST(n2 AS DOUBLE))
+                                  * (CAST(n1 AS DOUBLE)
+                                     + CAST(n2 AS DOUBLE) - 1.0))))
+                     * 1e6) / 1e6 AS sigma_u,
+               floor(((CAST(r1 AS DOUBLE)
+                       - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)
+                         / 2.0)
+                      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                     / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                            / 12.0
+                            * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                + 1.0)
+                               - CAST(tie_sum AS DOUBLE)
+                                 / ((CAST(n1 AS DOUBLE)
+                                     + CAST(n2 AS DOUBLE))
+                                    * (CAST(n1 AS DOUBLE)
+                                       + CAST(n2 AS DOUBLE) - 1.0))))
+                     * 1e6) / 1e6 AS z,
+               abs(((CAST(r1 AS DOUBLE)
+                     - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)
+                       / 2.0)
+                    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                   / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                          / 12.0
+                          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                              + 1.0)
+                             - CAST(tie_sum AS DOUBLE)
+                               / ((CAST(n1 AS DOUBLE)
+                                   + CAST(n2 AS DOUBLE))
+                                  * (CAST(n1 AS DOUBLE)
+                                     + CAST(n2 AS DOUBLE) - 1.0)))))
+                   > 1.96 AS reject_h0_05
+        FROM tot
     """,
     "q_orders_kruskal_wallis": """
         WITH vg AS (

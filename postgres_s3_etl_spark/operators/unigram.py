@@ -292,6 +292,73 @@ def text_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, _VOCAB_SCHEMA).orderBy("piece_id")
 
 
+_ENCODE_SCHEMA = (
+    "source string, n_tokens bigint, n_oov bigint, n_pieces bigint,"
+    " avg_pieces_per_token double, oov_share double"
+)
+
+
+def text_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode path: apply the trained inventory to the corpus and
+    report per-source tokenization cost (pieces per trainable token,
+    OOV share) — the unigram twin of ``text_bpe_encode``.
+
+    Scale shape: encoding is a LOOKUP, not a re-segmentation — the
+    word table is Viterbi-segmented ONCE (Heaps-bounded) and the
+    word→piece-count map is broadcast onto the corpus token stream;
+    the DP never touches corpus-scale data.
+    """
+    inv, rounds = _trained(spark, sf_dir)
+    if not rounds:
+        return spark.createDataFrame([], _ENCODE_SCHEMA)
+    words = _word_freq(spark, sf_dir)
+    word_cost = _estep(words, inv).select(
+        "tok", F.size("pieces").cast("bigint").alias("n_p")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    joined = toks.join(F.broadcast(word_cost), "tok", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("n_p").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("n_p"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "n_pieces",
+            F.when(
+                F.col("n_tokens") > F.col("n_oov"),
+                F.floor(
+                    F.col("n_pieces").cast("double")
+                    / (F.col("n_tokens") - F.col("n_oov"))
+                    * 1e6
+                )
+                / 1e6,
+            ).alias("avg_pieces_per_token"),
+            (
+                F.floor(
+                    F.col("n_oov").cast("double")
+                    / F.col("n_tokens")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("oov_share"),
+        )
+        .orderBy("source")
+    )
+
+
 _HELDOUT_SCHEMA = (
     "n_heldout_tokens bigint, n_heldout_types bigint,"
     " oov_char_tokens bigint, zero_prob_tokens bigint,"
@@ -640,14 +707,53 @@ def _unigram_heldout_oracle() -> str:
     """
 
 
+def _unigram_encode_oracle() -> str:
+    n = UNIGRAM_ROUNDS
+    eval_dp = _dp_round_ctes("e", "wf", f"inv{n}")
+    return rf"""
+        WITH {_train_chain("")},
+        {eval_dp},
+        word_cost AS (
+            SELECT tok,
+                   CAST(len(string_split(seg, chr(2))) AS BIGINT) AS n_p
+            FROM sege
+        ),
+        toks AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        agg AS (
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN w.n_p IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(SUM(COALESCE(w.n_p, 0)) AS BIGINT) AS n_pieces
+            FROM toks t LEFT JOIN word_cost w ON t.tok = w.tok
+            GROUP BY t.source
+        )
+        SELECT source, n_tokens, n_oov, n_pieces,
+               CASE WHEN n_tokens > n_oov THEN
+                   floor(CAST(n_pieces AS DOUBLE) / (n_tokens - n_oov)
+                         * 1e6) / 1e6
+               END AS avg_pieces_per_token,
+               floor(CAST(n_oov AS DOUBLE) / n_tokens * 1e6) / 1e6
+                   AS oov_share
+        FROM agg
+        ORDER BY source
+    """
+
+
 QUERIES = {
     "text_unigram_lm_train": text_unigram_lm_train,
     "text_unigram_lm_vocab": text_unigram_lm_vocab,
+    "text_unigram_lm_encode": text_unigram_lm_encode,
     "text_unigram_lm_heldout": text_unigram_lm_heldout,
 }
 
 ORACLES = {
     "text_unigram_lm_train": _unigram_train_oracle(),
     "text_unigram_lm_vocab": _unigram_vocab_oracle(),
+    "text_unigram_lm_encode": _unigram_encode_oracle(),
     "text_unigram_lm_heldout": _unigram_heldout_oracle(),
 }

@@ -19,6 +19,8 @@ ALL = [
     "text_unigram_lm_train",
     "text_unigram_lm_vocab",
     "text_unigram_lm_heldout",
+    "text_unigram_lm_encode",
+    "q_orders_mann_whitney",
 ]
 
 
