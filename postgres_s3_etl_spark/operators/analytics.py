@@ -2980,6 +2980,98 @@ def q_orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_brown_forsythe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe (median-based Levene) test of variance
+    homogeneity of order totals across priorities — the precondition
+    check that decides whether ``q_orders_anova_priority``'s equal-
+    variance assumption holds, run as a one-way ANOVA on
+    |x − group median|. Medians, not means, for the robustness the
+    test is named for.
+
+    Scale shape: group LOWER MEDIANS (position (n+1) div 2 — pure
+    integer both engines) come from the value-grain rollup through
+    the two-pass distributed rank, with per-group cumulative =
+    global cumulative minus the group's start offset — no
+    per-group window over raw rows. Deviations are exact DECIMAL;
+    the 5 per-group F terms pin to DECIMAL(38,6) before the final
+    sum so the double fold is order-free.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        dec("o_totalprice").alias("v"),
+    )
+    vg = orders.groupBy("grp", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    ranked = with_global_order(
+        vg, [F.asc("grp"), F.asc("v")], sum_cols=["n_v"]
+    )
+    gstat = ranked.groupBy("grp").agg(
+        F.sum("n_v").cast("bigint").alias("n_g"),
+        F.min(F.col("_gcum_n_v") - F.col("n_v"))
+        .cast("bigint")
+        .alias("off"),
+    )
+    cum_in_g = F.col("_gcum_n_v") - F.col("off")
+    pos = F.expr("(n_g + 1) div 2")
+    med = (
+        ranked.join(F.broadcast(gstat), "grp")
+        .where((cum_in_g - F.col("n_v") < pos) & (pos <= cum_in_g))
+        .select("grp", F.col("v").alias("med"))
+    )
+    dev = orders.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    g = dev.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum("z").alias("s_j"),
+        F.sum(F.col("z") * F.col("z")).alias("zz_j"),
+    )
+    terms = g.select(
+        "n_j",
+        "s_j",
+        "zz_j",
+        (
+            F.col("s_j").cast("double")
+            * F.col("s_j").cast("double")
+            / F.col("n_j").cast("double")
+        )
+        .cast("decimal(38,6)")
+        .alias("t"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_j").cast("bigint").alias("n"),
+        F.sum("s_j").alias("s"),
+        F.sum("zz_j").alias("zz"),
+        F.sum("t").alias("sb"),
+    )
+    k = F.col("k").cast("double")
+    n = F.col("n").cast("double")
+    sb_d = F.col("sb").cast("double")
+    zz_d = F.col("zz").cast("double")
+    s_d = F.col("s").cast("double")
+    ssb = sb_d - s_d * s_d / n
+    ssw = zz_d - sb_d
+    f_stat = (ssb / (k - 1.0)) / (ssw / (n - k))
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return tot.select(
+        "k",
+        "n",
+        # NOT floor-pinned: these reach ~1e13 at sf0.01 and
+        # floor(x*1e6) saturates Spark's BIGINT at ~9.2e12; both
+        # engines derive them from identical exact-DECIMAL casts, so
+        # the raw doubles are already bit-identical.
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f6(f_stat).alias("f_stat"),
+        # F(4, inf) 0.95 critical value — the df2 >> 100 regime here
+        (f_stat > 2.372).alias("reject_equal_variance_05"),
+    )
+
+
 def q_customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T inequality index of customer revenue per region —
     the entropy-based companion to the Gini/HHI readouts:
@@ -3313,6 +3405,7 @@ QUERIES = {
     "q_part_price_elasticity": q_part_price_elasticity,
     "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
     "q_orders_mann_whitney": q_orders_mann_whitney,
+    "q_orders_brown_forsythe": q_orders_brown_forsythe,
     "q_nation_rca": q_nation_rca,
     "q_part_price_index": q_part_price_index,
     "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
@@ -3608,6 +3701,69 @@ ORACLES = {
                  AS is_elastic
         FROM m
         ORDER BY p_brand
+    """,
+    "q_orders_brown_forsythe": """
+        WITH vg AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS n_v
+            FROM orders GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT grp, v, n_v,
+                   SUM(n_v) OVER (PARTITION BY grp ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_g,
+                   SUM(n_v) OVER (PARTITION BY grp) AS n_g
+            FROM vg
+        ),
+        med AS (
+            SELECT grp, v AS med FROM ranked
+            WHERE cum_g - n_v < (n_g + 1) // 2
+              AND (n_g + 1) // 2 <= cum_g
+        ),
+        dev AS (
+            SELECT o.grp, abs(o.v - m.med) AS z FROM (
+                SELECT o_orderpriority AS grp,
+                       CAST(o_totalprice AS DECIMAL(18,2)) AS v
+                FROM orders
+            ) o JOIN med m ON o.grp = m.grp
+        ),
+        g AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+                   SUM(z) AS s_j, SUM(z * z) AS zz_j
+            FROM dev GROUP BY grp
+        ),
+        terms AS (
+            SELECT n_j, s_j, zz_j,
+                   CAST(CAST(s_j AS DOUBLE) * CAST(s_j AS DOUBLE)
+                        / CAST(n_j AS DOUBLE) AS DECIMAL(38,6)) AS t
+            FROM g
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_j) AS BIGINT) AS n,
+                   SUM(s_j) AS s, SUM(zz_j) AS zz, SUM(t) AS sb
+            FROM terms
+        )
+        SELECT k, n,
+               CAST(sb AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE) AS ss_between,
+               CAST(zz AS DOUBLE) - CAST(sb AS DOUBLE) AS ss_within,
+               floor(((CAST(sb AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                     / ((CAST(zz AS DOUBLE) - CAST(sb AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                     * 1e6) / 1e6 AS f_stat,
+               ((CAST(sb AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+               / ((CAST(zz AS DOUBLE) - CAST(sb AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+               > 2.372 AS reject_equal_variance_05
+        FROM tot
     """,
     "q_orders_mann_whitney": """
         WITH vg AS (

@@ -4448,6 +4448,53 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((int(aid), rows))
             yield pd.DataFrame(out, columns=["asset_id", "rows"])
 
+    return (
+        _phash_pairs(spark)
+        .orderBy("hamming", "asset_a", "asset_b")
+        .limit(PHASH_TOP_PAIRS)
+    )
+
+
+def _phash_pairs(spark: SparkSession) -> DataFrame:
+    """The verified near-dup pair frame behind
+    :func:`mm_image_phash_dedup` and :func:`mm_phash_cc_keepset` —
+    decode → dHash row bytes → (row_pos, row_byte) pigeonhole bucket
+    join → bit_count verify at PHASH_MAX_HAMMING."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_pgm(bytes(payload))
+                if img is None:
+                    continue
+                h, w = img.shape
+                if w < PHASH_GRID_X or h < PHASH_GRID_Y:
+                    continue
+                gxi = (np.arange(w) * PHASH_GRID_X) // w
+                gyi = (np.arange(h) * PHASH_GRID_Y) // h
+                cell = gyi[:, None] * PHASH_GRID_X + gxi[None, :]
+                n_cells = PHASH_GRID_X * PHASH_GRID_Y
+                sums = np.bincount(
+                    cell.ravel(),
+                    weights=img.astype(np.int64).ravel(),
+                    minlength=n_cells,
+                ).astype(np.int64)
+                cnts = np.bincount(cell.ravel(), minlength=n_cells)
+                means = (sums // cnts).reshape(
+                    PHASH_GRID_Y, PHASH_GRID_X
+                )
+                rows = []
+                for gy in range(PHASH_GRID_Y):
+                    byte = 0
+                    for cx in range(PHASH_GRID_X - 1):
+                        if means[gy, cx + 1] > means[gy, cx]:
+                            byte |= 1 << cx
+                    rows.append(int(byte))
+                out.append((int(aid), rows))
+            yield pd.DataFrame(out, columns=["asset_id", "rows"])
+
     media = synth_phash_media(spark).select("asset_id", "payload")
     hashed = media.mapInPandas(
         batches, "asset_id bigint, rows array<int>"
@@ -4478,13 +4525,78 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .where(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .orderBy("hamming", "asset_a", "asset_b")
-        .limit(PHASH_TOP_PAIRS)
     )
 
 
-_PHASH_ORACLE = f"""
-    WITH assets AS (
+#: Fixed min-label rounds for the phash component accounting — both
+#: engines compute the identical partial fixpoint, so parity holds
+#: even if a (pathologically long) dup chain hasn't converged.
+PHASH_CC_ROUNDS = 4
+
+
+def mm_phash_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image dedup keep-set: perceptual-hash near-dup
+    pairs → connected components (fixed min-label rounds) → corpus
+    keep/drop accounting — the image twin of ``dedup_cc_keepset``,
+    and the number a storage/curation team actually acts on ("how
+    many images survive near-dup collapse?").
+
+    Scale shape: the pair frame is the pigeonhole bucket join
+    (`_phash_pairs`); label propagation touches only EDGE nodes (a
+    vanishing fraction of the corpus); isolated assets never enter
+    the loop and are kept by definition.
+    """
+    pairs = _phash_pairs(spark)
+    edges = (
+        pairs.select(
+            F.col("asset_a").alias("src"), F.col("asset_b").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("asset_b").alias("src"),
+                F.col("asset_a").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(PHASH_CC_ROUNDS):
+        nb = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nb, labels.node == nb.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nl", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    comp = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    n_assets = synth_phash_media(spark).count()
+    return comp.agg(
+        F.lit(n_assets).cast("bigint").alias("n_assets"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_groups"),
+        F.sum("sz").cast("bigint").alias("n_assets_in_dup_groups"),
+        (F.lit(n_assets) - (F.sum("sz") - F.count(F.lit(1))))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.max("sz").cast("bigint").alias("max_component_size"),
+    )
+
+
+_PHASH_PAIRS_SQL = f"""assets AS (
         SELECT a AS asset_id, a AS base, FALSE AS is_variant
         FROM range(0, {N_PHASH_BASE}) t(a)
         UNION ALL
@@ -4527,23 +4639,67 @@ _PHASH_ORACLE = f"""
         WHERE a.gx < {PHASH_GRID_X - 1}
         GROUP BY a.asset_id, a.gy
     ),
-    pairs AS (
-        SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
-               SUM(bit_count(xor(a.rbyte, b.rbyte))) AS hamming
+    pairs AS MATERIALIZED (
+        SELECT CAST(a.asset_id AS BIGINT) AS asset_a,
+               CAST(b.asset_id AS BIGINT) AS asset_b,
+               CAST(SUM(bit_count(xor(a.rbyte, b.rbyte))) AS BIGINT)
+                   AS hamming
         FROM rbytes a
         JOIN rbytes b ON a.gy = b.gy AND a.asset_id < b.asset_id
         GROUP BY 1, 2
-    )
-    SELECT CAST(asset_a AS BIGINT) AS asset_a,
-           CAST(asset_b AS BIGINT) AS asset_b,
-           CAST(hamming AS BIGINT) AS hamming
-    FROM pairs WHERE hamming <= {PHASH_MAX_HAMMING}
+        HAVING SUM(bit_count(xor(a.rbyte, b.rbyte)))
+               <= {PHASH_MAX_HAMMING}
+    )"""
+
+_PHASH_ORACLE = f"""
+    WITH {_PHASH_PAIRS_SQL}
+    SELECT asset_a, asset_b, hamming
+    FROM pairs
     ORDER BY hamming, asset_a, asset_b LIMIT {PHASH_TOP_PAIRS}
+"""
+
+
+def _phash_cc_oracle() -> str:
+    n_assets = N_PHASH_BASE + N_PHASH_BASE // 4
+    label_ctes = ["""l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM vp
+    )"""]
+    for k in range(1, PHASH_CC_ROUNDS + 1):
+        label_ctes.append(f"""l{k} AS MATERIALIZED (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+        FROM l{k - 1} l
+        LEFT JOIN (
+            SELECT e.dst AS node2, MIN(l2.label) AS nl
+            FROM vp e JOIN l{k - 1} l2 ON e.src = l2.node
+            GROUP BY e.dst
+        ) m ON l.node = m.node2
+    )""")
+    chain = ",\n    ".join(label_ctes)
+    return f"""
+    WITH {_PHASH_PAIRS_SQL},
+    vp AS MATERIALIZED (
+        SELECT asset_a AS src, asset_b AS dst FROM pairs
+        UNION ALL
+        SELECT asset_b, asset_a FROM pairs
+    ),
+    {chain},
+    comp AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM l{PHASH_CC_ROUNDS} GROUP BY label
+    )
+    SELECT CAST({n_assets} AS BIGINT) AS n_assets,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(SUM(sz) AS BIGINT) AS n_assets_in_dup_groups,
+           CAST({n_assets} - (SUM(sz) - COUNT(*)) AS BIGINT) AS n_kept,
+           CAST(MAX(sz) AS BIGINT) AS max_component_size
+    FROM comp
 """
 
 
 QUERIES = {
     "mm_image_phash_dedup": mm_image_phash_dedup,
+    "mm_phash_cc_keepset": mm_phash_cc_keepset,
     "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_image_resize": mm_image_resize,
     "mm_image_decode_jpeg": mm_image_decode_jpeg,
@@ -4604,6 +4760,7 @@ def _bmp_down_channel(ka: int, kx: int, ky: int) -> str:
 
 ORACLES: dict[str, str] = {
     "mm_image_phash_dedup": _PHASH_ORACLE,
+    "mm_phash_cc_keepset": _phash_cc_oracle(),
     "mm_image_resize": f"""
         WITH assets AS (
             SELECT i AS asset_id, 16 + i % 8 AS w, 12 + i % 5 AS h

@@ -21,6 +21,8 @@ ALL = [
     "text_unigram_lm_heldout",
     "text_unigram_lm_encode",
     "q_orders_mann_whitney",
+    "q_orders_brown_forsythe",
+    "mm_phash_cc_keepset",
 ]
 
 
