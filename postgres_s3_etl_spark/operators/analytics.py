@@ -3072,6 +3072,69 @@ def q_orders_brown_forsythe(
     )
 
 
+def q_lineitem_welch_ttest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Welch's unequal-variance t-test: do RETURNED line items
+    (l_returnflag = 'R') carry a different mean extended price than
+    the rest? The parametric member of the test trio next to
+    ``q_orders_mann_whitney`` (rank) and ``q_orders_brown_forsythe``
+    (variance); Welch because the variance test exists precisely to
+    show pooled-variance t is unsafe. Welch-Satterthwaite df
+    reported; everything is rational arithmetic over exact DECIMAL
+    sufficient sums + one correctly-rounded sqrt — no libm.
+
+    Scale shape: ONE conditional-sum scan (n, Σx, Σx² per arm in a
+    single map-side-combinable aggregate); the test statistic is a
+    1-row expression.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        dec("l_extendedprice").alias("x"),
+        (F.col("l_returnflag") == "R").alias("g"),
+    )
+    agg = li.agg(
+        F.sum(F.when(F.col("g"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("g"), F.col("x"))).alias("s1"),
+        F.sum(F.when(F.col("g"), F.col("x") * F.col("x"))).alias("ss1"),
+        F.sum(F.when(~F.col("g"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(~F.col("g"), F.col("x"))).alias("s2"),
+        F.sum(F.when(~F.col("g"), F.col("x") * F.col("x"))).alias(
+            "ss2"
+        ),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    ss1 = F.col("ss1").cast("double")
+    ss2 = F.col("ss2").cast("double")
+    var1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    var2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+    se1 = var1 / n1
+    se2 = var2 / n2
+    t = (s1 / n1 - s2 / n2) / F.sqrt(se1 + se2)
+    df = (
+        (se1 + se2)
+        * (se1 + se2)
+        / (se1 * se1 / (n1 - 1.0) + se2 * se2 / (n2 - 1.0))
+    )
+    f6 = lambda col: F.floor(col * 1e6) / 1e6  # noqa: E731
+    return agg.select(
+        "n1",
+        "n2",
+        f6(s1 / n1).alias("mean_returned"),
+        f6(s2 / n2).alias("mean_other"),
+        f6(s1 / n1 - s2 / n2).alias("mean_diff"),
+        f6(t).alias("t_stat"),
+        f6(df).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("reject_h0_05"),
+    )
+
+
 def q_customer_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil T inequality index of customer revenue per region —
     the entropy-based companion to the Gini/HHI readouts:
@@ -3406,6 +3469,7 @@ QUERIES = {
     "q_orders_kruskal_wallis": q_orders_kruskal_wallis,
     "q_orders_mann_whitney": q_orders_mann_whitney,
     "q_orders_brown_forsythe": q_orders_brown_forsythe,
+    "q_lineitem_welch_ttest": q_lineitem_welch_ttest,
     "q_nation_rca": q_nation_rca,
     "q_part_price_index": q_part_price_index,
     "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
@@ -3701,6 +3765,55 @@ ORACLES = {
                  AS is_elastic
         FROM m
         ORDER BY p_brand
+    """,
+    "q_lineitem_welch_ttest": """
+        WITH agg AS (
+            SELECT CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n1,
+                   SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       END) AS s1,
+                   SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))
+                       END) AS ss1,
+                   CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n2,
+                   SUM(CASE WHEN l_returnflag <> 'R'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       END) AS s2,
+                   SUM(CASE WHEN l_returnflag <> 'R'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))
+                       END) AS ss2
+            FROM lineitem
+        ),
+        d AS (
+            SELECT n1, n2,
+                   CAST(s1 AS DOUBLE) AS s1, CAST(ss1 AS DOUBLE) AS ss1,
+                   CAST(s2 AS DOUBLE) AS s2, CAST(ss2 AS DOUBLE) AS ss2,
+                   CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d
+            FROM agg
+        ),
+        e AS (
+            SELECT n1, n2, s1, s2, n1d, n2d,
+                   ((ss1 - s1 * s1 / n1d) / (n1d - 1.0)) / n1d AS se1,
+                   ((ss2 - s2 * s2 / n2d) / (n2d - 1.0)) / n2d AS se2
+            FROM d
+        )
+        SELECT n1, n2,
+               floor(s1 / n1d * 1e6) / 1e6 AS mean_returned,
+               floor(s2 / n2d * 1e6) / 1e6 AS mean_other,
+               floor((s1 / n1d - s2 / n2d) * 1e6) / 1e6 AS mean_diff,
+               floor((s1 / n1d - s2 / n2d) / sqrt(se1 + se2) * 1e6)
+                   / 1e6 AS t_stat,
+               floor((se1 + se2) * (se1 + se2)
+                     / (se1 * se1 / (n1d - 1.0)
+                        + se2 * se2 / (n2d - 1.0)) * 1e6) / 1e6
+                   AS welch_df,
+               abs((s1 / n1d - s2 / n2d) / sqrt(se1 + se2)) > 1.96
+                   AS reject_h0_05
+        FROM e
     """,
     "q_orders_brown_forsythe": """
         WITH vg AS (

@@ -575,6 +575,190 @@ def _bigram_lm_oracle() -> str:
     """
 
 
+#: Kneser-Ney continuation probability (add-one over bigram TYPES so
+#: unseen words keep positive mass) and the interpolated bigram —
+#: shared VERBATIM between F.expr and the oracle.
+_KN_PCONT_EXPR = (
+    "(cast(nctx as double) + 1.0) / (cast(bt as double) + v + 1.0)"
+)
+_KN_P_EXPR = (
+    f"case when cx > 0 then"
+    f" greatest(cast(cxy as double) - {LM_DISCOUNT}, 0.0) / cx"
+    f" + ({LM_DISCOUNT} * n1p / cx) * p_cont"
+    f" else p_cont end"
+)
+
+
+def text_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM — the industrial-standard
+    smoothing next to ``text_bigram_lm_heldout``'s absolute-discount
+    + unigram backoff: the lower-order distribution is the
+    CONTINUATION probability P_cont(y) = N1+(·y) / bigram-types
+    ("how many contexts has y completed"), the correction that stops
+    high-frequency-but-single-context words (the 'Francisco'
+    problem) from stealing backoff mass. Same even/odd doc split and
+    held-out readout, so the two smoothers are directly comparable.
+
+    Plan: training adds ONE rollup over the bigram-type frame
+    (N1+(·y) = count of distinct left contexts per y — a plain
+    groupBy on the already-distinct (x, y) counts, no
+    count-distinct); evaluation is the same equi-join shape. All
+    probabilities are rationals of exact integer counts via an
+    expression string shared verbatim; ln pinned per test bigram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _ws_tokens(F.lower(F.col("text"))).alias("w")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(w) >= 2 then"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> named_struct('x', element_at(w, i),"
+                " 'y', element_at(w, i + 1)))"
+                " else cast(array() as array<struct<x: string, y: string>>)"
+                " end"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+    train_bg = bigrams.where(F.col("doc_id") % 2 == 0)
+    test_bg = bigrams.where(F.col("doc_id") % 2 == 1)
+    cxy = train_bg.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    ctx = cxy.groupBy("x").agg(
+        F.sum("cxy").cast("bigint").alias("cx"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    ycont = cxy.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nctx")
+    )
+    train_tok = toks.where(F.col("doc_id") % 2 == 0).select(
+        F.explode("w").alias("tok")
+    )
+    scal = train_tok.agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    ).crossJoin(
+        F.broadcast(
+            cxy.agg(F.count(F.lit(1)).cast("bigint").alias("bt"))
+        )
+    )
+    scored = (
+        test_bg.join(cxy, ["x", "y"], "left")
+        .join(ctx, "x", "left")
+        .join(ycont, "y", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            F.coalesce("cxy", F.lit(0)).alias("cxy"),
+            F.coalesce("cx", F.lit(0)).alias("cx"),
+            F.coalesce("n1p", F.lit(0)).alias("n1p"),
+            F.coalesce("nctx", F.lit(0)).alias("nctx"),
+            "bt",
+            "v",
+        )
+        .withColumn("p_cont", F.expr(_KN_PCONT_EXPR))
+        .withColumn("p", F.expr(_KN_P_EXPR))
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_bigrams"),
+        F.sum(F.when(F.col("cx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unseen_ctx"),
+        F.max("bt").cast("bigint").alias("bt"),
+        F.sum(_pin(F.log("p"))).cast("long").alias("ll_pinned"),
+    ).collect()[0]
+    out_schema = (
+        "n_test_bigrams bigint, n_unseen_ctx bigint, unseen_ctx_share"
+        " double, n_bigram_types bigint, avg_nll double,"
+        " perplexity double"
+    )
+    n = int(agg["n_test_bigrams"] or 0)
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    avg_nll_raw = -(int(agg["ll_pinned"]) / PIN) / n
+    row = (
+        n,
+        int(agg["n_unseen_ctx"]),
+        math.floor(int(agg["n_unseen_ctx"]) / n * 1e6) / 1e6,
+        int(agg["bt"]),
+        math.floor(avg_nll_raw * 1e6) / 1e6,
+        math.floor(math.exp(avg_nll_raw) * 1e6) / 1e6,
+    )
+    return spark.createDataFrame([row], out_schema)
+
+
+def _kneser_ney_oracle() -> str:
+    p_expr = _KN_P_EXPR.replace("p_cont", f"({_KN_PCONT_EXPR})")
+    return rf"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        bigrams AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS x,
+                   unnest(w[2:len(w)]) AS y
+            FROM toks WHERE len(w) >= 2
+        ),
+        cxy AS MATERIALIZED (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+            FROM bigrams WHERE doc_id % 2 = 0 GROUP BY x, y
+        ),
+        ctx AS (
+            SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx,
+                   CAST(COUNT(*) AS BIGINT) AS n1p
+            FROM cxy GROUP BY x
+        ),
+        ycont AS (
+            SELECT y, CAST(COUNT(*) AS BIGINT) AS nctx
+            FROM cxy GROUP BY y
+        ),
+        scal AS (
+            SELECT (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM
+                    (SELECT unnest(w) AS tok FROM toks
+                     WHERE doc_id % 2 = 0)) AS v,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cxy) AS bt
+        ),
+        scored AS (
+            SELECT COALESCE(c.cxy, 0) AS cxy, COALESCE(k.cx, 0) AS cx,
+                   COALESCE(k.n1p, 0) AS n1p,
+                   COALESCE(yc.nctx, 0) AS nctx,
+                   s.bt, s.v
+            FROM (SELECT x, y FROM bigrams WHERE doc_id % 2 = 1) tb
+            LEFT JOIN cxy c ON tb.x = c.x AND tb.y = c.y
+            LEFT JOIN ctx k ON tb.x = k.x
+            LEFT JOIN ycont yc ON tb.y = yc.y
+            CROSS JOIN scal s
+        ),
+        probs AS (
+            SELECT cx, bt, {p_expr} AS p
+            FROM scored
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test_bigrams,
+                   CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_unseen_ctx,
+                   CAST(MAX(bt) AS BIGINT) AS bt,
+                   CAST(SUM(CAST(floor(ln(p) * {PIN:.1f}) AS BIGINT))
+                        AS BIGINT) AS ll_pinned
+            FROM probs
+        )
+        SELECT n_test_bigrams, n_unseen_ctx,
+               floor(CAST(n_unseen_ctx AS DOUBLE) / n_test_bigrams * 1e6)
+                   / 1e6 AS unseen_ctx_share,
+               bt AS n_bigram_types,
+               floor(-(CAST(ll_pinned AS DOUBLE) / {PIN:.1f})
+                     / n_test_bigrams * 1e6) / 1e6 AS avg_nll,
+               floor(exp(-(CAST(ll_pinned AS DOUBLE) / {PIN:.1f})
+                         / n_test_bigrams) * 1e6) / 1e6 AS perplexity
+        FROM agg
+        WHERE n_test_bigrams > 0
+    """
+
+
 #: Fixed EM rounds for the Jelinek–Mercer interpolation weight.
 EM_ROUNDS = 3
 
@@ -1014,6 +1198,7 @@ QUERIES = {
     "text_quality_train": text_quality_train,
     "text_quality_train_curve": text_quality_train_curve,
     "text_bigram_lm_heldout": text_bigram_lm_heldout,
+    "text_kneser_ney_lm": text_kneser_ney_lm,
     "text_lm_interp_em": text_lm_interp_em,
     "text_quality_auc": text_quality_auc,
     "text_quality_calibration": text_quality_calibration,
@@ -1023,6 +1208,7 @@ ORACLES = {
     "text_quality_train": _quality_train_oracle(),
     "text_quality_train_curve": _quality_curve_oracle(),
     "text_bigram_lm_heldout": _bigram_lm_oracle(),
+    "text_kneser_ney_lm": _kneser_ney_oracle(),
     "text_lm_interp_em": _lm_interp_oracle(),
     "text_quality_auc": _quality_auc_oracle(),
     "text_quality_calibration": _quality_calibration_oracle(),

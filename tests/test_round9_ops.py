@@ -23,6 +23,8 @@ ALL = [
     "q_orders_mann_whitney",
     "q_orders_brown_forsythe",
     "mm_phash_cc_keepset",
+    "text_kneser_ney_lm",
+    "q_lineitem_welch_ttest",
 ]
 
 
