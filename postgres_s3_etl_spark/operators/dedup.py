@@ -24,7 +24,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
-from postgres_s3_etl_spark.operators.similarity import lsh_bucket_cte
+from postgres_s3_etl_spark.operators.similarity import (
+    lsh_bucket_cte,
+    sig_cte_sql,
+)
 from postgres_s3_etl_spark.operators.python_lane import (
     repartition_for_grouped_python,
 )
@@ -835,6 +838,114 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bits-per-table sweep for the banding cost curve.
+DEDUP_BITS_SWEEP = (4, 6, 8)
+#: Verify threshold for the bits curve's true-pair column.
+BITS_CURVE_TAU = 0.90
+
+
+def embedding_dedup_bits_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The banding COST-KNOB curve behind the round-9 adaptive-bits
+    re-plan: for each bits-per-table b, the candidate-pair count the
+    (label, tbl, bucket) join would generate and how many survive
+    the cosine verify — the measured candidates-vs-recall tradeoff
+    that justifies scaling b with the corpus
+    (``adaptive_dedup_bits``). The banding twin of
+    ``dedup_banding_tradeoff`` / ``sim_search_lsh_tuning``.
+
+    Scale shape: ONE 56-plane signature scan feeds every b (bucket
+    extraction is arithmetic on the shared sig); the b sweep rides
+    the same equi-join with b as an extra key, so candidates only
+    ever meet inside a (b, label, tbl, bucket) bucket.
+    """
+    from postgres_s3_etl_spark.operators.similarity import (
+        DEDUP_SIG_PLANES,
+        LSH_TABLES,
+        _signature,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    emb = emb.withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    ).withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
+    bt = ", ".join(
+        f"struct({b} AS b, {t} AS tbl,"
+        f" (sig div cast(pow(2, {t * b}) as bigint))"
+        f" % {1 << b}L AS bucket)"
+        for b in DEDUP_BITS_SWEEP
+        for t in range(LSH_TABLES)
+    )
+    buckets = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        "norm",
+        F.explode(F.expr(f"array({bt})")).alias("c"),
+    ).select(
+        "vec_id", "label", "v", "norm",
+        F.col("c.b").alias("b"),
+        F.col("c.tbl").alias("tbl"),
+        F.col("c.bucket").alias("bucket"),
+    )
+    a = buckets.alias("a")
+    bb = buckets.alias("bb")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, bb.v, (x, y) -> x * y), 0.0d,"
+        " (s, x) -> s + x)"
+    )
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("bb.b"))
+            & (F.col("a.label") == F.col("bb.label"))
+            & (F.col("a.tbl") == F.col("bb.tbl"))
+            & (F.col("a.bucket") == F.col("bb.bucket"))
+            & (F.col("a.vec_id") < F.col("bb.vec_id")),
+        )
+        .select(
+            F.col("a.b").alias("b"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("bb.vec_id").alias("vec_b"),
+            _trunc6(
+                dot / (F.col("a.norm") * F.col("bb.norm"))
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.sum(
+                F.when(F.col("cosine") >= BITS_CURVE_TAU, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_true_pairs"),
+        )
+        .select(
+            F.col("b").cast("int").alias("bits_per_table"),
+            "n_candidate_pairs",
+            "n_true_pairs",
+            F.when(
+                F.col("n_candidate_pairs") > 0,
+                F.floor(
+                    F.col("n_true_pairs").cast("double")
+                    / F.col("n_candidate_pairs")
+                    * 1e6
+                )
+                / 1e6,
+            ).alias("pair_efficiency"),
+        )
+        .orderBy("bits_per_table")
+    )
+
+
 #: Semantic-dedup threshold sweep (operating points).
 DEDUP_TAUS = ("0.80", "0.85", "0.90", "0.95")
 
@@ -1078,6 +1189,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "embedding_dedup_threshold_curve": embedding_dedup_threshold_curve,
+    "embedding_dedup_bits_curve": embedding_dedup_bits_curve,
 }
 
 
@@ -1344,6 +1456,41 @@ ORACLES = {
     # the shared bands CTE (_bands_cte_sql).
     # Mirrors the (label, tbl, bucket) LSH sub-blocking of
     # dedup_embedding_cosine via the shared signature CTE.
+    "embedding_dedup_bits_curve": f"""
+        WITH {sig_cte_sql("label,")},
+        bset AS (SELECT unnest([{", ".join(str(b) for b in DEDUP_BITS_SWEEP)}]) AS b),
+        bucketed AS (
+            SELECT v.vec_id, v.label, v.v, v.nrm, bs.b, t.t AS tbl,
+                   (s.sig // CAST(pow(2, t.t * bs.b) AS BIGINT))
+                       % CAST(pow(2, bs.b) AS BIGINT) AS bucket
+            FROM vecs v
+            JOIN sigs s ON v.vec_id = s.vec_id,
+                 (SELECT unnest(generate_series(0, 3)) AS t) t,
+                 bset bs
+        ),
+        pairs AS (
+            SELECT DISTINCT a.b AS b, a.vec_id AS vec_a,
+                   b2.vec_id AS vec_b,
+                   floor(list_dot_product(a.v, b2.v) / (a.nrm * b2.nrm)
+                         * 1e6) / 1e6 AS cosine
+            FROM bucketed a
+            JOIN bucketed b2
+              ON a.b = b2.b AND a.label = b2.label AND a.tbl = b2.tbl
+             AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        )
+        SELECT CAST(b AS INT) AS bits_per_table,
+               CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+               CAST(SUM(CASE WHEN cosine >= {BITS_CURVE_TAU} THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_true_pairs,
+               CASE WHEN COUNT(*) > 0 THEN
+                   floor(CAST(SUM(CASE WHEN cosine >= {BITS_CURVE_TAU}
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*) * 1e6) / 1e6
+               END AS pair_efficiency
+        FROM pairs
+        GROUP BY b
+        ORDER BY bits_per_table
+    """,
     "dedup_embedding_cosine": f"""
         WITH {lsh_bucket_cte("label,")},
         pairs AS (

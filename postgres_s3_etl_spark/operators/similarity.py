@@ -2475,25 +2475,10 @@ def adaptive_dedup_bits(n_vecs: int, n_labels: int) -> int:
     return DEDUP_MAX_BITS
 
 
-def lsh_bucket_cte(extra_cols: str = "") -> str:
-    """Shared DuckDB CTE chain ending in ``bucketed(vec_id[, extras],
-    v, nrm, tbl, bucket)`` — the SQL twin of the hyperplane-LSH
-    signature + multi-table banding with CORPUS-ADAPTIVE bits per
-    table (see adaptive_dedup_bits). ``extra_cols`` (e.g. ``label,``)
-    are carried from ``embeddings`` through to ``bucketed``."""
-    return f"""
-        nb AS (
-            SELECT CAST(COALESCE((
-                SELECT MIN(b) FROM generate_series({BITS_PER_TABLE},
-                                                   {DEDUP_MAX_BITS}) g(b)
-                WHERE GREATEST((SELECT COUNT(DISTINCT label)
-                                FROM embeddings), 1)
-                      * {DEDUP_TARGET_BUCKET}
-                      * CAST(pow(2, b) AS BIGINT)
-                      >= (SELECT COUNT(*) FROM embeddings)
-            ), {DEDUP_MAX_BITS}) AS BIGINT) AS nb
-        ),
-        planes AS (
+def sig_cte_sql(extra_cols: str = "") -> str:
+    """Shared planes/vecs/sigs CTE text (56-plane signature) used by
+    both the adaptive ``lsh_bucket_cte`` and the bits-sweep oracle."""
+    return f"""planes AS (
             SELECT p.p,
                    [CASE WHEN (strpos('0123456789abcdef',
                                substr(md5(concat(p.p, '_', d)), 1, 1)) - 1) % 2 = 0
@@ -2512,7 +2497,28 @@ def lsh_bucket_cte(extra_cols: str = "") -> str:
                             THEN CAST(pow(2, pl.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
             FROM vecs v CROSS JOIN planes pl
             GROUP BY v.vec_id
+        )"""
+
+
+def lsh_bucket_cte(extra_cols: str = "") -> str:
+    """Shared DuckDB CTE chain ending in ``bucketed(vec_id[, extras],
+    v, nrm, tbl, bucket)`` — the SQL twin of the hyperplane-LSH
+    signature + multi-table banding with CORPUS-ADAPTIVE bits per
+    table (see adaptive_dedup_bits). ``extra_cols`` (e.g. ``label,``)
+    are carried from ``embeddings`` through to ``bucketed``."""
+    return f"""
+        nb AS (
+            SELECT CAST(COALESCE((
+                SELECT MIN(b) FROM generate_series({BITS_PER_TABLE},
+                                                   {DEDUP_MAX_BITS}) g(b)
+                WHERE GREATEST((SELECT COUNT(DISTINCT label)
+                                FROM embeddings), 1)
+                      * {DEDUP_TARGET_BUCKET}
+                      * CAST(pow(2, b) AS BIGINT)
+                      >= (SELECT COUNT(*) FROM embeddings)
+            ), {DEDUP_MAX_BITS}) AS BIGINT) AS nb
         ),
+        {sig_cte_sql(extra_cols)},
         bucketed AS (
             SELECT v.vec_id, {extra_cols.replace("label,", "v.label,")} v.v, v.nrm, t.t AS tbl,
                    (s.sig // CAST(pow(2, t.t * nb.nb) AS BIGINT))

@@ -25,6 +25,7 @@ ALL = [
     "mm_phash_cc_keepset",
     "text_kneser_ney_lm",
     "q_lineitem_welch_ttest",
+    "embedding_dedup_bits_curve",
 ]
 
 
@@ -342,3 +343,23 @@ def test_repetition_rules_shape(spark):
         else:
             assert 0.0 <= r.avg_frac <= 1.0
         assert 0.0 <= r.share <= 1.0
+
+
+def test_bits_curve_monotone(spark):
+    """More bits => strictly coarser-to-finer buckets: candidate
+    pairs are NON-INCREASING in bits while pair efficiency is
+    non-decreasing (the cost-knob claim the adaptive-banding re-plan
+    rests on, as data)."""
+    from postgres_s3_etl_spark.operators.dedup import (
+        embedding_dedup_bits_curve,
+    )
+
+    rows = sorted(
+        embedding_dedup_bits_curve(spark, SF_DIR).collect(),
+        key=lambda r: r.bits_per_table,
+    )
+    assert [r.bits_per_table for r in rows] == [4, 6, 8]
+    cands = [r.n_candidate_pairs for r in rows]
+    assert cands == sorted(cands, reverse=True)
+    eff = [r.pair_efficiency for r in rows if r.pair_efficiency is not None]
+    assert eff == sorted(eff)
