@@ -759,6 +759,235 @@ def _kneser_ney_oracle() -> str:
     """
 
 
+#: Perplexity-filter thresholds (the curve's operating points).
+PPL_TAUS = (5, 10, 20, 40)
+#: ln(τ) pinned to micro-units ONCE in Python: runtime comparisons
+#: are integer-vs-integer in both engines (no libm at a decision
+#: boundary — a doc drops at τ iff its pinned avg-NLL micro exceeds
+#: this constant).
+PPL_TAU_MICRO = {t: math.floor(math.log(t) * 1e6) for t in PPL_TAUS}
+
+
+def text_perplexity_filter_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perplexity FILTERING as an operating curve — the application
+    the LM ops exist for (CCNet/DSIR-style quality gating): train
+    the absolute-discount bigram LM on the even-doc half, score each
+    held-out (odd) doc's per-bigram avg NLL, and for each perplexity
+    threshold τ report how many docs and what share of the token
+    mass the filter would DROP. The curve a curation team reads
+    before committing to a τ, next to ``embedding_dedup_threshold_
+    curve`` and ``dedup_banding_tradeoff``.
+
+    Scale shape: per-doc scoring is the same equi-join as
+    ``text_bigram_lm_heldout`` plus one doc-grain rollup; the τ
+    sweep is an ``explode`` over 4 literal structs (never a
+    crossJoin), and every drop decision compares exact micro-unit
+    integers (thresholds are ln(τ) pinned at build time).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _ws_tokens(F.lower(F.col("text"))).alias("w")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "case when size(w) >= 2 then"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> named_struct('x', element_at(w, i),"
+                " 'y', element_at(w, i + 1)))"
+                " else cast(array() as array<struct<x: string, y: string>>)"
+                " end"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+    train_bg = bigrams.where(F.col("doc_id") % 2 == 0)
+    cxy = train_bg.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    ctx = cxy.groupBy("x").agg(
+        F.sum("cxy").cast("bigint").alias("cx"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p"),
+    )
+    train_tok = toks.where(F.col("doc_id") % 2 == 0).select(
+        F.explode("w").alias("tok")
+    )
+    uni = train_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c1y")
+    )
+    scal = train_tok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.countDistinct("tok").cast("bigint").alias("v"),
+    )
+    per_doc = (
+        bigrams.where(F.col("doc_id") % 2 == 1)
+        .join(cxy, ["x", "y"], "left")
+        .join(ctx, "x", "left")
+        .join(uni.withColumnRenamed("tok", "y"), "y", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.coalesce("cxy", F.lit(0)).alias("cxy"),
+            F.coalesce("cx", F.lit(0)).alias("cx"),
+            F.coalesce("n1p", F.lit(0)).alias("n1p"),
+            F.coalesce("c1y", F.lit(0)).alias("c1y"),
+            "t",
+            "v",
+        )
+        .withColumn("p_uni", F.expr(_LM_PUNI_EXPR))
+        .withColumn("p", F.expr(_LM_P_EXPR))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bg"),
+            F.sum(_pin(F.log("p"))).cast("long").alias("ll"),
+        )
+        .select(
+            "doc_id",
+            "n_bg",
+            F.floor(
+                -(F.col("ll").cast("double") / F.lit(PIN))
+                / F.col("n_bg")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    tau_structs = ", ".join(
+        f"struct(CAST({t} AS INT) AS tau, {PPL_TAU_MICRO[t]}L AS thr)"
+        for t in PPL_TAUS
+    )
+    sized = per_doc.select(
+        "n_bg",
+        "nll_micro",
+        F.explode(F.expr(f"array({tau_structs})")).alias("c"),
+    ).select(
+        "n_bg", "nll_micro",
+        F.col("c.tau").alias("tau_ppl"),
+        F.col("c.thr").alias("thr"),
+    )
+    return (
+        sized.groupBy("tau_ppl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_scored"),
+            F.sum(
+                F.when(F.col("nll_micro") > F.col("thr"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum("n_bg").cast("bigint").alias("total_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("nll_micro") > F.col("thr"), F.col("n_bg")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dropped_bigrams"),
+        )
+        .select(
+            "tau_ppl",
+            "n_docs_scored",
+            "n_dropped",
+            (
+                F.floor(
+                    F.col("n_dropped").cast("double")
+                    / F.col("n_docs_scored")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("drop_share"),
+            (
+                F.floor(
+                    F.col("dropped_bigrams").cast("double")
+                    / F.col("total_bigrams")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("token_mass_dropped"),
+        )
+        .orderBy("tau_ppl")
+    )
+
+
+def _ppl_filter_oracle() -> str:
+    tau_rows = ", ".join(
+        f"({t}, {PPL_TAU_MICRO[t]})" for t in PPL_TAUS
+    )
+    return rf"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS w
+            FROM documents
+        ),
+        bigrams AS MATERIALIZED (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS x,
+                   unnest(w[2:len(w)]) AS y
+            FROM toks WHERE len(w) >= 2
+        ),
+        cxy AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+            FROM bigrams WHERE doc_id % 2 = 0 GROUP BY x, y
+        ),
+        ctx AS (
+            SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx,
+                   CAST(COUNT(*) AS BIGINT) AS n1p
+            FROM cxy GROUP BY x
+        ),
+        train_tok AS MATERIALIZED (
+            SELECT unnest(w) AS tok FROM toks WHERE doc_id % 2 = 0
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1y
+            FROM train_tok GROUP BY tok
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM train_tok
+        ),
+        scored AS (
+            SELECT tb.doc_id,
+                   COALESCE(c.cxy, 0) AS cxy, COALESCE(k.cx, 0) AS cx,
+                   COALESCE(k.n1p, 0) AS n1p, COALESCE(u.c1y, 0) AS c1y,
+                   s.t, s.v
+            FROM (SELECT doc_id, x, y FROM bigrams
+                  WHERE doc_id % 2 = 1) tb
+            LEFT JOIN cxy c ON tb.x = c.x AND tb.y = c.y
+            LEFT JOIN ctx k ON tb.x = k.x
+            LEFT JOIN uni u ON tb.y = u.tok
+            CROSS JOIN scal s
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bg,
+                   CAST(floor(
+                       -(CAST(SUM(CAST(floor(ln(
+                           {_LM_P_EXPR.replace("p_uni", f"({_LM_PUNI_EXPR})")}
+                         ) * {PIN:.1f}) AS BIGINT)) AS DOUBLE)
+                         / {PIN:.1f})
+                       / CAST(COUNT(*) AS BIGINT) * 1e6) AS BIGINT)
+                       AS nll_micro
+            FROM scored GROUP BY doc_id
+        ),
+        taus(tau_ppl, thr) AS (VALUES {tau_rows})
+        SELECT CAST(t.tau_ppl AS INT) AS tau_ppl,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_scored,
+               CAST(SUM(CASE WHEN d.nll_micro > t.thr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               floor(CAST(SUM(CASE WHEN d.nll_micro > t.thr THEN 1
+                              ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) * 1e6) / 1e6 AS drop_share,
+               floor(CAST(SUM(CASE WHEN d.nll_micro > t.thr THEN d.n_bg
+                              ELSE 0 END) AS DOUBLE)
+                     / SUM(d.n_bg) * 1e6) / 1e6 AS token_mass_dropped
+        FROM per_doc d CROSS JOIN taus t
+        GROUP BY t.tau_ppl
+        ORDER BY tau_ppl
+    """
+
+
 #: Fixed EM rounds for the Jelinek–Mercer interpolation weight.
 EM_ROUNDS = 3
 
@@ -1199,6 +1428,7 @@ QUERIES = {
     "text_quality_train_curve": text_quality_train_curve,
     "text_bigram_lm_heldout": text_bigram_lm_heldout,
     "text_kneser_ney_lm": text_kneser_ney_lm,
+    "text_perplexity_filter_curve": text_perplexity_filter_curve,
     "text_lm_interp_em": text_lm_interp_em,
     "text_quality_auc": text_quality_auc,
     "text_quality_calibration": text_quality_calibration,
@@ -1209,6 +1439,7 @@ ORACLES = {
     "text_quality_train_curve": _quality_curve_oracle(),
     "text_bigram_lm_heldout": _bigram_lm_oracle(),
     "text_kneser_ney_lm": _kneser_ney_oracle(),
+    "text_perplexity_filter_curve": _ppl_filter_oracle(),
     "text_lm_interp_em": _lm_interp_oracle(),
     "text_quality_auc": _quality_auc_oracle(),
     "text_quality_calibration": _quality_calibration_oracle(),

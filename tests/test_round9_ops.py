@@ -26,6 +26,7 @@ ALL = [
     "text_kneser_ney_lm",
     "q_lineitem_welch_ttest",
     "embedding_dedup_bits_curve",
+    "text_perplexity_filter_curve",
 ]
 
 
@@ -363,3 +364,20 @@ def test_bits_curve_monotone(spark):
     assert cands == sorted(cands, reverse=True)
     eff = [r.pair_efficiency for r in rows if r.pair_efficiency is not None]
     assert eff == sorted(eff)
+
+
+def test_ppl_filter_curve_monotone(spark):
+    """A higher perplexity threshold can only drop FEWER docs: both
+    drop columns are non-increasing in tau."""
+    from postgres_s3_etl_spark.operators.training import (
+        text_perplexity_filter_curve,
+    )
+
+    rows = sorted(
+        text_perplexity_filter_curve(spark, SF_DIR).collect(),
+        key=lambda r: r.tau_ppl,
+    )
+    assert [r.tau_ppl for r in rows] == [5, 10, 20, 40]
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    assert all(r.n_docs_scored == rows[0].n_docs_scored for r in rows)
