@@ -1309,8 +1309,12 @@ def q_events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(days))
         .selectExpr(
-            "CAST(n_conv AS DOUBLE) / n_users AS p",
-            "CAST(n_users AS DOUBLE) / n_days AS upd",
+            # try_divide: the eager checkpoint below evaluates these
+            # even on an empty corpus (n_users = n_days = 0), where
+            # ANSI `/` would throw DIVIDE_BY_ZERO; NULL flows into
+            # the already-NULL-safe CASE guards downstream.
+            "try_divide(CAST(n_conv AS DOUBLE), n_users) AS p",
+            "try_divide(CAST(n_users AS DOUBLE), n_days) AS upd",
         )
         # Materialize the 1-row stats frame before the MDE fan-out:
         # without this each union branch re-evaluates the per-user
