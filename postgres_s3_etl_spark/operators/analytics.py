@@ -1210,6 +1210,82 @@ def q_orders_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the EFFECT SIZE companion to
+    ``q_orders_chisq_independence``: with enough rows the chi-square
+    test rejects independence for trivially small associations, so
+    the profiling readout that matters at 100 TB is
+    V = sqrt(χ²/(n·(min(r,c)−1))) with a fixed strength band, not
+    the p-value. Same one contingency rollup; V derives from the
+    PINNED χ² and two exact dimension counts, the band from
+    micro-unit integer thresholds — nothing new shuffles.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    cell = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    dims = cell.agg(
+        F.countDistinct("o_orderstatus").cast("bigint").alias("r"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("c"),
+        F.sum("o").cast("bigint").alias("n"),
+    )
+    w_r = Window.partitionBy("o_orderstatus")
+    w_c = Window.partitionBy("o_orderpriority")
+    w_t = Window.partitionBy()
+    scored = cell.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "o",
+        (
+            F.sum("o").over(w_r).cast("double")
+            * F.sum("o").over(w_c)
+            / F.sum("o").over(w_t)
+        ).alias("e"),
+    )
+    contrib = scored.select(
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("k"),
+        (
+            (F.col("o") - F.col("e"))
+            * (F.col("o") - F.col("e"))
+            / F.col("e")
+        ).alias("c2"),
+    )
+    stat = contrib.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.expr(
+            "floor(aggregate(transform(array_sort(collect_list("
+            "struct(k, c2))), x -> x.c2), 0.0d, (s, x) -> s + x)"
+            " * 1e6) / 1e6"
+        ).alias("chi_sq"),
+    )
+    joined = stat.crossJoin(F.broadcast(dims))
+    v = F.sqrt(
+        F.col("chi_sq")
+        / (
+            F.col("n").cast("double")
+            * (F.least("r", "c").cast("double") - 1.0)
+        )
+    )
+    vmic = F.floor(v * 1e6).cast("bigint")
+    band = (
+        F.when(vmic < 100000, "negligible")
+        .when(vmic < 300000, "weak")
+        .when(vmic < 500000, "moderate")
+        .otherwise("strong")
+    )
+    return joined.select(
+        "n",
+        F.col("r").alias("n_rows_dim"),
+        F.col("c").alias("n_cols_dim"),
+        "n_cells",
+        "chi_sq",
+        (F.floor(v * 1e6) / 1e6).alias("cramers_v"),
+        band.alias("association"),
+    )
+
+
 def q_part_attr_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level Shannon entropy of the part attributes — the
     information-content profile (near-zero entropy → constant/dead
@@ -3470,6 +3546,7 @@ QUERIES = {
     "q_orders_mann_whitney": q_orders_mann_whitney,
     "q_orders_brown_forsythe": q_orders_brown_forsythe,
     "q_lineitem_welch_ttest": q_lineitem_welch_ttest,
+    "q_orders_cramers_v": q_orders_cramers_v,
     "q_nation_rca": q_nation_rca,
     "q_part_price_index": q_part_price_index,
     "q_lineitem_returns_pchart": q_lineitem_returns_pchart,
@@ -4769,6 +4846,52 @@ ORACLES = {
         FROM lvl1
         GROUP BY s_nationkey
         ORDER BY s_nationkey
+    """,
+    "q_orders_cramers_v": """
+        WITH cell AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS o
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ),
+        dims AS (
+            SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS c,
+                   CAST(SUM(o) AS BIGINT) AS n
+            FROM cell
+        ),
+        scored AS (
+            SELECT o_orderstatus, o_orderpriority, o,
+                   CAST(SUM(o) OVER (PARTITION BY o_orderstatus) AS DOUBLE)
+                   * SUM(o) OVER (PARTITION BY o_orderpriority)
+                   / SUM(o) OVER () AS e
+            FROM cell
+        ),
+        contrib AS (
+            SELECT concat_ws('|', o_orderstatus, o_orderpriority) AS k,
+                   (o - e) * (o - e) / e AS c2
+            FROM scored
+        ),
+        stat AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   floor(list_reduce(list(c2 ORDER BY k),
+                                     (s, x) -> s + x) * 1e6) / 1e6
+                       AS chi_sq
+            FROM contrib
+        ),
+        j AS (
+            SELECT s.n_cells, s.chi_sq, d.r, d.c, d.n,
+                   CAST(floor(sqrt(s.chi_sq
+                       / (CAST(d.n AS DOUBLE)
+                          * (CAST(LEAST(d.r, d.c) AS DOUBLE) - 1.0)))
+                       * 1e6) AS BIGINT) AS vmic
+            FROM stat s CROSS JOIN dims d
+        )
+        SELECT n, r AS n_rows_dim, c AS n_cols_dim, n_cells, chi_sq,
+               CAST(vmic AS DOUBLE) / 1e6 AS cramers_v,
+               CASE WHEN vmic < 100000 THEN 'negligible'
+                    WHEN vmic < 300000 THEN 'weak'
+                    WHEN vmic < 500000 THEN 'moderate'
+                    ELSE 'strong' END AS association
+        FROM j
     """,
     "q_orders_chisq_independence": """
         WITH cell AS (

@@ -27,6 +27,7 @@ ALL = [
     "q_lineitem_welch_ttest",
     "embedding_dedup_bits_curve",
     "text_perplexity_filter_curve",
+    "q_orders_cramers_v",
 ]
 
 
