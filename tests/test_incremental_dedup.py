@@ -226,3 +226,48 @@ def test_near_dup_replay_is_idempotent(spark, tmp_path):
     # replay: every doc verifies at Jaccard 1.0 vs its committed copy
     assert ingest_batch_near(spark, batch, sig_idx, corpus).count() == 0
     assert near_index_stats(spark, sig_idx)["n_signatures"] == n_first
+
+
+def test_near_dup_rows_commit_before_signatures(spark, tmp_path, monkeypatch):
+    """Rows-first commit order for the near-dup ingest: a crash
+    between the corpus commit and the SIGNATURE commit must lose no
+    documents. Verification only consults docs present in the
+    SIGNATURE index — the committed-but-unindexed corpus rows are
+    invisible to it — so the replay re-keeps the full batch:
+    at-least-once (a duplicate corpus snapshot, auditable and
+    removable), never a silent drop. Signature-first would drop the
+    batch permanently."""
+    import pytest
+
+    import postgres_s3_etl_spark.plans.incremental_dedup as mod
+    from postgres_s3_etl_spark.plans.incremental_dedup import (
+        ingest_batch_near,
+        near_index_stats,
+    )
+    from postgres_s3_etl_spark.sinks.versioned import read_snapshot
+
+    sig_idx = str(tmp_path / "sig_index")
+    corpus = str(tmp_path / "near_corpus")
+    real_write = mod.write_snapshot
+
+    def crash_on_sig(df, table_path, mode="append"):
+        if table_path == sig_idx:
+            raise RuntimeError("simulated crash before signature commit")
+        return real_write(df, table_path, mode=mode)
+
+    monkeypatch.setattr(mod, "write_snapshot", crash_on_sig)
+    batch = _docs(spark, BATCHES[0])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        ingest_batch_near(spark, batch, sig_idx, corpus)
+    # corpus rows durable; the signature index never materialized
+    assert read_snapshot(spark, corpus).count() == 2
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, sig_idx)
+
+    # replay: at-least-once — the batch is re-kept in full
+    monkeypatch.setattr(mod, "write_snapshot", real_write)
+    kept = ingest_batch_near(spark, batch, sig_idx, corpus)
+    assert kept.count() == 2
+    assert near_index_stats(spark, sig_idx)["n_signatures"] == 2
+    # and a second full replay keeps nothing
+    assert ingest_batch_near(spark, batch, sig_idx, corpus).count() == 0
