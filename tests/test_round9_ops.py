@@ -1,7 +1,10 @@
-"""Round-9 operators: within-doc repetition rule panel (Gopher
-Table A1 rows 6-13) — oracle parity plus planted-repetition semantics
-the corpus value hash can't express (the driver corpus has no
-newlines, so the line/paragraph rules only exercise on planted docs).
+"""Round-9 operators — oracle parity plus the semantic invariants
+the corpus value hash can't express: the within-doc repetition panel
+(planted repetitive docs — the driver corpus has no newlines),
+perceptual-hash image dedup (planted near-dup recall/precision),
+the unigram-LM tokenizer (segmentation validity, EM monotonicity,
+planted OOV), the pin-grid fragility probe, and the operating-curve
+monotonicity checks (bits curve, perplexity filter).
 """
 
 from __future__ import annotations
