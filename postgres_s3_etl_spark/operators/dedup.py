@@ -1492,7 +1492,7 @@ ORACLES = {
         ORDER BY bits_per_table
     """,
     "dedup_embedding_cosine": f"""
-        WITH {lsh_bucket_cte("label,")},
+        WITH {lsh_bucket_cte("label,", label_blocked=True)},
         pairs AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    a.label AS label,
@@ -1508,7 +1508,7 @@ ORACLES = {
         LIMIT {TOP_PAIRS}
     """,
     "embedding_dedup_threshold_curve": f"""
-        WITH {lsh_bucket_cte("label,")},
+        WITH {lsh_bucket_cte("label,", label_blocked=True)},
         pairs AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    a.label AS label,

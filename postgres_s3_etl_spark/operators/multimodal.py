@@ -4412,42 +4412,10 @@ def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle regenerates pixels from the closed form and
     brute-forces all pairs (sound because the pigeonhole candidate
     set provably contains every pair at hamming <= 6).
+
+    The dHash itself lives in :func:`_phash_pairs` (single
+    implementation, shared with ``mm_phash_cc_keepset``).
     """
-    import numpy as np
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            out = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = decode_pgm(bytes(payload))
-                if img is None:
-                    continue
-                h, w = img.shape
-                if w < PHASH_GRID_X or h < PHASH_GRID_Y:
-                    continue
-                gxi = (np.arange(w) * PHASH_GRID_X) // w
-                gyi = (np.arange(h) * PHASH_GRID_Y) // h
-                cell = gyi[:, None] * PHASH_GRID_X + gxi[None, :]
-                n_cells = PHASH_GRID_X * PHASH_GRID_Y
-                sums = np.bincount(
-                    cell.ravel(),
-                    weights=img.astype(np.int64).ravel(),
-                    minlength=n_cells,
-                ).astype(np.int64)
-                cnts = np.bincount(cell.ravel(), minlength=n_cells)
-                means = (sums // cnts).reshape(
-                    PHASH_GRID_Y, PHASH_GRID_X
-                )
-                rows = []
-                for gy in range(PHASH_GRID_Y):
-                    byte = 0
-                    for cx in range(PHASH_GRID_X - 1):
-                        if means[gy, cx + 1] > means[gy, cx]:
-                            byte |= 1 << cx
-                    rows.append(int(byte))
-                out.append((int(aid), rows))
-            yield pd.DataFrame(out, columns=["asset_id", "rows"])
-
     return (
         _phash_pairs(spark)
         .orderBy("hamming", "asset_a", "asset_b")

@@ -114,25 +114,63 @@ def _signature(vec_col: str = "v", n_planes: int = N_PLANES) -> Column:
     )
 
 
-def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 per probe via multi-table hyperplane LSH: the 16-bit
-    signature splits into 4 tables of 4 bits; a pair is a candidate if
-    ANY table bucket matches (equi-join on (table, bucket) — never a
-    cross join). Approximate — recall vs brute force asserted in
-    tests. At scale, more planes/tables trade shuffle volume for
-    recall; the plan shape is unchanged."""
-    vecs = _vecs(spark, sf_dir).withColumn("sig", _signature("v"))
-    buckets = vecs.select(
-        "vec_id",
+def _adaptive_buckets(
+    spark: SparkSession, sf_dir: str, with_label: bool = False
+) -> DataFrame:
+    """Bucket frame ``(vec_id[, label], v, norm, tbl, bucket)`` with
+    CORPUS-ADAPTIVE bits per table over the 56-plane signature — the
+    Spark twin of ``lsh_bucket_cte(label_blocked=False)``, shared by
+    the sim-search family and the unlabeled-join audits
+    (embedding_hubness, embedding_label_noise).
+
+    Bits follow the plain (unlabeled) capacity rule
+    ``adaptive_dedup_bits(n, 1)``: these joins key on (tbl, bucket)
+    alone, so bucket population is n / 2^bits per table — fixed bits
+    made the candidate frame quadratic at scale (the round-9 sf10
+    decade measured α=1.92 for the fixed-bit dedup frame; same trap
+    here). At the driver SFs the rule yields the historical 4 bits,
+    so small-SF results are bit-identical to the fixed plan (plane p
+    is defined independently of the signature width). The single
+    corpus count is the only driver traffic.
+    """
+    cols = ["vec_id"] + (["label"] if with_label else [])
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        *cols,
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    bits = adaptive_dedup_bits(int(emb.count()), 1)
+    emb = emb.withColumn(
+        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+    ).withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
+    return emb.select(
+        *cols,
         "v",
         "norm",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
-                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
+                f"(sig div cast(pow(2, t * {bits}) as bigint)) % {1 << bits}L AS bucket))"
             )
         ).alias("tb"),
-    ).select("vec_id", "v", "norm", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    ).select(
+        *cols,
+        "v",
+        "norm",
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 per probe via multi-table hyperplane LSH: the
+    56-plane signature splits into 4 tables of corpus-adaptive bits
+    (``adaptive_dedup_bits`` — 4 bits at driver SFs, wider as the
+    corpus grows so bucket population stays ~DEDUP_TARGET_BUCKET); a
+    pair is a candidate if ANY table bucket matches (equi-join on
+    (table, bucket) — never a cross join). Approximate — recall vs
+    brute force asserted in tests. At scale, more tables trade
+    shuffle volume for recall; the plan shape is unchanged."""
+    buckets = _adaptive_buckets(spark, sf_dir)
     probes = buckets.where(F.col("vec_id") < N_PROBES)
     a = probes.alias("a")
     b = buckets.alias("b")
@@ -1131,33 +1169,19 @@ def embedding_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the triage table a dataset-QA pass reads before relabeling.
 
     Scale shape: corpus-wide kNN is quadratic; candidates come from
-    the SAME multi-table hyperplane-LSH buckets as sim_search_lsh
-    (equi-join on (table, bucket) — pair count bounded by bucket
-    occupancy; more planes shrink buckets at bigger corpora). All
-    disagreement ratios are exact integer micro-averages — no float
-    mean crosses engines.
+    the SAME corpus-adaptive multi-table hyperplane-LSH buckets as
+    sim_search_lsh (equi-join on (table, bucket) — bits widen with
+    the corpus so bucket occupancy, hence the pair frame, stays
+    ~linear). All disagreement ratios are exact integer
+    micro-averages — no float mean crosses engines.
     """
+    buckets = _adaptive_buckets(spark, sf_dir, with_label=True)
     base = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     ).withColumn(
         "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
-    ).withColumn("sig", _signature("v"))
-    buckets = base.select(
-        "vec_id",
-        "label",
-        "v",
-        "norm",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
-                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
-            )
-        ).alias("tb"),
-    ).select(
-        "vec_id", "label", "v", "norm",
-        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
     # Dedup (va, vb) int pairs FIRST (a pair can share several table
     # buckets), then join the vectors back for ONE cosine fold per
@@ -2321,27 +2345,14 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     kNN-label pipelines — the k-occurrence skew (Radovanović et al.)
     is the standard diagnostic.
 
-    Scale shape: candidates from the (table, bucket) equi-join only;
-    per-source top-k via a window over the candidate set; in-degree
-    is one partial-aggregatable count; the output is a bounded
-    histogram (in-degree ≤ corpus, binned exactly).
+    Scale shape: candidates from the (table, bucket) equi-join only,
+    with corpus-adaptive bits per table (bucket occupancy — hence the
+    candidate frame — stays ~linear as the corpus grows); per-source
+    top-k via a window over the candidate set; in-degree is one
+    partial-aggregatable count; the output is a bounded histogram
+    (in-degree ≤ corpus, binned exactly).
     """
-    vecs = _vecs(spark, sf_dir).withColumn("sig", _signature("v"))
-    buckets = vecs.select(
-        "vec_id",
-        "v",
-        "norm",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {LSH_TABLES - 1}), t -> struct(t AS tbl, "
-                f"(sig div cast(pow(2, t * {BITS_PER_TABLE}) as bigint)) % {2 ** BITS_PER_TABLE} AS bucket))"
-            )
-        ).alias("tb"),
-    ).select(
-        "vec_id", "v", "norm",
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("bucket"),
-    )
+    buckets = _adaptive_buckets(spark, sf_dir)
     a, b = buckets.alias("a"), buckets.alias("b")
     cosine = _trunc6(
         F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
@@ -2468,7 +2479,14 @@ DEDUP_SIG_PLANES = LSH_TABLES * DEDUP_MAX_BITS  # 56-bit sig, int64-safe
 
 
 def adaptive_dedup_bits(n_vecs: int, n_labels: int) -> int:
-    """Python mirror of the oracle's integer bits rule."""
+    """Python mirror of the oracle's integer bits rule.
+
+    ``n_labels`` is the count of DISTINCT values of the blocking label
+    when the candidate join is label-blocked (the dedup family); pass
+    ``1`` for joins keyed on (tbl, bucket) alone (the sim-search
+    family), where a label factor would overstate capacity by
+    n_labels and under-size the buckets.
+    """
     for b in range(BITS_PER_TABLE, DEDUP_MAX_BITS + 1):
         if max(n_labels, 1) * DEDUP_TARGET_BUCKET * (1 << b) >= n_vecs:
             return b
@@ -2500,19 +2518,30 @@ def sig_cte_sql(extra_cols: str = "") -> str:
         )"""
 
 
-def lsh_bucket_cte(extra_cols: str = "") -> str:
+def lsh_bucket_cte(extra_cols: str = "", label_blocked: bool = False) -> str:
     """Shared DuckDB CTE chain ending in ``bucketed(vec_id[, extras],
     v, nrm, tbl, bucket)`` — the SQL twin of the hyperplane-LSH
     signature + multi-table banding with CORPUS-ADAPTIVE bits per
     table (see adaptive_dedup_bits). ``extra_cols`` (e.g. ``label,``)
-    are carried from ``embeddings`` through to ``bucketed``."""
+    are carried from ``embeddings`` through to ``bucketed``.
+
+    ``label_blocked`` selects the capacity model of the nb rule: a
+    candidate join keyed on (label, tbl, bucket) spreads the corpus
+    over labels·2^b buckets per table, so the label count multiplies
+    capacity; a join keyed on (tbl, bucket) alone (the sim-search
+    family, label merely carried) must NOT get that factor or the
+    buckets are under-sized by n_labels."""
+    labels_factor = (
+        "GREATEST((SELECT COUNT(DISTINCT label) FROM embeddings), 1)"
+        if label_blocked
+        else "1"
+    )
     return f"""
         nb AS (
             SELECT CAST(COALESCE((
                 SELECT MIN(b) FROM generate_series({BITS_PER_TABLE},
                                                    {DEDUP_MAX_BITS}) g(b)
-                WHERE GREATEST((SELECT COUNT(DISTINCT label)
-                                FROM embeddings), 1)
+                WHERE {labels_factor}
                       * {DEDUP_TARGET_BUCKET}
                       * CAST(pow(2, b) AS BIGINT)
                       >= (SELECT COUNT(*) FROM embeddings)
