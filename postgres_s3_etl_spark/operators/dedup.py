@@ -1193,10 +1193,11 @@ QUERIES = {
 }
 
 
-def _bands_cte_sql() -> str:
+def _bands_cte_sql(n_bands: int = LSH_BANDS) -> str:
     """Shared DuckDB CTE chain ending in ``bands(doc_id, band,
-    bucket)`` — the SQL twin of :func:`minhash_bands_for`."""
-    rpb = NUM_MINHASHES // LSH_BANDS
+    bucket)`` — the SQL twin of :func:`minhash_bands_for` (or, at
+    ``n_bands != LSH_BANDS``, of ``_band_rows(sig, n_bands)``)."""
+    rpb = NUM_MINHASHES // n_bands
     mh_cols = ", ".join(
         f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
         for j in range(NUM_MINHASHES)
@@ -1205,7 +1206,7 @@ def _bands_cte_sql() -> str:
         f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
         + ", ".join(f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb))
         + ")) AS bucket FROM sig"
-        for b in range(LSH_BANDS)
+        for b in range(n_bands)
     )
     return f"""
         sh AS (

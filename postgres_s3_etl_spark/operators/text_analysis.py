@@ -235,6 +235,91 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-source curation caps (C4/RefinedWeb-style anti-domination):
+#: keep at most CAP_DOCS_PER_SOURCE docs per source by quality rank,
+#: AND stop once the kept running token total passes
+#: CAP_TOKENS_PER_SOURCE. Sized so BOTH arms bite at the driver SFs
+#: (~25 docs x ~52 tokens per source at sf0.01).
+CAP_DOCS_PER_SOURCE = 15
+CAP_TOKENS_PER_SOURCE = 600
+
+
+def text_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source/domain cap keep-set — the C4/RefinedWeb curation
+    staple the mixture-weight operators stop short of: within each
+    source, rank docs by the pinned DECIMAL quality logit
+    (:func:`text_quality_classifier`'s exact-arithmetic score —
+    deterministic total order with the doc_id tiebreak) and keep the
+    top CAP_DOCS_PER_SOURCE docs whose RUNNING kept-token total stays
+    within CAP_TOKENS_PER_SOURCE. Funnel accounting per source: docs
+    dropped by the doc cap vs by the token budget, and the token
+    mass kept vs total — what "keep at most N docs / T tokens per
+    domain" actually removes.
+
+    Scale shape: one shuffle on source, then two windows over the
+    same (source, z DESC, doc_id) sort order (rank + running token
+    sum — ONE sort serves both); the rollup is partial-aggregatable.
+    Ranking inside a domain is the semantics, so the per-source sort
+    is inherent; the cap being a small constant means a 100x corpus
+    only deepens each partition's sort, never widens the shuffle row
+    (doc text is dropped before the shuffle — only (ids, counts,
+    DECIMAL score) move).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = F.size(_ws_tokens(text)).cast("long")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
+    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
+        "long"
+    )
+    logit = (
+        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
+        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
+        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
+        + F.lit(CLS_BIAS).cast("decimal(8,2)")
+    ).cast("decimal(18,2)")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        logit.alias("z"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z"), F.asc("doc_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "cum_tokens",
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    kept = (F.col("rnk") <= CAP_DOCS_PER_SOURCE) & (
+        F.col("cum_tokens") <= CAP_TOKENS_PER_SOURCE
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("rnk") > CAP_DOCS_PER_SOURCE, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped_doc_cap"),
+            F.sum(
+                F.when(
+                    (F.col("rnk") <= CAP_DOCS_PER_SOURCE)
+                    & (F.col("cum_tokens") > CAP_TOKENS_PER_SOURCE),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped_token_cap"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def text_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus health report — the one-glance (metric, value) table a
     data lead reads before green-lighting a training run: volume,
@@ -934,6 +1019,181 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_train_docs"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Fuzzy-decontamination verify threshold: a train doc is
+#: paraphrase-contaminated when its word-3-gram shingle Jaccard vs
+#: some eval doc reaches this. Deliberately far below the 0.8
+#: same-document bar: a paraphrase that defeats the exact 8-gram test
+#: must change a word at least every 8 tokens, which caps its shingle
+#: Jaccard at (8-3)/(8+3) ≈ 0.4545 — a 0.5 threshold would declare
+#: the whole exact-evading class undetectable by construction.
+FUZZY_DECON_T = 0.4
+
+#: Banding for the decon candidate stage: 16 bands × 1 minhash row
+#: (vs the dedup family's 4×4). P(candidate) = 1-(1-J)^16 ≈ 0.9997 at
+#: J = 0.4, where the 4×4 s-curve surfaces only ~16% — contamination
+#: screening wants recall; the broadcast-small eval side keeps the
+#: extra candidates cheap, and every candidate is Jaccard-verified.
+DECON_BANDS = 16
+
+
+def fuzzy_decon_frame(docs: DataFrame) -> DataFrame:
+    """Per-train-doc contamination verdicts for any
+    ``(doc_id, source, text)`` frame: ``(doc_id, source, n_tokens,
+    exact_hit, fuzzy_hit)`` with the eval split pinned at
+    ``doc_id % 50 == 0`` (the same deterministic benchmark stand-in
+    as :func:`text_decontaminate`).
+
+    ``exact_hit`` is the 8-gram fingerprint overlap test; ``fuzzy_hit``
+    is doc-level MinHash-LSH near-dup vs the eval set, verified with
+    exact shingle Jaccard at FUZZY_DECON_T — the paraphrase /
+    whitespace-variant contamination the exact test provably misses
+    (pytest plants such a pair). Factored out so tests can feed
+    synthetic corpora.
+
+    Scale shape: the eval set is benchmark-sized at any corpus scale,
+    so its band rows AND the verified candidate pairs broadcast; the
+    train side meets them through band-bucket equi-joins and a
+    left-semi fingerprint join — the corpus never self-joins and
+    never shuffles on anything wider than a band row.
+    """
+    from postgres_s3_etl_spark.operators.dedup import (
+        _band_rows,
+        _shingles_expr,
+        minhash_sig_for,
+    )
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 50 == 0).alias("is_eval"),
+        "text",
+    )
+    # --- exact 8-gram fingerprint overlap (text_decontaminate) ---
+    spans = base.select(
+        "doc_id",
+        "is_eval",
+        _ws_tokens(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(1, greatest(size(w) - {DECON_NGRAM - 1}, 1)),
+                     i -> md5(concat_ws(' ', slice(w, i, {DECON_NGRAM}))))"""
+            )
+        ).alias("fp"),
+    )
+    eval_fps = spans.where(F.col("is_eval")).select("fp").distinct()
+    exact_hits = (
+        spans.where(~F.col("is_eval"))
+        .join(F.broadcast(eval_fps), "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    # --- fuzzy: MinHash-LSH candidates vs the eval set, verified ---
+    bands = _band_rows(
+        minhash_sig_for(base.select("doc_id", "text")), DECON_BANDS
+    )
+    flags = base.select("doc_id", "is_eval")
+    bands = bands.join(flags, "doc_id")
+    train_bands = bands.where(~F.col("is_eval")).alias("t")
+    eval_bands = bands.where(F.col("is_eval")).alias("e")
+    cands = (
+        train_bands.join(
+            F.broadcast(eval_bands),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.bucket") == F.col("e.bucket")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("e.doc_id").alias("eval_id"),
+        )
+        .distinct()
+    )
+    sh = base.select(
+        "doc_id", _ws_tokens(F.col("text")).alias("w")
+    ).select("doc_id", _shingles_expr().alias("shingles"))
+    j = F.floor(
+        F.size(F.array_intersect("sa", "sb"))
+        * 1e6
+        / F.size(F.array_union("sa", "sb"))
+    ) / 1e6
+    fuzzy_hits = (
+        F.broadcast(cands)
+        .join(
+            sh.select(F.col("doc_id").alias("train_id"), F.col("shingles").alias("sa")),
+            "train_id",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("eval_id"), F.col("shingles").alias("sb")),
+            "eval_id",
+        )
+        .where(j >= FUZZY_DECON_T)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("fuzzy_hit", F.lit(True))
+    )
+    train = base.where(~F.col("is_eval")).select(
+        "doc_id",
+        "source",
+        F.size(_ws_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        train.join(exact_hits, "doc_id", "left")
+        .join(fuzzy_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+            F.coalesce("fuzzy_hit", F.lit(False)).alias("fuzzy_hit"),
+        )
+    )
+
+
+def text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy train/eval decontamination: beside the exact 8-gram
+    overlap counts, flag train documents that are doc-level MinHash
+    NEAR-DUPS of an eval doc (band-bucket candidates vs the broadcast
+    eval set, verified with exact shingle Jaccard ≥ 0.4) — the check
+    that catches paraphrased / whitespace-variant benchmark leakage
+    the exact n-gram test misses (a 1-word-in-8 paraphrase shares NO
+    8-gram but keeps ~70% of its 3-gram shingles). Per-source funnel:
+    doc and token accounting for exact, fuzzy, and fuzzy-only
+    contamination — fuzzy-only is the mass a pipeline running exact
+    decon alone would train on. (Verdict plan: per-doc frame in
+    :func:`fuzzy_decon_frame`.)
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    per_doc = fuzzy_decon_frame(docs)
+    b = lambda c: F.col(c).cast("int")  # noqa: E731
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.sum(b("exact_hit")).cast("bigint").alias("n_exact"),
+            F.sum(b("fuzzy_hit")).cast("bigint").alias("n_fuzzy"),
+            F.sum(
+                F.when(F.col("fuzzy_hit") & ~F.col("exact_hit"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fuzzy_only"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_train"),
+            F.sum(
+                F.when(
+                    F.col("exact_hit") | F.col("fuzzy_hit"), F.col("n_tokens")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens_contaminated"),
         )
         .orderBy("source")
     )
@@ -2644,6 +2904,7 @@ QUERIES = {
     "text_langid_f1": text_langid_f1,
     "text_quality": text_quality,
     "text_quality_classifier": text_quality_classifier,
+    "text_source_caps": text_source_caps,
     "text_corpus_health": text_corpus_health,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
@@ -2663,6 +2924,7 @@ QUERIES = {
     "text_ngram_novelty": text_ngram_novelty,
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
+    "text_decontaminate_fuzzy": text_decontaminate_fuzzy,
     "text_repetition_score": text_repetition_score,
     "text_topterms_sketch": text_topterms_sketch,
     "text_mixture_weights": text_mixture_weights,
@@ -4136,3 +4398,116 @@ ORACLES = {
         ORDER BY source
     """,
 }
+
+
+def _decon_fuzzy_oracle() -> str:
+    """SQL twin of text_decontaminate_fuzzy, built lazily so the
+    minhash-band CTE stays single-sourced in dedup._bands_cte_sql."""
+    from postgres_s3_etl_spark.operators.dedup import _bands_cte_sql
+
+    return rf"""
+        WITH {_bands_cte_sql(DECON_BANDS)},
+        flags AS (SELECT doc_id, doc_id % 50 = 0 AS is_eval FROM documents),
+        cands AS (
+            SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+            FROM bands t
+            JOIN flags ft ON t.doc_id = ft.doc_id
+            JOIN bands e ON t.band = e.band AND t.bucket = e.bucket
+            JOIN flags fe ON e.doc_id = fe.doc_id
+            WHERE NOT ft.is_eval AND fe.is_eval
+        ),
+        fuzzy AS (
+            SELECT DISTINCT c.train_id AS doc_id
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.train_id
+            JOIN sh b ON b.doc_id = c.eval_id
+            WHERE floor(len(list_intersect(a.shingles, b.shingles)) * 1e6
+                  / len(list_distinct(a.shingles || b.shingles))) / 1e6
+                  >= {FUZZY_DECON_T}
+        ),
+        words AS (
+            SELECT doc_id, source, doc_id % 50 = 0 AS is_eval,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, is_eval,
+                   unnest([md5(array_to_string(w[i:i+{DECON_NGRAM - 1}], ' '))
+                           for i in generate_series(1, greatest(len(w) - {DECON_NGRAM - 1}, 1))]) AS fp
+            FROM words
+        ),
+        eval_fps AS (SELECT DISTINCT fp FROM spans WHERE is_eval),
+        exact_hits AS (
+            SELECT DISTINCT doc_id FROM spans
+            WHERE NOT is_eval AND fp IN (SELECT fp FROM eval_fps)
+        )
+        SELECT w.source,
+               COUNT(*) AS n_train_docs,
+               CAST(SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_fuzzy,
+               CAST(SUM(CASE WHEN f.doc_id IS NOT NULL AND x.doc_id IS NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy_only,
+               CAST(SUM(len(w.w)) AS BIGINT) AS n_tokens_train,
+               CAST(SUM(CASE WHEN x.doc_id IS NOT NULL OR f.doc_id IS NOT NULL
+                        THEN len(w.w) ELSE 0 END) AS BIGINT)
+                   AS n_tokens_contaminated
+        FROM words w
+        LEFT JOIN exact_hits x ON w.doc_id = x.doc_id
+        LEFT JOIN fuzzy f ON w.doc_id = f.doc_id
+        WHERE NOT w.is_eval
+        GROUP BY w.source
+        ORDER BY w.source
+    """
+
+
+ORACLES["text_decontaminate_fuzzy"] = _decon_fuzzy_oracle()
+
+ORACLES["text_source_caps"] = rf"""
+    WITH f AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(lower(text),
+                    '\b(the|a|of|and|to)\b')) AS BIGINT) AS n_stop
+        FROM documents
+    ),
+    z AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(CAST({CLS_W_TOKENS} AS DECIMAL(8,2)) * n_tokens
+                    + CAST({CLS_W_STOP} AS DECIMAL(8,2)) * n_stop
+                    + CAST({CLS_W_PUNCT} AS DECIMAL(8,2)) * n_punct
+                    + CAST({CLS_BIAS} AS DECIMAL(8,2))
+                    AS DECIMAL(18,2)) AS z
+        FROM f
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY z DESC, doc_id ASC) AS rnk,
+               SUM(n_tokens) OVER (PARTITION BY source
+                   ORDER BY z DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM z
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rnk <= {CAP_DOCS_PER_SOURCE}
+                    AND cum_tokens <= {CAP_TOKENS_PER_SOURCE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rnk > {CAP_DOCS_PER_SOURCE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_doc_cap,
+           CAST(SUM(CASE WHEN rnk <= {CAP_DOCS_PER_SOURCE}
+                    AND cum_tokens > {CAP_TOKENS_PER_SOURCE}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_token_cap,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN rnk <= {CAP_DOCS_PER_SOURCE}
+                    AND cum_tokens <= {CAP_TOKENS_PER_SOURCE}
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+"""
