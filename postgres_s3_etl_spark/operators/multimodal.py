@@ -625,6 +625,149 @@ def mm_audio_dft_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Analysis bins for the mel filterbank: DFT periods (in samples) at
+#: WAV_RATE = 1000 Hz, i.e. frequencies 1000/P Hz from 10 to 250 Hz.
+#: Periods (not FFT bin indices) keep the residue fold cheap: the
+#: per-asset Arrow traffic is Σ P rows regardless of signal length.
+MEL_PERIODS = (4, 5, 6, 8, 10, 12, 16, 20, 25, 33, 50, 100)
+N_MEL_FILTERS = 6
+
+
+def mel_filter_weights() -> list[tuple[int, int, float]]:
+    """The triangular mel filterbank as a LITERAL (filter, period,
+    weight) list: N_MEL_FILTERS triangles with mel-equi-spaced edges
+    spanning the MEL_PERIODS frequency range, weights rounded to 6
+    decimals. mel(f) = 2595·log10(1 + f/700) runs only HERE, in
+    Python at definition time — both engines consume the resulting
+    constants, so no log10/libm crosses the engine boundary."""
+    mel = lambda f: 2595.0 * math.log10(1.0 + f / 700.0)  # noqa: E731
+    freqs = [WAV_RATE / p for p in MEL_PERIODS]
+    lo, hi = mel(min(freqs)), mel(max(freqs))
+    edges = [
+        lo + (hi - lo) * i / (N_MEL_FILTERS + 1)
+        for i in range(N_MEL_FILTERS + 2)
+    ]
+    out = []
+    for m in range(N_MEL_FILTERS):
+        left, center, right = edges[m], edges[m + 1], edges[m + 2]
+        for p, f in zip(MEL_PERIODS, freqs):
+            mf = mel(f)
+            if left < mf <= center:
+                w = (mf - left) / (center - left)
+            elif center < mf < right:
+                w = (right - mf) / (right - center)
+            else:
+                continue
+            w = round(w, 6)
+            if w > 0:
+                out.append((m, p, w))
+    return out
+
+
+def mm_audio_mel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-filterbank energies on REAL decoded audio — the standard
+    speech-pipeline front-end feature (filterbank energies are what
+    MFCC/ASR/audio-quality stacks consume) that the DFT family stops
+    just short of. Extends :func:`mm_audio_dft_peak`'s residue-fold
+    contract: the decode ships only exact integer (asset, period,
+    residue) sums across Arrow; the trigonometry runs engine-side
+    with DECIMAL(38,18)-pinned terms; the bin powers are floor-6
+    truncated; and the filterbank application is one broadcast join
+    against the LITERAL triangular weight matrix
+    (:func:`mel_filter_weights`) with another exact DECIMAL sum —
+    the weighted sum cannot fold in different orders across engines.
+
+    Scale: payload bytes never shuffle; Σ MEL_PERIODS = 279 residue
+    rows per asset cross Arrow; the filterbank is a ≤ |weights|-row
+    broadcast; every aggregate is partial-aggregatable.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload))) as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        continue
+                    raw = w.readframes(w.getnframes())
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                n = len(s)
+                for p in MEL_PERIODS:
+                    res = np.bincount(
+                        np.arange(n) % p, weights=s, minlength=p
+                    ).astype(np.int64)
+                    for r in range(p):
+                        out.append((int(aid), n, p, r, int(res[r])))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "n_samples", "p", "r", "csum"],
+            )
+
+    media = synth_wav_media(spark).select("asset_id", "payload")
+    folded = media.mapInPandas(
+        batches,
+        "asset_id bigint, n_samples bigint, p int, r int, csum bigint",
+    )
+    phase = (
+        F.lit(2.0 * math.pi)
+        * F.col("r").cast("double")
+        / F.col("p").cast("double")
+    )
+    terms = folded.select(
+        "asset_id",
+        "n_samples",
+        "p",
+        (F.col("csum").cast("double") * F.cos(phase))
+        .cast("decimal(38,18)")
+        .alias("ca"),
+        (F.col("csum").cast("double") * F.sin(phase))
+        .cast("decimal(38,18)")
+        .alias("cb"),
+    )
+    powers = terms.groupBy("asset_id", "n_samples", "p").agg(
+        F.sum("ca").alias("a"), F.sum("cb").alias("b")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    pw = powers.select(
+        "asset_id",
+        "p",
+        f6(
+            (
+                F.col("a").cast("double") * F.col("a").cast("double")
+                + F.col("b").cast("double") * F.col("b").cast("double")
+            )
+            / (
+                F.col("n_samples").cast("double")
+                * F.col("n_samples").cast("double")
+            )
+        ).alias("power"),
+    )
+    wts = spark.createDataFrame(
+        mel_filter_weights(), "filter_id int, p int, w double"
+    )
+    return (
+        pw.join(F.broadcast(wts), "p")
+        .groupBy("asset_id", "filter_id")
+        .agg(
+            F.sum(
+                (F.col("power") * F.col("w")).cast("decimal(38,18)")
+            ).alias("esum"),
+            F.count(F.lit(1)).cast("int").alias("n_bins"),
+        )
+        .select(
+            "asset_id",
+            "filter_id",
+            "n_bins",
+            f6(F.col("esum").cast("double")).alias("mel_energy"),
+        )
+        .orderBy("asset_id", "filter_id")
+    )
+
+
 N_TIFF_ASSETS = 36
 
 
@@ -4687,6 +4830,7 @@ QUERIES = {
     "mm_image_hist_equalize": mm_image_hist_equalize,
     "mm_image_conv_edge": mm_image_conv_edge,
     "mm_audio_dft_peak": mm_audio_dft_peak,
+    "mm_audio_mel_energy": mm_audio_mel_energy,
     "mm_image_decode_tiff": mm_image_decode_tiff,
     "mm_audio_zero_crossings": mm_audio_zero_crossings,
     "mm_image_patches": mm_image_patches,
@@ -5094,6 +5238,64 @@ ORACLES: dict[str, str] = {
                CAST(p AS INT) AS peak_period, power
         FROM pw WHERE rnk = 1
         ORDER BY asset_id
+    """,
+    "mm_audio_mel_energy": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 1000 + 10 * i AS ns
+            FROM generate_series(0, {N_WAV_ASSETS - 1}) s(i)
+        ),
+        samples AS (
+            SELECT a.asset_id, a.ns, k.k,
+                   ((7 * a.asset_id + 13 * k.k) % 201) - 100 AS s
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {1000 + 10 * (N_WAV_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
+        ),
+        folded AS (
+            SELECT asset_id, ns AS n_samples, p.p, k % p.p AS r,
+                   CAST(SUM(s) AS BIGINT) AS csum
+            FROM samples,
+                 (SELECT unnest([{",".join(str(p) for p in MEL_PERIODS)}]) AS p) p
+            GROUP BY asset_id, ns, p.p, k % p.p
+        ),
+        terms AS (
+            SELECT asset_id, n_samples, p,
+                   CAST(CAST(csum AS DOUBLE)
+                        * cos({2.0 * math.pi!r} * CAST(r AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS ca,
+                   CAST(CAST(csum AS DOUBLE)
+                        * sin({2.0 * math.pi!r} * CAST(r AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS cb
+            FROM folded
+        ),
+        agg AS (
+            SELECT asset_id, n_samples, p,
+                   CAST(SUM(ca) AS DOUBLE) AS a,
+                   CAST(SUM(cb) AS DOUBLE) AS b
+            FROM terms GROUP BY asset_id, n_samples, p
+        ),
+        pw AS (
+            SELECT asset_id, p,
+                   floor((a * a + b * b)
+                         / (CAST(n_samples AS DOUBLE)
+                            * CAST(n_samples AS DOUBLE)) * 1e6) / 1e6
+                     AS power
+            FROM agg
+        ),
+        wts(filter_id, p, w) AS (
+            VALUES {", ".join(f"({m}, {p}, {w!r})" for m, p, w in mel_filter_weights())}
+        )
+        SELECT pw.asset_id,
+               CAST(wts.filter_id AS INT) AS filter_id,
+               CAST(COUNT(*) AS INT) AS n_bins,
+               floor(CAST(SUM(CAST(pw.power * wts.w AS DECIMAL(38,18)))
+                          AS DOUBLE) * 1e6) / 1e6 AS mel_energy
+        FROM pw JOIN wts ON pw.p = wts.p
+        GROUP BY pw.asset_id, wts.filter_id
+        ORDER BY asset_id, filter_id
     """,
     "mm_image_conv_edge": f"""
         WITH assets AS (
