@@ -160,8 +160,8 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     stdlib(+numpy) codecs elsewhere in this module, this stub's
     fake-feature arm stands in only for formats with no
     in-container codec: H.264-class video and mp3/ogg audio (plus
-    the progressive niches — AC-refinement scans, color
-    progressive)."""
+    the one remaining progressive niche — color progressive;
+    AC-refinement scans became real in round 10)."""
     return media_stats(extract_features(synth_media(spark, n=64)))
 
 
@@ -3883,12 +3883,17 @@ def mm_audio_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bit per block), then the AC band 1..63 coded as EOBn run-length
 #: codes — decoded by a real multi-scan progressive decoder
 #: (coefficients accumulate across scans; IDCT once at the end).
+#: Round 10 adds the AC successive-approximation REFINEMENT scan
+#: (Ah>0 on AC bands, T.81 G.1.2.3) — correction bits on
+#: nonzero-history coefficients, s=1 new-significance codes,
+#: EOB-run refinement — driven by hand-built 4-scan streams in
+#: pytest.
 #: Constant blocks keep AC zero so pixels stay exact and the oracle
 #: recomputes sums in closed form; the AC-first path with NONZERO
 #: coefficients and long EOBRUN splits is driven by hand-built
 #: streams in pytest. Scope: single-component (grayscale)
-#: progressive; AC refinement scans (Ah>0 on AC bands) and color
-#: progressive return None — documented, loudly.
+#: progressive (DC first/refine + AC first + AC refine); color
+#: progressive returns None — documented, loudly.
 N_JPEG_PROG_ASSETS = 48
 
 #: Progressive AC Huffman spec: EOBn run-length symbols (r<<4 for
@@ -3972,10 +3977,12 @@ def decode_jpeg_progressive_gray(payload: bytes):
     (Ss/Se/Ah/Al) dispatch — DC first pass (Huffman diffs, value <<
     Al), DC successive-approximation refinement (one raw bit per
     block, += bit << Al), AC first pass for any band (run/size with
-    ZRL and EOBn run-length codes) — coefficients accumulate across
+    ZRL and EOBn run-length codes), AC successive-approximation
+    refinement (correction bits, new significances, EOB-run
+    refinement — T.81 G.1.2.3) — coefficients accumulate across
     scans; dequantize + IDCT once at EOI. Returns an (h, w) uint8
-    array, or None for color progressive / AC-refinement scans /
-    anything else out of scope.
+    array, or None for color progressive / anything else out of
+    scope.
     """
     import struct
 
@@ -4121,7 +4128,67 @@ def decode_jpeg_progressive_gray(payload: bytes):
                             coefs[bi, k] = extend(read_bits(s), s) << al
                             k += 1
                 else:
-                    return None  # AC refinement out of scope
+                    # AC successive-approximation refinement
+                    # (T.81 G.1.2.3 / the libjpeg AC-refine MCU walk):
+                    # every nonzero-HISTORY coefficient passed reads a
+                    # correction bit (appended low bit, toward larger
+                    # magnitude); s=1 codes place a newly significant
+                    # ±(1<<Al) after a run of r zero-history
+                    # coefficients; EOB(run) refines the remaining
+                    # nonzero coefficients of the band in each covered
+                    # block. Python's & on negative ints is two's
+                    # complement, so the (coef & p1) already-has-bit
+                    # test matches the C implementations exactly.
+                    rev = {v: k for k, v in hufs[(1, tb & 15)].items()}
+                    p1, m1 = 1 << al, -1 << al
+
+                    def correct(bi, k):
+                        c = int(coefs[bi, k])
+                        if read_bit() and (c & p1) == 0:
+                            coefs[bi, k] = c + (p1 if c >= 0 else m1)
+
+                    eobrun = 0
+                    for bi in range(bh_ * bw_):
+                        if eobrun:
+                            eobrun -= 1
+                            for k in range(ss, se + 1):
+                                if coefs[bi, k]:
+                                    correct(bi, k)
+                            continue
+                        k = ss
+                        hit_eob = False
+                        while k <= se:
+                            rs = read_huff(rev)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0 and r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += read_bits(r)
+                                hit_eob = True
+                                break
+                            val = 0
+                            if s:
+                                if s != 1:
+                                    return None  # spec: s == 1 only
+                                val = p1 if read_bit() else m1
+                            # advance past r zero-history coefficients
+                            # (ZRL: r=15, val=0 -> skips 16), refining
+                            # every nonzero-history one on the way
+                            while k <= se:
+                                if coefs[bi, k]:
+                                    correct(bi, k)
+                                else:
+                                    if r == 0:
+                                        if val:
+                                            coefs[bi, k] = val
+                                        k += 1
+                                        break
+                                    r -= 1
+                                k += 1
+                        if hit_eob:
+                            for kk in range(k, se + 1):
+                                if coefs[bi, kk]:
+                                    correct(bi, kk)
             except IndexError:
                 return None
             pos = endp

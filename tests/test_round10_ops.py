@@ -63,6 +63,198 @@ def test_mel_energy_cross_checks_numpy(spark):
             assert abs(got[(aid, m)] - want) < 1e-4, (aid, m)
 
 
+def _prog_jpeg(w, h, scans):
+    """Assemble a progressive JFIF from (sos_body, bitwriter) scans
+    using the module's standing tables."""
+    import struct
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_PROG_AC_BITS,
+        _JPEG_PROG_AC_VALS,
+        _JPEG_QTABLE,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QTABLE))
+        + seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+        + seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+            + bytes(_JPEG_PROG_AC_VALS),
+        )
+    )
+    for body, bw in scans:
+        out += seg(0xFFDA, bytes(body)) + bw.flush()
+    return out + b"\xff\xd9"
+
+
+class TestAcRefinementScans:
+    """Round-10: the AC successive-approximation refinement arm of
+    the progressive decoder (T.81 G.1.2.3), driven by hand-built
+    4-scan streams — correction bits on nonzero-history
+    coefficients, s=1 new significances (positive and negative),
+    ZRL over zero history, and EOB-run refinement across blocks."""
+
+    def _huffs(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _JPEG_DC_BITS,
+            _JPEG_DC_VALS,
+            _JPEG_PROG_AC_BITS,
+            _JPEG_PROG_AC_VALS,
+            _huff_canonical,
+        )
+
+        return (
+            _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS),
+            _huff_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS),
+        )
+
+    def _expected(self, coefs_zigzag):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _JPEG_QTABLE,
+            _JPEG_ZIGZAG,
+            _idct_matrix,
+        )
+
+        f = np.zeros(64)
+        for k, v in coefs_zigzag.items():
+            f[_JPEG_ZIGZAG[k]] = v * _JPEG_QTABLE[k]
+        A = _idct_matrix()
+        return np.clip(
+            np.round(A @ f.reshape(8, 8) @ A.T + 128.0), 0, 255
+        ).astype(np.uint8)
+
+    def test_refinement_corrections_new_significances_and_zrl(self):
+        """One block; true AC values z1=+3, z2=+1, z3=-2, z5=-1,
+        z22=+1. First pass at Al=1 codes only z1, z3 (the others
+        truncate to zero); the refinement scan must (a) set z1's low
+        bit via a correction bit, (b) leave z3 unchanged via a 0
+        correction bit, (c) place the new ±1 significances with
+        r=0/r=1 runs, (d) cross 16 positions of zero history with
+        ZRL, and (e) EOB out with no trailing bits."""
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _BitWriter,
+            decode_jpeg_progressive_gray,
+        )
+
+        dc_huf, ac_huf = self._huffs()
+        w = lambda bw, sym: bw.write(*ac_huf[sym])  # noqa: E731
+        # scan 1: DC first at Al=1, dc = 0
+        s1 = _BitWriter()
+        s1.write(*dc_huf[0])
+        # scan 2: DC refinement, bit 0
+        s2 = _BitWriter()
+        s2.write(0, 1)
+        # scan 3: AC first, Al=1 -> z1 = +1, (run 1) z3 = -1, EOB
+        s3 = _BitWriter()
+        w(s3, 0x01)
+        s3.write(1, 1)
+        w(s3, 0x11)
+        s3.write(0, 1)  # extend(0, 1) = -1
+        w(s3, 0x00)
+        # scan 4: AC refinement Ah=1 Al=0 (decoder read order):
+        #   0x01, sign(+), corr z1=1        -> z2 := +1, z1 2->3
+        #   0x11, sign(-), corr z3=0        -> z5 := -1, z3 stays -2
+        #   ZRL (16 zero-history: z6..z21)
+        #   0x01, sign(+)                   -> z22 := +1
+        #   EOB (no remaining nonzero)
+        s4 = _BitWriter()
+        w(s4, 0x01)
+        s4.write(1, 1)
+        s4.write(1, 1)
+        w(s4, 0x11)
+        s4.write(0, 1)
+        s4.write(0, 1)
+        w(s4, 0xF0)
+        w(s4, 0x01)
+        s4.write(1, 1)
+        w(s4, 0x00)
+        payload = _prog_jpeg(
+            8,
+            8,
+            [
+                ([1, 1, 0x00, 0, 0, 0x01], s1),
+                ([1, 1, 0x00, 0, 0, 0x10], s2),
+                ([1, 1, 0x10, 1, 63, 0x01], s3),
+                ([1, 1, 0x10, 1, 63, 0x10], s4),
+            ],
+        )
+        img = decode_jpeg_progressive_gray(payload)
+        assert img is not None and img.shape == (8, 8)
+        ref = self._expected({1: 3, 2: 1, 3: -2, 5: -1, 22: 1})
+        assert (img == ref).all()
+
+    def test_eobrun_refines_covered_blocks(self):
+        """Two blocks, refinement as ONE EOB2 run: the run must still
+        deliver each covered block's correction bits in order (block0
+        z1 +2->+3 via bit 1, block1 z1 stays +2 via bit 0)."""
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _BitWriter,
+            decode_jpeg_progressive_gray,
+        )
+
+        dc_huf, ac_huf = self._huffs()
+        w = lambda bw, sym: bw.write(*ac_huf[sym])  # noqa: E731
+        s1 = _BitWriter()
+        s1.write(*dc_huf[0])
+        s1.write(*dc_huf[0])
+        s2 = _BitWriter()
+        s2.write(0, 1)
+        s2.write(0, 1)
+        s3 = _BitWriter()
+        for _ in range(2):  # each block: z1 = +1 at Al=1, then EOB
+            w(s3, 0x01)
+            s3.write(1, 1)
+            w(s3, 0x00)
+        s4 = _BitWriter()
+        w(s4, 0x10)      # EOBn r=1: eobrun = 2^1 + extra
+        s4.write(0, 1)   # extra = 0 -> covers both blocks
+        s4.write(1, 1)   # correction: block0 z1 -> +3
+        s4.write(0, 1)   # correction: block1 z1 stays +2
+        payload = _prog_jpeg(
+            16,
+            8,
+            [
+                ([1, 1, 0x00, 0, 0, 0x01], s1),
+                ([1, 1, 0x00, 0, 0, 0x10], s2),
+                ([1, 1, 0x10, 1, 63, 0x01], s3),
+                ([1, 1, 0x10, 1, 63, 0x10], s4),
+            ],
+        )
+        img = decode_jpeg_progressive_gray(payload)
+        assert img is not None and img.shape == (8, 16)
+        assert (img[:, :8] == self._expected({1: 3})).all()
+        assert (img[:, 8:] == self._expected({1: 2})).all()
+
+    def test_truncated_refinement_scan_rejected(self):
+        """An empty refinement bitstream exhausts the bit reader —
+        the decoder must return None, not a partial guess."""
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _BitWriter,
+            decode_jpeg_progressive_gray,
+        )
+
+        dc_huf, _ = self._huffs()
+        s1 = _BitWriter()
+        s1.write(*dc_huf[0])
+        payload = _prog_jpeg(
+            8,
+            8,
+            [
+                ([1, 1, 0x00, 0, 0, 0x01], s1),
+                ([1, 1, 0x10, 1, 63, 0x10], _BitWriter()),
+            ],
+        )
+        assert decode_jpeg_progressive_gray(payload) is None
+
+
 def test_mel_energy_shape(spark):
     from postgres_s3_etl_spark.operators.multimodal import (
         N_MEL_FILTERS,
