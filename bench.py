@@ -141,6 +141,11 @@ HEADLINE = (
     "mm_image_phash_dedup",
     "text_unigram_lm_train",
     "text_unigram_lm_heldout",
+    # round-10 additions (fuzzy eval-set decon, per-source cap
+    # keep-set, mel-filterbank energies)
+    "text_decontaminate_fuzzy",
+    "text_source_caps",
+    "mm_audio_mel_energy",
 )
 
 
@@ -172,11 +177,30 @@ def main() -> None:
     # such runs are labelled by `repeat` in the output JSON.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
 
+    # Session-lifetime training memos (BPE merges, unigram-LM EM).
+    # Under best-of-N, rep 1 of a TRAIN-shaped query warms the memo
+    # and reps 2..N read it back, so the recorded "best" measures a
+    # dict lookup — while the driver's single-pass protocol pays the
+    # real training. Restoring each query's memo state to what it was
+    # when ITS first rep started makes every rep see exactly the
+    # memo state the single-pass suite would give that query (train
+    # queries stay cold per rep; downstream encode/vocab/heldout
+    # queries stay warm, as they are in a suite run). Round-9 verdict
+    # defect #1: without this, standing rows for the memoized
+    # trainers under-state the driver by 3-4x.
+    from postgres_s3_etl_spark.operators import tokenizer, unigram
+
+    memos = (tokenizer._TRAIN_CACHE, unigram._EM_CACHE)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
+        snaps = [dict(m) for m in memos]
         for _ in range(repeat):
+            for live, snap in zip(memos, snaps):
+                live.clear()
+                live.update(snap)
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             best = min(best, time.perf_counter() - t0)

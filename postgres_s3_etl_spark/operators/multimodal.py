@@ -159,9 +159,10 @@ def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     JPEG, y4m video, PCM WAV and G.711 μ-law all decoded by REAL
     stdlib(+numpy) codecs elsewhere in this module, this stub's
     fake-feature arm stands in only for formats with no
-    in-container codec: H.264-class video and mp3/ogg audio (plus
-    the one remaining progressive niche — color progressive;
-    AC-refinement scans became real in round 10)."""
+    in-container codec: H.264-class video and mp3/ogg audio
+    (round 10 retired the last JPEG niches: AC-refinement scans and
+    1x1 color progressive are real; only SUBSAMPLED progressive
+    still returns None)."""
     return media_stats(extract_features(synth_media(spark, n=64)))
 
 
@@ -3892,8 +3893,9 @@ def mm_audio_decode_aiff(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: recomputes sums in closed form; the AC-first path with NONZERO
 #: coefficients and long EOBRUN splits is driven by hand-built
 #: streams in pytest. Scope: single-component (grayscale)
-#: progressive (DC first/refine + AC first + AC refine); color
-#: progressive returns None — documented, loudly.
+#: progressive (DC first/refine + AC first + AC refine) plus 1x1
+#: color progressive (round 10); subsampled progressive returns
+#: None — documented, loudly.
 N_JPEG_PROG_ASSETS = 48
 
 #: Progressive AC Huffman spec: EOBn run-length symbols (r<<4 for
@@ -3972,17 +3974,30 @@ def encode_jpeg_gray_progressive(asset_id: int, w: int, h: int) -> bytes:
 
 
 def decode_jpeg_progressive_gray(payload: bytes):
-    """REAL progressive JPEG decode (single-component SOF2),
-    stdlib+numpy only: multi-scan marker walk, per-scan SOS
-    (Ss/Se/Ah/Al) dispatch — DC first pass (Huffman diffs, value <<
-    Al), DC successive-approximation refinement (one raw bit per
-    block, += bit << Al), AC first pass for any band (run/size with
-    ZRL and EOBn run-length codes), AC successive-approximation
-    refinement (correction bits, new significances, EOB-run
-    refinement — T.81 G.1.2.3) — coefficients accumulate across
-    scans; dequantize + IDCT once at EOI. Returns an (h, w) uint8
-    array, or None for color progressive / anything else out of
-    scope.
+    """Single-component view of :func:`decode_jpeg_progressive`:
+    returns the (h, w) uint8 plane for grayscale SOF2 files, or None
+    for color progressive (callers that can consume planes use the
+    general decoder directly)."""
+    planes = decode_jpeg_progressive(payload)
+    if planes is None or planes.shape[0] != 1:
+        return None
+    return planes[0]
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """REAL progressive JPEG decode (SOF2), stdlib+numpy only:
+    multi-scan marker walk, per-scan SOS (Ss/Se/Ah/Al) dispatch — DC
+    first pass (Huffman diffs, value << Al; MCU-interleaved across
+    components when the scan lists several), DC
+    successive-approximation refinement (one raw bit per block, +=
+    bit << Al), AC first pass for any band (run/size with ZRL and
+    EOBn run-length codes; single-component per T.81 G.1.1), AC
+    successive-approximation refinement (correction bits, new
+    significances, EOB-run refinement — T.81 G.1.2.3) — coefficients
+    accumulate across scans; dequantize + IDCT once at EOI. Handles
+    1 (grayscale) and 3 (YCbCr) components at 1x1 sampling; returns
+    an (ncomp, h, w) uint8 array of component planes, or None for
+    subsampled progressive / anything else out of scope.
     """
     import struct
 
@@ -3994,8 +4009,9 @@ def decode_jpeg_progressive_gray(payload: bytes):
     qtables: dict[int, list[int]] = {}
     hufs: dict[tuple[int, int], dict] = {}
     w = h = None
-    qsel = None
-    coefs = None
+    comp_q: dict[int, int] = {}     # component id -> quant selector
+    comp_ix: dict[int, int] = {}    # component id -> plane index
+    coefs = None                    # list of per-component (nb, 64)
     bw_ = bh_ = 0
 
     def scan_bits(start: int):
@@ -4045,7 +4061,6 @@ def decode_jpeg_progressive_gray(payload: bytes):
     def extend(v, s):
         return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-    prev_dc = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             return None
@@ -4064,11 +4079,19 @@ def decode_jpeg_progressive_gray(payload: bytes):
                 b += 65
         elif marker == 0xC2:  # SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1 or body[7] != 0x11:
-                return None  # single-component 1x1 progressive only
-            qsel = body[8]
+            if prec != 8 or ncomp not in (1, 3):
+                return None
+            for c in range(ncomp):
+                cid, samp, qsel = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    return None  # 1x1 sampling only (no MCU tiling)
+                comp_q[cid] = qsel
+                comp_ix[cid] = c
             bw_, bh_ = -(-w // 8), -(-h // 8)
-            coefs = np.zeros((bh_ * bw_, 64), dtype=np.int64)
+            coefs = [
+                np.zeros((bh_ * bw_, 64), dtype=np.int64)
+                for _ in range(ncomp)
+            ]
         elif marker == 0xC0:  # baseline SOF in a "progressive" call
             return None
         elif marker == 0xC4:
@@ -4082,28 +4105,46 @@ def decode_jpeg_progressive_gray(payload: bytes):
                 )
                 b += 17 + nv
         elif marker == 0xDA:
-            if coefs is None or body[0] != 1:
+            ns = body[0]
+            if coefs is None or ns < 1 or ns > len(coefs):
                 return None
-            tb = body[2]
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 15
+            scomps = []  # (plane index, table byte) in scan order
+            for c in range(ns):
+                cid, tb = body[1 + 2 * c], body[2 + 2 * c]
+                if cid not in comp_ix:
+                    return None
+                scomps.append((comp_ix[cid], tb))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            if ss > 0 and ns != 1:
+                return None  # AC scans are single-component (G.1.1)
             read_bit, read_bits, read_huff, endp = scan_bits(pos + 2 + ln)
             try:
                 if ss == 0 and ah == 0:
-                    # DC first pass
-                    rev = {v: k for k, v in hufs[(0, tb >> 4)].items()}
-                    prev_dc = 0
+                    # DC first pass — MCU-interleaved over the scan's
+                    # components (at 1x1 an MCU is one block of each)
+                    revs = {
+                        ci: {v: k for k, v in hufs[(0, tb >> 4)].items()}
+                        for ci, tb in scomps
+                    }
+                    prev = {ci: 0 for ci, _ in scomps}
                     for bi in range(bh_ * bw_):
-                        s = read_huff(rev)
-                        prev_dc += extend(read_bits(s), s) if s else 0
-                        coefs[bi, 0] = prev_dc << al
+                        for ci, _tb in scomps:
+                            s = read_huff(revs[ci])
+                            prev[ci] += (
+                                extend(read_bits(s), s) if s else 0
+                            )
+                            coefs[ci][bi, 0] = prev[ci] << al
                 elif ss == 0 and ah > 0:
-                    # DC refinement: one raw bit per block
+                    # DC refinement: one raw bit per block, MCU order
                     for bi in range(bh_ * bw_):
-                        if read_bit():
-                            coefs[bi, 0] += 1 << al
+                        for ci, _tb in scomps:
+                            if read_bit():
+                                coefs[ci][bi, 0] += 1 << al
                 elif ss > 0 and ah == 0:
                     # AC first pass over band [ss, se] with EOBRUN
+                    ci, tb = scomps[0]
+                    ac = coefs[ci]
                     rev = {v: k for k, v in hufs[(1, tb & 15)].items()}
                     eobrun = 0
                     for bi in range(bh_ * bw_):
@@ -4125,7 +4166,7 @@ def decode_jpeg_progressive_gray(payload: bytes):
                             k += r
                             if k > se:
                                 return None
-                            coefs[bi, k] = extend(read_bits(s), s) << al
+                            ac[bi, k] = extend(read_bits(s), s) << al
                             k += 1
                 else:
                     # AC successive-approximation refinement
@@ -4139,20 +4180,22 @@ def decode_jpeg_progressive_gray(payload: bytes):
                     # block. Python's & on negative ints is two's
                     # complement, so the (coef & p1) already-has-bit
                     # test matches the C implementations exactly.
+                    ci, tb = scomps[0]
+                    ac = coefs[ci]
                     rev = {v: k for k, v in hufs[(1, tb & 15)].items()}
                     p1, m1 = 1 << al, -1 << al
 
                     def correct(bi, k):
-                        c = int(coefs[bi, k])
+                        c = int(ac[bi, k])
                         if read_bit() and (c & p1) == 0:
-                            coefs[bi, k] = c + (p1 if c >= 0 else m1)
+                            ac[bi, k] = c + (p1 if c >= 0 else m1)
 
                     eobrun = 0
                     for bi in range(bh_ * bw_):
                         if eobrun:
                             eobrun -= 1
                             for k in range(ss, se + 1):
-                                if coefs[bi, k]:
+                                if ac[bi, k]:
                                     correct(bi, k)
                             continue
                         k = ss
@@ -4175,40 +4218,48 @@ def decode_jpeg_progressive_gray(payload: bytes):
                             # (ZRL: r=15, val=0 -> skips 16), refining
                             # every nonzero-history one on the way
                             while k <= se:
-                                if coefs[bi, k]:
+                                if ac[bi, k]:
                                     correct(bi, k)
                                 else:
                                     if r == 0:
                                         if val:
-                                            coefs[bi, k] = val
+                                            ac[bi, k] = val
                                         k += 1
                                         break
                                     r -= 1
                                 k += 1
                         if hit_eob:
                             for kk in range(k, se + 1):
-                                if coefs[bi, kk]:
+                                if ac[bi, kk]:
                                     correct(bi, kk)
             except IndexError:
                 return None
             pos = endp
             continue
         pos += 2 + ln
-    if coefs is None or qsel not in qtables or w is None:
+    if coefs is None or w is None:
         return None
+    qsels = [None] * len(coefs)
+    for cid, ci in comp_ix.items():
+        if comp_q[cid] not in qtables:
+            return None
+        qsels[ci] = comp_q[cid]
     A = _idct_matrix()
     zz = np.array(_JPEG_ZIGZAG)
-    q = np.array(qtables[qsel], dtype=np.float64)
-    out = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
-    for by in range(bh_):
-        for bx in range(bw_):
-            f = np.zeros(64, dtype=np.float64)
-            f[zz] = coefs[by * bw_ + bx].astype(np.float64) * q
-            block = A @ f.reshape(8, 8) @ A.T
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(block + 128.0), 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w]
+    out = np.zeros((len(coefs), bh_ * 8, bw_ * 8), dtype=np.uint8)
+    for ci in range(len(coefs)):
+        q = np.array(qtables[qsels[ci]], dtype=np.float64)
+        for by in range(bh_):
+            for bx in range(bw_):
+                f = np.zeros(64, dtype=np.float64)
+                f[zz] = coefs[ci][by * bw_ + bx].astype(np.float64) * q
+                block = A @ f.reshape(8, 8) @ A.T
+                out[ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(np.round(block + 128.0), 0, 255).astype(
+                        np.uint8
+                    )
+                )
+    return out[:, :h, :w]
 
 
 def synth_jpeg_progressive_media(
@@ -4223,6 +4274,166 @@ def synth_jpeg_progressive_media(
              bytearray(encode_jpeg_gray_progressive(i, w, h)))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+N_JPEG_PROG_COLOR_ASSETS = 48
+
+
+def encode_jpeg_color_progressive(asset_id: int, w: int, h: int) -> bytes:
+    """A real 3-component 4:4:4 progressive JFIF (SOF2, five scans):
+    MCU-interleaved DC first pass at Al=1 with independent per-
+    component predictors, interleaved DC refinement (one raw bit per
+    block per component), then one all-zero AC band scan PER
+    component (T.81 G.1.1: progressive AC scans are single-
+    component). Plane constants are the baseline color encoder's
+    (_JPEG_COLOR_PLANES — asymmetric, so plane/MCU-order bugs break
+    the hash); two quant tables and two DC Huffman tables keep the
+    multi-table parse paths live."""
+    import struct
+
+    assert w % 8 == 0 and h % 8 == 0
+    dc_huf = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_huf = _huff_canonical(_JPEG_PROG_AC_BITS, _JPEG_PROG_AC_VALS)
+    bw_, bh_ = w // 8, h // 8
+
+    def block_dc(ci: int, bx: int, by: int) -> int:
+        _, ka, kx, ky = _JPEG_COLOR_PLANES[ci]
+        return ((ka * asset_id + kx * bx + ky * by) % 256) - 128
+
+    # Scan 1: interleaved DC first pass at Al=1.
+    s1 = _BitWriter()
+    prev = {0: 0, 1: 0, 2: 0}
+    for by in range(bh_):
+        for bx in range(bw_):
+            for ci in range(3):
+                v = block_dc(ci, bx, by) >> 1
+                diff = v - prev[ci]
+                prev[ci] = v
+                s = _jpeg_category(diff)
+                code, ln = dc_huf[s]
+                s1.write(code, ln)
+                if s:
+                    s1.write(
+                        diff if diff >= 0 else diff + (1 << s) - 1, s
+                    )
+    # Scan 2: interleaved DC refinement — low bit, MCU order.
+    s2 = _BitWriter()
+    for by in range(bh_):
+        for bx in range(bw_):
+            for ci in range(3):
+                s2.write(block_dc(ci, bx, by) & 1, 1)
+    # Scans 3-5: per-component AC band 1..63, all zero -> one EOBn.
+    nb = bw_ * bh_
+    r = nb.bit_length() - 1
+    ac_scans = []
+    for _ci in range(3):
+        sc = _BitWriter()
+        code, ln = ac_huf[r << 4]
+        sc.write(code, ln)
+        if r:
+            sc.write(nb - (1 << r), r)
+        ac_scans.append(sc)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(
+        0xFFDB,
+        bytes([0x00]) + bytes(_JPEG_QTABLE)
+        + bytes([0x01]) + bytes(_JPEG_QTABLE),
+    )
+    sof = seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_PROG_AC_BITS)
+        + bytes(_JPEG_PROG_AC_VALS),
+    )
+    sos1 = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]))
+    sos2 = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out = (
+        b"\xff\xd8" + app0 + dqt + sof + dht
+        + sos1 + s1.flush()
+        + sos2 + s2.flush()
+    )
+    for cid, sc in zip((1, 2, 3), ac_scans):
+        out += seg(0xFFDA, bytes([1, cid, 0x00, 1, 63, 0x00])) + sc.flush()
+    return out + b"\xff\xd9"
+
+
+def synth_jpeg_progressive_color_media(
+    spark: SparkSession, n: int = N_JPEG_PROG_COLOR_ASSETS
+) -> DataFrame:
+    """n real color progressive (SOF2, 4:4:4) JPEGs. Dims differ
+    from the baseline-color asset grid so the two operators' outputs
+    (same plane constants by design) cannot silently alias."""
+    rows = []
+    for i in range(n):
+        w, h = 16 + 8 * (i % 4), 16 + 8 * ((i // 2) % 2)
+        rows.append(
+            (i, "image", w, h, 0,
+             bytearray(encode_jpeg_color_progressive(i, w, h)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_image_decode_jpeg_progressive_color(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end REAL color progressive JPEG decode — the last
+    documented progressive niche retired: SOF2 YCbCr at 1x1 with an
+    MCU-interleaved DC first pass (independent per-component
+    predictors), interleaved DC refinement, and per-component AC
+    band scans, decoded by the general multi-component progressive
+    decoder. Constant per-plane blocks quantize losslessly, so the
+    oracle recomputes exact YCbCr integer sums in closed form (the
+    asymmetric plane constants make an interleave-order or plane-
+    swap bug break the hash).
+
+    Scale: identical plumbing to the other decodes — payload bytes
+    never shuffle, 9 ints per asset cross to the JVM.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                planes = decode_jpeg_progressive(bytes(payload))
+                if planes is None or planes.shape[0] != 3:
+                    continue
+                px = planes.astype(np.int64)
+                h, w = px.shape[1], px.shape[2]
+                out.append(
+                    (
+                        int(aid), w, h, (h // 8) * (w // 8),
+                        int(px[0].sum()), int(px[1].sum()),
+                        int(px[2].sum()), int((px[0] * px[0]).sum()),
+                        int(px[0][0, :].sum()),
+                    )
+                )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "width", "height", "n_blocks",
+                "sum_y", "sum_cb", "sum_cr", "ssq_y", "row0_y_sum",
+            ],
+        )
+
+    media = synth_jpeg_progressive_color_media(spark).select(
+        "asset_id", "payload"
+    )
+    return media.mapInPandas(batches, _JPEG_COLOR_STATS_SCHEMA).orderBy(
+        "asset_id"
+    )
 
 
 def mm_image_decode_jpeg_progressive(
@@ -4904,6 +5115,7 @@ QUERIES = {
     "mm_image_decode_jpeg_420": mm_image_decode_jpeg_420,
     "mm_image_decode_gif": mm_image_decode_gif,
     "mm_image_decode_jpeg_progressive": mm_image_decode_jpeg_progressive,
+    "mm_image_decode_jpeg_progressive_color": mm_image_decode_jpeg_progressive_color,
     "mm_audio_decode_aiff": mm_audio_decode_aiff,
     "mm_image_decode_tga": mm_image_decode_tga,
     "mm_audio_alaw": mm_audio_alaw,
@@ -5816,6 +6028,35 @@ ORACLES: dict[str, str] = {
     # blocks as the baseline gray suite, different plane constants;
     # a wrong successive-approximation shift or refinement bit moves
     # every pixel and breaks these sums.
+    "mm_image_decode_jpeg_progressive_color": f"""
+        WITH assets AS (
+            SELECT i AS asset_id,
+                   2 + (i % 4) AS bw, 2 + ((i // 2) % 2) AS bh
+            FROM generate_series(0, {N_JPEG_PROG_COLOR_ASSETS - 1}) s(i)
+        ),
+        blocks AS (
+            SELECT a.asset_id, a.bw, a.bh, gx.bx, gy.by,
+                   (23 * a.asset_id + 5 * gx.bx + 7 * gy.by) % 256 AS y,
+                   (11 * a.asset_id + 3 * gx.bx + 2 * gy.by) % 256 AS cb,
+                   (19 * a.asset_id + 2 * gx.bx + 3 * gy.by) % 256 AS cr
+            FROM assets a
+            CROSS JOIN generate_series(0, 4) gx(bx)
+            CROSS JOIN generate_series(0, 2) gy(by)
+            WHERE gx.bx < a.bw AND gy.by < a.bh
+        )
+        SELECT asset_id,
+               CAST(MAX(bw) * 8 AS INTEGER) AS width,
+               CAST(MAX(bh) * 8 AS INTEGER) AS height,
+               CAST(COUNT(*) AS INTEGER) AS n_blocks,
+               SUM(y) * 64 AS sum_y,
+               SUM(cb) * 64 AS sum_cb,
+               SUM(cr) * 64 AS sum_cr,
+               SUM(y * y) * 64 AS ssq_y,
+               SUM(CASE WHEN by = 0 THEN y ELSE 0 END) * 8 AS row0_y_sum
+        FROM blocks
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
     "mm_image_decode_jpeg_progressive": f"""
         WITH assets AS (
             SELECT i AS asset_id,

@@ -255,6 +255,66 @@ class TestAcRefinementScans:
         assert decode_jpeg_progressive_gray(payload) is None
 
 
+class TestColorProgressive:
+    def test_round_trip_exact(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            _JPEG_COLOR_PLANES,
+            decode_jpeg_progressive,
+            encode_jpeg_color_progressive,
+        )
+
+        for aid in (0, 3, 7, 47):
+            w, h = 16 + 8 * (aid % 4), 16 + 8 * ((aid // 2) % 2)
+            planes = decode_jpeg_progressive(
+                encode_jpeg_color_progressive(aid, w, h)
+            )
+            assert planes is not None and planes.shape == (3, h, w)
+            for ci, (_, ka, kx, ky) in enumerate(_JPEG_COLOR_PLANES):
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        blk = planes[
+                            ci, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ]
+                        assert (
+                            blk == (ka * aid + kx * bx + ky * by) % 256
+                        ).all()
+
+    def test_gray_wrapper_rejects_color_and_vice_versa(self):
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_jpeg_progressive,
+            decode_jpeg_progressive_gray,
+            encode_jpeg_color_progressive,
+            encode_jpeg_gray_progressive,
+        )
+
+        color = encode_jpeg_color_progressive(1, 16, 16)
+        assert decode_jpeg_progressive_gray(color) is None
+        gray = encode_jpeg_gray_progressive(1, 16, 16)
+        planes = decode_jpeg_progressive(gray)
+        assert planes is not None and planes.shape[0] == 1
+
+    def test_subsampled_progressive_rejected(self):
+        """Flip a component's sampling byte to 2x2: out of the 1x1
+        scope — must return None, not mis-tile."""
+        from postgres_s3_etl_spark.operators.multimodal import (
+            decode_jpeg_progressive,
+            encode_jpeg_color_progressive,
+        )
+
+        raw = bytearray(encode_jpeg_color_progressive(0, 16, 16))
+        i = raw.find(b"\xff\xc2")
+        # SOF2 body: len(2) prec(1) h(2) w(2) ncomp(1), comp0 at +10
+        raw[i + 11] = 0x22
+        assert decode_jpeg_progressive(bytes(raw)) is None
+
+    def test_color_query_shape(self, spark, duck):
+        from tests.conftest import assert_matches_oracle
+
+        assert_matches_oracle(
+            spark, duck, "mm_image_decode_jpeg_progressive_color"
+        )
+
+
 def test_mel_energy_shape(spark):
     from postgres_s3_etl_spark.operators.multimodal import (
         N_MEL_FILTERS,
