@@ -663,6 +663,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup: log-many fixed widths instead of all widths).
 SPAN_LADDER = (8, 16, 32, 64)
 
+#: Dual 31-bit prime fields for the ladder's dyadic rolling
+#: fingerprints: keeping each hash below 2³¹ keeps every
+#: multiply-mod below 2⁶² (pure BIGINT in Spark AND DuckDB — no
+#: 128-bit arithmetic at the engine boundary), and the combined
+#: (hA, hB) pair gives ~62 bits, so span false-matches stay ~2⁻⁶²
+#: per pair at any corpus scale. Token digests take 8 independent
+#: md5 hex chars per field.
+ROLL_P1, ROLL_P2 = 2_147_483_647, 2_147_483_629
+ROLL_B1, ROLL_B2 = 1_000_003, 1_000_033
+
 
 def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Variable-length exact-substring dedup ladder: rolling spans at
@@ -677,10 +687,17 @@ def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan (aggregate formulation — no pair generation, like
     ``text_span_dedup``):
-    1. row-local ladder of span-fingerprint arrays (flatten over the
-       4 widths) → single explode (Catalyst instantiates the pruned
-       2-column scan+explode once per consumer — recompute beats
-       exchanging exploded span rows);
+    1. row-local DYADIC ROLLING fingerprints: one md5 per TOKEN
+       (never per span), then each width-2L hash array composes from
+       the width-L array in O(1) integer ops per position —
+       h₂ʟ[i] = (hʟ[i]·Bᴸ + hʟ[i+L]) mod P over two independent
+       31-bit prime fields (products stay < 2⁶², pure BIGINT in both
+       engines; the combined 62-bit fp keeps span-collision odds
+       ~2⁻⁶² per pair, production-safe where a single 31-bit field
+       would not be). The round-10 sf10 decade measured the previous
+       md5-per-span formulation at 118 s/sf10 — hashing a 64-token
+       concat per position, four widths, twice (both consumers) was
+       pure CPU the composition removes;
     2. distinct (doc, width, fp) → per-(width, fp) doc-frequency
        (two keyed shuffles, no count-distinct Expand);
     3. spans LEFT JOIN dup-fp set on (width, fp) — result rows ==
@@ -692,30 +709,52 @@ def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size with constant factor |ladder| = 4.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ladder = ", ".join(str(x) for x in SPAN_LADDER)
-    spans = (
-        docs.select("doc_id", _ws_tokens(F.col("text")).alias("w"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    rf"""
-                    flatten(transform(array({ladder}), L ->
-                        case when size(w) >= L then
-                            transform(
-                                sequence(1, size(w) - L + 1),
-                                i -> named_struct(
-                                    'span_len', L,
-                                    'fp', md5(concat_ws(' ', slice(w, i, L))))
-                            )
-                        else cast(array() as
-                                  array<struct<span_len: int, fp: string>>)
-                        end))
-                    """
-                )
-            ).alias("s"),
+    cur = docs.select(
+        "doc_id", _ws_tokens(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"transform(w, x -> cast(conv(substr(md5(x), 1, 8), 16, 10)"
+            f" as bigint) % {ROLL_P1}L)"
+        ).alias("ha1"),
+        F.expr(
+            f"transform(w, x -> cast(conv(substr(md5(x), 9, 8), 16, 10)"
+            f" as bigint) % {ROLL_P2}L)"
+        ).alias("hb1"),
+    )
+    L = 1
+    while L < SPAN_LADDER[-1]:
+        pa, pb = pow(ROLL_B1, L, ROLL_P1), pow(ROLL_B2, L, ROLL_P2)
+        cur = cur.select(
+            "*",
+            F.expr(
+                f"case when size(ha{L}) > {L} then"
+                f" transform(sequence(0, size(ha{L}) - {L + 1}),"
+                f" i -> (ha{L}[i] * {pa}L + ha{L}[i + {L}]) % {ROLL_P1}L)"
+                f" else cast(array() as array<bigint>) end"
+            ).alias(f"ha{2 * L}"),
+            F.expr(
+                f"case when size(hb{L}) > {L} then"
+                f" transform(sequence(0, size(hb{L}) - {L + 1}),"
+                f" i -> (hb{L}[i] * {pb}L + hb{L}[i + {L}]) % {ROLL_P2}L)"
+                f" else cast(array() as array<bigint>) end"
+            ).alias(f"hb{2 * L}"),
         )
-        .select("doc_id", F.col("s.span_len").alias("span_len"), F.col("s.fp").alias("fp"))
+        L *= 2
+    parts = ", ".join(
+        f"case when size(ha{L}) > 0 then"
+        f" transform(sequence(0, size(ha{L}) - 1),"
+        f" i -> named_struct('span_len', {L},"
+        f" 'fp', ha{L}[i] * 2147483648L + hb{L}[i]))"
+        f" else cast(array() as array<struct<span_len: int, fp: bigint>>) end"
+        for L in SPAN_LADDER
+    )
+    spans = cur.select(
+        "doc_id", F.explode(F.expr(f"flatten(array({parts}))")).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.span_len").alias("span_len"),
+        F.col("s.fp").alias("fp"),
     )
     doc_freq = (
         spans.select("doc_id", "span_len", "fp")
@@ -3038,11 +3077,50 @@ def _langid_f1_oracle() -> str:
 
 
 def _span_ladder_oracle() -> str:
+    """SQL twin of the dyadic rolling ladder: same token digests
+    (8 md5 hex chars per field), same (hʟ[i]·Bᴸ + hʟ[i+L]) mod P
+    composition, same 62-bit combined fp — 1-based DuckDB lists."""
+
+    def digest(off: int, p: int) -> str:
+        return (
+            "list_sum([(strpos('0123456789abcdef',"
+            f" substr(md5(t), {off} + i, 1)) - 1)"
+            " * CAST(pow(16, 8 - i) AS BIGINT)"
+            f" for i in generate_series(1, 8)]) % {p}"
+        )
+
+    # each lv CTE carries the already-built LADDER widths through so
+    # the final CTE exposes ha8/hb8 .. ha64/hb64 together
+    levels = []
+    have = [1]
+    L = 1
+    while L < SPAN_LADDER[-1]:
+        pa, pb = pow(ROLL_B1, L, ROLL_P1), pow(ROLL_B2, L, ROLL_P2)
+        keep = ", ".join(
+            f"ha{k}, hb{k}" for k in have if k in SPAN_LADDER
+        )
+        keep = (keep + ", ") if keep else ""
+        levels.append(
+            f"""lv{2 * L} AS MATERIALIZED (
+            SELECT doc_id, {keep}
+                   CASE WHEN len(ha{L}) > {L} THEN
+                       [(ha{L}[i] * {pa} + ha{L}[i + {L}]) % {ROLL_P1}
+                        for i in generate_series(1, len(ha{L}) - {L})]
+                   ELSE CAST([] AS BIGINT[]) END AS ha{2 * L},
+                   CASE WHEN len(hb{L}) > {L} THEN
+                       [(hb{L}[i] * {pb} + hb{L}[i + {L}]) % {ROLL_P2}
+                        for i in generate_series(1, len(hb{L}) - {L})]
+                   ELSE CAST([] AS BIGINT[]) END AS hb{2 * L}
+            FROM lv{L}
+        )"""
+        )
+        have.append(2 * L)
+        L *= 2
     per_level = "\n            UNION ALL\n".join(
         f"""SELECT doc_id, {L} AS span_len,
-                   unnest([md5(array_to_string(w[i:i+{L - 1}], ' '))
-                           for i in generate_series(1, len(w) - {L - 1})]) AS fp
-            FROM words WHERE len(w) >= {L}"""
+                   unnest([ha{L}[i] * 2147483648 + hb{L}[i]
+                           for i in generate_series(1, len(ha{L}))]) AS fp
+            FROM lv{SPAN_LADDER[-1]} WHERE len(ha{L}) > 0"""
         for L in SPAN_LADDER
     )
     return rf"""
@@ -3050,6 +3128,13 @@ def _span_ladder_oracle() -> str:
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
             FROM documents
         ),
+        lv1 AS MATERIALIZED (
+            SELECT doc_id,
+                   [{digest(0, ROLL_P1)} for t in w] AS ha1,
+                   [{digest(8, ROLL_P2)} for t in w] AS hb1
+            FROM words
+        ),
+        {",".join(levels)},
         spans AS (
             {per_level}
         ),
