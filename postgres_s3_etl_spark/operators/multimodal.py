@@ -665,23 +665,10 @@ def mel_filter_weights() -> list[tuple[int, int, float]]:
     return out
 
 
-def mm_audio_mel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mel-filterbank energies on REAL decoded audio — the standard
-    speech-pipeline front-end feature (filterbank energies are what
-    MFCC/ASR/audio-quality stacks consume) that the DFT family stops
-    just short of. Extends :func:`mm_audio_dft_peak`'s residue-fold
-    contract: the decode ships only exact integer (asset, period,
-    residue) sums across Arrow; the trigonometry runs engine-side
-    with DECIMAL(38,18)-pinned terms; the bin powers are floor-6
-    truncated; and the filterbank application is one broadcast join
-    against the LITERAL triangular weight matrix
-    (:func:`mel_filter_weights`) with another exact DECIMAL sum —
-    the weighted sum cannot fold in different orders across engines.
-
-    Scale: payload bytes never shuffle; Σ MEL_PERIODS = 279 residue
-    rows per asset cross Arrow; the filterbank is a ≤ |weights|-row
-    broadcast; every aggregate is partial-aggregatable.
-    """
+def _mel_energies(spark: SparkSession) -> DataFrame:
+    """``(asset_id, filter_id, n_bins, mel_energy)`` — the shared
+    frame behind :func:`mm_audio_mel_energy` (see there for the
+    cross-engine contract) and :func:`mm_audio_mfcc`."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -765,7 +752,94 @@ def mm_audio_mel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bins",
             f6(F.col("esum").cast("double")).alias("mel_energy"),
         )
-        .orderBy("asset_id", "filter_id")
+    )
+
+
+def mm_audio_mel_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mel-filterbank energies on REAL decoded audio — the standard
+    speech-pipeline front-end feature (filterbank energies are what
+    MFCC/ASR/audio-quality stacks consume) that the DFT family stops
+    just short of. Extends :func:`mm_audio_dft_peak`'s residue-fold
+    contract: the decode ships only exact integer (asset, period,
+    residue) sums across Arrow; the trigonometry runs engine-side
+    with DECIMAL(38,18)-pinned terms; the bin powers are floor-6
+    truncated; and the filterbank application is one broadcast join
+    against the LITERAL triangular weight matrix
+    (:func:`mel_filter_weights`) with another exact DECIMAL sum —
+    the weighted sum cannot fold in different orders across engines.
+
+    Scale: payload bytes never shuffle; Σ MEL_PERIODS = 279 residue
+    rows per asset cross Arrow; the filterbank is a ≤ |weights|-row
+    broadcast; every aggregate is partial-aggregatable.
+    """
+    return _mel_energies(spark).orderBy("asset_id", "filter_id")
+
+
+#: MFCC: number of cepstral coefficients kept (DCT-II of the log
+#: mel energies over N_MEL_FILTERS bands).
+N_MFCC = 4
+
+
+def mfcc_dct_weights() -> list[tuple[int, int, float]]:
+    """The DCT-II basis as a LITERAL (k, m, weight) list:
+    w[k][m] = cos(π·k·(2m+1) / (2·M)) rounded to 6 decimals —
+    like :func:`mel_filter_weights`, the trigonometry runs only HERE
+    at definition time; both engines consume constants."""
+    out = []
+    for k in range(N_MFCC):
+        for m in range(N_MEL_FILTERS):
+            w = round(
+                math.cos(math.pi * k * (2 * m + 1) / (2.0 * N_MEL_FILTERS)),
+                6,
+            )
+            if w != 0.0:
+                out.append((k, m, w))
+    return out
+
+
+def mm_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFCC-style cepstral coefficients — the last step of the
+    classic speech front-end (samples → DFT bins → mel filterbank →
+    log → DCT-II): coefficient k = Σ_m ln(1 + E_m) · cos(π·k·(2m+1)
+    / 2M) over the M mel-band energies of :func:`_mel_energies`.
+
+    Cross-engine contract: the DCT basis is a LITERAL matrix
+    (:func:`mfcc_dct_weights` — cos() runs once in Python), the log
+    mel energies are floor-6 truncated before the basis multiply
+    (ln() is the one libm call that crosses engines — same
+    truncation discipline as the DFT family's cos/sin), and each
+    basis term is DECIMAL(38,18)-pinned so the ≤M-term fold cannot
+    reorder across engines.
+
+    Scale: rides the mel-energy frame (bounded: assets × M rows);
+    the DCT is an (M·K)-row broadcast join + one partial-
+    aggregatable rollup.
+    """
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    logmel = _mel_energies(spark).select(
+        "asset_id",
+        F.col("filter_id").alias("m"),
+        f6(F.log(F.lit(1.0) + F.col("mel_energy"))).alias("logmel"),
+    )
+    dct = spark.createDataFrame(
+        mfcc_dct_weights(), "k int, m int, w double"
+    )
+    return (
+        logmel.join(F.broadcast(dct), "m")
+        .groupBy("asset_id", "k")
+        .agg(
+            F.sum(
+                (F.col("logmel") * F.col("w")).cast("decimal(38,18)")
+            ).alias("csum"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+        .select(
+            "asset_id",
+            "k",
+            "n_terms",
+            f6(F.col("csum").cast("double")).alias("mfcc"),
+        )
+        .orderBy("asset_id", "k")
     )
 
 
@@ -5109,6 +5183,7 @@ QUERIES = {
     "mm_image_conv_edge": mm_image_conv_edge,
     "mm_audio_dft_peak": mm_audio_dft_peak,
     "mm_audio_mel_energy": mm_audio_mel_energy,
+    "mm_audio_mfcc": mm_audio_mfcc,
     "mm_image_decode_tiff": mm_image_decode_tiff,
     "mm_audio_zero_crossings": mm_audio_zero_crossings,
     "mm_image_patches": mm_image_patches,
@@ -5147,6 +5222,68 @@ def _bmp_down_channel(ka: int, kx: int, ky: int) -> str:
         for dx in (0, 1)
     )
     return f"({terms}) // 4"
+
+
+def _mel_oracle_cte() -> str:
+    """Shared CTE chain ending in ``mel(asset_id, filter_id, n_bins,
+    mel_energy)`` — the SQL twin of :func:`_mel_energies`."""
+    return f"""assets AS (
+            SELECT i AS asset_id, 1000 + 10 * i AS ns
+            FROM generate_series(0, {N_WAV_ASSETS - 1}) s(i)
+        ),
+        samples AS (
+            SELECT a.asset_id, a.ns, k.k,
+                   ((7 * a.asset_id + 13 * k.k) % 201) - 100 AS s
+            FROM assets a
+            CROSS JOIN generate_series(
+                0, {1000 + 10 * (N_WAV_ASSETS - 1) - 1}) k(k)
+            WHERE k.k < a.ns
+        ),
+        folded AS (
+            SELECT asset_id, ns AS n_samples, p.p, k % p.p AS r,
+                   CAST(SUM(s) AS BIGINT) AS csum
+            FROM samples,
+                 (SELECT unnest([{",".join(str(p) for p in MEL_PERIODS)}]) AS p) p
+            GROUP BY asset_id, ns, p.p, k % p.p
+        ),
+        terms AS (
+            SELECT asset_id, n_samples, p,
+                   CAST(CAST(csum AS DOUBLE)
+                        * cos({2.0 * math.pi!r} * CAST(r AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS ca,
+                   CAST(CAST(csum AS DOUBLE)
+                        * sin({2.0 * math.pi!r} * CAST(r AS DOUBLE)
+                              / CAST(p AS DOUBLE))
+                        AS DECIMAL(38,18)) AS cb
+            FROM folded
+        ),
+        agg AS (
+            SELECT asset_id, n_samples, p,
+                   CAST(SUM(ca) AS DOUBLE) AS a,
+                   CAST(SUM(cb) AS DOUBLE) AS b
+            FROM terms GROUP BY asset_id, n_samples, p
+        ),
+        pw AS (
+            SELECT asset_id, p,
+                   floor((a * a + b * b)
+                         / (CAST(n_samples AS DOUBLE)
+                            * CAST(n_samples AS DOUBLE)) * 1e6) / 1e6
+                     AS power
+            FROM agg
+        ),
+        melwts(filter_id, p, w) AS (
+            VALUES {", ".join(f"({m}, {p}, {w!r})" for m, p, w in mel_filter_weights())}
+        ),
+        mel AS (
+            SELECT pw.asset_id,
+                   CAST(melwts.filter_id AS INT) AS filter_id,
+                   CAST(COUNT(*) AS INT) AS n_bins,
+                   floor(CAST(SUM(CAST(pw.power * melwts.w AS DECIMAL(38,18)))
+                              AS DOUBLE) * 1e6) / 1e6 AS mel_energy
+            FROM pw JOIN melwts ON pw.p = melwts.p
+            GROUP BY pw.asset_id, melwts.filter_id
+        )"""
 
 
 ORACLES: dict[str, str] = {
@@ -5519,62 +5656,29 @@ ORACLES: dict[str, str] = {
         ORDER BY asset_id
     """,
     "mm_audio_mel_energy": f"""
-        WITH assets AS (
-            SELECT i AS asset_id, 1000 + 10 * i AS ns
-            FROM generate_series(0, {N_WAV_ASSETS - 1}) s(i)
-        ),
-        samples AS (
-            SELECT a.asset_id, a.ns, k.k,
-                   ((7 * a.asset_id + 13 * k.k) % 201) - 100 AS s
-            FROM assets a
-            CROSS JOIN generate_series(
-                0, {1000 + 10 * (N_WAV_ASSETS - 1) - 1}) k(k)
-            WHERE k.k < a.ns
-        ),
-        folded AS (
-            SELECT asset_id, ns AS n_samples, p.p, k % p.p AS r,
-                   CAST(SUM(s) AS BIGINT) AS csum
-            FROM samples,
-                 (SELECT unnest([{",".join(str(p) for p in MEL_PERIODS)}]) AS p) p
-            GROUP BY asset_id, ns, p.p, k % p.p
-        ),
-        terms AS (
-            SELECT asset_id, n_samples, p,
-                   CAST(CAST(csum AS DOUBLE)
-                        * cos({2.0 * math.pi!r} * CAST(r AS DOUBLE)
-                              / CAST(p AS DOUBLE))
-                        AS DECIMAL(38,18)) AS ca,
-                   CAST(CAST(csum AS DOUBLE)
-                        * sin({2.0 * math.pi!r} * CAST(r AS DOUBLE)
-                              / CAST(p AS DOUBLE))
-                        AS DECIMAL(38,18)) AS cb
-            FROM folded
-        ),
-        agg AS (
-            SELECT asset_id, n_samples, p,
-                   CAST(SUM(ca) AS DOUBLE) AS a,
-                   CAST(SUM(cb) AS DOUBLE) AS b
-            FROM terms GROUP BY asset_id, n_samples, p
-        ),
-        pw AS (
-            SELECT asset_id, p,
-                   floor((a * a + b * b)
-                         / (CAST(n_samples AS DOUBLE)
-                            * CAST(n_samples AS DOUBLE)) * 1e6) / 1e6
-                     AS power
-            FROM agg
-        ),
-        wts(filter_id, p, w) AS (
-            VALUES {", ".join(f"({m}, {p}, {w!r})" for m, p, w in mel_filter_weights())}
-        )
-        SELECT pw.asset_id,
-               CAST(wts.filter_id AS INT) AS filter_id,
-               CAST(COUNT(*) AS INT) AS n_bins,
-               floor(CAST(SUM(CAST(pw.power * wts.w AS DECIMAL(38,18)))
-                          AS DOUBLE) * 1e6) / 1e6 AS mel_energy
-        FROM pw JOIN wts ON pw.p = wts.p
-        GROUP BY pw.asset_id, wts.filter_id
+        WITH {_mel_oracle_cte()}
+        SELECT asset_id, filter_id, n_bins, mel_energy
+        FROM mel
         ORDER BY asset_id, filter_id
+    """,
+    "mm_audio_mfcc": f"""
+        WITH {_mel_oracle_cte()},
+        logmel AS (
+            SELECT asset_id, filter_id AS m,
+                   floor(ln(1.0 + mel_energy) * 1e6) / 1e6 AS logmel
+            FROM mel
+        ),
+        dct(k, m, w) AS (
+            VALUES {", ".join(f"({k}, {m}, {w!r})" for k, m, w in mfcc_dct_weights())}
+        )
+        SELECT l.asset_id,
+               CAST(d.k AS INT) AS k,
+               CAST(COUNT(*) AS INT) AS n_terms,
+               floor(CAST(SUM(CAST(l.logmel * d.w AS DECIMAL(38,18)))
+                          AS DOUBLE) * 1e6) / 1e6 AS mfcc
+        FROM logmel l JOIN dct d ON l.m = d.m
+        GROUP BY l.asset_id, d.k
+        ORDER BY asset_id, k
     """,
     "mm_image_conv_edge": f"""
         WITH assets AS (

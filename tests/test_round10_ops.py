@@ -255,6 +255,61 @@ class TestAcRefinementScans:
         assert decode_jpeg_progressive_gray(payload) is None
 
 
+def test_mfcc_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "mm_audio_mfcc")
+
+
+def test_mfcc_dct_basis_is_well_formed():
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_MEL_FILTERS,
+        N_MFCC,
+        mfcc_dct_weights,
+    )
+
+    wts = mfcc_dct_weights()
+    # k=0 row is all ones (the log-energy sum)
+    k0 = [(m, w) for k, m, w in wts if k == 0]
+    assert len(k0) == N_MEL_FILTERS and all(w == 1.0 for _, w in k0)
+    assert {k for k, _, _ in wts} == set(range(N_MFCC))
+    assert all(-1.0 <= w <= 1.0 for _, _, w in wts)
+
+
+def test_mfcc_cross_checks_numpy(spark):
+    """Full-precision numpy pipeline (true DFT powers -> mel -> log
+    -> exact DCT-II) must agree with the truncation-pinned engine
+    output to ~1e-4."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        MEL_PERIODS,
+        _wav_sample,
+        mel_filter_weights,
+        mfcc_dct_weights,
+        mm_audio_mfcc,
+    )
+
+    got = {
+        (r.asset_id, r.k): r.mfcc
+        for r in mm_audio_mfcc(spark, SF_DIR).collect()
+    }
+    melw, dctw = mel_filter_weights(), mfcc_dct_weights()
+    for aid in (0, 11, 47):
+        n = 1000 + 10 * aid
+        s = np.array([_wav_sample(aid, j) for j in range(n)], dtype=np.float64)
+        j = np.arange(n)
+        powers = {}
+        for p in MEL_PERIODS:
+            ph = 2.0 * math.pi * (j % p) / p
+            a = float((s * np.cos(ph)).sum())
+            b = float((s * np.sin(ph)).sum())
+            powers[p] = (a * a + b * b) / (n * n)
+        logmel = {}
+        for m in {m for m, _, _ in melw}:
+            e = sum(w * powers[p] for mm, p, w in melw if mm == m)
+            logmel[m] = math.log(1.0 + e)
+        for k in {k for k, _, _ in dctw}:
+            want = sum(w * logmel[m] for kk, m, w in dctw if kk == k)
+            assert abs(got[(aid, k)] - want) < 1e-3, (aid, k)
+
+
 class TestColorProgressive:
     def test_round_trip_exact(self):
         from postgres_s3_etl_spark.operators.multimodal import (
