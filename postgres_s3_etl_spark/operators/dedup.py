@@ -1174,7 +1174,123 @@ def dedup_fuzzy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Train share of the leakage-safe split (x/10 by cluster hash).
+SPLIT_TRAIN_OF_10 = 8
+
+
+def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
+    """Per-doc split assignment ``(doc_id, source, n_tokens, cluster,
+    split)`` where the train/eval decision hashes the doc's NEAR-DUP
+    CLUSTER label, not the doc — the split-leakage guard: a naive
+    per-doc hash split puts ~2·p·(1−p) of every near-dup pair across
+    the boundary, and the eval side then scores memorization.
+    Clusters are connected components over the MinHash-LSH candidate
+    pair graph (unverified candidates on purpose — for SPLITS, false
+    merges only move whole groups to one side, while a false split
+    is the leak); min-label propagation over the paired docs only,
+    fixed FUZZY_CC_ROUNDS rounds (the oracle computes the EXACT
+    transitive closure, so under-iteration cannot pass the gate).
+    Factored out so tests can feed synthetic corpora.
+
+    Scale shape: propagation touches only paired docs; the split
+    decision is one row-local md5 of the cluster label; the rollup
+    is partial-aggregatable. Nothing corpus-sized shuffles twice.
+    """
+    bands = minhash_bands_for(docs.select("doc_id", "text"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(FUZZY_CC_ROUNDS):
+        nb = (
+            sym.join(labels, sym.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nb, labels.doc == nb.doc2, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nl", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    assigned = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .join(labels, docs.doc_id == labels.doc, "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("label", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return assigned.withColumn(
+        "split",
+        F.when(
+            F.expr(
+                "conv(substr(md5(cast(cluster as string)), 1, 7), 16, 10)"
+            ).cast("bigint")
+            % 10
+            < SPLIT_TRAIN_OF_10,
+            F.lit("train"),
+        ).otherwise(F.lit("eval")),
+    )
+
+
+def text_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split accounting: docs are assigned to
+    train/eval by hashing their near-dup CLUSTER (connected component
+    of the MinHash-LSH candidate graph), so a near-duplicate pair can
+    never straddle the boundary — the split-integrity step run before
+    any held-out evaluation is trusted (doc-level hash splits leak
+    paraphrases into eval and overstate quality). Per (source,
+    split): docs, distinct clusters, token mass. (Per-doc frame:
+    :func:`leakage_safe_split_frame`; the no-cluster-straddles
+    invariant and the doc-hash-would-leak counterexample are pinned
+    in pytest.)
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return (
+        leakage_safe_split_frame(docs)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("cluster").cast("bigint").alias("n_clusters"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 QUERIES = {
+    "text_split_leakage_safe": text_split_leakage_safe,
     "dedup_fuzzy_cluster": dedup_fuzzy_cluster,
     "dedup_lsh_bucket_stats": dedup_lsh_bucket_stats,
     "dedup_exact": dedup_exact,
@@ -1697,6 +1813,56 @@ ORACLES["dedup_cc_keepset"] = f"""
            CAST((SELECT COUNT(*) FROM documents) - (SUM(sz) - COUNT(*)) AS BIGINT) AS n_kept,
            CAST(MAX(sz) AS BIGINT) AS max_component_size
     FROM sizes
+"""
+
+# Leakage-safe split: exact transitive closure (recursive CTE) over
+# the same candidate graph, then the same md5-of-cluster hash split.
+ORACLES["text_split_leakage_safe"] = f"""
+    WITH RECURSIVE {_bands_cte_sql()},
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst, src FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach(doc, label) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT e.dst, r.label
+        FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    comp AS (SELECT doc, MIN(label) AS label FROM reach GROUP BY doc),
+    assigned AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(string_split_regex(trim(d.text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               COALESCE(c.label, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc
+    ),
+    split AS (
+        SELECT *,
+               CASE WHEN list_sum([
+                        (strpos('0123456789abcdef',
+                                substr(md5(CAST(cluster AS VARCHAR)), i, 1)) - 1)
+                        * CAST(pow(16, 7 - i) AS BIGINT)
+                        for i in generate_series(1, 7)]) % 10
+                    < {SPLIT_TRAIN_OF_10}
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM assigned
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM split
+    GROUP BY source, split
+    ORDER BY source, split
 """
 
 

@@ -255,6 +255,64 @@ class TestAcRefinementScans:
         assert decode_jpeg_progressive_gray(payload) is None
 
 
+def _doc_hash_split(x) -> str:
+    import hashlib
+
+    v = int(hashlib.md5(str(x).encode()).hexdigest()[:7], 16)
+    return "train" if v % 10 < 8 else "eval"
+
+
+def test_leakage_safe_split_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_split_leakage_safe")
+
+
+def test_no_cluster_straddles_the_split(spark):
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.catalog import load_table
+    from postgres_s3_etl_spark.operators.dedup import (
+        leakage_safe_split_frame,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "source", "text"
+    )
+    frame = leakage_safe_split_frame(docs)
+    bad = (
+        frame.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+    )
+    assert bad == 0
+    # both splits exist and the cluster hash realizes ~80/20
+    counts = {r.split: r.c for r in frame.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert set(counts) == {"train", "eval"}
+
+
+def test_doc_hash_split_would_leak_but_cluster_split_does_not(spark):
+    """Plant two verbatim copies whose DOC-level hashes land on
+    opposite sides: the naive split leaks the pair into eval, the
+    cluster split keeps them together."""
+    from postgres_s3_etl_spark.operators.dedup import (
+        leakage_safe_split_frame,
+    )
+
+    # find a (train, eval) doc-hash pair deterministically
+    i = next(x for x in range(1000) if _doc_hash_split(x) == "train")
+    j = next(x for x in range(1000) if _doc_hash_split(x) == "eval")
+    dup = " ".join(f"tok{t}" for t in range(30))
+    other = " ".join(f"zzz{t}" for t in range(30))
+    docs = spark.createDataFrame(
+        [(i, "s", dup), (j, "s", dup), (901, "s", other)],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in leakage_safe_split_frame(docs).collect()}
+    assert _doc_hash_split(i) != _doc_hash_split(j)  # naive would leak
+    assert rows[i].cluster == rows[j].cluster == min(i, j)
+    assert rows[i].split == rows[j].split  # cluster split does not
+
+
 def test_mfcc_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "mm_audio_mfcc")
 
