@@ -4823,6 +4823,7 @@ def mm_image_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: at most 6 differing BYTES, so any true near-dup pair shares >= 2
 #: equal row bytes and the (row_pos, row_byte) equi-join has EXACT
 #: recall (same guarantee family as dedup_simhash's 7-chunk split).
+
 PHASH_GRID_X = 9
 PHASH_GRID_Y = 8
 PHASH_MAX_HAMMING = 6
@@ -5121,6 +5122,264 @@ _PHASH_ORACLE = f"""
     ORDER BY hamming, asset_a, asset_b LIMIT {PHASH_TOP_PAIRS}
 """
 
+#: Video near-dup detection: frame-level dHash. 12 base videos of 6
+#: frames; every 3rd base gets a "re-encode" variant (brightness
+#: shift + sparse tweak per frame). Validated at build time:
+#: variant-vs-base frame hamming <= 1, cross-base frame hamming
+#: >= 12 — planted re-encodes are the ONLY sub-threshold matches.
+N_VPHASH_BASE = 12
+VPHASH_FRAMES = 6
+VPHASH_W, VPHASH_H = 24, 16
+VPHASH_MIN_FRAMES = 4  # matched frames needed for a dup verdict
+
+
+def _vphash_pixel(a: int, t: int, x: int, y: int) -> int:
+    """Closed-form luma of frame ``t`` of base video ``a`` —
+    quadratic x/y structure (a linear ramp would make every dHash
+    identical) with the frame index mixed into the coefficients so
+    frames differ within a video. Mirrored verbatim in SQL."""
+    return (
+        a * 37
+        + ((a * a) % 101) * 3
+        + (x * x % 97) * (1 + (a + t) % 7)
+        + (y * y % 89) * (1 + a % 5)
+        + (x * y) % 61
+        + x * ((a + 2 * t) % 11)
+        + t * 29
+    ) % 256
+
+
+def encode_vphash_y4m(asset_id: int, base: int, variant: bool) -> bytes:
+    """Real C444 y4m of VPHASH_FRAMES frames: Y from
+    :func:`_vphash_pixel` of ``base`` (variants add the clamped
+    brightness shift + sparse tweak — a re-encode, bytewise
+    different everywhere), U/V constant 128."""
+    import numpy as np
+
+    parts = [
+        f"YUV4MPEG2 W{VPHASH_W} H{VPHASH_H} F25:1 Ip A1:1 C444\n".encode()
+    ]
+    uv = np.full((VPHASH_H, VPHASH_W), 128, dtype=np.uint8)
+    for t in range(VPHASH_FRAMES):
+        yp = np.zeros((VPHASH_H, VPHASH_W), dtype=np.uint8)
+        for y in range(VPHASH_H):
+            for x in range(VPHASH_W):
+                g = _vphash_pixel(base, t, x, y)
+                if variant:
+                    g = min(255, g + PHASH_VARIANT_DELTA)
+                    if (x * 7 + y * 11) % 83 == 0:
+                        g = min(255, g + 40)
+                yp[y, x] = g
+        parts.append(b"FRAME\n" + yp.tobytes() + uv.tobytes() + uv.tobytes())
+    return b"".join(parts)
+
+
+def synth_vphash_media(spark: SparkSession) -> DataFrame:
+    """N_VPHASH_BASE distinct videos + one re-encoded variant for
+    every 3rd base (variant asset_id = N_VPHASH_BASE + base/3)."""
+    rows = []
+    for a in range(N_VPHASH_BASE):
+        rows.append(
+            (a, "video", VPHASH_W, VPHASH_H, 0,
+             bytearray(encode_vphash_y4m(a, a, False)))
+        )
+    for b in range(0, N_VPHASH_BASE, 3):
+        vid = N_VPHASH_BASE + b // 3
+        rows.append(
+            (vid, "video", VPHASH_W, VPHASH_H, 0,
+             bytearray(encode_vphash_y4m(vid, b, True)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_VPHASH_ORACLE = f"""
+    WITH assets AS (
+        SELECT a AS asset_id, a AS base, FALSE AS is_variant
+        FROM range(0, {N_VPHASH_BASE}) t(a)
+        UNION ALL
+        SELECT {N_VPHASH_BASE} + b // 3, b, TRUE
+        FROM range(0, {N_VPHASH_BASE}, 3) t(b)
+    ),
+    px AS (
+        SELECT asset_id, t, x, y,
+               CASE WHEN is_variant THEN
+                   LEAST(255, LEAST(255, gbase + {PHASH_VARIANT_DELTA})
+                       + CASE WHEN (x*7 + y*11) % 83 = 0
+                              THEN 40 ELSE 0 END)
+               ELSE gbase END AS g
+        FROM (
+            SELECT asset_id, is_variant, tf.t, x, y,
+                   (base*37 + ((base*base) % 101) * 3
+                    + (x*x % 97) * (1 + (base + tf.t) % 7)
+                    + (y*y % 89) * (1 + base % 5)
+                    + (x*y) % 61 + x * ((base + 2*tf.t) % 11)
+                    + tf.t * 29) % 256 AS gbase
+            FROM assets,
+                 range(0, {VPHASH_FRAMES}) tf(t),
+                 range(0, {VPHASH_W}) tx(x),
+                 range(0, {VPHASH_H}) ty(y)
+        )
+    ),
+    cells AS (
+        SELECT asset_id, t,
+               (x * {PHASH_GRID_X}) // {VPHASH_W} AS gx,
+               (y * {PHASH_GRID_Y}) // {VPHASH_H} AS gy,
+               SUM(g) // COUNT(*) AS mean_g
+        FROM px GROUP BY 1, 2, 3, 4
+    ),
+    rbytes AS (
+        SELECT a.asset_id, a.t, a.gy,
+               SUM(CASE WHEN b.mean_g > a.mean_g
+                        THEN 1 << a.gx ELSE 0 END) AS rbyte
+        FROM cells a
+        JOIN cells b ON a.asset_id = b.asset_id AND a.t = b.t
+                     AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.gx < {PHASH_GRID_X - 1}
+        GROUP BY a.asset_id, a.t, a.gy
+    ),
+    fpairs AS MATERIALIZED (
+        SELECT CAST(a.asset_id AS BIGINT) AS asset_a, a.t AS frame_a,
+               CAST(b.asset_id AS BIGINT) AS asset_b, b.t AS frame_b,
+               CAST(SUM(bit_count(xor(a.rbyte, b.rbyte))) AS BIGINT)
+                   AS hamming
+        FROM rbytes a
+        JOIN rbytes b ON a.gy = b.gy AND a.asset_id < b.asset_id
+        GROUP BY 1, 2, 3, 4
+        HAVING SUM(bit_count(xor(a.rbyte, b.rbyte)))
+               <= {PHASH_MAX_HAMMING}
+    )
+    SELECT asset_a, asset_b,
+           CAST(COUNT(*) AS BIGINT) AS n_frame_pairs,
+           CAST(COUNT(DISTINCT frame_a) AS BIGINT) AS n_frames_a_matched,
+           CAST(MIN(hamming) AS BIGINT) AS min_hamming,
+           COUNT(DISTINCT frame_a) >= {VPHASH_MIN_FRAMES} AS is_dup
+    FROM fpairs
+    GROUP BY asset_a, asset_b
+    ORDER BY asset_a, asset_b
+"""
+
+
+def mm_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by FRAME-level perceptual
+    hashing — the re-encoded/re-uploaded-video question an
+    exact-digest pass cannot answer (a brightness tweak changes every
+    byte of every frame). Per frame (row-local, Arrow-batched): REAL
+    y4m decode → luma dHash (the mm_image_phash_dedup 9×8 box-mean
+    recipe) → 8 small ints per frame cross Arrow. Candidate
+    frame pairs meet ONLY inside a shared (row_pos, row_byte)
+    pigeonhole bucket across DIFFERENT assets (hamming ≤ 6 of 8
+    bytes ⇒ ≥ 2 equal bytes ⇒ ≥ 1 shared bucket — recall exact, no
+    all-pairs), are verified with bit_count(xor), then roll up per
+    asset pair: a pair is a duplicate VIDEO when ≥ VPHASH_MIN_FRAMES
+    of its frames match. The oracle regenerates pixels in closed
+    form and brute-forces all frame pairs (sound because pigeonhole
+    recall is exact).
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = decode_y4m(bytes(payload))
+                if dec is None:
+                    continue
+                w, h, frames = dec
+                if w < PHASH_GRID_X or h < PHASH_GRID_Y:
+                    continue
+                gxi = (np.arange(w) * PHASH_GRID_X) // w
+                gyi = (np.arange(h) * PHASH_GRID_Y) // h
+                cell = gyi[:, None] * PHASH_GRID_X + gxi[None, :]
+                n_cells = PHASH_GRID_X * PHASH_GRID_Y
+                cnts = np.bincount(cell.ravel(), minlength=n_cells)
+                for t, fr in enumerate(frames):
+                    luma = fr[0].astype(np.int64)
+                    sums = np.bincount(
+                        cell.ravel(), weights=luma.ravel(),
+                        minlength=n_cells,
+                    ).astype(np.int64)
+                    means = (sums // cnts).reshape(
+                        PHASH_GRID_Y, PHASH_GRID_X
+                    )
+                    rows = []
+                    for gy in range(PHASH_GRID_Y):
+                        byte = 0
+                        for cx in range(PHASH_GRID_X - 1):
+                            if means[gy, cx + 1] > means[gy, cx]:
+                                byte |= 1 << cx
+                        rows.append(int(byte))
+                    out.append((int(aid), t, rows))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "frame", "rows"]
+            )
+
+    media = synth_vphash_media(spark).select("asset_id", "payload")
+    hashes = media.mapInPandas(
+        batches, "asset_id bigint, frame int, rows array<int>"
+    ).localCheckpoint()
+    buckets = hashes.select(
+        "asset_id",
+        "frame",
+        F.posexplode("rows").alias("gy", "rbyte"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.gy") == F.col("b.gy"))
+            & (F.col("a.rbyte") == F.col("b.rbyte"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("a.frame").alias("frame_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("b.frame").alias("frame_b"),
+        )
+        .distinct()
+    )
+    ra = hashes.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("frame").alias("frame_a"),
+        F.col("rows").alias("rows_a"),
+    )
+    rb = hashes.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("frame").alias("frame_b"),
+        F.col("rows").alias("rows_b"),
+    )
+    hamming = F.expr(
+        "aggregate(zip_with(rows_a, rows_b,"
+        " (x, y) -> bit_count(x ^ y)), 0, (s, v) -> s + v)"
+    )
+    matched = (
+        F.broadcast(cands)
+        .join(ra, ["asset_a", "frame_a"])
+        .join(rb, ["asset_b", "frame_b"])
+        .select(
+            "asset_a",
+            "frame_a",
+            "asset_b",
+            "frame_b",
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+    return (
+        matched.groupBy("asset_a", "asset_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frame_pairs"),
+            F.countDistinct("frame_a")
+            .cast("bigint")
+            .alias("n_frames_a_matched"),
+            F.min("hamming").cast("bigint").alias("min_hamming"),
+        )
+        .withColumn(
+            "is_dup", F.col("n_frames_a_matched") >= VPHASH_MIN_FRAMES
+        )
+        .orderBy("asset_a", "asset_b")
+    )
+
 
 def _phash_cc_oracle() -> str:
     n_assets = N_PHASH_BASE + N_PHASH_BASE // 4
@@ -5162,6 +5421,7 @@ def _phash_cc_oracle() -> str:
 
 QUERIES = {
     "mm_image_phash_dedup": mm_image_phash_dedup,
+    "mm_video_phash_dedup": mm_video_phash_dedup,
     "mm_phash_cc_keepset": mm_phash_cc_keepset,
     "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_image_resize": mm_image_resize,
@@ -5288,6 +5548,7 @@ def _mel_oracle_cte() -> str:
 
 ORACLES: dict[str, str] = {
     "mm_image_phash_dedup": _PHASH_ORACLE,
+    "mm_video_phash_dedup": _VPHASH_ORACLE,
     "mm_phash_cc_keepset": _phash_cc_oracle(),
     "mm_image_resize": f"""
         WITH assets AS (

@@ -313,6 +313,93 @@ def test_doc_hash_split_would_leak_but_cluster_split_does_not(spark):
     assert rows[i].split == rows[j].split  # cluster split does not
 
 
+def test_video_phash_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "mm_video_phash_dedup")
+
+
+def test_video_phash_finds_exactly_the_planted_reencodes(spark):
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_VPHASH_BASE,
+        VPHASH_FRAMES,
+        mm_video_phash_dedup,
+    )
+
+    rows = mm_video_phash_dedup(spark, "ignored").collect()
+    planted = {
+        (b, N_VPHASH_BASE + b // 3) for b in range(0, N_VPHASH_BASE, 3)
+    }
+    got = {(r.asset_a, r.asset_b) for r in rows}
+    assert got == planted  # no cross-base false positives survive
+    for r in rows:
+        assert r.is_dup
+        assert r.n_frames_a_matched == VPHASH_FRAMES
+        assert r.min_hamming <= 1
+
+
+def test_video_phash_separation_premise():
+    """The build-time claim: variant frames hash within 1 bit of
+    their base frame; distinct bases stay >= 12 bits apart."""
+    import itertools
+
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_VPHASH_BASE,
+        PHASH_GRID_X,
+        PHASH_GRID_Y,
+        VPHASH_FRAMES,
+        VPHASH_H,
+        VPHASH_W,
+        _vphash_pixel,
+        decode_y4m,
+        encode_vphash_y4m,
+    )
+
+    def dhash_frames(payload):
+        w, h, frames = decode_y4m(payload)
+        gxi = (np.arange(w) * PHASH_GRID_X) // w
+        gyi = (np.arange(h) * PHASH_GRID_Y) // h
+        cell = gyi[:, None] * PHASH_GRID_X + gxi[None, :]
+        n_cells = PHASH_GRID_X * PHASH_GRID_Y
+        cnts = np.bincount(cell.ravel(), minlength=n_cells)
+        out = []
+        for fr in frames:
+            sums = np.bincount(
+                cell.ravel(), weights=fr[0].astype(np.int64).ravel(),
+                minlength=n_cells,
+            ).astype(np.int64)
+            means = (sums // cnts).reshape(PHASH_GRID_Y, PHASH_GRID_X)
+            rows = []
+            for gy in range(PHASH_GRID_Y):
+                byte = 0
+                for cx in range(PHASH_GRID_X - 1):
+                    if means[gy, cx + 1] > means[gy, cx]:
+                        byte |= 1 << cx
+                rows.append(byte)
+            out.append(rows)
+        return out
+
+    ham = lambda r1, r2: sum(  # noqa: E731
+        bin(a ^ b).count("1") for a, b in zip(r1, r2)
+    )
+    bases = {
+        a: dhash_frames(encode_vphash_y4m(a, a, False))
+        for a in range(0, N_VPHASH_BASE, 2)
+    }
+    var = dhash_frames(encode_vphash_y4m(99, 0, True))
+    assert all(
+        ham(var[t], bases[0][t]) <= 1 for t in range(VPHASH_FRAMES)
+    )
+    cross = min(
+        ham(fa, fb)
+        for (a, fra), (b, frb) in itertools.combinations(bases.items(), 2)
+        for fa in fra
+        for fb in frb
+    )
+    assert cross >= 12
+    # the closed form is what the encoder actually wrote
+    w, h, frames = decode_y4m(encode_vphash_y4m(3, 3, False))
+    assert frames[2][0][5, 7] == _vphash_pixel(3, 2, 7, 5)
+
+
 def test_mfcc_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "mm_audio_mfcc")
 
