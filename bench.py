@@ -142,10 +142,14 @@ HEADLINE = (
     "text_unigram_lm_train",
     "text_unigram_lm_heldout",
     # round-10 additions (fuzzy eval-set decon, per-source cap
-    # keep-set, mel-filterbank energies)
+    # keep-set, mel-filterbank energies + MFCC, leakage-safe split,
+    # frame-level video phash dedup)
     "text_decontaminate_fuzzy",
     "text_source_caps",
     "mm_audio_mel_energy",
+    "mm_audio_mfcc",
+    "text_split_leakage_safe",
+    "mm_video_phash_dedup",
 )
 
 
