@@ -43,6 +43,7 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.scd",
     "postgres_s3_etl_spark.operators.clustering",
     "postgres_s3_etl_spark.operators.cogroup",
+    "postgres_s3_etl_spark.operators.curation",
     "postgres_s3_etl_spark.streaming.events_stream",
 )
 

@@ -1309,10 +1309,12 @@ QUERIES = {
 }
 
 
-def _bands_cte_sql(n_bands: int = LSH_BANDS) -> str:
+def _bands_cte_sql(n_bands: int = LSH_BANDS, rel: str = "documents") -> str:
     """Shared DuckDB CTE chain ending in ``bands(doc_id, band,
     bucket)`` — the SQL twin of :func:`minhash_bands_for` (or, at
-    ``n_bands != LSH_BANDS``, of ``_band_rows(sig, n_bands)``)."""
+    ``n_bands != LSH_BANDS``, of ``_band_rows(sig, n_bands)``).
+    ``rel`` is the (doc_id, text) relation to band — a table name or
+    a parenthesized subquery over earlier CTEs."""
     rpb = NUM_MINHASHES // n_bands
     mh_cols = ", ".join(
         f"MIN(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
@@ -1328,7 +1330,7 @@ def _bands_cte_sql(n_bands: int = LSH_BANDS) -> str:
         sh AS (
             SELECT doc_id, {_SHINGLES_SQL} AS shingles
             FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                  FROM documents)
+                  FROM {rel})
         ),
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         hv AS (

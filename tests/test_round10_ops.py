@@ -313,6 +313,66 @@ def test_doc_hash_split_would_leak_but_cluster_split_does_not(spark):
     assert rows[i].split == rows[j].split  # cluster split does not
 
 
+def test_curation_funnel_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_curation_funnel")
+
+
+def test_curation_funnel_is_monotone(spark):
+    from collections import defaultdict
+
+    from postgres_s3_etl_spark.operators.curation import (
+        text_curation_funnel,
+    )
+
+    rows = text_curation_funnel(spark, "/root/testdata/sf0.01").collect()
+    by_src = defaultdict(dict)
+    for r in rows:
+        by_src[r.source][r.stage] = (r.n_docs, r.n_tokens)
+    for src, stages in by_src.items():
+        assert set(stages) == set(range(6)), src
+        for s in range(1, 6):
+            assert stages[s][0] <= stages[s - 1][0], (src, s)
+            assert stages[s][1] <= stages[s - 1][1], (src, s)
+
+
+def test_curation_funnel_every_stage_bites(spark, monkeypatch):
+    """Planted corpus where each stage drops exactly one doc: a
+    punctuation-heavy doc (quality), an exact copy (dedup), a
+    one-word paraphrase (near-dedup), and an eval-8-gram carrier
+    (decon)."""
+    import postgres_s3_etl_spark.operators.curation as cu
+
+    words = lambda p: " ".join(f"{p}{i}" for i in range(40))  # noqa: E731
+    ev = words("e")
+    t2 = words("b")
+    t4 = words("c")
+    t4v = t4.replace("c39", "zzz")      # one word changed -> near-dup
+    contaminated = (
+        " ".join(f"d{i}" for i in range(16))
+        + " " + " ".join(f"e{i}" for i in range(8))  # eval 8-gram
+        + " " + " ".join(f"d{i}" for i in range(16, 32))
+    )
+    lowq = words("a") + " " + " ".join(["."] * 8)
+    docs = spark.createDataFrame(
+        [
+            (0, "s", ev),            # eval split (doc_id % 50 == 0)
+            (1, "s", lowq),          # dies at quality_gate
+            (2, "s", t2),
+            (3, "s", t2),            # exact copy -> dies at exact_dedup
+            (4, "s", t4),
+            (5, "s", t4v),           # paraphrase -> dies at near_dedup
+            (6, "s", contaminated),  # dies at decontamination
+            (7, "s", words("f")),    # survives everything
+        ],
+        "doc_id long, source string, text string",
+    )
+    monkeypatch.setattr(cu, "load_table", lambda spark, sf_dir, name: docs)
+    rows = {r.stage: r for r in cu.text_curation_funnel(spark, "x").collect()}
+    assert [rows[s].n_docs for s in range(6)] == [7, 6, 5, 4, 3, 3]
+    assert rows[0].stage_name == "raw"
+    assert rows[5].stage_name == "source_caps"
+
+
 def test_video_phash_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "mm_video_phash_dedup")
 
