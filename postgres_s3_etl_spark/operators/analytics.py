@@ -3056,6 +3056,66 @@ def q_orders_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and
+    l_extendedprice — the MONOTONE-association companion to
+    ``q_lineitem_corr``'s Pearson r (robust to the price
+    distribution's heavy tail; the pair r ≫ ρ / ρ ≫ r is the
+    standard linearity-vs-monotonicity diagnostic). Tie handling is
+    the exact mid-rank convention (same as the rank-test family).
+
+    Scale shape: mid-ranks come from VALUE-grain rollups through the
+    two-pass distributed rank (``with_global_order`` — never a
+    single-task window over raw rows); rows join their two rank
+    tables back on the value keys (the quantity side is 50 values —
+    broadcast; the price side is a value-grain equi-join, linear);
+    the final Pearson-over-ranks is one scalar rollup with each
+    product pinned to DECIMAL(38,6) (the rank-family convention —
+    order-independent folds; mid-rank halves are exact in double).
+    """
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+
+    def mid_ranks(col: str) -> DataFrame:
+        vg = rows.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v")
+        )
+        return with_global_order(
+            vg, [F.asc(col)], sum_cols=["n_v"]
+        ).select(
+            col,
+            (
+                F.col("_gcum_n_v").cast("double")
+                - (F.col("n_v") - 1) / 2.0
+            ).alias(f"mr_{col}"),
+        )
+    j = rows.join(F.broadcast(mid_ranks("x")), "x").join(
+        mid_ranks("y"), "y"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            (F.col("mr_x") * F.col("mr_y")).cast("decimal(38,6)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("mr_x") * F.col("mr_x")).cast("decimal(38,6)")
+        ).alias("sxx"),
+        F.sum(
+            (F.col("mr_y") * F.col("mr_y")).cast("decimal(38,6)")
+        ).alias("syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    m = (n + 1.0) / 2.0  # mean mid-rank (ties preserve the total)
+    rho = (F.col("sxy").cast("double") - n * m * m) / F.sqrt(
+        (F.col("sxx").cast("double") - n * m * m)
+        * (F.col("syy").cast("double") - n * m * m)
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return agg.select("n_rows", f6(rho).alias("spearman_rho"))
+
+
 def q_orders_brown_forsythe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3606,6 +3666,7 @@ QUERIES = {
     "q_lineitem_unpivot": q_lineitem_unpivot,
     "q_percentiles_disc": q_percentiles_disc,
     "q_lineitem_corr": q_lineitem_corr,
+    "q_lineitem_spearman": q_lineitem_spearman,
 }
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
@@ -5517,6 +5578,48 @@ ORACLES = {
         FROM ranked
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+    """,
+    "q_lineitem_spearman": """
+        WITH r AS (
+            SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+        ),
+        vx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_v FROM r GROUP BY x),
+        rx AS (
+            SELECT x,
+                   SUM(n_v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                       - (n_v - 1) / 2.0 AS mr_x
+            FROM vx
+        ),
+        vy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_v FROM r GROUP BY y),
+        ry AS (
+            SELECT y,
+                   SUM(n_v) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                       - (n_v - 1) / 2.0 AS mr_y
+            FROM vy
+        ),
+        j AS (
+            SELECT rx.mr_x, ry.mr_y
+            FROM r JOIN rx ON r.x = rx.x JOIN ry ON r.y = ry.y
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   SUM(CAST(mr_x * mr_y AS DECIMAL(38,6))) AS sxy,
+                   SUM(CAST(mr_x * mr_x AS DECIMAL(38,6))) AS sxx,
+                   SUM(CAST(mr_y * mr_y AS DECIMAL(38,6))) AS syy
+            FROM j
+        )
+        SELECT n_rows,
+               floor((CAST(sxy AS DOUBLE)
+                      - n_rows * ((n_rows + 1) / 2.0)
+                              * ((n_rows + 1) / 2.0))
+                     / sqrt((CAST(sxx AS DOUBLE)
+                             - n_rows * ((n_rows + 1) / 2.0)
+                                     * ((n_rows + 1) / 2.0))
+                            * (CAST(syy AS DOUBLE)
+                               - n_rows * ((n_rows + 1) / 2.0)
+                                       * ((n_rows + 1) / 2.0)))
+                     * 1e6) / 1e6 AS spearman_rho
+        FROM agg
     """,
     "q_lineitem_corr": """
         WITH base AS (

@@ -313,6 +313,63 @@ def test_doc_hash_split_would_leak_but_cluster_split_does_not(spark):
     assert rows[i].split == rows[j].split  # cluster split does not
 
 
+def test_spearman_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_lineitem_spearman")
+
+
+def test_spearman_against_pure_python(spark, monkeypatch):
+    """Mid-rank Spearman on a small frame with ties, cross-checked
+    against a from-scratch average-rank computation."""
+    import postgres_s3_etl_spark.operators.analytics as an
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0, 5.0]
+    ys = [2.0, 1.0, 3.0, 3.0, 5.0, 4.0, 6.0, 7.0]
+    df = spark.createDataFrame(
+        [(x, y) for x, y in zip(xs, ys)],
+        "l_quantity double, l_extendedprice double",
+    )
+    monkeypatch.setattr(an, "load_table", lambda s, d, n: df)
+    [row] = an.q_lineitem_spearman(spark, "x").collect()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx = sum(rx) / n
+    num = sum(a * b for a, b in zip(rx, ry)) - n * mx * mx
+    den = (
+        (sum(a * a for a in rx) - n * mx * mx)
+        * (sum(b * b for b in ry) - n * mx * mx)
+    ) ** 0.5
+    assert row.n_rows == n
+    assert abs(row.spearman_rho - num / den) < 1e-5
+
+
+def test_spearman_bounds_on_lineitem(spark):
+    """The synthetic testdata draws quantity and price independently,
+    so ρ should be a valid correlation near zero (the designed-ties
+    test above carries the exact-value semantics)."""
+    from postgres_s3_etl_spark.operators.analytics import (
+        q_lineitem_spearman,
+    )
+
+    [row] = q_lineitem_spearman(spark, SF_DIR).collect()
+    assert -1.0 <= row.spearman_rho <= 1.0
+    assert abs(row.spearman_rho) < 0.1
+
+
 def test_curation_funnel_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "text_curation_funnel")
 
