@@ -5122,6 +5122,94 @@ _PHASH_ORACLE = f"""
     ORDER BY hamming, asset_a, asset_b LIMIT {PHASH_TOP_PAIRS}
 """
 
+#: SSIM stabilizers (Wang et al. 2004) at L = 255:
+#: C1 = (0.01·255)², C2 = (0.03·255)². Literals in both engines.
+SSIM_C1 = 6.5025
+SSIM_C2 = 58.5225
+
+
+def mm_image_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural similarity (SSIM, global window) for every
+    phash-detected near-dup image pair — the verify-with-a-quality-
+    metric stage a production image-dedup runs after candidate
+    detection (hamming says "probably the same picture"; SSIM says
+    HOW close, and separates brightness-tweaked re-encodes from
+    genuinely different images that happened to collide).
+
+    Plan: each decoded image becomes per-pixel rows (asset, idx, g)
+    — Arrow-batched, bounded by the synthetic asset set like every
+    mm_* op; the candidate pairs (broadcast — band-bounded) join the
+    pixel frame twice on (asset, idx) and reduce to exact BIGINT
+    moment sums (n, Σx, Σy, Σx², Σy², Σxy); the SSIM formula then
+    runs engine-side on doubles derived from exact integers — no
+    rounding can differ across engines before the final floor-6.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_pgm(bytes(payload))
+                if img is None:
+                    continue
+                flat = img.astype(np.int64).ravel()
+                out.extend(
+                    (int(aid), i, int(g)) for i, g in enumerate(flat)
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "idx", "g"])
+
+    media = synth_phash_media(spark).select("asset_id", "payload")
+    px = media.mapInPandas(
+        batches, "asset_id bigint, idx int, g bigint"
+    )
+    pairs = _phash_pairs(spark).select("asset_a", "asset_b", "hamming")
+    pa = px.select(
+        F.col("asset_id").alias("asset_a"),
+        "idx",
+        F.col("g").alias("ga"),
+    )
+    pb = px.select(
+        F.col("asset_id").alias("asset_b"),
+        "idx",
+        F.col("g").alias("gb"),
+    )
+    sums = (
+        F.broadcast(pairs)
+        .join(pa, "asset_a")
+        .join(pb, ["asset_b", "idx"])
+        .groupBy("asset_a", "asset_b", "hamming")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ga").cast("bigint").alias("sx"),
+            F.sum("gb").cast("bigint").alias("sy"),
+            F.sum(F.col("ga") * F.col("ga")).cast("bigint").alias("sxx"),
+            F.sum(F.col("gb") * F.col("gb")).cast("bigint").alias("syy"),
+            F.sum(F.col("ga") * F.col("gb")).cast("bigint").alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    cov = F.col("sxy").cast("double") / n - mx * my
+    ssim = (
+        (2.0 * mx * my + F.lit(SSIM_C1))
+        * (2.0 * cov + F.lit(SSIM_C2))
+    ) / (
+        (mx * mx + my * my + F.lit(SSIM_C1))
+        * (vx + vy + F.lit(SSIM_C2))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return sums.select(
+        "asset_a",
+        "asset_b",
+        "hamming",
+        f6(ssim).alias("ssim"),
+    ).orderBy("asset_a", "asset_b")
+
+
 #: Video near-dup detection: frame-level dHash. 12 base videos of 6
 #: frames; every 3rd base gets a "re-encode" variant (brightness
 #: shift + sparse tweak per frame). Validated at build time:
@@ -5191,6 +5279,41 @@ def synth_vphash_media(spark: SparkSession) -> DataFrame:
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
+
+_SSIM_ORACLE = f"""
+    WITH {_PHASH_PAIRS_SQL},
+    moments AS (
+        SELECT p.asset_a, p.asset_b, p.hamming,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(a.g) AS BIGINT) AS sx,
+               CAST(SUM(b.g) AS BIGINT) AS sy,
+               CAST(SUM(a.g * a.g) AS BIGINT) AS sxx,
+               CAST(SUM(b.g * b.g) AS BIGINT) AS syy,
+               CAST(SUM(a.g * b.g) AS BIGINT) AS sxy
+        FROM pairs p
+        JOIN px a ON a.asset_id = p.asset_a
+        JOIN px b ON b.asset_id = p.asset_b
+                 AND b.x = a.x AND b.y = a.y
+        GROUP BY 1, 2, 3
+    )
+    SELECT asset_a, asset_b, hamming,
+           floor(((2.0 * (sx / CAST(n AS DOUBLE))
+                       * (sy / CAST(n AS DOUBLE)) + {SSIM_C1!r})
+                  * (2.0 * (sxy / CAST(n AS DOUBLE)
+                            - (sx / CAST(n AS DOUBLE))
+                              * (sy / CAST(n AS DOUBLE))) + {SSIM_C2!r}))
+                 / (((sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))
+                     + (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+                     + {SSIM_C1!r})
+                    * ((sxx / CAST(n AS DOUBLE)
+                        - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+                       + (syy / CAST(n AS DOUBLE)
+                          - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                       + {SSIM_C2!r}))
+                 * 1e6) / 1e6 AS ssim
+    FROM moments
+    ORDER BY asset_a, asset_b
+"""
 
 _VPHASH_ORACLE = f"""
     WITH assets AS (
@@ -5422,6 +5545,7 @@ def _phash_cc_oracle() -> str:
 QUERIES = {
     "mm_image_phash_dedup": mm_image_phash_dedup,
     "mm_video_phash_dedup": mm_video_phash_dedup,
+    "mm_image_ssim_pairs": mm_image_ssim_pairs,
     "mm_phash_cc_keepset": mm_phash_cc_keepset,
     "mm_image_decode_bmp": mm_image_decode_bmp,
     "mm_image_resize": mm_image_resize,
@@ -5549,6 +5673,7 @@ def _mel_oracle_cte() -> str:
 ORACLES: dict[str, str] = {
     "mm_image_phash_dedup": _PHASH_ORACLE,
     "mm_video_phash_dedup": _VPHASH_ORACLE,
+    "mm_image_ssim_pairs": _SSIM_ORACLE,
     "mm_phash_cc_keepset": _phash_cc_oracle(),
     "mm_image_resize": f"""
         WITH assets AS (

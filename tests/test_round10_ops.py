@@ -430,6 +430,55 @@ def test_curation_funnel_every_stage_bites(spark, monkeypatch):
     assert rows[5].stage_name == "source_caps"
 
 
+def test_ssim_pairs_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "mm_image_ssim_pairs")
+
+
+def _ssim_np(a, b):
+    from postgres_s3_etl_spark.operators.multimodal import (
+        SSIM_C1,
+        SSIM_C2,
+    )
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mx, my = a.mean(), b.mean()
+    vx, vy = a.var(), b.var()
+    cov = (a * b).mean() - mx * my
+    return ((2 * mx * my + SSIM_C1) * (2 * cov + SSIM_C2)) / (
+        (mx * mx + my * my + SSIM_C1) * (vx + vy + SSIM_C2)
+    )
+
+
+def test_ssim_cross_checks_numpy_and_separates(spark):
+    from postgres_s3_etl_spark.operators.multimodal import (
+        decode_pgm,
+        encode_phash_pgm,
+        mm_image_ssim_pairs,
+    )
+
+    got = {
+        (r.asset_a, r.asset_b): r.ssim
+        for r in mm_image_ssim_pairs(spark, "ignored").collect()
+    }
+    assert got, "no pairs scored"
+    # numpy cross-check on two planted pairs (exact integer moments
+    # -> only the final floor-6 separates them)
+    for base in (0, 8):
+        va = decode_pgm(encode_phash_pgm(base, base, False))
+        vb = decode_pgm(encode_phash_pgm(99, base, True))
+        want = _ssim_np(va, vb)
+        key = (base, 40 + base // 4)
+        assert abs(got[key] - want) < 2e-6, (key, got[key], want)
+    # re-encodes score near 1; unrelated bases score far lower —
+    # the metric genuinely separates (negative control in numpy,
+    # since phash correctly never pairs unrelated bases)
+    assert all(v > 0.98 for v in got.values())
+    ua = decode_pgm(encode_phash_pgm(0, 0, False))
+    ub = decode_pgm(encode_phash_pgm(4, 4, False))
+    assert _ssim_np(ua, ub) < 0.85
+
+
 def test_video_phash_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "mm_video_phash_dedup")
 
