@@ -313,6 +313,53 @@ def test_doc_hash_split_would_leak_but_cluster_split_does_not(spark):
     assert rows[i].split == rows[j].split  # cluster split does not
 
 
+def test_rolling_ladder_composition_equals_direct_polynomial():
+    """Algebraic invariant of the span-ladder rewrite, for ANY token
+    digest sequence: the dyadic composition h₂ʟ[i] =
+    (hʟ[i]·Bᴸ + hʟ[i+L]) mod P must equal the DIRECT degree-(2L−1)
+    polynomial hash Σ d_j·B^(2L−1−j) mod P at every position —
+    hypothesis-driven (random digests, both prime fields)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        ROLL_B1,
+        ROLL_B2,
+        ROLL_P1,
+        ROLL_P2,
+        SPAN_LADDER,
+    )
+
+    @given(
+        digests=st.lists(
+            st.integers(min_value=0, max_value=ROLL_P2 - 1),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def check(digests):
+        for b, p in ((ROLL_B1, ROLL_P1), (ROLL_B2, ROLL_P2)):
+            d = [x % p for x in digests]
+            levels = {1: d}
+            L = 1
+            while L < SPAN_LADDER[-1]:
+                prev = levels[L]
+                levels[2 * L] = [
+                    (prev[i] * pow(b, L, p) + prev[i + L]) % p
+                    for i in range(len(prev) - L)
+                ]
+                L *= 2
+            for L in SPAN_LADDER:
+                for i, got in enumerate(levels.get(L, [])):
+                    direct = 0
+                    for j in range(L):
+                        direct = (direct * b + d[i + j]) % p
+                    assert got == direct, (L, i)
+
+    check()
+
+
 def test_spearman_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "q_lineitem_spearman")
 
