@@ -589,6 +589,100 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-estimator calibration: for the standing top candidate
+    pairs, the SIGNATURE-level Jaccard estimate (matching minhash
+    components / 16 — the unbiased estimator the sketch is built on)
+    next to the EXACT shingle Jaccard and the absolute error — the
+    measure-don't-guess table that tells you whether 16 hashes are
+    enough before trusting estimator-only thresholds at scale (the
+    estimator's σ = sqrt(J(1−J)/16) ≈ 0.12 at J = 0.5; more hashes
+    buy precision, this table shows what 16 actually deliver).
+
+    Scale shape: rides the same band-bucket candidate generation and
+    broadcast-verify joins as ``dedup_minhash_verify``; the
+    component-match count is a row-local 16-term integer fold over
+    the two joined signatures.
+    """
+    docs = repartition_for_grouped_python(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    sig = minhash_sig_for(docs).persist()
+    bands = _band_rows(sig, LSH_BANDS)
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy(F.desc("n_shared_bands"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(TOP_PAIRS)
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_MINHASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_MINHASHES)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(NUM_MINHASHES)
+    ).cast("bigint")
+    sh = docs.select("doc_id", _words_col().alias("w")).select(
+        "doc_id", _shingles_expr().alias("shingles")
+    )
+    jac = F.floor(
+        F.size(F.array_intersect("sa_sh", "sb_sh"))
+        * 1e6
+        / F.size(F.array_union("sa_sh", "sb_sh"))
+    ) / 1e6
+    out = (
+        F.broadcast(cands)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match_sig"))
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa_sh")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb_sh")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match_sig",
+            (
+                F.floor(
+                    F.col("n_match_sig") * 1e6 / F.lit(NUM_MINHASHES)
+                )
+                / 1e6
+            ).alias("est_jaccard"),
+            jac.alias("jaccard"),
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "n_match_sig",
+        "est_jaccard",
+        "jaccard",
+        (
+            F.floor(F.abs(F.col("est_jaccard") - F.col("jaccard")) * 1e6)
+            / 1e6
+        ).alias("abs_err"),
+    ).orderBy("doc_a", "doc_b")
+
+
 CC_MAX_ITERS = 25
 
 
@@ -1300,6 +1394,7 @@ QUERIES = {
     "dedup_lsh_pr_curve": dedup_lsh_pr_curve,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_verify": dedup_minhash_verify,
+    "dedup_minhash_estimator": dedup_minhash_estimator,
     "dedup_source_overlap": dedup_source_overlap,
     "dedup_cc_keepset": dedup_cc_keepset,
     "dedup_simhash": dedup_simhash,
@@ -1760,6 +1855,42 @@ ORACLES["dedup_minhash_lsh"] = f"""
     GROUP BY a.doc_id, b.doc_id
     ORDER BY n_shared_bands DESC, doc_a ASC, doc_b ASC
     LIMIT 50
+"""
+
+ORACLES["dedup_minhash_estimator"] = f"""
+    WITH {_bands_cte_sql()},
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        ORDER BY n_shared_bands DESC, doc_a ASC, doc_b ASC
+        LIMIT {TOP_PAIRS}
+    ),
+    matched AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({" + ".join(f"CASE WHEN s1.mh{j} = s2.mh{j} THEN 1 ELSE 0 END" for j in range(NUM_MINHASHES))}
+                    AS BIGINT) AS n_match_sig
+        FROM cand c
+        JOIN sig s1 ON s1.doc_id = c.doc_a
+        JOIN sig s2 ON s2.doc_id = c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, m.n_match_sig,
+           floor(m.n_match_sig * 1e6 / {NUM_MINHASHES}) / 1e6
+               AS est_jaccard,
+           floor(len(list_intersect(sa.shingles, sb.shingles)) * 1e6
+                 / len(list_distinct(sa.shingles || sb.shingles))) / 1e6
+               AS jaccard,
+           floor(abs(floor(m.n_match_sig * 1e6 / {NUM_MINHASHES}) / 1e6
+                     - floor(len(list_intersect(sa.shingles, sb.shingles)) * 1e6
+                             / len(list_distinct(sa.shingles || sb.shingles))) / 1e6)
+                 * 1e6) / 1e6 AS abs_err
+    FROM matched m
+    JOIN sh sa ON sa.doc_id = m.doc_a
+    JOIN sh sb ON sb.doc_id = m.doc_b
+    ORDER BY doc_a, doc_b
 """
 
 ORACLES["dedup_minhash_verify"] = f"""

@@ -665,10 +665,10 @@ def mel_filter_weights() -> list[tuple[int, int, float]]:
     return out
 
 
-def _mel_energies(spark: SparkSession) -> DataFrame:
-    """``(asset_id, filter_id, n_bins, mel_energy)`` — the shared
-    frame behind :func:`mm_audio_mel_energy` (see there for the
-    cross-engine contract) and :func:`mm_audio_mfcc`."""
+def _bin_powers(spark: SparkSession) -> DataFrame:
+    """``(asset_id, p, power)`` — floor-6 DFT bin powers at the
+    MEL_PERIODS frequencies via the residue-fold contract; the
+    shared base of the mel/MFCC/flatness chain."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -734,6 +734,15 @@ def _mel_energies(spark: SparkSession) -> DataFrame:
             )
         ).alias("power"),
     )
+    return pw
+
+
+def _mel_energies(spark: SparkSession) -> DataFrame:
+    """``(asset_id, filter_id, n_bins, mel_energy)`` — the shared
+    frame behind :func:`mm_audio_mel_energy` (see there for the
+    cross-engine contract) and :func:`mm_audio_mfcc`."""
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    pw = _bin_powers(spark)
     wts = spark.createDataFrame(
         mel_filter_weights(), "filter_id int, p int, w double"
     )
@@ -5122,6 +5131,44 @@ _PHASH_ORACLE = f"""
     ORDER BY hamming, asset_a, asset_b LIMIT {PHASH_TOP_PAIRS}
 """
 
+def mm_audio_spectral_flatness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral LOG-flatness (Wiener-entropy style tonality measure)
+    per audio asset over the MEL_PERIODS DFT bins: mean(ln(1+p)) −
+    ln(1 + mean(p)). Near 0 = flat/noise-like spectrum; strongly
+    negative = tonal (energy concentrated in few bins) — the
+    speech/music/noise triage signal of an audio-QC pass, expressed
+    in log space so no exp() ever runs (two ln() calls are the only
+    libm crossings, both behind the floor-6 truncation the DFT
+    family already uses).
+
+    Cross-engine: bin powers are the floor-6 ints-derived doubles of
+    :func:`_bin_powers`; per-bin ln terms are floor-6 truncated and
+    summed as DECIMAL (order-free); the bin count is a constant so
+    the mean is one exact division.
+    """
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    nb = len(MEL_PERIODS)
+    agg = _bin_powers(spark).groupBy("asset_id").agg(
+        F.sum(
+            f6(F.log(F.lit(1.0) + F.col("power"))).cast("decimal(38,6)")
+        ).alias("slog"),
+        F.sum(F.col("power").cast("decimal(38,6)")).alias("sp"),
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+    )
+    flat = (
+        F.col("slog").cast("double") / nb
+        - F.log(F.lit(1.0) + F.col("sp").cast("double") / nb)
+    )
+    return agg.select(
+        "asset_id",
+        "n_bins",
+        f6(F.col("sp").cast("double") / nb).alias("mean_power"),
+        f6(flat).alias("log_flatness"),
+    ).orderBy("asset_id")
+
+
 #: SSIM stabilizers (Wang et al. 2004) at L = 255:
 #: C1 = (0.01·255)², C2 = (0.03·255)². Literals in both engines.
 SSIM_C1 = 6.5025
@@ -5568,6 +5615,7 @@ QUERIES = {
     "mm_audio_dft_peak": mm_audio_dft_peak,
     "mm_audio_mel_energy": mm_audio_mel_energy,
     "mm_audio_mfcc": mm_audio_mfcc,
+    "mm_audio_spectral_flatness": mm_audio_spectral_flatness,
     "mm_image_decode_tiff": mm_image_decode_tiff,
     "mm_audio_zero_crossings": mm_audio_zero_crossings,
     "mm_image_patches": mm_image_patches,
@@ -6046,6 +6094,22 @@ ORACLES: dict[str, str] = {
         SELECT asset_id, filter_id, n_bins, mel_energy
         FROM mel
         ORDER BY asset_id, filter_id
+    """,
+    "mm_audio_spectral_flatness": f"""
+        WITH {_mel_oracle_cte()}
+        SELECT asset_id,
+               CAST(COUNT(*) AS INT) AS n_bins,
+               floor(CAST(SUM(CAST(power AS DECIMAL(38,6))) AS DOUBLE)
+                     / {len(MEL_PERIODS)} * 1e6) / 1e6 AS mean_power,
+               floor((CAST(SUM(CAST(floor(ln(1.0 + power) * 1e6) / 1e6
+                                    AS DECIMAL(38,6))) AS DOUBLE)
+                          / {len(MEL_PERIODS)}
+                      - ln(1.0 + CAST(SUM(CAST(power AS DECIMAL(38,6)))
+                                      AS DOUBLE) / {len(MEL_PERIODS)}))
+                     * 1e6) / 1e6 AS log_flatness
+        FROM pw
+        GROUP BY asset_id
+        ORDER BY asset_id
     """,
     "mm_audio_mfcc": f"""
         WITH {_mel_oracle_cte()},

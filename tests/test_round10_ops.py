@@ -728,6 +728,66 @@ class TestColorProgressive:
         )
 
 
+def test_spectral_flatness_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "mm_audio_spectral_flatness")
+
+
+def test_spectral_flatness_cross_checks_numpy(spark):
+    """Full-precision numpy recompute (true DFT powers -> log
+    flatness) within the floor-6 truncation tolerance, and the
+    Jensen bound: mean(ln(1+p)) <= ln(1 + mean(p)) so log_flatness
+    <= 0 for every asset."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        MEL_PERIODS,
+        _wav_sample,
+        mm_audio_spectral_flatness,
+    )
+
+    rows = {
+        r.asset_id: r
+        for r in mm_audio_spectral_flatness(spark, SF_DIR).collect()
+    }
+    assert all(r.log_flatness <= 0.0 for r in rows.values())
+    for aid in (0, 21, 47):
+        n = 1000 + 10 * aid
+        s = np.array([_wav_sample(aid, j) for j in range(n)], dtype=np.float64)
+        j = np.arange(n)
+        ps = []
+        for p in MEL_PERIODS:
+            ph = 2.0 * math.pi * (j % p) / p
+            a = float((s * np.cos(ph)).sum())
+            b = float((s * np.sin(ph)).sum())
+            ps.append((a * a + b * b) / (n * n))
+        want = sum(math.log(1 + x) for x in ps) / len(ps) - math.log(
+            1 + sum(ps) / len(ps)
+        )
+        assert abs(rows[aid].log_flatness - want) < 1e-4, aid
+
+
+def test_minhash_estimator_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "dedup_minhash_estimator")
+
+
+def test_minhash_estimator_sanity(spark):
+    """Estimates are valid 16ths in [0,1]; exact duplicates estimate
+    1.0 exactly (every component of identical texts matches); the
+    mean absolute error over the candidate set stays inside ~3
+    estimator standard deviations (sigma <= 0.125 at 16 hashes)."""
+    from postgres_s3_etl_spark.operators.dedup import (
+        dedup_minhash_estimator,
+    )
+
+    rows = dedup_minhash_estimator(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_match_sig <= 16
+        assert abs(r.est_jaccard - r.n_match_sig / 16) < 1e-6
+        if r.jaccard == 1.0:
+            assert r.n_match_sig == 16
+    mae = sum(r.abs_err for r in rows) / len(rows)
+    assert mae < 0.375, mae
+
+
 def test_mel_energy_shape(spark):
     from postgres_s3_etl_spark.operators.multimodal import (
         N_MEL_FILTERS,
