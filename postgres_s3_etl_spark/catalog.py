@@ -44,6 +44,45 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: Memoized exact row counts per resolved table path. Safe because
+#: the driver's testdata directories are immutable within a run;
+#: callers that mutate tables must not use this.
+_ROW_COUNT_CACHE: dict[str, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a base table from parquet FOOTER metadata —
+    no Spark job, no scan. Every parquet footer carries ``num_rows``;
+    summing footers over the part files is exact (this is what
+    Spark's own ``LocalTableScan``-free count rewrite reads too).
+
+    Used by operators whose PLAN SHAPE depends on corpus size (the
+    corpus-adaptive LSH bit-width, deterministic id splits): a plain
+    ``df.count()`` there costs a full table scan per query build —
+    real money at 100 TB — while the footer read is O(#files)
+    driver-side metadata. Memoized per resolved path so the six
+    ``_adaptive_buckets`` consumers pay it once per process.
+    """
+    path = table_path(sf_dir, name)
+    key = os.path.abspath(path)
+    if key not in _ROW_COUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(root, f)
+                for root, _dirs, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        _ROW_COUNT_CACHE[key] = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in files
+        )
+    return _ROW_COUNT_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily read one table; Catalyst prunes columns / pushes filters.
 

@@ -49,7 +49,7 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated; they exist only as the decontamination reference.
     """
     from postgres_s3_etl_spark.operators.dedup import (
-        FUZZY_CC_ROUNDS,
+        min_label_fixed_point,
         minhash_bands_for,
     )
     from postgres_s3_etl_spark.operators.text_analysis import (
@@ -120,28 +120,10 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = (
-        sym.select(F.col("src").alias("doc"))
-        .distinct()
-        .select("doc", F.col("doc").alias("label"))
-        .localCheckpoint()
-    )
-    for _ in range(FUZZY_CC_ROUNDS):
-        nb = (
-            sym.join(labels, sym.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc2"))
-            .agg(F.min("label").alias("nl"))
-        )
-        labels = (
-            labels.join(nb, labels.doc == nb.doc2, "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce("nl", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+    # Exact-fixed-point propagation (shared with the split guard) —
+    # a fixed round count would silently split deep components at
+    # production scale.
+    labels = min_label_fixed_point(sym, "curation_funnel.stage3")
     dropped3 = labels.where(F.col("doc") != F.col("label")).select(
         F.col("doc").alias("doc_id")
     )

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.catalog import load_table, table_row_count
 from postgres_s3_etl_spark.operators.similarity import (
     lsh_bucket_cte,
     sig_cte_sql,
@@ -748,7 +748,8 @@ def dedup_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev = total
     comp_sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
-    n_docs = docs.count()
+    # Unfiltered corpus size — parquet footer metadata, not a scan.
+    n_docs = table_row_count(sf_dir, "documents")
     return comp_sizes.agg(
         F.lit(n_docs).cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).alias("n_dup_groups"),
@@ -1210,6 +1211,65 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: diameters at every tested SF are ≤ 3).
 FUZZY_CC_ROUNDS = 8
 
+#: Hard cap on min-label propagation for the fixed-point loop below —
+#: a diameter this large in a near-dup graph means the corpus itself
+#: is pathological; fail loud rather than silently under-cluster.
+CC_FIXED_POINT_CAP = 64
+
+
+def min_label_fixed_point(sym: DataFrame, what: str) -> DataFrame:
+    """Connected-component labels ``(doc, label)`` over a SYMMETRIC
+    edge frame ``sym(src, dst)`` by min-label propagation run to a
+    FIXED POINT, not a fixed round count.
+
+    Two propagation hops per convergence check (labels move 2 edges
+    per driver round-trip); the per-doc min label is monotonically
+    non-increasing, so the label SUM is strictly decreasing until the
+    exact closure is reached — an unchanged sum IS the fixed point.
+    The round-10 advisor flagged the previous fixed
+    ``FUZZY_CC_ROUNDS`` loops: at production scale (no oracle) a
+    component with propagation distance > 8 would silently split,
+    letting near-dup pairs straddle a train/eval boundary — the exact
+    leak the split guard exists to prevent. The checked scalar is one
+    driver round-trip over the PAIRED docs only (a vanishing fraction
+    of the corpus); everything else stays distributed.
+
+    Raises ``RuntimeError`` if ``CC_FIXED_POINT_CAP`` hop-pairs do not
+    converge (never silently returns partial clusters).
+    """
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("label"))
+        .localCheckpoint()
+    )
+
+    def _hop(lbls: DataFrame) -> DataFrame:
+        nb = (
+            sym.join(lbls, sym.src == lbls.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        return lbls.join(nb, lbls.doc == nb.doc2, "left").select(
+            "doc",
+            F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias(
+                "label"
+            ),
+        )
+
+    prev = None
+    for _ in range(CC_FIXED_POINT_CAP):
+        labels = _hop(_hop(labels)).localCheckpoint()
+        total = labels.agg(F.sum("label")).collect()[0][0]
+        if total == prev:
+            return labels
+        prev = total
+    raise RuntimeError(
+        f"{what}: min-label propagation did not converge within "
+        f"{CC_FIXED_POINT_CAP} hop-pairs — component diameter "
+        "exceeds the cap; inspect the candidate-pair graph."
+    )
+
 
 def dedup_fuzzy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last stage of the EDIT-DISTANCE dedup pipeline:
@@ -1220,9 +1280,9 @@ def dedup_fuzzy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both fuzzy front-ends end in the same keep/drop contract.
 
     Scale shape: label propagation touches only PAIRED docs (a
-    vanishing fraction of the corpus); each of the fixed 8 rounds is
-    one equi-join + partial-aggregatable MIN; localCheckpoint
-    truncates lineage per round.
+    vanishing fraction of the corpus); each round is one equi-join +
+    partial-aggregatable MIN, run to the exact fixed point
+    (min_label_fixed_point); localCheckpoint truncates lineage.
     """
     from postgres_s3_etl_spark.operators.text_analysis import (
         text_fuzzy_dups,
@@ -1234,28 +1294,7 @@ def dedup_fuzzy_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = (
-        sym.select(F.col("src").alias("doc"))
-        .distinct()
-        .select("doc", F.col("doc").alias("label"))
-        .localCheckpoint()
-    )
-    for _ in range(FUZZY_CC_ROUNDS):
-        nb = (
-            sym.join(labels, sym.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc2"))
-            .agg(F.min("label").alias("nl"))
-        )
-        labels = (
-            labels.join(nb, labels.doc == nb.doc2, "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce("nl", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+    labels = min_label_fixed_point(sym, "dedup_fuzzy_cluster")
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
@@ -1282,8 +1321,9 @@ def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
     pair graph (unverified candidates on purpose — for SPLITS, false
     merges only move whole groups to one side, while a false split
     is the leak); min-label propagation over the paired docs only,
-    fixed FUZZY_CC_ROUNDS rounds (the oracle computes the EXACT
-    transitive closure, so under-iteration cannot pass the gate).
+    run to the exact FIXED POINT (min_label_fixed_point — the oracle
+    computes the exact transitive closure, and since round 11 so does
+    the engine at any diameter, not just ≤ a fixed round count).
     Factored out so tests can feed synthetic corpora.
 
     Scale shape: propagation touches only paired docs; the split
@@ -1305,28 +1345,7 @@ def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
     sym = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = (
-        sym.select(F.col("src").alias("doc"))
-        .distinct()
-        .select("doc", F.col("doc").alias("label"))
-        .localCheckpoint()
-    )
-    for _ in range(FUZZY_CC_ROUNDS):
-        nb = (
-            sym.join(labels, sym.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc2"))
-            .agg(F.min("label").alias("nl"))
-        )
-        labels = (
-            labels.join(nb, labels.doc == nb.doc2, "left")
-            .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce("nl", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
+    labels = min_label_fixed_point(sym, "leakage_safe_split_frame")
     assigned = (
         docs.select(
             "doc_id",

@@ -5183,10 +5183,15 @@ def mm_image_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOW close, and separates brightness-tweaked re-encodes from
     genuinely different images that happened to collide).
 
-    Plan: each decoded image becomes per-pixel rows (asset, idx, g)
+    Plan: each decoded image becomes per-pixel rows (asset, x, y, g)
     — Arrow-batched, bounded by the synthetic asset set like every
-    mm_* op; the candidate pairs (broadcast — band-bounded) join the
-    pixel frame twice on (asset, idx) and reduce to exact BIGINT
+    mm_* op; (x, y) come from the DECODED array shape, so the pair
+    join below keys on true spatial position (the round-10 advisor
+    flagged the previous flattened ravel index: it agreed with the
+    oracle's (x, y) key only because every phash asset shares one
+    width — differing widths would have silently compared misaligned
+    pixels). The candidate pairs (broadcast — band-bounded) join the
+    pixel frame twice on (asset, x, y) and reduce to exact BIGINT
     moment sums (n, Σx, Σy, Σx², Σy², Σxy); the SSIM formula then
     runs engine-side on doubles derived from exact integers — no
     rounding can differ across engines before the final floor-6.
@@ -5200,31 +5205,50 @@ def mm_image_ssim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = decode_pgm(bytes(payload))
                 if img is None:
                     continue
-                flat = img.astype(np.int64).ravel()
-                out.extend(
-                    (int(aid), i, int(g)) for i, g in enumerate(flat)
+                arr = img.astype(np.int64)
+                ys, xs = np.indices(arr.shape)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "asset_id": np.int64(aid),
+                            "x": xs.ravel().astype(np.int32),
+                            "y": ys.ravel().astype(np.int32),
+                            "g": arr.ravel(),
+                        }
+                    )
                 )
-            yield pd.DataFrame(out, columns=["asset_id", "idx", "g"])
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame(
+                    columns=["asset_id", "x", "y", "g"]
+                ).astype(
+                    {"asset_id": "int64", "x": "int32", "y": "int32",
+                     "g": "int64"}
+                )
+            )
 
     media = synth_phash_media(spark).select("asset_id", "payload")
     px = media.mapInPandas(
-        batches, "asset_id bigint, idx int, g bigint"
+        batches, "asset_id bigint, x int, y int, g bigint"
     )
     pairs = _phash_pairs(spark).select("asset_a", "asset_b", "hamming")
     pa = px.select(
         F.col("asset_id").alias("asset_a"),
-        "idx",
+        "x",
+        "y",
         F.col("g").alias("ga"),
     )
     pb = px.select(
         F.col("asset_id").alias("asset_b"),
-        "idx",
+        "x",
+        "y",
         F.col("g").alias("gb"),
     )
     sums = (
         F.broadcast(pairs)
         .join(pa, "asset_a")
-        .join(pb, ["asset_b", "idx"])
+        .join(pb, ["asset_b", "x", "y"])
         .groupBy("asset_a", "asset_b", "hamming")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

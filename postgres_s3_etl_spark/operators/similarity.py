@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.catalog import load_table, table_row_count
 from postgres_s3_etl_spark.operators.ranking import GN, GRN, with_global_order
 
 N_PROBES = 10  # probe set: vec_id < 10
@@ -130,15 +130,18 @@ def _adaptive_buckets(
     decade measured α=1.92 for the fixed-bit dedup frame; same trap
     here). At the driver SFs the rule yields the historical 4 bits,
     so small-SF results are bit-identical to the fixed plan (plane p
-    is defined independently of the signature width). The single
-    corpus count is the only driver traffic.
+    is defined independently of the signature width). The corpus size
+    comes from parquet footer metadata (``table_row_count``) — zero
+    cluster traffic, memoized across the six consumers of this frame
+    (round-10 verdict flagged the per-query eager ``emb.count()``
+    here as a full extra scan per query build).
     """
     cols = ["vec_id"] + (["label"] if with_label else [])
     emb = load_table(spark, sf_dir, "embeddings").select(
         *cols,
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    bits = adaptive_dedup_bits(int(emb.count()), 1)
+    bits = adaptive_dedup_bits(table_row_count(sf_dir, "embeddings"), 1)
     emb = emb.withColumn(
         "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
     ).withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
@@ -976,7 +979,9 @@ def sim_search_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental identity, not just the arithmetic.
     """
     vecs = _vecs(spark, sf_dir)
-    n_total = vecs.count()  # scalar; drives the deterministic split
+    # Scalar corpus size drives the deterministic split; footer
+    # metadata, not a scan (embeddings is read unfiltered here).
+    n_total = table_row_count(sf_dir, "embeddings")
     cut = int(n_total * INCR_SPLIT_FRAC)
     indexed = vecs.where(F.col("vec_id") < cut)
     arrivals = vecs.where(F.col("vec_id") >= cut)

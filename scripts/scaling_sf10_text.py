@@ -41,11 +41,15 @@ def gen_docs(spark, n_replicas: int, out_dir: str) -> None:
         df = base.withColumn(
             "doc_id", (F.col("doc_id") + F.lit(j * OFFSET)).cast("bigint")
         )
-        if j > 0:
-            df = df.withColumn(
-                "text",
-                F.expr(rf"regexp_replace(text, '(\\S+)', '$1_{j}')"),
-            )
+        # Replica 0 gets '_0' too: ALL replicas use the identical
+        # suffix construction, so the pairwise-disjoint-token-space
+        # claim holds even if the base corpus already contains tokens
+        # of the form tok_<digits> (an unsuffixed replica 0's literal
+        # 'foo_1' would collide with replica 1's suffixed 'foo').
+        df = df.withColumn(
+            "text",
+            F.expr(rf"regexp_replace(text, '(\\S+)', '$1_{j}')"),
+        )
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:
