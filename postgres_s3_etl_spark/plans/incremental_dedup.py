@@ -340,3 +340,204 @@ def near_index_stats(spark: SparkSession, sig_index_path: str) -> dict:
         "n_signatures": idx.count(),
         "n_distinct_docs": idx.select("doc_id").distinct().count(),
     }
+
+
+# --- incremental CURATION FUNNEL -------------------------------------
+#
+# The batch funnel (operators/curation.text_curation_funnel) runs
+# quality gate → exact dedup → caps as ONE plan over the full corpus.
+# A continuously-ingested corpus runs the same gates per micro-batch
+# against COMMITTED state (round-10 VERDICT task 7):
+#
+#   state = digest index (exact dedup, as above)
+#         + per-source cap counters (survivors seen, tokens seen).
+#
+# Cap semantics are necessarily FIRST-COME-FIRST-SERVED in arrival
+# (doc_id) order — a stream cannot rank against the future, so the
+# batch funnel's rank-by-quality cap is replaced by the prefix rule
+# in arrival order: among quality+dedup survivors, a doc is kept iff
+# its source's running survivor count ≤ CAP_DOCS and running token
+# total ≤ CAP_TOKENS, where "running" counts EVERY prior survivor
+# (kept or capped-out — the same pure-prefix rule the batch funnel
+# applies, just in arrival order). funnel_one_shot_fcfs is that exact
+# rule as one plan; the equivalence pytest replays 3 batches and
+# asserts the incremental keep-set matches it bit-for-bit.
+#
+# Commit order per batch: corpus rows → cap deltas → digests. A crash
+# replay after the cap-delta commit double-counts the batch's
+# survivors in the counters, which only TIGHTENS later caps (drops
+# extra docs); committing digests last preserves the replay guard —
+# a replayed batch anti-joins away entirely and appends empty deltas.
+
+
+def _funnel_gate(batch: DataFrame) -> DataFrame:
+    """Quality-gated, digest-carrying view of a batch: the funnel's
+    stage-0/1 rules (eval split excluded, pinned DECIMAL logit > 0),
+    identical to text_curation_funnel's base/stage-1."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        CLS_BIAS,
+        CLS_W_PUNCT,
+        CLS_W_STOP,
+        CLS_W_TOKENS,
+        PUNCT_PATTERN,
+        STOPWORD_PATTERN,
+        _ws_tokens,
+    )
+
+    text = F.col("text")
+    n_tokens = F.size(_ws_tokens(text)).cast("long")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
+    n_stop = F.regexp_count(
+        F.lower(text), F.lit(STOPWORD_PATTERN)
+    ).cast("long")
+    logit = (
+        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
+        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
+        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
+        + F.lit(CLS_BIAS).cast("decimal(8,2)")
+    ).cast("decimal(18,2)")
+    return (
+        batch.where(F.col("doc_id") % 50 != 0)
+        .select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            logit.alias("z"),
+            F.md5(F.lower(F.trim("text"))).alias("digest"),
+        )
+        .where(F.col("z") > 0)
+    )
+
+
+def _cap_state(spark: SparkSession, cap_state_path: str) -> DataFrame:
+    """Committed per-source counters, aggregated over appended deltas
+    (empty frame when no batch has committed yet)."""
+    try:
+        deltas = read_snapshot(spark, cap_state_path)
+    except FileNotFoundError:
+        return spark.createDataFrame(
+            [], "source string, n_seen bigint, tok_seen bigint"
+        )
+    return deltas.groupBy("source").agg(
+        F.sum("d_docs").cast("bigint").alias("n_seen"),
+        F.sum("d_tokens").cast("bigint").alias("tok_seen"),
+    )
+
+
+def ingest_batch_funnel(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    corpus_path: str,
+    cap_docs: int | None = None,
+    cap_tokens: int | None = None,
+) -> DataFrame:
+    """Run the curation funnel's quality gate + exact dedup +
+    per-source caps on one micro-batch against committed state, commit
+    survivors, and return the kept rows. ``state_path`` holds the
+    digest index (``<state>/digests``) and cap counters
+    (``<state>/caps``). Designed as a ``foreachBatch`` body (the
+    same contract as :func:`ingest_batch`).
+
+    Equivalence (pytest-pinned): ingesting B1..Bn in doc_id order
+    keeps exactly :func:`funnel_one_shot_fcfs`'s keep-set over the
+    union. Replay-idempotent: a committed batch's digests are all in
+    the index, so its survivors anti-join away and every delta it
+    would commit is empty.
+    """
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        CAP_DOCS_PER_SOURCE,
+        CAP_TOKENS_PER_SOURCE,
+    )
+
+    cap_d = CAP_DOCS_PER_SOURCE if cap_docs is None else cap_docs
+    cap_t = CAP_TOKENS_PER_SOURCE if cap_tokens is None else cap_tokens
+    digest_path = f"{state_path}/digests"
+    caps_path = f"{state_path}/caps"
+
+    gated = _funnel_gate(batch)
+    w_first = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id")
+    )
+    in_batch_first = (
+        gated.withColumn("rn", w_first).where(F.col("rn") == 1).drop("rn")
+    )
+    try:
+        seen = read_snapshot(spark, digest_path).select("digest")
+        survivors = in_batch_first.join(seen, "digest", "left_anti")
+    except FileNotFoundError:
+        survivors = in_batch_first
+    survivors = survivors.persist()
+    survivors.count()
+
+    # FCFS prefix caps: committed counters + within-batch running
+    # totals in doc_id order. cum/rnk count every survivor (kept or
+    # capped-out) — the batch funnel's pure-prefix rule.
+    w_arr = Window.partitionBy("source").orderBy("doc_id")
+    state = F.broadcast(_cap_state(spark, caps_path))
+    kept = (
+        survivors.join(state, "source", "left")
+        .withColumn("rnk", F.row_number().over(w_arr))
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(
+                w_arr.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where(
+            (F.coalesce("n_seen", F.lit(0)) + F.col("rnk") <= cap_d)
+            & (F.coalesce("tok_seen", F.lit(0)) + F.col("cum") <= cap_t)
+        )
+        .select("doc_id")
+    )
+    fresh = batch.join(kept, "doc_id", "left_semi").persist()
+    fresh.count()
+    write_snapshot(fresh, corpus_path, mode="append")
+    write_snapshot(
+        survivors.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("d_docs"),
+            F.sum("n_tokens").cast("bigint").alias("d_tokens"),
+        ),
+        caps_path,
+        mode="append",
+    )
+    write_snapshot(survivors.select("digest"), digest_path, mode="append")
+    survivors.unpersist()
+    return fresh
+
+
+def funnel_one_shot_fcfs(
+    docs: DataFrame,
+    cap_docs: int | None = None,
+    cap_tokens: int | None = None,
+) -> DataFrame:
+    """The incremental funnel's rules as ONE batch plan over the full
+    corpus (the equivalence oracle): quality gate, exact dedup
+    (min-doc_id wins globally), FCFS prefix caps in doc_id order.
+    Returns the kept ``doc_id`` frame."""
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        CAP_DOCS_PER_SOURCE,
+        CAP_TOKENS_PER_SOURCE,
+    )
+
+    cap_d = CAP_DOCS_PER_SOURCE if cap_docs is None else cap_docs
+    cap_t = CAP_TOKENS_PER_SOURCE if cap_tokens is None else cap_tokens
+    gated = _funnel_gate(docs)
+    w_first = F.row_number().over(
+        Window.partitionBy("digest").orderBy("doc_id")
+    )
+    survivors = (
+        gated.withColumn("rn", w_first).where(F.col("rn") == 1).drop("rn")
+    )
+    w_arr = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w_arr))
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(
+                w_arr.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .where((F.col("rnk") <= cap_d) & (F.col("cum") <= cap_t))
+        .select("doc_id")
+    )
