@@ -450,7 +450,9 @@ def decode_wav_windows_exact(
     parses the container; per ``window_ms`` window returns
     (n_samples, sum, sum-of-squares) as ints — loudness-proportional
     like RMS but with no float rounding for a value-hash oracle to
-    disagree on. Mono 16-bit PCM only; returns None otherwise."""
+    disagree on. Mono 16-bit PCM only; returns None otherwise
+    (including compressed format tags stdlib ``wave`` refuses, e.g.
+    IMA-ADPCM's 0x11 — the router falls through to the ADPCM arm)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     import io
@@ -458,11 +460,14 @@ def decode_wav_windows_exact(
 
     import numpy as np
 
-    with wave.open(io.BytesIO(bytes(payload))) as w:
-        if w.getnchannels() != 1 or w.getsampwidth() != 2:
-            return None
-        rate = w.getframerate()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                return None
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        return None
     s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     win = max(int(rate * window_ms / 1000), 1)
     out = []
@@ -3472,6 +3477,272 @@ def mm_image_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(batches, _JPEG_STATS_SCHEMA).orderBy("asset_id")
 
 
+# --- IMA-ADPCM audio (WAV format tag 0x11) ---------------------------
+#
+# Round-11 (VERDICT r10 task 4): the last closable audio-codec gap.
+# IMA-ADPCM is pure-stdlib-feasible — 4-bit delta nibbles + the
+# public 89-entry step table (IMA "DVI4", also RFC 3551 §4.5.1) —
+# so the decode arm is REAL: a spec-correct RIFF fmt-0x11 container
+# parser + the exact integer state machine. The synthetic payloads
+# carry CLOSED-FORM nibble streams and block headers (not an encoded
+# PCM signal — ADPCM is lossy, so closed-form *input samples* would
+# not round-trip), which makes the decoded output exactly computable
+# by the SQL oracle: a recursive CTE replays the same state machine
+# from the same closed forms. mp3/ogg remain documented ffmpeg gates.
+
+IMA_STEP_TABLE: tuple[int, ...] = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+IMA_INDEX_TABLE: tuple[int, ...] = (
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8,
+)
+
+ADPCM_BLOCK_ALIGN = 36  # 4-byte block header + 32 nibble-data bytes
+ADPCM_SAMPLES_PER_BLOCK = 65  # header sample + 64 nibbles
+N_ADPCM_ASSETS = 12
+
+#: The IMA tables as SQL list literals (shared by both oracles).
+_ADPCM_STEPS_SQL = "[" + ",".join(str(v) for v in IMA_STEP_TABLE) + "]"
+_ADPCM_IDXS_SQL = "[" + ",".join(str(v) for v in IMA_INDEX_TABLE) + "]"
+
+
+def _adpcm_nibble(asset_id: int, k: int) -> int:
+    """Closed-form data nibble ``k`` (global index within the asset's
+    nibble stream) — mirrored verbatim by the SQL oracle."""
+    return (7 * asset_id + 13 * k) % 16
+
+
+def _adpcm_pred0(asset_id: int, block: int) -> int:
+    """Closed-form block-header predictor (= the block's sample 0)."""
+    return ((7 * asset_id + 13 * block) % 201) - 100
+
+
+def _adpcm_sidx0(asset_id: int, block: int) -> int:
+    """Closed-form block-header step index."""
+    return (5 * asset_id + 3 * block) % 89
+
+
+def encode_wav_ima_adpcm(asset_id: int, n_blocks: int) -> bytes:
+    """A real RIFF/WAVE IMA-ADPCM (fmt tag 0x11) container: mono,
+    4-bit, ADPCM_BLOCK_ALIGN-byte blocks, spec-correct fmt extension
+    (cbSize=2, wSamplesPerBlock) and fact chunk. Data nibbles and
+    block headers come from the closed forms above; nibbles pack
+    low-first (the IMA-in-WAV order)."""
+    import struct
+
+    data = bytearray()
+    for b in range(n_blocks):
+        data += struct.pack(
+            "<hBB", _adpcm_pred0(asset_id, b), _adpcm_sidx0(asset_id, b), 0
+        )
+        for byte_i in range(ADPCM_BLOCK_ALIGN - 4):
+            k = b * 2 * (ADPCM_BLOCK_ALIGN - 4) + 2 * byte_i
+            data.append(
+                _adpcm_nibble(asset_id, k)
+                | (_adpcm_nibble(asset_id, k + 1) << 4)
+            )
+    n_samples = n_blocks * ADPCM_SAMPLES_PER_BLOCK
+    byte_rate = (
+        WAV_RATE * ADPCM_BLOCK_ALIGN + ADPCM_SAMPLES_PER_BLOCK - 1
+    ) // ADPCM_SAMPLES_PER_BLOCK
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        1,
+        WAV_RATE,
+        byte_rate,
+        ADPCM_BLOCK_ALIGN,
+        4,
+        2,
+        ADPCM_SAMPLES_PER_BLOCK,
+    )
+    fact = struct.pack("<I", n_samples)
+    out = bytearray()
+    for tag, body in ((b"fmt ", fmt), (b"fact", fact), (b"data", bytes(data))):
+        out += tag + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            out += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(out)) + b"WAVE" + bytes(out)
+
+
+def decode_wav_ima_adpcm(payload: bytes):
+    """REAL IMA-ADPCM decode: parse the RIFF chunks (fmt tag 0x11,
+    mono, 4-bit only — returns None otherwise), then run the exact
+    integer IMA state machine per block: sample 0 is the header
+    predictor; each nibble adds/subtracts the step-table delta
+    (diff = step>>3 (+step if b2) (+step>>1 if b1) (+step>>2 if b0)),
+    clamps the predictor to int16 and walks the step index by the
+    index table. Returns a list of int samples trimmed to the fact
+    count."""
+    import struct
+
+    p = bytes(payload)
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, fmt_ok, block_align, n_samples, data = 12, False, 0, None, None
+    while pos + 8 <= len(p):
+        tag = p[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", p, pos + 4)
+        body = p[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and size >= 16:
+            wtag, nch, _rate, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            fmt_ok = wtag == 0x11 and nch == 1 and bits == 4
+        elif tag == b"fact" and size >= 4:
+            (n_samples,) = struct.unpack_from("<I", body, 0)
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if not fmt_ok or data is None or block_align < 5:
+        return None
+    samples: list[int] = []
+    for off in range(0, len(data) - block_align + 1, block_align):
+        pred, sidx, _ = struct.unpack_from("<hBB", data, off)
+        sidx = max(0, min(88, sidx))
+        samples.append(pred)
+        for byte in data[off + 4 : off + block_align]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = IMA_STEP_TABLE[sidx]
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                sidx = max(0, min(88, sidx + IMA_INDEX_TABLE[nib]))
+                samples.append(pred)
+    return samples[:n_samples] if n_samples is not None else samples
+
+
+def synth_adpcm_media(spark: SparkSession, n: int = N_ADPCM_ASSETS) -> DataFrame:
+    """IMA-ADPCM audio feed: asset ``a`` carries ``2 + a % 3`` blocks."""
+    rows = []
+    for a in range(n):
+        nb = 2 + a % 3
+        ns = nb * ADPCM_SAMPLES_PER_BLOCK
+        rows.append(
+            (
+                a,
+                "audio",
+                0,
+                0,
+                ns * 1000 // WAV_RATE,
+                bytearray(encode_wav_ima_adpcm(a, nb)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_audio_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-asset exact integer stats of REAL IMA-ADPCM decodes —
+    container parse + 4-bit state machine inside Arrow-batched
+    mapInPandas, integer sums JVM-side. The oracle replays the same
+    public state machine as a recursive CTE over the same closed-form
+    nibble stream: container parsing, block walking, clamping, and
+    the step-table arithmetic all have to agree for the hash to
+    match.
+
+    Scale: payload bytes stay in the scan partition; 3 ints per
+    asset cross the Arrow boundary.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = decode_wav_ima_adpcm(bytes(payload))
+                if s is None:
+                    continue
+                out.append(
+                    (
+                        int(aid),
+                        len(s),
+                        sum(s),
+                        sum(v * v for v in s),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["asset_id", "n_samples", "s_sum", "energy"]
+            )
+
+    media = synth_adpcm_media(spark).select("asset_id", "payload")
+    return (
+        media.mapInPandas(
+            batches,
+            "asset_id bigint, n_samples bigint, s_sum bigint, "
+            "energy bigint",
+        )
+        .orderBy("asset_id")
+    )
+
+
+def _adpcm_decode_oracle() -> str:
+    """Recursive-CTE replay of the IMA state machine (see
+    :func:`mm_audio_adpcm_decode`). One recursion level per nibble
+    (64 levels); every (asset, block) advances in parallel per level.
+    The step/index tables are inlined literals of the public IMA
+    tables."""
+    steps = _ADPCM_STEPS_SQL
+    idxs = _ADPCM_IDXS_SQL
+    nib_per_block = 2 * (ADPCM_BLOCK_ALIGN - 4)
+    return f"""
+        WITH RECURSIVE blocks AS MATERIALIZED (
+            SELECT a.a AS asset_id, b.b AS blk
+            FROM generate_series(0, {N_ADPCM_ASSETS - 1}) a(a)
+            CROSS JOIN generate_series(0, 4) b(b)
+            WHERE b.b < 2 + a.a % 3
+        ),
+        dec AS (
+            SELECT asset_id, blk, 0 AS j,
+                   CAST(((7 * asset_id + 13 * blk) % 201) - 100
+                        AS BIGINT) AS pred,
+                   (5 * asset_id + 3 * blk) % 89 AS sidx
+            FROM blocks
+            UNION ALL
+            SELECT asset_id, blk, j + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       pred + CASE WHEN nib & 8 > 0 THEN -diff
+                                   ELSE diff END)),
+                   GREATEST(0, LEAST(88, sidx + ({idxs})[nib + 1]))
+            FROM (
+                SELECT asset_id, blk, j, pred, sidx, nib,
+                       (step >> 3)
+                       + CASE WHEN nib & 4 > 0 THEN step ELSE 0 END
+                       + CASE WHEN nib & 2 > 0 THEN step >> 1 ELSE 0 END
+                       + CASE WHEN nib & 1 > 0 THEN step >> 2 ELSE 0 END
+                           AS diff
+                FROM (
+                    SELECT asset_id, blk, j, pred, sidx,
+                           (7 * asset_id
+                            + 13 * (blk * {nib_per_block} + j)) % 16
+                               AS nib,
+                           ({steps})[sidx + 1] AS step
+                    FROM dec WHERE j < {nib_per_block}
+                )
+            )
+        )
+        SELECT asset_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(pred) AS BIGINT) AS s_sum,
+               CAST(SUM(pred * pred) AS BIGINT) AS energy
+        FROM dec
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """
+
+
 N_MIXED_ASSETS = 64
 
 
@@ -3490,6 +3761,16 @@ def synth_mixed_media(spark: SparkSession, n: int = N_MIXED_ASSETS) -> DataFrame
             w, h = 16 + i % 8, 12 + i % 5
             rows.append(
                 (i, "image", w, h, 0, bytearray(encode_bmp24(i, w, h)))
+            )
+        elif i % 4 == 1 and i % 8 == 5:
+            # round-11: alternate audio assets are IMA-ADPCM (fmt
+            # 0x11) — the router's RIFF arm must dispatch on the
+            # format tag, not just the container magic
+            nb = 2 + i % 3
+            rows.append(
+                (i, "audio", 0, 0,
+                 nb * ADPCM_SAMPLES_PER_BLOCK * 1000 // WAV_RATE,
+                 bytearray(encode_wav_ima_adpcm(i, nb)))
             )
         elif i % 4 == 1:
             ns = 1000 + 10 * i
@@ -3525,7 +3806,9 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas pass that sniffs each payload's magic bytes and
     routes to the matching REAL stdlib codec — BM → decode_bmp24,
     FFD8 → decode_jpeg_gray (round-6: the baseline-JPEG arm became
-    real and joined the router), RIFF/WAVE → wave, YUV4MPEG2 →
+    real and joined the router), RIFF/WAVE → wave for PCM or
+    decode_wav_ima_adpcm for fmt-0x11 (round-11: dispatch on the
+    format TAG, not just the container magic), YUV4MPEG2 →
     decode_y4m — emitting per-asset exact integer content stats
     (units = pixels / samples / frame-pixels; main = Σ(r+g+b) /
     Σpx / Σs² / ΣY). Unrecognized formats (the H.264-class arm no
@@ -3571,6 +3854,13 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                         decoded = 1
                         units = sum(n for n, _, _ in wins)
                         main = sum(q for _, _, q in wins)
+                    else:
+                        # round-11: non-PCM RIFF -> the IMA-ADPCM arm
+                        s = decode_wav_ima_adpcm(p)
+                        if s is not None:
+                            decoded = 1
+                            units = len(s)
+                            main = sum(v * v for v in s)
                 elif p[:10] == b"YUV4MPEG2 ":
                     dec = decode_y4m(p)
                     if dec is not None:
@@ -5625,6 +5915,7 @@ QUERIES = {
     "mm_video_scene_cuts": mm_video_scene_cuts,
     "mm_audio_silence_trim": mm_audio_silence_trim,
     "mm_decode_router": mm_decode_router,
+    "mm_audio_adpcm_decode": mm_audio_adpcm_decode,
     "mm_image_decode_png": mm_image_decode_png,
     "mm_video_decode_y4m": mm_video_decode_y4m,
     "mm_payload_entropy": mm_payload_entropy,
@@ -6749,15 +7040,57 @@ ORACLES: dict[str, str] = {
     """,
     # Round-6: the decode router — per-format closed-form content
     # sums, plus the junk arm's skip counts from the feed rule.
+    "mm_audio_adpcm_decode": _adpcm_decode_oracle(),
     "mm_decode_router": f"""
-        WITH ids AS (
+        WITH RECURSIVE ids AS (
             SELECT i,
                    CASE WHEN i % 10 = 9 THEN 'junk'
                         WHEN i % 4 = 0 THEN 'bmp'
+                        WHEN i % 4 = 1 AND i % 8 = 5 THEN 'adpcm'
                         WHEN i % 4 = 1 THEN 'wav'
                         WHEN i % 4 = 2 THEN 'y4m'
                         ELSE 'jpeg' END AS kind
             FROM generate_series(0, {N_MIXED_ASSETS - 1}) s(i)
+        ),
+        adpcm_blocks AS MATERIALIZED (
+            SELECT i, b.b AS blk
+            FROM ids CROSS JOIN generate_series(0, 4) b(b)
+            WHERE kind = 'adpcm' AND b.b < 2 + i % 3
+        ),
+        adpcm_dec AS (
+            SELECT i, blk, 0 AS j,
+                   CAST(((7 * i + 13 * blk) % 201) - 100 AS BIGINT)
+                       AS pred,
+                   (5 * i + 3 * blk) % 89 AS sidx
+            FROM adpcm_blocks
+            UNION ALL
+            SELECT i, blk, j + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       pred + CASE WHEN nib & 8 > 0 THEN -diff
+                                   ELSE diff END)),
+                   GREATEST(0, LEAST(88,
+                       sidx + ({_ADPCM_IDXS_SQL})[nib + 1]))
+            FROM (
+                SELECT i, blk, j, pred, sidx, nib,
+                       (step >> 3)
+                       + CASE WHEN nib & 4 > 0 THEN step ELSE 0 END
+                       + CASE WHEN nib & 2 > 0 THEN step >> 1 ELSE 0 END
+                       + CASE WHEN nib & 1 > 0 THEN step >> 2 ELSE 0 END
+                           AS diff
+                FROM (
+                    SELECT i, blk, j, pred, sidx,
+                           (7 * i + 13 * (blk * {2 * (ADPCM_BLOCK_ALIGN - 4)}
+                                          + j)) % 16 AS nib,
+                           ({_ADPCM_STEPS_SQL})[sidx + 1] AS step
+                    FROM adpcm_dec
+                    WHERE j < {2 * (ADPCM_BLOCK_ALIGN - 4)}
+                )
+            )
+        ),
+        adpcm AS (
+            SELECT i AS asset_id, 'audio' AS media_type, 1 AS decoded,
+                   COUNT(*) AS units, SUM(pred * pred) AS main
+            FROM adpcm_dec GROUP BY i
         ),
         bmp AS (
             SELECT d.i AS asset_id, 'image' AS media_type, 1 AS decoded,
@@ -6832,6 +7165,7 @@ ORACLES: dict[str, str] = {
             SELECT * FROM bmp UNION ALL SELECT * FROM jpeg
             UNION ALL SELECT * FROM jpeg420
             UNION ALL SELECT * FROM wav
+            UNION ALL SELECT * FROM adpcm
             UNION ALL SELECT * FROM y4m UNION ALL SELECT * FROM junk
         )
         SELECT media_type,

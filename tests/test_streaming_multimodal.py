@@ -827,6 +827,8 @@ def test_decode_router_routes_and_skips(spark, duck):
     for i in range(N_MIXED_ASSETS):
         if i % 10 == 9:
             kinds.setdefault("junk", []).append(i)
+        elif i % 4 == 1 and i % 8 == 5:
+            kinds.setdefault("adpcm", []).append(i)  # round-11 arm
         else:
             kinds.setdefault(("bmp", "wav", "y4m", "jpeg")[i % 4], []).append(i)
 
@@ -857,14 +859,30 @@ def test_decode_router_routes_and_skips(spark, duck):
     )
     assert img.total_main == exp_img_main
 
+    from postgres_s3_etl_spark.operators.multimodal import (
+        ADPCM_SAMPLES_PER_BLOCK,
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+    )
+
+    adpcm_samples = {
+        i: decode_wav_ima_adpcm(encode_wav_ima_adpcm(i, 2 + i % 3))
+        for i in kinds["adpcm"]
+    }
     aud = rows["audio"]
-    assert aud.n_assets == aud.n_decoded == len(kinds["wav"])
-    assert aud.total_units == sum(1000 + 10 * i for i in kinds["wav"])
+    assert aud.n_assets == aud.n_decoded == len(kinds["wav"]) + len(
+        kinds["adpcm"]
+    )
+    assert aud.total_units == sum(
+        1000 + 10 * i for i in kinds["wav"]
+    ) + sum(
+        (2 + i % 3) * ADPCM_SAMPLES_PER_BLOCK for i in kinds["adpcm"]
+    )
     assert aud.total_main == sum(
         _wav_sample(i, k) ** 2
         for i in kinds["wav"]
         for k in range(1000 + 10 * i)
-    )
+    ) + sum(v * v for s in adpcm_samples.values() for v in s)
 
     vid = rows["video"]
     assert vid.n_assets == len(kinds["y4m"]) + len(kinds["junk"])
