@@ -372,10 +372,140 @@ def _funnel_oracle() -> str:
     """
 
 
+#: Curriculum phases (quality-annealing quartiles: lowest-logit data
+#: trains first, the best data last).
+CURRICULUM_PHASES = 4
+
+
+def text_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / quality-annealing schedule — the data-ORDERING
+    plan a staged training run consumes after curation: train docs
+    are ranked by the pinned DECIMAL quality logit (doc_id tiebreak —
+    deterministic total order) and split into CURRICULUM_PHASES
+    NTILE quartiles, lowest-quality phase first (the standard
+    anneal-to-quality schedule: the best data is seen last, at the
+    lowest learning rates). Output per (phase, source): docs, tokens,
+    mean logit, and the source's token share WITHIN its phase — the
+    table that shows how the source mixture drifts across the anneal.
+
+    Scale shape: the global rank is the two-pass range-partitioned
+    machinery (operators/ranking.py — never a single-task window);
+    the share window runs over the rolled-up (phase, source) frame
+    (≤ phases·sources rows), not the corpus.
+    """
+    from postgres_s3_etl_spark.operators.ranking import (
+        GN,
+        GRN,
+        ntile_col,
+        with_global_order,
+    )
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        CLS_BIAS,
+        CLS_W_PUNCT,
+        CLS_W_STOP,
+        CLS_W_TOKENS,
+        PUNCT_PATTERN,
+        STOPWORD_PATTERN,
+        _ws_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    text = F.col("text")
+    n_tokens = F.size(_ws_tokens(text)).cast("long")
+    logit = (
+        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
+        + F.lit(CLS_W_STOP).cast("decimal(8,2)")
+        * F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast("long")
+        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)")
+        * F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
+        + F.lit(CLS_BIAS).cast("decimal(8,2)")
+    ).cast("decimal(18,2)")
+    base = docs.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), logit.alias("z")
+    )
+    ranked = with_global_order(
+        base, [F.col("z").asc(), F.col("doc_id").asc()]
+    ).withColumn(
+        "phase", ntile_col(F.col(GRN), F.col(GN), CURRICULUM_PHASES)
+    )
+    roll = ranked.groupBy("phase", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("z").alias("sz"),
+    )
+    w_phase = Window.partitionBy("phase")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return roll.select(
+        "phase",
+        "source",
+        "n_docs",
+        "n_tokens",
+        f6(F.col("sz").cast("double") / F.col("n_docs")).alias("mean_logit"),
+        f6(
+            F.col("n_tokens")
+            / F.sum("n_tokens").over(w_phase).cast("double")
+        ).alias("phase_token_share"),
+    ).orderBy("phase", "source")
+
+
+def _curriculum_oracle() -> str:
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        CLS_BIAS,
+        CLS_W_PUNCT,
+        CLS_W_STOP,
+        CLS_W_TOKENS,
+        PUNCT_PATTERN,
+    )
+
+    return rf"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split_regex(trim(text), '\s+'))
+                        AS BIGINT) AS n_tokens,
+                   CAST(CAST({CLS_W_TOKENS} AS DECIMAL(8,2))
+                            * len(string_split_regex(trim(text), '\s+'))
+                        + CAST({CLS_W_STOP} AS DECIMAL(8,2))
+                            * len(regexp_extract_all(lower(text),
+                                  '\b(the|a|of|and|to)\b'))
+                        + CAST({CLS_W_PUNCT} AS DECIMAL(8,2))
+                            * len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+                        + CAST({CLS_BIAS} AS DECIMAL(8,2))
+                        AS DECIMAL(18,2)) AS z
+            FROM documents
+            WHERE doc_id % 50 <> 0
+        ),
+        ranked AS (
+            SELECT *, NTILE({CURRICULUM_PHASES})
+                       OVER (ORDER BY z, doc_id) AS phase
+            FROM base
+        ),
+        roll AS (
+            SELECT phase, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   SUM(z) AS sz
+            FROM ranked GROUP BY 1, 2
+        )
+        SELECT CAST(phase AS INT) AS phase, source, n_docs, n_tokens,
+               floor(CAST(sz AS DOUBLE) / n_docs * 1e6) / 1e6
+                   AS mean_logit,
+               floor(n_tokens
+                     / CAST(SUM(n_tokens) OVER (PARTITION BY phase)
+                            AS DOUBLE) * 1e6) / 1e6
+                   AS phase_token_share
+        FROM roll
+        ORDER BY phase, source
+    """
+
+
 QUERIES = {
     "text_curation_funnel": text_curation_funnel,
+    "text_curriculum_phases": text_curriculum_phases,
 }
 
 ORACLES: dict[str, str] = {
     "text_curation_funnel": _funnel_oracle(),
+    "text_curriculum_phases": _curriculum_oracle(),
 }
