@@ -150,6 +150,13 @@ HEADLINE = (
     "mm_audio_mfcc",
     "text_split_leakage_safe",
     "mm_video_phash_dedup",
+    # round-11 additions (training-row packing, ADPCM decode arm,
+    # retrieval chunking + boilerplate, curriculum schedule)
+    "text_pack_sequences",
+    "mm_audio_adpcm_decode",
+    "text_chunk_windows",
+    "text_boilerplate_chunks",
+    "text_curriculum_phases",
 )
 
 

@@ -863,10 +863,15 @@ def _cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         adaptive_dedup_bits,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    from postgres_s3_etl_spark.operators.python_lane import widen_if_narrow
+
+    emb = widen_if_narrow(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        ),
         "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
     st = emb.agg(
         F.count(F.lit(1)).alias("n"),
@@ -961,10 +966,15 @@ def embedding_dedup_bits_curve(
         _signature,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    from postgres_s3_etl_spark.operators.python_lane import widen_if_narrow
+
+    emb = widen_if_narrow(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        ),
         "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
     emb = emb.withColumn(
         "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))

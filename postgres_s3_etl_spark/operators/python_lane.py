@@ -44,3 +44,19 @@ def repartition_for_grouped_python(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
+def widen_if_narrow(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition to core count ONLY if the frame currently has
+    fewer partitions — for per-row compute-bound JVM stages (e.g.
+    the 56-plane LSH signature: thousands of FMAs per row) whose
+    input may arrive as one small parquet file and would otherwise
+    run single-task. Unlike :func:`repartition_for_grouped_python`
+    this is a no-op at cluster scale, where the scan already yields
+    ≥ cores partitions and an unconditional exchange would be pure
+    overhead. The partition probe is plan conversion only — no job.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
