@@ -295,11 +295,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     and single IEEE division as dedup_embedding_cosine, so the τ
     comparison is bit-identical to the DuckDB oracle's.
     """
+    from postgres_s3_etl_spark.catalog import table_row_count
+
     vecs = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    n_vecs = vecs.count()
+    # unfiltered corpus size — parquet footer metadata, not a scan
+    n_vecs = table_row_count(sf_dir, "embeddings")
     k = max(K_CLUSTERS, n_vecs // SEMDEDUP_TARGET_CLUSTER)
     seeds = vecs.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     cents = [list(r.v) for r in seeds]

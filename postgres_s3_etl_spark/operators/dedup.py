@@ -256,10 +256,18 @@ MINHASH_B = tuple((97_531 * (j + 1)) % MINHASH_P for j in range(NUM_MINHASHES))
 def minhash_sig_for(docs: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh15) minhash signature for any (doc_id, text)
     frame, entirely row-local: shingles → 28-bit md5 digests (ONE md5
-    per shingle) → 16 universal-hash ``array_min`` passes."""
-    sh = docs.select("doc_id", _words_col().alias("w")).select(
-        "doc_id", _shingles_expr().alias("shingles")
-    )
+    per shingle) → 16 universal-hash ``array_min`` passes. Widened if
+    the input is a single small file (round-11): one md5 per shingle
+    plus 16 hash passes is the per-row compute-heavy stage of every
+    MinHash consumer, and the driver's sf0.1 documents table arrives
+    as ONE parquet partition — without widening the whole family runs
+    its map phase single-task locally (no-op on a real cluster where
+    the scan is already parallel)."""
+    from postgres_s3_etl_spark.operators.python_lane import widen_if_narrow
+
+    sh = widen_if_narrow(docs, "doc_id").select(
+        "doc_id", _words_col().alias("w")
+    ).select("doc_id", _shingles_expr().alias("shingles"))
     # 28-bit digest: 7 hex chars keep A[j]·h + B[j] far inside int64.
     hs = sh.select(
         "doc_id",

@@ -105,7 +105,9 @@ def _iter_partitions(spark: SparkSession, sf_dir: str) -> int:
     footer row count — no column scan."""
     par = spark.sparkContext.defaultParallelism
     try:
-        rows = load_table(spark, sf_dir, "lineitem").count()
+        from postgres_s3_etl_spark.catalog import table_row_count
+
+        rows = table_row_count(sf_dir, "lineitem")
     except Exception:
         return 0
     if rows < ITER_LAYOUT_MIN_ROWS:

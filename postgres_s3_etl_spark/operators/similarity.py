@@ -1796,8 +1796,14 @@ def _cov_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions as (i, j, cov double), materialized once
     (``localCheckpoint``) for reuse. Pair terms come from a row-local
     double posexplode — no corpus self-join — and partially aggregate
-    to d^2/2 keys before the shuffle; sums are DECIMAL(38,18) exact."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    to d^2/2 keys before the shuffle; sums are DECIMAL(38,18) exact.
+    Widened if the scan is a single small file (round-11): the d²/2
+    explode is the per-row compute-heavy stage here."""
+    from postgres_s3_etl_spark.operators.python_lane import widen_if_narrow
+
+    emb = widen_if_narrow(
+        load_table(spark, sf_dir, "embeddings"), "vec_id"
+    )
     # Dimension marginals once (64 rows) — NOT recomputed per pair:
     # the pair shuffle below carries only the product sum, a third of
     # the aggregation state of the naive three-sum formulation.

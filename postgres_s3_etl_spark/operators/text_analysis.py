@@ -708,7 +708,13 @@ def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ n rows) and stays key-partitioned; shuffle volume is linear in
     corpus size with constant factor |ladder| = 4.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from postgres_s3_etl_spark.operators.python_lane import widen_if_narrow
+
+    # md5-per-token + the dyadic composition is the compute-heavy map
+    # phase; widen a single-file scan so it doesn't run single-task.
+    docs = widen_if_narrow(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     cur = docs.select(
         "doc_id", _ws_tokens(F.col("text")).alias("w")
     ).select(
