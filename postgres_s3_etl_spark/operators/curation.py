@@ -55,14 +55,9 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgres_s3_etl_spark.operators.text_analysis import (
         CAP_DOCS_PER_SOURCE,
         CAP_TOKENS_PER_SOURCE,
-        CLS_BIAS,
-        CLS_W_PUNCT,
-        CLS_W_STOP,
-        CLS_W_TOKENS,
         DECON_NGRAM,
-        PUNCT_PATTERN,
-        STOPWORD_PATTERN,
         _ws_tokens,
+        quality_logit_col,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -70,16 +65,7 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     text = F.col("text")
     n_tokens = F.size(_ws_tokens(text)).cast("long")
-    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
-    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
-        "long"
-    )
-    logit = (
-        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
-        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
-        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
-        + F.lit(CLS_BIAS).cast("decimal(8,2)")
-    ).cast("decimal(18,2)")
+    logit = quality_logit_col(text)
     base = docs.where(F.col("doc_id") % 50 != 0).select(
         "doc_id",
         "source",
@@ -400,13 +386,8 @@ def text_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_order,
     )
     from postgres_s3_etl_spark.operators.text_analysis import (
-        CLS_BIAS,
-        CLS_W_PUNCT,
-        CLS_W_STOP,
-        CLS_W_TOKENS,
-        PUNCT_PATTERN,
-        STOPWORD_PATTERN,
         _ws_tokens,
+        quality_logit_col,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -414,14 +395,7 @@ def text_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     text = F.col("text")
     n_tokens = F.size(_ws_tokens(text)).cast("long")
-    logit = (
-        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
-        + F.lit(CLS_W_STOP).cast("decimal(8,2)")
-        * F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast("long")
-        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)")
-        * F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
-        + F.lit(CLS_BIAS).cast("decimal(8,2)")
-    ).cast("decimal(18,2)")
+    logit = quality_logit_col(text)
     base = docs.where(F.col("doc_id") % 50 != 0).select(
         "doc_id", "source", n_tokens.alias("n_tokens"), logit.alias("z")
     )

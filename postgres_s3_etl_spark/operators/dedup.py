@@ -691,9 +691,6 @@ def dedup_minhash_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-CC_MAX_ITERS = 25
-
-
 def dedup_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy-dedup keep-set: LSH candidate pairs → union
     into connected components (iterative min-label propagation) →
@@ -727,34 +724,11 @@ def dedup_cc_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.union(pairs.select(F.col("dst"), F.col("src"))).persist()
-    labels = (
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .select("doc", F.col("doc").alias("label"))
-        .localCheckpoint()
-    )
-    def _propagate(lbls: DataFrame) -> DataFrame:
-        nb = (
-            edges.join(lbls, edges.src == lbls.doc)
-            .groupBy(F.col("dst").alias("doc2"))
-            .agg(F.min("label").alias("nl"))
-        )
-        return lbls.join(nb, lbls.doc == nb.doc2, "left").select(
-            "doc",
-            F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-        )
-
-    prev = None
-    for _ in range(CC_MAX_ITERS):
-        # Two propagation hops per materialization round: labels move
-        # 2 edges per checkpoint+convergence-check, halving the number
-        # of driver round-trips and checkpoint jobs for the same
-        # diameter coverage.
-        labels = _propagate(_propagate(labels)).localCheckpoint()
-        total = labels.agg(F.sum("label")).collect()[0][0]
-        if total == prev:
-            break
-        prev = total
+    # Shared exact-fixed-point propagation (round-11): the previous
+    # inline copy of this loop silently fell through after its round
+    # cap without convergence — partial labels would have flowed
+    # into the component sizes with no error.
+    labels = min_label_fixed_point(edges, "dedup_cc_keepset")
     comp_sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
     # Unfiltered corpus size — parquet footer metadata, not a scan.
     n_docs = table_row_count(sf_dir, "documents")
@@ -1222,12 +1196,6 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("band")
     )
 
-
-#: Fixed relaxation rounds for the fuzzy-pair components (both
-#: engines compute the same 8-round partial fixpoint, so parity
-#: holds even if a pathological chain were longer; observed cluster
-#: diameters at every tested SF are ≤ 3).
-FUZZY_CC_ROUNDS = 8
 
 #: Hard cap on min-label propagation for the fixed-point loop below —
 #: a diameter this large in a near-dup graph means the corpus itself
@@ -2036,22 +2004,13 @@ ORACLES["text_split_leakage_safe"] = f"""
 """
 
 
-def _fuzzy_cc_iter_sql(k: int) -> str:
-    """One unrolled min-label relaxation round over the fuzzy pairs
-    (the dedup_fuzzy_cluster loop body re-expressed)."""
-    return f"""
-    fl{k} AS MATERIALIZED (
-        SELECT l.doc, least(l.label, COALESCE(nb.m, l.label)) AS label
-        FROM fl{k - 1} l LEFT JOIN (
-            SELECT s.dst AS doc, MIN(x.label) AS m
-            FROM fsym s JOIN fl{k - 1} x ON s.src = x.doc
-            GROUP BY s.dst
-        ) nb ON l.doc = nb.doc
-    )"""
-
-
+# Exact transitive closure (recursive CTE) over the fuzzy pair graph
+# — round-11: the engine now propagates to the exact FIXED POINT
+# (min_label_fixed_point), so the oracle must too; the previous
+# unrolled FUZZY_CC_ROUNDS=8 chain would disagree with the (correct)
+# engine on any component with propagation distance > 8.
 ORACLES["dedup_fuzzy_cluster"] = f"""
-    WITH fd AS (
+    WITH RECURSIVE fd AS (
         SELECT doc_id, lang, substr(text, 1, 80) AS p,
                ROW_NUMBER() OVER (ORDER BY lang, n_chars,
                                   substr(text, 1, 80), doc_id) AS rnk
@@ -2072,14 +2031,18 @@ ORACLES["dedup_fuzzy_cluster"] = f"""
         UNION ALL
         SELECT doc_j AS src, doc_i AS dst FROM fpairs
     ),
-    fl0 AS MATERIALIZED (
-        SELECT DISTINCT src AS doc, src AS label FROM fsym
+    fnodes AS (SELECT DISTINCT src AS doc FROM fsym),
+    freach(doc, label) AS (
+        SELECT doc, doc FROM fnodes
+        UNION
+        SELECT e.dst, r.label
+        FROM freach r JOIN fsym e ON e.src = r.doc
     ),
-    {",".join(_fuzzy_cc_iter_sql(k) for k in range(1, FUZZY_CC_ROUNDS + 1))}
+    fcomp AS (SELECT doc, MIN(label) AS label FROM freach GROUP BY doc)
     SELECT label AS keep_doc,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-    FROM fl{FUZZY_CC_ROUNDS}
+    FROM fcomp
     GROUP BY label
     ORDER BY keep_doc
 """

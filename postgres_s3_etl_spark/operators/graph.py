@@ -897,6 +897,14 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # round-11: never silently return partial components — a
+        # diameter past the cap means a pathological graph, not a
+        # result.
+        raise RuntimeError(
+            f"graph components did not converge in {CC_MAX_ITERS} "
+            "rounds — component diameter exceeds the cap"
+        )
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("component_size"))

@@ -179,6 +179,26 @@ CLS_W_PUNCT = "-0.75"
 CLS_BIAS = "-8.00"
 
 
+def quality_logit_col(text: Column) -> Column:
+    """THE pinned DECIMAL(18,2) quality logit over the integer text
+    features — the single definition every consumer (classifier,
+    source caps, curation funnel, incremental funnel, curriculum)
+    must share: the funnel==one-shot and batch==incremental
+    equivalences hold only while all call sites agree bit-for-bit,
+    so the expression lives exactly once (round-11 review finding)."""
+    n_tokens = F.size(_ws_tokens(text)).cast("long")
+    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
+    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
+        "long"
+    )
+    return (
+        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
+        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
+        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
+        + F.lit(CLS_BIAS).cast("decimal(8,2)")
+    ).cast("decimal(18,2)")
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML inference fused into pure engine SQL (the operator-fusion
     pattern from the in-database-inference literature): a fixed-
@@ -199,12 +219,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
         "long"
     )
-    logit = (
-        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
-        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
-        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
-        + F.lit(CLS_BIAS).cast("decimal(8,2)")
-    ).cast("decimal(18,2)")
+    logit = quality_logit_col(text)
     scored = docs.select("source", logit.alias("z"))
     return (
         scored.groupBy("source")
@@ -272,12 +287,7 @@ def text_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
         "long"
     )
-    logit = (
-        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
-        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
-        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
-        + F.lit(CLS_BIAS).cast("decimal(8,2)")
-    ).cast("decimal(18,2)")
+    logit = quality_logit_col(text)
     scored = docs.select(
         "doc_id",
         "source",

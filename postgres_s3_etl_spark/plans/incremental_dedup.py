@@ -363,11 +363,17 @@ def near_index_stats(spark: SparkSession, sig_index_path: str) -> dict:
 # rule as one plan; the equivalence pytest replays 3 batches and
 # asserts the incremental keep-set matches it bit-for-bit.
 #
-# Commit order per batch: corpus rows → cap deltas → digests. A crash
-# replay after the cap-delta commit double-counts the batch's
+# Commit order per batch: corpus rows → cap deltas → digests — the
+# same rows-first at-LEAST-once contract as ingest_batch above, with
+# the same failure geometry: a crash BETWEEN the corpus commit and
+# the digest commit means the replay re-appends the same kept rows
+# (a duplicate corpus snapshot, visible in ``list_snapshots`` and
+# removable — never a silent drop, which digests-first would cause),
+# and a replay after the cap-delta commit double-counts the batch's
 # survivors in the counters, which only TIGHTENS later caps (drops
-# extra docs); committing digests last preserves the replay guard —
-# a replayed batch anti-joins away entirely and appends empty deltas.
+# extra docs, never over-admits). Digests-last preserves the replay
+# guard for FULLY committed batches: their survivors anti-join away
+# entirely and every delta they would write is empty.
 
 
 def _funnel_gate(batch: DataFrame) -> DataFrame:
@@ -375,27 +381,13 @@ def _funnel_gate(batch: DataFrame) -> DataFrame:
     stage-0/1 rules (eval split excluded, pinned DECIMAL logit > 0),
     identical to text_curation_funnel's base/stage-1."""
     from postgres_s3_etl_spark.operators.text_analysis import (
-        CLS_BIAS,
-        CLS_W_PUNCT,
-        CLS_W_STOP,
-        CLS_W_TOKENS,
-        PUNCT_PATTERN,
-        STOPWORD_PATTERN,
         _ws_tokens,
+        quality_logit_col,
     )
 
     text = F.col("text")
     n_tokens = F.size(_ws_tokens(text)).cast("long")
-    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
-    n_stop = F.regexp_count(
-        F.lower(text), F.lit(STOPWORD_PATTERN)
-    ).cast("long")
-    logit = (
-        F.lit(CLS_W_TOKENS).cast("decimal(8,2)") * n_tokens
-        + F.lit(CLS_W_STOP).cast("decimal(8,2)") * n_stop
-        + F.lit(CLS_W_PUNCT).cast("decimal(8,2)") * n_punct
-        + F.lit(CLS_BIAS).cast("decimal(8,2)")
-    ).cast("decimal(18,2)")
+    logit = quality_logit_col(text)
     return (
         batch.where(F.col("doc_id") % 50 != 0)
         .select(
@@ -441,9 +433,12 @@ def ingest_batch_funnel(
 
     Equivalence (pytest-pinned): ingesting B1..Bn in doc_id order
     keeps exactly :func:`funnel_one_shot_fcfs`'s keep-set over the
-    union. Replay-idempotent: a committed batch's digests are all in
-    the index, so its survivors anti-join away and every delta it
-    would commit is empty.
+    union. Replay-idempotent for FULLY committed batches: the digests
+    are all in the index, so survivors anti-join away and every delta
+    the replay would commit is empty. A crash mid-commit degrades to
+    at-least-once exactly like :func:`ingest_batch` — see the module
+    comment for the failure geometry (duplicate corpus snapshot /
+    tighter caps, never a silent drop or over-admit).
     """
     from postgres_s3_etl_spark.operators.text_analysis import (
         CAP_DOCS_PER_SOURCE,
