@@ -64,23 +64,51 @@ def table_row_count(sf_dir: str, name: str) -> int:
     ``_adaptive_buckets`` consumers pay it once per process.
     """
     path = table_path(sf_dir, name)
-    key = os.path.abspath(path)
+    # URI paths (s3a://, file://, mock://) must not be abspath-mangled.
+    key = path if "://" in path else os.path.abspath(path)
     if key not in _ROW_COUNT_CACHE:
         import pyarrow.parquet as pq
 
-        if os.path.isdir(path):
-            files = sorted(
-                os.path.join(root, f)
-                for root, _dirs, fs in os.walk(path)
-                for f in fs
-                if f.endswith(".parquet")
-            )
-        else:
-            files = [path]
+        fs, files = _list_parquet_files(path)
         _ROW_COUNT_CACHE[key] = sum(
-            pq.ParquetFile(f).metadata.num_rows for f in files
+            pq.read_metadata(f, filesystem=fs).num_rows for f in files
         )
     return _ROW_COUNT_CACHE[key]
+
+
+def _list_parquet_files(path: str):
+    """Resolve ``path`` through ``pyarrow.fs`` and list its parquet
+    part files — object-store-safe (the same listing works for local
+    paths, ``file://`` URIs, and ``s3://`` buckets), where the old
+    ``os.walk`` only ever saw the local disk. Hidden and in-flight
+    entries (any path segment starting with ``_`` or ``.`` — Spark's
+    ``_temporary`` commit dirs, ``_SUCCESS`` markers, dotfiles) are
+    skipped so an aborted write can never skew the corpus-adaptive
+    plan constants that ride this count. Returns ``(filesystem,
+    [paths])`` sorted for determinism.
+    """
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+    else:
+        filesystem, fs_path = pafs.LocalFileSystem(), os.path.abspath(path)
+    info = filesystem.get_file_info(fs_path)
+    if info.type != pafs.FileType.Directory:
+        return filesystem, [fs_path]
+    base_len = len(fs_path.rstrip("/")) + 1
+    sel = pafs.FileSelector(fs_path, recursive=True)
+    files = sorted(
+        fi.path
+        for fi in filesystem.get_file_info(sel)
+        if fi.type == pafs.FileType.File
+        and fi.path.endswith(".parquet")
+        and not any(
+            seg.startswith(("_", "."))
+            for seg in fi.path[base_len:].split("/")
+        )
+    )
+    return filesystem, files
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

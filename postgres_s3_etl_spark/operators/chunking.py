@@ -38,6 +38,16 @@ from postgres_s3_etl_spark.catalog import load_table
 CHUNK_WINDOW = 32
 CHUNK_STRIDE = 24
 
+# The closed-form overlap accounting in text_chunk_windows
+# ((n_chunks - n_docs) * (W - S)) is exact only while no token is
+# covered by three windows at once, i.e. while W < 2*S. Pin both
+# inequalities so a future retune cannot silently break the formula
+# (engine and oracle share it, so parity alone would not catch it).
+assert CHUNK_STRIDE < CHUNK_WINDOW, "stride must be < window"
+assert CHUNK_WINDOW < 2 * CHUNK_STRIDE, (
+    "overlap formula requires W < 2*S (no triple coverage)"
+)
+
 #: A FULL window repeated across at least this many distinct docs is
 #: boilerplate.
 BOILER_MIN_DOCS = 3

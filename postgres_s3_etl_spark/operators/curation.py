@@ -238,6 +238,7 @@ def _funnel_oracle() -> str:
         CLS_W_TOKENS,
         DECON_NGRAM,
         PUNCT_PATTERN,
+        STOPWORD_PATTERN,
     )
 
     stage_names = ", ".join(f"'{s}'" for s in FUNNEL_STAGES)
@@ -250,7 +251,7 @@ def _funnel_oracle() -> str:
                             * len(string_split_regex(trim(text), '\s+'))
                         + CAST({CLS_W_STOP} AS DECIMAL(8,2))
                             * len(regexp_extract_all(lower(text),
-                                  '\b(the|a|of|and|to)\b'))
+                                  '{STOPWORD_PATTERN}'))
                         + CAST({CLS_W_PUNCT} AS DECIMAL(8,2))
                             * len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
                         + CAST({CLS_BIAS} AS DECIMAL(8,2))
@@ -431,6 +432,7 @@ def _curriculum_oracle() -> str:
         CLS_W_STOP,
         CLS_W_TOKENS,
         PUNCT_PATTERN,
+        STOPWORD_PATTERN,
     )
 
     return rf"""
@@ -442,7 +444,7 @@ def _curriculum_oracle() -> str:
                             * len(string_split_regex(trim(text), '\s+'))
                         + CAST({CLS_W_STOP} AS DECIMAL(8,2))
                             * len(regexp_extract_all(lower(text),
-                                  '\b(the|a|of|and|to)\b'))
+                                  '{STOPWORD_PATTERN}'))
                         + CAST({CLS_W_PUNCT} AS DECIMAL(8,2))
                             * len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
                         + CAST({CLS_BIAS} AS DECIMAL(8,2))

@@ -214,11 +214,6 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
-    n_tokens = F.size(_ws_tokens(text)).cast("long")
-    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
-    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
-        "long"
-    )
     logit = quality_logit_col(text)
     scored = docs.select("source", logit.alias("z"))
     return (
@@ -283,10 +278,6 @@ def text_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     text = F.col("text")
     n_tokens = F.size(_ws_tokens(text)).cast("long")
-    n_punct = F.regexp_count(text, F.lit(PUNCT_PATTERN)).cast("long")
-    n_stop = F.regexp_count(F.lower(text), F.lit(STOPWORD_PATTERN)).cast(
-        "long"
-    )
     logit = quality_logit_col(text)
     scored = docs.select(
         "doc_id",

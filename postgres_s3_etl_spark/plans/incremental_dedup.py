@@ -439,6 +439,14 @@ def ingest_batch_funnel(
     at-least-once exactly like :func:`ingest_batch` — see the module
     comment for the failure geometry (duplicate corpus snapshot /
     tighter caps, never a silent drop or over-admit).
+
+    The returned frame is ``persist()``-ed (it must be stable across
+    the commit writes above); callers that hold it beyond the batch
+    MUST ``unpersist()`` it, or a long ``foreachBatch`` run
+    accumulates one cached frame per batch. Replays of fully
+    committed batches commit nothing and write nothing: the empty
+    survivor set short-circuits all three snapshot appends, so
+    replay does not grow corpus/caps/digests with empty files.
     """
     from postgres_s3_etl_spark.operators.text_analysis import (
         CAP_DOCS_PER_SOURCE,
@@ -463,7 +471,7 @@ def ingest_batch_funnel(
     except FileNotFoundError:
         survivors = in_batch_first
     survivors = survivors.persist()
-    survivors.count()
+    n_survivors = survivors.count()
 
     # FCFS prefix caps: committed counters + within-batch running
     # totals in doc_id order. cum/rnk count every survivor (kept or
@@ -487,16 +495,19 @@ def ingest_batch_funnel(
     )
     fresh = batch.join(kept, "doc_id", "left_semi").persist()
     fresh.count()
-    write_snapshot(fresh, corpus_path, mode="append")
-    write_snapshot(
-        survivors.groupBy("source").agg(
-            F.count(F.lit(1)).cast("bigint").alias("d_docs"),
-            F.sum("n_tokens").cast("bigint").alias("d_tokens"),
-        ),
-        caps_path,
-        mode="append",
-    )
-    write_snapshot(survivors.select("digest"), digest_path, mode="append")
+    if n_survivors > 0:
+        write_snapshot(fresh, corpus_path, mode="append")
+        write_snapshot(
+            survivors.groupBy("source").agg(
+                F.count(F.lit(1)).cast("bigint").alias("d_docs"),
+                F.sum("n_tokens").cast("bigint").alias("d_tokens"),
+            ),
+            caps_path,
+            mode="append",
+        )
+        write_snapshot(
+            survivors.select("digest"), digest_path, mode="append"
+        )
     survivors.unpersist()
     return fresh
 
