@@ -1414,7 +1414,19 @@ PQ_K = 8
 
 def _pq_subs(vecs: DataFrame) -> DataFrame:
     """(vec_id, m, sub, xx): PQ subvectors with their squared norms.
-    Row-local array slicing — no shuffle."""
+    Row-local array slicing — no shuffle on a parallel scan.
+
+    Widened here at the family's single entry point (round-12, per
+    the r11 `widen_if_narrow` policy): every PQ consumer (ADC,
+    rerank, recall, codebook stats, distortion curve) fans each
+    vector out PQ_M x against a broadcast codebook, so a one-file
+    local embeddings scan would run the whole encode single-task.
+    The widen is a no-op whenever the scan already yields >= cores
+    partitions — cluster plans are untouched.
+    """
+    from postgres_s3_etl_spark.operators.python_lane import widen_if_narrow
+
+    vecs = widen_if_narrow(vecs, "vec_id")
     return vecs.select(
         "vec_id",
         F.explode(

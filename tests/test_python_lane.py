@@ -65,3 +65,39 @@ def test_helper_emits_numbered_hash_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = spark.sparkContext.defaultParallelism
     assert f"hashpartitioning(id#" in plan and f", {n})" in plan, plan
+
+
+def test_widen_if_narrow_is_noop_when_wide(spark):
+    """At >= cores input partitions (the cluster case) the helper
+    must return the SAME plan — no exchange inserted."""
+    from postgres_s3_etl_spark.operators.python_lane import widen_if_narrow
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000, numPartitions=n)
+    out = widen_if_narrow(wide, "id")
+    assert out is wide  # literally unchanged, not just equivalent
+    narrow = spark.range(1000, numPartitions=1)
+    out2 = widen_if_narrow(narrow, "id")
+    assert out2 is not narrow
+    assert out2.rdd.getNumPartitions() == n
+
+
+def test_pq_subs_widened_on_one_file_scan(spark):
+    """The PQ family's shared encode entry (_pq_subs) must run at
+    core-count parallelism even when the embeddings scan is a single
+    local file (round-12 fix: the last compute-heavy embedding family
+    left on the unwidened scan)."""
+    from postgres_s3_etl_spark.operators.similarity import _pq_subs, _vecs
+
+    n = spark.sparkContext.defaultParallelism
+    vecs = _vecs(spark, SF_DIR).select("vec_id", "v")
+    assert vecs.rdd.getNumPartitions() < n  # the local one-file artifact
+    subs = _pq_subs(vecs)
+    assert subs.rdd.getNumPartitions() == n
+    plan = subs._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+    # And with an already-parallel input the widen is absent.
+    wide_vecs = vecs.repartition(n, "vec_id")
+    plan2 = _pq_subs(wide_vecs)._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("REPARTITION_BY_NUM") == 1, plan2  # only our own
