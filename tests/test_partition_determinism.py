@@ -22,7 +22,19 @@ import pytest
 
 from tests.conftest import SF_DIR
 
-TRAINERS = ["text_bpe_train", "text_quality_train", "q_lineitem_corr"]
+TRAINERS = [
+    "text_bpe_train",
+    "text_quality_train",
+    "q_lineitem_corr",
+    # round-12 (VERDICT r11 task 7): the r11 additions with
+    # layout-sensitive-looking plans. text_curriculum_phases rides a
+    # two-pass range-partitioned global rank; text_pack_sequences is
+    # next-fit over LOGICAL lanes (doc_id % PACK_SHARDS) with a
+    # within-lane doc_id sort inside the Python stage — both are
+    # partition-invariant by construction, and this pins it.
+    "text_curriculum_phases",
+    "text_pack_sequences",
+]
 
 
 def _clear_memos():
