@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.training",
     "postgres_s3_etl_spark.operators.temporal",
     "postgres_s3_etl_spark.operators.multimodal",
+    "postgres_s3_etl_spark.operators.flac_codec",
     "postgres_s3_etl_spark.operators.profiling",
     "postgres_s3_etl_spark.operators.cdc",
     "postgres_s3_etl_spark.operators.entity",

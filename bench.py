@@ -157,6 +157,8 @@ HEADLINE = (
     "text_chunk_windows",
     "text_boilerplate_chunks",
     "text_curriculum_phases",
+    # round-12 additions (FLAC subset decode arm)
+    "mm_audio_decode_flac",
 )
 
 

@@ -3772,6 +3772,21 @@ def synth_mixed_media(spark: SparkSession, n: int = N_MIXED_ASSETS) -> DataFrame
                  nb * ADPCM_SAMPLES_PER_BLOCK * 1000 // WAV_RATE,
                  bytearray(encode_wav_ima_adpcm(i, nb)))
             )
+        elif i % 4 == 1 and i % 16 == 1:
+            # round-12: lossless-compressed audio assets are FLAC —
+            # the router grows a fLaC-magic arm (real decode, CRC +
+            # MD5 verified; see operators/flac_codec.py)
+            from postgres_s3_etl_spark.operators.flac_codec import (
+                FLAC_BLOCK,
+                encode_flac,
+            )
+
+            nf = 2 + i % 3
+            rows.append(
+                (i, "audio", 0, 0,
+                 nf * FLAC_BLOCK * 1000 // WAV_RATE,
+                 bytearray(encode_flac(i, nf)))
+            )
         elif i % 4 == 1:
             ns = 1000 + 10 * i
             rows.append(
@@ -3808,7 +3823,9 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     FFD8 → decode_jpeg_gray (round-6: the baseline-JPEG arm became
     real and joined the router), RIFF/WAVE → wave for PCM or
     decode_wav_ima_adpcm for fmt-0x11 (round-11: dispatch on the
-    format TAG, not just the container magic), YUV4MPEG2 →
+    format TAG, not just the container magic), fLaC → decode_flac
+    (round-12: the lossless-audio arm, CRC + MD5 verified,
+    operators/flac_codec.py), YUV4MPEG2 →
     decode_y4m — emitting per-asset exact integer content stats
     (units = pixels / samples / frame-pixels; main = Σ(r+g+b) /
     Σpx / Σs² / ΣY). Unrecognized formats (the H.264-class arm no
@@ -3825,6 +3842,8 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        from postgres_s3_etl_spark.operators.flac_codec import decode_flac
 
         for pdf in it:
             out = []
@@ -3861,6 +3880,14 @@ def mm_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                             decoded = 1
                             units = len(s)
                             main = sum(v * v for v in s)
+                elif p[:4] == b"fLaC":
+                    # round-12: lossless-compressed audio — real FLAC
+                    # subset decode (CRC-8/16 + PCM-MD5 verified)
+                    s = decode_flac(p)
+                    if s is not None:
+                        decoded = 1
+                        units = len(s)
+                        main = sum(v * v for v in s)
                 elif p[:10] == b"YUV4MPEG2 ":
                     dec = decode_y4m(p)
                     if dec is not None:
@@ -6033,6 +6060,14 @@ def _mel_oracle_cte() -> str:
         )"""
 
 
+# Router-oracle constant for the round-12 fLaC arm. Imported here
+# (not at module top) purely for locality with its one consumer; the
+# import is safe in either direction because flac_codec has no
+# top-level dependency on this module.
+from postgres_s3_etl_spark.operators.flac_codec import (  # noqa: E402
+    FLAC_BLOCK as _FLAC_BLOCK,
+)
+
 ORACLES: dict[str, str] = {
     "mm_image_phash_dedup": _PHASH_ORACLE,
     "mm_video_phash_dedup": _VPHASH_ORACLE,
@@ -7047,6 +7082,7 @@ ORACLES: dict[str, str] = {
                    CASE WHEN i % 10 = 9 THEN 'junk'
                         WHEN i % 4 = 0 THEN 'bmp'
                         WHEN i % 4 = 1 AND i % 8 = 5 THEN 'adpcm'
+                        WHEN i % 4 = 1 AND i % 16 = 1 THEN 'flac'
                         WHEN i % 4 = 1 THEN 'wav'
                         WHEN i % 4 = 2 THEN 'y4m'
                         ELSE 'jpeg' END AS kind
@@ -7143,6 +7179,19 @@ ORACLES: dict[str, str] = {
             WHERE d.kind = 'wav' AND k.k < 1000 + 10 * d.i
             GROUP BY d.i
         ),
+        flac AS (
+            -- round-12: FLAC decode is lossless, so the stats are
+            -- the closed-form signal's — (2 + i%3) frames of
+            -- FLAC_BLOCK samples s = ((7i + 13t) % 201) - 100
+            SELECT d.i AS asset_id, 'audio' AS media_type, 1 AS decoded,
+                   COUNT(*) AS units,
+                   SUM((((7 * d.i + 13 * t.t) % 201) - 100)
+                       * (((7 * d.i + 13 * t.t) % 201) - 100)) AS main
+            FROM ids d
+            CROSS JOIN generate_series(0, {4 * _FLAC_BLOCK - 1}) t(t)
+            WHERE d.kind = 'flac' AND t.t < (2 + d.i % 3) * {_FLAC_BLOCK}
+            GROUP BY d.i
+        ),
         y4m AS (
             SELECT d.i AS asset_id, 'video' AS media_type, 1 AS decoded,
                    COUNT(*) AS units,
@@ -7166,6 +7215,7 @@ ORACLES: dict[str, str] = {
             UNION ALL SELECT * FROM jpeg420
             UNION ALL SELECT * FROM wav
             UNION ALL SELECT * FROM adpcm
+            UNION ALL SELECT * FROM flac
             UNION ALL SELECT * FROM y4m UNION ALL SELECT * FROM junk
         )
         SELECT media_type,

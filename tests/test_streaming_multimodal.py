@@ -829,6 +829,8 @@ def test_decode_router_routes_and_skips(spark, duck):
             kinds.setdefault("junk", []).append(i)
         elif i % 4 == 1 and i % 8 == 5:
             kinds.setdefault("adpcm", []).append(i)  # round-11 arm
+        elif i % 4 == 1 and i % 16 == 1:
+            kinds.setdefault("flac", []).append(i)  # round-12 arm
         else:
             kinds.setdefault(("bmp", "wav", "y4m", "jpeg")[i % 4], []).append(i)
 
@@ -869,20 +871,32 @@ def test_decode_router_routes_and_skips(spark, duck):
         i: decode_wav_ima_adpcm(encode_wav_ima_adpcm(i, 2 + i % 3))
         for i in kinds["adpcm"]
     }
+    from postgres_s3_etl_spark.operators.flac_codec import (
+        FLAC_BLOCK,
+        decode_flac,
+        encode_flac,
+    )
+
+    flac_samples = {
+        i: decode_flac(encode_flac(i, 2 + i % 3)) for i in kinds["flac"]
+    }
+    assert all(s is not None for s in flac_samples.values())
     aud = rows["audio"]
     assert aud.n_assets == aud.n_decoded == len(kinds["wav"]) + len(
         kinds["adpcm"]
-    )
+    ) + len(kinds["flac"])
     assert aud.total_units == sum(
         1000 + 10 * i for i in kinds["wav"]
     ) + sum(
         (2 + i % 3) * ADPCM_SAMPLES_PER_BLOCK for i in kinds["adpcm"]
-    )
+    ) + sum((2 + i % 3) * FLAC_BLOCK for i in kinds["flac"])
     assert aud.total_main == sum(
         _wav_sample(i, k) ** 2
         for i in kinds["wav"]
         for k in range(1000 + 10 * i)
-    ) + sum(v * v for s in adpcm_samples.values() for v in s)
+    ) + sum(
+        v * v for s in adpcm_samples.values() for v in s
+    ) + sum(v * v for s in flac_samples.values() for v in s)
 
     vid = rows["video"]
     assert vid.n_assets == len(kinds["y4m"]) + len(kinds["junk"])
