@@ -548,7 +548,14 @@ def tws_available() -> bool:
     """TransformWithStateInPandas needs the protobuf python package
     for its driver-side state server; absent/broken in this
     container (same class of gap as the Kafka connector jar).
-    Re-verified absent round 3 (`import google.protobuf` fails and
+    Re-verified absent rounds 3, 10, and 12 — the round-12 retry
+    (per VERDICT r11 task 8): `pip install protobuf` exhausts
+    retries on DNS ("Name or service not known" against the
+    configured index), no protobuf wheel or spark-sql-kafka jar
+    exists anywhere on disk (`find / -name 'protobuf*.whl' -o -name
+    '*kafka*jar'` → only shaded-protobuf ORC jars), and the pyspark
+    jars dir ships no Kafka connector. Nothing vendorable without
+    network. (`import google.protobuf` fails and
     package installs are unavailable here) — a hard gate until the
     environment ships protobuf."""
     try:
