@@ -157,8 +157,12 @@ HEADLINE = (
     "text_chunk_windows",
     "text_boilerplate_chunks",
     "text_curriculum_phases",
-    # round-12 additions (FLAC subset decode arm)
+    # round-12 additions (FLAC subset decode arm, DiD readout,
+    # Lowe-ratio margin, tokenizer fertility)
     "mm_audio_decode_flac",
+    "q_events_did",
+    "embedding_topk_margin",
+    "text_tokenizer_fertility",
 )
 
 

@@ -1928,6 +1928,95 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (round-12): the same
+    pre/post split as CUPED (day ≤ 15 vs > 15) and the same parity
+    arms, but the estimand is the DiD effect — (post−pre) change in
+    arm B minus the (post−pre) change in arm A — the design that
+    removes any fixed between-arm level difference AND any common
+    time shock; the go-to readout when assignment wasn't perfectly
+    random or a launch landed mid-experiment. SE comes from the
+    user-level change scores Δ = Y − X (the regression-equivalent
+    two-sample form): SE² = s²_Δ,A/n_A + s²_Δ,B/n_B, t = effect/SE.
+
+    Cross-engine determinism: per-arm sufficient statistics (n, ΣΔ,
+    ΣΔ², per-period sums) accumulate as EXACT decimals; effect, SE
+    and t are mirrored double expressions over those exact inputs,
+    floor-6 at the boundary. Scale shape: one partial-aggregatable
+    per-user rollup, one 2-row arm rollup pivoted by conditional
+    aggregation — two shuffles, no windows, no Python.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            F.dayofmonth("ts") <= CUPED_PRE_DAY,
+            F.col("value").cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("pre_v"),
+        F.when(
+            F.dayofmonth("ts") > CUPED_PRE_DAY,
+            F.col("value").cast("decimal(18,2)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,2)"))
+        .alias("post_v"),
+    )
+    users = ev.groupBy("user_id").agg(
+        F.sum("pre_v").cast("decimal(18,2)").alias("x"),
+        F.sum("post_v").cast("decimal(18,2)").alias("y"),
+    ).select(
+        "user_id",
+        "x",
+        "y",
+        (F.col("y") - F.col("x")).cast("decimal(18,2)").alias("dd"),
+    )
+    arms = users.groupBy((F.col("user_id") % 2).alias("arm")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("dd").alias("sd"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sdd"),
+    )
+    cell = lambda arm, col: F.sum(  # noqa: E731
+        F.when(F.col("arm") == arm, F.col(col))
+    )
+    piv = arms.agg(
+        cell(0, "n").cast("bigint").alias("n_a"),
+        cell(0, "sx").alias("sx_a"),
+        cell(0, "sy").alias("sy_a"),
+        cell(0, "sd").alias("sd_a"),
+        cell(0, "sdd").alias("sdd_a"),
+        cell(1, "n").cast("bigint").alias("n_b"),
+        cell(1, "sx").alias("sx_b"),
+        cell(1, "sy").alias("sy_b"),
+        cell(1, "sd").alias("sd_b"),
+        cell(1, "sdd").alias("sdd_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    eff = d("sd_b") / d("n_b") - d("sd_a") / d("n_a")
+    var_a = (d("n_a") * d("sdd_a") - d("sd_a") * d("sd_a")) / (
+        d("n_a") * (d("n_a") - 1)
+    )
+    var_b = (d("n_b") * d("sdd_b") - d("sd_b") * d("sd_b")) / (
+        d("n_b") * (d("n_b") - 1)
+    )
+    se = F.sqrt(var_a / d("n_a") + var_b / d("n_b"))
+    return piv.select(
+        "n_a",
+        "n_b",
+        f6(d("sx_a") / d("n_a")).alias("pre_a"),
+        f6(d("sy_a") / d("n_a")).alias("post_a"),
+        f6(d("sx_b") / d("n_b")).alias("pre_b"),
+        f6(d("sy_b") / d("n_b")).alias("post_b"),
+        f6(d("sd_a") / d("n_a")).alias("delta_a"),
+        f6(d("sd_b") / d("n_b")).alias("delta_b"),
+        f6(eff).alias("did_effect"),
+        f6(se).alias("se"),
+        f6(F.try_divide(eff, se)).alias("t_stat"),
+    )
+
+
 def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-diversity distribution: per user, the Shannon
     entropy of their event-type mix (0 bits = single-minded, log₂5 ≈
@@ -2027,6 +2116,7 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_events_cuped": q_events_cuped,
+    "q_events_did": q_events_did,
     "q_events_poisson_rate": q_events_poisson_rate,
     "q_events_type_fano": q_events_type_fano,
     "q_events_countmin_topk": q_events_countmin_topk,
@@ -2224,6 +2314,79 @@ ORACLES = {
                  > 1.96 AS significant_05
         FROM counts
         ORDER BY event_type
+    """,
+    "q_events_did": """
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DECIMAL(18,2)) AS x,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DECIMAL(18,2)) AS y
+            FROM events GROUP BY user_id
+        ),
+        deltas AS (
+            SELECT user_id % 2 AS arm, x, y,
+                   CAST(y - x AS DECIMAL(18,2)) AS dd
+            FROM users
+        ),
+        arms AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(dd) AS sd, SUM(dd * dd) AS sdd
+            FROM deltas GROUP BY arm
+        ),
+        piv AS (
+            SELECT CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+                   SUM(CASE WHEN arm = 0 THEN sx END) AS sx_a,
+                   SUM(CASE WHEN arm = 0 THEN sy END) AS sy_a,
+                   SUM(CASE WHEN arm = 0 THEN sd END) AS sd_a,
+                   SUM(CASE WHEN arm = 0 THEN sdd END) AS sdd_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+                   SUM(CASE WHEN arm = 1 THEN sx END) AS sx_b,
+                   SUM(CASE WHEN arm = 1 THEN sy END) AS sy_b,
+                   SUM(CASE WHEN arm = 1 THEN sd END) AS sd_b,
+                   SUM(CASE WHEN arm = 1 THEN sdd END) AS sdd_b
+            FROM arms
+        ),
+        stats AS (
+            SELECT n_a, n_b,
+                   CAST(sx_a AS DOUBLE) AS dsx_a,
+                   CAST(sy_a AS DOUBLE) AS dsy_a,
+                   CAST(sd_a AS DOUBLE) AS dsd_a,
+                   CAST(sdd_a AS DOUBLE) AS dsdd_a,
+                   CAST(sx_b AS DOUBLE) AS dsx_b,
+                   CAST(sy_b AS DOUBLE) AS dsy_b,
+                   CAST(sd_b AS DOUBLE) AS dsd_b,
+                   CAST(sdd_b AS DOUBLE) AS dsdd_b,
+                   CAST(n_a AS DOUBLE) AS da, CAST(n_b AS DOUBLE) AS db
+            FROM piv
+        ),
+        calc AS (
+            SELECT n_a, n_b, dsx_a, dsy_a, dsx_b, dsy_b, dsd_a, dsd_b,
+                   da, db,
+                   dsd_b / db - dsd_a / da AS eff,
+                   sqrt(((da * dsdd_a - dsd_a * dsd_a) / (da * (da - 1)))
+                            / da
+                        + ((db * dsdd_b - dsd_b * dsd_b) / (db * (db - 1)))
+                            / db) AS se_raw
+            FROM stats
+        )
+        SELECT n_a, n_b,
+               floor(dsx_a / da * 1e6) / 1e6 AS pre_a,
+               floor(dsy_a / da * 1e6) / 1e6 AS post_a,
+               floor(dsx_b / db * 1e6) / 1e6 AS pre_b,
+               floor(dsy_b / db * 1e6) / 1e6 AS post_b,
+               floor(dsd_a / da * 1e6) / 1e6 AS delta_a,
+               floor(dsd_b / db * 1e6) / 1e6 AS delta_b,
+               floor(eff * 1e6) / 1e6 AS did_effect,
+               floor(se_raw * 1e6) / 1e6 AS se,
+               floor(eff / NULLIF(se_raw, 0) * 1e6) / 1e6 AS t_stat
+        FROM calc
     """,
     "q_events_cuped": """
         WITH users AS (

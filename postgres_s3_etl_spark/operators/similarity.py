@@ -770,6 +770,79 @@ def sim_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Lowe-ratio reliability bar: a top-1 match whose distance is under
+#: MARGIN_RATIO_MAX of the runner-up's is "reliable" (the classical
+#: 0.8 ratio-test operating point from the matching literature).
+MARGIN_RATIO_MAX = 0.8
+
+
+def embedding_topk_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe top-1 MARGIN diagnostics (round-12): the Lowe ratio
+    test for nearest-neighbor reliability — d1/d2 over cosine
+    distances (d = 1 − cos) of the exact top-2 neighbors. Recall/NDCG
+    grade the ANN index; the ratio grades the QUERY: a top-1 barely
+    ahead of the runner-up (ratio → 1) is an unreliable match
+    whatever the index, and a dedup/linking pipeline routes it to
+    review instead of auto-merge. Emits per-probe nn1, d1, d2, the
+    floor-6 ratio, and the ratio < 0.8 verdict.
+
+    Cross-engine determinism: cosines are floor-6 BEFORE ranking and
+    differencing (the bruteforce contract), so d1/d2 and the verdict
+    compare identically-derived doubles; the ratio is one mirrored
+    division behind try_divide (d2 = 0 → NULL, never a crash).
+
+    Plan: rides the probe-broadcast brute-force scan — corpus
+    touched once, never shuffled; the pivot is a 2·N_PROBES-row
+    conditional aggregation.
+    """
+    vecs = _vecs(spark, sf_dir)
+    probes = vecs.where(F.col("vec_id") < N_PROBES)
+    a = probes.alias("a")
+    b = vecs.alias("b")
+    cosine = _trunc6(
+        F.expr(_DOT) / (F.col("a.norm") * F.col("b.norm"))
+    ).alias("cosine")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    top2 = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cosine,
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+    )
+    pick = lambda r, c: F.max(  # noqa: E731
+        F.when(F.col("rank") == r, F.col(c))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    d1 = F.lit(1.0) - F.col("cos1")
+    d2 = F.lit(1.0) - F.col("cos2")
+    ratio = f6(F.try_divide(d1, d2))
+    return (
+        top2.groupBy("probe_id")
+        .agg(
+            pick(1, "neighbor_id").cast("bigint").alias("nn1_id"),
+            pick(1, "cosine").alias("cos1"),
+            pick(2, "cosine").alias("cos2"),
+        )
+        .select(
+            "probe_id",
+            "nn1_id",
+            f6(d1).alias("d1"),
+            f6(d2).alias("d2"),
+            ratio.alias("ratio"),
+            (ratio < MARGIN_RATIO_MAX).alias("is_reliable"),
+        )
+        .orderBy("probe_id")
+    )
+
+
 def embedding_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-classifier evaluation — the label-quality readout every
     embedding pipeline runs before trusting labels for training:
@@ -2484,6 +2557,7 @@ QUERIES = {
     "sim_search_ivf_nprobe_curve": sim_search_ivf_nprobe_curve,
     "sim_search_filtered": sim_search_filtered,
     "sim_search_ndcg": sim_search_ndcg,
+    "embedding_topk_margin": embedding_topk_margin,
     "embedding_knn_eval": embedding_knn_eval,
     "embedding_mmd_drift": embedding_mmd_drift,
     "embedding_intrinsic_dim": embedding_intrinsic_dim,
@@ -3577,6 +3651,41 @@ ORACLES = {
         SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY probe_id, rank
+    """,
+    "embedding_topk_margin": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+                   floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6) / 1e6 AS cosine
+            FROM vecs a, vecs b
+            WHERE a.vec_id < {N_PROBES} AND a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM pairs
+        ),
+        piv AS (
+            SELECT probe_id,
+                   CAST(MAX(CASE WHEN rank = 1 THEN neighbor_id END)
+                        AS BIGINT) AS nn1_id,
+                   MAX(CASE WHEN rank = 1 THEN cosine END) AS cos1,
+                   MAX(CASE WHEN rank = 2 THEN cosine END) AS cos2
+            FROM ranked WHERE rank <= 2 GROUP BY probe_id
+        )
+        SELECT probe_id, nn1_id,
+               floor((1.0 - cos1) * 1e6) / 1e6 AS d1,
+               floor((1.0 - cos2) * 1e6) / 1e6 AS d2,
+               floor((1.0 - cos1) / NULLIF(1.0 - cos2, 0) * 1e6) / 1e6
+                   AS ratio,
+               floor((1.0 - cos1) / NULLIF(1.0 - cos2, 0) * 1e6) / 1e6
+                   < {MARGIN_RATIO_MAX} AS is_reliable
+        FROM piv
+        ORDER BY probe_id
     """,
     "sim_search_lsh": f"""
         WITH {lsh_bucket_cte()},

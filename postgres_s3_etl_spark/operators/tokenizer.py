@@ -511,11 +511,96 @@ def _bpe_vocab_oracle() -> str:
     """
 
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FERTILITY — pieces per whitespace word
+    under the trained BPE with the standard char-level fallback for
+    OOV words (every word costs something at serving time, unlike
+    ``text_bpe_encode``'s trainable-only average) — plus chars per
+    piece, the compression readout. Fertility is THE cross-lingual
+    tokenizer-budget metric (a source at fertility 2.4 pays 2.4x the
+    sequence length of one at 1.0 for the same word count), so a
+    data-mixture team reads this table next to the mixture weights.
+
+    Scale shape: identical to ``text_bpe_encode`` — the trained
+    word→piece-count table is broadcast onto the corpus token stream
+    (distinct words ≪ corpus); one partial-aggregatable per-source
+    rollup; merges never touch corpus-scale data. Round-12.
+    """
+    vocab, _merges, _curve = _train_merges(spark, sf_dir)
+    word_cost = vocab.select(
+        "tok", F.size(F.expr(_SYMS)).cast("bigint").alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    joined = toks.join(F.broadcast(word_cost), "tok", "left")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_syms"), F.length("tok")))
+            .cast("bigint")
+            .alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            f6(
+                F.col("n_pieces").cast("double") / F.col("n_words")
+            ).alias("fertility"),
+            f6(
+                F.col("n_chars").cast("double") / F.col("n_pieces")
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("source")
+    )
+
+
+def _fertility_oracle() -> str:
+    n = BPE_ROUNDS
+    return rf"""
+        WITH {_bpe_chain_ctes()},
+        word_cost AS (
+            SELECT tok,
+                   CAST(len(string_split(repr[2:len(repr) - 1],
+                                         chr(1) || chr(1))) AS BIGINT) AS n_syms
+            FROM v{n}
+        ),
+        toks AS (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        agg AS (
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len(t.tok)) AS BIGINT) AS n_chars,
+                   CAST(SUM(COALESCE(w.n_syms, len(t.tok)))
+                        AS BIGINT) AS n_pieces
+            FROM toks t LEFT JOIN word_cost w ON t.tok = w.tok
+            GROUP BY t.source
+        )
+        SELECT source, n_words, n_chars, n_pieces,
+               floor(CAST(n_pieces AS DOUBLE) / n_words * 1e6) / 1e6
+                   AS fertility,
+               floor(CAST(n_chars AS DOUBLE) / n_pieces * 1e6) / 1e6
+                   AS chars_per_piece
+        FROM agg
+        ORDER BY source
+    """
+
+
 QUERIES = {
     "text_bpe_train": text_bpe_train,
     "text_bpe_encode": text_bpe_encode,
     "text_bpe_compression_curve": text_bpe_compression_curve,
     "text_bpe_vocab": text_bpe_vocab,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
 }
 
 ORACLES = {
@@ -523,4 +608,5 @@ ORACLES = {
     "text_bpe_encode": _bpe_encode_oracle(),
     "text_bpe_compression_curve": _bpe_curve_oracle(),
     "text_bpe_vocab": _bpe_vocab_oracle(),
+    "text_tokenizer_fertility": _fertility_oracle(),
 }
