@@ -24,7 +24,12 @@ roll-invariant vectors land in different buckets. The script prints
 the op's own n_pairs per threshold at both scales as the honesty
 witness (expect ~10x, not ~100x) and the wall-clock alpha(1->10).
 
-Usage: python scripts/scaling_sf10_embed.py [--regen]
+Usage: python scripts/scaling_sf10_embed.py [--regen] [names...]
+
+Round-12: accepts query names (default: the original threshold
+curve) so the same honest orthogonal-replica corpus prices OTHER
+embedding families — used for the PQ serving family after the
+`_pq_subs` widen. Results merge into the json (never clobber).
 """
 
 from __future__ import annotations
@@ -104,25 +109,37 @@ def main() -> int:
     ):
         generate(spark)
 
-    fn = e.queries()[QUERY]
-    fn(spark, "/root/testdata/sf0.001").collect()  # warm
-    results: dict[str, dict] = {QUERY: {}}
-    for sf, d in (("1", SF1_DIR), ("10", SF10E_DIR)):
-        spark.catalog.clearCache()
-        t0 = time.time()
-        rows = fn(spark, d).collect()
-        dt = round(time.time() - t0, 3)
-        results[QUERY][sf] = dt
-        results[QUERY][f"pairs_{sf}"] = {
-            str(r["tau"]): int(r["n_pairs"]) for r in rows
-        }
-        print(f"{QUERY} sf{sf}: {dt:.2f}s "
-              f"pairs={results[QUERY][f'pairs_{sf}']}", flush=True)
-    a = math.log10(results[QUERY]["10"] / results[QUERY]["1"])
-    print(f"alpha(1->10) = {a:.2f}")
-    results[QUERY]["alpha"] = round(a, 3)
-    with open("scripts/scaling_sf10_embed_results.json", "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or [QUERY]
+    results: dict[str, dict] = {}
+    for name in names:
+        fn = e.queries()[name]
+        fn(spark, "/root/testdata/sf0.001").collect()  # warm
+        results[name] = {}
+        for sf, d in (("1", SF1_DIR), ("10", SF10E_DIR)):
+            best, rows = None, None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                rows = fn(spark, d).collect()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            results[name][sf] = best
+            if name == QUERY:
+                results[name][f"pairs_{sf}"] = {
+                    str(r["tau"]): int(r["n_pairs"]) for r in rows
+                }
+            print(f"{name} sf{sf}: {best:.2f}s", flush=True)
+        a = math.log10(results[name]["10"] / results[name]["1"])
+        print(f"{name} alpha(1->10) = {a:.2f}")
+        results[name]["alpha"] = round(a, 3)
+    out_path = "scripts/scaling_sf10_embed_results.json"
+    merged: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
     return 0
 
 
