@@ -160,3 +160,46 @@ def test_operator_matches_oracle(spark, duck):
 
 def test_router_matches_oracle_with_flac_arm(spark, duck):
     assert_matches_oracle(spark, duck, "mm_decode_router")
+
+
+# --- property tests: the codec must roundtrip ANY int16 PCM, not ---
+# --- just the closed-form feed (pure Python, no Spark jobs)      ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+SAMPLES = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=8, max_size=96
+)
+
+
+@given(samples=SAMPLES, order=st.integers(min_value=0, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_fixed_roundtrip_any_pcm(samples, order):
+    frame = encode_flac_frame(samples, 0, subframe="fixed", order=order)
+    assert decode_flac(_stream([frame], samples)) == samples
+
+
+@given(samples=SAMPLES)
+@settings(max_examples=30, deadline=None)
+def test_verbatim_and_escape_roundtrip_any_pcm(samples):
+    fr_v = encode_flac_frame(samples, 0, subframe="verbatim")
+    assert decode_flac(_stream([fr_v], samples)) == samples
+    fr_e = encode_flac_frame(
+        samples, 0, subframe="fixed", order=2, force_escape=True
+    )
+    assert decode_flac(_stream([fr_e], samples)) == samples
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=64, max_size=64,
+    ),
+    po=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=30, deadline=None)
+def test_partitioned_roundtrip_any_pcm(samples, po):
+    frame = encode_flac_frame(
+        samples, 0, subframe="fixed", order=1, partition_order=po
+    )
+    assert decode_flac(_stream([frame], samples)) == samples
