@@ -1942,9 +1942,10 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: per-arm sufficient statistics (n, ΣΔ,
     ΣΔ², per-period sums) accumulate as EXACT decimals; effect, SE
     and t are mirrored double expressions over those exact inputs,
-    floor-6 at the boundary. Scale shape: one partial-aggregatable
-    per-user rollup, one 2-row arm rollup pivoted by conditional
-    aggregation — two shuffles, no windows, no Python.
+    floor-6 at the boundary. Scale shape: ONE corpus-sized shuffle
+    (the partial-aggregatable per-user rollup); the 2-row arm rollup
+    and 1-row conditional-aggregation pivot exchange bytes, not
+    data — no windows, no Python.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
