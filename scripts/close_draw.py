@@ -19,7 +19,12 @@ This script:
     archives the log to ``scripts/close_draw_r12.log``;
  5. writes the refreshed manifest fields back to BASELINE.json.
 
-Usage: python scripts/close_draw.py [--dry-run]
+Usage: python scripts/close_draw.py [--dry-run] [--second]
+
+``--second`` runs the final-code draw: seed ``r12-close-2``,
+pool additionally excludes draw #1's names, manifest key
+``builder_close_draw2_r12``, log ``close_draw2_r12.log`` — the
+same two-draw pattern round 11 closed with.
 """
 
 from __future__ import annotations
@@ -75,13 +80,21 @@ def main() -> int:
         | set(manifest["builder_close_draw_r11"]["names"])
         | set(manifest["builder_close_draw2_r11"]["names"])
     )
+    second = "--second" in sys.argv
+    if second and "builder_close_draw_r12" in manifest:
+        verified |= set(manifest["builder_close_draw_r12"]["names"])
     pool = [n for n in never if n not in verified]
 
+    seed = "r12-close-2" if second else "r12-close"
+
     def key(name: str) -> str:
-        return hashlib.md5(f"r12-close:{name}".encode()).hexdigest()
+        return hashlib.md5(f"{seed}:{name}".encode()).hexdigest()
 
     drawn = sorted(pool, key=key)[:N_DRAW]
-    draw = drawn + [n for n in ROUND12_ADDITIONS if n not in drawn]
+    draw = drawn + (
+        [] if second
+        else [n for n in ROUND12_ADDITIONS if n not in drawn]
+    )
     print(
         f"pool={len(pool)} never={len(never)} sampled={len(sampled)}"
         f" draw={len(draw)}"
@@ -97,7 +110,11 @@ def main() -> int:
         capture_output=True, text=True,
     )
     log = proc.stdout + proc.stderr
-    with open("scripts/close_draw_r12.log", "w") as f:
+    log_name = (
+        "scripts/close_draw2_r12.log" if second
+        else "scripts/close_draw_r12.log"
+    )
+    with open(log_name, "w") as f:
         f.write(log)
     tail = [ln for ln in proc.stdout.splitlines() if ln.strip()][-1:]
     n_pass = sum(1 for ln in proc.stdout.splitlines()
@@ -112,16 +129,22 @@ def main() -> int:
     manifest["verified_union_through_r11"] = sorted(
         verified | set(sampled)
     )
-    manifest["builder_close_draw_r12"] = {
+    draw_key = (
+        "builder_close_draw2_r12" if second else "builder_close_draw_r12"
+    )
+    manifest[draw_key] = {
         "seed": (
-            "md5('r12-close:<name>') ascending, first 40 of the "
+            f"md5('{seed}:<name>') ascending, first {N_DRAW} of the "
             "never-driver-sampled pool minus all previously verified "
-            "names, plus the round-12 additions"
+            "names"
+            + (" and draw #1 (final-code draw)" if second
+               else ", plus the round-12 additions")
         ),
         "names": draw,
         "result": (
             f"{n_pass}/{len(draw)} pass (rows+schema+hash) at sf0.01"
             + (f", {n_fail} FAIL" if n_fail else "")
+            + (" on the final round-12 code" if second else "")
         ),
     }
     manifest["rotation_note_r12"] = (
