@@ -158,11 +158,15 @@ HEADLINE = (
     "text_boilerplate_chunks",
     "text_curriculum_phases",
     # round-12 additions (FLAC subset decode arm, DiD readout,
-    # Lowe-ratio margin, tokenizer fertility)
+    # Lowe-ratio margin, tokenizer fertility, uplift deciles,
+    # Hill tail index, P6 color netpbm)
     "mm_audio_decode_flac",
     "q_events_did",
     "embedding_topk_margin",
     "text_tokenizer_fertility",
+    "q_events_uplift_deciles",
+    "q_orders_hill_tail_index",
+    "mm_image_decode_ppm",
 )
 
 

@@ -2018,6 +2018,94 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile table (round-12): users are deciled by their
+    PRE-period activity (value summed over days ≤ 15, the CUPED
+    covariate) with a deterministic user_id tie-break, and each
+    decile reports both arms' POST-period conversion (high-value
+    purchase after day 15) and their difference — the heterogeneity
+    readout behind every targeting decision: a flat uplift column
+    says ship-to-all, a top-decile-only effect says target. The
+    average of the column is the experiment's ATE; the SHAPE is what
+    this operator adds over ``q_events_ab_test``/``q_events_did``.
+
+    Scale shape: the global decile rides the two-pass
+    range-partitioned rank (operators/ranking.py) — NEVER a
+    single-task Window.orderBy — and everything after it is a
+    10-row-bounded conditional-aggregation rollup. One corpus-sized
+    shuffle (per-user), one range exchange, one tiny rollup.
+    """
+    from postgres_s3_etl_spark.operators.ranking import (
+        GN,
+        GRN,
+        ntile_col,
+        with_global_order,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.dayofmonth("ts") <= CUPED_PRE_DAY,
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("decimal(18,2)")
+        .alias("x"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.dayofmonth("ts") > CUPED_PRE_DAY)
+                & (
+                    F.get_json_object("props", "$.k").cast("bigint")
+                    >= AB_CONVERSION_K_MIN
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    ranked = with_global_order(
+        users, [F.asc("x"), F.asc("user_id")]
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        "converted",
+        ntile_col(F.col(GRN), F.col(GN), 10).alias("decile"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    # coalesce(0): an arm empty within a decile is a zero count, not
+    # a NULL (tiny-SF deciles can hold a single arm).
+    cell = lambda arm, expr: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("arm") == arm, expr)), F.lit(0)
+    ).cast("bigint")
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            cell(0, F.lit(1)).alias("n_a"),
+            cell(0, F.col("converted")).alias("conv_a"),
+            cell(1, F.lit(1)).alias("n_b"),
+            cell(1, F.col("converted")).alias("conv_b"),
+        )
+        .select(
+            "decile",
+            "n_a",
+            "conv_a",
+            "n_b",
+            "conv_b",
+            f6(F.try_divide(F.col("conv_a"), F.col("n_a"))).alias(
+                "rate_a"
+            ),
+            f6(F.try_divide(F.col("conv_b"), F.col("n_b"))).alias(
+                "rate_b"
+            ),
+            f6(
+                F.try_divide(F.col("conv_b"), F.col("n_b"))
+                - F.try_divide(F.col("conv_a"), F.col("n_a"))
+            ).alias("uplift"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral-diversity distribution: per user, the Shannon
     entropy of their event-type mix (0 bits = single-minded, log₂5 ≈
@@ -2118,6 +2206,7 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_events_cuped": q_events_cuped,
     "q_events_did": q_events_did,
+    "q_events_uplift_deciles": q_events_uplift_deciles,
     "q_events_poisson_rate": q_events_poisson_rate,
     "q_events_type_fano": q_events_type_fano,
     "q_events_countmin_topk": q_events_countmin_topk,
@@ -2315,6 +2404,48 @@ ORACLES = {
                  > 1.96 AS significant_05
         FROM counts
         ORDER BY event_type
+    """,
+    "q_events_uplift_deciles": f"""
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                            THEN CAST(value AS DECIMAL(18,2))
+                            ELSE CAST(0 AS DECIMAL(18,2)) END)
+                        AS DECIMAL(18,2)) AS x,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            AND EXTRACT(day FROM ts) > 15
+                            AND CAST(json_extract(props, '$.k') AS BIGINT)
+                                >= {AB_CONVERSION_K_MIN}
+                            THEN 1 ELSE 0 END) AS converted
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT user_id % 2 AS arm, converted,
+                   NTILE(10) OVER (ORDER BY x, user_id) AS decile
+            FROM users
+        ),
+        agg AS (
+            SELECT decile,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0)
+                        AS BIGINT) AS n_a,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN converted END),
+                                 0) AS BIGINT) AS conv_a,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0)
+                        AS BIGINT) AS n_b,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN converted END),
+                                 0) AS BIGINT) AS conv_b
+            FROM ranked GROUP BY decile
+        )
+        SELECT CAST(decile AS INT) AS decile, n_a, conv_a, n_b, conv_b,
+               floor(CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0) * 1e6) / 1e6
+                   AS rate_a,
+               floor(CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0) * 1e6) / 1e6
+                   AS rate_b,
+               floor((CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0)
+                      - CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0)) * 1e6)
+                   / 1e6 AS uplift
+        FROM agg
+        ORDER BY decile
     """,
     "q_events_did": """
         WITH users AS (

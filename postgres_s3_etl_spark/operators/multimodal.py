@@ -1760,17 +1760,13 @@ def encode_pgm(asset_id: int, w: int, h: int) -> bytes:
     return head + px
 
 
-def decode_pgm(payload: bytes):
-    """REAL decode of binary netpbm P5: whitespace-and-comment
-    tokenizer for the header (the spec allows comments anywhere
-    between tokens), maxval must fit one byte, pixel payload must be
-    exactly w·h bytes after the single whitespace byte that ends the
-    header. Returns an (h, w) uint8 array or None on any deviation
-    (16-bit maxval, truncation, wrong magic) — malformed assets are
-    skipped, never task failures."""
-    import numpy as np
-
-    if len(payload) < 2 or payload[:2] != b"P5":
+def _netpbm_header(payload: bytes, magic: bytes):
+    """Shared binary-netpbm header walk (P5/P6): whitespace-and-
+    comment tokenizer (the spec allows comments anywhere between
+    tokens), maxval must fit one byte. Returns (w, h, pixel_offset)
+    or None on any deviation — wrong magic, non-digit token,
+    unterminated comment, 16-bit maxval."""
+    if len(payload) < 2 or payload[:2] != magic:
         return None
     pos, toks = 2, []
     while len(toks) < 3 and pos < len(payload):
@@ -1796,10 +1792,120 @@ def decode_pgm(payload: bytes):
     w, h, maxval = toks
     if w <= 0 or h <= 0 or not (0 < maxval < 256):
         return None
-    pos += 1  # the single whitespace byte terminating the header
+    return w, h, pos + 1  # +1: the whitespace byte ending the header
+
+
+def decode_pgm(payload: bytes):
+    """REAL decode of binary netpbm P5 (see :func:`_netpbm_header`);
+    pixel payload must be exactly w·h bytes. Returns an (h, w) uint8
+    array or None — malformed assets are skipped, never task
+    failures."""
+    import numpy as np
+
+    hdr = _netpbm_header(bytes(payload), b"P5")
+    if hdr is None:
+        return None
+    w, h, pos = hdr
     if len(payload) - pos != w * h:
         return None
     return np.frombuffer(payload, dtype=np.uint8, offset=pos).reshape(h, w)
+
+
+def decode_ppm(payload: bytes):
+    """REAL decode of binary netpbm P6 truecolor: same header walk,
+    pixel payload exactly 3·w·h bytes of interleaved RGB. Returns an
+    (h, w, 3) uint8 array or None."""
+    import numpy as np
+
+    hdr = _netpbm_header(bytes(payload), b"P6")
+    if hdr is None:
+        return None
+    w, h, pos = hdr
+    if len(payload) - pos != 3 * w * h:
+        return None
+    return np.frombuffer(payload, dtype=np.uint8, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def encode_ppm(asset_id: int, w: int, h: int) -> bytes:
+    """A real binary-netpbm P6 truecolor image (maxval 255), pixel
+    (x, y) channels r=(7a+3x+5y)%256, g=(11a+13x+17y)%256,
+    b=(19a+23x+29y)%256 — distinct per-channel coefficients so an
+    interleave or channel-order bug breaks the per-channel sums.
+    Header carries a comment line like the P5 twin."""
+    head = f"P6\n# synthetic asset {asset_id}\n{w} {h}\n255\n".encode()
+    px = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (
+            (7 * asset_id + 3 * x + 5 * y) % 256,
+            (11 * asset_id + 13 * x + 17 * y) % 256,
+            (19 * asset_id + 23 * x + 29 * y) % 256,
+        )
+    )
+    return head + px
+
+
+def synth_ppm_media(spark: SparkSession, n: int = N_PGM_ASSETS) -> DataFrame:
+    """n real P6 truecolor assets with deterministic dimensions."""
+    rows = []
+    for i in range(n):
+        w, h = 14 + i % 7, 10 + i % 6
+        rows.append((i, "image", w, h, 0, bytearray(encode_ppm(i, w, h))))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_image_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL netpbm P6 truecolor decode (round-12, the
+    color twin of ``mm_image_decode_pgm``): comment-bearing headers,
+    spec-correct tokenizer, 3·w·h interleave contract — reduced to
+    exact per-channel int64 sums (channel-order witness), the
+    all-channel square sum, and the row-0 RGB sum (top-down
+    witness); closed-form SQL oracle.
+
+    Scale: payload bytes never shuffle; 8 ints per asset cross the
+    Arrow boundary.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                if img is None:
+                    continue
+                px = img.astype(np.int64)
+                out.append(
+                    (
+                        int(aid),
+                        img.shape[1],
+                        img.shape[0],
+                        img.shape[0] * img.shape[1],
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int((px * px).sum()),
+                        int(px[0, :, :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "width", "height", "n_px",
+                    "sum_r", "sum_g", "sum_b", "ssq_rgb", "row0_sum",
+                ],
+            )
+
+    media = synth_ppm_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, width int, height int, n_px bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint, ssq_rgb bigint, "
+        "row0_sum bigint",
+    ).orderBy("asset_id")
 
 
 def synth_pgm_media(spark: SparkSession, n: int = N_PGM_ASSETS) -> DataFrame:
@@ -5952,6 +6058,7 @@ QUERIES = {
     "mm_audio_windows": mm_audio_windows,
     "mm_audio_mulaw": mm_audio_mulaw,
     "mm_image_decode_pgm": mm_image_decode_pgm,
+    "mm_image_decode_ppm": mm_image_decode_ppm,
     "mm_image_hist_equalize": mm_image_hist_equalize,
     "mm_image_conv_edge": mm_image_conv_edge,
     "mm_audio_dft_peak": mm_audio_dft_peak,
@@ -6583,6 +6690,35 @@ ORACLES: dict[str, str] = {
                CAST(SUM(g * g) AS BIGINT) AS ssq_g,
                CAST(SUM(CASE WHEN y = 0 THEN g ELSE 0 END) AS BIGINT)
                    AS row0_sum
+        FROM px
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    "mm_image_decode_ppm": f"""
+        WITH assets AS (
+            SELECT i AS asset_id, 14 + i % 7 AS w, 10 + i % 6 AS h
+            FROM generate_series(0, {N_PGM_ASSETS - 1}) s(i)
+        ),
+        px AS (
+            SELECT a.asset_id, a.w, a.h, gy.y,
+                   (7 * a.asset_id + 3 * gx.x + 5 * gy.y) % 256 AS r,
+                   (11 * a.asset_id + 13 * gx.x + 17 * gy.y) % 256 AS g,
+                   (19 * a.asset_id + 23 * gx.x + 29 * gy.y) % 256 AS b
+            FROM assets a
+            CROSS JOIN generate_series(0, 20) gx(x)
+            CROSS JOIN generate_series(0, 15) gy(y)
+            WHERE gx.x < a.w AND gy.y < a.h
+        )
+        SELECT asset_id,
+               CAST(MAX(w) AS INTEGER) AS width,
+               CAST(MAX(h) AS INTEGER) AS height,
+               CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(r) AS BIGINT) AS sum_r,
+               CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(SUM(r * r + g * g + b * b) AS BIGINT) AS ssq_rgb,
+               CAST(SUM(CASE WHEN y = 0 THEN r + g + b ELSE 0 END)
+                    AS BIGINT) AS row0_sum
         FROM px
         GROUP BY asset_id
         ORDER BY asset_id

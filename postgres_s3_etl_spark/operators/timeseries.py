@@ -1236,8 +1236,80 @@ def q_orders_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hill-plot tail sizes: the estimator is read as a CURVE over k —
+#: a stable plateau across these k values is what "the tail is
+#: Pareto with this alpha" actually looks like in practice.
+HILL_KS = (50, 100, 200)
+
+
+def q_orders_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value right-tail index (round-12):
+    for each tail size k in HILL_KS, γ̂ = (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    over the k largest order totals, α̂ = 1/γ̂ — the standard
+    heavy-tail diagnostic (α ≤ 2 ⇒ infinite variance: sampling,
+    capping, and revenue-forecast policies all change). Read as a
+    Hill plot: three k values, stable α across them ⇒ genuine Pareto
+    tail; drifting α ⇒ the "tail" is still the body.
+
+    Cross-engine determinism: each ln term (one libm call on a ratio
+    of doubles) is floor-6-pinned to DECIMAL(38,6) BEFORE the fold,
+    so the sum is exact and order-independent; γ/α are mirrored
+    double expressions over it. Scale shape: the ONLY corpus-touching
+    step is a distributed top-(max k + 1) (TakeOrdered — no global
+    sort, no single-task window); everything after runs on ≤ 201
+    rows joined to a 3-row k frame.
+    """
+    max_k = max(HILL_KS)
+    top = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(max_k + 1)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    ranked = top.select(
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).alias("rn"),
+    )
+    ks = spark.createDataFrame([(k,) for k in HILL_KS], "k int")
+    thr = (
+        ks.join(ranked, F.col("rn") == F.col("k") + 1)
+        .select("k", F.col("x").alias("t"))
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    terms = (
+        ranked.crossJoin(F.broadcast(thr))
+        .where(F.col("rn") <= F.col("k"))
+        .select(
+            "k",
+            "t",
+            f6(F.log(F.col("x") / F.col("t")))
+            .cast("decimal(38,6)")
+            .alias("term"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        terms.groupBy("k")
+        .agg(
+            F.max("t").alias("threshold"),
+            F.sum("term").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+        )
+        .select(
+            "k",
+            "n_tail",
+            F.round("threshold", 2).alias("threshold"),
+            f6(d("s") / d("n_tail")).alias("gamma"),
+            f6(F.try_divide(d("n_tail"), d("s"))).alias("alpha"),
+        )
+        .orderBy("k")
+    )
+
+
 QUERIES = {
     "q_events_pacf": q_events_pacf,
+    "q_orders_hill_tail_index": q_orders_hill_tail_index,
     "q_orders_demand_classes": q_orders_demand_classes,
     "q_orders_hurst_exponent": q_orders_hurst_exponent,
     "q_orders_log_return_vol": q_orders_log_return_vol,
@@ -1271,6 +1343,38 @@ _HOLT_SNEW_SQL = (
 )
 
 ORACLES = {
+    "q_orders_hill_tail_index": f"""
+        WITH ranked AS (
+            SELECT o_totalprice AS x,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                      o_orderkey ASC) AS rn
+            FROM orders
+        ),
+        top AS (SELECT * FROM ranked WHERE rn <= {max(HILL_KS) + 1}),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in HILL_KS)}]) AS k),
+        thr AS (
+            SELECT ks.k, top.x AS t
+            FROM ks JOIN top ON top.rn = ks.k + 1
+        ),
+        terms AS (
+            SELECT thr.k, thr.t,
+                   CAST(floor(ln(top.x / thr.t) * 1e6) / 1e6
+                        AS DECIMAL(38,6)) AS term
+            FROM top CROSS JOIN thr
+            WHERE top.rn <= thr.k
+        ),
+        agg AS (
+            SELECT k, MAX(t) AS threshold, SUM(term) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_tail
+            FROM terms GROUP BY k
+        )
+        SELECT k, n_tail, round(threshold, 2) AS threshold,
+               floor(CAST(s AS DOUBLE) / n_tail * 1e6) / 1e6 AS gamma,
+               floor(n_tail / NULLIF(CAST(s AS DOUBLE), 0) * 1e6) / 1e6
+                   AS alpha
+        FROM agg
+        ORDER BY k
+    """,
     "q_orders_ljung_box": f"""
         WITH daily AS (
             SELECT o_orderdate AS day,

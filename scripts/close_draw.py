@@ -56,6 +56,11 @@ ROUND12_ADDITIONS = [
     "q_events_did",
     "embedding_topk_margin",
     "text_tokenizer_fertility",
+    # late round-12 batch (added after draw #1 ran; --second picks
+    # up whichever additions draw #1 didn't cover)
+    "q_events_uplift_deciles",
+    "q_orders_hill_tail_index",
+    "mm_image_decode_ppm",
 ]
 
 
@@ -91,10 +96,12 @@ def main() -> int:
         return hashlib.md5(f"{seed}:{name}".encode()).hexdigest()
 
     drawn = sorted(pool, key=key)[:N_DRAW]
-    draw = drawn + (
-        [] if second
-        else [n for n in ROUND12_ADDITIONS if n not in drawn]
+    covered = set(drawn) | (
+        set(manifest["builder_close_draw_r12"]["names"])
+        if second and "builder_close_draw_r12" in manifest
+        else set(drawn)
     )
+    draw = drawn + [n for n in ROUND12_ADDITIONS if n not in covered]
     print(
         f"pool={len(pool)} never={len(never)} sampled={len(sampled)}"
         f" draw={len(draw)}"
