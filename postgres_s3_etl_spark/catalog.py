@@ -50,6 +50,17 @@ def table_path(sf_dir: str, name: str) -> str:
 _ROW_COUNT_CACHE: dict[str, int] = {}
 
 
+def _fs_from_uri(uri: str):
+    """Seam for ``pyarrow.fs.FileSystem.from_uri`` — the one dispatch
+    point from a URI string to a filesystem handle. Kept as a
+    module-level function so tests can substitute a non-local
+    filesystem (``FileSystem`` is an immutable Cython type, so the
+    classmethod itself cannot be monkeypatched)."""
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(uri)
+
+
 def table_row_count(sf_dir: str, name: str) -> int:
     """Exact row count of a base table from parquet FOOTER metadata —
     no Spark job, no scan. Every parquet footer carries ``num_rows``;
@@ -64,7 +75,7 @@ def table_row_count(sf_dir: str, name: str) -> int:
     ``_adaptive_buckets`` consumers pay it once per process.
     """
     path = table_path(sf_dir, name)
-    # URI paths (s3a://, file://, mock://) must not be abspath-mangled.
+    # URI paths (s3://, file://, gs://) must not be abspath-mangled.
     key = path if "://" in path else os.path.abspath(path)
     if key not in _ROW_COUNT_CACHE:
         import pyarrow.parquet as pq
@@ -79,18 +90,26 @@ def table_row_count(sf_dir: str, name: str) -> int:
 def _list_parquet_files(path: str):
     """Resolve ``path`` through ``pyarrow.fs`` and list its parquet
     part files — object-store-safe (the same listing works for local
-    paths, ``file://`` URIs, and ``s3://`` buckets), where the old
-    ``os.walk`` only ever saw the local disk. Hidden and in-flight
-    entries (any path segment starting with ``_`` or ``.`` — Spark's
-    ``_temporary`` commit dirs, ``_SUCCESS`` markers, dotfiles) are
-    skipped so an aborted write can never skew the corpus-adaptive
-    plan constants that ride this count. Returns ``(filesystem,
-    [paths])`` sorted for determinism.
+    paths, ``file://`` URIs, and the schemes ``pyarrow.fs`` dispatches
+    natively: ``s3://``, ``gs://``, ``hdfs://``), where the old
+    ``os.walk`` only ever saw the local disk. Hadoop's ``s3a://`` /
+    ``s3n://`` spellings — what ``sources/s3.py`` feeds Spark — are
+    translated to ``s3://`` first, since ``FileSystem.from_uri`` does
+    not recognize them (they are Hadoop connector names, not Arrow
+    ones). Hidden and in-flight entries (any path segment starting
+    with ``_`` or ``.`` — Spark's ``_temporary`` commit dirs,
+    ``_SUCCESS`` markers, dotfiles) are skipped so an aborted write
+    can never skew the corpus-adaptive plan constants that ride this
+    count. Returns ``(filesystem, [paths])`` sorted for determinism.
     """
     from pyarrow import fs as pafs
 
+    for hadoop_scheme in ("s3a://", "s3n://"):
+        if path.startswith(hadoop_scheme):
+            path = "s3://" + path[len(hadoop_scheme):]
+            break
     if "://" in path:
-        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        filesystem, fs_path = _fs_from_uri(path)
     else:
         filesystem, fs_path = pafs.LocalFileSystem(), os.path.abspath(path)
     info = filesystem.get_file_info(fs_path)

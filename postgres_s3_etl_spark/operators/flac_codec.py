@@ -180,6 +180,11 @@ def _read_utf8_number(br: BitReader) -> int:
     b0 = br.read(8)
     if b0 < 0x80:
         return b0
+    if b0 < 0xC0:
+        # 10xxxxxx is a bare continuation byte — never a valid leading
+        # byte; without this check it would silently decode as a
+        # one-byte value (mask fell through to 0x3F, n_more stayed 0).
+        raise ValueError("bad utf8 leading byte")
     n_more = 0
     mask = 0x7F
     for bits in range(6):

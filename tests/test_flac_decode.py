@@ -203,3 +203,22 @@ def test_partitioned_roundtrip_any_pcm(samples, po):
         samples, 0, subframe="fixed", order=1, partition_order=po
     )
     assert decode_flac(_stream([frame], samples)) == samples
+
+
+def test_utf8_bare_continuation_leading_byte_rejected():
+    """Round-13 ADVICE: a leading byte in 0x80-0xBF is a bare
+    continuation byte, not a valid UTF-8-coded-number start; it must
+    raise instead of silently decoding as a one-byte value."""
+    import pytest
+
+    from postgres_s3_etl_spark.operators.flac_codec import (
+        BitReader,
+        _read_utf8_number,
+    )
+
+    for b0 in (0x80, 0x9F, 0xBF):
+        with pytest.raises(ValueError):
+            _read_utf8_number(BitReader(bytes([b0, 0x00])))
+    # Valid shapes still decode.
+    assert _read_utf8_number(BitReader(b"\x7f")) == 0x7F
+    assert _read_utf8_number(BitReader(bytes((0xC2, 0x80)))) == 0x80
