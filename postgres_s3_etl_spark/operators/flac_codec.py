@@ -6,13 +6,16 @@ arm; mp3/ogg/H.264 stay loud ffmpeg gates).
 Format per the public FLAC spec (RFC 9639): ``fLaC`` magic,
 STREAMINFO metadata block, frames of bit-packed subframes with
 CRC-8-protected headers and CRC-16-protected trailers, and the
-decoded-PCM MD5 in STREAMINFO. The implemented SUBSET is the one
-reference encoders emit by default for simple signals — mono,
-8/16-bit, CONSTANT + VERBATIM + FIXED-predictor (orders 0-4)
-subframes, 4- and 5-bit Rice residual partitions including the
-raw-escape arm. LPC subframes, stereo decorrelation, and wasted-bits
-are out of subset: ``decode_flac`` returns ``None`` (the router
-counts a skip — never a crash, never fake features).
+decoded-PCM MD5 in STREAMINFO. Round-13 completes the decoder to the
+FULL fixed-blocksize profile a libFLAC-default stream uses: CONSTANT
++ VERBATIM + FIXED (orders 0-4) + **LPC (orders 1-32, quantized
+coefficients + signed shift)** subframes, **wasted bits**, mono
+through 8-channel independent plus **all three stereo decorrelation
+modes** (left/side, right/side, mid/side with the side-parity LSB
+rule), bit depths 8/12/16/20/24/32, and 4- and 5-bit Rice residual
+partitions including the raw-escape arm. Out-of-spec or corrupt
+streams get ``None`` (the router counts a skip — never a crash,
+never fake features).
 
 Correctness is pinned three ways: (1) the operator's DuckDB oracle
 recomputes the per-asset sample stats from the closed-form signal the
@@ -241,61 +244,226 @@ def _write_residuals(
             bw.write(u & ((1 << param) - 1), param)
 
 
-def encode_flac_frame(
-    samples: list[int],
-    frame_no: int,
-    bps: int = 16,
-    subframe: str = "fixed",
-    order: int = 2,
-    partition_order: int = 0,
-    force_escape: bool = False,
-) -> bytes:
-    """One real FLAC frame: CRC-8'd header (sync 0b11111111111110,
-    fixed blocking, 8-bit blocksize-1, rate-from-STREAMINFO, mono,
-    explicit sample size), one subframe, byte padding, CRC-16."""
-    bw = BitWriter()
-    bw.write(0b11111111111110, 14)
-    bw.write(0, 1)  # reserved
-    bw.write(0, 1)  # fixed blocking strategy
-    bw.write(0b0110, 4)  # blocksize: 8-bit value at header end
-    bw.write(0b0000, 4)  # sample rate: from STREAMINFO
-    bw.write(0b0000, 4)  # channels: mono
-    bw.write({8: 0b001, 16: 0b100}[bps], 3)
-    bw.write(0, 1)  # reserved
-    bw.align()
-    header = bytes(bw.buf) + _utf8_number(frame_no) + bytes(
-        (len(samples) - 1,)
-    )
-    header += bytes((_crc8(header),))
+def lpc_quantize(
+    samples: list[int], order: int, precision: int = 12
+) -> tuple[list[int], int, int]:
+    """Real LPC analysis for the encoder twin: autocorrelation →
+    Levinson–Durbin recursion → FLAC-style fixed-point quantization
+    (shift chosen so the largest coefficient fills ``precision - 1``
+    integer bits, clamped to the 5-bit non-negative shift range).
+    Returns ``(coefs, shift, precision)``. Losslessness never depends
+    on coefficient quality — the encoder computes residuals with the
+    same integer predictor the decoder runs — so degenerate inputs
+    just fall back to all-zero coefficients (residual = signal)."""
+    import math
 
-    sb = BitWriter()
-    if subframe == "constant":
+    n = len(samples)
+    order = max(1, min(order, 32, n - 1))
+    ac = [
+        sum(samples[t] * samples[t + k] for t in range(n - k))
+        for k in range(order + 1)
+    ]
+    if ac[0] == 0:
+        return [0] * order, 0, precision
+    err = float(ac[0])
+    lpc = [0.0] * order
+    for i in range(order):
+        if err <= 0:
+            break
+        acc = float(ac[i + 1]) - sum(
+            lpc[j] * ac[i - j] for j in range(i)
+        )
+        k = acc / err
+        new = lpc[:]
+        new[i] = k
+        for j in range(i):
+            new[j] = lpc[j] - k * lpc[i - 1 - j]
+        lpc = new
+        err *= 1.0 - k * k
+    cmax = max(abs(c) for c in lpc)
+    if cmax <= 0 or not math.isfinite(cmax):
+        return [0] * order, 0, precision
+    shift = precision - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    coefs = [
+        max(qmin, min(qmax, round(c * (1 << shift)))) for c in lpc
+    ]
+    return coefs, shift, precision
+
+
+def _write_subframe(
+    sb: BitWriter, samples: list[int], bps: int, spec: dict
+) -> None:
+    """One subframe from a spec dict: ``type`` in constant / verbatim
+    / fixed / lpc, plus ``order``, ``partition_order``,
+    ``force_escape``, ``wasted`` (low zero bits to strip), and for
+    lpc ``coefs`` / ``shift`` / ``precision`` (computed via
+    ``lpc_quantize`` when absent)."""
+    wasted = spec.get("wasted", 0)
+    typ = spec.get("type", "verbatim")
+    if wasted:
+        assert all(v % (1 << wasted) == 0 for v in samples), (
+            "wasted-bits subframe needs samples divisible by 2^k"
+        )
+        samples = [v >> wasted for v in samples]
+    eff = bps - wasted
+    flag = 1 if wasted else 0
+
+    def _header(type_bits: int) -> None:
+        sb.write(0, 1)
+        sb.write(type_bits, 6)
+        sb.write(flag, 1)
+        if wasted:
+            sb.write_unary(wasted - 1)
+
+    if typ == "constant":
         assert len(set(samples)) == 1
-        sb.write(0, 1)
-        sb.write(0b000000, 6)
-        sb.write(0, 1)
-        sb.write(samples[0] & ((1 << bps) - 1), bps)
-    elif subframe == "verbatim":
-        sb.write(0, 1)
-        sb.write(0b000001, 6)
-        sb.write(0, 1)
+        _header(0b000000)
+        sb.write(samples[0] & ((1 << eff) - 1), eff)
+    elif typ == "verbatim":
+        _header(0b000001)
         for s in samples:
-            sb.write(s & ((1 << bps) - 1), bps)
-    else:
+            sb.write(s & ((1 << eff) - 1), eff)
+    elif typ == "fixed":
+        order = spec.get("order", 2)
         coef = _FIXED_COEF[order]
-        sb.write(0, 1)
-        sb.write(0b001000 | order, 6)
-        sb.write(0, 1)
+        _header(0b001000 | order)
         for s in samples[:order]:
-            sb.write(s & ((1 << bps) - 1), bps)
+            sb.write(s & ((1 << eff) - 1), eff)
         res = [
             samples[t]
             - sum(c * samples[t - 1 - j] for j, c in enumerate(coef))
             for t in range(order, len(samples))
         ]
         _write_residuals(
-            sb, res, len(samples), order, partition_order, force_escape
+            sb, res, len(samples), order,
+            spec.get("partition_order", 0), spec.get("force_escape", False),
         )
+    elif typ == "lpc":
+        if "coefs" in spec:
+            coefs = spec["coefs"]
+            shift = spec["shift"]
+            precision = spec.get("precision", 12)
+        else:
+            coefs, shift, precision = lpc_quantize(
+                samples, spec.get("order", 4),
+                spec.get("precision", 12),
+            )
+        order = len(coefs)
+        assert 1 <= order <= 32 and 0 <= shift <= 15
+        _header(0b100000 | (order - 1))
+        for s in samples[:order]:
+            sb.write(s & ((1 << eff) - 1), eff)
+        sb.write(precision - 1, 4)
+        sb.write(shift & 0x1F, 5)
+        for c in coefs:
+            sb.write(c & ((1 << precision) - 1), precision)
+        res = [
+            samples[t]
+            - (
+                sum(c * samples[t - 1 - j] for j, c in enumerate(coefs))
+                >> shift
+            )
+            for t in range(order, len(samples))
+        ]
+        _write_residuals(
+            sb, res, len(samples), order,
+            spec.get("partition_order", 0), spec.get("force_escape", False),
+        )
+    else:  # pragma: no cover - encoder-twin misuse
+        raise ValueError(f"unknown subframe type {typ!r}")
+
+
+#: Channel-assignment names → (header code, side-channel index).
+_CHANNEL_MODES = {
+    "independent": (None, None),
+    "left_side": (0b1000, 1),
+    "right_side": (0b1001, 0),
+    "mid_side": (0b1010, 1),
+}
+
+
+def encode_flac_frame(
+    samples: list[int] | list[list[int]],
+    frame_no: int,
+    bps: int = 16,
+    subframe: str = "fixed",
+    order: int = 2,
+    partition_order: int = 0,
+    force_escape: bool = False,
+    *,
+    channel_assignment: str | None = None,
+    specs: list[dict] | None = None,
+) -> bytes:
+    """One real FLAC frame: CRC-8'd header (sync 0b11111111111110,
+    fixed blocking, 8-bit blocksize-1, rate-from-STREAMINFO, channel
+    assignment, explicit sample size), one subframe per channel, byte
+    padding, CRC-16.
+
+    Mono (the original round-12 surface): ``samples`` is a flat list
+    and ``subframe``/``order``/``partition_order``/``force_escape``
+    describe its one subframe. Multi-channel (round-13): ``samples``
+    is a list of per-channel sample lists (the FINAL channels, e.g.
+    left/right), ``channel_assignment`` picks independent /
+    left_side / right_side / mid_side, and ``specs`` gives one
+    subframe spec dict per ENCODED channel."""
+    if channel_assignment is None:
+        chans = [samples]  # type: ignore[list-item]
+        specs = [
+            {
+                "type": subframe,
+                "order": order,
+                "partition_order": partition_order,
+                "force_escape": force_escape,
+            }
+        ]
+        ca_code = 0b0000
+        side_idx = None
+    else:
+        chans = [list(c) for c in samples]  # type: ignore[arg-type]
+        ca_code, side_idx = _CHANNEL_MODES[channel_assignment]
+        if ca_code is None:
+            ca_code = len(chans) - 1
+        else:
+            assert len(chans) == 2
+            left, right = chans
+            side = [a - b for a, b in zip(left, right)]
+            if channel_assignment == "left_side":
+                chans = [left, side]
+            elif channel_assignment == "right_side":
+                chans = [side, right]
+            else:  # mid_side
+                mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                chans = [mid, side]
+        if specs is None:
+            specs = [{"type": "verbatim"} for _ in chans]
+    blocksize = len(chans[0])
+    assert all(len(c) == blocksize for c in chans)
+
+    bw = BitWriter()
+    bw.write(0b11111111111110, 14)
+    bw.write(0, 1)  # reserved
+    bw.write(0, 1)  # fixed blocking strategy
+    bw.write(0b0110, 4)  # blocksize: 8-bit value at header end
+    bw.write(0b0000, 4)  # sample rate: from STREAMINFO
+    bw.write(ca_code, 4)
+    bw.write(
+        {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110,
+         32: 0b111}[bps],
+        3,
+    )
+    bw.write(0, 1)  # reserved
+    bw.align()
+    header = bytes(bw.buf) + _utf8_number(frame_no) + bytes(
+        (blocksize - 1,)
+    )
+    header += bytes((_crc8(header),))
+
+    sb = BitWriter()
+    for ch, (chan, spec) in enumerate(zip(chans, specs)):
+        _write_subframe(sb, chan, bps + (1 if ch == side_idx else 0), spec)
     sb.align()
     frame = header + sb.bytes()
     return frame + struct.pack(">H", _crc16(frame))
@@ -316,10 +484,7 @@ def encode_flac(
 
     n_total = n_frames * FLAC_BLOCK
     samples = [_flac_sample(asset_id, t) for t in range(n_total)]
-    width = {8: "b", 16: "h"}[bps]
-    md5 = hashlib.md5(
-        struct.pack(f"<{n_total}{width}", *samples)
-    ).digest()
+    md5 = hashlib.md5(_pack_pcm(samples, bps)).digest()
 
     si = BitWriter()
     si.write(FLAC_BLOCK, 16)  # min block size
@@ -346,62 +511,138 @@ def encode_flac(
     return bytes(out)
 
 
+def _read_residuals(
+    br: BitReader, blocksize: int, order: int
+) -> list[int] | None:
+    """Residual section shared by FIXED and LPC subframes: 2-bit
+    coding method (00 = 4-bit Rice, 01 = 5-bit Rice), 4-bit partition
+    order, per-partition Rice parameter with the all-ones raw-escape
+    arm (5-bit bit count, twos-complement raw residuals)."""
+    method = br.read(2)
+    if method > 1:
+        return None
+    pbits = 4 + method
+    escape = (1 << pbits) - 1
+    part_order = br.read(4)
+    if blocksize % (1 << part_order) != 0:
+        return None
+    per = blocksize >> part_order
+    res: list[int] = []
+    for part in range(1 << part_order):
+        n = per - order if part == 0 else per
+        if n < 0:
+            return None
+        param = br.read(pbits)
+        if param == escape:
+            nraw = br.read(5)
+            res.extend(
+                br.read_signed(nraw) if nraw else 0 for _ in range(n)
+            )
+        else:
+            for _ in range(n):
+                u = (br.read_unary() << param) | br.read(param)
+                res.append((u >> 1) ^ -(u & 1))
+    return res
+
+
 def _decode_subframe(
     br: BitReader, blocksize: int, bps: int
 ) -> list[int] | None:
     hdr = br.read(8)
     if hdr & 0x80:  # padding bit must be 0
         return None
-    if hdr & 1:  # wasted bits: out of subset
-        return None
+    wasted = 0
+    if hdr & 1:
+        # Wasted bits (round-13): flag 1 + unary-coded (k - 1); the
+        # subframe is coded at bps - k and every decoded sample is
+        # shifted left k bits (RFC 9639 §9.2.2).
+        wasted = 1 + br.read_unary()
+        if wasted >= bps:
+            return None
+    eff = bps - wasted
     stype = (hdr >> 1) & 0x3F
+    out: list[int] | None
     if stype == 0b000000:
-        return [br.read_signed(bps)] * blocksize
-    if stype == 0b000001:
-        return [br.read_signed(bps) for _ in range(blocksize)]
-    if 0b001000 <= stype <= 0b001100:
+        out = [br.read_signed(eff)] * blocksize
+    elif stype == 0b000001:
+        out = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 0b001000 <= stype <= 0b001100:
         order = stype & 0x07
-        warm = [br.read_signed(bps) for _ in range(order)]
-        method = br.read(2)
-        if method > 1:
+        warm = [br.read_signed(eff) for _ in range(order)]
+        res = _read_residuals(br, blocksize, order)
+        if res is None:
             return None
-        pbits = 4 + method
-        escape = (1 << pbits) - 1
-        part_order = br.read(4)
-        if blocksize % (1 << part_order) != 0:
-            return None
-        per = blocksize >> part_order
-        res: list[int] = []
-        for part in range(1 << part_order):
-            n = per - order if part == 0 else per
-            if n < 0:
-                return None
-            param = br.read(pbits)
-            if param == escape:
-                nraw = br.read(5)
-                res.extend(
-                    br.read_signed(nraw) if nraw else 0 for _ in range(n)
-                )
-            else:
-                for _ in range(n):
-                    u = (br.read_unary() << param) | br.read(param)
-                    res.append((u >> 1) ^ -(u & 1))
         coef = _FIXED_COEF[order]
         out = list(warm)
         for r in res:
             out.append(
                 r + sum(c * out[-1 - j] for j, c in enumerate(coef))
             )
-        return out
-    return None  # LPC (0b1xxxxx) and reserved types: out of subset
+    elif stype & 0x20:
+        # LPC subframe (round-13): order 1-32 from the type bits,
+        # warm-up samples, 4-bit (precision - 1) with 0b1111
+        # invalid, 5-bit signed right shift (negative shifts are
+        # forbidden by the spec), `order` signed quantized
+        # coefficients, then the shared residual section. The
+        # predictor is the exact integer form
+        # s[t] = r[t] + (sum(c[j] * s[t-1-j]) >> shift).
+        order = (stype & 0x1F) + 1
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            return None
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            return None
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _read_residuals(br, blocksize, order)
+        if res is None:
+            return None
+        out = list(warm)
+        for r in res:
+            out.append(
+                r
+                + (
+                    sum(c * out[-1 - j] for j, c in enumerate(coefs))
+                    >> shift
+                )
+            )
+    else:
+        return None  # reserved subframe types
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+#: Frame-header sample-size codes (RFC 9639 table; 0b011 reserved,
+#: 0b000 = "get it from STREAMINFO").
+_SIZE_CODES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24,
+               0b111: 32}
+_SUPPORTED_BPS = frozenset(_SIZE_CODES.values())
+
+
+def _pack_pcm(samples: list[int], bps: int) -> bytes:
+    """PCM bytes the way FLAC's STREAMINFO MD5 is defined: each
+    (channel-interleaved) sample packed little-endian into the
+    smallest whole number of bytes that holds ``bps`` bits."""
+    nbytes = (bps + 7) // 8
+    return b"".join(
+        v.to_bytes(nbytes, "little", signed=True) for v in samples
+    )
 
 
 def decode_flac(payload: bytes) -> list[int] | None:
-    """REAL FLAC decode of the documented subset. Returns the PCM
-    sample list, or None for out-of-subset streams (LPC, stereo,
-    wasted bits, exotic bit depths) and for ANY integrity failure
-    (bad magic/sync, CRC-8, CRC-16, STREAMINFO-MD5 mismatch,
-    truncation) — skip semantics, never a crash."""
+    """REAL FLAC decode of the full fixed-blocksize profile
+    (round-13): CONSTANT / VERBATIM / FIXED orders 0-4 / LPC orders
+    1-32 subframes, wasted bits, mono through 8-channel independent
+    plus all three stereo decorrelation modes (left/side, right/side,
+    mid/side), bit depths 8/12/16/20/24/32, 4- and 5-bit Rice
+    partitions with the raw-escape arm. Returns the
+    channel-interleaved PCM sample list, or None for out-of-spec
+    streams and for ANY integrity failure (bad magic/sync, CRC-8,
+    CRC-16, STREAMINFO-MD5 mismatch, truncation) — skip semantics,
+    never a crash."""
     p = bytes(payload)
     if len(p) < 42 or p[:4] != b"fLaC":
         return None
@@ -409,6 +650,7 @@ def decode_flac(payload: bytes) -> list[int] | None:
         pos = 4
         n_total = None
         bps = None
+        nch = None
         rate_si = None
         md5 = None
         while True:  # metadata blocks
@@ -422,18 +664,23 @@ def decode_flac(payload: bytes) -> list[int] | None:
                 br.read(24)
                 br.read(24)
                 rate_si = br.read(20)
-                if br.read(3) != 0:  # channels - 1: mono only
-                    return None
+                nch = br.read(3) + 1
                 bps = br.read(5) + 1
-                n_total = br.read(36)
+                n_total = br.read(36)  # inter-channel sample count
                 md5 = body[18:34]
             pos += 4 + size
             if hdr & 0x80:
                 break
-        if bps not in (8, 16) or n_total is None or rate_si is None:
+        if (
+            bps not in _SUPPORTED_BPS
+            or n_total is None
+            or rate_si is None
+            or nch is None
+        ):
             return None
         samples: list[int] = []
-        while pos < len(p) and len(samples) < n_total:
+        got = 0  # inter-channel samples decoded so far
+        while pos < len(p) and got < n_total:
             br = BitReader(p, pos)
             if br.read(14) != 0b11111111111110:
                 return None
@@ -441,11 +688,18 @@ def decode_flac(payload: bytes) -> list[int] | None:
             br.read(1)  # blocking strategy (number unused below)
             bs_code = br.read(4)
             sr_code = br.read(4)
-            if br.read(4) != 0:  # channel assignment: mono only
-                return None
+            ca = br.read(4)  # channel assignment
             size_code = br.read(3)
             br.read(1)
             _read_utf8_number(br)
+            if ca <= 0b0111:
+                if ca + 1 != nch:
+                    return None
+            elif ca <= 0b1010:
+                if nch != 2:
+                    return None
+            else:
+                return None  # reserved channel assignments
             if bs_code == 0b0001:
                 blocksize = 192
             elif 0b0010 <= bs_code <= 0b0101:
@@ -464,35 +718,60 @@ def decode_flac(payload: bytes) -> list[int] | None:
                 br.read(16)
             elif sr_code == 0b1111:
                 return None
-            fbps = {0b000: bps, 0b001: 8, 0b100: 16}.get(size_code)
+            fbps = bps if size_code == 0 else _SIZE_CODES.get(size_code)
             if fbps is None:
                 return None
             hdr_end = br.byte_pos()
             if _crc8(p[pos:hdr_end]) != p[hdr_end]:
                 return None
             br.read(8)  # the CRC byte
-            blk = _decode_subframe(br, blocksize, fbps)
-            if blk is None:
-                return None
+            chans: list[list[int]] = []
+            for ch in range(nch if ca <= 0b0111 else 2):
+                # The difference (side) channel carries one extra bit
+                # of range: channel 1 for left/side and mid/side,
+                # channel 0 for right/side.
+                extra = 1 if (
+                    (ca == 0b1000 and ch == 1)
+                    or (ca == 0b1001 and ch == 0)
+                    or (ca == 0b1010 and ch == 1)
+                ) else 0
+                blk = _decode_subframe(br, blocksize, fbps + extra)
+                if blk is None:
+                    return None
+                chans.append(blk)
             br.align()
             crc_pos = br.byte_pos()
             (crc,) = struct.unpack_from(">H", p, crc_pos)
             if _crc16(p[pos:crc_pos]) != crc:
                 return None
-            samples.extend(blk)
+            if ca == 0b1000:  # left/side: right = left - side
+                left, side = chans
+                chans = [left, [a - b for a, b in zip(left, side)]]
+            elif ca == 0b1001:  # right/side: left = side + right
+                side, right = chans
+                chans = [[a + b for a, b in zip(side, right)], right]
+            elif ca == 0b1010:  # mid/side (mid is floor((l+r)/2))
+                mid, side = chans
+                left = []
+                right = []
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    left.append((m + s) >> 1)
+                    right.append((m - s) >> 1)
+                chans = [left, right]
+            for i in range(blocksize):
+                for c in chans:
+                    samples.append(c[i])
+            got += blocksize
             pos = crc_pos + 2
-        if len(samples) < n_total:
+        if got < n_total:
             return None
-        samples = samples[:n_total]
+        samples = samples[: n_total * nch]
         if md5 and md5 != b"\x00" * 16:
-            width = {8: "b", 16: "h"}[bps]
-            got = hashlib.md5(
-                struct.pack(f"<{n_total}{width}", *samples)
-            ).digest()
-            if got != md5:
+            if hashlib.md5(_pack_pcm(samples, bps)).digest() != md5:
                 return None
         return samples
-    except (EOFError, IndexError, ValueError, struct.error):
+    except (EOFError, IndexError, ValueError, OverflowError, struct.error):
         return None
 
 
@@ -555,8 +834,173 @@ def mm_audio_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+#: Stereo/LPC feed size (round-13 full-profile arm).
+N_FLAC_STEREO_ASSETS = 10
+
+
+def _flac_left(asset_id: int, t: int) -> int:
+    """Closed-form LEFT channel — even values by construction so any
+    frame can carry a wasted-bits subframe; mirrored by the oracle."""
+    return 2 * (((7 * asset_id + 13 * t) % 201) - 100)
+
+
+def _flac_right(asset_id: int, t: int) -> int:
+    """Closed-form RIGHT channel (even, same reason)."""
+    return 2 * (((11 * asset_id + 5 * t) % 157) - 78)
+
+
+def encode_flac_stereo(
+    asset_id: int, n_frames: int, bps: int = 16
+) -> bytes:
+    """A real STEREO FLAC stream of the closed-form channel pair that
+    walks the round-13 full-profile arms: frame ``f`` cycles through
+    all four channel assignments (independent, left/side, right/side,
+    mid/side), channel 0 is an LPC subframe of order ``1 + (f+a) % 8``
+    with Levinson–Durbin-quantized coefficients, channel 1 cycles
+    fixed/verbatim/LPC, partition order cycles 0-2, and wasted-bits
+    subframes appear on the even-valued channels (never on mid, whose
+    parity is not controlled). STREAMINFO carries the interleaved-PCM
+    MD5, so the decoder's stereo reconstruction is integrity-checked
+    end to end."""
+    from postgres_s3_etl_spark.operators.multimodal import WAV_RATE
+
+    n_total = n_frames * FLAC_BLOCK  # inter-channel samples
+    left = [_flac_left(asset_id, t) for t in range(n_total)]
+    right = [_flac_right(asset_id, t) for t in range(n_total)]
+    interleaved = [v for pair in zip(left, right) for v in pair]
+    md5 = hashlib.md5(_pack_pcm(interleaved, bps)).digest()
+
+    si = BitWriter()
+    si.write(FLAC_BLOCK, 16)
+    si.write(FLAC_BLOCK, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(WAV_RATE, 20)
+    si.write(1, 3)  # channels - 1 = 1: stereo
+    si.write(bps - 1, 5)
+    si.write(n_total, 36)
+    streaminfo = si.bytes() + md5
+    out = bytearray(b"fLaC")
+    out += bytes((0x80,)) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+    modes = ("independent", "left_side", "right_side", "mid_side")
+    for f in range(n_frames):
+        sl = left[f * FLAC_BLOCK : (f + 1) * FLAC_BLOCK]
+        sr = right[f * FLAC_BLOCK : (f + 1) * FLAC_BLOCK]
+        mode = modes[(f + asset_id) % 4]
+        po = f % 3
+        spec0: dict = {
+            "type": "lpc",
+            "order": 1 + (f + asset_id) % 8,
+            "partition_order": po,
+        }
+        spec1: dict = [
+            {"type": "fixed", "order": f % 5, "partition_order": po},
+            {"type": "verbatim"},
+            {"type": "lpc", "order": 2},
+        ][f % 3]
+        if f == 1:
+            spec1 = {"type": "fixed", "order": 2, "force_escape": True}
+        # Wasted bits ride the channels whose values are even by
+        # construction: ch0 on independent/left_side frames (left),
+        # ch1 on left_side/right_side/mid_side frames (side = l - r).
+        if f % 2 == 0:
+            if mode in ("independent", "left_side"):
+                spec0["wasted"] = 1
+            if mode != "independent":
+                spec1 = dict(spec1)
+                spec1["wasted"] = 1
+        out += encode_flac_frame(
+            [sl, sr], f, bps,
+            channel_assignment=mode, specs=[spec0, spec1],
+        )
+    return bytes(out)
+
+
+def synth_flac_stereo_media(
+    spark: SparkSession, n: int = N_FLAC_STEREO_ASSETS
+) -> DataFrame:
+    """Stereo FLAC feed: asset ``a`` carries ``2 + a % 3`` frames."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        WAV_RATE,
+    )
+
+    rows = []
+    for a in range(n):
+        nf = 2 + a % 3
+        ns = nf * FLAC_BLOCK
+        rows.append(
+            (
+                a,
+                "audio",
+                0,
+                0,
+                ns * 1000 // WAV_RATE,
+                bytearray(encode_flac_stereo(a, nf)),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_audio_decode_flac_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-asset exact integer stats of REAL full-profile stereo FLAC
+    decodes (round-13): LPC subframes up to order 8 with quantized
+    Levinson–Durbin coefficients, all four channel assignments
+    (independent + left/side + right/side + mid/side reconstruction),
+    wasted-bits subframes, mixed Rice partition orders — inside
+    Arrow-batched mapInPandas. The oracle recomputes per-channel sums
+    and the interleaved energy from the closed-form signals the
+    encoder was fed, so the decoder's predictor math, stereo
+    decorrelation, and wasted-bits shift must all be bit-exact for
+    the hash to match (the STREAMINFO MD5 additionally pins the
+    interleaved PCM inside the decode itself).
+
+    Scale: payload bytes stay in the scan partition; 4 ints per asset
+    cross the Arrow boundary. Reference parity: opaque row payloads
+    through staged SQL (reference airflow/dags/*.py) — binary columns
+    with the decode as a typed lane.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = decode_flac(bytes(payload))
+                if s is None:
+                    continue
+                left = s[0::2]
+                right = s[1::2]
+                out.append(
+                    (
+                        int(aid),
+                        len(s),
+                        sum(left),
+                        sum(right),
+                        sum(v * v for v in s),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id", "n_samples", "sum_left", "sum_right",
+                    "energy",
+                ],
+            )
+
+    media = synth_flac_stereo_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, n_samples bigint, sum_left bigint,"
+        " sum_right bigint, energy bigint",
+    ).orderBy("asset_id")
+
+
 QUERIES = {
     "mm_audio_decode_flac": mm_audio_decode_flac,
+    "mm_audio_decode_flac_stereo": mm_audio_decode_flac_stereo,
 }
 
 ORACLES: dict[str, str] = {
@@ -572,6 +1016,24 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_samples,
                CAST(SUM(v) AS BIGINT) AS s_sum,
                CAST(SUM(v * v) AS BIGINT) AS energy
+        FROM s
+        GROUP BY asset_id
+        ORDER BY asset_id
+    """,
+    "mm_audio_decode_flac_stereo": f"""
+        WITH s AS (
+            SELECT a.a AS asset_id,
+                   2 * (((7 * a.a + 13 * t.t) % 201) - 100) AS l,
+                   2 * (((11 * a.a + 5 * t.t) % 157) - 78) AS r
+            FROM generate_series(0, {N_FLAC_STEREO_ASSETS - 1}) a(a)
+            CROSS JOIN generate_series(0, {4 * FLAC_BLOCK - 1}) t(t)
+            WHERE t.t < (2 + a.a % 3) * {FLAC_BLOCK}
+        )
+        SELECT asset_id,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(l) AS BIGINT) AS sum_left,
+               CAST(SUM(r) AS BIGINT) AS sum_right,
+               CAST(SUM(l * l + r * r) AS BIGINT) AS energy
         FROM s
         GROUP BY asset_id
         ORDER BY asset_id

@@ -1,22 +1,26 @@
-"""FLAC subset codec (round-12): bit-exact roundtrips on the real
-encoder, hand-built streams for the subset edges (constant frames,
-Rice escape, partition orders), loud None for out-of-subset streams
-(LPC, stereo, wasted bits) and for every integrity failure."""
+"""FLAC codec (round-12 subset, completed to the full fixed-blocksize
+profile in round-13): bit-exact roundtrips on the real encoder —
+CONSTANT/VERBATIM/FIXED/LPC subframes, all four channel assignments,
+wasted bits, 8-32 bit depths, Rice escape, partition orders — and
+loud None for out-of-spec streams and every integrity failure."""
 
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import pytest
 
 from postgres_s3_etl_spark.operators.flac_codec import (
     FLAC_BLOCK,
     BitWriter,
+    _flac_left,
+    _flac_right,
     _flac_sample,
+    _pack_pcm,
     decode_flac,
     encode_flac,
     encode_flac_frame,
+    encode_flac_stereo,
 )
 from tests.conftest import assert_matches_oracle
 
@@ -27,21 +31,21 @@ def _expected(asset_id: int, n_frames: int) -> list[int]:
     ]
 
 
-def _stream(frames: list[bytes], samples: list[int], bps: int = 16) -> bytes:
-    """Wrap pre-encoded frames in fLaC magic + STREAMINFO."""
-    width = {8: "b", 16: "h"}[bps]
-    md5 = hashlib.md5(
-        struct.pack(f"<{len(samples)}{width}", *samples)
-    ).digest()
+def _stream(
+    frames: list[bytes], samples: list[int], bps: int = 16, nch: int = 1
+) -> bytes:
+    """Wrap pre-encoded frames in fLaC magic + STREAMINFO.
+    ``samples`` is the channel-interleaved PCM for the MD5."""
+    md5 = hashlib.md5(_pack_pcm(samples, bps)).digest()
     si = BitWriter()
     si.write(FLAC_BLOCK, 16)
     si.write(FLAC_BLOCK, 16)
     si.write(0, 24)
     si.write(0, 24)
     si.write(1000, 20)
-    si.write(0, 3)
+    si.write(nch - 1, 3)
     si.write(bps - 1, 5)
-    si.write(len(samples), 36)
+    si.write(len(samples) // nch, 36)
     body = si.bytes() + md5
     return (
         b"fLaC"
@@ -93,32 +97,114 @@ def test_mixed_subframe_types_one_stream():
     assert decode_flac(_stream(frames, s0 + s1 + s1)) == s0 + s1 + s1
 
 
-def test_lpc_subframe_returns_none():
+@pytest.mark.parametrize("order", [1, 2, 4, 8, 16, 32])
+def test_lpc_roundtrip_hand_built(order):
+    """Round-13: LPC subframes with Levinson-Durbin-quantized
+    coefficients decode bit-exactly at every legal order band."""
     samples = _expected(1, 1)
-    frame = bytearray(encode_flac_frame(samples, 0, subframe="verbatim"))
-    # Frame header = 4 fixed bytes + 1 frame-number byte + 1
-    # blocksize-1 byte + 1 CRC-8 byte; the subframe header is byte 7.
-    # Rewrite its type bits to LPC order 1 (0b100000): the decoder
-    # must reject on TYPE (before it would notice the stale CRC-16).
-    frame[7] = 0b0100_0000
-    raw = _stream([bytes(frame)], samples)
-    assert decode_flac(raw) is None
+    frame = encode_flac_frame(samples, 0, subframe="lpc", order=order)
+    assert decode_flac(_stream([frame], samples)) == samples
 
 
-def test_stereo_streaminfo_returns_none():
+def test_lpc_partitioned_roundtrip():
+    samples = _expected(5, 1)
+    frame = encode_flac_frame(
+        samples, 0, subframe="lpc", order=6, partition_order=2
+    )
+    assert decode_flac(_stream([frame], samples)) == samples
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_modes_roundtrip_hand_built(mode):
+    """Round-13: each channel assignment reconstructs left/right
+    bit-exactly (the side channel carries bps + 1 bits)."""
+    n = FLAC_BLOCK
+    left = [_flac_left(2, t) for t in range(n)]
+    right = [_flac_right(2, t) for t in range(n)]
+    frame = encode_flac_frame(
+        [left, right], 0, channel_assignment=mode,
+        specs=[{"type": "verbatim"}, {"type": "fixed", "order": 2}],
+    )
+    interleaved = [v for p in zip(left, right) for v in p]
+    assert decode_flac(_stream([frame], interleaved, nch=2)) == interleaved
+
+
+def test_stereo_full_profile_roundtrip():
+    """encode_flac_stereo walks LPC orders, all four assignments,
+    wasted bits, and mixed partition orders in one stream."""
+    for a in (0, 1, 3):
+        nf = 2 + a % 3
+        n = nf * FLAC_BLOCK
+        exp = [
+            v
+            for t in range(n)
+            for v in (_flac_left(a, t), _flac_right(a, t))
+        ]
+        assert decode_flac(encode_flac_stereo(a, nf)) == exp
+
+
+def test_wasted_bits_roundtrip():
+    """Round-13: a subframe coded at bps - k with k wasted bits
+    decodes to the original (samples all divisible by 2^k)."""
+    samples = [v * 4 for v in _expected(1, 1)]
+    for typ in ("verbatim", "fixed", "lpc"):
+        frame = encode_flac_frame(
+            [samples], 0, channel_assignment="independent",
+            specs=[{"type": typ, "order": 2, "wasted": 2}],
+        )
+        assert decode_flac(_stream([frame], samples)) == samples
+
+
+@pytest.mark.parametrize("bps", [12, 20, 24, 32])
+def test_wide_bit_depths_roundtrip(bps):
+    lim = 1 << (bps - 1)
+    samples = [
+        ((_flac_sample(4, t) * 97) % (2 * lim)) - lim
+        for t in range(FLAC_BLOCK)
+    ]
+    frame = encode_flac_frame(samples, 0, bps=bps, subframe="fixed", order=1)
+    assert decode_flac(_stream([frame], samples, bps=bps)) == samples
+
+
+def test_channel_count_mismatch_returns_none():
+    """STREAMINFO says stereo but the frame header says mono: the
+    decoder must reject the stream, not guess."""
     samples = _expected(1, 1)
     frame = encode_flac_frame(samples, 0, subframe="verbatim")
-    raw = bytearray(_stream([frame], samples))
-    # STREAMINFO channels-1 lives in the top 3 bits after the 20-bit
-    # rate: byte offset 4(magic)+4(hdr)+12 -> set channels-1 = 1.
-    raw[4 + 4 + 12] |= 0b0000_0010
-    assert decode_flac(bytes(raw)) is None
+    assert decode_flac(_stream([frame], samples, nch=2)) is None
 
 
-def test_wasted_bits_returns_none():
+def test_reserved_channel_assignment_returns_none():
+    n = FLAC_BLOCK
+    left = [_flac_left(2, t) for t in range(n)]
+    right = [_flac_right(2, t) for t in range(n)]
+    frame = bytearray(
+        encode_flac_frame(
+            [left, right], 0, channel_assignment="independent",
+            specs=[{"type": "verbatim"}, {"type": "verbatim"}],
+        )
+    )
+    # Channel-assignment nibble is the high 4 bits of header byte 3;
+    # rewrite 0b0001 (stereo independent) to reserved 0b1011.
+    frame[3] = (0b1011 << 4) | (frame[3] & 0x0F)
+    interleaved = [v for p in zip(left, right) for v in p]
+    assert (
+        decode_flac(_stream([bytes(frame)], interleaved, nch=2)) is None
+    )
+
+
+def test_invalid_lpc_precision_returns_none():
+    """A 4-bit precision field of 0b1111 is forbidden by the spec."""
     samples = _expected(1, 1)
-    frame = bytearray(encode_flac_frame(samples, 0, subframe="verbatim"))
-    frame[7] |= 1  # wasted-bits flag in the subframe header (byte 7)
+    frame = bytearray(
+        encode_flac_frame(samples, 0, subframe="lpc", order=1)
+    )
+    # Subframe starts at byte 7: 8-bit header, then order-1=0 means
+    # 16 warm-up bits, then the 4-bit precision-1 field at byte 10's
+    # top nibble. Force it to 0b1111.
+    frame[10] |= 0b1111_0000
     assert decode_flac(_stream([bytes(frame)], samples)) is None
 
 
@@ -156,6 +242,10 @@ def test_truncated_returns_none():
 
 def test_operator_matches_oracle(spark, duck):
     assert_matches_oracle(spark, duck, "mm_audio_decode_flac")
+
+
+def test_stereo_operator_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "mm_audio_decode_flac_stereo")
 
 
 def test_router_matches_oracle_with_flac_arm(spark, duck):
@@ -201,6 +291,72 @@ def test_verbatim_and_escape_roundtrip_any_pcm(samples):
 def test_partitioned_roundtrip_any_pcm(samples, po):
     frame = encode_flac_frame(
         samples, 0, subframe="fixed", order=1, partition_order=po
+    )
+    assert decode_flac(_stream([frame], samples)) == samples
+
+
+@given(
+    samples=SAMPLES,
+    order=st.integers(min_value=1, max_value=32),
+    precision=st.integers(min_value=5, max_value=15),
+)
+@settings(max_examples=60, deadline=None)
+def test_lpc_roundtrip_any_pcm(samples, order, precision):
+    """Round-13: the LPC arm is lossless for ANY int16 PCM at any
+    order/precision — residual math mirrors the decoder exactly, so
+    coefficient quality never affects correctness."""
+    frame = encode_flac_frame(
+        [samples], 0, channel_assignment="independent",
+        specs=[{"type": "lpc", "order": order, "precision": precision}],
+    )
+    assert decode_flac(_stream([frame], samples)) == samples
+
+
+@given(
+    left=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=16, max_size=64,
+    ),
+    right_seed=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=16, max_size=64,
+    ),
+    mode=st.sampled_from(
+        ["independent", "left_side", "right_side", "mid_side"]
+    ),
+    typ=st.sampled_from(["verbatim", "fixed", "lpc"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_stereo_roundtrip_any_pcm(left, right_seed, mode, typ):
+    """Every channel assignment roundtrips ANY stereo int16 PCM,
+    with every subframe type on both channels (the side channel's
+    extra bit of range included — left=32767/right=-32768 gives a
+    17-bit side value)."""
+    n = min(len(left), len(right_seed))
+    left, right = left[:n], right_seed[:n]
+    spec = {"type": typ, "order": 2}
+    frame = encode_flac_frame(
+        [left, right], 0, channel_assignment=mode,
+        specs=[dict(spec), dict(spec)],
+    )
+    interleaved = [v for p in zip(left, right) for v in p]
+    assert decode_flac(_stream([frame], interleaved, nch=2)) == interleaved
+
+
+@given(
+    base=st.lists(
+        st.integers(min_value=-4096, max_value=4095),
+        min_size=8, max_size=64,
+    ),
+    wasted=st.integers(min_value=1, max_value=3),
+    typ=st.sampled_from(["verbatim", "fixed", "lpc"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wasted_bits_roundtrip_any_pcm(base, wasted, typ):
+    samples = [v << wasted for v in base]
+    frame = encode_flac_frame(
+        [samples], 0, channel_assignment="independent",
+        specs=[{"type": typ, "order": 1, "wasted": wasted}],
     )
     assert decode_flac(_stream([frame], samples)) == samples
 
