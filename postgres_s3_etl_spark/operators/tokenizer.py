@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgres_s3_etl_spark.catalog import load_table
@@ -561,6 +561,121 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(tokenizer, lang) FERTILITY (round-13, VERDICT r12 task 6)
+    — the grain a data-mixture team actually tunes on: the corpus-
+    global fertility of ``text_tokenizer_fertility`` hides that a
+    lang at fertility 2.4 pays 2.4x the sequence budget of one at
+    1.1 for the same word count. Two tokenizer rows per lang make
+    the readout comparative: ``bpe`` (the trained merges with the
+    standard char-level OOV fallback) against the ``char`` baseline
+    (every word costs its length), so ``fertility(bpe) /
+    fertility(char)`` IS the per-lang compression the merges buy.
+    ``piece_share`` is each lang's share of that tokenizer's total
+    piece budget — read it next to the mixture weights.
+
+    Scale shape: identical to the corpus-global op — broadcast
+    word→piece-cost join onto the token stream, one partial-
+    aggregatable per-lang rollup; the share window runs over the
+    post-aggregation frame (#langs rows), never corpus-scale data.
+    Reference parity: staged multi-CTE SQL over row streams
+    (reference airflow/dags/transform_and_load.py) — here the grain
+    pivot is a `stack` over one aggregate, not a rescan.
+    """
+    vocab, _merges, _curve = _train_merges(spark, sf_dir)
+    word_cost = vocab.select(
+        "tok", F.size(F.expr(_SYMS)).cast("bigint").alias("n_syms")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    per_lang = (
+        toks.join(F.broadcast(word_cost), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+            F.sum(F.coalesce(F.col("n_syms"), F.length("tok")))
+            .cast("bigint")
+            .alias("n_bpe"),
+        )
+    )
+    both = per_lang.select(
+        F.expr(
+            "stack(2, 'bpe', n_bpe, 'char', n_chars)"
+            " AS (tokenizer, n_pieces)"
+        ),
+        "lang",
+        "n_words",
+        "n_chars",
+    )
+    w = Window.partitionBy("tokenizer")
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return both.select(
+        "tokenizer",
+        "lang",
+        "n_words",
+        "n_pieces",
+        f6(F.col("n_pieces").cast("double") / F.col("n_words")).alias(
+            "fertility"
+        ),
+        f6(F.col("n_chars").cast("double") / F.col("n_pieces")).alias(
+            "chars_per_piece"
+        ),
+        f6(
+            F.col("n_pieces").cast("double") / F.sum("n_pieces").over(w)
+        ).alias("piece_share"),
+    ).orderBy("tokenizer", "lang")
+
+
+def _fertility_by_lang_oracle() -> str:
+    n = BPE_ROUNDS
+    return rf"""
+        WITH {_bpe_chain_ctes()},
+        word_cost AS (
+            SELECT tok,
+                   CAST(len(string_split(repr[2:len(repr) - 1],
+                                         chr(1) || chr(1))) AS BIGINT) AS n_syms
+            FROM v{n}
+        ),
+        toks AS (
+            SELECT lang,
+                   unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents
+        ),
+        per_lang AS (
+            SELECT t.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(len(t.tok)) AS BIGINT) AS n_chars,
+                   CAST(SUM(COALESCE(w.n_syms, len(t.tok)))
+                        AS BIGINT) AS n_bpe
+            FROM toks t LEFT JOIN word_cost w ON t.tok = w.tok
+            GROUP BY t.lang
+        ),
+        grains AS (
+            SELECT 'bpe' AS tokenizer, lang, n_words, n_chars,
+                   n_bpe AS n_pieces
+            FROM per_lang
+            UNION ALL
+            SELECT 'char', lang, n_words, n_chars, n_chars
+            FROM per_lang
+        )
+        SELECT tokenizer, lang, n_words, n_pieces,
+               floor(CAST(n_pieces AS DOUBLE) / n_words * 1e6) / 1e6
+                   AS fertility,
+               floor(CAST(n_chars AS DOUBLE) / n_pieces * 1e6) / 1e6
+                   AS chars_per_piece,
+               floor(CAST(n_pieces AS DOUBLE)
+                     / SUM(n_pieces) OVER (PARTITION BY tokenizer)
+                     * 1e6) / 1e6 AS piece_share
+        FROM grains
+        ORDER BY tokenizer, lang
+    """
+
+
 def _fertility_oracle() -> str:
     n = BPE_ROUNDS
     return rf"""
@@ -601,6 +716,7 @@ QUERIES = {
     "text_bpe_compression_curve": text_bpe_compression_curve,
     "text_bpe_vocab": text_bpe_vocab,
     "text_tokenizer_fertility": text_tokenizer_fertility,
+    "text_fertility_by_lang": text_fertility_by_lang,
 }
 
 ORACLES = {
@@ -609,4 +725,5 @@ ORACLES = {
     "text_bpe_compression_curve": _bpe_curve_oracle(),
     "text_bpe_vocab": _bpe_vocab_oracle(),
     "text_tokenizer_fertility": _fertility_oracle(),
+    "text_fertility_by_lang": _fertility_by_lang_oracle(),
 }
