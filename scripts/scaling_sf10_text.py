@@ -84,12 +84,25 @@ def main() -> int:
         qs[name](spark, "/root/testdata/sf0.001").collect()
     spark.catalog.clearCache()
 
+    # Cold-memo protocol (bench.py round-10 rule): training memos
+    # (BPE merges, unigram EM) are restored to their pre-query state
+    # between reps, so a memoized trainer pays its real training cost
+    # in EVERY rep — without this a best-of-2 for the fertility/
+    # encode family times a dict lookup at rep 2.
+    from postgres_s3_etl_spark.operators import tokenizer, unigram
+
+    memos = (tokenizer._TRAIN_CACHE, unigram._EM_CACHE)
+
     results: dict[str, dict[str, float]] = {}
     for name in names:
         results[name] = {}
         for sf, d, _ in sfs:
             best = None
+            snaps = [dict(m) for m in memos]
             for _ in range(2):
+                for live, snap in zip(memos, snaps):
+                    live.clear()
+                    live.update(snap)
                 t0 = time.time()
                 qs[name](spark, d).collect()
                 dt = time.time() - t0
