@@ -169,10 +169,35 @@ HEADLINE = (
     "mm_image_decode_ppm",
 )
 
+#: Second standing table (round-13, VERDICT r12 task 3): the slowest
+#: queries that were NEVER in the headline set — their only timing
+#: evidence was contended sf0.01 sweep reads, so a regression there
+#: was uncatchable. Run with `python bench.py --tail` (the driver's
+#: plain invocation still runs HEADLINE only); rows live in
+#: BASELINE.md beside the main standing table. The four stream_*
+#: rows are micro-batch fixed-cost dominated — see the BASELINE.md
+#: stream analysis — so their standing value is a regression tripwire
+#: for the fixed cost, not a data-scaling readout.
+TAIL = (
+    "stream_abandoned_clicks",
+    "stream_click_purchase_join",
+    "stream_order_ship_reconcile",
+    "stream_windowed_distinct",
+    "graph_pagerank_converged",
+    "graph_jaccard_links",
+    "q_orders_kruskal_wallis",
+    "embedding_anisotropy",
+)
+
 
 def main() -> None:
     import __spark_entry__ as entry
     from postgres_s3_etl_spark.session import get_spark
+
+    tail_mode = "--tail" in sys.argv[1:]
+    suite = TAIL if tail_mode else HEADLINE
+    metric = "tail_suite_total" if tail_mode else "headline_suite_total"
+    out_name = "bench_tail_latest.json" if tail_mode else "bench_latest.json"
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -185,7 +210,7 @@ def main() -> None:
     # not first-call JIT (which at these data sizes would dominate).
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for name in HEADLINE:
+        for name in suite:
             qs[name](spark, warm_sf).collect()
     spark.catalog.clearCache()
 
@@ -219,7 +244,7 @@ def main() -> None:
     # alone (round-11 verdict: two 11-16x driver spikes took a judge
     # re-measurement to exonerate; a cold column pre-explains them).
     colds: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in suite:
         fn = qs[name]
         best = float("inf")
         snaps = [dict(m) for m in memos]
@@ -244,7 +269,7 @@ def main() -> None:
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or SF_DIR
     full = {
-        "metric": "headline_suite_total",
+        "metric": metric,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
@@ -255,7 +280,7 @@ def main() -> None:
         full["cold"] = colds
     # Full per-query blob first — for humans and for the on-disk copy.
     print(json.dumps(full))
-    with open(Path(__file__).resolve().parent / "bench_latest.json", "w") as fh:
+    with open(Path(__file__).resolve().parent / out_name, "w") as fh:
         json.dump(full, fh, indent=1)
     # The driver parses the bench JSON out of a bounded (~2000-char)
     # stdout tail; the per-query map outgrew that at 83 queries and the
@@ -264,7 +289,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total",
+                "metric": metric,
                 "value": full["value"],
                 "unit": "sec",
                 "sf": sf,
