@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "postgres_s3_etl_spark.operators.cogroup",
     "postgres_s3_etl_spark.operators.curation",
     "postgres_s3_etl_spark.operators.chunking",
+    "postgres_s3_etl_spark.operators.layout",
     "postgres_s3_etl_spark.streaming.events_stream",
 )
 

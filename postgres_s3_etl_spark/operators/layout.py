@@ -1,0 +1,298 @@
+"""Storage-layout planning operators (round-13).
+
+A 100 TB table's scan cost is decided before any query runs — by how
+rows were SORTED into files. Engines prune files by min/max column
+statistics (parquet footers, Iceberg/Delta manifests), so the layout
+question "will Z-ordering help this workload?" has a precise,
+measurable answer: assign every row to a file under each candidate
+layout, collect per-file min/max for the predicate columns, replay a
+predicate workload against those footer ranges, and count files a
+pruning scan planner would have to touch.
+
+``layout_zorder_pruning`` runs that experiment end to end, entirely
+in-engine: quantile codes via the repo's two-pass range-partitioned
+global rank (never a single-task window), bit-interleaved Z-values,
+NTILE file assignment, footer simulation as a per-file rollup, and
+an 80-predicate replay as a tiny broadcast join. The same integer
+math runs verbatim in the DuckDB oracle (plain NTILE windows — the
+two formulations are provably identical over the same total order,
+see operators/ranking.py).
+
+Reference parity: the reference writes its staging tables in arrival
+order and full-scans them per query (reference airflow/dags/
+transform_and_load.py + scripts DDL); this operator is the planning
+step that decides a better physical order before the write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_s3_etl_spark.catalog import load_table
+from postgres_s3_etl_spark.operators.ranking import (
+    GN,
+    GRN,
+    ntile_col,
+    with_global_order,
+)
+
+#: Quantile-code resolution per dimension (8 bits → 16-bit Z-values).
+Z_CODES = 256
+Z_BITS = 8
+
+#: Simulated file count for both layouts.
+N_FILES = 64
+
+#: Predicate-workload grid: QX equal-width customer ranges × QY
+#: equal-width date ranges.
+QX = 10
+QY = 8
+
+
+def _z_interleave_sql(cx: str, cy: str, engine: str) -> str:
+    """Bit-interleave two ``Z_BITS``-bit codes (x in odd positions,
+    y in even) — identical integer result in Spark SQL (shiftleft /
+    shiftright functions) and DuckDB (<< / >> operators)."""
+    terms = []
+    for i in range(Z_BITS):
+        if engine == "spark":
+            terms.append(
+                f"(shiftleft((shiftright({cx}, {i}) & 1), {2 * i + 1})"
+                f" + shiftleft((shiftright({cy}, {i}) & 1), {2 * i}))"
+            )
+        else:
+            terms.append(
+                f"(((({cx} >> {i}) & 1) << {2 * i + 1})"
+                f" + ((({cy} >> {i}) & 1) << {2 * i}))"
+            )
+    return " + ".join(terms)
+
+
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT EXPERIMENT over orders(o_custkey, o_orderdate):
+    would rewriting the table in Z-order beat the natural date-sorted
+    layout for a 2-dimensional predicate workload? Emits one row per
+    candidate layout with the simulated-footer scan cost:
+
+    - ``linear``: rows packed into ``N_FILES`` files in
+      (o_orderdate, o_orderkey) order — the arrival-time layout every
+      ingestion pipeline produces for free.
+    - ``zorder``: each dimension rank-normalized to a ``Z_CODES``-ary
+      quantile code (rank-based, so value skew cannot starve bit
+      positions), codes bit-interleaved into a Z-value, rows packed
+      in (z, o_orderkey) order.
+
+    Both layouts get per-file min/max of both columns (exactly what a
+    parquet footer / Iceberg manifest stores), then an 80-predicate
+    workload (``QX`` customer ranges × ``QY`` date ranges, exact
+    integer equal-width boundaries) is replayed against the ranges:
+    a file must be scanned iff its bounding box intersects the
+    predicate box. ``avg_files_scanned`` / ``scan_fraction`` are the
+    planner's verdict — Z-order wins when its fraction is lower.
+
+    Scale shape: three two-pass range-partitioned global orders (the
+    sort IS the layout work — zordering a table costs a sort by
+    construction; no single-task window anywhere, see ranking.py),
+    one co-partitionable unique-key join to line up the two codes,
+    two ``N_FILES``-row rollups, and a broadcast replay join over an
+    (N_FILES × 2) × 80 grid — bounded by the file count and the
+    workload, never the data. Cites Morton 1966 (Z-curves) and the
+    min-max pruning design of parquet/Iceberg manifests — public
+    knowledge, original formulation.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).alias("yd"),
+    )
+    a = with_global_order(
+        base.select("o_orderkey", "x"),
+        [F.col("x"), F.col("o_orderkey")],
+    ).select(
+        "o_orderkey",
+        "x",
+        (ntile_col(F.col(GRN), F.col(GN), Z_CODES) - 1).alias("cx0"),
+    )
+    b = with_global_order(
+        base.select("o_orderkey", "yd"),
+        [F.col("yd"), F.col("o_orderkey")],
+    ).select(
+        "o_orderkey",
+        "yd",
+        (ntile_col(F.col(GRN), F.col(GN), Z_CODES) - 1).alias("cy0"),
+        ntile_col(F.col(GRN), F.col(GN), N_FILES).alias("file_l"),
+    )
+    coded = a.join(b, "o_orderkey").select(
+        "o_orderkey",
+        "x",
+        "yd",
+        "file_l",
+        F.expr(_z_interleave_sql("cx0", "cy0", "spark")).alias("zv"),
+    )
+    zf = with_global_order(
+        coded, [F.col("zv"), F.col("o_orderkey")]
+    ).withColumn(
+        "file_z", ntile_col(F.col(GRN), F.col(GN), N_FILES)
+    )
+
+    def footer(file_col: str, layout: str) -> DataFrame:
+        return zf.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("x").alias("minx"),
+            F.max("x").alias("maxx"),
+            F.min("yd").alias("minyd"),
+            F.max("yd").alias("maxyd"),
+        ).select(F.lit(layout).alias("layout"), "*")
+
+    files = footer("file_l", "linear").unionAll(footer("file_z", "zorder"))
+
+    ext = base.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("yd").alias("ymin"),
+        F.max("yd").alias("ymax"),
+    )
+    # Exact integer equal-width predicate boundaries: range i covers
+    # [lo_i, hi_i] with lo_i = min + (i*(span+1)) div Q — identical
+    # `div` math in the oracle.
+    preds = (
+        ext.select(
+            F.explode(F.sequence(F.lit(0), F.lit(QX - 1))).alias("i"),
+            "xmin",
+            "xmax",
+            "ymin",
+            "ymax",
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(QY - 1))).alias("j")
+        )
+        .select(
+            F.expr(f"xmin + (i * (xmax - xmin + 1)) div {QX}").alias("lox"),
+            F.expr(
+                f"xmin + ((i + 1) * (xmax - xmin + 1)) div {QX} - 1"
+            ).alias("hix"),
+            F.expr(f"ymin + (j * (ymax - ymin + 1)) div {QY}").alias("loy"),
+            F.expr(
+                f"ymin + ((j + 1) * (ymax - ymin + 1)) div {QY} - 1"
+            ).alias("hiy"),
+        )
+    )
+    hits = files.join(
+        F.broadcast(preds),
+        (F.col("minx") <= F.col("hix"))
+        & (F.col("maxx") >= F.col("lox"))
+        & (F.col("minyd") <= F.col("hiy"))
+        & (F.col("maxyd") >= F.col("loy")),
+    )
+    n_preds = QX * QY
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    per_layout_files = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files")
+    )
+    per_layout_hits = hits.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_file_hits")
+    )
+    return (
+        per_layout_files.join(per_layout_hits, "layout")
+        .select(
+            "layout",
+            "n_files",
+            F.lit(n_preds).cast("bigint").alias("n_predicates"),
+            "total_file_hits",
+            f6(
+                F.col("total_file_hits").cast("double") / F.lit(n_preds)
+            ).alias("avg_files_scanned"),
+            f6(
+                F.col("total_file_hits").cast("double")
+                / (F.lit(n_preds) * F.col("n_files"))
+            ).alias("scan_fraction"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _zorder_oracle() -> str:
+    z_sql = _z_interleave_sql("cx0", "cy0", "duck")
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey AS x,
+                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS yd
+            FROM orders
+        ),
+        codes AS (
+            SELECT o_orderkey, x, yd,
+                   NTILE({Z_CODES}) OVER (ORDER BY x, o_orderkey) - 1
+                       AS cx0,
+                   NTILE({Z_CODES}) OVER (ORDER BY yd, o_orderkey) - 1
+                       AS cy0,
+                   NTILE({N_FILES}) OVER (ORDER BY yd, o_orderkey)
+                       AS file_l
+            FROM base
+        ),
+        zvals AS (
+            SELECT *, {z_sql} AS zv FROM codes
+        ),
+        zfiles AS (
+            SELECT *, NTILE({N_FILES}) OVER (ORDER BY zv, o_orderkey)
+                       AS file_z
+            FROM zvals
+        ),
+        files AS (
+            SELECT 'linear' AS layout, file_l AS file_id,
+                   MIN(x) AS minx, MAX(x) AS maxx,
+                   MIN(yd) AS minyd, MAX(yd) AS maxyd
+            FROM zfiles GROUP BY file_l
+            UNION ALL
+            SELECT 'zorder', file_z,
+                   MIN(x), MAX(x), MIN(yd), MAX(yd)
+            FROM zfiles GROUP BY file_z
+        ),
+        ext AS (
+            SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                   MIN(yd) AS ymin, MAX(yd) AS ymax
+            FROM base
+        ),
+        preds AS (
+            SELECT xmin + (i * (xmax - xmin + 1)) // {QX} AS lox,
+                   xmin + ((i + 1) * (xmax - xmin + 1)) // {QX} - 1
+                       AS hix,
+                   ymin + (j * (ymax - ymin + 1)) // {QY} AS loy,
+                   ymin + ((j + 1) * (ymax - ymin + 1)) // {QY} - 1
+                       AS hiy
+            FROM generate_series(0, {QX - 1}) s(i)
+            CROSS JOIN generate_series(0, {QY - 1}) t(j)
+            CROSS JOIN ext
+        ),
+        per_layout_files AS (
+            SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_files
+            FROM files GROUP BY layout
+        ),
+        per_layout_hits AS (
+            SELECT layout, CAST(COUNT(*) AS BIGINT) AS total_file_hits
+            FROM files JOIN preds
+              ON minx <= hix AND maxx >= lox
+             AND minyd <= hiy AND maxyd >= loy
+            GROUP BY layout
+        )
+        SELECT f.layout, f.n_files,
+               CAST({QX * QY} AS BIGINT) AS n_predicates,
+               h.total_file_hits,
+               floor(CAST(h.total_file_hits AS DOUBLE) / {QX * QY} * 1e6)
+                   / 1e6 AS avg_files_scanned,
+               floor(CAST(h.total_file_hits AS DOUBLE)
+                     / ({QX * QY} * f.n_files) * 1e6) / 1e6
+                   AS scan_fraction
+        FROM per_layout_files f JOIN per_layout_hits h USING (layout)
+        ORDER BY f.layout
+    """
+
+
+QUERIES = {
+    "layout_zorder_pruning": layout_zorder_pruning,
+}
+
+ORACLES = {
+    "layout_zorder_pruning": _zorder_oracle(),
+}

@@ -3224,6 +3224,239 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- block-matching motion estimation (round-13) -------------------
+
+#: Motion-estimation feed geometry: every asset is MOTION_W×MOTION_H
+#: 4:4:4 y4m whose Y content TRANSLATES by (MOTION_MVX, MOTION_MVY)
+#: px/frame with wraparound, so full-search block matching has an
+#: exact recoverable answer.
+MOTION_W = 16
+MOTION_H = 16
+MOTION_FRAMES = 4
+N_MOTION_ASSETS = 8
+MOTION_BLOCK = 8
+MOTION_RADIUS = 2
+MOTION_MVX = 2
+MOTION_MVY = 1
+
+
+def _motion_pattern(asset_id: int, u, v):
+    """Closed-form texture P_a(u, v) = (37u + 101v + 7uv + 13a) % 256
+    — the cross term makes every translation distinguishable (no
+    offset other than the true one zeroes the SAD). Mirrored by the
+    SQL oracle."""
+    return (37 * u + 101 * v + 7 * u * v + 13 * asset_id) % 256
+
+
+def encode_y4m_motion(asset_id: int, n_frames: int = MOTION_FRAMES) -> bytes:
+    """A real y4m stream whose frame t shows the pattern shifted by
+    t·(MOTION_MVX, MOTION_MVY) with wraparound:
+    Y_t(x, y) = P_a((x - MVX·t) mod W, (y - MVY·t) mod H); U/V flat
+    128 (motion search reads luma only)."""
+    import numpy as np
+
+    w, h = MOTION_W, MOTION_H
+    parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    x = np.arange(w).reshape(1, w)
+    y = np.arange(h).reshape(h, 1)
+    flat = np.full((h, w), 128, np.uint8)
+    for t in range(n_frames):
+        u = (x - MOTION_MVX * t) % w
+        v = (y - MOTION_MVY * t) % h
+        yp = _motion_pattern(asset_id, u, v).astype(np.uint8)
+        parts.append(b"FRAME\n" + yp.tobytes() + flat.tobytes() * 2)
+    return b"".join(parts)
+
+
+def synth_motion_media(
+    spark: SparkSession, n: int = N_MOTION_ASSETS
+) -> DataFrame:
+    rows = [
+        (
+            a,
+            "video",
+            MOTION_W,
+            MOTION_H,
+            MOTION_FRAMES * Y4M_FRAME_MS,
+            bytearray(encode_y4m_motion(a)),
+        )
+        for a in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def mm_video_motion_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL block-matching MOTION ESTIMATION — the kernel behind
+    keyframe selection, static-clip filtering, and temporal dedup in
+    a video training-data pipeline (and the cost core of every
+    MPEG-family encoder): decode genuine y4m streams, then for each
+    consecutive frame pair and each MOTION_BLOCK² luma block run a
+    full search over offsets (dx, dy) ∈ [-MOTION_RADIUS,
+    MOTION_RADIUS]², scoring exact integer SAD against the previous
+    frame sampled with wraparound; the argmin (ties → smallest dy,
+    then dx) is the block's motion vector. Emits one row per (asset,
+    frame pair, block) with the vector, its SAD, and the runner-up
+    SAD (the reliability margin, Lowe-ratio style).
+
+    The feed translates a cross-term texture by (MVX, MVY)=(2, 1)
+    per frame, so every block's true vector is (-2, -1) at SAD 0
+    with a strictly positive runner-up — the oracle recomputes ALL
+    25 offset scores per block from the closed form, so the decode,
+    the wraparound sampling, the |int - int| SAD math, and the
+    tie-break rule are value-checked end to end.
+
+    Scale: payload bytes never leave the scan partition; the search
+    is NumPy-vectorized per pair inside Arrow-batched mapInPandas
+    (25 rolled-plane SADs per pair, block-summed in one reshape);
+    rows crossing the boundary are block-grain (4 per pair here),
+    not pixel-grain. Reference parity: opaque binary columns
+    through staged SQL (reference airflow/dags/*.py) — decode as a
+    typed lane.
+    """
+    import numpy as np
+
+    radius = MOTION_RADIUS
+    blk = MOTION_BLOCK
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = []
+        for pdf in it:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_y4m(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, frames = decoded
+                if w % blk or h % blk:
+                    continue
+                nbx, nby = w // blk, h // blk
+                planes = [f[0].astype(np.int64) for f in frames]
+                for t in range(1, len(planes)):
+                    cur, prev = planes[t], planes[t - 1]
+                    # best[key] per block, key = sad*25 + (dy+r)*5
+                    # + (dx+r): lexicographic (sad, dy, dx) argmin.
+                    best = None
+                    second = None
+                    for dy in range(-radius, radius + 1):
+                        for dx in range(-radius, radius + 1):
+                            ref = np.roll(prev, (-dy, -dx), (0, 1))
+                            sad = (
+                                np.abs(cur - ref)
+                                .reshape(nby, blk, nbx, blk)
+                                .sum((1, 3))
+                            )
+                            key = sad * (
+                                (2 * radius + 1) ** 2
+                            ) + (dy + radius) * (2 * radius + 1) + (
+                                dx + radius
+                            )
+                            if best is None:
+                                best = key
+                                second = np.full_like(sad, 2**62)
+                            else:
+                                second = np.where(
+                                    key < best,
+                                    # old best's SAD becomes runner-up
+                                    best // ((2 * radius + 1) ** 2),
+                                    np.minimum(
+                                        second,
+                                        key // ((2 * radius + 1) ** 2),
+                                    ),
+                                )
+                                best = np.minimum(best, key)
+                    span = (2 * radius + 1) ** 2
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            k = int(best[by, bx])
+                            out.append(
+                                (
+                                    int(aid),
+                                    t,
+                                    by,
+                                    bx,
+                                    (k % (2 * radius + 1)) - radius,
+                                    ((k // (2 * radius + 1)) % (
+                                        2 * radius + 1
+                                    )) - radius,
+                                    k // span,
+                                    int(second[by, bx]),
+                                )
+                            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "asset_id", "frame_idx", "block_row", "block_col",
+                "mv_dx", "mv_dy", "best_sad", "second_sad",
+            ],
+        )
+
+    media = synth_motion_media(spark).select("asset_id", "payload")
+    return media.mapInPandas(
+        batches,
+        "asset_id bigint, frame_idx int, block_row int, block_col int,"
+        " mv_dx int, mv_dy int, best_sad bigint, second_sad bigint",
+    ).orderBy("asset_id", "frame_idx", "block_row", "block_col")
+
+
+def _motion_oracle() -> str:
+    w, h, blk, r = MOTION_W, MOTION_H, MOTION_BLOCK, MOTION_RADIUS
+    mvx, mvy = MOTION_MVX, MOTION_MVY
+
+    def pat(a: str, u: str, v: str) -> str:
+        # P_a(u, v) with u, v already wrapped to [0, w) / [0, h).
+        return f"(37 * ({u}) + 101 * ({v}) + 7 * ({u}) * ({v}) + 13 * {a}) % 256"
+
+    def ywrap(x: str, y: str, t: str, a: str) -> str:
+        u = f"((({x}) - {mvx} * ({t})) % {w} + {w}) % {w}"
+        v = f"((({y}) - {mvy} * ({t})) % {h} + {h}) % {h}"
+        return pat(a, u, v)
+
+    cur = ywrap("px.x", "px.y", "p.t", "a.a")
+    prev = ywrap(
+        f"((px.x + ox.dx) % {w} + {w}) % {w}",
+        f"((px.y + oy.dy) % {h} + {h}) % {h}",
+        "p.t - 1",
+        "a.a",
+    )
+    return f"""
+        WITH scores AS MATERIALIZED (
+            SELECT a.a AS asset_id, p.t AS frame_idx,
+                   px.y // {blk} AS block_row, px.x // {blk} AS block_col,
+                   ox.dx, oy.dy,
+                   CAST(SUM(ABS(CAST({cur} AS BIGINT)
+                               - CAST({prev} AS BIGINT))) AS BIGINT)
+                       AS sad
+            FROM generate_series(0, {N_MOTION_ASSETS - 1}) a(a)
+            CROSS JOIN generate_series(1, {MOTION_FRAMES - 1}) p(t)
+            CROSS JOIN generate_series(-{r}, {r}) ox(dx)
+            CROSS JOIN generate_series(-{r}, {r}) oy(dy)
+            CROSS JOIN (
+                SELECT xx.x AS x, yy.y AS y
+                FROM generate_series(0, {w - 1}) xx(x)
+                CROSS JOIN generate_series(0, {h - 1}) yy(y)
+            ) px
+            GROUP BY 1, 2, 3, 4, 5, 6
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY asset_id, frame_idx, block_row,
+                                    block_col
+                       ORDER BY sad, dy, dx
+                   ) AS rk
+            FROM scores
+        )
+        SELECT b.asset_id, b.frame_idx, b.block_row, b.block_col,
+               b.dx AS mv_dx, b.dy AS mv_dy, b.sad AS best_sad,
+               s.sad AS second_sad
+        FROM ranked b JOIN ranked s
+          USING (asset_id, frame_idx, block_row, block_col)
+        WHERE b.rk = 1 AND s.rk = 2
+        ORDER BY b.asset_id, b.frame_idx, b.block_row, b.block_col
+    """
+
+
 N_JPEG_COLOR_ASSETS = 48
 
 #: Closed-form per-block component constants for the color assets
@@ -6046,6 +6279,7 @@ QUERIES = {
     "mm_image_decode_jpeg": mm_image_decode_jpeg,
     "mm_image_decode_jpeg_color": mm_image_decode_jpeg_color,
     "mm_video_scene_cuts": mm_video_scene_cuts,
+    "mm_video_motion_estimate": mm_video_motion_estimate,
     "mm_audio_silence_trim": mm_audio_silence_trim,
     "mm_decode_router": mm_decode_router,
     "mm_audio_adpcm_decode": mm_audio_adpcm_decode,
@@ -6938,6 +7172,7 @@ ORACLES: dict[str, str] = {
     # Round-6: scene-cut detection — exact consecutive-frame Y-plane
     # SADs recomputed from the closed-form patterns with the scene
     # shift applied per side of the cut; threshold rule mirrored.
+    "mm_video_motion_estimate": _motion_oracle(),
     "mm_video_scene_cuts": f"""
         WITH assets AS (
             SELECT i AS asset_id, 12 + i % 6 AS w, 8 + i % 4 AS h,

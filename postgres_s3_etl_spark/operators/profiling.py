@@ -129,9 +129,94 @@ def q_join_cardinality_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("join_name")
 
 
+#: Task-count assumption for the salt-factor recommendation — the
+#: session's shuffle-partition setting (mirrored as a literal in the
+#: oracle). On a real cluster this is the executor-fleet-sized
+#: shuffle width the salt decision would be made against.
+SKEW_TASKS = 32
+
+
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW diagnostics (round-13) — the readout that
+    decides salting BEFORE a shuffle melts one task: for each big
+    join key (orders.o_custkey, lineitem.l_partkey, events.user_id),
+    the hottest key's row share, the top-10 concentration, and the
+    recommended salt factor
+
+        salt = ceil(max_key_rows / (n_rows / SKEW_TASKS))
+
+    — how many ways the hottest key must be split so no single task
+    exceeds the average task's row count (1 = no salting needed).
+    Computed with exact integer ceiling math ((max*T + n - 1) div n)
+    so the recommendation is bit-identical across engines.
+    Complements ``q_join_cardinality_forecast`` (output size) with
+    the per-task balance axis; `q_events_salted_join` /
+    `q_events_salted_agg` are the treatments this diagnoses for.
+
+    Scale shape: one partial-aggregatable per-key rollup per table;
+    the concentration stats aggregate the KEY-grain frame (≪ data),
+    and the top-10 sum is a TakeOrdered(10), never a global sort.
+    Reference parity: the reference trusts its join keys blindly
+    (airflow/dags/transform_and_load.py); this is the hygiene step
+    in front.
+    """
+    specs = [
+        ("events.user_id", load_table(spark, sf_dir, "events"), "user_id"),
+        (
+            "lineitem.l_partkey",
+            load_table(spark, sf_dir, "lineitem"),
+            "l_partkey",
+        ),
+        (
+            "orders.o_custkey",
+            load_table(spark, sf_dir, "orders"),
+            "o_custkey",
+        ),
+    ]
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    out = None
+    for key_name, df, key in specs:
+        counts = df.groupBy(F.col(key).alias("k")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        stats = counts.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_cnt"),
+        )
+        top10 = (
+            counts.orderBy(F.desc("c"), F.asc("k"))
+            .limit(10)
+            .agg(F.sum("c").cast("bigint").alias("top10_cnt"))
+        )
+        rep = (
+            stats.crossJoin(F.broadcast(top10))
+            .select(
+                F.lit(key_name).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                f6(F.col("max_cnt").cast("double") / F.col("n_rows")).alias(
+                    "top1_share"
+                ),
+                f6(
+                    F.col("top10_cnt").cast("double") / F.col("n_rows")
+                ).alias("top10_share"),
+                F.expr(
+                    f"(max_cnt * {SKEW_TASKS} + n_rows - 1) div n_rows"
+                )
+                .cast("bigint")
+                .alias("salt_factor"),
+            )
+        )
+        out = rep if out is None else out.unionAll(rep)
+    return out.orderBy("key_name")
+
+
 QUERIES = {
     "q_profile_orders": q_profile_orders,
     "q_join_cardinality_forecast": q_join_cardinality_forecast,
+    "q_join_skew_report": q_join_skew_report,
 }
 
 _DUCK_EXPRS = {
@@ -147,7 +232,41 @@ _UNPIVOT_SQL = " UNION ALL ".join(
     for name, expr in _DUCK_EXPRS.items()
 )
 
+def _skew_report_oracle() -> str:
+    parts = []
+    for key_name, table, key in (
+        ("events.user_id", "events", "user_id"),
+        ("lineitem.l_partkey", "lineitem", "l_partkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+    ):
+        parts.append(f"""
+        SELECT '{key_name}' AS key_name, n_rows, n_keys, max_cnt,
+               floor(CAST(max_cnt AS DOUBLE) / n_rows * 1e6) / 1e6
+                   AS top1_share,
+               floor(CAST(top10_cnt AS DOUBLE) / n_rows * 1e6) / 1e6
+                   AS top10_share,
+               CAST((max_cnt * {SKEW_TASKS} + n_rows - 1) // n_rows
+                    AS BIGINT) AS salt_factor
+        FROM (
+            SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_cnt
+            FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {key})
+        )
+        CROSS JOIN (
+            SELECT CAST(SUM(c) AS BIGINT) AS top10_cnt
+            FROM (
+                SELECT COUNT(*) AS c, {key} AS k
+                FROM {table} GROUP BY {key}
+                ORDER BY c DESC, k ASC LIMIT 10
+            )
+        )""")
+    union = "\n        UNION ALL".join(parts)
+    return f"{union}\n        ORDER BY key_name"
+
+
 ORACLES = {
+    "q_join_skew_report": _skew_report_oracle(),
     "q_join_cardinality_forecast": """
         WITH f1 AS (
             SELECT 'lineitem_self_on_partkey' AS join_name,
