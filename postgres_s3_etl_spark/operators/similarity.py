@@ -1979,6 +1979,62 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EFFECTIVE RANK of the embedding space by participation ratio
+    (round-13): PR = (Σλ)² / Σλ² over the covariance eigenvalues —
+    computed WITHOUT any eigendecomposition via the exact identities
+    Σλ = trace(C) and Σλ² = ‖C‖²_F = Σᵢⱼ Cᵢⱼ². PR ranges 1 (all
+    variance on one axis — total collapse) to d (isotropic); it is
+    the single-number representation-collapse diagnostic read next
+    to ``embedding_anisotropy`` (mean-offset axis) and
+    ``embedding_intrinsic_dim`` (manifold DoF): PR ≪ d says
+    truncation/whitening is overdue before index capacity is wasted.
+
+    Scale shape: reuses the one corpus covariance pass
+    (``_cov_upper``: row-local d²/2 posexplode, partial-agg,
+    shuffle O(partitions·d²)); this op adds only a 2080-row
+    aggregate on top. cov² products are IEEE doubles cast to
+    DECIMAL(38,18) before the SUM (exact, order-independent — the
+    pca_power norm recipe), off-diagonal terms counted twice via
+    the upper-triangle weight.
+
+    Reference parity: single-statement aggregate health checks over
+    staged tables (reference airflow/dags/transform_and_load.py) —
+    here the staged table is the covariance frame.
+    """
+    covs = _cov_upper(spark, sf_dir)
+    diag = F.col("i") == F.col("j")
+    agg = covs.agg(
+        F.count(F.when(diag, 1)).cast("int").alias("d"),
+        F.sum(F.when(diag, F.col("cov")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("tr"),
+        F.sum(
+            (
+                F.when(diag, F.lit(1.0)).otherwise(F.lit(2.0))
+                * F.col("cov")
+                * F.col("cov")
+            ).cast("decimal(38,18)")
+        )
+        .cast("double")
+        .alias("fr"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return agg.select(
+        "d",
+        f6(F.col("tr")).alias("trace_var"),
+        f6(F.col("fr")).alias("frob_sq"),
+        f6(F.col("tr") * F.col("tr") / F.col("fr")).alias(
+            "participation_ratio"
+        ),
+        f6(
+            F.col("tr") * F.col("tr") / F.col("fr") / F.col("d")
+        ).alias("pr_over_d"),
+    )
+
+
 #: Fixed power-iteration count for the PCA dominant component —
 #: fixed (not iterate-to-epsilon) so the DuckDB twin can unroll the
 #: same iterations as a generated CTE chain, the PageRank-oracle
@@ -2566,6 +2622,7 @@ QUERIES = {
     "embedding_intrinsic_dim": embedding_intrinsic_dim,
     "sim_search_pq_adc": sim_search_pq_adc,
     "embedding_covariance": embedding_covariance,
+    "embedding_participation_ratio": embedding_participation_ratio,
     "embedding_pca_power": embedding_pca_power,
 }
 
@@ -3299,6 +3356,25 @@ ORACLES = {
     """,
     # Self-join formulation — deliberately different from the Spark
     # twin's row-local double-posexplode, same exact decimal sums.
+    "embedding_participation_ratio": f"""
+        WITH {_COV_CTE},
+        agg AS (
+            SELECT CAST(COUNT(CASE WHEN i = j THEN 1 END) AS INT) AS d,
+                   CAST(SUM(CASE WHEN i = j
+                            THEN CAST(cov AS DECIMAL(38,18)) END)
+                        AS DOUBLE) AS tr,
+                   CAST(SUM(CAST((CASE WHEN i = j THEN 1.0 ELSE 2.0 END)
+                                 * cov * cov AS DECIMAL(38,18)))
+                        AS DOUBLE) AS fr
+            FROM covs
+        )
+        SELECT d,
+               floor(tr * 1e6) / 1e6 AS trace_var,
+               floor(fr * 1e6) / 1e6 AS frob_sq,
+               floor(tr * tr / fr * 1e6) / 1e6 AS participation_ratio,
+               floor(tr * tr / fr / d * 1e6) / 1e6 AS pr_over_d
+        FROM agg
+    """,
     "embedding_covariance": f"""
         WITH {_COV_CTE},
         var AS (SELECT i AS d, cov AS v FROM covs WHERE i = j)

@@ -130,3 +130,34 @@ def test_motion_encoder_decodes_via_real_container(spark):
         )
         assert (f[0] == exp).all()
         assert (f[1] == 128).all() and (f[2] == 128).all()
+
+
+def test_participation_ratio_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "embedding_participation_ratio")
+
+
+def test_participation_ratio_matches_numpy_eigenvalues(spark):
+    """Independent verification: PR computed from the actual
+    covariance eigenvalues (numpy eigh) must equal the trace/
+    Frobenius identity the operator uses."""
+    import numpy as np
+
+    r = (
+        e.queries()["embedding_participation_ratio"](spark, SF_DIR)
+        .collect()[0]
+    )
+    emb = np.array(
+        [
+            row.embedding
+            for row in spark.read.parquet(
+                f"{SF_DIR}/embeddings.parquet"
+            ).collect()
+        ],
+        dtype=np.float64,
+    )
+    lam = np.linalg.eigvalsh(np.cov(emb, rowvar=False, ddof=1))
+    pr = lam.sum() ** 2 / (lam**2).sum()
+    assert r.d == emb.shape[1]
+    assert abs(r.participation_ratio - pr) < 1e-4
+    assert 1.0 <= r.participation_ratio <= r.d
+    assert abs(r.pr_over_d - r.participation_ratio / r.d) < 1e-5
