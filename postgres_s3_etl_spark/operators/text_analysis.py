@@ -606,6 +606,119 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Watermark-audit green-list key and flag threshold. The key plays
+#: the role of the generator's hash seed in Kirchenbauer et al. 2023
+#: (a real audit sweeps candidate keys); z > 4 ≈ p < 3e-5 one-sided.
+WATERMARK_KEY = "wm1"
+WATERMARK_Z = 4.0
+
+
+def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-WATERMARK detection sweep (round-13) — the corpus-hygiene
+    check a training-data pipeline runs to keep unigram-biased
+    synthetic text (Kirchenbauer et al. 2023 "green list" style) out
+    of the mix: under the candidate key, each token hashes green with
+    probability γ = 1/2 (first hex nibble of md5(key ‖ token) in
+    0–7), a watermarked generator over-samples green, and the
+    per-doc one-sided z-score z = (2g − n)/√n exposes it. Emits the
+    per-source audit: token-weighted green fraction, the hottest
+    doc's z, and the count flagged above ``WATERMARK_Z`` — on clean
+    natural text every number should sit at chance (green_frac ≈
+    0.5, flags ≈ 0), which IS the audit's pass state.
+
+    Cross-engine determinism: md5 is bit-identical in Spark and
+    DuckDB, the green test is an ASCII compare on the first hex
+    char, z is one mirrored IEEE expression truncated to 1e-6
+    BEFORE the threshold compare and the max, so flag decisions
+    can't straddle a float boundary.
+
+    Scale shape: one token explode → per-doc count pair (map-side
+    combinable) → per-source rollup; no joins, no windows, no
+    driver traffic. Reference parity: staged per-row quality gates
+    (reference airflow/dags/transform_and_load.py CASE filters) —
+    here the gate is a statistical test.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_ws_tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    green = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit(WATERMARK_KEY), F.col("tok")).cast("binary")),
+            1,
+            1,
+        )
+        <= "7",
+        1,
+    ).otherwise(0)
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(green).cast("bigint").alias("g"),
+    )
+    z6 = _trunc6(
+        (2.0 * F.col("g").cast("double") - F.col("n").cast("double"))
+        / F.sqrt(F.col("n").cast("double"))
+    )
+    scored = per_doc.where(F.col("n") > 0).select(
+        "source", "n", "g", z6.alias("z")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            _trunc6(
+                F.sum("g").cast("double") / F.sum("n").cast("double")
+            ).alias("green_frac"),
+            _trunc6(F.max("z")).alias("max_z"),
+            F.sum(
+                F.when(F.col("z") > WATERMARK_Z, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+def _watermark_oracle() -> str:
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(string_split_regex(trim(lower(text)), '\s+'))
+                       AS tok
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN substring(
+                            md5('{WATERMARK_KEY}' || tok), 1, 1) <= '7'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS g
+            FROM toks GROUP BY doc_id, source
+        ),
+        scored AS (
+            SELECT source, n, g,
+                   floor((2.0 * g - n) / sqrt(CAST(n AS DOUBLE)) * 1e6)
+                       / 1e6 AS z
+            FROM per_doc WHERE n > 0
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               floor(CAST(SUM(g) AS DOUBLE) / SUM(n) * 1e6) / 1e6
+                   AS green_frac,
+               floor(MAX(z) * 1e6) / 1e6 AS max_z,
+               CAST(SUM(CASE WHEN z > {WATERMARK_Z} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flagged
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """
+
+
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-corpus novelty curve: per document, the fraction of its
     distinct 8-token span fingerprints that FIRST appear in that
@@ -2968,6 +3081,7 @@ QUERIES = {
     "text_dedup_pipeline": text_dedup_pipeline,
     "text_source_vocab_overlap": text_source_vocab_overlap,
     "text_ngram_novelty": text_ngram_novelty,
+    "text_watermark_detect": text_watermark_detect,
     "text_chunk": text_chunk,
     "text_decontaminate": text_decontaminate,
     "text_decontaminate_fuzzy": text_decontaminate_fuzzy,
@@ -3888,6 +4002,7 @@ ORACLES = {
         ORDER BY d.source
     """,
     "text_span_ladder": _span_ladder_oracle(),
+    "text_watermark_detect": _watermark_oracle(),
     "text_ngram_novelty": rf"""
         WITH words AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

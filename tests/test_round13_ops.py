@@ -161,3 +161,65 @@ def test_participation_ratio_matches_numpy_eigenvalues(spark):
     assert abs(r.participation_ratio - pr) < 1e-4
     assert 1.0 <= r.participation_ratio <= r.d
     assert abs(r.pr_over_d - r.participation_ratio / r.d) < 1e-5
+
+
+def test_watermark_detect_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_watermark_detect")
+
+
+def test_watermark_clean_corpus_sits_at_chance(spark):
+    """Natural (non-watermarked) text must read green_frac ~ 0.5 and
+    essentially no flags — the audit's pass state."""
+    rows = e.queries()["text_watermark_detect"](spark, SF_DIR).collect()
+    total_tokens = sum(r.n_tokens for r in rows)
+    total_docs = sum(r.n_docs for r in rows)
+    green = sum(r.green_frac * r.n_tokens for r in rows) / total_tokens
+    assert 0.4 < green < 0.6
+    # z > 4 is a ~3e-5 event per doc under H0.
+    assert sum(r.n_flagged for r in rows) <= max(1, total_docs // 1000)
+
+
+def test_watermark_green_rule_matches_python_hashlib(spark):
+    """Third-engine pin: the Spark green rule (first md5 hex nibble
+    <= '7' under the audit key) must agree with Python's hashlib on
+    real corpus tokens, and a deliberately all-green token stream
+    must score z > 4 under the same formula."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from postgres_s3_etl_spark.operators.text_analysis import (
+        WATERMARK_KEY,
+    )
+
+    toks = [f"tok{i}" for i in range(300)]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {
+        r.tok: r.g
+        for r in df.select(
+            "tok",
+            (
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(WATERMARK_KEY), F.col("tok")
+                        ).cast("binary")
+                    ),
+                    1,
+                    1,
+                )
+                <= "7"
+            ).alias("g"),
+        ).collect()
+    }
+    greens = []
+    for t in toks:
+        h = hashlib.md5((WATERMARK_KEY + t).encode()).hexdigest()
+        assert got[t] == (h[0] <= "7"), t
+        if h[0] <= "7":
+            greens.append(t)
+    # A watermarked generator emitting only green tokens: z = sqrt(n).
+    n = len(greens)
+    assert n >= 100  # ~half of 300
+    z = (2 * n - n) / n**0.5
+    assert z > 4.0
