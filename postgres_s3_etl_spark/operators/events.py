@@ -1026,6 +1026,221 @@ def q_events_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Markov-attribution state universe, index order fixed so both
+#: engines build the identical flattened 7x7 matrix: START, the four
+#: touch channels (alphabetical), then the absorbing CONV / NULL.
+MARKOV_STATES = ("START", "click", "error", "signup", "view",
+                 "CONV", "NULL")
+MARKOV_CHANNELS = ("click", "error", "signup", "view")
+#: Bounded absorption horizon: p is EXACTLY the probability of
+#: converting within this many transitions (a well-defined quantity,
+#: not an approximation target), so any horizon matches bit-for-bit
+#: across engines; 32 steps is far past these short journeys.
+MARKOV_HORIZON = 32
+
+_MARKOV_IDX_SQL = (
+    "CASE {c} "
+    + " ".join(
+        f"WHEN '{s}' THEN {i}" for i, s in enumerate(MARKOV_STATES)
+    )
+    + " END"
+)
+
+
+def q_events_markov_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MARKOV REMOVAL-EFFECT attribution — the principled successor
+    to the positional heuristics (`q_events_first_touch`,
+    `q_events_attribution_ushape`): model user journeys as a
+    first-order Markov chain over touch channels with absorbing
+    CONV/NULL states, and credit each channel by how much the
+    conversion probability DROPS when the channel is removed
+    (all transitions into it redirected to NULL) — Anderl et al.
+    2016's removal effect. Emits per channel: touch count, the
+    bounded-horizon conversion probability of the full chain and the
+    removed chain, removal_effect = 1 − p_removed/p_full, and the
+    normalized attribution share.
+
+    Journey construction (identical rules in the oracle): per user,
+    touch events strictly before the first purchase (order (ts,
+    event_id); the purchase struct compare is lexicographic in both
+    engines), path = START → touches… → CONV if the user ever
+    purchased else NULL. Transition probabilities are exact-count
+    ratios; removal only REDIRECTS columns, so row sums stay 1 and
+    the full chain's probabilities are reused (the ≤2-way collision
+    sum into NULL is a commutative two-term IEEE add).
+
+    Cross-engine exactness: the absorption fixed point runs as a
+    row-local sequential fold over the flattened 7×7 matrix — Spark
+    ``aggregate(sequence(1, H), p0, matvec)`` with the inner dot
+    product folded j-ascending from an exact 0.0 seed, DuckDB a
+    WITH RECURSIVE over the same list — every IEEE add/mul happens
+    in the same order, so even the 16th digit matches. The per-
+    channel effects are floor6-truncated, pinned to DECIMAL(18,6)
+    for the order-independent share denominator, and divided as
+    doubles.
+
+    Scale shape: one corpus pass to per-user journey arrays (the
+    ``q_events_top_paths`` shape — bounded by events-per-user), one
+    transition rollup (≤ 7×7 keys, map-side combinable), and then
+    EVERYTHING — variants, matrices, the 32-step fixed point — lives
+    on a 5-row frame of 49-element arrays. No iteration ever touches
+    corpus-scale data and no driver collect exists at all.
+    """
+    n_states = len(MARKOV_STATES)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(*MARKOV_CHANNELS, "purchase")
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    touches = ev.where(F.col("event_type") != "purchase").join(
+        fp, "user_id", "left"
+    )
+    kept = touches.where(
+        F.col("fp").isNull() | (F.struct("ts", "event_id") < F.col("fp"))
+    )
+    journeys = kept.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list("
+            "struct(ts, event_id, event_type))), e -> e.event_type)"
+        ).alias("touch_path")
+    )
+    users = ev.select("user_id").distinct()
+    paths = (
+        users.join(journeys, "user_id", "left")
+        .join(fp.select("user_id", F.lit(1).alias("has_p")), "user_id", "left")
+        .select(
+            F.concat(
+                F.array(F.lit("START")),
+                F.coalesce(
+                    F.col("touch_path"),
+                    F.expr("cast(array() as array<string>)"),
+                ),
+                F.array(
+                    F.when(F.col("has_p") == 1, "CONV").otherwise("NULL")
+                ),
+            ).alias("path")
+        )
+    )
+    trans = paths.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(path) - 1),"
+                " i -> struct(element_at(path, i) AS s,"
+                " element_at(path, i + 1) AS t))"
+            )
+        ).alias("st")
+    ).select("st.s", "st.t")
+    counts = trans.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("s").agg(F.sum("c").alias("stot"))
+    probs = counts.join(tot, "s").select(
+        "s",
+        "t",
+        "c",
+        (F.col("c").cast("double") / F.col("stot").cast("double")).alias(
+            "p"
+        ),
+    ).localCheckpoint()  # tiny (≤49 rows); reused by every variant
+
+    variants = probs.select(F.lit("full").alias("variant"), "s", "t", "p")
+    for ch in MARKOV_CHANNELS:
+        variants = variants.unionAll(
+            probs.select(
+                F.lit(ch).alias("variant"),
+                "s",
+                F.when(F.col("t") == ch, "NULL").otherwise(
+                    F.col("t")
+                ).alias("t"),
+                "p",
+            )
+        )
+    cells = variants.groupBy(
+        "variant",
+        F.expr(_MARKOV_IDX_SQL.format(c="s")).alias("si"),
+        F.expr(_MARKOV_IDX_SQL.format(c="t")).alias("ti"),
+    ).agg(F.sum("p").alias("p"))
+    mats = cells.groupBy("variant").agg(
+        F.expr(
+            f"""aggregate(
+                collect_list(struct(si * {n_states} + ti + 1 AS idx, p)),
+                array_repeat(cast(0.0 as double), {n_states * n_states}),
+                (acc, e) -> transform(acc, (x, i) ->
+                    IF(i + 1 = e.idx, e.p, x)))"""
+        ).alias("tf")
+    )
+    p0 = "array(" + ", ".join(
+        "cast(1.0 as double)" if s == "CONV" else "cast(0.0 as double)"
+        for s in MARKOV_STATES
+    ) + ")"
+    conv_i = MARKOV_STATES.index("CONV")
+    null_i = MARKOV_STATES.index("NULL")
+    pconv = mats.select(
+        "variant",
+        F.expr(
+            f"""element_at(
+                aggregate(sequence(1, {MARKOV_HORIZON}), {p0},
+                    (acc, step) -> transform(sequence(0, {n_states - 1}),
+                        i -> CASE
+                            WHEN i = {conv_i} THEN cast(1.0 as double)
+                            WHEN i = {null_i} THEN cast(0.0 as double)
+                            ELSE aggregate(sequence(0, {n_states - 1}),
+                                cast(0.0 as double),
+                                (s2, j) -> s2
+                                    + element_at(tf, i * {n_states} + j + 1)
+                                    * element_at(acc, j + 1)) END)),
+                1)"""
+        ).alias("pconv"),
+    ).localCheckpoint()  # 5 rows; referenced by full + 4 channel rows
+
+    full = pconv.where(F.col("variant") == "full").select(
+        F.col("pconv").alias("p_full")
+    )
+    touches_in = counts.where(
+        F.col("t").isin(*MARKOV_CHANNELS)
+    ).groupBy(F.col("t").alias("channel")).agg(
+        F.sum("c").cast("bigint").alias("n_touch")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    per_ch = (
+        pconv.where(F.col("variant") != "full")
+        .select(F.col("variant").alias("channel"), "pconv")
+        .crossJoin(F.broadcast(full))
+        .select(
+            "channel",
+            "pconv",
+            "p_full",
+            f6(
+                F.lit(1.0) - F.col("pconv") / F.col("p_full")
+            ).cast("decimal(18,6)").alias("eff6"),
+        )
+    )
+    etot = per_ch.agg(F.sum("eff6").alias("etot"))
+    return (
+        per_ch.join(touches_in, "channel", "left")
+        .crossJoin(F.broadcast(etot))
+        .select(
+            "channel",
+            F.coalesce("n_touch", F.lit(0)).cast("bigint").alias("n_touch"),
+            f6(F.col("p_full")).alias("p_full"),
+            f6(F.col("pconv")).alias("p_removed"),
+            F.col("eff6").cast("double").alias("removal_effect"),
+            f6(
+                F.try_divide(
+                    F.col("eff6").cast("double"),
+                    F.col("etot").cast("double"),
+                )
+            ).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
+
+
 def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cyclic usage profile: event volume by (ISO weekday × hour)
     with share-of-total — the capacity/heatmap view behind load
@@ -2230,6 +2445,7 @@ QUERIES = {
     "q_events_dow_hour_heatmap": q_events_dow_hour_heatmap,
     "q_events_first_touch": q_events_first_touch,
     "q_events_attribution_ushape": q_events_attribution_ushape,
+    "q_events_markov_attribution": q_events_markov_attribution,
     "q_events_active_users": q_events_active_users,
     "q_events_funnel_latency": q_events_funnel_latency,
     "q_events_bot_detection": q_events_bot_detection,
@@ -2909,6 +3125,132 @@ ORACLES = {
                END AS coverage_ratio
         FROM seg
         ORDER BY segment
+    """,
+    "q_events_markov_attribution": f"""
+        WITH RECURSIVE ev AS (
+            SELECT user_id, ts, event_id, event_type FROM events
+            WHERE event_type IN
+                ({", ".join(f"'{c}'" for c in MARKOV_CHANNELS)},
+                 'purchase')
+        ),
+        fp AS (
+            SELECT user_id, ts AS pts, event_id AS peid
+            FROM (SELECT user_id, ts, event_id,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn
+                  FROM ev WHERE event_type = 'purchase')
+            WHERE rn = 1
+        ),
+        kept AS (
+            SELECT e.user_id, e.ts, e.event_id, e.event_type
+            FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+            WHERE e.event_type <> 'purchase'
+              AND (fp.user_id IS NULL
+                   OR ROW(e.ts, e.event_id) < ROW(fp.pts, fp.peid))
+        ),
+        journeys AS (
+            SELECT user_id,
+                   list(event_type ORDER BY ts, event_id) AS touch_path
+            FROM kept GROUP BY user_id
+        ),
+        paths AS (
+            SELECT ['START'] || COALESCE(j.touch_path, []) ||
+                   [CASE WHEN fp.user_id IS NOT NULL
+                         THEN 'CONV' ELSE 'NULL' END] AS path
+            FROM (SELECT DISTINCT user_id FROM ev) u
+            LEFT JOIN journeys j USING (user_id)
+            LEFT JOIN fp ON u.user_id = fp.user_id
+        ),
+        tpairs AS (
+            SELECT unnest(list_transform(range(1, len(path)),
+                       i -> {{'s': path[i], 't': path[i + 1]}})) AS st
+            FROM paths
+        ),
+        trans AS (SELECT st.s AS s, st.t AS t FROM tpairs),
+        tcounts AS (
+            SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM trans GROUP BY s, t
+        ),
+        stot AS (SELECT s, SUM(c) AS stot FROM tcounts GROUP BY s),
+        probs AS (
+            SELECT c.s, c.t,
+                   CAST(c.c AS DOUBLE) / CAST(y.stot AS DOUBLE) AS p
+            FROM tcounts c JOIN stot y USING (s)
+        ),
+        variants AS (
+            SELECT 'full' AS variant, s, t, p FROM probs
+            {"".join(
+                f'''UNION ALL SELECT '{ch}', s,
+                    CASE WHEN t = '{ch}' THEN 'NULL' ELSE t END, p
+                    FROM probs '''
+                for ch in MARKOV_CHANNELS)}
+        ),
+        cells AS (
+            SELECT variant,
+                   {_MARKOV_IDX_SQL.format(c="s")} AS si,
+                   {_MARKOV_IDX_SQL.format(c="t")} AS ti,
+                   SUM(p) AS p
+            FROM variants GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT v.variant, gs.si * 7 + gt.ti + 1 AS idx,
+                   COALESCE(c.p, 0.0e0) AS p
+            FROM (SELECT DISTINCT variant FROM cells) v
+            CROSS JOIN generate_series(0, 6) gs(si)
+            CROSS JOIN generate_series(0, 6) gt(ti)
+            LEFT JOIN cells c
+              ON c.variant = v.variant AND c.si = gs.si AND c.ti = gt.ti
+        ),
+        mats AS (
+            SELECT variant, list(p ORDER BY idx) AS tf
+            FROM grid GROUP BY variant
+        ),
+        it AS (
+            SELECT variant, tf, 0 AS k,
+                   [0.0e0, 0.0e0, 0.0e0, 0.0e0, 0.0e0, 1.0e0, 0.0e0]
+                       AS p
+            FROM mats
+            UNION ALL
+            SELECT variant, tf, k + 1,
+                   list_transform(range(0, 7), i -> CASE
+                       WHEN i = 5 THEN 1.0e0
+                       WHEN i = 6 THEN 0.0e0
+                       ELSE list_reduce(
+                           list_prepend(0.0e0,
+                               list_transform(range(0, 7),
+                                   j -> tf[i * 7 + j + 1] * p[j + 1])),
+                           (a, b) -> a + b) END)
+            FROM it WHERE k < {MARKOV_HORIZON}
+        ),
+        pconv AS (
+            SELECT variant, p[1] AS pc FROM it
+            WHERE k = {MARKOV_HORIZON}
+        ),
+        fullp AS (SELECT pc AS p_full FROM pconv WHERE variant = 'full'),
+        touches_in AS (
+            SELECT t AS channel, CAST(SUM(c) AS BIGINT) AS n_touch
+            FROM tcounts
+            WHERE t IN ({", ".join(f"'{c}'" for c in MARKOV_CHANNELS)})
+            GROUP BY t
+        ),
+        per_ch AS (
+            SELECT variant AS channel, pc,
+                   (SELECT p_full FROM fullp) AS p_full,
+                   CAST(floor((1.0e0 - pc / (SELECT p_full FROM fullp))
+                              * 1e6) / 1e6 AS DECIMAL(18,6)) AS eff6
+            FROM pconv WHERE variant <> 'full'
+        ),
+        etot AS (SELECT SUM(eff6) AS et FROM per_ch)
+        SELECT p.channel,
+               COALESCE(t.n_touch, 0) AS n_touch,
+               floor(p.p_full * 1e6) / 1e6 AS p_full,
+               floor(p.pc * 1e6) / 1e6 AS p_removed,
+               CAST(p.eff6 AS DOUBLE) AS removal_effect,
+               floor(CAST(p.eff6 AS DOUBLE)
+                     / NULLIF(CAST((SELECT et FROM etot) AS DOUBLE), 0)
+                     * 1e6) / 1e6 AS attribution_share
+        FROM per_ch p LEFT JOIN touches_in t USING (channel)
+        ORDER BY p.channel
     """,
     "q_events_attribution_ushape": """
         WITH conv AS (

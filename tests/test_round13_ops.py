@@ -223,3 +223,72 @@ def test_watermark_green_rule_matches_python_hashlib(spark):
     assert n >= 100  # ~half of 300
     z = (2 * n - n) / n**0.5
     assert z > 4.0
+
+
+def test_markov_attribution_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "q_events_markov_attribution")
+
+
+def test_markov_attribution_semantics(spark):
+    rows = e.queries()["q_events_markov_attribution"](
+        spark, SF_DIR
+    ).collect()
+    assert [r.channel for r in rows] == ["click", "error", "signup", "view"]
+    p_full = rows[0].p_full
+    assert all(r.p_full == p_full for r in rows)
+    assert 0 < p_full <= 1
+    for r in rows:
+        # Removal redirects paths into NULL: absorption probability
+        # can only drop, so effects live in [0, 1].
+        assert 0 <= r.p_removed <= r.p_full + 1e-9
+        assert 0 <= r.removal_effect <= 1
+        assert r.n_touch > 0
+    share = sum(r.attribution_share for r in rows)
+    assert abs(share - 1.0) < 1e-4
+
+
+def test_markov_attribution_planted_chain(spark):
+    """Hand-built journeys where only 'click' ever leads to CONV:
+    removing click must zero the conversion probability (removal
+    effect 1), while the never-converting channel gets effect ~0."""
+    import datetime as dt
+
+    from postgres_s3_etl_spark.operators import events as evmod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(uid, typ, k):
+        nonlocal eid
+        eid += 1
+        return (eid, base + dt.timedelta(minutes=k), uid, typ, 1.0, "{}")
+
+    # 10 users: view -> click -> purchase ; 10 users: view -> (end)
+    for u in range(10):
+        rows += [ev(u, "view", 0), ev(u, "click", 1), ev(u, "purchase", 2)]
+    for u in range(10, 20):
+        rows += [ev(u, "view", 0)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        out = {
+            r.channel: r
+            for r in evmod.q_events_markov_attribution(spark, d).collect()
+        }
+    # Full chain: START->view (p=1), view->click .5 / view->NULL .5,
+    # click->CONV 1  =>  p_full = 0.5.
+    assert abs(out["click"].p_full - 0.5) < 1e-6
+    # Removing click severs every converting path.
+    assert out["click"].p_removed == 0.0
+    assert abs(out["click"].removal_effect - 1.0) < 1e-6
+    # view is on every path too: removing it also zeroes conversion.
+    assert abs(out["view"].removal_effect - 1.0) < 1e-6
+    # channels absent from the data get no credit.
+    assert out["error"].removal_effect == 0.0
+    assert out["signup"].removal_effect == 0.0
