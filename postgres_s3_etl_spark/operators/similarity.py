@@ -250,6 +250,61 @@ def _ivf_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.withColumn("ranked", rank_cells("v"))
 
 
+def sim_search_ivf_imbalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF LIST-IMBALANCE audit (round-13) — the index-health readout
+    run after building an IVF index and before sizing nprobe: per
+    coarse cell its home-assigned vector count and share, plus the
+    global imbalance factor cells·Σ share² — the expected-scan-cost
+    MULTIPLIER for single-probe queries whose probes distribute like
+    the corpus (1.0 = perfectly balanced lists; 2.0 = queries touch
+    twice the vectors a balanced index would). A hot list is also a
+    hot TASK at cluster scale (every query batch probing it lands on
+    the same partition), so this is the salting diagnostic of the
+    ANN world — read next to `q_join_skew_report`.
+
+    Cross-engine determinism: home cells come from the shared
+    fold-exact assignment (`_ivf_assigned`); the share² sum is 16
+    IEEE products cast to DECIMAL(38,18) before the order-free SUM.
+    Scale: one corpus pass for assignment, a 16-key rollup, then
+    arithmetic on the 16-row frame.
+    """
+    homes = _ivf_assigned(spark, sf_dir).select(
+        F.expr("element_at(ranked, 1)").alias("cell")
+    )
+    per_cell = homes.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    total = per_cell.agg(
+        F.sum("n_vectors").cast("double").alias("total")
+    )
+    shared = per_cell.crossJoin(F.broadcast(total)).withColumn(
+        "share_d", F.col("n_vectors").cast("double") / F.col("total")
+    ).localCheckpoint()  # 16 rows, referenced twice
+    imb = shared.agg(
+        (
+            F.lit(float(IVF_CELLS))
+            * F.sum(
+                (F.col("share_d") * F.col("share_d")).cast(
+                    "decimal(38,18)"
+                )
+            ).cast("double")
+        ).alias("imb")
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        shared.crossJoin(F.broadcast(imb))
+        .select(
+            "cell",
+            "n_vectors",
+            f6(F.col("share_d")).alias("share"),
+            f6(F.col("imb")).alias("imbalance_factor"),
+        )
+        .orderBy("cell")
+    )
+
+
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 per probe via IVF: ``IVF_CELLS`` coarse-quantizer
     vectors (the first 16 corpus vectors, normalized — deterministic
@@ -2609,6 +2664,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "sim_search_lsh": sim_search_lsh,
     "sim_search_ivf": sim_search_ivf,
+    "sim_search_ivf_imbalance": sim_search_ivf_imbalance,
     "embedding_quantize": embedding_quantize,
     "embedding_hard_negatives": embedding_hard_negatives,
     "sim_search_recall": sim_search_recall,
@@ -3788,6 +3844,54 @@ ORACLES = {
     # IVF_CELLS corpus vectors normalized, cell assignment is argmax
     # dot-product (score desc, cell asc on ties — mirroring the stable
     # argsort), probes search their N_PROBE_CELLS best cells.
+    "sim_search_ivf_imbalance": f"""
+        WITH vecs AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT vec_id AS cell, list_transform(v, x -> x / nrm) AS sv
+            FROM vecs WHERE vec_id < {IVF_CELLS}
+        ),
+        scores AS (
+            SELECT v.vec_id, s.cell, list_dot_product(v.v, s.sv) AS score
+            FROM vecs v CROSS JOIN seeds s
+        ),
+        homes AS (
+            SELECT vec_id, cell
+            FROM (SELECT vec_id, cell,
+                         ROW_NUMBER() OVER (PARTITION BY vec_id
+                                            ORDER BY score DESC,
+                                                     cell ASC) AS crank
+                  FROM scores)
+            WHERE crank = 1
+        ),
+        per_cell AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM homes GROUP BY cell
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_vectors) AS DOUBLE) AS total FROM per_cell
+        ),
+        shared AS (
+            SELECT cell, n_vectors,
+                   CAST(n_vectors AS DOUBLE) / total AS share_d
+            FROM per_cell CROSS JOIN tot
+        ),
+        imb AS (
+            SELECT {float(IVF_CELLS)} * CAST(SUM(
+                       CAST(share_d * share_d AS DECIMAL(38,18)))
+                   AS DOUBLE) AS imb
+            FROM shared
+        )
+        SELECT cell, n_vectors,
+               floor(share_d * 1e6) / 1e6 AS share,
+               floor(imb * 1e6) / 1e6 AS imbalance_factor
+        FROM shared CROSS JOIN imb
+        ORDER BY cell
+    """,
     "sim_search_ivf": f"""
         WITH vecs AS (
             SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -292,3 +292,25 @@ def test_markov_attribution_planted_chain(spark):
     # channels absent from the data get no credit.
     assert out["error"].removal_effect == 0.0
     assert out["signup"].removal_effect == 0.0
+
+
+def test_ivf_imbalance_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "sim_search_ivf_imbalance")
+
+
+def test_ivf_imbalance_semantics(spark):
+    rows = e.queries()["sim_search_ivf_imbalance"](
+        spark, SF_DIR
+    ).collect()
+    from postgres_s3_etl_spark.operators.similarity import IVF_CELLS
+
+    assert len(rows) <= IVF_CELLS
+    shares = [r.share for r in rows]
+    assert abs(sum(shares) - 1.0) < len(rows) * 1e-6 + 1e-9
+    imb = rows[0].imbalance_factor
+    assert all(r.imbalance_factor == imb for r in rows)
+    # Cauchy-Schwarz: cells * sum(share^2) >= 1, = 1 iff balanced.
+    assert imb >= 1.0 - 1e-6
+    # And it equals the definition recomputed from the shares.
+    approx = IVF_CELLS * sum(s * s for s in shares)
+    assert abs(imb - approx) < 1e-3
