@@ -167,6 +167,19 @@ HEADLINE = (
     "q_events_uplift_deciles",
     "q_orders_hill_tail_index",
     "mm_image_decode_ppm",
+    # round-13 additions (full-profile FLAC stereo/LPC decode,
+    # per-lang fertility, join-skew + IVF-imbalance diagnostics,
+    # Z-order layout experiment, block motion estimation,
+    # participation ratio, watermark audit, Markov attribution)
+    "mm_audio_decode_flac_stereo",
+    "text_fertility_by_lang",
+    "q_join_skew_report",
+    "layout_zorder_pruning",
+    "mm_video_motion_estimate",
+    "embedding_participation_ratio",
+    "text_watermark_detect",
+    "q_events_markov_attribution",
+    "sim_search_ivf_imbalance",
 )
 
 #: Second standing table (round-13, VERDICT r12 task 3): the slowest
