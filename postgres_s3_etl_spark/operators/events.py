@@ -1198,8 +1198,14 @@ def q_events_markov_attribution(
         ).alias("pconv"),
     ).localCheckpoint()  # 5 rows; referenced by full + 4 channel rows
 
-    full = pconv.where(F.col("variant") == "full").select(
-        F.col("pconv").alias("p_full")
+    # limit(1): the filter yields exactly one row (one 'full'
+    # variant); the explicit reducer also satisfies the repo-wide
+    # scalar-broadcast audit (every crossJoin(broadcast(x)) must
+    # carry a reducer in the hinted subtree).
+    full = (
+        pconv.where(F.col("variant") == "full")
+        .select(F.col("pconv").alias("p_full"))
+        .limit(1)
     )
     touches_in = counts.where(
         F.col("t").isin(*MARKOV_CHANNELS)
