@@ -1222,7 +1222,7 @@ def q_events_markov_attribution(
             "pconv",
             "p_full",
             f6(
-                F.lit(1.0) - F.col("pconv") / F.col("p_full")
+                F.lit(1.0) - F.try_divide(F.col("pconv"), F.col("p_full"))
             ).cast("decimal(18,6)").alias("eff6"),
         )
     )
@@ -3242,7 +3242,8 @@ ORACLES = {
         per_ch AS (
             SELECT variant AS channel, pc,
                    (SELECT p_full FROM fullp) AS p_full,
-                   CAST(floor((1.0e0 - pc / (SELECT p_full FROM fullp))
+                   CAST(floor((1.0e0 - pc / NULLIF((SELECT p_full
+                                                    FROM fullp), 0))
                               * 1e6) / 1e6 AS DECIMAL(18,6)) AS eff6
             FROM pconv WHERE variant <> 'full'
         ),

@@ -20,7 +20,7 @@ see operators/ranking.py).
 
 Reference parity: the reference writes its staging tables in arrival
 order and full-scans them per query (reference airflow/dags/
-transform_and_load.py + scripts DDL); this operator is the planning
+orders_ETL.py:93-125 + scripts DDL); this operator is the planning
 step that decides a better physical order before the write.
 """
 

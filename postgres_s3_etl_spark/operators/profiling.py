@@ -157,7 +157,8 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the concentration stats aggregate the KEY-grain frame (≪ data),
     and the top-10 sum is a TakeOrdered(10), never a global sort.
     Reference parity: the reference trusts its join keys blindly
-    (airflow/dags/transform_and_load.py); this is the hygiene step
+    (airflow/dags/shipments_ETL.py:86-103 join-free staging); this
+    is the hygiene step
     in front.
     """
     specs = [
@@ -185,7 +186,7 @@ def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("bigint").alias("max_cnt"),
         )
         top10 = (
-            counts.orderBy(F.desc("c"), F.asc("k"))
+            counts.orderBy(F.desc("c"), F.asc_nulls_last("k"))
             .limit(10)
             .agg(F.sum("c").cast("bigint").alias("top10_cnt"))
         )

@@ -2056,7 +2056,7 @@ def embedding_participation_ratio(
     the upper-triangle weight.
 
     Reference parity: single-statement aggregate health checks over
-    staged tables (reference airflow/dags/transform_and_load.py) —
+    staged tables (reference airflow/dags/reviews_ETL.py:93-198) —
     here the staged table is the covariance frame.
     """
     covs = _cov_upper(spark, sf_dir)

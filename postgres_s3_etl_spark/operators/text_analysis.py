@@ -635,7 +635,7 @@ def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one token explode → per-doc count pair (map-side
     combinable) → per-source rollup; no joins, no windows, no
     driver traffic. Reference parity: staged per-row quality gates
-    (reference airflow/dags/transform_and_load.py CASE filters) —
+    (reference airflow/dags/reviews_ETL.py:93-198 CASE filters) —
     here the gate is a statistical test.
     """
     docs = load_table(spark, sf_dir, "documents")

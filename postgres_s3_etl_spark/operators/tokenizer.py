@@ -581,7 +581,7 @@ def text_fertility_by_lang(
     aggregatable per-lang rollup; the share window runs over the
     post-aggregation frame (#langs rows), never corpus-scale data.
     Reference parity: staged multi-CTE SQL over row streams
-    (reference airflow/dags/transform_and_load.py) — here the grain
+    (reference airflow/dags/orders_ETL.py:93-125) — here the grain
     pivot is a `stack` over one aggregate, not a rescan.
     """
     vocab, _merges, _curve = _train_merges(spark, sf_dir)
