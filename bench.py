@@ -200,6 +200,12 @@ TAIL = (
     "graph_jaccard_links",
     "q_orders_kruskal_wallis",
     "embedding_anisotropy",
+    # round-14: graph-ANN rows — both pay the one-time NSW index
+    # build (the _HNSW_CACHE memo is restored between reps by the
+    # cold-memo protocol, so the standing value prices build+search
+    # exactly as the driver's single-pass would).
+    "sim_search_hnsw",
+    "sim_search_hnsw_recall",
 )
 
 
@@ -247,9 +253,13 @@ def main() -> None:
     # queries stay warm, as they are in a suite run). Round-9 verdict
     # defect #1: without this, standing rows for the memoized
     # trainers under-state the driver by 3-4x.
-    from postgres_s3_etl_spark.operators import tokenizer, unigram
+    from postgres_s3_etl_spark.operators import similarity, tokenizer, unigram
 
-    memos = (tokenizer._TRAIN_CACHE, unigram._EM_CACHE)
+    memos = (
+        tokenizer._TRAIN_CACHE,
+        unigram._EM_CACHE,
+        similarity._HNSW_CACHE,
+    )
 
     timings: dict[str, float] = {}
     # rep-1 ("cold") time per query, recorded beside best-of-N so a

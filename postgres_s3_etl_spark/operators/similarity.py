@@ -2642,7 +2642,437 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HNSW-lite graph-ANN parameters (round-14). The graph is a
+#: deterministic bounded-degree NSW-style neighbor graph: md5-seeded
+#: insertion order, candidates from (a) wide LSH buckets (graph-
+#: specific target population GRAPH_TARGET_BUCKET via the integer
+#: adaptive-bits rule), (b) the ≤HNSW_HUB_CAP earliest-inserted
+#: members of each IVF coarse cell, (c) the insertion-order
+#: predecessor (connectivity backbone) — each restricted to
+#: already-inserted peers (smaller rank), the NSW mechanism that
+#: turns early-inserted nodes into long-range hubs. One NN-descent
+#: refinement round (neighbors-of-neighbors, re-top-M) then
+#: symmetrize. Search is best-first beam search: per hop expand the
+#: HNSW_EXPAND best not-yet-expanded beam nodes, keep the HNSW_BEAM
+#: best scored nodes, answer from ALL visited nodes (their distance
+#: evals are already paid — the HNSW result-queue semantics).
+GRAPH_TARGET_BUCKET = 128
+HNSW_M = 12
+HNSW_HUB_CAP = 128
+HNSW_BEAM = 8
+HNSW_HOPS = 4
+HNSW_EXPAND = 2
+HNSW_ENTRIES = 4
+HNSW_BEAM_WIDTHS = (2, 8, 32)
+
+
+def adaptive_graph_bits(n_vecs: int) -> int:
+    """Bits per LSH table for GRAPH-BUILD candidate buckets: smallest
+    b with GRAPH_TARGET_BUCKET · 2^b ≥ n. The graph build wants
+    RICHER buckets than the dedup candidate join (target 128 vs 32):
+    the per-node cost is capped by the hub rule anyway, and the
+    wider pool is what lifts kNN-graph quality (measured: 6-bit
+    buckets at n=2000 covered only 14% of true top-5; 4-bit covered
+    enough for a 0.98+ direct-neighbor graph after NN-descent).
+    Same pure-integer rule both engines evaluate identically."""
+    for b in range(BITS_PER_TABLE, DEDUP_MAX_BITS + 1):
+        if GRAPH_TARGET_BUCKET * (1 << b) >= n_vecs:
+            return b
+    return DEDUP_MAX_BITS
+
+
+def _hnsw_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frame (vec_id, v, norm, rn) with the md5-seeded
+    insertion rank — the deterministic stand-in for HNSW's random
+    insertion order. Two-pass range-partitioned global row_number
+    (ranking.with_global_order), never a single-task window."""
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "md5r",
+        F.md5(F.concat(F.lit("hnsw_"), F.col("vec_id").cast("string"))),
+    )
+    ranked = with_global_order(vecs, [F.col("md5r"), F.col("vec_id")])
+    return ranked.select("vec_id", "v", "norm", F.col(GRN).alias("rn"))
+
+
+def _hnsw_cos6(lv: str, ln: str, rv: str, rn_: str) -> Column:
+    return _trunc6(
+        F.expr(
+            f"aggregate(zip_with({lv}, {rv}, (x, y) -> x * y),"
+            " 0.0d, (s, x) -> s + x)"
+        )
+        / (F.col(ln) * F.col(rn_))
+    )
+
+
+#: Session-lifetime graph-index memo keyed (session, sf_dir) — the
+#: build is the expensive one-time index step shared by the hnsw
+#: query op and the recall sweep (bench.py restores this to its
+#: per-query first-rep state between reps, the round-10 cold-memo
+#: protocol, so standing rows still price the real build).
+_HNSW_CACHE: dict = {}
+
+
+def _hnsw_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build the NSW adjacency; returns (adj(src, dst), ranked).
+
+    100-TB story: every candidate source is bounded — LSH buckets by
+    the adaptive-bits rule (population ~GRAPH_TARGET_BUCKET), cell
+    candidates by the HNSW_HUB_CAP earliest-inserted hub rule (at
+    production scale the coarse-cell count also grows with the
+    corpus, as for any IVF index), the chain is 1 edge/node, and the
+    NN-descent round joins frames whose per-node width is capped by
+    the symmetrized degree ≤ 2·HNSW_M — so the edge-candidate frame
+    is O(n · bounded constant), equi-join-generated, never
+    all-pairs. The built index is a plain (src, dst) edge table: at
+    cluster scale it partitions by src and the per-hop expansion is
+    an equi-join on it (sharded-graph serving: each shard holds a
+    src-range plus its out-edges; beams route by node id).
+    """
+    key = (spark, sf_dir)
+    if key in _HNSW_CACHE:
+        return _HNSW_CACHE[key]
+    ranked = _hnsw_ranked(spark, sf_dir).localCheckpoint()
+    bits = adaptive_graph_bits(table_row_count(sf_dir, "embeddings"))
+    sig = ranked.withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
+    gbuckets = (
+        sig.select(
+            "vec_id",
+            "rn",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {LSH_TABLES - 1}), t ->"
+                    " struct(t AS tbl, (sig div cast(pow(2, t *"
+                    f" {bits}) as bigint)) % {1 << bits}L AS bucket))"
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "vec_id",
+            "rn",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+    )
+    homes = (
+        _ivf_assigned(spark, sf_dir)
+        .select("vec_id", F.element_at("ranked", 1).alias("cell"))
+        .join(ranked.select("vec_id", "rn"), "vec_id")
+    )
+
+    def hub_pairs(df: DataFrame, keys: list[str]) -> DataFrame:
+        # Each member pairs with the ≤HNSW_HUB_CAP earliest-inserted
+        # (smallest-rank) members of its group that precede it — the
+        # bounded NSW "already inserted" candidate set.
+        wh = Window.partitionBy(*keys).orderBy("rn")
+        hubs = (
+            df.withColumn("hrank", F.row_number().over(wh))
+            .where(F.col("hrank") <= HNSW_HUB_CAP)
+            .select(
+                *keys,
+                F.col("vec_id").alias("dst"),
+                F.col("rn").alias("drn"),
+            )
+        )
+        return (
+            df.join(hubs, keys)
+            .where(F.col("drn") < F.col("rn"))
+            .select(F.col("vec_id").alias("src"), "dst")
+        )
+
+    chain = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), F.col("a.rn") == F.col("b.rn") + 1)
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+    )
+    cand0 = (
+        hub_pairs(gbuckets, ["tbl", "bucket"])
+        .union(hub_pairs(homes, ["cell"]))
+        .union(chain)
+        .distinct()
+    )
+
+    def top_m(pairs: DataFrame) -> DataFrame:
+        scored = (
+            pairs.join(
+                ranked.select(
+                    F.col("vec_id").alias("src"),
+                    F.col("v").alias("sv"),
+                    F.col("norm").alias("sn"),
+                ),
+                "src",
+            )
+            .join(
+                ranked.select(
+                    F.col("vec_id").alias("dst"),
+                    F.col("v").alias("dv"),
+                    F.col("norm").alias("dn"),
+                ),
+                "dst",
+            )
+            .withColumn("c6", _hnsw_cos6("sv", "sn", "dv", "dn"))
+        )
+        wm = Window.partitionBy("src").orderBy(F.desc("c6"), F.asc("dst"))
+        return (
+            scored.withColumn("mr", F.row_number().over(wm))
+            .where(F.col("mr") <= HNSW_M)
+            .select("src", "dst")
+        )
+
+    out0 = top_m(cand0)
+    und0 = (
+        out0.union(
+            out0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # degree-capped edge frame, referenced 3×
+    )
+    two_hop = (
+        und0.alias("e1")
+        .join(und0.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .where(F.col("e1.src") != F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst")
+        )
+    )
+    out1 = top_m(und0.union(two_hop).distinct())
+    adj = (
+        out1.union(
+            out1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # final index, probed once per hop
+    )
+    _HNSW_CACHE[key] = (adj, ranked)
+    return adj, ranked
+
+
+def _hnsw_search(
+    ranked: DataFrame, adj: DataFrame, beam_widths: tuple[int, ...]
+) -> DataFrame:
+    """Best-first beam search, ALL requested beam widths batched into
+    one pass; returns every visited scored node (bw, probe_id, node,
+    c6). The per-hop state is keyed (bw, probe_id) and every window
+    partitions on that pair, so each width's trajectory is exactly
+    the independent single-width search — but the width sweep shares
+    each hop's job (the hop cost here is fixed stage overhead, not
+    data; batching measured ~3× faster than sequential sweeps).
+
+    Every per-hop frame is probe-bounded (≤ #widths · N_PROBES ·
+    (beam + expand·degree) rows) and broadcast; the only corpus-
+    scale work per hop is the equi-join of the expansion set against
+    the adjacency table — which at cluster scale routes by src
+    partition (sharded-graph serving)."""
+    probes = ranked.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("norm").alias("pn"),
+    )
+    widths = F.explode(
+        F.array(*[F.lit(int(b)) for b in beam_widths])
+    ).alias("bw")
+    entries = ranked.where(F.col("rn") <= HNSW_ENTRIES).select(
+        F.col("vec_id").alias("node")
+    )
+    cand0 = (
+        probes.select("probe_id")
+        .crossJoin(entries)  # ≤ N_PROBES × HNSW_ENTRIES rows
+        .union(probes.select("probe_id", F.col("probe_id").alias("node")))
+        .distinct()
+        .select(widths, "probe_id", "node")
+    )
+
+    def score(nodes: DataFrame) -> DataFrame:
+        # (bw, probe, node) sets are probe-bounded — broadcast them
+        # against the corpus frame so scoring is one map-side stage,
+        # never a shuffle of `ranked`.
+        return (
+            ranked.select(
+                F.col("vec_id").alias("node"),
+                F.col("v").alias("nv"),
+                F.col("norm").alias("nn"),
+            )
+            .join(
+                F.broadcast(nodes.join(F.broadcast(probes), "probe_id")),
+                "node",
+            )
+            .withColumn("c6", _hnsw_cos6("pv", "pn", "nv", "nn"))
+            .select("bw", "probe_id", "node", "c6")
+        )
+
+    wb = Window.partitionBy("bw", "probe_id").orderBy(
+        F.desc("c6"), F.asc("node")
+    )
+    # Single per-hop state frame (bw, probe_id, node, c6, exp): the
+    # beam with its already-expanded flag. ONE eager cut per hop —
+    # with separate beam/expanded/scored frames each hop's job
+    # re-executed the earlier hops' windows and joins (measured 2×
+    # slower), and a checkpoint per derived frame paid a job each.
+    state = (
+        score(cand0)
+        .withColumn("br", F.row_number().over(wb))
+        .where(F.col("br") <= F.col("bw"))
+        .drop("br")
+        .withColumn("exp", F.lit(False))
+        .localCheckpoint()
+    )
+    seen = state.select("bw", "probe_id", "node", "c6")
+    for _ in range(HNSW_HOPS):
+        todo = (
+            state.where(~F.col("exp"))
+            .withColumn("tr", F.row_number().over(wb))
+            .where(F.col("tr") <= HNSW_EXPAND)
+            .select("bw", "probe_id", "node")
+        )
+        fresh = (
+            adj.join(F.broadcast(todo), todo.node == adj.src)
+            .select("bw", "probe_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(
+                F.broadcast(
+                    state.select(
+                        "bw", "probe_id", "node", F.lit(1).alias("known")
+                    )
+                ),
+                ["bw", "probe_id", "node"],
+                "left",
+            )
+            .where(F.col("known").isNull())
+            .select("bw", "probe_id", "node")
+        )
+        cand = state.select("bw", "probe_id", "node", "c6").union(
+            score(fresh)
+        )
+        exp_next = (
+            state.where("exp")
+            .select("bw", "probe_id", "node")
+            .union(todo)
+            .withColumn("e", F.lit(True))
+        )
+        state = (
+            cand.withColumn("br", F.row_number().over(wb))
+            .where(F.col("br") <= F.col("bw"))
+            .drop("br")
+            .join(
+                F.broadcast(exp_next), ["bw", "probe_id", "node"], "left"
+            )
+            .withColumn("exp", F.coalesce("e", F.lit(False)))
+            .select("bw", "probe_id", "node", "c6", "exp")
+            .localCheckpoint()
+        )
+        seen = seen.union(cand)
+    return seen.distinct()
+
+
+def sim_search_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 per probe via an HNSW-LITE navigable-small-world
+    graph — the graph-index family (HNSW/NSW/Vamana) that most
+    vector stores default to, re-expressed as deterministic bounded
+    DataFrame ops (see `_hnsw_graph` for the build and the 100-TB
+    sharded-graph story, `_hnsw_search` for the best-first beam).
+
+    Measured at the standing config (M=12, beam=8, 4 hops, expand 2):
+    recall@5 = 0.98 touching ~101 nodes/probe at sf0.01 vs IVF
+    nprobe=4's 0.92 @ 122, and 1.00 @ ~109 at sf0.1 vs IVF's
+    0.98 @ 123 (nprobe=1) — better recall at a smaller distance-eval
+    budget than the repo's IVF operating points.
+    """
+    adj, ranked = _hnsw_graph(spark, sf_dir)
+    seen = _hnsw_search(ranked, adj, (HNSW_BEAM,)).drop("bw")
+    wk = Window.partitionBy("probe_id").orderBy(
+        F.desc("c6"), F.asc("node")
+    )
+    return (
+        seen.where(F.col("node") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "probe_id",
+            F.col("node").alias("neighbor_id"),
+            F.col("c6").alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+def sim_search_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-budget row for the graph index, BEAM WIDTH as the
+    knob: for each width in HNSW_BEAM_WIDTHS, mean recall@5 of the
+    beam-search answer against the exact brute-force top-5, plus the
+    mean distance-eval budget actually spent (distinct nodes scored
+    per probe) — the curve a deployment reads to pick its operating
+    point, next to `sim_search_ivf_nprobe_curve` for the IVF side.
+    The graph is built once and shared across the width sweep."""
+    adj, ranked = _hnsw_graph(spark, sf_dir)
+    exact = sim_search_bruteforce(spark, sf_dir).select(
+        F.explode(
+            F.array(*[F.lit(int(b)) for b in HNSW_BEAM_WIDTHS])
+        ).alias("bw"),
+        "probe_id",
+        "neighbor_id",
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    wk = Window.partitionBy("bw", "probe_id").orderBy(
+        F.desc("c6"), F.asc("node")
+    )
+    seen = _hnsw_search(ranked, adj, HNSW_BEAM_WIDTHS).localCheckpoint()
+    topk = (
+        seen.where(F.col("node") != F.col("probe_id"))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "bw",
+            "probe_id",
+            F.col("node").alias("neighbor_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    hits = (
+        exact.join(topk, ["bw", "probe_id", "neighbor_id"], "left")
+        .groupBy("bw")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("bigint")
+            .alias("found"),
+        )
+    )
+    evals = (
+        seen.groupBy("bw", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_seen"))
+        .groupBy("bw")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("n_seen").cast("bigint").alias("tot_seen"),
+        )
+    )
+    return (
+        hits.join(evals, "bw")
+        .select(
+            F.col("bw").cast("int").alias("beam_width"),
+            "n_probes",
+            "n_pairs",
+            "found",
+            f6(
+                F.col("found").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("mean_recall"),
+            f6(
+                F.col("tot_seen").cast("double")
+                / F.col("n_probes").cast("double")
+            ).alias("mean_evals"),
+        )
+        .orderBy("beam_width")
+    )
+
+
 QUERIES = {
+    "sim_search_hnsw": sim_search_hnsw,
+    "sim_search_hnsw_recall": sim_search_hnsw_recall,
     "embedding_anisotropy": embedding_anisotropy,
     "embedding_hubness": embedding_hubness,
     "sim_search_pq_recall": sim_search_pq_recall,
@@ -2865,7 +3295,319 @@ def _pca_iter_sql(k: int) -> str:
     """
 
 
+def _hnsw_graph_cte() -> str:
+    """DuckDB twin of ``_hnsw_graph``: CTE chain ending in
+    ``adj(src, dst)``, ``rk(vec_id, v, nrm, rn)``, ``pr``/``ent``
+    (probes/entry nodes). MATERIALIZED where a CTE is referenced
+    more than once (DuckDB inlines CTEs; the dyadic-chain lesson)."""
+    c6 = (
+        "floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)"
+        " * 1e6) / 1e6"
+    )
+    return f"""{sig_cte_sql()},
+        gnb AS (
+            SELECT CAST(COALESCE((
+                SELECT MIN(b) FROM generate_series({BITS_PER_TABLE},
+                                                   {DEDUP_MAX_BITS}) g(b)
+                WHERE {GRAPH_TARGET_BUCKET}
+                      * CAST(pow(2, b) AS BIGINT)
+                      >= (SELECT COUNT(*) FROM embeddings)
+            ), {DEDUP_MAX_BITS}) AS BIGINT) AS nb
+        ),
+        rk AS MATERIALIZED (
+            SELECT v.vec_id, v.v, v.nrm,
+                   ROW_NUMBER() OVER (
+                       ORDER BY md5('hnsw_' || CAST(v.vec_id AS VARCHAR)),
+                                v.vec_id) AS rn
+            FROM vecs v
+        ),
+        gbk AS MATERIALIZED (
+            SELECT r.vec_id, r.rn, t.t AS tbl,
+                   (s.sig // CAST(pow(2, t.t * nb.nb) AS BIGINT))
+                       % CAST(pow(2, nb.nb) AS BIGINT) AS bucket
+            FROM rk r JOIN sigs s ON r.vec_id = s.vec_id,
+                 (SELECT unnest(generate_series(0, {LSH_TABLES - 1}))
+                      AS t) t,
+                 gnb nb
+        ),
+        gbh AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY tbl, bucket
+                                         ORDER BY rn) AS hrank
+            FROM gbk
+        ),
+        bpairs AS (
+            SELECT m.vec_id AS src, h.vec_id AS dst
+            FROM gbk m JOIN gbh h
+              ON m.tbl = h.tbl AND m.bucket = h.bucket
+            WHERE h.hrank <= {HNSW_HUB_CAP} AND h.rn < m.rn
+        ),
+        hseeds AS (
+            SELECT vec_id AS cell, list_transform(v, x -> x / nrm) AS sv
+            FROM vecs WHERE vec_id < {IVF_CELLS}
+        ),
+        hscores AS (
+            SELECT v.vec_id, s.cell,
+                   list_dot_product(v.v, s.sv) AS score
+            FROM vecs v CROSS JOIN hseeds s
+        ),
+        hcells AS (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score DESC, cell ASC)
+                       AS crank
+            FROM hscores
+        ),
+        homes AS MATERIALIZED (
+            SELECT r.vec_id, r.rn, hc.cell
+            FROM rk r JOIN hcells hc
+              ON r.vec_id = hc.vec_id AND hc.crank = 1
+        ),
+        chh AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+                                         ORDER BY rn) AS hrank
+            FROM homes
+        ),
+        cpairs AS (
+            SELECT m.vec_id AS src, h.vec_id AS dst
+            FROM homes m JOIN chh h ON m.cell = h.cell
+            WHERE h.hrank <= {HNSW_HUB_CAP} AND h.rn < m.rn
+        ),
+        chain AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM rk a JOIN rk b ON a.rn = b.rn + 1
+        ),
+        cand0 AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM bpairs
+                UNION ALL SELECT src, dst FROM cpairs
+                UNION ALL SELECT src, dst FROM chain)
+        ),
+        sc0 AS (
+            SELECT c.src, c.dst, {c6} AS c6
+            FROM cand0 c
+            JOIN rk a ON c.src = a.vec_id
+            JOIN rk b ON c.dst = b.vec_id
+        ),
+        out0 AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY c6 DESC, dst ASC)
+                           AS mr
+                FROM sc0)
+            WHERE mr <= {HNSW_M}
+        ),
+        und0 AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM out0
+                UNION ALL SELECT dst AS src, src AS dst FROM out0)
+        ),
+        cand1 AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM und0
+                UNION ALL
+                SELECT e1.src, e2.dst
+                FROM und0 e1 JOIN und0 e2 ON e1.dst = e2.src
+                WHERE e1.src <> e2.dst)
+        ),
+        sc1 AS (
+            SELECT c.src, c.dst, {c6} AS c6
+            FROM cand1 c
+            JOIN rk a ON c.src = a.vec_id
+            JOIN rk b ON c.dst = b.vec_id
+        ),
+        out1 AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY c6 DESC, dst ASC)
+                           AS mr
+                FROM sc1)
+            WHERE mr <= {HNSW_M}
+        ),
+        adj AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM out1
+                UNION ALL SELECT dst AS src, src AS dst FROM out1)
+        ),
+        pr AS MATERIALIZED (
+            SELECT vec_id AS probe_id, v AS pv, nrm AS pn
+            FROM rk WHERE vec_id < {N_PROBES}
+        ),
+        ent AS (
+            SELECT vec_id AS node FROM rk WHERE rn <= {HNSW_ENTRIES}
+        )"""
+
+
+def _hnsw_search_cte(bw: int, t: str) -> str:
+    """Unrolled HNSW_HOPS best-first beam hops at beam width ``bw``
+    (CTE suffix ``t``), ending in ``seen{HNSW_HOPS}_{t}``."""
+    pc6 = (
+        "floor(list_dot_product(p.pv, r.v) / (p.pn * r.nrm)"
+        " * 1e6) / 1e6"
+    )
+    parts = [
+        f"""
+        c0_{t} AS (
+            SELECT DISTINCT probe_id, node FROM (
+                SELECT p.probe_id, e.node FROM pr p CROSS JOIN ent e
+                UNION ALL SELECT probe_id, probe_id AS node FROM pr)
+        ),
+        s0_{t} AS MATERIALIZED (
+            SELECT c.probe_id, c.node, {pc6} AS c6
+            FROM c0_{t} c
+            JOIN pr p ON c.probe_id = p.probe_id
+            JOIN rk r ON c.node = r.vec_id
+        ),
+        b0_{t} AS MATERIALIZED (
+            SELECT probe_id, node, c6 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY c6 DESC,
+                                                      node ASC) AS br
+                FROM s0_{t})
+            WHERE br <= {bw}
+        ),
+        seen0_{t} AS (SELECT probe_id, node, c6 FROM b0_{t}),
+        exp0_{t} AS (
+            SELECT CAST(NULL AS BIGINT) AS probe_id,
+                   CAST(NULL AS BIGINT) AS node
+            WHERE FALSE
+        )"""
+    ]
+    for h in range(1, HNSW_HOPS + 1):
+        parts.append(
+            f"""
+        todo{h}_{t} AS MATERIALIZED (
+            SELECT probe_id, node FROM (
+                SELECT b.probe_id, b.node,
+                       ROW_NUMBER() OVER (PARTITION BY b.probe_id
+                                          ORDER BY b.c6 DESC,
+                                                   b.node ASC) AS tr
+                FROM b{h - 1}_{t} b
+                LEFT JOIN exp{h - 1}_{t} x
+                  ON b.probe_id = x.probe_id AND b.node = x.node
+                WHERE x.probe_id IS NULL)
+            WHERE tr <= {HNSW_EXPAND}
+        ),
+        nb{h}_{t} AS (
+            SELECT DISTINCT td.probe_id, a.dst AS node
+            FROM todo{h}_{t} td JOIN adj a ON td.node = a.src
+        ),
+        fr{h}_{t} AS (
+            SELECT DISTINCT probe_id, node FROM (
+                SELECT probe_id, node FROM b{h - 1}_{t}
+                UNION ALL SELECT probe_id, node FROM nb{h}_{t})
+        ),
+        fs{h}_{t} AS MATERIALIZED (
+            SELECT c.probe_id, c.node, {pc6} AS c6
+            FROM fr{h}_{t} c
+            JOIN pr p ON c.probe_id = p.probe_id
+            JOIN rk r ON c.node = r.vec_id
+        ),
+        exp{h}_{t} AS MATERIALIZED (
+            SELECT DISTINCT probe_id, node FROM (
+                SELECT probe_id, node FROM exp{h - 1}_{t}
+                UNION ALL SELECT probe_id, node FROM todo{h}_{t})
+        ),
+        b{h}_{t} AS MATERIALIZED (
+            SELECT probe_id, node, c6 FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                             ORDER BY c6 DESC,
+                                                      node ASC) AS br
+                FROM fs{h}_{t})
+            WHERE br <= {bw}
+        ),
+        seen{h}_{t} AS MATERIALIZED (
+            SELECT DISTINCT probe_id, node, c6 FROM (
+                SELECT probe_id, node, c6 FROM seen{h - 1}_{t}
+                UNION ALL
+                SELECT probe_id, node, c6 FROM fs{h}_{t})
+        )"""
+        )
+    return ",".join(parts)
+
+
+def _hnsw_oracle_sql() -> str:
+    t = f"w{HNSW_BEAM}"
+    return f"""
+        WITH {_hnsw_graph_cte()},
+        {_hnsw_search_cte(HNSW_BEAM, t)}
+        SELECT probe_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT probe_id, node AS neighbor_id, c6 AS cosine,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY c6 DESC, node ASC)
+                       AS rank
+            FROM seen{HNSW_HOPS}_{t}
+            WHERE node <> probe_id)
+        WHERE rank <= {TOP_K}
+        ORDER BY probe_id, rank
+    """
+
+
+def _hnsw_recall_oracle_sql() -> str:
+    searches = ",".join(
+        _hnsw_search_cte(bw, f"w{bw}") for bw in HNSW_BEAM_WIDTHS
+    )
+    per_width = "\n            UNION ALL\n".join(
+        f"""
+            SELECT {bw} AS beam_width,
+                   (SELECT CAST(COUNT(DISTINCT probe_id) AS BIGINT)
+                    FROM seen{HNSW_HOPS}_w{bw}) AS n_probes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM exact)
+                       AS n_pairs,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM exact e JOIN topk_{bw} a
+                      ON e.probe_id = a.probe_id
+                     AND e.neighbor_id = a.neighbor_id) AS found,
+                   (SELECT CAST(COUNT(*) AS BIGINT)
+                    FROM seen{HNSW_HOPS}_w{bw}) AS tot_seen"""
+        for bw in HNSW_BEAM_WIDTHS
+    )
+    topks = ",".join(
+        f"""
+        topk_{bw} AS (
+            SELECT probe_id, node AS neighbor_id FROM (
+                SELECT probe_id, node,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY c6 DESC, node ASC)
+                           AS rank
+                FROM seen{HNSW_HOPS}_w{bw}
+                WHERE node <> probe_id)
+            WHERE rank <= {TOP_K}
+        )"""
+        for bw in HNSW_BEAM_WIDTHS
+    )
+    return f"""
+        WITH {_hnsw_graph_cte()},
+        {searches},
+        {topks},
+        exact AS (
+            SELECT probe_id, neighbor_id FROM (
+                SELECT p.probe_id, r.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY p.probe_id
+                           ORDER BY floor(list_dot_product(p.pv, r.v)
+                                          / (p.pn * r.nrm)
+                                          * 1e6) / 1e6 DESC,
+                                    r.vec_id ASC) AS rank
+                FROM pr p JOIN rk r ON p.probe_id <> r.vec_id)
+            WHERE rank <= {TOP_K}
+        )
+        SELECT beam_width, n_probes, n_pairs, found,
+               floor(CAST(found AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                     * 1e6) / 1e6 AS mean_recall,
+               floor(CAST(tot_seen AS DOUBLE)
+                     / CAST(n_probes AS DOUBLE) * 1e6) / 1e6
+                   AS mean_evals
+        FROM ({per_width})
+        ORDER BY beam_width
+    """
+
+
 ORACLES = {
+    "sim_search_hnsw": _hnsw_oracle_sql(),
+    "sim_search_hnsw_recall": _hnsw_recall_oracle_sql(),
     # Same unrolled power-iteration chain as embedding_pca_power for
     # lambda_max (reusing its floored value), trace from the
     # covariance diagonal.
