@@ -770,8 +770,22 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        # Round-14: the update joins contrib onto the CURRENT rank
+        # frame (same node set as nd — it was built from it) instead
+        # of nd, so the new frame carries pr_old for free and the
+        # convergence scalar below aggregates ONE checkpointed frame
+        # instead of joining two — one fewer shuffle per round on a
+        # row whose cost is ~27 rounds × per-round fixed overhead
+        # (values and iteration count are untouched — pr_old is the
+        # same column the old delta join read). Two rejected
+        # alternatives, both measured (see PLANS.md): epsilon/N
+        # delta-FILTERED propagation changes the computed doubles
+        # (breaks the exact-oracle contract), and batching K rounds
+        # per lineage cut lost ~2× to driver-side plan analysis plus
+        # one mega-job the AQE stage scheduler runs serially anyway.
         new_pr = (
-            nd.join(contrib, "node", "left")
+            pr.withColumnRenamed("pr", "pr_old")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
@@ -786,6 +800,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.col("dmass").cast("double") / F.lit(float(n))
                     )
                 ).alias("pr"),
+                "pr_old",
             )
             .localCheckpoint()
         )
@@ -795,10 +810,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Spark's partition order cannot flip an iteration count the
         # unrolled SQL oracle reproduces deterministically.
         delta_dec = (
-            new_pr.join(
-                pr.select("node", F.col("pr").alias("pr_old")), "node"
-            )
-            .agg(
+            new_pr.agg(
                 F.sum(
                     F.abs(F.col("pr") - F.col("pr_old")).cast(
                         "decimal(38,18)"
@@ -807,7 +819,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()[0][0]
         )
-        pr = new_pr
+        pr = new_pr.drop("pr_old")
         if delta_dec is not None and float(delta_dec) < PR_EPS:
             break
     return (
