@@ -180,6 +180,8 @@ HEADLINE = (
     "text_watermark_detect",
     "q_events_markov_attribution",
     "sim_search_ivf_imbalance",
+    # round-14 additions
+    "layout_bloom_pruning",
 )
 
 #: Second standing table (round-13, VERDICT r12 task 3): the slowest

@@ -213,6 +213,300 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom-filter simulation parameters: k hash functions, target bits
+#: per distinct key (file bloom size m = next power of two ≥
+#: BLOOM_BITS_PER_KEY·ndv, clamped to [2^BLOOM_MIN_LOG2,
+#: 2^BLOOM_MAX_LOG2]) — ~parquet split-block sizing, k=4 at 10
+#: bits/key gives a ~1.2% theoretical FPR. NQ_POINTS equality
+#: lookups, exact integer equal-spaced keys.
+BLOOM_K = 4
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_LOG2 = 4
+BLOOM_MAX_LOG2 = 20
+NQ_POINTS = 80
+
+
+def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER FILE-SKIPPING EXPERIMENT — the layout-planning
+    pair of ``layout_zorder_pruning``: min/max footers prune RANGE
+    predicates but are nearly useless for point-in-set lookups on a
+    high-cardinality key spread across every file (a date-sorted
+    table sees each customer in many files, so almost every file's
+    [min, max] covers almost every key). Parquet/Iceberg answer with
+    per-file Bloom filters; this operator measures how much they buy
+    on this table before committing the write.
+
+    Simulation, exact in both engines: rows pack into ``N_FILES``
+    files in arrival (date, key) order; each file gets (a) a min/max
+    footer of ``o_custkey`` and (b) a classic Bloom filter — m =
+    next power of two ≥ BLOOM_BITS_PER_KEY·ndv bits (per-file NDV,
+    pure integer rule), BLOOM_K md5-derived hash functions (bit_i =
+    first-14-hex-chars of md5('bloom' i '_' key) mod m). A
+    ``NQ_POINTS``-lookup equality workload replays against both:
+    min/max scans a file iff min ≤ key ≤ max; bloom scans iff all k
+    bits are set. Emits per strategy the files scanned, the
+    containing (true) hits, the false positives, and the measured
+    FPR over the files that do NOT contain the key — pytest pins
+    bloom < minmax on this workload, zero bloom false negatives, and
+    measured FPR ≤ the (1-(1-1/m)^{{kn}})^k design bound.
+
+    Scale shape: one global sort (the layout), per-file rollups at
+    N_FILES grain, a distinct (file, key) frame bounded by file
+    NDVs, a bloom-bit frame ≤ k·Σ ndv rows built by equi-explode
+    (the simulated filters, exactly what the real writer serializes
+    per file), and a broadcast replay over the (N_FILES × NQ_POINTS
+    × k) requirement grid — bounded by the file count and workload,
+    never the data.
+    """
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.expr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        ).alias("yd"),
+    )
+    coded = with_global_order(
+        base, [F.col("yd"), F.col("o_orderkey")]
+    ).select(
+        "o_orderkey",
+        "x",
+        ntile_col(F.col(GRN), F.col(GN), N_FILES).alias("file_id"),
+    )
+    keys = coded.select("file_id", "x").distinct()
+    foot = coded.groupBy("file_id").agg(
+        F.min("x").alias("minx"), F.max("x").alias("maxx")
+    )
+    ndv = keys.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndv")
+    )
+    fm = foot.join(ndv, "file_id").withColumn(
+        "m",
+        F.expr(
+            f"shiftleft(1L, coalesce(element_at(filter("
+            f"sequence({BLOOM_MIN_LOG2}, {BLOOM_MAX_LOG2}),"
+            f" p -> shiftleft(1L, cast(p as int))"
+            f" >= {BLOOM_BITS_PER_KEY}L * ndv), 1),"
+            f" {BLOOM_MAX_LOG2}))"
+        ),
+    )
+    bit_of = (
+        "cast(conv(substring(md5(concat('bloom', cast(i as string),"
+        " '_', cast({key} as string))), 1, 14), 16, 10) as bigint) % m"
+    )
+    iexp = F.explode(
+        F.expr(f"sequence(0, {BLOOM_K - 1})")
+    ).alias("i")
+    bbits = (
+        keys.join(fm.select("file_id", "m"), "file_id")
+        .select("file_id", "m", "x", iexp)
+        .select(
+            "file_id", F.expr(bit_of.format(key="x")).alias("bit")
+        )
+        .distinct()
+    )
+    ext = base.agg(F.min("x").alias("xmin"), F.max("x").alias("xmax"))
+    probes = ext.select(
+        F.explode(F.sequence(F.lit(0), F.lit(NQ_POINTS - 1))).alias("q"),
+        "xmin",
+        "xmax",
+    ).select(
+        F.expr(
+            f"xmin + (q * (xmax - xmin + 1)) div {NQ_POINTS}"
+        ).alias("key")
+    )
+    cont = keys.join(probes, keys.x == probes.key).select(
+        "file_id", "key"
+    )
+    mm_hits = (
+        fm.crossJoin(F.broadcast(probes))
+        .where((F.col("minx") <= F.col("key")) & (F.col("maxx") >= F.col("key")))
+        .select("file_id", "key")
+    )
+    bl_hits = (
+        fm.select("file_id", "m")
+        .crossJoin(F.broadcast(probes))
+        .select("file_id", "m", "key", iexp)
+        .select(
+            "file_id", "key", F.expr(bit_of.format(key="key")).alias("bit")
+        )
+        .join(bbits, ["file_id", "bit"])
+        .groupBy("file_id", "key")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") == BLOOM_K)
+        .select("file_id", "key")
+    )
+    nf = fm.agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
+    nc = cont.agg(F.count(F.lit(1)).cast("bigint").alias("n_cont"))
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+
+    def rollup(hits: DataFrame, strategy: str) -> DataFrame:
+        return (
+            hits.join(
+                cont.withColumn("cf", F.lit(1)), ["file_id", "key"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("total_file_hits"),
+                F.sum(F.coalesce("cf", F.lit(0)))
+                .cast("bigint")
+                .alias("containing_hits"),
+            )
+            .crossJoin(F.broadcast(nf))
+            .crossJoin(F.broadcast(nc))
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "n_files",
+                F.lit(NQ_POINTS).cast("bigint").alias("n_probes"),
+                "total_file_hits",
+                "containing_hits",
+                (F.col("total_file_hits") - F.col("containing_hits"))
+                .cast("bigint")
+                .alias("false_positive_hits"),
+                f6(
+                    F.col("total_file_hits").cast("double")
+                    / F.lit(float(NQ_POINTS))
+                ).alias("avg_files_scanned"),
+                f6(
+                    (
+                        F.col("total_file_hits") - F.col("containing_hits")
+                    ).cast("double")
+                    / (
+                        F.col("n_files") * F.lit(NQ_POINTS) - F.col("n_cont")
+                    ).cast("double")
+                ).alias("fpr"),
+            )
+        )
+
+    return (
+        rollup(bl_hits, "bloom")
+        .unionAll(rollup(mm_hits, "minmax"))
+        .orderBy("strategy")
+    )
+
+
+def _hex14_to_int_sql(expr: str) -> str:
+    """DuckDB twin of conv(substring(expr, 1, 14), 16, 10)."""
+    hexd = "0123456789abcdef"
+    return (
+        f"list_sum([(strpos('{hexd}', substr({expr}, i, 1)) - 1)"
+        f" * CAST(pow(16, 14 - i) AS BIGINT)"
+        f" for i in generate_series(1, 14)])"
+    )
+
+
+def _bloom_oracle() -> str:
+    bit_of = (
+        _hex14_to_int_sql(
+            "md5(concat('bloom', CAST(i.i AS VARCHAR), '_',"
+            " CAST({key} AS VARCHAR)))"
+        )
+        + " % f.m"
+    )
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey AS x,
+                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS yd
+            FROM orders
+        ),
+        coded AS (
+            SELECT o_orderkey, x,
+                   NTILE({N_FILES}) OVER (ORDER BY yd, o_orderkey)
+                       AS file_id
+            FROM base
+        ),
+        fkeys AS MATERIALIZED (
+            SELECT DISTINCT file_id, x FROM coded
+        ),
+        foot AS (
+            SELECT file_id, MIN(x) AS minx, MAX(x) AS maxx
+            FROM coded GROUP BY file_id
+        ),
+        ndv AS (
+            SELECT file_id, CAST(COUNT(*) AS BIGINT) AS ndv
+            FROM fkeys GROUP BY file_id
+        ),
+        fm AS MATERIALIZED (
+            SELECT f.file_id, f.minx, f.maxx, n.ndv,
+                   (CAST(1 AS BIGINT) << COALESCE(list_min(
+                       [p for p in generate_series({BLOOM_MIN_LOG2},
+                                                   {BLOOM_MAX_LOG2})
+                        if (CAST(1 AS BIGINT) << p)
+                           >= {BLOOM_BITS_PER_KEY} * n.ndv]),
+                       {BLOOM_MAX_LOG2})) AS m
+            FROM foot f JOIN ndv n USING (file_id)
+        ),
+        bbits AS MATERIALIZED (
+            SELECT DISTINCT k.file_id,
+                   {bit_of.format(key="k.x")} AS bit
+            FROM fkeys k JOIN fm f USING (file_id),
+                 (SELECT unnest(generate_series(0, {BLOOM_K - 1}))
+                      AS i) i
+        ),
+        ext AS (
+            SELECT MIN(x) AS xmin, MAX(x) AS xmax FROM base
+        ),
+        probes AS MATERIALIZED (
+            SELECT xmin + (q * (xmax - xmin + 1)) // {NQ_POINTS} AS key
+            FROM generate_series(0, {NQ_POINTS - 1}) s(q)
+            CROSS JOIN ext
+        ),
+        cont AS MATERIALIZED (
+            SELECT k.file_id, p.key
+            FROM fkeys k JOIN probes p ON k.x = p.key
+        ),
+        mm_hits AS (
+            SELECT f.file_id, p.key
+            FROM fm f CROSS JOIN probes p
+            WHERE f.minx <= p.key AND f.maxx >= p.key
+        ),
+        req AS (
+            SELECT f.file_id, p.key,
+                   {bit_of.format(key="p.key")} AS bit
+            FROM fm f CROSS JOIN probes p,
+                 (SELECT unnest(generate_series(0, {BLOOM_K - 1}))
+                      AS i) i
+        ),
+        bl_hits AS (
+            SELECT r.file_id, r.key
+            FROM req r JOIN bbits b
+              ON r.file_id = b.file_id AND r.bit = b.bit
+            GROUP BY r.file_id, r.key
+            HAVING COUNT(*) = {BLOOM_K}
+        ),
+        nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM fm),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cont FROM cont),
+        roll AS (
+            SELECT 'bloom' AS strategy,
+                   CAST(COUNT(*) AS BIGINT) AS total_file_hits,
+                   CAST(SUM(COALESCE(c.cf, 0)) AS BIGINT)
+                       AS containing_hits
+            FROM bl_hits h
+            LEFT JOIN (SELECT file_id, key, 1 AS cf FROM cont) c
+                USING (file_id, key)
+            UNION ALL
+            SELECT 'minmax',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(COALESCE(c.cf, 0)) AS BIGINT)
+            FROM mm_hits h
+            LEFT JOIN (SELECT file_id, key, 1 AS cf FROM cont) c
+                USING (file_id, key)
+        )
+        SELECT r.strategy, nf.n_files,
+               CAST({NQ_POINTS} AS BIGINT) AS n_probes,
+               r.total_file_hits, r.containing_hits,
+               CAST(r.total_file_hits - r.containing_hits AS BIGINT)
+                   AS false_positive_hits,
+               floor(CAST(r.total_file_hits AS DOUBLE)
+                     / {float(NQ_POINTS)} * 1e6) / 1e6
+                   AS avg_files_scanned,
+               floor(CAST(r.total_file_hits - r.containing_hits
+                          AS DOUBLE)
+                     / CAST(nf.n_files * {NQ_POINTS} - nc.n_cont
+                            AS DOUBLE) * 1e6) / 1e6 AS fpr
+        FROM roll r CROSS JOIN nf CROSS JOIN nc
+        ORDER BY r.strategy
+    """
+
+
 def _zorder_oracle() -> str:
     z_sql = _z_interleave_sql("cx0", "cy0", "duck")
     return f"""
@@ -291,8 +585,10 @@ def _zorder_oracle() -> str:
 
 QUERIES = {
     "layout_zorder_pruning": layout_zorder_pruning,
+    "layout_bloom_pruning": layout_bloom_pruning,
 }
 
 ORACLES = {
     "layout_zorder_pruning": _zorder_oracle(),
+    "layout_bloom_pruning": _bloom_oracle(),
 }
