@@ -182,6 +182,7 @@ HEADLINE = (
     "sim_search_ivf_imbalance",
     # round-14 additions
     "layout_bloom_pruning",
+    "text_bpe_roundtrip",
 )
 
 #: Second standing table (round-13, VERDICT r12 task 3): the slowest

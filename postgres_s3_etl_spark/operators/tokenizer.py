@@ -511,6 +511,228 @@ def _bpe_vocab_oracle() -> str:
     """
 
 
+def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE DETOKENIZATION ROUND-TRIP — the tokenizer-bug tripwire
+    every training pipeline runs before trusting its id stream: each
+    trainable word is ENCODED to token ids through the frequency-
+    ranked id table (`text_bpe_vocab`'s id space) and DECODED back
+    (id → symbol → concatenation), documents are reassembled from
+    the decoded pieces (char-level identity fallback for OOV
+    tokens), and per-source fidelity is reported at two strictness
+    levels:
+
+    - ``fidelity_canonical``: decoded == the whitespace-normalized
+      lowercased document — MUST be 1.0 (pytest-pinned): BPE merges
+      only join adjacent symbols, so any canonical miss is a real
+      artifact corruption (a bad merge replace, an id collision).
+    - ``fidelity_exact``: decoded == the original bytes — fails
+      exactly on the two documented lossy normalizations (case
+      folding, whitespace collapse), counted per source;
+      ``n_unexplained`` (exact failures NOT covered by either
+      class) must be 0.
+
+    Scale shape: the id round-trip runs at WORD grain (distinct
+    trainable words ≪ corpus) through two broadcast joins against
+    the ≤ ~38-row id table; document reassembly is one
+    posexplode → broadcast piece lookup → doc-grain regroup (the
+    shuffle is doc-grain, same as any per-doc rollup). Reference
+    parity: staged per-row CASE validation before load
+    (reference airflow/dags/reviews_ETL.py:93-198) — here the
+    validation is byte-fidelity of the tokenize/detokenize pair.
+    """
+    vocab, _merges, _curve = _train_merges(spark, sf_dir)
+    idmap = text_bpe_vocab(spark, sf_dir).select("symbol", "token_id")
+    wsyms = vocab.select(
+        "tok", F.posexplode(F.expr(_SYMS)).alias("pos", "sym")
+    )
+    dec = (
+        wsyms.join(
+            F.broadcast(idmap.withColumnRenamed("symbol", "sym")), "sym"
+        )
+        .join(
+            F.broadcast(
+                idmap.withColumnRenamed("token_id", "tid").withColumnRenamed(
+                    "symbol", "dec_sym"
+                )
+            ),
+            F.col("token_id") == F.col("tid"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, dec_sym))), s -> s.dec_sym), '')"
+            ).alias("decoded")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.posexplode(_ws_tokens(F.lower(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    recon = (
+        toks.join(F.broadcast(dec), "tok", "left")
+        .withColumn("piece", F.coalesce("decoded", "tok"))
+        .groupBy("doc_id", "source", "text")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, piece))), s -> s.piece), ' ')"
+            ).alias("recon")
+        )
+    )
+    flags = recon.select(
+        "source",
+        (F.col("recon") == F.col("text")).alias("exact_ok"),
+        (
+            F.col("recon")
+            == F.expr(r"array_join(split(trim(lower(text)), '\\s+'), ' ')")
+        ).alias("canon_ok"),
+        (F.col("text") != F.lower(F.col("text"))).alias("case_lossy"),
+        (
+            F.col("text")
+            != F.expr(r"array_join(split(trim(text), '\\s+'), ' ')")
+        ).alias("ws_lossy"),
+    )
+    f6 = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast(  # noqa: E731
+        "bigint"
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            cnt(F.col("exact_ok")).alias("n_exact"),
+            cnt(F.col("canon_ok")).alias("n_canonical"),
+            cnt(F.col("case_lossy")).alias("n_case_lossy"),
+            cnt(F.col("ws_lossy")).alias("n_ws_lossy"),
+            cnt(
+                ~F.col("exact_ok")
+                & ~F.col("case_lossy")
+                & ~F.col("ws_lossy")
+            ).alias("n_unexplained"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact",
+            "n_canonical",
+            "n_case_lossy",
+            "n_ws_lossy",
+            "n_unexplained",
+            f6(
+                F.col("n_exact").cast("double") / F.col("n_docs")
+            ).alias("fidelity_exact"),
+            f6(
+                F.col("n_canonical").cast("double") / F.col("n_docs")
+            ).alias("fidelity_canonical"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_roundtrip_oracle() -> str:
+    n = BPE_ROUNDS
+    return rf"""
+        WITH {_bpe_chain_ctes()},
+        vsyms AS (
+            SELECT symbol,
+                   CAST(SUM(freq) AS BIGINT) AS occurrences
+            FROM (
+                SELECT unnest(string_split(repr[2:len(repr) - 1],
+                                           chr(1) || chr(1))) AS symbol,
+                       freq
+                FROM v{n}
+            )
+            GROUP BY symbol
+        ),
+        idmap AS MATERIALIZED (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY occurrences DESC,
+                                           symbol ASC) AS INT)
+                       AS token_id,
+                   symbol
+            FROM vsyms
+        ),
+        wsyms AS (
+            SELECT tok, generate_subscripts(s, 1) AS pos,
+                   unnest(s) AS sym
+            FROM (
+                SELECT tok,
+                       string_split(repr[2:len(repr) - 1],
+                                    chr(1) || chr(1)) AS s
+                FROM v{n}
+            )
+        ),
+        dec AS MATERIALIZED (
+            SELECT w.tok,
+                   array_to_string(list(i2.symbol ORDER BY w.pos), '')
+                       AS decoded
+            FROM wsyms w
+            JOIN idmap i1 ON w.sym = i1.symbol
+            JOIN idmap i2 ON i1.token_id = i2.token_id
+            GROUP BY w.tok
+        ),
+        toks AS (
+            SELECT doc_id, source, text,
+                   generate_subscripts(a, 1) AS pos, unnest(a) AS tok
+            FROM (
+                SELECT doc_id, source, text,
+                       string_split_regex(trim(lower(text)), '\s+') AS a
+                FROM documents
+            )
+        ),
+        recon AS MATERIALIZED (
+            SELECT t.doc_id, t.source, t.text,
+                   array_to_string(
+                       list(COALESCE(d.decoded, t.tok) ORDER BY t.pos),
+                       ' ') AS recon
+            FROM toks t LEFT JOIN dec d ON t.tok = d.tok
+            GROUP BY t.doc_id, t.source, t.text
+        ),
+        flags AS (
+            SELECT source,
+                   recon = text AS exact_ok,
+                   recon = array_to_string(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       ' ') AS canon_ok,
+                   text <> lower(text) AS case_lossy,
+                   text <> array_to_string(
+                       string_split_regex(trim(text), '\s+'), ' ')
+                       AS ws_lossy
+            FROM recon
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN exact_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN canon_ok THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_canonical,
+               CAST(SUM(CASE WHEN case_lossy THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_case_lossy,
+               CAST(SUM(CASE WHEN ws_lossy THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ws_lossy,
+               CAST(SUM(CASE WHEN NOT exact_ok AND NOT case_lossy
+                                  AND NOT ws_lossy
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unexplained,
+               floor(CAST(SUM(CASE WHEN exact_ok THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                   AS fidelity_exact,
+               floor(CAST(SUM(CASE WHEN canon_ok THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*) * 1e6) / 1e6
+                   AS fidelity_canonical
+        FROM flags
+        GROUP BY source
+        ORDER BY source
+    """
+
+
 def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer FERTILITY — pieces per whitespace word
     under the trained BPE with the standard char-level fallback for
@@ -715,6 +937,7 @@ QUERIES = {
     "text_bpe_encode": text_bpe_encode,
     "text_bpe_compression_curve": text_bpe_compression_curve,
     "text_bpe_vocab": text_bpe_vocab,
+    "text_bpe_roundtrip": text_bpe_roundtrip,
     "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_fertility_by_lang": text_fertility_by_lang,
 }
@@ -724,6 +947,7 @@ ORACLES = {
     "text_bpe_encode": _bpe_encode_oracle(),
     "text_bpe_compression_curve": _bpe_curve_oracle(),
     "text_bpe_vocab": _bpe_vocab_oracle(),
+    "text_bpe_roundtrip": _bpe_roundtrip_oracle(),
     "text_tokenizer_fertility": _fertility_oracle(),
     "text_fertility_by_lang": _fertility_by_lang_oracle(),
 }

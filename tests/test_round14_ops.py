@@ -1,13 +1,17 @@
-"""Round-14 operators: bloom-filter file-skipping experiment.
+"""Round-14 operators: bloom-filter file-skipping experiment and the
+BPE detokenization round-trip.
 
-Pins the VERDICT r13 task-4 acceptance bar: bloom beats min/max on
-the point-lookup workload, never false-negatives, and its measured
-FPR stays within the (1-(1-1/m)^{kn})^k design bound.
+Pins the VERDICT r13 acceptance bars: bloom beats min/max on the
+point-lookup workload, never false-negatives, and its measured FPR
+stays within the (1-(1-1/m)^{kn})^k design bound; the BPE id
+round-trip is byte-perfect on the whitespace-reversible subset with
+every exact-fidelity failure accounted to a documented lossy class.
 """
 
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from tests.conftest import SF_DIR, assert_matches_oracle
 
@@ -84,3 +88,70 @@ def test_bloom_fpr_within_design_bound(spark):
         worst = max(worst, bound)
     measured = _rows(spark)["bloom"].fpr
     assert measured <= worst, (measured, worst)
+
+
+def test_bpe_roundtrip_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "text_bpe_roundtrip")
+
+
+def test_bpe_roundtrip_perfect_on_reversible_corpus(spark):
+    """The driver corpus is lowercase and single-spaced, so BOTH
+    fidelity levels must be exactly 1.0 with zero lossy or
+    unexplained docs — any miss is artifact corruption."""
+    from postgres_s3_etl_spark.operators.tokenizer import (
+        text_bpe_roundtrip,
+    )
+
+    for r in text_bpe_roundtrip(spark, SF_DIR).collect():
+        assert r.fidelity_canonical == 1.0, r
+        assert r.fidelity_exact == 1.0, r
+        assert r.n_unexplained == 0, r
+
+
+@pytest.fixture()
+def lossy_docs(spark, tmp_path):
+    """A corpus with every reversibility class planted: clean
+    (round-trips exactly), case-lossy, whitespace-lossy, both, and
+    an OOV-heavy doc (digits/punctuation — char-fallback lane)."""
+    rows = [
+        (0, "the quick brown fox jumps the fence", "en", "clean", 35),
+        (1, "The Quick brown fox", "en", "lossy", 19),        # case
+        (2, "the quick  brown\tfox", "en", "lossy", 20),      # ws
+        (3, " The  quick fox ", "en", "lossy", 16),           # both
+        (4, "fox 42 jumps, twice!", "en", "clean", 20),       # OOV ok
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bpe_roundtrip_accounts_every_lossy_class(spark, lossy_docs):
+    from postgres_s3_etl_spark.operators import tokenizer
+
+    tokenizer._TRAIN_CACHE.clear()
+    try:
+        rows = {
+            r.source: r
+            for r in tokenizer.text_bpe_roundtrip(
+                spark, lossy_docs
+            ).collect()
+        }
+    finally:
+        tokenizer._TRAIN_CACHE.clear()
+    clean, lossy = rows["clean"], rows["lossy"]
+    # canonical fidelity is ALWAYS 1.0 — normalization-lossy docs
+    # still reassemble to their canonical form
+    assert clean.fidelity_canonical == 1.0
+    assert lossy.fidelity_canonical == 1.0
+    # clean docs (incl. the OOV-heavy one) round-trip byte-exactly
+    assert clean.n_exact == clean.n_docs == 2
+    # every exact failure is explained by a documented class
+    assert lossy.n_exact == 0
+    assert lossy.n_case_lossy == 2    # docs 1 and 3
+    assert lossy.n_ws_lossy == 2      # docs 2 and 3
+    assert lossy.n_unexplained == 0
+    assert clean.n_unexplained == 0
