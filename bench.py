@@ -183,6 +183,7 @@ HEADLINE = (
     # round-14 additions
     "layout_bloom_pruning",
     "text_bpe_roundtrip",
+    "mm_pair_crossmodal_dedup",
 )
 
 #: Second standing table (round-13, VERDICT r12 task 3): the slowest

@@ -6269,7 +6269,356 @@ def _phash_cc_oracle() -> str:
 """
 
 
+#: Cross-modal pair dedup (round-14): caption length in words, the
+#: verify threshold on exact word-3-gram jaccard, and the word seed
+#: for the planted unrelated caption (any seed in 41..96 — outside
+#: every base/variant seed class mod 97 — yields a caption sharing
+#: no 3-gram with any other).
+CROSSMODAL_NW = 12
+CROSSMODAL_MIN_JAC = 0.5
+CROSSMODAL_UNREL_SEED = 77
+
+
+def _crossmodal_caption(cseed: int, paraphrase: bool) -> str:
+    """Closed-form caption for seed ``cseed``: CROSSMODAL_NW words
+    'w<(cseed·31 + k·17 + k² mod 13) mod 97>'; a paraphrase swaps
+    the LAST word (word-3-gram jaccard 9/11 ≈ 0.818 vs the plain
+    form — above the verify threshold, below exact-dup). Mirrored
+    verbatim in the oracle SQL."""
+    ws = [
+        f"w{(cseed * 31 + k * 17 + (k * k) % 13) % 97}"
+        for k in range(CROSSMODAL_NW)
+    ]
+    if paraphrase:
+        ws[-1] = f"p{(cseed * 29 + 7) % 97}"
+    return " ".join(ws)
+
+
+def synth_caption_table(spark: SparkSession) -> DataFrame:
+    """One caption per phash asset — the text side of the (image,
+    caption) pairs. Planted classes: every image variant carries a
+    PARAPHRASED caption ('both'-modality dup) except base 8's
+    variant, which carries an unrelated caption (image_only); asset
+    3 carries a paraphrase of asset 1's caption over a DIFFERENT
+    image (caption_only)."""
+    rows = []
+    for a in range(N_PHASH_BASE):
+        cs, p = (1, True) if a == 3 else (a, False)
+        rows.append((a, _crossmodal_caption(cs, p)))
+    for b in range(0, N_PHASH_BASE, 4):
+        cs, p = (
+            (CROSSMODAL_UNREL_SEED, False) if b == 8 else (b, True)
+        )
+        rows.append((N_PHASH_BASE + b // 4, _crossmodal_caption(cs, p)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def mm_pair_crossmodal_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-MODAL PAIR-LEVEL DEDUP — training pipelines dedup
+    (image, caption) PAIRS, not modalities independently: the same
+    image re-encoded with a paraphrased caption is one redundant
+    SAMPLE, while the same image under a genuinely different caption
+    (or one caption over different images) is signal worth keeping.
+    Candidates surface when EITHER side collides — the image's
+    pigeonhole phash buckets (`_phash_pairs`, recall-exact at
+    hamming ≤ PHASH_MAX_HAMMING) OR the caption's MinHash band
+    buckets (dedup.py `minhash_bands_for`) — then every candidate is
+    verified on BOTH modalities (image: pigeonhole-verified hamming;
+    caption: exact word-3-gram jaccard) and typed:
+
+    - ``both`` — image near-dup AND caption jaccard ≥ threshold:
+      the redundant-sample class; these edges drive the keep/drop
+      clustering (min-label components, fixed rounds).
+    - ``image_only`` / ``caption_only`` — single-modality near-dups,
+      REPORTED per pair (the curation audit trail) but never
+      dropped.
+
+    Output: one row per pair with its cluster, cluster size, typed
+    partner counts, and the keep verdict (cluster representative =
+    min pair id).
+
+    Scale shape: both candidate generators are the existing bounded
+    bucket joins (never all-pairs); verification touches candidate
+    pairs only; label propagation touches only 'both'-edge nodes.
+    """
+    from postgres_s3_etl_spark.operators.dedup import (
+        _shingles_expr,
+        _words_col,
+        minhash_bands_for,
+    )
+
+    caps = synth_caption_table(spark)
+    bands = minhash_bands_for(caps)
+    cap_cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    img = _phash_pairs(spark).select(
+        F.col("asset_a").alias("a"),
+        F.col("asset_b").alias("b"),
+        F.lit(1).alias("img"),
+    )
+    cand = img.select("a", "b").union(cap_cand).distinct()
+    shs = caps.select("doc_id", _words_col().alias("w")).select(
+        "doc_id", _shingles_expr().alias("sh")
+    )
+    jac = (
+        cand.join(
+            shs.select(
+                F.col("doc_id").alias("a"), F.col("sh").alias("sa")
+            ),
+            "a",
+        )
+        .join(
+            shs.select(
+                F.col("doc_id").alias("b"), F.col("sh").alias("sb")
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            (
+                F.floor(
+                    F.size(F.array_intersect("sa", "sb")).cast("double")
+                    / F.size(F.array_union("sa", "sb"))
+                    * 1e6
+                )
+                / 1e6
+            ).alias("jac"),
+        )
+    )
+    typed = (
+        jac.join(img, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.when(
+                F.col("img").isNotNull()
+                & (F.col("jac") >= CROSSMODAL_MIN_JAC),
+                F.lit("both"),
+            )
+            .when(F.col("img").isNotNull(), F.lit("image_only"))
+            .when(
+                F.col("jac") >= CROSSMODAL_MIN_JAC, F.lit("caption_only")
+            )
+            .alias("dup_type"),
+        )
+        .where(F.col("dup_type").isNotNull())
+        .localCheckpoint()  # candidate-bounded; read by CC + counts
+    )
+    both = typed.where(F.col("dup_type") == "both")
+    edges = (
+        both.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            both.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(PHASH_CC_ROUNDS):
+        nb = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nb, labels.node == nb.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nl", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    part = typed.select("a", "b", "dup_type").unionAll(
+        typed.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "dup_type"
+        )
+    )
+    tcnt = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("dup_type") == t, 1).otherwise(0)
+    ).cast("bigint")
+    counts = part.groupBy(F.col("a").alias("pair_id")).agg(
+        tcnt("both").alias("n_both"),
+        tcnt("image_only").alias("n_img_only"),
+        tcnt("caption_only").alias("n_cap_only"),
+    )
+    lab = (
+        caps.select(F.col("doc_id").alias("pair_id"))
+        .join(labels.withColumnRenamed("node", "pair_id"), "pair_id", "left")
+        .select(
+            "pair_id", F.coalesce("label", "pair_id").alias("cluster")
+        )
+    )
+    csz = lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        lab.join(csz, "cluster")
+        .join(counts, "pair_id", "left")
+        .select(
+            "pair_id",
+            "cluster",
+            "cluster_size",
+            F.coalesce("n_both", F.lit(0)).cast("bigint").alias("n_both"),
+            F.coalesce("n_img_only", F.lit(0))
+            .cast("bigint")
+            .alias("n_img_only"),
+            F.coalesce("n_cap_only", F.lit(0))
+            .cast("bigint")
+            .alias("n_cap_only"),
+            (F.col("pair_id") == F.col("cluster")).alias("keep"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+def _crossmodal_oracle() -> str:
+    from postgres_s3_etl_spark.operators.dedup import _bands_cte_sql
+
+    t = CROSSMODAL_MIN_JAC
+    label_ctes = [
+        """l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM vp
+    )"""
+    ]
+    for k in range(1, PHASH_CC_ROUNDS + 1):
+        label_ctes.append(
+            f"""l{k} AS MATERIALIZED (
+        SELECT l.node,
+               LEAST(l.label, COALESCE(m.nl, l.label)) AS label
+        FROM l{k - 1} l
+        LEFT JOIN (
+            SELECT e.dst AS node2, MIN(l2.label) AS nl
+            FROM vp e JOIN l{k - 1} l2 ON e.src = l2.node
+            GROUP BY e.dst
+        ) m ON l.node = m.node2
+    )"""
+        )
+    chain = ",\n    ".join(label_ctes)
+    return f"""
+    WITH {_PHASH_PAIRS_SQL},
+    cassets AS (
+        SELECT a AS doc_id,
+               CASE WHEN a = 3 THEN 1 ELSE a END AS cseed,
+               a = 3 AS para
+        FROM range(0, {N_PHASH_BASE}) t(a)
+        UNION ALL
+        SELECT {N_PHASH_BASE} + b // 4,
+               CASE WHEN b = 8 THEN {CROSSMODAL_UNREL_SEED} ELSE b END,
+               b <> 8
+        FROM range(0, {N_PHASH_BASE}, 4) t(b)
+    ),
+    caps AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               array_to_string([
+                   CASE WHEN para AND k = {CROSSMODAL_NW - 1}
+                        THEN 'p' || CAST((cseed*29 + 7) % 97 AS VARCHAR)
+                        ELSE 'w' || CAST((cseed*31 + k*17 + (k*k) % 13)
+                                         % 97 AS VARCHAR) END
+                   for k in generate_series(0, {CROSSMODAL_NW - 1})],
+                   ' ') AS text
+        FROM cassets
+    ),
+    {_bands_cte_sql(rel="caps")},
+    capcand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bucket = y.bucket
+         AND x.doc_id < y.doc_id
+    ),
+    imgp AS (SELECT asset_a AS a, asset_b AS b FROM pairs),
+    cand AS (
+        SELECT DISTINCT a, b FROM (
+            SELECT a, b FROM imgp UNION ALL SELECT a, b FROM capcand)
+    ),
+    jacs AS (
+        SELECT c.a, c.b,
+               floor(CAST(len(list_intersect(sa.shingles, sb.shingles))
+                          AS DOUBLE)
+                     / len(list_distinct(list_concat(sa.shingles,
+                                                     sb.shingles)))
+                     * 1e6) / 1e6 AS jac
+        FROM cand c
+        JOIN sh sa ON c.a = sa.doc_id
+        JOIN sh sb ON c.b = sb.doc_id
+    ),
+    typed AS MATERIALIZED (
+        SELECT a, b, dup_type FROM (
+            SELECT j.a, j.b,
+                   CASE WHEN i.a IS NOT NULL AND j.jac >= {t}
+                            THEN 'both'
+                        WHEN i.a IS NOT NULL THEN 'image_only'
+                        WHEN j.jac >= {t} THEN 'caption_only' END
+                       AS dup_type
+            FROM jacs j
+            LEFT JOIN imgp i ON j.a = i.a AND j.b = i.b)
+        WHERE dup_type IS NOT NULL
+    ),
+    vp AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM typed WHERE dup_type = 'both'
+        UNION
+        SELECT b, a FROM typed WHERE dup_type = 'both'
+    ),
+    {chain},
+    part AS (
+        SELECT a, dup_type FROM typed
+        UNION ALL SELECT b, dup_type FROM typed
+    ),
+    counts AS (
+        SELECT a AS pair_id,
+               CAST(SUM(CASE WHEN dup_type = 'both'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+               CAST(SUM(CASE WHEN dup_type = 'image_only'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_img_only,
+               CAST(SUM(CASE WHEN dup_type = 'caption_only'
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cap_only
+        FROM part GROUP BY a
+    ),
+    lab AS MATERIALIZED (
+        SELECT p.doc_id AS pair_id,
+               COALESCE(l.label, p.doc_id) AS cluster
+        FROM caps p
+        LEFT JOIN l{PHASH_CC_ROUNDS} l ON p.doc_id = l.node
+    ),
+    csz AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM lab GROUP BY cluster
+    )
+    SELECT lb.pair_id, lb.cluster, cz.cluster_size,
+           COALESCE(c.n_both, 0) AS n_both,
+           COALESCE(c.n_img_only, 0) AS n_img_only,
+           COALESCE(c.n_cap_only, 0) AS n_cap_only,
+           lb.pair_id = lb.cluster AS keep
+    FROM lab lb
+    JOIN csz cz USING (cluster)
+    LEFT JOIN counts c USING (pair_id)
+    ORDER BY lb.pair_id
+"""
+
+
 QUERIES = {
+    "mm_pair_crossmodal_dedup": mm_pair_crossmodal_dedup,
     "mm_image_phash_dedup": mm_image_phash_dedup,
     "mm_video_phash_dedup": mm_video_phash_dedup,
     "mm_image_ssim_pairs": mm_image_ssim_pairs,
@@ -6410,6 +6759,7 @@ from postgres_s3_etl_spark.operators.flac_codec import (  # noqa: E402
 )
 
 ORACLES: dict[str, str] = {
+    "mm_pair_crossmodal_dedup": _crossmodal_oracle(),
     "mm_image_phash_dedup": _PHASH_ORACLE,
     "mm_video_phash_dedup": _VPHASH_ORACLE,
     "mm_image_ssim_pairs": _SSIM_ORACLE,

@@ -155,3 +155,49 @@ def test_bpe_roundtrip_accounts_every_lossy_class(spark, lossy_docs):
     assert lossy.n_ws_lossy == 2      # docs 2 and 3
     assert lossy.n_unexplained == 0
     assert clean.n_unexplained == 0
+
+
+def test_crossmodal_matches_oracle(spark, duck):
+    assert_matches_oracle(spark, duck, "mm_pair_crossmodal_dedup")
+
+
+def test_crossmodal_planted_pairs(spark):
+    """The planted classes behave: a re-encoded image + paraphrased
+    caption is ONE redundant sample (variant dropped, base kept);
+    single-modality near-dups (same caption/different images, same
+    image/unrelated caption) are reported but never dropped; clean
+    pairs are untouched."""
+    from postgres_s3_etl_spark.operators.multimodal import (
+        N_PHASH_BASE,
+        mm_pair_crossmodal_dedup,
+    )
+
+    rows = {
+        r.pair_id: r
+        for r in mm_pair_crossmodal_dedup(spark, SF_DIR).collect()
+    }
+    assert len(rows) == N_PHASH_BASE + N_PHASH_BASE // 4
+    # both-modality dups: every variant except base 8's clusters
+    # with its base and is dropped
+    for b in range(0, N_PHASH_BASE, 4):
+        v = N_PHASH_BASE + b // 4
+        if b == 8:
+            continue
+        assert rows[v].cluster == b and not rows[v].keep, rows[v]
+        assert rows[b].keep and rows[b].n_both == 1
+    # caption_only: assets 1 and 3 share a near-dup caption over
+    # DIFFERENT images — flagged, both kept
+    assert rows[1].n_cap_only == 1 and rows[1].keep
+    assert rows[3].n_cap_only == 1 and rows[3].keep
+    assert rows[3].cluster == 3
+    # image_only: base 8's variant (unrelated caption) — flagged,
+    # both kept
+    v8 = N_PHASH_BASE + 2
+    assert rows[8].n_img_only == 1 and rows[8].keep
+    assert rows[v8].n_img_only == 1 and rows[v8].keep
+    # clean pairs: no partners, kept, singleton clusters
+    assert rows[2].n_both == rows[2].n_img_only == rows[2].n_cap_only == 0
+    assert rows[2].keep and rows[2].cluster_size == 1
+    # global accounting: drops == number of both-clusters' extras
+    drops = [r for r in rows.values() if not r.keep]
+    assert len(drops) == N_PHASH_BASE // 4 - 1  # 9 variants dropped
