@@ -2659,6 +2659,13 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_TARGET_BUCKET = 128
 HNSW_M = 12
 HNSW_HUB_CAP = 128
+#: NN-descent expands 2-hop candidates only through each node's
+#: HNSW_DESCENT_T BEST current neighbors (the Vamana/DiskANN bounded
+#: expansion): the full deg² frontier read α 0.91 at the sf10 decade
+#: (the build's largest constant, ~576 candidates/node); the T=6 cut
+#: measured 3× fewer descent candidates with recall unchanged at
+#: both driver SFs (1.000 / 0.980).
+HNSW_DESCENT_T = 6
 HNSW_BEAM = 8
 HNSW_HOPS = 4
 HNSW_EXPAND = 2
@@ -2795,7 +2802,7 @@ def _hnsw_graph(
         .distinct()
     )
 
-    def top_m(pairs: DataFrame) -> DataFrame:
+    def top_m(pairs: DataFrame, m: int = HNSW_M) -> DataFrame:
         scored = (
             pairs.join(
                 ranked.select(
@@ -2818,7 +2825,7 @@ def _hnsw_graph(
         wm = Window.partitionBy("src").orderBy(F.desc("c6"), F.asc("dst"))
         return (
             scored.withColumn("mr", F.row_number().over(wm))
-            .where(F.col("mr") <= HNSW_M)
+            .where(F.col("mr") <= m)
             .select("src", "dst")
         )
 
@@ -2830,8 +2837,12 @@ def _hnsw_graph(
         .distinct()
         .localCheckpoint()  # degree-capped edge frame, referenced 3×
     )
+    # Bounded NN-descent: expand 2-hop only through each node's
+    # HNSW_DESCENT_T best current neighbors, keeping the candidate
+    # frame O(n · deg · T) instead of O(n · deg²).
+    exp_edges = top_m(und0, HNSW_DESCENT_T)
     two_hop = (
-        und0.alias("e1")
+        exp_edges.alias("e1")
         .join(und0.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
         .where(F.col("e1.src") != F.col("e2.dst"))
         .select(
@@ -3402,12 +3413,27 @@ def _hnsw_graph_cte() -> str:
                 SELECT src, dst FROM out0
                 UNION ALL SELECT dst AS src, src AS dst FROM out0)
         ),
+        scu AS (
+            SELECT c.src, c.dst, {c6} AS c6
+            FROM und0 c
+            JOIN rk a ON c.src = a.vec_id
+            JOIN rk b ON c.dst = b.vec_id
+        ),
+        expedges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       ROW_NUMBER() OVER (PARTITION BY src
+                                          ORDER BY c6 DESC, dst ASC)
+                           AS xr
+                FROM scu)
+            WHERE xr <= {HNSW_DESCENT_T}
+        ),
         cand1 AS (
             SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM und0
                 UNION ALL
                 SELECT e1.src, e2.dst
-                FROM und0 e1 JOIN und0 e2 ON e1.dst = e2.src
+                FROM expedges e1 JOIN und0 e2 ON e1.dst = e2.src
                 WHERE e1.src <> e2.dst)
         ),
         sc1 AS (

@@ -119,6 +119,11 @@ def main() -> int:
             best, rows = None, None
             for _ in range(2):
                 spark.catalog.clearCache()
+                # round-14: cold-memo protocol (bench.py) — the hnsw
+                # graph-index memo must not let rep 2 skip the build.
+                from postgres_s3_etl_spark.operators import similarity
+
+                similarity._HNSW_CACHE.clear()
                 t0 = time.time()
                 rows = fn(spark, d).collect()
                 dt = round(time.time() - t0, 3)
