@@ -281,8 +281,13 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fm = foot.join(ndv, "file_id").withColumn(
         "m",
+        # try_element_at, not element_at: when ndv is so large that
+        # no p in [MIN, MAX] satisfies 2^p >= bits_per_key * ndv the
+        # filtered array is EMPTY, and element_at throws where
+        # DuckDB's list_min([]) returns NULL — the sf10 decade run
+        # caught exactly this divergence at 234k-row files.
         F.expr(
-            f"shiftleft(1L, coalesce(element_at(filter("
+            f"shiftleft(1L, coalesce(try_element_at(filter("
             f"sequence({BLOOM_MIN_LOG2}, {BLOOM_MAX_LOG2}),"
             f" p -> shiftleft(1L, cast(p as int))"
             f" >= {BLOOM_BITS_PER_KEY}L * ndv), 1),"
