@@ -568,24 +568,28 @@ def text_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    # Token rows carry ONLY (doc_id, pos, tok) through the explode —
+    # grouping on (doc_id, source, text) shipped the full document
+    # string on every token row, making shuffle bytes
+    # O(tokens · doc_length); the sf10 decade read α 1.45 for that
+    # shape. The text joins back at doc grain for the comparisons.
     toks = docs.select(
         "doc_id",
-        "source",
-        "text",
         F.posexplode(_ws_tokens(F.lower(F.col("text")))).alias(
             "pos", "tok"
         ),
     )
-    recon = (
+    recon = docs.join(
         toks.join(F.broadcast(dec), "tok", "left")
         .withColumn("piece", F.coalesce("decoded", "tok"))
-        .groupBy("doc_id", "source", "text")
+        .groupBy("doc_id")
         .agg(
             F.expr(
                 "array_join(transform(array_sort(collect_list("
                 "struct(pos, piece))), s -> s.piece), ' ')"
             ).alias("recon")
-        )
+        ),
+        "doc_id",
     )
     flags = recon.select(
         "source",
@@ -679,21 +683,25 @@ def _bpe_roundtrip_oracle() -> str:
             GROUP BY w.tok
         ),
         toks AS (
-            SELECT doc_id, source, text,
+            SELECT doc_id,
                    generate_subscripts(a, 1) AS pos, unnest(a) AS tok
             FROM (
-                SELECT doc_id, source, text,
+                SELECT doc_id,
                        string_split_regex(trim(lower(text)), '\s+') AS a
                 FROM documents
             )
         ),
-        recon AS MATERIALIZED (
-            SELECT t.doc_id, t.source, t.text,
+        rec0 AS MATERIALIZED (
+            SELECT t.doc_id,
                    array_to_string(
                        list(COALESCE(d.decoded, t.tok) ORDER BY t.pos),
                        ' ') AS recon
             FROM toks t LEFT JOIN dec d ON t.tok = d.tok
-            GROUP BY t.doc_id, t.source, t.text
+            GROUP BY t.doc_id
+        ),
+        recon AS (
+            SELECT doc.doc_id, doc.source, doc.text, r.recon
+            FROM documents doc JOIN rec0 r ON doc.doc_id = r.doc_id
         ),
         flags AS (
             SELECT source,
