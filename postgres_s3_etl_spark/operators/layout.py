@@ -272,14 +272,19 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         ntile_col(F.col(GRN), F.col(GN), N_FILES).alias("file_id"),
     )
-    keys = coded.select("file_id", "x").distinct()
+    # localCheckpoint the fan-out frames (round-14): keys feeds three
+    # consumers (ndv, bbits, cont) and fm/probes/cont feed 2-4 each;
+    # without the cut every consumer re-planned and re-ran the whole
+    # upstream pipeline (the before-plan replayed the ranked scan 8x,
+    # 280 Exchanges; after: 59).
+    keys = coded.select("file_id", "x").distinct().localCheckpoint()
     foot = coded.groupBy("file_id").agg(
         F.min("x").alias("minx"), F.max("x").alias("maxx")
     )
     ndv = keys.groupBy("file_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("ndv")
     )
-    fm = foot.join(ndv, "file_id").withColumn(
+    fm = foot.join(ndv, "file_id").withColumn(  # N_FILES rows
         "m",
         # try_element_at, not element_at: when ndv is so large that
         # no p in [MIN, MAX] satisfies 2^p >= bits_per_key * ndv the
@@ -293,7 +298,7 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" >= {BLOOM_BITS_PER_KEY}L * ndv), 1),"
             f" {BLOOM_MAX_LOG2}))"
         ),
-    )
+    ).localCheckpoint()
     bit_of = (
         "cast(conv(substring(md5(concat('bloom', cast(i as string),"
         " '_', cast({key} as string))), 1, 14), 16, 10) as bigint) % m"
@@ -318,10 +323,10 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"xmin + (q * (xmax - xmin + 1)) div {NQ_POINTS}"
         ).alias("key")
-    )
+    ).localCheckpoint()  # NQ_POINTS rows
     cont = keys.join(probes, keys.x == probes.key).select(
         "file_id", "key"
-    )
+    ).localCheckpoint()  # ≤ N_FILES · NQ_POINTS rows
     mm_hits = (
         fm.crossJoin(F.broadcast(probes))
         .where((F.col("minx") <= F.col("key")) & (F.col("maxx") >= F.col("key")))

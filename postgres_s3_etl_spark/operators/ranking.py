@@ -49,6 +49,7 @@ def with_global_order(
     order_cols: Sequence[Column],
     sum_cols: Sequence[str] = (),
     num_partitions: int | None = None,
+    materialize: str = "checkpoint",
 ) -> DataFrame:
     """Add global-order columns to ``df`` without a single-task sort.
 
@@ -86,8 +87,20 @@ def with_global_order(
     # global ranks — observed live at sf0.1 under chained rankings.
     # One consistent materialization makes any sampled boundary set
     # correct: ranks depend only on the total order, not the split.
-    out = out.persist()
-    out.count()
+    #
+    # localCheckpoint, not persist+count (round-14): persist keeps
+    # the full logical subtree inside the InMemoryRelation, so every
+    # downstream reference re-plans it — callers that fan the ranked
+    # frame into several rollups (layout experiments: 3 rankings × 5+
+    # consumers) built plans with hundreds of duplicated operators
+    # and paid optimizer + codegen time per reference. localCheckpoint
+    # is equally eager (fixing the sampled boundaries) and truncates
+    # lineage, so consumers plan against a leaf.
+    if materialize == "persist":
+        out = out.persist()
+        out.count()
+    else:
+        out = out.localCheckpoint()
     # Partition-grain rollup: ≤ num_partitions rows. The prefix-sum
     # window below is unpartitioned but runs over THIS bounded frame
     # — cluster-sized, not data-sized.
