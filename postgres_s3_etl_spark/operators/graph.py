@@ -41,24 +41,40 @@ PR_DAMPING = 0.85
 PR_ITERS = 3
 
 
+#: Row-local pair generation from a sorted array column: every
+#: (arr[i], arr[j]) pair with i < j, already canonical (a < b)
+#: because the array is ascending. Bounded per row by the basket
+#: size (≤7 line items per TPC-H order), never deg².
+_PAIRS_FROM_SORTED = """
+    IF(size({a}) < 2, array(),
+       flatten(transform(sequence(0, size({a}) - 2), i ->
+         transform(slice({a}, i + 2, size({a}) - i - 1), x ->
+           named_struct('src', {a}[i], 'dst', x)))))
+"""
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct undirected edges (a < b): parts sharing an order."""
-    op = (
+    """Distinct undirected edges (a < b): parts sharing an order.
+
+    Round-14 plan rework (same edge set, same types): pairs are
+    generated ROW-LOCALLY from each order's sorted distinct part
+    array (one groupBy on the lineitem layout key + one distinct on
+    the pair) instead of the distinct → self-join → distinct chain —
+    one lineitem scan instead of two and two keyed exchanges instead
+    of five (the per-order (orderkey, partkey) distinct rides the
+    collect_set aggregate). Basket sizes are bounded (~4-7 items),
+    so the per-row pair fan-out is a small constant — the same
+    argument the old per-order join made, minus the join.
+    """
+    return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
         .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+            F.explode(F.expr(_PAIRS_FROM_SORTED.format(a="ps"))).alias("e")
         )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
     )
 
@@ -1260,21 +1276,19 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/ln(deg) weight pinned to DECIMAL(38,6) so the per-pair fold
     is exact; known edges leave via one anti-join.
     """
-    op = (
+    # Same row-local pair generation as copurchase_edges (round-14):
+    # each order contributes each distinct pair once, so the per-pair
+    # count IS the distinct-order co-occurrence count.
+    edges = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(F.expr(_PAIRS_FROM_SORTED.format(a="ps"))).alias("e")
         )
         .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+            F.col("e.src").alias("src"), F.col("e.dst").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("n_cooccur"))
         .where(F.col("n_cooccur") >= AA_MIN_COOCCUR)
