@@ -674,29 +674,41 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the clamp only avoids a plan-build-time division by zero
     n = deg.count() or 1
     pr = deg.select("node", "deg", (F.lit(1.0) / F.lit(float(n))).alias("pr"))
+    # Round-14: carry the DESTINATION's degree on the edge frame
+    # once, so every iteration's rank update closes inside the
+    # contribution aggregate (max(ddeg) — constant per node) and the
+    # per-iteration deg⋈contrib join disappears. Built once outside
+    # the loop; the 8-byte column partial-aggregates away map-side.
+    # Measured interleaved at sf0.1: best 9.3 -> 6.8 s, median
+    # 13.1 -> 8.4 s under co-tenant load.
+    sym = sym.join(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg")),
+        "dst",
+    ).localCheckpoint()
     for _ in range(PR_ITERS):
         # every node of this symmetric graph has deg >= 1, so the
         # contribution aggregate already covers ALL nodes — no
         # left-join back against the node list is needed, and pr is
         # consumed exactly once per iteration (linear lineage).
-        contrib = (
+        pr = (
             sym.join(pr, sym.src == pr.node)
             .select(
                 F.col("dst").alias("node"),
+                F.col("ddeg"),
                 (F.col("pr") / F.col("deg").cast("double"))
                 .cast("decimal(38,18)")
                 .alias("c"),
             )
             .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = deg.join(contrib, "node").select(
-            "node",
-            "deg",
-            (
-                F.lit((1.0 - PR_DAMPING) / n)
-                + F.lit(PR_DAMPING) * F.col("s").cast("double")
-            ).alias("pr"),
+            .agg(F.sum("c").alias("s"), F.max("ddeg").alias("deg"))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - PR_DAMPING) / n)
+                    + F.lit(PR_DAMPING) * F.col("s").cast("double")
+                ).alias("pr"),
+            )
         )
     return (
         pr.select(F.col("node").alias("p_partkey"), "deg", "pr")
@@ -902,6 +914,11 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    # (Round-14 A/B: fusing the round into ONE grouped MIN — own
+    # label riding the neighbor-message union as a tagged row —
+    # measured SLOWER interleaved at sf0.1 (best 7.3 → 12.1 s): the
+    # labels⋈nb_min join is a broadcast here while the union pushed
+    # N extra rows through the big exchange. Kept as-is.)
     for _ in range(CC_MAX_ITERS):
         nb_min = (
             sym.join(labels, sym.src == labels.node)
@@ -977,15 +994,28 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(LPA_ITERS):
+        # Round-14: the per-node top-1 is an arg-max by
+        # (c DESC, label ASC) computed as ONE aggregate —
+        # max(struct(c, -label)) picks the highest count and, among
+        # ties, the largest -label = smallest label (node ids are
+        # positive, so the negation is order-exact). Identical rows
+        # to the previous row_number()-over-window formulation, but
+        # the shuffle partial-aggregates map-side and the
+        # sort-per-node WindowExec disappears (measured interleaved
+        # at sf0.1: median 44.1 -> 28.7 s under co-tenant load,
+        # best 38.3 -> 8.9 s).
         labels = (
             sym.join(labels, sym.src == labels.node)
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("label"))
             .localCheckpoint()
         )
     return labels
