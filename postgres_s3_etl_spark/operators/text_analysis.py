@@ -584,17 +584,33 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp"),
     )
-    doc_freq = (
-        spans.select("doc_id", "fp")
-        .distinct()
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # Round-14: both consumers (doc-frequency and the dup-flag join)
+    # previously re-derived `spans` from scratch — the
+    # md5-per-position map phase ran TWICE per query (no shared
+    # exchange: one consumer keys on (doc_id, fp), the other on fp).
+    # Collapse to per-(doc, fp) grain ONCE (this subsumes the old
+    # .distinct()), materialize that bounded frame, and run both
+    # consumers from it; per-doc span totals re-add from the carried
+    # occurrence counts. Interleaved A/B at sf0.1: best 3.0 -> 1.9 s.
+    spansc = (
+        spans.groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
-    dup_fps = doc_freq.where(F.col("df") >= 2).select("fp", F.lit(1).alias("is_dup"))
-    flagged = spans.join(dup_fps, on="fp", how="left")
+    doc_freq = spansc.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    dup_fps = doc_freq.where(F.col("df") >= 2).select(
+        "fp", F.lit(1).alias("is_dup")
+    )
+    flagged = spansc.join(dup_fps, on="fp", how="left")
     per_doc = flagged.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup_spans"),
+        F.sum("n").cast("bigint").alias("n_spans"),
+        F.sum(
+            F.when(F.col("is_dup").isNotNull(), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_dup_spans"),
     )
     return per_doc.select(
         "doc_id",
@@ -876,19 +892,33 @@ def text_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.span_len").alias("span_len"),
         F.col("s.fp").alias("fp"),
     )
-    doc_freq = (
-        spans.select("doc_id", "span_len", "fp")
-        .distinct()
-        .groupBy("span_len", "fp")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # Round-14: same rework as text_span_dedup — the rolling dyadic
+    # fingerprint pipeline fed two differently-keyed consumers and
+    # therefore ran twice; collapse to per-(doc, width, fp) grain
+    # once (subsumes the .distinct()), materialize, and re-add
+    # occurrence counts downstream. Interleaved A/B at sf0.1 (7
+    # reps): best 2.14 -> 1.92 s, median 16.0 -> 5.3 s.
+    spansc = (
+        spans.groupBy("doc_id", "span_len", "fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    doc_freq = spansc.groupBy("span_len", "fp").agg(
+        F.count(F.lit(1)).alias("df")
     )
     dup_fps = doc_freq.where(F.col("df") >= 2).select(
         "span_len", "fp", F.lit(1).alias("is_dup")
     )
-    flagged = spans.join(dup_fps, on=["span_len", "fp"], how="left")
+    flagged = spansc.join(dup_fps, on=["span_len", "fp"], how="left")
     per_level = flagged.groupBy("doc_id", "span_len").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).cast("bigint").alias("n_dup_spans"),
+        F.sum("n").cast("bigint").alias("n_spans"),
+        F.sum(
+            F.when(F.col("is_dup").isNotNull(), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_dup_spans"),
     )
     max_dup = per_level.groupBy("doc_id").agg(
         F.max(
