@@ -190,31 +190,48 @@ def _triangle_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(low_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
             F.when(low_first, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
         )
-        .localCheckpoint()  # reused 3x below (w1, w2, closing)
+        .localCheckpoint()  # reused 2x below (onbs, closing)
     )
-    w1 = oriented.select(
-        F.col("u"), F.col("v").alias("x"), F.col("vdeg").alias("xdeg")
+    # Round-14: wedges are generated ROW-LOCALLY from each
+    # center's out-neighbor array sorted by (deg, id) — the
+    # canonical (cu, cv) orientation falls out of the sort
+    # order, so the w1⋈w2 self-join and its two conditional
+    # projections disappear; wedges shuffle/probe as ONE packed
+    # BIGINT (cu·2³² + cv, overflow-guarded) and the closing
+    # probe is a single-key semi join. (u, cu, cv) rows are
+    # unchanged — graph_clustering_coeff still attributes
+    # per-node counts from the same pipeline.
+    onbs = oriented.groupBy("u").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vdeg"), F.col("v")))
+        ).alias("nb")
     )
-    w2 = oriented.select(
-        F.col("u"), F.col("v").alias("y"), F.col("vdeg").alias("ydeg")
+    wedges = onbs.select(
+        "u",
+        F.expr(
+            """assert_true(size(nb) = 0 OR
+               nb[size(nb) - 1].v < 4294967296L,
+               'packed wedge key overflow: node id >= 2^32')"""
+        ).alias("_guard"),
+        F.explode(
+            F.expr(
+                """IF(size(nb) < 2, array(),
+                   flatten(transform(sequence(0, size(nb) - 2), i ->
+                     transform(slice(nb, i + 2, size(nb) - i - 1), x ->
+                       nb[i].v * 4294967296L + x.v))))"""
+            )
+        ).alias("ccv"),
+    ).select("u", "ccv")
+    closing = oriented.select(
+        (
+            F.col("u") * F.lit(4294967296).cast("long") + F.col("v")
+        ).alias("ccv")
     )
-    x_first = (F.col("xdeg") < F.col("ydeg")) | (
-        (F.col("xdeg") == F.col("ydeg")) & (F.col("x") < F.col("y"))
+    return wedges.join(closing, "ccv", "leftsemi").select(
+        "u",
+        F.expr("ccv div 4294967296L").alias("cu"),
+        (F.col("ccv") % F.lit(4294967296).cast("long")).alias("cv"),
     )
-    wedges = (
-        w1.join(w2, "u")
-        .where(F.col("x") < F.col("y"))
-        .select(
-            "u",
-            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("cu"),
-            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("cv"),
-        )
-    )
-    closing = oriented.select(F.col("u").alias("cu"), F.col("v").alias("cv"))
-    # (u, cu, cv) = the triangle's three nodes — the wedge center
-    # rides along so graph_clustering_coeff can attribute per-node
-    # counts from the same oriented pipeline.
-    return wedges.join(closing, ["cu", "cv"], "leftsemi")
 
 
 def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
