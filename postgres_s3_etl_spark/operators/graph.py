@@ -965,9 +965,13 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (Round-14 A/B: fusing the round into ONE grouped MIN — own
     # label riding the neighbor-message union as a tagged row —
-    # measured SLOWER interleaved at sf0.1 (best 7.3 → 12.1 s): the
-    # labels⋈nb_min join is a broadcast here while the union pushed
-    # N extra rows through the big exchange. Kept as-is.)
+    # measured SLOWER interleaved at sf0.1 (best 7.3 -> 12.1 s): the
+    # labels-nb_min join is a broadcast here while the union pushed
+    # N extra rows through the big exchange. A second A/B — TWO hops
+    # per checkpoint+convergence check, the min_label_fixed_point
+    # recipe — also measured slower (best 9.3 -> 13.2 s over 6
+    # reps): the start-label comparison join per round cost more
+    # than the saved checkpoint+count jobs. Single-hop rounds kept.)
     for _ in range(CC_MAX_ITERS):
         nb_min = (
             sym.join(labels, sym.src == labels.node)
@@ -1016,7 +1020,9 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 3
 
 
-def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lpa_labels(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> DataFrame:
     """Final (node, label) frame after ``LPA_ITERS`` synchronous
     label-propagation rounds — shared by the community query and the
     modularity evaluation. Per round ONE join (edges × labels) + ONE
@@ -1026,8 +1032,14 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted hash layout on big graphs so only the label frame
     (N rows) re-shuffles each round. The deterministic (count DESC,
     label ASC) tie-break makes the fixpoint bit-identical to the
-    oracle's unrolled rounds."""
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    oracle's unrolled rounds.
+
+    ``edges`` (round-14): callers that also need the edge frame for
+    their own rollups (conductance, modularity) pass their already-
+    checkpointed frame so the co-purchase build doesn't run twice
+    per query."""
+    if edges is None:
+        edges = copurchase_edges(spark, sf_dir).localCheckpoint()
     n_part = _iter_partitions(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1099,8 +1111,11 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars. Per-community terms pin to DECIMAL(38,18) before any
     float emits, with the mirrored floor(x·1e6)/1e6.
     """
-    labels = _lpa_labels(spark, sf_dir)
+    # Round-14: build + checkpoint the edge frame ONCE and share it
+    # with the LPA loop — previously the co-purchase build ran twice
+    # per query (once inside _lpa_labels, once here).
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    labels = _lpa_labels(spark, sf_dir, edges=edges)
     m = edges.count()  # scalar: undirected edge count
     la = labels.select(
         F.col("node").alias("src"), F.col("label").alias("label_a")
@@ -1161,8 +1176,11 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared LPA loop + one edges⋈labels⋈labels rollup + one
     degree⋈labels rollup; m is a scalar.
     """
-    labels = _lpa_labels(spark, sf_dir)
+    # Round-14: build + checkpoint the edge frame ONCE and share it
+    # with the LPA loop — previously the co-purchase build ran twice
+    # per query (once inside _lpa_labels, once here).
     edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    labels = _lpa_labels(spark, sf_dir, edges=edges)
     m = edges.count()  # scalar: undirected edge count
     la = labels.select(
         F.col("node").alias("src"), F.col("label").alias("label_a")
