@@ -91,7 +91,9 @@ def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 3: near-dup keep-set among stage-2 survivors — MinHash-
     # LSH candidate components, min doc_id survives per component
     s2 = base.join(ids2, "doc_id")
-    bands = minhash_bands_for(s2.select("doc_id", "text"))
+    # persist: both self-join sides read the band frame (round-14
+    # audit — same fix as dedup_cc_keepset / leakage_safe_split_frame)
+    bands = minhash_bands_for(s2.select("doc_id", "text")).persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

@@ -1316,7 +1316,11 @@ def leakage_safe_split_frame(docs: DataFrame) -> DataFrame:
     decision is one row-local md5 of the cluster label; the rollup
     is partial-aggregatable. Nothing corpus-sized shuffles twice.
     """
-    bands = minhash_bands_for(docs.select("doc_id", "text"))
+    # persist: the band frame feeds BOTH sides of the candidate
+    # self-join — un-materialized, the per-shingle md5 + 16-hash
+    # signature map phase runs twice (the dedup_cc_keepset lesson,
+    # round-14 audit).
+    bands = minhash_bands_for(docs.select("doc_id", "text")).persist()
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
