@@ -1777,30 +1777,40 @@ def q_brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines in TPC-H), never corpus-quadratic. Brand marginals are a
     ~25-row broadcast.
     """
+    from postgres_s3_etl_spark.operators.graph import _PAIRS_FROM_SORTED
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    # Round-14 (the copurchase_edges recipe): the per-order DISTINCT
+    # brand rollup previously fed FOUR consumers (total, both
+    # self-join sides, marginals) un-materialized — the
+    # lineitem⋈part join ran four times per query. One grouped
+    # sorted-set pass is materialized once; pairs explode ROW-LOCALLY
+    # (ascending array, so a < b falls out; sort_array and the old
+    # string '<' are both binary UTF8 order), marginals explode the
+    # same sets, and the order total is the row count.
+    obg = (
         li.join(part, li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
+        .localCheckpoint()
     )
-    tot = ob.agg(
-        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
-    )
-    a, b = ob.alias("a"), ob.alias("b")
+    tot = obg.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
     pair_n = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        obg.select(
+            F.explode(F.expr(_PAIRS_FROM_SORTED.format(a="bs"))).alias("e")
         )
         .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
+            F.col("e.src").alias("brand_a"),
+            F.col("e.dst").alias("brand_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    marg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_orders_brand"))
+    marg = (
+        obg.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_orders_brand"))
+    )
     ma = marg.select(
         F.col("p_brand").alias("brand_a"), F.col("n_orders_brand").alias("n_a")
     )

@@ -519,9 +519,15 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle feeds both sides.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ds = docs.select(
-        F.md5(F.lower(F.trim("text"))).alias("digest"), "source"
-    ).distinct()
+    # persist: both self-join sides read the digest rollup — without
+    # it the full-text md5 + distinct runs twice (round-14 audit).
+    ds = (
+        docs.select(
+            F.md5(F.lower(F.trim("text"))).alias("digest"), "source"
+        )
+        .distinct()
+        .persist()
+    )
     a, b = ds.alias("a"), ds.alias("b")
     return (
         a.join(
@@ -863,6 +869,9 @@ def _cosine_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = emb.withColumn(
         "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
     ).withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
+    # persist: the signed frame feeds both candidate-join sides —
+    # without it the 56-plane signature runs twice (round-14 audit).
+    emb = emb.persist()
     buckets = emb.select(
         "vec_id",
         "label",
@@ -958,9 +967,15 @@ def embedding_dedup_bits_curve(
         ),
         "vec_id",
     )
-    emb = emb.withColumn(
-        "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
-    ).withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
+    emb = (
+        emb.withColumn(
+            "norm", F.sqrt(F.expr("aggregate(v, 0.0d, (s, x) -> s + x * x)"))
+        )
+        .withColumn("sig", _signature("v", DEDUP_SIG_PLANES))
+        # persist: both sweep-join sides read the signed frame —
+        # round-14 audit, same fix as dedup_embedding_cosine.
+        .persist()
+    )
     bt = ", ".join(
         f"struct({b} AS b, {t} AS tbl,"
         f" (sig div cast(pow(2, {t * b}) as bigint))"
