@@ -324,6 +324,13 @@ def layout_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"xmin + (q * (xmax - xmin + 1)) div {NQ_POINTS}"
         ).alias("key")
     ).localCheckpoint()  # NQ_POINTS rows
+    # The checkpoint above truncates the Aggregate lineage that
+    # proves this frame bounded, so the cross-broadcast audit
+    # (scripts/audit_broadcast_hints.py, pytest-enforced) would flag
+    # the hinted sides below. Re-establish the bound with a no-op
+    # limit: the frame holds exactly NQ_POINTS rows, so GlobalLimit
+    # passes everything through and only marks the row bound.
+    probes = probes.limit(NQ_POINTS)
     cont = keys.join(probes, keys.x == probes.key).select(
         "file_id", "key"
     ).localCheckpoint()  # ≤ N_FILES · NQ_POINTS rows
