@@ -311,20 +311,27 @@ def main() -> None:
         json.dump(full, fh, indent=1)
     # The driver parses the bench JSON out of a bounded (~2000-char)
     # stdout tail; the per-query map outgrew that at 83 queries and the
-    # round-6 artifact was lost (parsed: null). The LAST line is a
-    # compact (<150 char) summary that always fits the tail window.
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": full["value"],
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "repeat": repeat,
-            }
-        )
+    # round-6 artifact was lost (parsed: null). The LAST lines are
+    # compact summaries that always fit the tail window.
+    summary = {
+        "metric": metric,
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "repeat": repeat,
+    }
+    print(json.dumps(summary))
+    # Round-15 (VERDICT r14 task 1): per-query signal the driver's
+    # bounded tail can actually hold — the 20 slowest queries. The
+    # final line repeats every summary field so a parser that reads
+    # only the last JSON line still gets the totals; PERF comparisons
+    # can then diff the hot rows even though the full 132-entry map
+    # overflows the tail window.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
+    print(json.dumps({**summary, "slowest": slowest}))
 
 
 if __name__ == "__main__":

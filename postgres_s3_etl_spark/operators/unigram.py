@@ -186,16 +186,23 @@ def _run_em(
     inv = _initial_inventory(words)
     if not inv or sum(c for _, c in inv) == 0:
         return [], []
+    # Round-15 (guide §1.2 "don't compute things twice"): the old
+    # per-round `est` aggregate ran the Viterbi DP a SECOND time per
+    # round for two values that are derivable — toks = Σ freq is
+    # segmentation-independent (one job, before the loop), and
+    # occ = Σ freq·|pieces| is exactly the integer sum of the
+    # per-piece M-step counts (each piece OCCURRENCE contributes
+    # freq to its piece's count). One DP pass per round instead of
+    # two; identical integers, identical rows.
+    toks = int(
+        words.agg(F.sum("freq").cast("bigint").alias("t")).collect()[
+            0
+        ]["t"]
+    )
     rounds: list[tuple] = []
     for rnd in range(1, UNIGRAM_ROUNDS + 1):
         n_pieces_used = len(inv)
         seg = _estep(words, inv)
-        est = seg.agg(
-            F.sum(F.col("freq") * F.size("pieces"))
-            .cast("bigint")
-            .alias("occ"),
-            F.sum("freq").cast("bigint").alias("toks"),
-        ).collect()[0]
         counts = {
             r["piece"]: int(r["cnt"])
             for r in seg.select(
@@ -206,7 +213,7 @@ def _run_em(
             .collect()
         }
         inv = _prune(inv, counts)
-        occ, toks = int(est["occ"]), int(est["toks"])
+        occ = sum(counts.values())
         top = min(inv, key=lambda t: (-t[1], t[0]))
         rounds.append(
             (
@@ -383,10 +390,19 @@ def text_unigram_lm_heldout(
     floor-truncated doubles.
     """
     inv, rounds = _trained(spark, sf_dir, "train")
-    hw = _word_freq(spark, sf_dir, "heldout")
+    # Round-15 (guide §1.2/§5): checkpoint the held-out word table —
+    # the emptiness probe and the scoring aggregate previously each
+    # re-ran the corpus scan + tokenize + groupBy from scratch.
+    hw = _word_freq(spark, sf_dir, "heldout").localCheckpoint()
     if not rounds or not hw.take(1):
         return spark.createDataFrame([], _HELDOUT_SCHEMA)
     total = sum(c for _, c in inv)
+    # Round-15: ONE pass instead of two — the old `base` aggregate
+    # scanned hw2 (map literal + forall per word) and the `sc`
+    # aggregate scanned it AGAIN with the DP on top. The DP is
+    # gated behind char_ok (CASE WHEN branches evaluate lazily), so
+    # it still runs only on segmentable words; every sum is the same
+    # integer over the same rows, merely computed in one job.
     hw2 = hw.withColumn("m", F.expr(_map_literal(inv))).withColumn(
         "char_ok",
         F.expr(
@@ -394,39 +410,42 @@ def text_unigram_lm_heldout(
             " i -> try_element_at(m, substring(tok, i, 1)) IS NOT NULL)"
         ),
     )
-    base = hw2.agg(
+    seg = hw2.withColumn(
+        "best", F.when(F.col("char_ok"), F.expr(_dp_expr(total)))
+    ).select(
+        "freq",
+        "char_ok",
+        F.split(F.col("best.seg"), SEG_SEP).alias("pieces"),
+        F.col("best.score").alias("score"),
+    )
+    ok = F.col("char_ok")
+    sc = seg.agg(
         F.sum("freq").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
-        F.sum(F.when(~F.col("char_ok"), F.col("freq")).otherwise(0))
+        F.sum(F.when(~ok, F.col("freq")).otherwise(0))
         .cast("bigint")
         .alias("oov"),
-    ).collect()[0]
-    seg = (
-        hw2.where("char_ok")
-        .withColumn("best", F.expr(_dp_expr(total)))
-        .select(
-            "freq",
-            F.split(F.col("best.seg"), SEG_SEP).alias("pieces"),
-            F.col("best.score").alias("score"),
+        F.sum(
+            F.when(ok & (F.col("score") <= 0), F.col("freq")).otherwise(0)
         )
-    )
-    sc = seg.agg(
-        F.sum(F.when(F.col("score") <= 0, F.col("freq")).otherwise(0))
         .cast("bigint")
         .alias("zero"),
-        F.sum(F.when(F.col("score") > 0, F.col("freq")).otherwise(0))
+        F.sum(
+            F.when(ok & (F.col("score") > 0), F.col("freq")).otherwise(0)
+        )
         .cast("bigint")
         .alias("scored"),
         F.sum(
             F.when(
-                F.col("score") > 0, F.col("freq") * F.size("pieces")
+                ok & (F.col("score") > 0),
+                F.col("freq") * F.size("pieces"),
             ).otherwise(0)
         )
         .cast("bigint")
         .alias("occ"),
         F.sum(
             F.when(
-                F.col("score") > 0,
+                ok & (F.col("score") > 0),
                 F.col("freq")
                 * F.floor(F.log("score") * F.lit(NLL_PIN)).cast("long"),
             ).otherwise(0)
@@ -434,6 +453,7 @@ def text_unigram_lm_heldout(
         .cast("long")
         .alias("ll_pinned"),
     ).collect()[0]
+    base = sc
     scored = int(sc["scored"] or 0)
     if scored > 0:
         avg_nll_raw = -(int(sc["ll_pinned"]) / NLL_PIN) / scored

@@ -37,6 +37,7 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--no-plan", action="store_true")
+    ap.add_argument("--round", default="r15")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -46,7 +47,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry.queries()
 
-    plans_dir = REPO / "plans" / "r14"
+    plans_dir = REPO / "plans" / args.round
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     # Warm codegen at the smallest SF (bench protocol).
