@@ -257,12 +257,23 @@ def main() -> None:
     # queries stay warm, as they are in a suite run). Round-9 verdict
     # defect #1: without this, standing rows for the memoized
     # trainers under-state the driver by 3-4x.
-    from postgres_s3_etl_spark.operators import similarity, tokenizer, unigram
+    from postgres_s3_etl_spark.operators import (
+        graph,
+        similarity,
+        tokenizer,
+        unigram,
+    )
 
     memos = (
         tokenizer._TRAIN_CACHE,
         unigram._EM_CACHE,
         similarity._HNSW_CACHE,
+        # round-15: the shared checkpointed co-purchase edge frame —
+        # same protocol, so each rep of a graph query sees exactly
+        # the memo state the driver's single-pass suite would give
+        # that query (the first graph row in suite order pays the
+        # build; later rows reuse it).
+        graph._EDGE_CACHE,
     )
 
     timings: dict[str, float] = {}

@@ -101,6 +101,29 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Round-15 session-lifetime memo of the CHECKPOINTED co-purchase
+#: edge frame, keyed (application, sf_dir) — the tokenizer
+#: _TRAIN_CACHE rationale applied to the graph family: ten headline
+#: graph queries each rebuilt + re-checkpointed the identical edge
+#: list (~2-2.5 s each at sf0.1), and a suite pass paid it ten
+#: times. localCheckpoint blocks survive spark.catalog.clearCache()
+#: and live for the application the key carries, so a new session
+#: never sees stale frames. bench.py restores this memo cold per
+#: rep (the round-9 cold-memo protocol), so standing numbers price
+#: the build exactly as the driver's single pass does: the first
+#: graph query in suite order pays it, later ones reuse it.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _edges_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _EDGE_CACHE:
+        _EDGE_CACHE[key] = copurchase_edges(
+            spark, sf_dir
+        ).localCheckpoint()
+    return _EDGE_CACHE[key]
+
+
 _EDGES_SQL = """
         op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         edges AS (
@@ -167,7 +190,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of the co-purchase graph: how many parts
     have k co-purchase partners. One pair-gen join + two groupBys,
     all partial-aggregatable."""
-    deg = _degrees(copurchase_edges(spark, sf_dir))
+    deg = _degrees(_edges_ckpt(spark, sf_dir))
     return (
         deg.groupBy("deg")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
@@ -194,7 +217,7 @@ def _triangle_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thousands of empty tasks on a default-conf session) and it
     # truncates lineage so the three reuses below don't recompute
     # the pair-generation join.
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     deg = _degrees(edges)
     dsrc = deg.select(F.col("node").alias("src"), F.col("deg").alias("sdeg"))
     ddst = deg.select(F.col("node").alias("dst"), F.col("deg").alias("ddeg"))
@@ -282,7 +305,7 @@ def graph_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle onto its three canonical edges, and removes them from
     the edge list with one anti-join; two counting rollups close it.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     tri = _triangle_triples(spark, sf_dir)
     pair = lambda x, y: [  # noqa: E731
         F.least(F.col(x), F.col(y)).alias("a"),
@@ -334,7 +357,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     both endpoints once and explodes only the constant threshold
     array (4 rows per edge); counts fold with map-side combine.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     deg = _degrees(edges)
     ks = F.array(*[F.lit(k) for k in RICH_CLUB_KS])
     nodes_k = (
@@ -399,7 +422,7 @@ def graph_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(d/dmin) term pins to DECIMAL(38,6) before the fold; α̂ and
     the tail fraction are mirrored expressions.
     """
-    deg = _degrees(copurchase_edges(spark, sf_dir))
+    deg = _degrees(_edges_ckpt(spark, sf_dir))
     tail = deg.where(F.col("deg") >= POWERLAW_DMIN)
     terms = tail.select(
         F.log(
@@ -450,7 +473,7 @@ def graph_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection at both endpoints (partkey equi-joins), one
     (brand, brand) rollup — bounded at |brands|² — then scalar math.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    edges = _edges_ckpt(spark, sf_dir)
     brands = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand"
     )
@@ -524,7 +547,7 @@ def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list once, one node rollup, one degree-class rollup — all
     partial-aggregatable.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     deg = _degrees(edges)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -601,7 +624,7 @@ def graph_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers (≤ cap·|E| rows, never Σ deg² unbounded), one (a, c)
     rollup, one scalar aggregate — all equi-joins on node keys.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -674,7 +697,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
     )
-    deg = _degrees(copurchase_edges(spark, sf_dir))
+    deg = _degrees(_edges_ckpt(spark, sf_dir))
     pern = (
         deg.where(F.col("deg") >= 2)
         .join(tcounts, "node", "left")
@@ -713,7 +736,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pr/deg, damping fold) in double — both engines execute the
     same IEEE ops on the same values.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    edges = _edges_ckpt(spark, sf_dir)
     # symmetric directed view: contributions flow both ways.
     # localCheckpoint (not persist) so the per-iteration reuse reads
     # an AQE-coalesced materialization instead of recomputing the
@@ -829,7 +852,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     Independent exact-value verification also lives in
     tests/test_graph.py against a NumPy power iteration.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     nodes = _degrees(edges).select("node")
     outdeg = (
         edges.groupBy(F.col("src").alias("node"))
@@ -969,7 +992,7 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop whenever diameter <= CC_ORACLE_ROUNDS; a violation would
     surface as a visible hash FAIL.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     # Persist the symmetric edges hash-partitioned on the per-round
     # join key (see graph_pagerank's sym note: persist preserves the
     # layout, localCheckpoint doesn't) — each propagation round then
@@ -1075,7 +1098,7 @@ def _lpa_labels(
     checkpointed frame so the co-purchase build doesn't run twice
     per query."""
     if edges is None:
-        edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+        edges = _edges_ckpt(spark, sf_dir)
     n_part = _iter_partitions(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1091,7 +1114,7 @@ def _lpa_labels(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
-    for _ in range(LPA_ITERS):
+    for it in range(1, LPA_ITERS + 1):
         # Round-14: the per-node top-1 is an arg-max by
         # (c DESC, label ASC) computed as ONE aggregate —
         # max(struct(c, -label)) picks the highest count and, among
@@ -1113,8 +1136,17 @@ def _lpa_labels(
                 ).alias("m")
             )
             .select("node", (-F.col("m.nl")).alias("label"))
-            .localCheckpoint()
         )
+        # Round-15 (VERDICT r14 task 7, guide §5): checkpoint only
+        # the FINAL round. LPA runs a fixed LPA_ITERS with no
+        # per-round convergence read, so the intermediate
+        # materialization + driver sync per round bought nothing —
+        # the rounds chain into one job (same shuffles, 2 fewer
+        # checkpoint jobs). Interleaved A/B at sf0.1 (4 reps,
+        # results asserted identical): best 13.5 s (per-round) →
+        # 7.0 s (final-only).
+        if it == LPA_ITERS:
+            labels = labels.localCheckpoint()
     if n_part:
         # Round-15 (guide §5): labels is checkpoint-backed after the
         # final round — release the persisted edge layout at exit.
@@ -1154,7 +1186,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-14: build + checkpoint the edge frame ONCE and share it
     # with the LPA loop — previously the co-purchase build ran twice
     # per query (once inside _lpa_labels, once here).
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     labels = _lpa_labels(spark, sf_dir, edges=edges)
     m = edges.count()  # scalar: undirected edge count
     la = labels.select(
@@ -1219,7 +1251,7 @@ def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-14: build + checkpoint the edge frame ONCE and share it
     # with the LPA loop — previously the co-purchase build ran twice
     # per query (once inside _lpa_labels, once here).
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     labels = _lpa_labels(spark, sf_dir, edges=edges)
     m = edges.count()  # scalar: undirected edge count
     la = labels.select(
@@ -1307,7 +1339,7 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join on the canonical (a < b) pair. The score division is
     one mirrored floor(x·1e6)/1e6 per surviving pair.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     deg = _degrees(edges).localCheckpoint()
     adj = edges.select(
         F.col("src").alias("node"), F.col("dst").alias("nb")
@@ -1613,7 +1645,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     r — the same regression-as-aggregation shape as the customer
     spend OLS, at graph scale.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    edges = _edges_ckpt(spark, sf_dir)
     deg = _degrees(edges)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1661,7 +1693,7 @@ def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-rollup + two-semi-join shape as ``graph_kcore``, with
     only constant-size convergence scalars on the driver.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     rows = []
     for kval in CORE_DECOMP_KS:
         n_cur = edges.count()
@@ -1718,7 +1750,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-ops, so fixed unroll == converged loop whenever peeling
     finishes within the unroll depth.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     n_cur = edges.count()
     # Convergence must land within the oracle's fixed unroll depth —
     # peeling past it would silently diverge from the SQL twin.
@@ -1771,7 +1803,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence scalar at all. Nodes not reached within BFS_ROUNDS
     are excluded (they'd report +inf).
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1827,7 +1859,7 @@ def graph_harmonic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     riding the key); 1/d terms are pinned to DECIMAL(38,6) before
     the per-seed fold.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1903,7 +1935,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the walk costs WALK_LEN tiny joins, the standard distributed
     random-walk shape.
     """
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    edges = _edges_ckpt(spark, sf_dir)
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -57,9 +57,19 @@ def main() -> None:
             qs[name](spark, warm_sf).collect()
     spark.catalog.clearCache()
 
-    from postgres_s3_etl_spark.operators import similarity, tokenizer, unigram
+    from postgres_s3_etl_spark.operators import (
+        graph,
+        similarity,
+        tokenizer,
+        unigram,
+    )
 
-    memos = (tokenizer._TRAIN_CACHE, unigram._EM_CACHE, similarity._HNSW_CACHE)
+    memos = (
+        tokenizer._TRAIN_CACHE,
+        unigram._EM_CACHE,
+        similarity._HNSW_CACHE,
+        graph._EDGE_CACHE,
+    )
 
     out: dict[str, dict] = {}
     for name in args.names:
